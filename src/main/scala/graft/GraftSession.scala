@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory with the configuration the engine expects.
+  *
+  * Tuned for the local[32] test harness but every knob is the one you would
+  * also set on a real cluster: AQE on (runtime re-plan, skew-join splitting,
+  * partition coalescing), shuffle partitions sized to the parallelism at
+  * hand rather than the 200 default, UTC session time zone so timestamp
+  * semantics match the DuckDB oracle bit-for-bit.
+  */
+object GraftSession {
+
+  /** Apply engine defaults to an arbitrary builder (Verify/Bench build their
+    * own master/memory settings).
+    */
+  def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.parquet.filterPushdown", "true")
+    // the synthetic events table carries TIMESTAMP(NANOS) parquet columns,
+    // which Spark only reads as long; Tables.load converts back (µs).
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    .config("spark.ui.enabled", "false")
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = tune(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName("graft")
+        .config("spark.sql.shuffle.partitions", cores.toString)
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Loaders for the driver-generated star schema (TESTDATA.md). */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // TIMESTAMP(NANOS) columns arrive as long (nanosAsLong); convert to a
+    // proper timestamp at µs precision — same floor-truncation DuckDB
+    // applies when it reads the ns column.
+    df.schema.fields.foldLeft(df) {
+      case (acc, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
+        acc.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.floor(
+              org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+      case (acc, _) => acc
+    }
+  }
+}

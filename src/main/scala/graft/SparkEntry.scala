@@ -1,13 +1,347 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.Dedup
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
+  * implemented operator from SURVEY.md §2. Query bodies are thin: the
+  * operator logic lives in `graft.operators` / `graft.functions`.
+  *
+  * Conventions shared by Spark query and oracle SQL:
+  *  - identical output column names (driver hash-compares by sorted name);
+  *  - floating aggregates rounded to 6 (or fewer) decimals on both sides;
+  *  - a deterministic ORDER BY on every result.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Runs the document-pipeline spine: clean → dedup → per-language stats.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val docs = t(spark, "/root/testdata/sf0.001", "documents")
+    val deduped = Dedup.titleHashDedup(docs, col("text"), col("doc_id"))
+    deduped
+      .withColumn("clean", TF.cleanText(col("text")))
+      .groupBy(col("lang"))
+      .agg(
+        count("*").as("n_docs"),
+        round(avg(TF.wordCount(col("clean"))), 4).as("avg_words"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+      .orderBy(col("lang"))
+  }
+
+  // =====================================================================
+  // Queries
+  // =====================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- A: aggregations --------------------------------------------
+    "q1_pricing_summary" -> ((s, dir) => {
+      // TPC-H Q1 shape: the reference's per-stage stats rollup (A1/A2)
+      // over the biggest fact table. Partial agg map-side, 6 output rows.
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q2_doc_quality_stats" -> ((s, dir) => {
+      // A1 per-stage quality stats re-expressed over `documents`: counts,
+      // %-long-docs, avg char/word lengths (avg over qualifying rows only,
+      // mirroring data_quality_comparison.py:67's non-empty-only average).
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(when(col("n_chars") >= 200, 1.0).otherwise(0.0)) * 100, 4).as("pct_long"),
+          round(avg(when(col("n_chars") > 0, col("n_chars"))), 4).as("avg_chars"),
+          round(avg(TF.wordCount(col("text"))), 4).as("avg_words"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang"))
+    }),
+
+    "q3_enrich_5way_join" -> ((s, dir) => {
+      // J1 — the reference's 5-way left-outer enrich merge
+      // (bulid_final_dataset.py:145-333) as a star join; small dims are
+      // broadcast (auto under the 64 MB threshold), fact never re-shuffles.
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"), "left")
+        .join(c, col("o_custkey") === col("c_custkey"), "left")
+        .join(n, col("c_nationkey") === col("n_nationkey"), "left")
+        .join(r, col("n_regionkey") === col("r_regionkey"), "left")
+        .groupBy(coalesce(col("r_name"), lit("UNKNOWN")).as("region"),
+          coalesce(col("n_name"), lit("UNKNOWN")).as("nation"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("region"), col("nation"))
+    }),
+
+    "q4_anti_join" -> ((s, dir) => {
+      // P5/J2 — checkpoint anti-join (enhance_fields_of_study.py:347-356):
+      // rows not yet present in the processed set.
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q5_topk" -> ((s, dir) => {
+      // R11 — global top-k by score (quality_scoring.py:571-581); Catalyst
+      // plans TakeOrderedAndProject: no full sort, no single-node shuffle.
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // ---- D: deduplication -------------------------------------------
+    "d2_exact_dedup_nullkey" -> ((s, dir) => {
+      // D2 — exact-key dedup where NULL keys pass through untouched
+      // (strict_deduplication.py:21-32). Key: lang with 'en' nulled out.
+      val docs = t(s, dir, "documents")
+      Dedup.dedupFirstWins(docs, nullif(col("lang"), lit("en")), col("doc_id"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "d3_content_hash_dedup" -> ((s, dir) => {
+      // D3 — md5 content-hash dedup, first-wins by ingest order
+      // (strict_deduplication.py:35-45); keyed on a 20-char prefix so the
+      // synthetic corpus actually collides.
+      val docs = t(s, dir, "documents")
+      Dedup.dedupFirstWins(docs,
+          md5(lower(trim(substring(col("text"), 1, 20)))), col("doc_id"))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "d4_jaccard_pairs" -> ((s, dir) => {
+      // D4 — fuzzy near-duplicate pairs by token-set Jaccard ≥ 0.9
+      // (strict_deduplication.py:48-76) via token-blocking join, not O(n²).
+      Dedup.jaccardPairs(t(s, dir, "documents"), col("doc_id"), col("text"), 0.9)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- T: text functions ------------------------------------------
+    "t1_text_clean" -> ((s, dir) => {
+      // T1-T4 — LaTeX/HTML-entity/non-ASCII strip + whitespace collapse
+      // (text_cleaning.py:20-50). The corpus is clean, so dirty input is
+      // constructed identically on both sides from the same column.
+      val dirty = concat(
+        lit("\\textbf{Attention} is $O(n^2)$ &amp; caf\u00e9 "), col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.cleanText(dirty).as("clean_text"),
+          TF.wordCount(col("text")).as("n_words"),
+          TF.sentenceCount(col("text")).as("n_sentences"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- A4/A5: statistics ------------------------------------------
+    "a4_dist_stats" -> ((s, dir) => {
+      // A4/A5/A7 — mean/median/σ_pop/min/max + Pearson corr
+      // (quality_scoring.py:408-479); exact percentile for oracle parity,
+      // percentile_approx is the 100 TB swap-in.
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+          round(stddev_pop(col("l_quantity")), 6).as("std_qty"),
+          round(min(col("l_quantity")), 2).as("min_qty"),
+          round(max(col("l_quantity")), 2).as("max_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- W: windows --------------------------------------------------
+    "w1_running_window" -> ((s, dir) => {
+      // Window suite (the engine's survivor-selection primitive, §2.11):
+      // row_number + lag + running sum per user over event time.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .select(
+          col("user_id"), col("event_id"),
+          row_number().over(w).as("rn"),
+          round(coalesce(lag(col("value"), 1).over(w), lit(0.0)), 2).as("prev_value"),
+          round(sum(col("value")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running_value"))
+        .orderBy(col("user_id"), col("rn"))
+    }),
+
+    // ---- V: vector search -------------------------------------------
+    "v1_cosine_topk" -> ((s, dir) => {
+      // V3 — brute-force cosine top-k against a query vector
+      // (RAG/rag.ipynb:488-530). Query vec broadcast; one scan, global
+      // TakeOrderedAndProject for the k survivors.
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(VF.cosine(col("embedding"), col("qv")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    })
+  )
+
+  // =====================================================================
+  // DuckDB oracle SQL — same tables, same column names, same rounding.
+  // =====================================================================
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_quantity), 6) AS avg_qty,
+         round(avg(l_discount), 6) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q2_doc_quality_stats" ->
+      """SELECT lang,
+         count(*) AS n_docs,
+         round(avg(CASE WHEN n_chars >= 200 THEN 1.0 ELSE 0.0 END) * 100, 4) AS pct_long,
+         round(avg(CASE WHEN n_chars > 0 THEN n_chars END), 4) AS avg_chars,
+         round(avg(len(regexp_extract_all(text, '\w+'))), 4) AS avg_words,
+         count(DISTINCT source) AS n_sources
+         FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q3_enrich_5way_join" ->
+      """SELECT coalesce(r_name, 'UNKNOWN') AS region,
+         coalesce(n_name, 'UNKNOWN') AS nation,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(DISTINCT o_orderkey) AS n_orders,
+         count(*) AS n_lines
+         FROM lineitem
+         LEFT JOIN orders ON l_orderkey = o_orderkey
+         LEFT JOIN customer ON o_custkey = c_custkey
+         LEFT JOIN nation ON c_nationkey = n_nationkey
+         LEFT JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q4_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+         round(sum(c_acctbal), 2) AS sum_acctbal
+         FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q5_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+
+    "d2_exact_dedup_nullkey" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+             CASE WHEN lang = 'en' THEN 1
+                  ELSE row_number() OVER (PARTITION BY nullif(lang, 'en') ORDER BY doc_id)
+             END AS rn
+           FROM documents) WHERE rn = 1 ORDER BY doc_id""",
+
+    "d3_content_hash_dedup" ->
+      """SELECT doc_id FROM (
+           SELECT doc_id, row_number() OVER (
+             PARTITION BY md5(lower(trim(substring(text, 1, 20))))
+             ORDER BY doc_id) AS rn
+           FROM documents) WHERE rn = 1 ORDER BY doc_id""",
+
+    "d4_jaccard_pairs" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_distinct(
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS tok
+           FROM documents),
+         sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+           FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT ia AS id_a, ib AS id_b,
+           round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+         FROM pairs
+         JOIN sizes sa ON ia = sa.doc_id
+         JOIN sizes sb ON ib = sb.doc_id
+         WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.9
+         ORDER BY id_a, id_b""",
+
+    "t1_text_clean" ->
+      """SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     '\textbf{Attention} is $O(n^2)$ &amp; café ' || text,
+                     '\$.*?\$', ' ', 'g'),
+                   '\\[a-zA-Z]+\{[^}]*\}', ' ', 'g'),
+                 '\\[a-zA-Z]+\s*', ' ', 'g'),
+               '&[a-zA-Z]+;', ' ', 'g'),
+             '[^\x00-\x7F]+', ' ', 'g'),
+           '\s+', ' ', 'g')) AS clean_text,
+         len(regexp_extract_all(text, '\w+')) AS n_words,
+         len(list_filter(string_split_regex(text, '[.!?]+'), x -> trim(x) <> '')) AS n_sentences
+         FROM documents ORDER BY doc_id""",
+
+    "a4_dist_stats" ->
+      """SELECT l_returnflag,
+         round(avg(l_quantity), 6) AS avg_qty,
+         round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+         round(stddev_pop(l_quantity), 6) AS std_qty,
+         round(min(l_quantity), 2) AS min_qty,
+         round(max(l_quantity), 2) AS max_qty,
+         round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "w1_running_window" ->
+      """SELECT user_id, event_id,
+         row_number() OVER w AS rn,
+         round(coalesce(lag(value, 1) OVER w, 0.0), 2) AS prev_value,
+         round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+         FROM events WHERE user_id < 20
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY user_id, rn""",
+
+    "v1_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         sims AS (
+           SELECT e.vec_id,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+             AS s
+           FROM embeddings e, q WHERE e.vec_id <> 0)
+         SELECT vec_id, round(s, 6) AS sim FROM sims
+         ORDER BY sim DESC, vec_id LIMIT 10"""
+  )
 }

@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` / `array<double>` embedding columns
+  * (SURVEY.md §2.9 V1–V3), built from higher-order functions so the dot
+  * products stay codegen'd column expressions — no UDF boundary, no
+  * per-row boxing beyond the array itself.
+  *
+  * All functions promote to double before accumulating: float-order
+  * effects stay below the 1e-6 rounding used by oracle comparisons.
+  */
+object VectorFunctions {
+
+  /** Σ aᵢ·bᵢ via zip_with + aggregate. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** ‖a‖₂ */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; null-safe zero-vector guard → null (matches
+    * SQL-side division by zero). Ref behavior: RAG/rag.ipynb:488-530.
+    */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Euclidean distance. */
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** L2-normalize a vector to unit length (TF-embedding contract:
+    * RAG/rag.ipynb:413-436 normalizes its bag-of-words fallback).
+    */
+  def normalize(a: Column): Column = {
+    val n = l2Norm(a)
+    when(n > 0, transform(a, x => x.cast("double") / n)).otherwise(a.cast("array<double>"))
+  }
+}

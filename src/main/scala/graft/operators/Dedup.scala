@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deduplication suite (SURVEY.md §2.3 D1–D6 plus the 100 TB-scale
+  * variants the reference lacks).
+  *
+  * Design notes for scale:
+  *  - Exact dedup is a single hash shuffle on the key. First-wins
+  *    survivorship is a `row_number` window (or min-order aggregate) —
+  *    one shuffle either way.
+  *  - The reference's fuzzy title dedup (strict_deduplication.py:48-76) is
+  *    an O(n²) nested loop. Here pair generation is an inverted-index
+  *    (token-blocking) join: explode tokens → join on token → group by
+  *    pair. Work is proportional to token collisions, not n².
+  *  - MinHash/LSH brings near-dup detection to O(n·bands): candidate
+  *    pairs only form inside an LSH bucket. Hashes derive from md5 so the
+  *    scheme is deterministic and engine-independent (oracle-checkable).
+  */
+object Dedup {
+
+  /** D1/D2 — row_number that keeps the first row per key by explicit
+    * ingest order; rows with a NULL key are all kept (ref:
+    * strict_deduplication.py:29-30 keeps every record lacking a paper_id).
+    */
+  def firstWins(key: Column, order: Column): Column =
+    when(key.isNull, lit(1))
+      .otherwise(row_number().over(Window.partitionBy(key).orderBy(order)))
+
+  /** Filter form of [[firstWins]]: survivors only. */
+  def dedupFirstWins(df: DataFrame, key: Column, order: Column): DataFrame =
+    df.withColumn("__rn", firstWins(key, order))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+
+  /** D3 — md5(lower(trim(text))) content-hash dedup, first-wins by order
+    * column. Ref: strict_deduplication.py:35-45.
+    */
+  def titleHashDedup(df: DataFrame, text: Column, order: Column): DataFrame =
+    dedupFirstWins(df, TextFunctions.titleHash(text), order)
+
+  /** Distinct lowercase tokens per row, exploded — the inverted index used
+    * to block fuzzy-match candidates.
+    */
+  def tokenIndex(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("id"), explode(TextFunctions.tokenSet(text)).as("tok"))
+
+  /** D4 at scale — all pairs (a < b) whose token-set Jaccard similarity
+    * meets `threshold`, via token-blocking self-join (no cross join).
+    * Columns: id_a, id_b, inter, size_a, size_b, jaccard.
+    * Ref semantics: strict_deduplication.py:48-76 (pairwise Jaccard ≥ 0.9).
+    */
+  def jaccardPairs(df: DataFrame, id: Column, text: Column,
+                   threshold: Double): DataFrame = {
+    val toks = tokenIndex(df, id, text)
+    val sizes = toks.groupBy(col("id")).agg(count("*").as("n"))
+    val inter = toks.as("a")
+      .join(toks.as("b"), col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count("*").as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("size_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("size_b")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** D4 survivors — drop every row that has a near-duplicate with a
+    * smaller id (keep-first greedy, deterministic). Mirrors the
+    * reference's sequential earlier-survivor rule
+    * (strict_deduplication.py:68-73) for id = ingest order.
+    */
+  def fuzzyDedup(df: DataFrame, id: Column, text: Column,
+                 threshold: Double): DataFrame = {
+    val losers = jaccardPairs(df, id, text, threshold)
+      .select(col("id_b").as("__loser")).distinct()
+    df.join(losers, id === col("__loser"), "left_anti")
+  }
+
+  // ---------------------------------------------------------------------
+  // MinHash + LSH (scale path; deterministic md5-based hash family)
+  // ---------------------------------------------------------------------
+
+  /** Word-level n-gram shingles of a text column (distinct). Short texts
+    * (< n tokens) yield their whole token string as a single shingle.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = filter(split(lower(text), "\\s+"), t => t =!= "")
+    when(size(toks) < n, array(array_join(toks, " "))).otherwise(
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " "))))
+  }
+
+  /** MinHash signature: for seed s ∈ [0, numHashes), the lexicographic min
+    * of md5(s || ":" || shingle). md5 is uniform, deterministic, and
+    * available in every SQL engine, so signatures are oracle-checkable.
+    */
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      s => array_min(transform(sh, x => md5(concat(s.cast("string"), lit(":"), x)))))
+
+  /** LSH band keys: split the signature into bands of `rowsPerBand` and
+    * hash each band. Docs sharing any (band, hash) are candidates.
+    */
+  def lshBands(sig: Column, numHashes: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes / rowsPerBand - 1)),
+      b => struct(
+        b.as("band"),
+        md5(array_join(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), ",")).as("h")))
+
+  /** MinHash-LSH near-duplicate candidate pairs (id_a < id_b) with the
+    * signature-agreement Jaccard estimate.
+    */
+  def minhashPairs(df: DataFrame, id: Column, text: Column,
+                   shingleSize: Int = 3, numHashes: Int = 16,
+                   rowsPerBand: Int = 4): DataFrame = {
+    val sigs = df.select(
+      id.as("id"),
+      minhashSignature(shingles(text, shingleSize), numHashes).as("sig"))
+    val buckets = sigs.select(
+      col("id"), col("sig"),
+      explode(lshBands(col("sig"), numHashes, rowsPerBand)).as("bk"))
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (aggregate(
+          zip_with(col("a.sig"), col("b.sig"),
+            (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes))
+          .as("est_jaccard"))
+      .distinct()
+  }
+
+  /** hex char → 0..15 (portable: also expressible as strpos in SQL). */
+  private def hexVal(c: Column): Column = conv(c, 16, 10).cast("int")
+
+  /** SimHash (16-bit, md5-derived): token t contributes bits from the
+    * first 4 hex chars of md5(t); fingerprint bit b is set iff
+    * Σ_tokens (2·bitₜ(b) − 1) > 0. Deterministic + engine-independent.
+    * Near-duplicate texts land at small Hamming distance.
+    */
+  def simhash16(text: Column): Column = {
+    val toks = TextFunctions.tokenSet(text)
+    val bits = transform(sequence(lit(0), lit(15)), b => {
+      val vote = aggregate(toks, lit(0), (acc, t) => {
+        val hx = substring(md5(t), 1, 4).substr((b / lit(4)).cast("int") + 1, lit(1))
+        val shift = lit(3) - pmod(b, lit(4))
+        val bit = pmod((hexVal(hx) / pow(lit(2), shift)).cast("int"), lit(2))
+        acc + (bit * 2 - 1)
+      })
+      when(vote > 0, pow(lit(2), b).cast("int")).otherwise(lit(0))
+    })
+    aggregate(bits, lit(0), (acc, x) => acc + x)
+  }
+}
