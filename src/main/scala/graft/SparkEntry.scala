@@ -99,7 +99,7 @@ object SparkEntry {
       // P5/J2 — checkpoint anti-join (enhance_fields_of_study.py:347-356):
       // rows not yet present in the processed set.
       val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 150000)
       c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_customers"),
@@ -252,7 +252,8 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n_customers,
          round(sum(c_acctbal), 2) AS sum_acctbal
          FROM customer c
-         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "q5_topk" ->

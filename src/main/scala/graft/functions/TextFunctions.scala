@@ -83,11 +83,13 @@ object TextFunctions {
   def clamp(c: Column, lo: Double, hi: Double): Column =
     least(greatest(c, lit(lo)), lit(hi))
 
-  /** T19 — parse `"5.21/10"`-style score strings to the numerator.
-    * Ref: visualize_improvement.py:30.
+  /** T19 — parse `"5.21/10"`-style score strings to the numerator; null on
+    * non-numeric input (ANSI-safe). Ref: visualize_improvement.py:30.
     */
-  def scoreOfString(c: Column): Column =
-    split(c, "/").getItem(0).cast("double")
+  def scoreOfString(c: Column): Column = {
+    val head = split(c, "/").getItem(0)
+    when(head.rlike("^[-+]?(\\d+\\.?\\d*|\\.\\d+)$"), head.cast("double"))
+  }
 
   /** T5/D6 — Python `str.title()`-style casing of each word (initcap). */
   def titleCase(c: Column): Column = initcap(c)

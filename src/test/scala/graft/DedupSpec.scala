@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedupFirstWins keeps first per key; NULL keys all pass through") {
+    // ref: strict_deduplication.py:21-32 — rows lacking an id are kept.
+    val df = Seq(
+      (1, Some("a")), (2, Some("a")), (3, None), (4, None), (5, Some("b"))
+    ).toDF("ord", "key")
+    val out = col0[Int](
+      Dedup.dedupFirstWins(df, $"key", $"ord").select($"ord").orderBy($"ord"))
+    assert(out == Seq(1, 3, 4, 5))
+  }
+
+  test("titleHashDedup collapses case/whitespace variants, first wins") {
+    // ref: strict_deduplication.py:35-45.
+    val df = Seq((1, " Deep Learning "), (2, "deep learning"), (3, "Other"))
+      .toDF("ord", "title")
+    val out = col0[Int](
+      Dedup.titleHashDedup(df, $"title", $"ord").select($"ord").orderBy($"ord"))
+    assert(out == Seq(1, 3))
+  }
+
+  test("dedup is idempotent") {
+    val df = Seq((1, "x"), (2, "x"), (3, "y")).toDF("ord", "k")
+    val once = Dedup.dedupFirstWins(df, $"k", $"ord")
+    val twice = Dedup.dedupFirstWins(once, $"k", $"ord")
+    assert(once.collect().sortBy(_.getInt(0)).toSeq ==
+      twice.collect().sortBy(_.getInt(0)).toSeq)
+  }
+
+  test("jaccardPairs finds near-identical token sets above threshold") {
+    // ref: strict_deduplication.py:48-76 — token-set Jaccard >= 0.9.
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"), // identical
+      (3L, "the quick brown fox jumps over the lazy dog"),       // 8/9 < 0.9
+      (4L, "completely different words entirely")).toDF("id", "text")
+    val pairs = rows(
+      Dedup.jaccardPairs(df, $"id", $"text", 0.9)
+        .select($"id_a", $"id_b").orderBy($"id_a", $"id_b"))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs == Seq((1L, 2L)))
+    val loose = rows(
+      Dedup.jaccardPairs(df, $"id", $"text", 0.85)
+        .select($"id_a", $"id_b").orderBy($"id_a", $"id_b"))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(loose == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("fuzzyDedup keeps the smallest-id survivor of each near-dup cluster") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "unrelated content here")).toDF("id", "text")
+    val out = col0[Long](
+      Dedup.fuzzyDedup(df, $"id", $"text", 0.9).select($"id").orderBy($"id"))
+    assert(out == Seq(1L, 3L))
+  }
+
+  test("shingles produce word n-grams; short texts collapse to one shingle") {
+    val df = Seq("a b c d", "a b").toDF("t")
+    val out = col0[collection.Seq[String]](df.select(Dedup.shingles($"t", 3)))
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1) == Seq("a b"))
+  }
+
+  test("minhashPairs: identical docs agree on full signature; disjoint do not collide") {
+    val df = Seq(
+      (1L, "spark is a unified analytics engine for large scale data"),
+      (2L, "spark is a unified analytics engine for large scale data"),
+      (3L, "ducks prefer ponds with quiet reeds and morning fog"))
+      .toDF("id", "text")
+    val got = rows(Dedup.minhashPairs(df, $"id", $"text"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got == Seq((1L, 2L, 1.0)))
+  }
+
+  test("simhash16 is deterministic, bounded, and equal for equal texts") {
+    val df = Seq("one two three", "one two three", "four five six").toDF("t")
+    val out = col0[Int](df.select(Dedup.simhash16($"t")))
+    assert(out(0) == out(1))
+    assert(out.forall(h => h >= 0 && h < 65536))
+    assert(out(0) != out(2))
+  }
+}

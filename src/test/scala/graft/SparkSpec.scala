@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all specs (one JVM per `sbt test` fork). */
+object SparkSpec {
+  lazy val spark: SparkSession = {
+    val s = GraftSession.tune(
+      SparkSession.builder()
+        .master("local[4]")
+        .appName("graft-test")
+        .config("spark.sql.shuffle.partitions", "4")
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSpec.spark
+
+  /** Collect a single-column DataFrame to a Seq. */
+  def col0[T](df: DataFrame): Seq[T] =
+    df.collect().toSeq.map(_.getAs[T](0))
+
+  def rows(df: DataFrame): Seq[Row] = df.collect().toSeq
+}
