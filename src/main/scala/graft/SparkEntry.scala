@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.functions.{TextAnalysis => TA, TextFunctions => TF, VectorFunctions => VF}
 import graft.operators.Dedup
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -192,6 +192,51 @@ object SparkEntry {
         .orderBy(col("user_id"), col("rn"))
     }),
 
+    // ---- TA: text analysis ------------------------------------------
+    "ta1_language_id" -> ((s, dir) => {
+      // Language-ID heuristic (marker-stopword argmax + CJK check) over
+      // every document; one codegen'd projection, zero shuffles.
+      t(s, dir, "documents")
+        .select(col("doc_id"), TA.languageId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "ta2_text_stats" -> ((s, dir) => {
+      // Token counting (whitespace + BPE-ish regex) and quality scoring
+      // (length/stopword/diversity/punct) — the per-doc text-stat pass a
+      // training-data pipeline runs before filtering.
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TA.tokenCount(col("text")).as("n_tokens"),
+          TA.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+          round(TA.stopwordRatio(col("text")), 6).as("stop_ratio"),
+          round(TA.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(TA.typeTokenRatio(col("text")), 6).as("ttr"),
+          TA.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "ta3_fingerprint" -> ((s, dir) => {
+      // Order-sensitive rolling-hash document fingerprint (md5-derived,
+      // mod 1e9+7) — exact-dup detection key that any engine can recompute.
+      t(s, dir, "documents")
+        .select(col("doc_id"), TA.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "ta4_ngram_jaccard" -> ((s, dir) => {
+      // Character-3-gram Jaccard between consecutive docs — the n-gram
+      // near-dup signal as a join-side expression.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val a = d.as("a"); val b = d.as("b")
+      a.filter(col("a.doc_id") < 200)
+        .join(b, col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          round(TA.ngramJaccard(col("a.text"), col("b.text"), 3), 6).as("sim"))
+        .orderBy(col("id_a"))
+    }),
+
     // ---- V: vector search -------------------------------------------
     "v1_cosine_topk" -> ((s, dir) => {
       // V3 — brute-force cosine top-k against a query vector
@@ -210,9 +255,94 @@ object SparkEntry {
 
   // =====================================================================
   // DuckDB oracle SQL — same tables, same column names, same rounding.
+  // Text-analysis oracles are BUILT FROM THE SAME CONSTANTS as the Spark
+  // expressions (TextAnalysis.langMarkers etc.) so the two sides cannot
+  // drift.
   // =====================================================================
 
+  /** DuckDB list literal from a Scala string list. */
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  /** DuckDB: non-empty lowercase whitespace tokens of `e`. */
+  private def sqlTokens(e: String): String =
+    s"list_filter(string_split_regex(lower($e), '\\s+'), x -> x <> '')"
+
+  /** DuckDB: occurrences of `markers` tokens in `e` (TA.markerHits). */
+  private def sqlHits(e: String, markers: Seq[String]): String =
+    s"len(list_filter(${sqlTokens(e)}, x -> list_contains(${sqlList(markers)}, x)))"
+
+  /** DuckDB twin of TA.languageId: CJK → zh, no hits → und, else the
+    * first language (in priority order) holding the max hit count.
+    */
+  private def sqlLanguageId(e: String): String = {
+    val hs = TA.langMarkers.map { case (l, ms) => l -> sqlHits(e, ms) }
+    val total = hs.map(_._2).mkString(" + ")
+    // branch k: lang k beats every later lang (earlier ones already failed
+    // = had strictly fewer hits), i.e. first-max.
+    val branches = hs.zipWithIndex.map { case ((l, h), i) =>
+      val laters = hs.drop(i + 1).map(_._2)
+      if (laters.isEmpty) s"ELSE '$l'"
+      else s"WHEN ${laters.map(o => s"$h >= $o").mkString(" AND ")} THEN '$l'"
+    }
+    s"""CASE WHEN regexp_matches($e, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+        WHEN $total = 0 THEN 'und'
+        ${branches.init.mkString("\n        ")}
+        ${branches.last} END"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "ta1_language_id" ->
+      s"""SELECT doc_id, ${sqlLanguageId("text")} AS lang_pred
+         FROM documents ORDER BY doc_id""",
+
+    "ta2_text_stats" -> {
+      val toks = sqlTokens("text")
+      val stopHits = sqlHits("text", TA.enStopwords)
+      s"""WITH t AS (
+           SELECT doc_id, text, $toks AS toks,
+             len(regexp_extract_all(text, '${TA.bpePattern.replace("'", "''")}')) AS n_bpe,
+             len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+             $stopHits AS stop_hits
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+             len(toks) AS n_tokens, n_bpe AS n_bpe_tokens,
+             CASE WHEN len(toks) > 0 THEN stop_hits * 1.0 / len(toks) ELSE 0.0 END AS sr,
+             CASE WHEN len(text) > 0 THEN n_punct * 1.0 / len(text) ELSE 0.0 END AS pr,
+             CASE WHEN len(toks) > 0 THEN len(list_distinct(toks)) * 1.0 / len(toks) ELSE 0.0 END AS tt,
+             CASE WHEN len(text) > 0 THEN least(1.0, len(text) / 400.0) ELSE 0.0 END AS ls
+           FROM t)
+         SELECT doc_id, n_tokens, n_bpe_tokens,
+           round(sr, 6) AS stop_ratio, round(pr, 6) AS punct_ratio,
+           round(tt, 6) AS ttr,
+           floor((ls * 0.3 + least(1.0, sr * 4.0) * 0.3 + tt * 0.2
+                 + (1.0 - least(1.0, pr * 8.0)) * 0.2) * 10000.0 + 0.5) / 10000.0 AS quality
+         FROM s ORDER BY doc_id"""
+    },
+
+    "ta3_fingerprint" ->
+      s"""SELECT doc_id,
+         list_reduce(
+           list_prepend(7::BIGINT, list_transform(${sqlTokens("text")},
+             t -> ('0x' || substr(md5(t), 1, 7))::BIGINT)),
+           (h, v) -> (h * 31 + v) % 1000000007) AS fp
+         FROM documents ORDER BY doc_id""",
+
+    "ta4_ngram_jaccard" ->
+      """WITH g AS (
+           SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, len(text) - 2), i -> substr(text, i::INT, 3))) AS grams
+           FROM documents),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS inter,
+             len(a.grams) + len(b.grams) AS tot
+           FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+           WHERE a.doc_id < 200)
+         SELECT id_a, id_b, round(inter * 1.0 / (tot - inter), 6) AS sim
+         FROM p ORDER BY id_a""",
+
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,

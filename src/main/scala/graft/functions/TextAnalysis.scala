@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operator family for large-scale training-data pipelines:
+  * language identification, heuristic quality scoring, token counting,
+  * and document fingerprinting (BASELINE.json "text analysis" north-star;
+  * generalizes the reference's ruler scoring at
+  * Data_Analysis/evaluation/quality_scoring.py:190-235 and the text stats
+  * at RAG/rag.ipynb:783-826).
+  *
+  * Every function is a pure `Column => Column` expression — codegen'd,
+  * shuffle-free, fused into the scan projection. At 100 TB these cost one
+  * pass over the text bytes per row and nothing else. All of them are
+  * deterministic and SQL-expressible, so each has a DuckDB oracle twin
+  * (built from the same constants — see SparkEntry).
+  */
+object TextAnalysis {
+
+  /** Distinctive high-frequency marker words per language. Order is the
+    * tie-break priority (first wins on equal hit counts).
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "with", "for", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "que", "dans", "pour", "des"),
+    "es" -> Seq("el", "los", "las", "es", "una", "que", "con", "para", "por", "del"))
+
+  /** English stopword list used by the quality heuristics. */
+  val enStopwords: Seq[String] = langMarkers.head._2 ++
+    Seq("a", "an", "on", "at", "by", "be", "are", "was", "this", "as")
+
+  /** Non-empty lowercase whitespace tokens. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /** Whitespace token count (the reference's word-count basis,
+    * RAG/rag.ipynb:783 uses `\w+`; this is the whitespace variant).
+    */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Number of tokens that appear in `markers` (occurrences, not distinct). */
+  def markerHits(text: Column, markers: Seq[String]): Column = {
+    val set = array(markers.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(set, t)))
+  }
+
+  /** CJK character count — the zh/ja/ko signal no stopword list catches. */
+  def cjkCount(text: Column): Column =
+    length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
+
+  /** Language-ID n-gram/stopword heuristic: any CJK chars → "zh"; else the
+    * highest marker-hit language in [[langMarkers]] priority order; no hits
+    * at all → "und" (undetermined, BCP-47 style).
+    */
+  def languageId(text: Column): Column = {
+    val hits = langMarkers.map { case (l, ms) => l -> markerHits(text, ms) }
+    val noHits = hits.map(_._2).reduce(_ + _) === 0
+    val seed: (Column, Column) = (lit(hits.head._1), hits.head._2)
+    val best = hits.tail.foldLeft(seed) { case ((bestLang, bestHits), (l, h)) =>
+      (when(h > bestHits, lit(l)).otherwise(bestLang),
+        when(h > bestHits, h).otherwise(bestHits))
+    }._1
+    when(cjkCount(text) > 0, lit("zh"))
+      .when(noHits, lit("und"))
+      .otherwise(best)
+  }
+
+  /** GPT-2-style pre-tokenizer pattern (contractions | letter runs | digit
+    * runs | punctuation runs), lookahead-free so it runs identically under
+    * Java regex and RE2. A real BPE would split these further; this counts
+    * pre-token chunks — the standard cheap token estimate.
+    */
+  val bpePattern = "'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+"
+
+  /** BPE-ish token count over [[bpePattern]]. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePattern), lit(0)))
+
+  /** Fraction of tokens that are English stopwords; 0.0 for empty text.
+    * Natural prose sits around 0.3–0.6; keyword soup and boilerplate fall
+    * near 0.
+    */
+  def stopwordRatio(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n > 0, markerHits(text, enStopwords).cast("double") / n).otherwise(lit(0.0))
+  }
+
+  /** Punctuation chars / total chars; 0.0 for empty text. */
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    when(n > 0,
+      length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") / n)
+      .otherwise(lit(0.0))
+  }
+
+  /** Type-token ratio (distinct tokens / tokens); 0.0 for empty text.
+    * Degenerate repetition → low TTR.
+    */
+  def typeTokenRatio(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) > 0, size(array_distinct(t)).cast("double") / size(t))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite document quality score in [0,1] (length, stopword,
+    * lexical-diversity, punctuation signals; weights sum to 1). The shape
+    * mirrors the reference's ruler scoring (quality_scoring.py:98-133):
+    * weighted bounded sub-scores, round(…, 4).
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(lit(1.0), length(text).cast("double") / 400.0)
+    val stopScore = least(lit(1.0), stopwordRatio(text) * 4.0)
+    val diversity = typeTokenRatio(text)
+    val punctPenalty = lit(1.0) - least(lit(1.0), punctRatio(text) * 8.0)
+    val raw = lenScore * 0.3 + stopScore * 0.3 + diversity * 0.2 + punctPenalty * 0.2
+    // floor(x·10⁴ + ½)/10⁴ instead of round(x, 4): identical IEEE ops on
+    // identical doubles round identically in every engine, whereas
+    // decimal-string HALF_UP (Spark) vs raw-double rounding (DuckDB)
+    // disagree when x lands exactly on a half at the 5th decimal.
+    floor(raw * 10000.0 + 0.5) / 10000.0
+  }
+
+  /** Rolling polynomial fingerprint of the token stream (order-sensitive):
+    * h ← (h·31 + md5₍₂₈ bit₎(token)) mod 1e9+7, seeded 7. Equal token
+    * streams ⇒ equal fingerprints; engine-independent (md5-derived), so
+    * the oracle can recompute it. 28-bit token values keep every
+    * intermediate below 2⁶³.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(7L),
+      (h, t) => pmod(
+        h * 31L + conv(substring(md5(t), 1, 7), 16, 10).cast("long"),
+        lit(1000000007L)))
+
+  /** Distinct character n-grams of a string (n ≥ 1); shorter strings yield
+    * the whole string as one gram.
+    */
+  def charNgrams(text: Column, n: Int): Column =
+    when(length(text) < n, array(text)).otherwise(
+      array_distinct(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n)))))
+
+  /** Character n-gram Jaccard similarity of two strings — the "n-gram
+    * Jaccard" near-dup signal over raw chars (robust to tokenization).
+    */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
+    val ga = charNgrams(a, n)
+    val gb = charNgrams(b, n)
+    size(array_intersect(ga, gb)).cast("double") /
+      size(array_union(ga, gb))
+  }
+}

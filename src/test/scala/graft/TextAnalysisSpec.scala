@@ -1,0 +1,71 @@
+package graft
+
+import graft.functions.{TextAnalysis => TA}
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("languageId recognizes real-language snippets by marker stopwords") {
+    val in = Seq(
+      "the cat sat on the mat and it is happy",
+      "der Hund ist nicht mit der Katze auf dem Sofa",
+      "le chat est dans la maison et les souris dansent",
+      "el perro es una mascota con los gatos para el parque",
+      "机器学习是人工智能的一个分支",
+      "xyzzy plugh").toDF("t")
+    val out = col0[String](in.select(TA.languageId($"t")))
+    assert(out == Seq("en", "de", "fr", "es", "zh", "und"))
+  }
+
+  test("tokenCount / bpeTokenCount / ratios on a known sentence") {
+    val in = Seq("The quick, brown fox! It is fast.").toDF("t")
+    val r = rows(in.select(
+      TA.tokenCount($"t"), TA.bpeTokenCount($"t"),
+      round(TA.stopwordRatio($"t"), 4), round(TA.punctRatio($"t"), 4),
+      round(TA.typeTokenRatio($"t"), 4))).head
+    assert(r.getInt(0) == 7)
+    // 'The',' quick',',',' brown',' fox','!',' It',' is',' fast','.'
+    assert(r.getInt(1) == 10)
+    assert(r.getDouble(2) == 0.4286) // the, it, is / 7
+    assert(r.getDouble(3) == 0.0909) // , ! . = 3 of 33 chars
+    assert(r.getDouble(4) == 1.0)
+  }
+
+  test("empty text yields zeros and 'und'") {
+    val in = Seq("").toDF("t")
+    val r = rows(in.select(TA.tokenCount($"t"), TA.stopwordRatio($"t"),
+      TA.punctRatio($"t"), TA.languageId($"t"))).head
+    assert(r.getInt(0) == 0 && r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0)
+    assert(r.getString(3) == "und")
+  }
+
+  test("qualityScore ranks prose above keyword soup and repetition") {
+    val prose = "The experiment shows that the model is robust, and it " +
+      "generalizes well to unseen data with small variance in the results."
+    val soup = "spark hash join merge sort agg scan filter window batch"
+    val repeat = "data data data data data data data data data data"
+    val in = Seq(prose, soup, repeat).toDF("t")
+    val out = col0[Double](in.select(TA.qualityScore($"t")))
+    assert(out(0) > out(1) && out(1) > out(2))
+    assert(out.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("fingerprint is order-sensitive and stable") {
+    val in = Seq("alpha beta gamma", "alpha beta gamma", "gamma beta alpha").toDF("t")
+    val out = col0[Long](in.select(TA.fingerprint($"t")))
+    assert(out(0) == out(1))
+    assert(out(0) != out(2))
+    assert(out.forall(h => h >= 0 && h < 1000000007L))
+  }
+
+  test("charNgrams and ngramJaccard") {
+    val in = Seq(("abcd", "abcd"), ("abcd", "bcde"), ("ab", "zz")).toDF("a", "b")
+    val grams = col0[collection.Seq[String]](in.limit(1).select(TA.charNgrams($"a", 3)))
+    assert(grams.head == Seq("abc", "bcd"))
+    val sims = col0[Double](in.select(TA.ngramJaccard($"a", $"b", 3)))
+    assert(sims(0) == 1.0)
+    assert(math.abs(sims(1) - 1.0 / 3.0) < 1e-12) // {abc,bcd} vs {bcd,cde}
+    assert(sims(2) == 0.0)
+  }
+}
