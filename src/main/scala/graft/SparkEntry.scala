@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextAnalysis => TA, TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -250,6 +250,31 @@ object SparkEntry {
           round(VF.cosine(col("embedding"), col("qv")), 6).as("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(10)
+    }),
+
+    "v2_ann_topk_batch" -> ((s, dir) => {
+      // Batch ANN baseline: 5 query vectors broadcast against the corpus,
+      // brute-force cosine, ranked top-5 per query in one corpus scan.
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+      val docs = e.filter(col("vec_id") >= 5)
+      Similarity.topKPerQuery(
+          docs, col("vec_id"), col("embedding"),
+          queries, col("vec_id"), col("embedding"), k = 5)
+        .select(col("query_id"), col("doc_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "v3_neardup_lsh" -> ((s, dir) => {
+      // Embedding-cosine near-dup pairs via hyperplane LSH banding +
+      // exact cosine confirm — the scale path for pairwise similarity
+      // (bucket-local candidates instead of n² pairs).
+      Similarity.nearDupPairsLsh(
+          t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+          threshold = 0.3, dim = 64)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -291,7 +316,58 @@ object SparkEntry {
         ${branches.last} END"""
   }
 
+  /** DuckDB: left-fold dot product of two 64-dim vector expressions,
+    * cast to double exactly like VectorFunctions.dot (left-to-right
+    * summation ⇒ bit-identical accumulation order).
+    */
+  private def sqlDot64(a: String, b: String): String =
+    s"""list_reduce(list_transform(generate_series(1, 64),
+        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc, x) -> acc + x)"""
+
+  private def sqlCosine64(a: String, b: String): String =
+    s"${sqlDot64(a, b)} / (sqrt(${sqlDot64(a, a)}) * sqrt(${sqlDot64(b, b)}))"
+
   def oracleSql: Map[String, String] = Map(
+    "v2_ann_topk_batch" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+             FROM embeddings WHERE vec_id < 5),
+         d AS (SELECT vec_id AS doc_id, embedding AS dv
+             FROM embeddings WHERE vec_id >= 5),
+         s AS (SELECT query_id, doc_id,
+             ${sqlCosine64("dv", "qv")} AS cosine FROM d, q),
+         r AS (SELECT query_id, doc_id, cosine, row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rank FROM s)
+         SELECT query_id, doc_id, round(cosine, 6) AS cosine, rank
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "v3_neardup_lsh" -> {
+      val planes = Similarity.hyperplanes(16, 64)
+      val planesLit = planes.map(_.mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]")
+      // band code = band·16 + Σ sign-bit·2^j over the band's 4 planes;
+      // identical to Similarity.lshBandKeys(struct(band, key)) pair-wise.
+      s"""WITH pl AS (SELECT $planesLit AS p),
+         keyed AS (
+           SELECT vec_id, unnest(list_transform(generate_series(0, 3), b ->
+             b * 16 + list_reduce(list_transform(generate_series(0, 3), j ->
+               CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+                   i -> CAST(embedding[i] AS DOUBLE) * p[(b * 4 + j + 1)::INT][i::INT]),
+                   (acc, x) -> acc + x) >= 0
+               THEN (1 << j::INT) ELSE 0 END), (acc, x) -> acc + x))) AS bk
+           FROM embeddings, pl),
+         cands AS (
+           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.vec_id < b.vec_id),
+         sim AS (
+           SELECT c.id_a, c.id_b,
+             ${sqlCosine64("ea.embedding", "eb.embedding")} AS cosine
+           FROM cands c
+           JOIN embeddings ea ON c.id_a = ea.vec_id
+           JOIN embeddings eb ON c.id_b = eb.vec_id)
+         SELECT id_a, id_b, round(cosine, 6) AS cosine
+         FROM sim WHERE cosine >= 0.3 ORDER BY id_a, id_b"""
+    },
+
     "ta1_language_id" ->
       s"""SELECT doc_id, ${sqlLanguageId("text")} AS lang_pred
          FROM documents ORDER BY doc_id""",

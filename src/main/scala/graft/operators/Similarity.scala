@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.functions.{VectorFunctions => VF}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Similarity search over embedding columns (`array<float>`), the
+  * BASELINE.json "similarity search" north-star generalizing the
+  * reference's cosine top-k retrieval (RAG/rag.ipynb:488-530).
+  *
+  * Scale design:
+  *  - Single query: `orderBy(sim desc).limit(k)` — Catalyst plans
+  *    TakeOrderedAndProject (per-partition partial top-k, tiny driver
+  *    merge). One scan, no shuffle of the corpus.
+  *  - Query batch: broadcast the queries, one scan of the corpus, window
+  *    row_number per query. The shuffle is by query_id — skew-safe while
+  *    the batch is small; for huge batches repartition by (query_id, salt)
+  *    and re-reduce.
+  *  - Near-dup pairs: random-hyperplane (cosine) LSH. Buckets from sign
+  *    bits of dot(v, rₚ) over md5-derived deterministic hyperplanes,
+  *    banded so that near pairs collide in ≥1 band w.h.p.; exact cosine
+  *    confirm inside buckets. Candidate work scales with bucket sizes,
+  *    not n². Hyperplanes are precomputed driver-side and embedded as
+  *    literals — deterministic, engine-independent, oracle-recomputable.
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random hyperplane components in [-1, 1):
+    * component (p, i) derives from md5("p:i") (first 6 hex digits /
+    * 16⁶, scaled). Pure Scala — same numbers in any engine.
+    */
+  def hyperplanes(numPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until numPlanes).map { p =>
+      (0 until dim).map { i =>
+        val hex = md.synchronized {
+          md.reset()
+          md.digest(s"$p:$i".getBytes("UTF-8")).take(3).map("%02x".format(_)).mkString
+        }
+        java.lang.Long.parseLong(hex, 16).toDouble / 16777216.0 * 2.0 - 1.0
+      }
+    }
+  }
+
+  /** dot(vec, plane) for a literal plane. */
+  private def dotLit(vec: Column, plane: Seq[Double]): Column =
+    aggregate(
+      zip_with(vec, typedLit(plane), (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Band keys: `numPlanes` sign bits grouped into bands of `bandBits`,
+    * each band encoded as struct(band, key∈[0, 2^bandBits)). Vectors agree
+    * on a band ⇒ candidate pair.
+    */
+  def lshBandKeys(vec: Column, planes: Seq[Seq[Double]], bandBits: Int): Column = {
+    val bits = planes.map(p => when(dotLit(vec, p) >= 0, 1).otherwise(0))
+    val bands = bits.grouped(bandBits).toSeq
+    array(bands.zipWithIndex.map { case (bs, b) =>
+      val key = bs.zipWithIndex.map { case (bit, j) => bit * (1 << j) }
+        .reduce[Column](_ + _)
+      struct(lit(b).as("band"), key.as("key"))
+    }: _*)
+  }
+
+  /** All pairs (id_a < id_b) with exact cosine ≥ threshold, found via
+    * hyperplane-LSH candidate generation (approximate recall: a pair is
+    * found iff the two vectors agree on at least one full band).
+    */
+  def nearDupPairsLsh(df: DataFrame, id: Column, vec: Column,
+                      threshold: Double, dim: Int,
+                      numPlanes: Int = 16, bandBits: Int = 4): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val keyed = df.select(id.as("id"), vec.as("v"),
+      explode(lshBandKeys(vec, planes, bandBits)).as("bk"))
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .distinct()
+      .withColumn("cosine", VF.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Exact O(n²) baseline for [[nearDupPairsLsh]] — correctness anchor for
+    * tests and small corpora.
+    */
+  def nearDupPairsExact(df: DataFrame, id: Column, vec: Column,
+                        threshold: Double): DataFrame = {
+    val l = df.select(id.as("id_a"), vec.as("va"))
+    val r = df.select(id.as("id_b"), vec.as("vb"))
+    l.join(r, col("id_a") < col("id_b"))
+      .withColumn("cosine", VF.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Brute-force cosine top-k per query: broadcast the query batch, scan
+    * the corpus once, rank per query. Ties broken by doc id (ascending)
+    * for determinism.
+    * Input contracts: docs(docId, vec), queries(queryId, qvec).
+    */
+  def topKPerQuery(docs: DataFrame, docId: Column, docVec: Column,
+                   queries: DataFrame, queryId: Column, queryVec: Column,
+                   k: Int): DataFrame = {
+    val d = docs.select(docId.as("doc_id"), docVec.as("dv"))
+    val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+    d.crossJoin(broadcast(q))
+      .withColumn("cosine", VF.cosine(col("dv"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("cosine"), col("rank"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(7)
+  private def noisy(base: Array[Float], eps: Float): Seq[Float] =
+    base.map(x => x + eps * rnd.nextFloat()).toSeq
+
+  // two well-separated cluster centers in 16-d
+  private val b1 = Array.tabulate(16)(i => if (i < 8) 1.0f else 0.0f)
+  private val b2 = Array.tabulate(16)(i => if (i >= 8) 1.0f else 0.0f)
+
+  private def corpus = Seq(
+    (1L, noisy(b1, 0.001f)), (2L, noisy(b1, 0.001f)), (3L, noisy(b1, 0.001f)),
+    (4L, noisy(b2, 0.001f)), (5L, noisy(b2, 0.001f))
+  ).toDF("id", "v")
+
+  test("hyperplanes are deterministic and in [-1,1)") {
+    val p1 = Similarity.hyperplanes(4, 8)
+    val p2 = Similarity.hyperplanes(4, 8)
+    assert(p1 == p2)
+    assert(p1.flatten.forall(x => x >= -1.0 && x < 1.0))
+    // not degenerate: mixed signs
+    assert(p1.flatten.exists(_ > 0) && p1.flatten.exists(_ < 0))
+  }
+
+  test("nearDupPairsExact finds exactly the intra-cluster pairs") {
+    val pairs = rows(Similarity.nearDupPairsExact(corpus, $"id", $"v", 0.99)
+      .select($"id_a", $"id_b").orderBy($"id_a", $"id_b"))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs == Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
+  }
+
+  test("nearDupPairsLsh matches the exact baseline on near-identical vectors") {
+    val exact = rows(Similarity.nearDupPairsExact(corpus, $"id", $"v", 0.99)
+      .select($"id_a", $"id_b").orderBy($"id_a", $"id_b"))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val lsh = rows(Similarity.nearDupPairsLsh(corpus, $"id", $"v", 0.99, dim = 16)
+      .select($"id_a", $"id_b").orderBy($"id_a", $"id_b"))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(lsh == exact)
+  }
+
+  test("topKPerQuery returns k ranked neighbors per query") {
+    val queries = Seq((100L, b1.toSeq), (200L, b2.toSeq)).toDF("qid", "qv")
+    val got = rows(Similarity.topKPerQuery(
+      corpus, $"id", $"v", queries, $"qid", $"qv", k = 3)
+      .orderBy($"query_id", $"rank"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(got.map(_._1) == Seq(100L, 100L, 100L, 200L, 200L, 200L))
+    // b1-cluster docs for query 100, b2-cluster docs lead for query 200
+    assert(got.take(3).map(_._2).toSet == Set(1L, 2L, 3L))
+    assert(got.drop(3).map(_._2).take(2).toSet == Set(4L, 5L))
+    assert(got.map(_._3) == Seq(1, 2, 3, 1, 2, 3))
+  }
+}
