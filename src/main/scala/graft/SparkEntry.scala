@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextAnalysis => TA, TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Align, Compliance, Dedup, Ruler, Similarity}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -192,6 +192,185 @@ object SparkEntry {
         .orderBy(col("user_id"), col("rn"))
     }),
 
+    // ---- R: ruler scoring (paper-shaped inputs derived
+    //         deterministically from `documents` on BOTH sides) --------
+    "r1_ruler_scores" -> ((s, dir) => {
+      // R1-R10 — heuristic quality scoring with injected as-of date.
+      val d = t(s, dir, "documents")
+      val title = trim(substring(col("text"), 1, 40))
+      val abstractC = col("text")
+      val authorCount = col("doc_id") % 5
+      val optionals = col("doc_id") % 3
+      val techTerms = col("doc_id") % 10
+      val asOf = lit("2026-08-12").cast("date")
+      val pubDate = date_sub(asOf, (col("doc_id") % 1000).cast("int"))
+      val isDup = col("doc_id") % 50 === 0
+      val comp = Ruler.completenessScore(title, abstractC, authorCount, optionals)
+      val rec = Ruler.recencyScore(pubDate, asOf)
+      val subst = Ruler.substanceScore(abstractC, techTerms)
+      val rigor = Ruler.rigorScore(abstractC)
+      val impact = Ruler.impactScore(abstractC)
+      val pen = Ruler.penalty(title, abstractC, isDup)
+      val total = Ruler.totalScore(comp, rec, subst, rigor, impact, lit(0.5), pen)
+      d.select(
+        col("doc_id"),
+        round(comp, 6).as("completeness"),
+        round(rec, 6).as("recency"),
+        round(subst, 6).as("substance"),
+        round(rigor, 6).as("rigor"),
+        round(impact, 6).as("impact"),
+        round(pen, 6).as("penalty"),
+        total.as("total_score"),
+        Ruler.tierOf(total).as("tier"),
+        Ruler.confidence(comp, abstractC, techTerms).as("confidence"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- C: compliance / PII ----------------------------------------
+    "c1_pii_scan" -> ((s, dir) => {
+      // C3 — PII detectors + risk rollup over deterministically-dirtied
+      // text (corpus is clean; both sides inject identical PII).
+      val d = t(s, dir, "documents")
+      val dirty = concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" reach me at user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit(" call +1 555 123 4567"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 97 === 0, lit(" ssn 123-45-6789"))
+          .otherwise(lit("")))
+      val nEmail = Compliance.piiCount(dirty, "email")
+      val nPhone = Compliance.piiCount(dirty, "phone")
+      val nIp = Compliance.piiCount(dirty, "ip")
+      val nSsn = Compliance.piiCount(dirty, "ssn")
+      val nCred = Compliance.piiCount(dirty, "credential_url")
+      d.select(
+        col("doc_id"), nEmail.as("n_email"), nPhone.as("n_phone"),
+        nSsn.as("n_ssn"),
+        Compliance.riskLevel(nEmail, nPhone, nIp, nSsn, nCred).as("risk"),
+        round(Compliance.piiDensity(
+          nEmail + nPhone + nIp + nSsn + nCred,
+          TF.wordCount(dirty)), 6).as("pii_density"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "c2_quality_issues" -> ((s, dir) => {
+      // C5 — per-row issue arrays + severity, aggregated to issue
+      // frequencies (A12 explode-count) and severity rollup (A10).
+      val d = t(s, dir, "documents")
+      val title = trim(substring(col("text"), 1, 10))
+      val dateStr = when(col("doc_id") % 11 === 0, lit("not-a-date"))
+        .otherwise(concat(lit("2026-0"), (col("doc_id") % 9 + 1).cast("string"),
+          lit("-15")))
+      val issues = Compliance.qualityIssues(title, col("text"), dateStr)
+      d.select(col("doc_id"), explode(issues).as("issue"))
+        .groupBy(col("issue")).agg(count(lit(1)).as("n"))
+        .orderBy(col("issue"))
+    }),
+
+    // ---- P: alignment / gates ---------------------------------------
+    "p1_align_defaults" -> ((s, dir) => {
+      // P1 — fixed-schema projection with defaults: missing column
+      // materializes, nulls coalesce, extras drop.
+      val d = t(s, dir, "documents")
+        .withColumn("lang", nullif(col("lang"), lit("en")))
+      Align.alignTo(d, Seq(
+        "doc_id" -> lit(-1L),
+        "lang" -> lit("und"),
+        "license" -> lit("unknown"),
+        "n_chars" -> lit(0L)))
+        .orderBy(col("doc_id"))
+    }),
+
+    "p3_quality_gate" -> ((s, dir) => {
+      // P3 — quality gate with independent drop-reason accounting in one
+      // aggregate pass (no row ever leaves the executor).
+      val d = t(s, dir, "documents")
+      Align.gateReasons(d, Seq(
+        "too_short" -> (col("n_chars") >= 120),
+        "few_tokens" -> (TA.tokenCount(col("text")) >= 20),
+        "bad_source" -> (col("source") =!= "src0")))
+    }),
+
+    // ---- D5/D6: array dedup -----------------------------------------
+    "d5_array_dedup" -> ((s, dir) => {
+      // D5 — order-preserving in-array dedup + cap; D6 — set-style
+      // title-cased distinct (sorted for determinism).
+      val toks = TA.tokens(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        array_join(slice(array_distinct(toks), 1, 5), ",").as("top5_tokens"),
+        array_join(
+          array_sort(array_distinct(transform(toks, x => initcap(x)))),
+          ",").as("fields_clean"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- A: aggregation suite ---------------------------------------
+    "a6_distinct_tokens" -> ((s, dir) => {
+      // A6 — distinct count over a flattened array column (exact for the
+      // oracle; approx_count_distinct is the 100 TB swap-in).
+      t(s, dir, "documents")
+        .select(col("lang"), explode(TA.tokens(col("text"))).as("tok"))
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("tok")).as("n_distinct_tokens"))
+        .orderBy(col("lang"))
+    }),
+
+    "a7_iqr_outliers" -> ((s, dir) => {
+      // A7 — IQR outlier detection: exact quartiles per group, then one
+      // pass counting rows outside [Q1-1.5·IQR, Q3+1.5·IQR].
+      val li = t(s, dir, "lineitem")
+      val q = li.groupBy(col("l_returnflag")).agg(
+        expr("percentile(l_extendedprice, 0.25)").as("q1"),
+        expr("percentile(l_extendedprice, 0.75)").as("q3"),
+        count(lit(1)).as("n_total"))
+      val iqr = col("q3") - col("q1")
+      val lo = col("q1") - iqr * 1.5
+      val hi = col("q3") + iqr * 1.5
+      li.join(q, "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(first(col("q1")), 6).as("q1"),
+          round(first(col("q3")), 6).as("q3"),
+          sum(when(col("l_extendedprice") < lo || col("l_extendedprice") > hi,
+            1L).otherwise(0L)).as("n_outliers"),
+          round(sum(when(col("l_extendedprice") < lo || col("l_extendedprice") > hi,
+            1.0).otherwise(0.0)) * 100.0 / first(col("n_total")), 6).as("pct_outliers"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "a10_rollup_argmax" -> ((s, dir) => {
+      // A10 — per-group rollup with a deterministic argmax (max_by over a
+      // tie-proof padded key) and an all-rows predicate (bool_and).
+      val d = t(s, dir, "documents")
+      val counts = d.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("cnt"))
+      counts.groupBy(col("lang"))
+        .agg(
+          sum(col("cnt")).as("n_docs"),
+          max_by(col("source"),
+            concat(format_string("%08d", col("cnt")), col("source")))
+            .as("top_source"))
+        .join(
+          d.groupBy(col("lang"))
+            .agg(bool_and(col("n_chars") > 50).as("all_nontrivial")),
+          "lang")
+        .select(col("lang"), col("n_docs"), col("top_source"),
+          col("all_nontrivial"))
+        .orderBy(col("lang"))
+    }),
+
+    "a12_top_tokens" -> ((s, dir) => {
+      // A12 — explode + frequency count + deterministic global top-k
+      // (TakeOrderedAndProject over the partial-agg output).
+      t(s, dir, "documents")
+        .select(explode(TA.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(20)
+    }),
+
     // ---- TA: text analysis ------------------------------------------
     "ta1_language_id" -> ((s, dir) => {
       // Language-ID heuristic (marker-stopword argmax + CJK check) over
@@ -327,7 +506,206 @@ object SparkEntry {
   private def sqlCosine64(a: String, b: String): String =
     s"${sqlDot64(a, b)} / (sqrt(${sqlDot64(a, a)}) * sqrt(${sqlDot64(b, b)}))"
 
+  /** DuckDB: `words` members occurring as substrings of lower(e)
+    * (Ruler.keywordHits).
+    */
+  private def sqlKwHits(e: String, words: Seq[String]): String =
+    s"len(list_filter(${sqlList(words)}, w -> contains(lower($e), w)))"
+
   def oracleSql: Map[String, String] = Map(
+    "r1_ruler_scores" -> {
+      val innov = sqlKwHits("text", Ruler.innovationWords)
+      val ev = sqlKwHits("text", Ruler.evaluationWords)
+      val theory = sqlKwHits("text", Ruler.theoryWords)
+      val meth = sqlKwHits("text", Ruler.methodWords)
+      val metr = sqlKwHits("text", Ruler.metricWords)
+      val app = sqlKwHits("text", Ruler.applicationWords)
+      s"""WITH base AS (
+           SELECT doc_id, text,
+             trim(substring(text, 1, 40)) AS title,
+             doc_id % 5 AS n_auth, doc_id % 3 AS n_opt,
+             doc_id % 10 AS n_terms, doc_id % 1000 AS days,
+             doc_id % 50 = 0 AS is_dup,
+             $innov AS innov, $ev AS ev, $theory AS theory,
+             $meth AS meth, $metr AS metr, $app AS app
+           FROM documents),
+         scores AS (
+           SELECT doc_id, text, title, n_terms,
+             CASE WHEN title = '' OR text = '' OR n_auth <= 0 THEN 0.0
+               ELSE least(1.0,
+                 (CASE WHEN len(text) > 100 THEN 0.3 ELSE 0.0 END) +
+                 (CASE WHEN len(title) > 10 THEN 0.25 ELSE 0.0 END) +
+                 0.25 + n_opt * 0.05) END AS comp,
+             CASE WHEN days <= 7 THEN 1.0 WHEN days <= 30 THEN 0.9
+               WHEN days <= 90 THEN 0.8 WHEN days <= 180 THEN 0.7
+               WHEN days <= 365 THEN 0.5
+               ELSE greatest(0.1, 1.0 - days / 3650.0) END AS rec,
+             least(1.0,
+               (CASE WHEN n_terms >= 8 THEN 0.4 WHEN n_terms >= 5 THEN 0.3
+                 WHEN n_terms >= 3 THEN 0.2 WHEN n_terms >= 1 THEN 0.1
+                 ELSE 0.0 END) +
+               (CASE WHEN innov >= 3 THEN 0.3 WHEN innov >= 2 THEN 0.2
+                 WHEN innov >= 1 THEN 0.1 ELSE 0.0 END) +
+               (CASE WHEN ev >= 2 THEN 0.2 WHEN ev >= 1 THEN 0.1 ELSE 0.0 END) +
+               (CASE WHEN theory >= 1 THEN 0.1 ELSE 0.0 END)) AS subst,
+             least(1.0,
+               (CASE WHEN meth >= 3 THEN 0.5 WHEN meth >= 2 THEN 0.35
+                 WHEN meth >= 1 THEN 0.2 ELSE 0.0 END) +
+               (CASE WHEN metr >= 3 THEN 0.5 WHEN metr >= 2 THEN 0.35
+                 WHEN metr >= 1 THEN 0.2 ELSE 0.0 END)) AS rigor,
+             least(1.0,
+               (CASE WHEN app >= 3 THEN 0.6 WHEN app >= 2 THEN 0.4
+                 WHEN app >= 1 THEN 0.2 ELSE 0.0 END) +
+               (CASE WHEN len(text) > 500 THEN 0.2 ELSE 0.1 END)) AS impact,
+             least(0.5,
+               (CASE WHEN len(text) < 100 THEN 0.2 ELSE 0.0 END) +
+               (CASE WHEN len(title) < 10 THEN 0.1 ELSE 0.0 END) +
+               (CASE WHEN regexp_matches(text, '(?i)(lorem ipsum|xxx+|\\btodo\\b)')
+                 THEN 0.15 ELSE 0.0 END) +
+               (CASE WHEN is_dup THEN 0.3 ELSE 0.0 END)) AS pen
+           FROM base),
+         tot AS (
+           SELECT *,
+             floor(greatest(0.0,
+               comp * 0.15 + rec * 0.20 + subst * 0.30 + rigor * 0.25 +
+               impact * 0.10 + 0.5 * 0.15 - pen) * 1000.0 + 0.5) / 1000.0
+               AS total_score
+           FROM scores)
+         SELECT doc_id,
+           round(comp, 6) AS completeness, round(rec, 6) AS recency,
+           round(subst, 6) AS substance, round(rigor, 6) AS rigor,
+           round(impact, 6) AS impact, round(pen, 6) AS penalty,
+           total_score,
+           CASE WHEN total_score >= 0.8 THEN 'Excellent'
+             WHEN total_score >= 0.6 THEN 'Good'
+             WHEN total_score >= 0.4 THEN 'Moderate'
+             ELSE 'Low' END AS tier,
+           floor(((least(1.0, comp / 0.15) +
+             (CASE WHEN len(text) > 300 THEN 1.0 WHEN len(text) > 100 THEN 0.7
+               ELSE 0.3 END) +
+             (CASE WHEN n_terms >= 5 THEN 1.0 WHEN n_terms >= 2 THEN 0.7
+               ELSE 0.3 END)) / 3.0) * 1000.0 + 0.5) / 1000.0 AS confidence
+         FROM tot ORDER BY doc_id"""
+    },
+
+    "c1_pii_scan" -> {
+      val pats = TF.piiPatterns
+      def cnt(kind: String) =
+        s"len(regexp_extract_all(dirty, '${pats(kind).replace("'", "''")}'))"
+      s"""WITH d AS (
+           SELECT doc_id, text ||
+             (CASE WHEN doc_id % 7 = 0
+               THEN ' reach me at user' || doc_id::VARCHAR || '@example.com'
+               ELSE '' END) ||
+             (CASE WHEN doc_id % 13 = 0 THEN ' call +1 555 123 4567' ELSE '' END) ||
+             (CASE WHEN doc_id % 97 = 0 THEN ' ssn 123-45-6789' ELSE '' END)
+             AS dirty
+           FROM documents),
+         c AS (
+           SELECT doc_id, dirty,
+             ${cnt("email")} AS n_email, ${cnt("phone")} AS n_phone,
+             ${cnt("ip")} AS n_ip, ${cnt("ssn")} AS n_ssn,
+             ${cnt("credential_url")} AS n_cred
+           FROM d)
+         SELECT doc_id, n_email, n_phone, n_ssn,
+           CASE WHEN n_ssn > 0 OR n_cred > 0 THEN 'critical'
+             WHEN n_email + n_phone > 2 THEN 'high'
+             WHEN n_email + n_phone > 0 OR n_ip > 0 THEN 'medium'
+             ELSE 'low' END AS risk,
+           round(CASE WHEN len(regexp_extract_all(dirty, '\\w+')) > 0
+             THEN (n_email + n_phone + n_ip + n_ssn + n_cred) * 1.0
+               / len(regexp_extract_all(dirty, '\\w+'))
+             ELSE 0.0 END, 6) AS pii_density
+         FROM c ORDER BY doc_id"""
+    },
+
+    "c2_quality_issues" ->
+      """WITH d AS (
+           SELECT doc_id, text, trim(substring(text, 1, 10)) AS title,
+             CASE WHEN doc_id % 11 = 0 THEN 'not-a-date'
+               ELSE '2026-0' || (doc_id % 9 + 1)::VARCHAR || '-15' END AS ds
+           FROM documents),
+         iss AS (
+           SELECT doc_id, unnest(list_filter([
+             CASE WHEN title IS NULL OR title = '' THEN 'missing_title' END,
+             CASE WHEN len(title) < 8 THEN 'title_too_short' END,
+             CASE WHEN text IS NULL OR trim(text) = '' THEN 'missing_abstract' END,
+             CASE WHEN len(text) < 120 THEN 'abstract_too_short' END,
+             CASE WHEN ds IS NOT NULL AND try_strptime(ds, '%Y-%m-%d') IS NULL
+               THEN 'invalid_date' END], x -> x IS NOT NULL)) AS issue
+           FROM d)
+         SELECT issue, count(*) AS n FROM iss GROUP BY issue ORDER BY issue""",
+
+    "p1_align_defaults" ->
+      """SELECT doc_id,
+         coalesce(nullif(lang, 'en'), 'und') AS lang,
+         'unknown' AS license, n_chars
+         FROM documents ORDER BY doc_id""",
+
+    "p3_quality_gate" -> {
+      val ntok = s"len(${sqlTokens("text")})"
+      s"""SELECT count(*) AS n_total,
+         sum(CASE WHEN n_chars >= 120 AND $ntok >= 20 AND source <> 'src0'
+           THEN 1 ELSE 0 END) AS n_kept,
+         sum(CASE WHEN NOT (n_chars >= 120) THEN 1 ELSE 0 END) AS drop_too_short,
+         sum(CASE WHEN NOT ($ntok >= 20) THEN 1 ELSE 0 END) AS drop_few_tokens,
+         sum(CASE WHEN NOT (source <> 'src0') THEN 1 ELSE 0 END) AS drop_bad_source
+         FROM documents"""
+    },
+
+    "d5_array_dedup" -> {
+      val toks = sqlTokens("text")
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents)
+         SELECT doc_id,
+           array_to_string(list_slice(
+             list_filter(toks, (x, i) -> list_position(toks, x) = i), 1, 5),
+             ',') AS top5_tokens,
+           array_to_string(list_sort(list_distinct(list_transform(toks,
+             x -> upper(x[1]) || substring(x, 2)))), ',') AS fields_clean
+         FROM t ORDER BY doc_id"""
+    },
+
+    "a6_distinct_tokens" ->
+      s"""SELECT lang, count(DISTINCT tok) AS n_distinct_tokens
+         FROM (SELECT lang, unnest(${sqlTokens("text")}) AS tok FROM documents)
+         GROUP BY lang ORDER BY lang""",
+
+    "a7_iqr_outliers" ->
+      """WITH q AS (
+           SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.25) AS q1,
+             quantile_cont(l_extendedprice, 0.75) AS q3,
+             count(*) AS n_total
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l.l_returnflag,
+           round(max(q.q1), 6) AS q1, round(max(q.q3), 6) AS q3,
+           sum(CASE WHEN l.l_extendedprice < q.q1 - (q.q3 - q.q1) * 1.5
+             OR l.l_extendedprice > q.q3 + (q.q3 - q.q1) * 1.5
+             THEN 1 ELSE 0 END) AS n_outliers,
+           round(sum(CASE WHEN l.l_extendedprice < q.q1 - (q.q3 - q.q1) * 1.5
+             OR l.l_extendedprice > q.q3 + (q.q3 - q.q1) * 1.5
+             THEN 1.0 ELSE 0.0 END) * 100.0 / max(q.n_total), 6) AS pct_outliers
+         FROM lineitem l JOIN q USING (l_returnflag)
+         GROUP BY l.l_returnflag ORDER BY l.l_returnflag""",
+
+    "a10_rollup_argmax" ->
+      """WITH c AS (
+           SELECT lang, source, count(*) AS cnt FROM documents GROUP BY 1, 2),
+         t AS (
+           SELECT lang, sum(cnt) AS n_docs,
+             max_by(source, lpad(cnt::VARCHAR, 8, '0') || source) AS top_source
+           FROM c GROUP BY lang),
+         b AS (
+           SELECT lang, bool_and(n_chars > 50) AS all_nontrivial
+           FROM documents GROUP BY lang)
+         SELECT t.lang, n_docs, top_source, all_nontrivial
+         FROM t JOIN b USING (lang) ORDER BY lang""",
+
+    "a12_top_tokens" ->
+      s"""SELECT tok, count(*) AS n
+         FROM (SELECT unnest(${sqlTokens("text")}) AS tok FROM documents)
+         GROUP BY tok ORDER BY n DESC, tok LIMIT 20""",
+
     "v2_ann_topk_batch" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
              FROM embeddings WHERE vec_id < 5),

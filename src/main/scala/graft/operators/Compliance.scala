@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => TF, TextAnalysis => TA}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Provenance / PII / compliance operators — SURVEY.md §2.10 C1–C5,
+  * re-expressing Data_Analysis/provenance_compliance.py:91-336. All pure
+  * column expressions (regex detectors + when-chains): per-row cost,
+  * shuffle-free, safe to fuse into a 100 TB scan.
+  */
+object Compliance {
+
+  /** C1 — record fingerprint: md5 over a fixed field order. The reference
+    * hashes sorted-key JSON (provenance_compliance.py:91-102); the stable
+    * contract is "fixed serialization of the identity fields", pinned here
+    * as `|`-joined values (null ⇒ empty).
+    */
+  def fingerprint(fields: Column*): Column =
+    md5(concat_ws("|", fields: _*))
+
+  /** C3 — per-type PII hit counts over a text column. */
+  def piiCount(text: Column, kind: String): Column =
+    size(TF.piiMatches(text, kind))
+
+  /** C3 — risk level from per-type counts (max-severity wins).
+    * Ref: provenance_compliance.py:245-265.
+    */
+  def riskLevel(nEmail: Column, nPhone: Column, nIp: Column,
+                nSsn: Column, nCred: Column): Column =
+    when(nSsn > 0 || nCred > 0, "critical")
+      .when(nEmail + nPhone > 2, "high")
+      .when(nEmail + nPhone > 0 || nIp > 0, "medium")
+      .otherwise("low")
+
+  /** C3 — pii_density = total hits / word count (0 when no words).
+    * Ref: provenance_compliance.py:258-263.
+    */
+  def piiDensity(totalHits: Column, wordCount: Column): Column =
+    when(wordCount > 0, totalHits.cast("double") / wordCount).otherwise(lit(0.0))
+
+  /** C4 — copyright heuristics: platform and journal-mention flags.
+    * Ref: provenance_compliance.py:267-293.
+    */
+  def isArxivUrl(url: Column): Column = url.contains("arxiv.org")
+  def mentionsJournal(comments: Column): Column =
+    lower(comments).contains("journal")
+
+  /** C5 — quality-issue list: build the (possibly empty) issues array from
+    * independent checks; nulls compacted away.
+    * Ref: provenance_compliance.py:295-336.
+    */
+  def qualityIssues(title: Column, abstractC: Column, dateStr: Column): Column =
+    array_compact(array(
+      when(title.isNull || trim(title) === "", "missing_title"),
+      when(length(title) < 8, "title_too_short"),
+      when(abstractC.isNull || trim(abstractC) === "", "missing_abstract"),
+      when(length(abstractC) < 120, "abstract_too_short"),
+      when(dateStr.isNotNull &&
+        try_to_timestamp(dateStr, lit("yyyy-MM-dd")).isNull,
+        "invalid_date")))
+
+  /** C5 — severity rollup over the issues array. */
+  def severity(issues: Column): Column =
+    when(array_contains(issues, "missing_title") ||
+      array_contains(issues, "missing_abstract"), "high")
+      .when(size(issues) >= 2, "medium")
+      .when(size(issues) === 1, "low")
+      .otherwise("none")
+}
