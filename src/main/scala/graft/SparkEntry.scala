@@ -145,6 +145,41 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "d1_union_dedup" -> ((s, dir) => {
+      // D1 — merge-union dedup across two "files": union preserving an
+      // explicit ingest order, keep first per content key
+      // (merge_jsonl.py:4-25; first-wins needs the order column, SURVEY
+      // §4.2 — dropDuplicates alone is arbitrary-wins).
+      val d = t(s, dir, "documents")
+      val fileA = d.filter(col("doc_id") % 2 === 0).withColumn("file_idx", lit(0L))
+      val fileB = d.withColumn("file_idx", lit(1L))
+      val key = md5(lower(trim(substring(col("text"), 1, 20))))
+      Dedup.dedupFirstWins(
+          fileA.unionByName(fileB),
+          key, col("file_idx") * 1000000L + col("doc_id"))
+        .select(col("doc_id"), col("file_idx"))
+        .orderBy(col("doc_id"), col("file_idx"))
+    }),
+
+    "d6_minhash_lsh" -> ((s, dir) => {
+      // MinHash+LSH near-dup candidates (shingle→minhash→band→bucket
+      // join) with signature-agreement Jaccard estimate — the 100 TB
+      // dedup path (candidates only form inside buckets).
+      Dedup.minhashPairs(t(s, dir, "documents"), col("doc_id"), col("text"))
+        .select(col("id_a"), col("id_b"),
+          round(col("est_jaccard"), 6).as("est_jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "d7_simhash" -> ((s, dir) => {
+      // SimHash 16-bit fingerprints (md5-derived bit votes) — near-dup
+      // texts land at small Hamming distance; deterministic across
+      // engines.
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash16(col("text")).as("sh"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- T: text functions ------------------------------------------
     "t1_text_clean" -> ((s, dir) => {
       // T1-T4 — LaTeX/HTML-entity/non-ASCII strip + whitespace collapse
@@ -705,6 +740,63 @@ object SparkEntry {
       s"""SELECT tok, count(*) AS n
          FROM (SELECT unnest(${sqlTokens("text")}) AS tok FROM documents)
          GROUP BY tok ORDER BY n DESC, tok LIMIT 20""",
+
+    "d1_union_dedup" ->
+      """WITH u AS (
+           SELECT doc_id, 0 AS file_idx, text FROM documents WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT doc_id, 1 AS file_idx, text FROM documents),
+         r AS (
+           SELECT doc_id, file_idx, row_number() OVER (
+             PARTITION BY md5(lower(trim(substring(text, 1, 20))))
+             ORDER BY file_idx * 1000000 + doc_id) AS rn
+           FROM u)
+         SELECT doc_id, file_idx FROM r WHERE rn = 1
+         ORDER BY doc_id, file_idx""",
+
+    "d6_minhash_lsh" -> {
+      val toks = sqlTokens("text")
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+               ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                 i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+             END AS shingles
+           FROM t),
+         sig AS (
+           SELECT doc_id,
+             list_transform(generate_series(0, 15), s ->
+               list_min(list_transform(shingles,
+                 x -> md5(s::VARCHAR || ':' || x)))) AS sig
+           FROM sh),
+         bucketed AS (
+           SELECT doc_id, sig, unnest(list_transform(generate_series(0, 3), b ->
+             b::VARCHAR || '|' || md5(array_to_string(
+               list_slice(sig, b * 4 + 1, b * 4 + 4), ',')))) AS bk
+           FROM sig),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sig AS sa, b.sig AS sb
+           FROM bucketed a JOIN bucketed b
+             ON a.bk = b.bk AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b,
+           round(list_sum(list_transform(generate_series(1, 16),
+             i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 16.0, 6)
+             AS est_jaccard
+         FROM pairs ORDER BY id_a, id_b"""
+    },
+
+    "d7_simhash" -> {
+      val dtoks = s"list_distinct(${sqlTokens("text")})"
+      s"""SELECT doc_id,
+         list_sum(list_transform(generate_series(0, 15), b ->
+           CASE WHEN list_sum(list_transform($dtoks, tk ->
+             (((('0x' || substr(md5(tk), (b // 4)::INT + 1, 1))::INT
+                // (2 ** (3 - b % 4))::INT) % 2) * 2 - 1))) > 0
+           THEN (2 ** b)::INT ELSE 0 END)) AS sh
+         FROM documents ORDER BY doc_id"""
+    },
 
     "v2_ann_topk_batch" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
