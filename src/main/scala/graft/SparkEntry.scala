@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextAnalysis => TA, TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Align, Compliance, Dedup, Ruler, Similarity}
+import graft.operators.{Align, Compliance, Dedup, Enrich, Ruler, Similarity}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -451,6 +451,41 @@ object SparkEntry {
         .orderBy(col("id_a"))
     }),
 
+    // ---- L: enrichment harness (deterministic mock client) ----------
+    "l2_mock_keywords" -> ((s, dir) => {
+      // L2 — the full enrichment shape: prompt-build → mapPartitions call
+      // through the (mock) LlmClient → declarative post-validation
+      // (stop-list, length bounds, order-preserving dedup, cap 8).
+      val enriched = Enrich.enrichColumn(
+        t(s, dir, "documents"),
+        concat(lit("Extract keywords: "), col("text")), "raw_kw",
+        new Enrich.MockKeywordClient(12))
+      enriched.select(col("doc_id"),
+        array_join(Enrich.validateKeywords(col("raw_kw")), ",").as("keywords"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "l3_mock_scores" -> ((s, dir) => {
+      // L3 — score enrichment: mock client returns md5(prompt); hex
+      // digits become pseudo-scores, then the reference's validation
+      // (clamp 0-10, derived half-up overall, default confidence).
+      val enriched = Enrich.enrichColumn(
+        t(s, dir, "documents"),
+        concat(lit("Score: "), col("text")), "resp",
+        new Enrich.MockScoreClient)
+      def hv(i: Int) =
+        conv(substring(col("resp"), i, 1), 16, 10).cast("int")
+      enriched
+        .withColumn("s", Enrich.validatedScores(hv(1), hv(2), hv(3), hv(4)))
+        .select(col("doc_id"), col("s.novelty").as("novelty"),
+          col("s.technical_depth").as("technical_depth"),
+          col("s.clarity").as("clarity"),
+          col("s.impact_potential").as("impact_potential"),
+          col("s.overall_score").as("overall_score"),
+          col("s.confidence").as("confidence"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- V: vector search -------------------------------------------
     "v1_cosine_topk" -> ((s, dir) => {
       // V3 — brute-force cosine top-k against a query vector
@@ -740,6 +775,44 @@ object SparkEntry {
       s"""SELECT tok, count(*) AS n
          FROM (SELECT unnest(${sqlTokens("text")}) AS tok FROM documents)
          GROUP BY tok ORDER BY n DESC, tok LIMIT 20""",
+
+    "l2_mock_keywords" -> {
+      // mock: lowercase whitespace tokens with len>3, first 12, ','-joined;
+      // then the L2 validation chain on the SAME reconstructed raw string.
+      val stop = sqlList(Enrich.keywordStopList)
+      s"""WITH raw AS (
+           SELECT doc_id, array_to_string(list_slice(
+             list_filter(string_split_regex(lower(text), '\\s+'),
+               x -> len(x) > 3), 1, 12), ',') AS raw_kw
+           FROM documents),
+         v AS (
+           SELECT doc_id,
+             list_filter(
+               list_transform(string_split(raw_kw, ','), x -> trim(x)),
+               x -> x <> '' AND len(x) >= 3 AND len(x) <= 50
+                 AND NOT list_contains($stop, x)) AS ks
+           FROM raw)
+         SELECT doc_id, array_to_string(list_slice(
+           list_filter(ks, (x, i) -> list_position(ks, x) = i), 1, 8), ',')
+           AS keywords
+         FROM v ORDER BY doc_id"""
+    },
+
+    "l3_mock_scores" ->
+      """WITH h AS (
+           SELECT doc_id, md5('Score: ' || text) AS resp FROM documents),
+         sc AS (
+           SELECT doc_id,
+             least(greatest(('0x' || substr(resp, 1, 1))::INT, 0), 10) AS novelty,
+             least(greatest(('0x' || substr(resp, 2, 1))::INT, 0), 10) AS technical_depth,
+             least(greatest(('0x' || substr(resp, 3, 1))::INT, 0), 10) AS clarity,
+             least(greatest(('0x' || substr(resp, 4, 1))::INT, 0), 10) AS impact_potential
+           FROM h)
+         SELECT doc_id, novelty, technical_depth, clarity, impact_potential,
+           floor((novelty + technical_depth + clarity + impact_potential)
+             / 4.0 * 10.0 + 0.5) / 10.0 AS overall_score,
+           0.5 AS confidence
+         FROM sc ORDER BY doc_id""",
 
     "d1_union_dedup" ->
       """WITH u AS (

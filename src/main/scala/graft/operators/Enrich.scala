@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+
+/** LLM-enrichment harness — SURVEY.md §2.6 L1–L6. The reference's four
+  * enrichment operators share one shape (enhance_fields_of_study.py,
+  * enhance_keywords.py, enhance_scoring.py, enhance_optional_summary.py):
+  * prompt-build → rate-limited external call with retry/backoff →
+  * parse/validate/clamp → append column, with checkpoint/resume.
+  *
+  * Spark-first mapping (SURVEY.md §4.2): the external call runs inside
+  * `mapPartitions` behind an injectable [[LlmClient]] — batched per
+  * partition, throttled per executor, NEVER a row-at-a-time driver loop.
+  * Parse/validate/clamp stay pure column expressions (codegen'd), so only
+  * the opaque network step lives outside Catalyst. Resume is the P5
+  * checkpoint anti-join (enhance_fields_of_study.py:347-356).
+  *
+  * At 100 TB: partitions bound the concurrency fan-out (reference used
+  * 5–12 worker threads; here it's #partitions × per-partition batching),
+  * checkpoints are idempotent partition-level sinks, and a re-run only
+  * pays for rows the checkpoint doesn't cover.
+  */
+object Enrich {
+
+  /** Minimal completion-client contract (reference API core:
+    * enhance_fields_of_study.py:67-152). Implementations must be
+    * serializable — they ship to executors.
+    */
+  trait LlmClient extends Serializable {
+    def complete(prompt: String): String
+  }
+
+  /** Deterministic fake "LLM" for hermetic tests and oracles: echoes the
+    * first `maxTokens` whitespace tokens of the prompt tail (after the
+    * last ": ") that are longer than 3 chars, comma-joined — a stand-in
+    * for keyword extraction (enhance_keywords.py:165-280).
+    */
+  final class MockKeywordClient(maxTokens: Int = 12) extends LlmClient {
+    def complete(prompt: String): String = {
+      val payload = prompt.split(": ", 2).last
+      payload.toLowerCase.split("\\s+").filter(_.length > 3)
+        .take(maxTokens).mkString(",")
+    }
+  }
+
+  /** Deterministic fake scoring "LLM": md5 hex of the prompt — callers
+    * derive pseudo-scores from hex digits (enhance_scoring.py's shape
+    * with an engine-independent source of randomness).
+    */
+  final class MockScoreClient extends LlmClient {
+    def complete(prompt: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(prompt.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+  }
+
+  /** Wraps a client with retry/backoff (reference: retry loops at
+    * enhance_fields_of_study.py:120-152) and a fixed inter-call delay
+    * (the reference's rate_limited_request global pacing, simplified to
+    * per-partition pacing — executors don't share a lock at scale).
+    */
+  final class ThrottledClient(inner: LlmClient, delayMs: Long = 0,
+                              maxRetries: Int = 3) extends LlmClient {
+    def complete(prompt: String): String = {
+      var attempt = 0
+      while (true) {
+        try {
+          if (delayMs > 0) Thread.sleep(delayMs)
+          return inner.complete(prompt)
+        } catch {
+          case e: Exception =>
+            attempt += 1
+            if (attempt > maxRetries) throw e
+            Thread.sleep(delayMs * attempt)
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+  }
+
+  /** Core harness: evaluate `prompt` per row, call the client inside
+    * mapPartitions in batches of `batchSize`, append the raw response as
+    * `outCol` (string). Downstream validation/parsing stays declarative.
+    */
+  def enrichColumn(df: DataFrame, prompt: Column, outCol: String,
+                   client: LlmClient, batchSize: Int = 16): DataFrame = {
+    val withPrompt = df.withColumn("__prompt", prompt)
+    val outSchema = StructType(withPrompt.schema.fields :+
+      org.apache.spark.sql.types.StructField(outCol, StringType))
+    val enriched = withPrompt.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // batch boundary = the unit an async/bulk client would send.
+        batch.map { r =>
+          val resp = client.complete(r.getAs[String]("__prompt"))
+          Row.fromSeq(r.toSeq :+ resp)
+        }
+      }
+    }(Encoders.row(outSchema))
+    enriched.drop("__prompt")
+  }
+
+  /** L2 keyword post-validation as pure columns: split, trim, drop
+    * stop-list words and out-of-range lengths, order-preserving dedup,
+    * cap at 8. Ref: enhance_keywords.py:227-233.
+    */
+  val keywordStopList: Seq[String] =
+    Seq("model", "method", "framework", "approach", "system", "algorithm")
+
+  def validateKeywords(raw: Column): Column = {
+    val stop = array(keywordStopList.map(lit): _*)
+    slice(
+      array_distinct(filter(
+        transform(split(raw, ","), x => trim(x)),
+        x => x =!= "" && length(x) >= 3 && length(x) <= 50 &&
+          !array_contains(stop, x))),
+      1, 8)
+  }
+
+  /** L3 score validation: clamp ints to [0,10]; derived overall =
+    * half-up(mean of the 4 dims, 1 decimal) when absent; confidence
+    * defaults 0.5. Ref: enhance_scoring.py:74-117.
+    */
+  def validatedScores(novelty: Column, depth: Column, clarity: Column,
+                      impact: Column): Column = {
+    def cl(c: Column) = least(greatest(c, lit(0)), lit(10))
+    val n = cl(novelty); val d = cl(depth); val c = cl(clarity); val i = cl(impact)
+    val overall = floor((n + d + c + i).cast("double") / 4.0 * 10.0 + 0.5) / 10.0
+    struct(n.as("novelty"), d.as("technical_depth"), c.as("clarity"),
+      i.as("impact_potential"), overall.as("overall_score"),
+      lit(0.5).as("confidence"))
+  }
+
+  /** P5 — checkpoint/resume anti-join: rows of `df` whose `idCol` is not
+    * in `done`. Ref: enhance_fields_of_study.py:347-356.
+    */
+  def resumeFilter(df: DataFrame, done: DataFrame, idCol: String): DataFrame =
+    df.join(done.select(idCol).distinct(), Seq(idCol), "left_anti")
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Enrich
+import org.apache.spark.sql.functions._
+
+class EnrichSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "spark streaming engine with stateful aggregation"),
+    (2L, "tiny doc"),
+    (3L, "a model method framework and durable quality pipelines")
+  ).toDF("id", "text")
+
+  test("enrichColumn appends the client response per row") {
+    val out = Enrich.enrichColumn(docs,
+      concat(lit("Extract keywords: "), $"text"), "kw",
+      new Enrich.MockKeywordClient(12))
+    val got = rows(out.orderBy($"id").select($"kw")).map(_.getString(0))
+    assert(got.head == "spark,streaming,engine,with,stateful,aggregation")
+    assert(got(1) == "tiny")
+  }
+
+  test("batch size does not change results") {
+    val p = concat(lit("Extract keywords: "), $"text")
+    val a = Enrich.enrichColumn(docs, p, "kw", new Enrich.MockKeywordClient(12), batchSize = 1)
+    val b = Enrich.enrichColumn(docs, p, "kw", new Enrich.MockKeywordClient(12), batchSize = 100)
+    assert(rows(a.orderBy($"id")) == rows(b.orderBy($"id")))
+  }
+
+  test("ThrottledClient retries a flaky client") {
+    val flaky = new Enrich.LlmClient {
+      @volatile private var calls = 0
+      def complete(p: String): String = {
+        calls += 1
+        if (calls % 2 == 1) throw new RuntimeException("transient")
+        s"ok:$p"
+      }
+    }
+    val c = new Enrich.ThrottledClient(flaky, delayMs = 0, maxRetries = 3)
+    assert(c.complete("x") == "ok:x")
+  }
+
+  test("validateKeywords trims, filters stop-list and lengths, dedups, caps at 8") {
+    val raw = Seq("alpha, beta ,alpha,model,ab,gamma,delta,epsilon,zeta,eta,theta,iota,kappa")
+      .toDF("r")
+    val out = col0[String](raw.select(
+      array_join(Enrich.validateKeywords($"r"), ",")))
+    // alpha dedup'd, model stop-listed, ab too short, capped at 8
+    assert(out.head == "alpha,beta,gamma,delta,epsilon,zeta,eta,theta")
+  }
+
+  test("validatedScores clamps to [0,10] and derives half-up overall") {
+    val df = Seq((12, -3, 7, 8)).toDF("n", "d", "c", "i")
+    val r = rows(df.select(Enrich.validatedScores($"n", $"d", $"c", $"i").as("s"))
+      .select($"s.novelty", $"s.technical_depth", $"s.overall_score", $"s.confidence")).head
+    assert(r.getInt(0) == 10 && r.getInt(1) == 0)
+    assert(r.getDouble(2) == 6.3) // (10+0+7+8)/4 = 6.25 -> half-up 6.3
+    assert(r.getDouble(3) == 0.5)
+  }
+
+  test("resumeFilter processes only rows absent from the checkpoint") {
+    val done = Seq(1L, 3L).toDF("id")
+    val out = col0[Long](Enrich.resumeFilter(docs, done, "id").select($"id"))
+    assert(out == Seq(2L))
+  }
+}
