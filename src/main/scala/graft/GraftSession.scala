@@ -52,10 +52,11 @@ object Tables {
     // applies when it reads the ns column.
     df.schema.fields.foldLeft(df) {
       case (acc, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
+        // integer `div`, NOT `/`: float division of ~1.7e18 ns values
+        // exceeds double's 53-bit mantissa and lands ±1 µs off.
         acc.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.floor(
-              org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+            org.apache.spark.sql.functions.expr("ts div 1000")))
       case (acc, _) => acc
     }
   }

@@ -486,6 +486,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- W2: sessionization (batch twin of the streaming path) ------
+    "w2_sessionization" -> ((s, dir) => {
+      // Gap-based sessionization via lag + running session-break sum —
+      // the oracle-checkable batch twin of streaming.Streams
+      // sessionWindowAgg / sessionizeStateful (30 min gap).
+      graft.streaming.Streams.sessionizeBatch(t(s, dir, "events"), 1800)
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
     // ---- V: vector search -------------------------------------------
     "v1_cosine_topk" -> ((s, dir) => {
       // V3 — brute-force cosine top-k against a query vector
@@ -813,6 +822,28 @@ object SparkEntry {
              / 4.0 * 10.0 + 0.5) / 10.0 AS overall_score,
            0.5 AS confidence
          FROM sc ORDER BY doc_id""",
+
+    "w2_sessionization" ->
+      """WITH m AS (
+           SELECT user_id, event_id, value, epoch_us(ts::TIMESTAMP) AS m
+           FROM events),
+         f AS (
+           SELECT user_id, event_id, value, m,
+             CASE WHEN lag(m) OVER w IS NULL THEN 1
+               WHEN m - lag(m) OVER w > 1800 * 1000000 THEN 1
+               ELSE 0 END AS new_sess
+           FROM m
+           WINDOW w AS (PARTITION BY user_id ORDER BY m, event_id)),
+         s AS (
+           SELECT user_id, event_id, value, m,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY m, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM f)
+         SELECT user_id, session_id, count(*) AS n_events,
+           min(m) AS start_us, max(m) AS end_us,
+           round(sum(value), 2) AS sum_value
+         FROM s GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
 
     "d1_union_dedup" ->
       """WITH u AS (

@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Structured Streaming operators over the `events` table shape
+  * (event_id, ts, user_id, event_type, value).
+  *
+  * The reference has no streaming (SURVEY.md §2.11) — its closest
+  * analogue is checkpoint/resume batch increments. Here the incremental
+  * path is first-class: every transform is `DataFrame => DataFrame` and
+  * works identically under `read` (batch, oracle-checkable) and
+  * `readStream` (incremental with watermarked state). That is the
+  * Spark-native contract: one declarative plan, two execution modes.
+  *
+  * Scale notes: watermarks bound state size (late data beyond the
+  * watermark is dropped, state for closed windows is freed); the
+  * stateful sessionizer keys state by user_id so state shards across
+  * executors; `Trigger.AvailableNow` turns the same query into an
+  * idempotent catch-up batch.
+  */
+object Streams {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class Session(user_id: Long, start_us: Long, end_us: Long,
+                     n_events: Long, sum_value: Double)
+
+  /** Streaming scan of an events parquet directory (schema pinned — a
+    * streaming source must never infer).
+    */
+  def eventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(dir)
+
+  /** Watermarked tumbling-window counts per event type. Append-mode safe:
+    * results emit once the watermark passes window end.
+    */
+  def windowedTypeCounts(events: DataFrame,
+                         watermarkDelay: String = "10 minutes",
+                         windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Built-in session windows (gap-based) — the declarative sessionizer. */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+                       watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("start"),
+        col("session_window.end").as("end"), col("n_events"), col("sum_value"))
+
+  /** Custom sessionizer on the KeyValueGroupedDataset state API
+    * (flatMapGroupsWithState keyed by user). This variant assumes each
+    * group arrives complete (batch, or streaming with
+    * `Trigger.AvailableNow` over a closed input), sorting the group by
+    * (ts, event_id) and flushing all sessions at iterator end — the
+    * deterministic/oracle-checkable mode. A live-stream variant would
+    * park the open session in `state` and close it on event-time timeout;
+    * the declarative [[sessionWindowAgg]] is the production streaming
+    * path.
+    */
+  def sessionizeStateful(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Session], Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, it, state: GroupState[List[Session]]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sessions = scala.collection.mutable.ListBuffer[Session]()
+          var cur: Option[Session] = None
+          sorted.foreach { e =>
+            val us = e.ts.getTime * 1000L
+            cur match {
+              case Some(s) if us - s.end_us <= gapMs * 1000L =>
+                cur = Some(s.copy(end_us = us, n_events = s.n_events + 1,
+                  sum_value = s.sum_value + e.value))
+              case Some(s) =>
+                sessions += s
+                cur = Some(Session(user, us, us, 1L, e.value))
+              case None =>
+                cur = Some(Session(user, us, us, 1L, e.value))
+            }
+          }
+          (sessions ++ cur).iterator
+      }
+  }
+
+  /** Batch twin of sessionization as window functions (lag + running sum
+    * of session-break flags) — the DuckDB-expressible oracle path.
+    */
+  def sessionizeBatch(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("m"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("m", unix_micros(col("ts")))
+      .withColumn("new_sess",
+        when(col("m") - lag(col("m"), 1).over(byUser) > gapSeconds * 1000000L, 1L)
+          .otherwise(when(lag(col("m"), 1).over(byUser).isNull, 1L).otherwise(0L)))
+      .withColumn("session_id", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("m")).as("start_us"),
+        max(col("m")).as("end_us"),
+        round(sum(col("value")), 2).as("sum_value"))
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.streaming.Streams
+import graft.streaming.Streams.{Event, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val evs = Seq(
+    Event(1, ts("2026-01-01 10:00:00"), 1, "click", 1.0),
+    Event(2, ts("2026-01-01 10:10:00"), 1, "click", 2.0),
+    Event(3, ts("2026-01-01 11:30:00"), 1, "view", 4.0), // >30min gap: new session
+    Event(4, ts("2026-01-01 10:05:00"), 2, "click", 8.0))
+
+  test("windowedTypeCounts aggregates a memory stream with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.windowedTypeCounts(input.toDF(), "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("wtc").outputMode("complete").start()
+    try {
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      val got = rows(spark.sql(
+        "SELECT event_type, n_events, sum_value FROM wtc ORDER BY event_type"))
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      // 10:00 window: 3 clicks (1+2+8); 11:00 window: 1 view
+      assert(got == Seq(("click", 3L, 11.0), ("view", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("sessionWindowAgg closes sessions after the gap (streaming)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.sessionWindowAgg(input.toDF(), "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("swa").outputMode("complete").start()
+    try {
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      val got = rows(spark.sql(
+        "SELECT user_id, n_events, sum_value FROM swa ORDER BY user_id, n_events DESC"))
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got == Seq((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("sessionizeStateful matches sessionizeBatch on the same input") {
+    val ds = evs.toDS()
+    val stateful = rows(Streams.sessionizeStateful(ds, gapMs = 30 * 60 * 1000).toDF()
+      .select($"user_id", $"start_us", $"end_us", $"n_events", $"sum_value")
+      .orderBy($"user_id", $"start_us"))
+    val batch = rows(Streams.sessionizeBatch(ds.toDF(), gapSeconds = 30 * 60)
+      .select($"user_id", $"start_us", $"end_us", $"n_events", $"sum_value")
+      .orderBy($"user_id", $"start_us"))
+    assert(stateful == batch)
+    assert(stateful.size == 3)
+  }
+}
