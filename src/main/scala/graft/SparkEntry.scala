@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextAnalysis => TA, TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Align, Compliance, Dedup, Enrich, Ruler, Similarity}
+import graft.operators.{Align, Compliance, Dedup, Enrich, Multimodal, Ruler, Similarity}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -486,6 +486,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- M: multimodal binary columns -------------------------------
+    "m1_media_features" -> ((s, dir) => {
+      // Binary media payload + typed metadata + batched mapPartitions
+      // feature extraction through the (stub) decoder. Payload bytes stay
+      // executor-local; output is an array<double> feature column.
+      val media = Multimodal.withFakeMedia(
+        t(s, dir, "documents").select(col("doc_id"), col("text")), col("text"))
+      Multimodal.decodeFeatures(media, "media", 8, new Multimodal.StubDecoder)
+        .select(col("doc_id"),
+          length(col("media")).as("n_bytes"),
+          round(element_at(col("features"), 1), 6).as("f0"),
+          round(element_at(col("features"), 2), 6).as("f1"),
+          round(element_at(col("features"), 8), 6).as("f7"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- W2: sessionization (batch twin of the streaming path) ------
     "w2_sessionization" -> ((s, dir) => {
       // Gap-based sessionization via lag + running session-break sum —
@@ -822,6 +838,20 @@ object SparkEntry {
              / 4.0 * 10.0 + 0.5) / 10.0 AS overall_score,
            0.5 AS confidence
          FROM sc ORDER BY doc_id""",
+
+    "m1_media_features" -> {
+      // feature c = (Σ ascii(byte) at positions ≡ c mod 8) % 997 / 997
+      // over the UTF-8 payload (corpus is pure ASCII ⇒ ascii = byte).
+      def feat(c: Int) =
+        s"""round((list_sum(list_transform(
+           list_filter(generate_series(1, len(text)), p -> (p - 1) % 8 = $c),
+           p -> ascii(substr(text, p::INT, 1)))) % 997) / 997.0, 6)"""
+      s"""SELECT doc_id, len(text) AS n_bytes,
+         coalesce(${feat(0)}, 0.0) AS f0,
+         coalesce(${feat(1)}, 0.0) AS f1,
+         coalesce(${feat(7)}, 0.0) AS f7
+         FROM documents ORDER BY doc_id"""
+    },
 
     "w2_sessionization" ->
       """WITH m AS (
