@@ -898,12 +898,16 @@ object SparkEntry {
                  i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
              END AS shingles
            FROM t),
-         sig AS (
-           SELECT doc_id,
-             list_transform(generate_series(0, 15), s ->
-               list_min(list_transform(shingles,
-                 x -> md5(s::VARCHAR || ':' || x)))) AS sig
+         vs AS (
+           SELECT doc_id, list_transform(shingles,
+             x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS vs
            FROM sh),
+         sig AS (
+           SELECT doc_id, [${
+             Dedup.minhashCoeffs(16).map { case (a, b) =>
+               s"list_min(list_transform(vs, v -> (v * $a + $b) % 1000000007))"
+             }.mkString(",\n             ")}] AS sig
+           FROM vs),
          bucketed AS (
            SELECT doc_id, sig, unnest(list_transform(generate_series(0, 3), b ->
              b::VARCHAR || '|' || md5(array_to_string(

@@ -52,21 +52,40 @@ object Dedup {
     * meets `threshold`, via token-blocking self-join (no cross join).
     * Columns: id_a, id_b, inter, size_a, size_b, jaccard.
     * Ref semantics: strict_deduplication.py:48-76 (pairwise Jaccard ≥ 0.9).
+    *
+    * The candidate join is the dominant shuffle, so tokens are first
+    * dictionary-encoded to dense int ids (vocabulary is tiny relative to
+    * the corpus; the dictionary broadcast-joins back). The pair shuffle
+    * then moves (long, long, int) rows instead of strings — same exact
+    * result, a fraction of the bytes.
     */
   def jaccardPairs(df: DataFrame, id: Column, text: Column,
                    threshold: Double): DataFrame = {
     val toks = tokenIndex(df, id, text)
-    val sizes = toks.groupBy(col("id")).agg(count("*").as("n"))
-    val inter = toks.as("a")
-      .join(toks.as("b"), col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+    val dict = toks.groupBy(col("tok"))
+      .agg(count("*").as("df"))
+      .withColumn("tid", row_number().over(
+        Window.orderBy(col("df"), col("tok"))))
+      .select(col("tok"), col("tid"))
+    val itoks = toks.join(broadcast(dict), "tok").select(col("id"), col("tid"))
+    val sizes = itoks.groupBy(col("id")).agg(count("*").as("n"))
+    // exact size prune inside the candidate join: J ≥ t forces
+    // min(|A|,|B|)/max(|A|,|B|) ≥ t, so size-incompatible pairs never
+    // reach the pair-count shuffle (integer inequality — no float edge).
+    val tNum = math.round(threshold * 1000000).toInt
+    val withN = itoks.join(sizes, "id")
+    val inter = withN.as("a")
+      .join(withN.as("b"),
+        col("a.tid") === col("b.tid") && col("a.id") < col("b.id") &&
+          col("a.n") * 1000000 >= col("b.n") * tNum &&
+          col("b.n") * 1000000 >= col("a.n") * tNum)
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count("*").as("inter"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("n").as("size_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n").as("size_b")), "id_b")
+      .agg(count("*").as("inter"),
+        first(col("a.n")).as("size_a"), first(col("b.n")).as("size_b"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
+    inter
   }
 
   /** D4 survivors — drop every row that has a near-duplicate with a
@@ -96,14 +115,46 @@ object Dedup {
         i => array_join(slice(toks, i, lit(n)), " "))))
   }
 
-  /** MinHash signature: for seed s ∈ [0, numHashes), the lexicographic min
-    * of md5(s || ":" || shingle). md5 is uniform, deterministic, and
-    * available in every SQL engine, so signatures are oracle-checkable.
+  /** Affine MinHash family constants, derived deterministically from md5
+    * driver-side (engine-independent; the oracle embeds the same
+    * numbers). A is forced odd so the map is non-degenerate.
+    */
+  def minhashCoeffs(numHashes: Int): Seq[(Long, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h7(s: String): Long = {
+      md.reset()
+      val hex = md.digest(s.getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString.take(7)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    (0 until numHashes).map(s => (h7(s"A:$s") | 1L, h7(s"B:$s")))
+  }
+
+  /** 28-bit md5-derived value per shingle — materialize this ONCE (via a
+    * select boundary) before fanning out to the hash family; splicing it
+    * into each of the numHashes lambdas would re-run every md5 numHashes
+    * times per row.
+    */
+  def shingleValues(sh: Column): Column =
+    transform(sh, x => conv(substring(md5(x), 1, 7), 16, 10).cast("long"))
+
+  /** MinHash signature over a *materialized* [[shingleValues]] column:
+    * hash s is the affine map (Aₛ·v + Bₛ) mod 1e9+7 — numHashes·|shingles|
+    * integer ops per row, no repeated hashing. All intermediates stay
+    * below 2⁶³ (2²⁸·2²⁸ products).
+    */
+  def minhashSignatureFromValues(vs: Column, numHashes: Int): Column = {
+    val coeffs = minhashCoeffs(numHashes)
+    array(coeffs.map { case (a, b) =>
+      array_min(transform(vs, v => pmod(v * a + b, lit(1000000007L))))
+    }: _*)
+  }
+
+  /** Convenience composition for single-expression use (tests, ad hoc);
+    * the staged [[minhashPairs]] path materializes the intermediates.
     */
   def minhashSignature(sh: Column, numHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      s => array_min(transform(sh, x => md5(concat(s.cast("string"), lit(":"), x)))))
+    minhashSignatureFromValues(shingleValues(sh), numHashes)
 
   /** LSH band keys: split the signature into bands of `rowsPerBand` and
     * hash each band. Docs sharing any (band, hash) are candidates.
@@ -117,13 +168,25 @@ object Dedup {
 
   /** MinHash-LSH near-duplicate candidate pairs (id_a < id_b) with the
     * signature-agreement Jaccard estimate.
+    *
+    * Shuffle discipline: shingles and signatures materialize once per
+    * row (select boundaries — inlining them into downstream lambdas
+    * would re-evaluate the whole expression per lambda element); the
+    * bucket self-join dedups candidate pairs as bare (id, id) longs, and
+    * signatures re-attach via broadcast join for the estimate. Arrays
+    * never ride the wide shuffle.
     */
   def minhashPairs(df: DataFrame, id: Column, text: Column,
                    shingleSize: Int = 3, numHashes: Int = 16,
                    rowsPerBand: Int = 4): DataFrame = {
-    val sigs = df.select(
-      id.as("id"),
-      minhashSignature(shingles(text, shingleSize), numHashes).as("sig"))
+    // three select boundaries = three materialization points: shingles →
+    // 28-bit values (the md5 pass, exactly once) → signature (integer
+    // ops only). The signature (numHashes longs) is narrow enough to
+    // ride the bucket join; the estimate computes pre-distinct so the
+    // dedup shuffle moves (long, long, double) rows.
+    val sigs = df.select(id.as("id"), shingles(text, shingleSize).as("sh"))
+      .select(col("id"), shingleValues(col("sh")).as("vs"))
+      .select(col("id"), minhashSignatureFromValues(col("vs"), numHashes).as("sig"))
     val buckets = sigs.select(
       col("id"), col("sig"),
       explode(lshBands(col("sig"), numHashes, rowsPerBand)).as("bk"))

@@ -71,14 +71,20 @@ object Similarity {
                       threshold: Double, dim: Int,
                       numPlanes: Int = 16, bandBits: Int = 4): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
-    val keyed = df.select(id.as("id"), vec.as("v"),
-      explode(lshBandKeys(vec, planes, bandBits)).as("bk"))
-    keyed.as("a")
+    val vecs = df.select(id.as("id"), vec.as("v"))
+    val keyed = vecs.select(col("id"),
+      explode(lshBandKeys(col("v"), planes, bandBits)).as("bk"))
+    // candidate dedup moves bare (id, id) pairs; the vectors re-attach
+    // afterwards (AQE broadcasts the vector side while it fits) so the
+    // wide float arrays never ride the distinct shuffle.
+    val cands = keyed.as("a")
       .join(keyed.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    cands
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
       .withColumn("cosine", VF.cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
