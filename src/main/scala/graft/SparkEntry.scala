@@ -116,6 +116,89 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_totalprice"))
     }),
 
+    "j1_coverage_join" -> ((s, dir) => {
+      // J1 — enrich-merge shape: left joins with coalesce defaults plus
+      // per-side coverage counters in the same aggregate
+      // (build_simple_dataset.py:149-250).
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val bigLines = t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 40)
+        .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("big_qty"))
+      o.join(c, col("o_custkey") === col("c_custkey"), "left")
+        .join(bigLines, col("o_orderkey") === col("l_orderkey"), "left")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(avg(when(col("c_custkey").isNotNull, 1.0).otherwise(0.0)) * 100, 4)
+            .as("pct_with_customer"),
+          round(avg(when(col("big_qty").isNotNull, 1.0).otherwise(0.0)) * 100, 4)
+            .as("pct_with_big_lines"),
+          round(sum(coalesce(col("big_qty"), lit(0.0))), 2).as("sum_big_qty"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    "s7_inverted_index_roundtrip" -> ((s, dir) => {
+      // S7 — abstract reconstruction from an inverted index
+      // (paper_collection.ipynb cell 10): build map<token, positions>
+      // from the first 12 tokens, then invert it back to text with the
+      // one-expression flatten/sort/join pipeline. Round-trip identity =
+      // the oracle just computes the expected prefix directly.
+      val toks12 = slice(TA.tokens(col("text")), 1, 12)
+      val idx = map_from_entries(transform(
+        array_distinct(toks12),
+        tk => struct(tk, filter(sequence(lit(1), size(toks12)),
+          i => element_at(toks12, i) === tk))))
+      val reconstructed = array_join(
+        transform(
+          array_sort(flatten(transform(
+            map_entries(idx),
+            e => transform(e.getField("value"),
+              p => struct(p.as("pos"), e.getField("key").as("w")))))),
+          st => st.getField("w")),
+        " ")
+      t(s, dir, "documents")
+        .select(col("doc_id"), reconstructed.as("prefix_text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "v4_tf_embedding" -> ((s, dir) => {
+      // V1 — deterministic TF (bag-of-words) embedding over the global
+      // top-16 vocabulary, L2-normalized (RAG/rag.ipynb:413-436
+      // fallback embedding path). Vocabulary ranking is frequency-desc
+      // with token tie-break; the vector assembles via map lookup so
+      // zero-count dimensions materialize.
+      val d = t(s, dir, "documents")
+      val exploded = d.select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
+      val vocab = exploded.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cnt").desc, col("tok"))))
+        .filter(col("rank") <= 16)
+        .select(col("tok"), col("rank"))
+      val counts = exploded.join(broadcast(vocab), "tok")
+        .groupBy(col("doc_id"), col("rank")).agg(count(lit(1)).as("n"))
+      val vecs = counts.groupBy(col("doc_id"))
+        .agg(map_from_entries(collect_list(struct(col("rank"), col("n")))).as("m"))
+      val tf = transform(sequence(lit(1), lit(16)),
+        r => coalesce(element_at(col("m"), r), lit(0L)))
+      d.join(vecs, Seq("doc_id"), "left")
+        .select(col("doc_id"), VF.normalize(tf).as("v"))
+        .select(col("doc_id"),
+          round(element_at(col("v"), 1), 6).as("c1"),
+          round(element_at(col("v"), 2), 6).as("c2"),
+          round(element_at(col("v"), 3), 6).as("c3"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "a3_histogram" -> ((s, dir) => {
+      // A3 — score histogram: decile buckets of the composite quality
+      // score (enhance_scoring.py:531-535's integer-score distribution).
+      t(s, dir, "documents")
+        .groupBy(floor(TA.qualityScore(col("text")) * 10).cast("long").as("decile"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("decile"))
+    }),
+
     // ---- D: deduplication -------------------------------------------
     "d2_exact_dedup_nullkey" -> ((s, dir) => {
       // D2 — exact-key dedup where NULL keys pass through untouched
@@ -607,6 +690,34 @@ object SparkEntry {
   private def sqlKwHits(e: String, words: Seq[String]): String =
     s"len(list_filter(${sqlList(words)}, w -> contains(lower($e), w)))"
 
+  /** Shared CTEs computing the TextAnalysis quality-score inputs over
+    * `documents` (twin of TA.tokenCount/stopwordRatio/punctRatio/
+    * typeTokenRatio/qualityScore). Used by ta2 and a3.
+    */
+  private def sqlQualityCtes: String = {
+    val toks = sqlTokens("text")
+    val stopHits = sqlHits("text", TA.enStopwords)
+    s"""WITH t AS (
+           SELECT doc_id, text, $toks AS toks,
+             len(regexp_extract_all(text, '${TA.bpePattern.replace("'", "''")}')) AS n_bpe,
+             len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+             $stopHits AS stop_hits
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+             len(toks) AS n_tokens, n_bpe AS n_bpe_tokens,
+             CASE WHEN len(toks) > 0 THEN stop_hits * 1.0 / len(toks) ELSE 0.0 END AS sr,
+             CASE WHEN len(text) > 0 THEN n_punct * 1.0 / len(text) ELSE 0.0 END AS pr,
+             CASE WHEN len(toks) > 0 THEN len(list_distinct(toks)) * 1.0 / len(toks) ELSE 0.0 END AS tt,
+             CASE WHEN len(text) > 0 THEN least(1.0, len(text) / 400.0) ELSE 0.0 END AS ls
+           FROM t)"""
+  }
+
+  /** The quality composite over the `s` CTE columns (floor-stable 4dp). */
+  private val sqlQualityExpr: String =
+    """floor((ls * 0.3 + least(1.0, sr * 4.0) * 0.3 + tt * 0.2
+       + (1.0 - least(1.0, pr * 8.0)) * 0.2) * 10000.0 + 0.5) / 10000.0"""
+
   def oracleSql: Map[String, String] = Map(
     "r1_ruler_scores" -> {
       val innov = sqlKwHits("text", Ruler.innovationWords)
@@ -980,29 +1091,60 @@ object SparkEntry {
       s"""SELECT doc_id, ${sqlLanguageId("text")} AS lang_pred
          FROM documents ORDER BY doc_id""",
 
-    "ta2_text_stats" -> {
-      val toks = sqlTokens("text")
-      val stopHits = sqlHits("text", TA.enStopwords)
-      s"""WITH t AS (
-           SELECT doc_id, text, $toks AS toks,
-             len(regexp_extract_all(text, '${TA.bpePattern.replace("'", "''")}')) AS n_bpe,
-             len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
-             $stopHits AS stop_hits
-           FROM documents),
-         s AS (
-           SELECT doc_id,
-             len(toks) AS n_tokens, n_bpe AS n_bpe_tokens,
-             CASE WHEN len(toks) > 0 THEN stop_hits * 1.0 / len(toks) ELSE 0.0 END AS sr,
-             CASE WHEN len(text) > 0 THEN n_punct * 1.0 / len(text) ELSE 0.0 END AS pr,
-             CASE WHEN len(toks) > 0 THEN len(list_distinct(toks)) * 1.0 / len(toks) ELSE 0.0 END AS tt,
-             CASE WHEN len(text) > 0 THEN least(1.0, len(text) / 400.0) ELSE 0.0 END AS ls
-           FROM t)
+    "ta2_text_stats" ->
+      s"""$sqlQualityCtes
          SELECT doc_id, n_tokens, n_bpe_tokens,
            round(sr, 6) AS stop_ratio, round(pr, 6) AS punct_ratio,
-           round(tt, 6) AS ttr,
-           floor((ls * 0.3 + least(1.0, sr * 4.0) * 0.3 + tt * 0.2
-                 + (1.0 - least(1.0, pr * 8.0)) * 0.2) * 10000.0 + 0.5) / 10000.0 AS quality
-         FROM s ORDER BY doc_id"""
+           round(tt, 6) AS ttr, $sqlQualityExpr AS quality
+         FROM s ORDER BY doc_id""",
+
+    "a3_histogram" ->
+      s"""$sqlQualityCtes
+         SELECT floor($sqlQualityExpr * 10)::BIGINT AS decile, count(*) AS n
+         FROM s GROUP BY 1 ORDER BY 1""",
+
+    "j1_coverage_join" ->
+      """WITH bl AS (
+           SELECT l_orderkey, sum(l_quantity) AS big_qty
+           FROM lineitem WHERE l_quantity >= 40 GROUP BY 1)
+         SELECT o_orderstatus, count(*) AS n_orders,
+           round(avg(CASE WHEN c_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END) * 100, 4)
+             AS pct_with_customer,
+           round(avg(CASE WHEN big_qty IS NOT NULL THEN 1.0 ELSE 0.0 END) * 100, 4)
+             AS pct_with_big_lines,
+           round(sum(coalesce(big_qty, 0.0)), 2) AS sum_big_qty
+         FROM orders
+         LEFT JOIN customer ON o_custkey = c_custkey
+         LEFT JOIN bl ON o_orderkey = bl.l_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "s7_inverted_index_roundtrip" ->
+      s"""SELECT doc_id,
+         array_to_string(list_slice(${sqlTokens("text")}, 1, 12), ' ')
+           AS prefix_text
+         FROM documents ORDER BY doc_id""",
+
+    "v4_tf_embedding" -> {
+      val toks = sqlTokens("text")
+      def nr(r: Int) = s"sum(CASE WHEN rank = $r THEN n ELSE 0 END)"
+      s"""WITH ex AS (
+           SELECT doc_id, unnest($toks) AS tok FROM documents),
+         vocab AS (
+           SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS rank
+           FROM ex GROUP BY tok QUALIFY rank <= 16),
+         counts AS (
+           SELECT doc_id, rank, count(*) AS n
+           FROM ex JOIN vocab USING (tok) GROUP BY 1, 2),
+         agg AS (
+           SELECT doc_id, ${(1 to 16).map(r => s"${nr(r)} AS n$r").mkString(", ")},
+             sum(n * n) AS ss
+           FROM counts GROUP BY doc_id)
+         SELECT d.doc_id,
+           round(CASE WHEN ss > 0 THEN n1 / sqrt(ss) ELSE 0.0 END, 6) AS c1,
+           round(CASE WHEN ss > 0 THEN n2 / sqrt(ss) ELSE 0.0 END, 6) AS c2,
+           round(CASE WHEN ss > 0 THEN n3 / sqrt(ss) ELSE 0.0 END, 6) AS c3
+         FROM documents d LEFT JOIN agg USING (doc_id)
+         ORDER BY d.doc_id"""
     },
 
     "ta3_fingerprint" ->
