@@ -1,0 +1,98 @@
+package graft
+
+import graft.functions.{TextAnalysis => TA, TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (SURVEY.md §5.2): invariants that must hold for ANY
+  * input. Uses raw scalacheck generators with fixed seeds (scalatestplus
+  * is not on the offline classpath) — deterministic, but over generated
+  * rather than handcrafted inputs.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministically sample n values from a generator. */
+  private def sample[T](g: Gen[T], n: Int, seed: Long = 42L): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  private val asciiText: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.const(' '), 1 -> Gen.oneOf('.', ',', '!', '?', ';')))
+      .map(_.mkString.take(200))
+
+  private val vec8: Gen[List[Float]] =
+    Gen.listOfN(8, Gen.chooseNum(-10.0f, 10.0f))
+
+  test("dedup is idempotent for arbitrary keys") {
+    val keys = sample(Gen.chooseNum(0, 5), 60)
+    val df = keys.zipWithIndex.map { case (k, i) => (i.toLong, k.toString) }
+      .toDF("ord", "k")
+    val once = Dedup.dedupFirstWins(df, $"k", $"ord")
+    val twice = Dedup.dedupFirstWins(once, $"k", $"ord")
+    assert(once.collect().map(_.getLong(0)).sorted.toSeq ==
+      twice.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("quality score lands in [0,1] for arbitrary ASCII text") {
+    val texts = sample(asciiText, 60)
+    val qs = texts.toDF("t").select(TA.qualityScore($"t"))
+      .collect().toSeq.map(_.getDouble(0))
+    assert(qs.forall(q => q >= 0.0 && q <= 1.0))
+  }
+
+  test("cleanText output is ASCII with collapsed, trimmed whitespace") {
+    val texts = sample(Gen.asciiPrintableStr, 60)
+    val cleaned = texts.toDF("t").select(TF.cleanText($"t"))
+      .collect().toSeq.map(_.getString(0))
+    assert(cleaned.forall(s => !s.contains("  ") && s == s.trim))
+    assert(cleaned.forall(_.forall(_ < 128)))
+  }
+
+  test("cosine similarity is bounded and symmetric") {
+    val pairs = sample(Gen.zip(vec8, vec8), 40)
+      .filter { case (a, b) =>
+        a.exists(_ != 0.0f) && b.exists(_ != 0.0f) }
+    val sims = pairs.toDF("a", "b")
+      .select(VF.cosine($"a", $"b"), VF.cosine($"b", $"a"))
+      .collect().toSeq
+    sims.foreach { r =>
+      val (ab, ba) = (r.getDouble(0), r.getDouble(1))
+      assert(ab >= -1.0 - 1e-9 && ab <= 1.0 + 1e-9)
+      assert(math.abs(ab - ba) < 1e-9)
+    }
+  }
+
+  test("normalize yields unit vectors for nonzero input") {
+    val vs = sample(vec8, 40).filter(_.map(x => x * x).sum > 1e-3f)
+    val norms = vs.toDF("a").select(VF.l2Norm(VF.normalize($"a")))
+      .collect().toSeq.map(_.getDouble(0))
+    assert(norms.nonEmpty)
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-6))
+  }
+
+  test("fingerprint and simhash are pure functions of the token stream") {
+    val texts = sample(asciiText, 30)
+    val df = (texts ++ texts).toDF("t") // every text twice
+    val fps = df.select(TA.fingerprint($"t"), Dedup.simhash16($"t"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getInt(1)))
+    val (first, second) = fps.splitAt(texts.size)
+    assert(first == second)
+  }
+
+  test("alignment is total: output schema is fixed for any input projection") {
+    import graft.operators.Align
+    val spec = Seq("a" -> lit(0L), "b" -> lit(""), "c" -> lit(false))
+    val shapes = Seq(
+      Seq((1L, "x")).toDF("a", "b"),
+      Seq(("y", true)).toDF("b", "c"),
+      Seq(1L).toDF("z"))
+    shapes.foreach { df =>
+      val out = Align.alignTo(df, spec)
+      assert(out.columns.toSeq == Seq("a", "b", "c"))
+      assert(out.count() == df.count())
+    }
+  }
+}
