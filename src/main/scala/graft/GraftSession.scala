@@ -16,6 +16,7 @@ object GraftSession {
     * own master/memory settings).
     */
   def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .withExtensions(new graft.expressions.GraftExtensions)
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")

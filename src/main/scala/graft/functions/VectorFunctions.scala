@@ -22,11 +22,14 @@ object VectorFunctions {
   /** ‖a‖₂ */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; null-safe zero-vector guard → null (matches
-    * SQL-side division by zero). Ref behavior: RAG/rag.ipynb:488-530.
+  /** Cosine similarity; zero-norm input ⇒ null via an explicit guard —
+    * a bare division would throw DIVIDE_BY_ZERO under ANSI mode (Spark 4
+    * default). Ref behavior: RAG/rag.ipynb:488-530.
     */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2Norm(a) * l2Norm(b))
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom > 0, dot(a, b) / denom)
+  }
 
   /** Euclidean distance. */
   def l2Distance(a: Column, b: Column): Column =
