@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextAnalysis => TA, TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Align, Compliance, Dedup, Enrich, Multimodal, Ruler, Similarity}
+import graft.operators.{Align, Compliance, Dedup, Enrich, Multimodal, Rag, Ruler, Similarity}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -569,6 +569,59 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "v5_auto_metrics" -> ((s, dir) => {
+      // V5 — automatic answer metrics (rag.ipynb:770-880): the
+      // "question" is the doc's 8-token prefix, the "answer" its full
+      // text; metrics + weighted auto score as one codegen'd projection.
+      val d = t(s, dir, "documents")
+      val question = array_join(slice(TA.tokens(col("text")), 1, 8), " ")
+      d.select(col("doc_id"), Rag.autoMetrics(question, col("text")).as("m"))
+        .select(col("doc_id"),
+          col("m.answer_chars").as("answer_chars"),
+          col("m.answer_words").as("answer_words"),
+          col("m.keyword_overlap").as("keyword_overlap"),
+          col("m.n_citations").as("n_citations"),
+          col("m.auto_score").as("auto_score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "a2_score_summary" -> ((s, dir) => {
+      // A2 — per-key score summary stats (enhance_scoring.py:501-537)
+      // over the deterministic mock scores, grouped by language.
+      val enriched = Enrich.enrichColumn(
+        t(s, dir, "documents"),
+        concat(lit("Score: "), col("text")), "resp",
+        new Enrich.MockScoreClient)
+      val novelty = least(
+        conv(substring(col("resp"), 1, 1), 16, 10).cast("int"), lit(10))
+      enriched.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg(novelty), 6).as("avg_novelty"),
+          min(novelty).as("min_novelty"),
+          max(novelty).as("max_novelty"))
+        .orderBy(col("lang"))
+    }),
+
+    "a11_stage_deltas" -> ((s, dir) => {
+      // A11 — ablation stage deltas (ablation_error_analysis.py:88-136):
+      // union stage-tagged snapshots, aggregate per stage, report the
+      // removal delta against the previous stage via lag.
+      val d = t(s, dir, "documents")
+      val raw = d.withColumn("stage", lit(0))
+      val gated = Align.gate(d, Seq("len" -> (col("n_chars") >= 120)))
+        .withColumn("stage", lit(1))
+      val staged = raw.unionByName(gated)
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 4).as("avg_chars"))
+      val w = Window.orderBy(col("stage"))
+      staged.select(col("stage"), col("n_docs"), col("avg_chars"),
+          coalesce(lag(col("n_docs"), 1).over(w) - col("n_docs"), lit(0L))
+            .as("removed"))
+        .orderBy(col("stage"))
+    }),
+
     // ---- M: multimodal binary columns -------------------------------
     "m1_media_features" -> ((s, dir) => {
       // Binary media payload + typed metadata + batched mapPartitions
@@ -949,6 +1002,55 @@ object SparkEntry {
              / 4.0 * 10.0 + 0.5) / 10.0 AS overall_score,
            0.5 AS confidence
          FROM sc ORDER BY doc_id""",
+
+    "v5_auto_metrics" -> {
+      val toks = sqlTokens("text")
+      s"""WITH q AS (
+           SELECT doc_id, text,
+             array_to_string(list_slice($toks, 1, 8), ' ') AS question
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             len(text) AS answer_chars,
+             len(regexp_extract_all(text, '\\w+')) AS answer_words,
+             len(list_filter(list_distinct(list_filter(
+               string_split_regex(lower(question), '\\s+'), x -> x <> '')),
+               x -> list_contains(list_distinct(list_filter(
+                 string_split_regex(lower(text), '\\s+'), y -> y <> '')), x)))
+               AS keyword_overlap,
+             len(regexp_extract_all(text, '\\[[^\\]]*\\d+[^\\]]*\\]'))
+               AS n_citations
+           FROM q)
+         SELECT doc_id, answer_chars, answer_words, keyword_overlap, n_citations,
+           floor((least(1.0, answer_words / 50.0) * 0.3
+             + least(1.0, keyword_overlap / 5.0) * 0.4
+             + (CASE WHEN n_citations > 0 THEN 1.0 ELSE 0.5 END) * 0.3)
+             * 10000.0 + 0.5) / 10000.0 AS auto_score
+         FROM m ORDER BY doc_id"""
+    },
+
+    "a2_score_summary" ->
+      """WITH sc AS (
+           SELECT lang,
+             least(('0x' || substr(md5('Score: ' || text), 1, 1))::INT, 10)
+               AS novelty
+           FROM documents)
+         SELECT lang, count(*) AS n,
+           round(avg(novelty), 6) AS avg_novelty,
+           min(novelty) AS min_novelty, max(novelty) AS max_novelty
+         FROM sc GROUP BY lang ORDER BY lang""",
+
+    "a11_stage_deltas" ->
+      """WITH staged AS (
+           SELECT 0 AS stage, count(*) AS n_docs,
+             round(avg(n_chars), 4) AS avg_chars FROM documents
+           UNION ALL
+           SELECT 1 AS stage, count(*) AS n_docs,
+             round(avg(n_chars), 4) AS avg_chars
+           FROM documents WHERE n_chars >= 120)
+         SELECT stage, n_docs, avg_chars,
+           coalesce(lag(n_docs) OVER (ORDER BY stage) - n_docs, 0) AS removed
+         FROM staged ORDER BY stage""",
 
     "m1_media_features" -> {
       // feature c = (Σ ascii(byte) at positions ≡ c mod 8) % 997 / 997

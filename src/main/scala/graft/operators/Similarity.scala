@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.expressions.CosineSim
 import graft.functions.{VectorFunctions => VF}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -85,7 +86,7 @@ object Similarity {
     cands
       .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
-      .withColumn("cosine", VF.cosine(col("va"), col("vb")))
+      .withColumn("cosine", CosineSim(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
@@ -98,7 +99,7 @@ object Similarity {
     val l = df.select(id.as("id_a"), vec.as("va"))
     val r = df.select(id.as("id_b"), vec.as("vb"))
     l.join(r, col("id_a") < col("id_b"))
-      .withColumn("cosine", VF.cosine(col("va"), col("vb")))
+      .withColumn("cosine", CosineSim(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
@@ -116,7 +117,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("doc_id"))
     d.crossJoin(broadcast(q))
-      .withColumn("cosine", VF.cosine(col("dv"), col("qv")))
+      .withColumn("cosine", CosineSim(col("dv"), col("qv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("cosine"), col("rank"))
