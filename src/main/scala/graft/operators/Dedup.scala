@@ -49,15 +49,25 @@ object Dedup {
     df.select(id.as("id"), explode(TextFunctions.tokenSet(text)).as("tok"))
 
   /** D4 at scale — all pairs (a < b) whose token-set Jaccard similarity
-    * meets `threshold`, via token-blocking self-join (no cross join).
+    * meets `threshold`, EXACTLY, via AllPairs/PPJoin-style prefix
+    * filtering instead of full token blocking.
     * Columns: id_a, id_b, inter, size_a, size_b, jaccard.
     * Ref semantics: strict_deduplication.py:48-76 (pairwise Jaccard ≥ 0.9).
     *
-    * The candidate join is the dominant shuffle, so tokens are first
-    * dictionary-encoded to dense int ids (vocabulary is tiny relative to
-    * the corpus; the dictionary broadcast-joins back). The pair shuffle
-    * then moves (long, long, int) rows instead of strings — same exact
-    * result, a fraction of the bytes.
+    * Plan shape and why it scales:
+    *  1. tokens dictionary-encode to dense ids RANKED BY GLOBAL RARITY
+    *     (df asc) — one tiny broadcast;
+    *  2. each doc becomes one row with its sorted id array; only the
+    *     PREFIX (the |A| − ⌈t·|A|⌉ + 1 globally-rarest tokens) explodes
+    *     into the candidate index. Standard prefix-filter guarantee: any
+    *     pair with J ≥ t shares a prefix token, so no false negatives —
+    *     but common tokens never form candidate blocks;
+    *  3. candidate join also applies the exact size-ratio prune
+    *     (J ≥ t ⇒ min/max sizes ≥ t; integer inequality, no float edge);
+    *  4. verification is one array_intersect over the two id arrays per
+    *     distinct candidate — no 10⁸-row pair-count shuffle. The arrays
+    *     re-attach via equi-join (AQE broadcasts while the doc table
+    *     fits).
     */
   def jaccardPairs(df: DataFrame, id: Column, text: Column,
                    threshold: Double): DataFrame = {
@@ -67,25 +77,33 @@ object Dedup {
       .withColumn("tid", row_number().over(
         Window.orderBy(col("df"), col("tok"))))
       .select(col("tok"), col("tid"))
-    val itoks = toks.join(broadcast(dict), "tok").select(col("id"), col("tid"))
-    val sizes = itoks.groupBy(col("id")).agg(count("*").as("n"))
-    // exact size prune inside the candidate join: J ≥ t forces
-    // min(|A|,|B|)/max(|A|,|B|) ≥ t, so size-incompatible pairs never
-    // reach the pair-count shuffle (integer inequality — no float edge).
+    val docs = toks.join(broadcast(dict), "tok")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("tid"))).as("tids"))
+      .withColumn("n", size(col("tids")))
+      .withColumn("p", (col("n") - ceil(col("n") * threshold) + 1).cast("int"))
+    val prefix = docs.select(col("id"), col("n"),
+      explode(slice(col("tids"), lit(1), col("p"))).as("tid"))
     val tNum = math.round(threshold * 1000000).toInt
-    val withN = itoks.join(sizes, "id")
-    val inter = withN.as("a")
-      .join(withN.as("b"),
+    val cands = prefix.as("a")
+      .join(prefix.as("b"),
         col("a.tid") === col("b.tid") && col("a.id") < col("b.id") &&
           col("a.n") * 1000000 >= col("b.n") * tNum &&
           col("b.n") * 1000000 >= col("a.n") * tNum)
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count("*").as("inter"),
-        first(col("a.n")).as("size_a"), first(col("b.n")).as("size_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cands
+      .join(docs.select(col("id").as("id_a"), col("tids").as("ta"),
+        col("n").as("size_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("tids").as("tb"),
+        col("n").as("size_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
-    inter
+      .select(col("id_a"), col("id_b"), col("inter"),
+        col("size_a").cast("long").as("size_a"),
+        col("size_b").cast("long").as("size_b"), col("jaccard"))
   }
 
   /** D4 survivors — drop every row that has a near-duplicate with a
