@@ -516,9 +516,13 @@ object SparkEntry {
 
     "ta3_fingerprint" -> ((s, dir) => {
       // Order-sensitive rolling-hash document fingerprint (md5-derived,
-      // mod 1e9+7) — exact-dup detection key that any engine can recompute.
+      // mod 1e9+7) — exact-dup detection key that any engine can
+      // recompute. Runs the native single-pass expression; the
+      // declarative twin (TA.fingerprint) is pinned bit-identical in
+      // ExpressionsSpec.
       t(s, dir, "documents")
-        .select(col("doc_id"), TA.fingerprint(col("text")).as("fp"))
+        .select(col("doc_id"),
+          graft.expressions.TokenFingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))
     }),
 
@@ -645,6 +649,20 @@ object SparkEntry {
       // sessionWindowAgg / sessionizeStateful (30 min gap).
       graft.streaming.Streams.sessionizeBatch(t(s, dir, "events"), 1800)
         .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    "w3_session_window_batch" -> ((s, dir) => {
+      // Built-in session_window run in BATCH mode — cross-validates
+      // Spark's gap-based session assignment against the relational
+      // lag+cumsum oracle (same sessions, session end = last event +
+      // gap by session_window's definition).
+      graft.streaming.Streams.sessionWindowAgg(
+          t(s, dir, "events"), "30 minutes")
+        .select(col("user_id"),
+          unix_micros(col("start")).as("start_us"),
+          unix_micros(col("end")).as("end_us"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("start_us"))
     }),
 
     // ---- V: vector search -------------------------------------------
@@ -1087,6 +1105,30 @@ object SparkEntry {
            round(sum(value), 2) AS sum_value
          FROM s GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
+
+    "w3_session_window_batch" ->
+      """WITH m AS (
+           SELECT user_id, event_id, value, epoch_us(ts::TIMESTAMP) AS m
+           FROM events),
+         f AS (
+           SELECT user_id, event_id, value, m,
+             -- session_window merges only OVERLAPPING [t, t+gap) windows:
+             -- a gap of exactly `gap` starts a new session (>=, not >)
+             CASE WHEN lag(m) OVER w IS NULL THEN 1
+               WHEN m - lag(m) OVER w >= 1800 * 1000000 THEN 1
+               ELSE 0 END AS new_sess
+           FROM m
+           WINDOW w AS (PARTITION BY user_id ORDER BY m, event_id)),
+         s AS (
+           SELECT user_id, event_id, value, m,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY m, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM f)
+         SELECT user_id, min(m) AS start_us,
+           max(m) + 1800 * 1000000 AS end_us,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id, start_us""",
 
     "d1_union_dedup" ->
       """WITH u AS (
