@@ -41,9 +41,12 @@ case class TokenFingerprint(child: Expression) extends UnaryExpression {
 object TokenFingerprint {
   private val MOD = 1000000007L
 
+  private val localMd = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
   /** JVM kernel shared by eval and generated code. */
   def compute(s: UTF8String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = localMd.get()
     var h = 7L
     // same tokenization as TextAnalysis.tokens: lower, split \s+, drop ""
     val toks = s.toString.toLowerCase.split("\\s+")

@@ -197,14 +197,14 @@ object Dedup {
   def minhashPairs(df: DataFrame, id: Column, text: Column,
                    shingleSize: Int = 3, numHashes: Int = 16,
                    rowsPerBand: Int = 4): DataFrame = {
-    // three select boundaries = three materialization points: shingles →
-    // 28-bit values (the md5 pass, exactly once) → signature (integer
-    // ops only). The signature (numHashes longs) is narrow enough to
-    // ride the bucket join; the estimate computes pre-distinct so the
-    // dedup shuffle moves (long, long, double) rows.
-    val sigs = df.select(id.as("id"), shingles(text, shingleSize).as("sh"))
-      .select(col("id"), shingleValues(col("sh")).as("vs"))
-      .select(col("id"), minhashSignatureFromValues(col("vs"), numHashes).as("sig"))
+    // signature computes in the native one-pass TokenMinHash expression
+    // (bit-identical to the declarative shingles→values→affine chain,
+    // pinned in TokenMinHashSpec). The signature (numHashes longs) is
+    // narrow enough to ride the bucket join; the estimate computes
+    // pre-distinct so the dedup shuffle moves (long, long, double) rows.
+    val sigs = df.select(id.as("id"),
+      graft.expressions.TokenMinHash(text, shingleSize,
+        minhashCoeffs(numHashes)).as("sig"))
     val buckets = sigs.select(
       col("id"), col("sig"),
       explode(lshBands(col("sig"), numHashes, rowsPerBand)).as("bk"))
