@@ -97,7 +97,10 @@ object Dedup {
         col("n").as("size_a")), "id_a")
       .join(docs.select(col("id").as("id_b"), col("tids").as("tb"),
         col("n").as("size_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      // merge-walk intersect (native, codegen'd): ta/tb are sorted
+      // distinct id arrays by construction, so the linear walk applies.
+      .withColumn("inter",
+        graft.expressions.SortedIntersectCount(col("ta"), col("tb")))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
