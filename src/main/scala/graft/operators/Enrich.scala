@@ -132,6 +132,23 @@ object Enrich {
       lit(0.5).as("confidence"))
   }
 
+  /** L4 — contribution-summary validation: strings trimmed and truncated
+    * at 500 chars with ellipsis, list items trimmed/compacted and capped
+    * at 10. Ref: enhance_optional_summary.py:174-346 (fast variant caps
+    * differ — parameterize if needed).
+    */
+  def validatedSummary(problem: Column, method: Column,
+                       contributions: Column, scenarios: Column): Column = {
+    def s(c: Column) = graft.functions.TextFunctions.truncateEllipsis(trim(c), 500)
+    def l(c: Column) = slice(
+      filter(transform(c, x => trim(x)), x => x =!= ""), 1, 10)
+    struct(
+      s(problem).as("problem"),
+      s(method).as("method"),
+      l(contributions).as("key_contributions"),
+      l(scenarios).as("application_scenarios"))
+  }
+
   /** P5 — checkpoint/resume anti-join: rows of `df` whose `idCol` is not
     * in `done`. Ref: enhance_fields_of_study.py:347-356.
     */

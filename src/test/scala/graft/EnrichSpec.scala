@@ -59,6 +59,20 @@ class EnrichSpec extends SparkSpec {
     assert(r.getDouble(3) == 0.5)
   }
 
+  test("validatedSummary trims, truncates at 500 with ellipsis, caps lists at 10") {
+    val df = Seq((
+      "  " + "p" * 600, "a method",
+      (1 to 15).map(i => s" c$i ") :+ "", Seq("  s1  "))
+    ).toDF("p", "m", "c", "s")
+    val r = rows(df.select(Enrich.validatedSummary($"p", $"m", $"c", $"s").as("v"))
+      .select($"v.problem", $"v.method", $"v.key_contributions",
+        $"v.application_scenarios")).head
+    assert(r.getString(0).length == 503 && r.getString(0).endsWith("..."))
+    assert(r.getString(1) == "a method")
+    assert(r.getSeq[String](2) == (1 to 10).map(i => s"c$i"))
+    assert(r.getSeq[String](3) == Seq("s1"))
+  }
+
   test("resumeFilter processes only rows absent from the checkpoint") {
     val done = Seq(1L, 3L).toDF("id")
     val out = col0[Long](Enrich.resumeFilter(docs, done, "id").select($"id"))
