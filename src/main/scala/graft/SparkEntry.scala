@@ -694,6 +694,24 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "v6_ann_topk_planned" -> ((s, dir) => {
+      // The custom whole-operator tier: grouped top-k planned through
+      // the TopKPerKey logical node → TopKPerKeyStrategy → two-phase
+      // TopKPerKeyExec (partial bounded heaps, one hash exchange, final
+      // exact) — map-side trimming the window formulation can't do.
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val sims = e.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("doc_id"), col("embedding").as("dv"))
+        .crossJoin(broadcast(queries))
+        .select(col("query_id"), col("doc_id"),
+          graft.expressions.CosineSim(col("dv"), col("qv")).as("cosine"))
+      graft.plans.TopKPerKey(sims, col("query_id"), col("cosine"), 5)
+        .select(col("query_id"), col("doc_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("cosine").desc, col("doc_id"))
+    }),
+
     "v3_neardup_lsh" -> ((s, dir) => {
       // Embedding-cosine near-dup pairs via hyperplane LSH banding +
       // exact cosine confirm — the scale path for pairwise similarity
@@ -1202,6 +1220,18 @@ object SparkEntry {
              PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rank FROM s)
          SELECT query_id, doc_id, round(cosine, 6) AS cosine, rank
          FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "v6_ann_topk_planned" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+             FROM embeddings WHERE vec_id < 5),
+         d AS (SELECT vec_id AS doc_id, embedding AS dv
+             FROM embeddings WHERE vec_id >= 5),
+         s AS (SELECT query_id, doc_id,
+             ${sqlCosine64("dv", "qv")} AS cosine FROM d, q),
+         r AS (SELECT query_id, doc_id, cosine, row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rank FROM s)
+         SELECT query_id, doc_id, round(cosine, 6) AS cosine
+         FROM r WHERE rank <= 5 ORDER BY query_id, cosine DESC, doc_id""",
 
     "v3_neardup_lsh" -> {
       val planes = Similarity.hyperplanes(16, 64)
