@@ -694,6 +694,23 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "v7_ivf_topk" -> ((s, dir) => {
+      // IVF-partitioned ANN: 8 centroid vectors, nprobe=2 — each query
+      // scans ~1/4 of the corpus instead of all of it. Deterministic
+      // (argmax ties by centroid id), so exactly oracle-checkable even
+      // though recall < 1 by design.
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(
+          e.filter(col("vec_id") >= 13), col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") >= 8 && col("vec_id") < 13),
+          col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < 8), col("vec_id"), col("embedding"),
+          k = 5, nprobe = 2)
+        .select(col("query_id"), col("doc_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "v6_ann_topk_planned" -> ((s, dir) => {
       // The custom whole-operator tier: grouped top-k planned through
       // the TopKPerKey logical node → TopKPerKeyStrategy → two-phase
@@ -1220,6 +1237,34 @@ object SparkEntry {
              PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rank FROM s)
          SELECT query_id, doc_id, round(cosine, 6) AS cosine, rank
          FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "v7_ivf_topk" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv
+             FROM embeddings WHERE vec_id < 8),
+         d AS (SELECT vec_id AS doc_id, embedding AS dv
+             FROM embeddings WHERE vec_id >= 13),
+         q AS (SELECT vec_id AS query_id, embedding AS qv
+             FROM embeddings WHERE vec_id >= 8 AND vec_id < 13),
+         assign AS (
+           SELECT doc_id, dv, cid FROM (
+             SELECT doc_id, dv, cid, row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY ${sqlCosine64("dv", "cv")} DESC, cid) AS rn
+             FROM d, c) WHERE rn = 1),
+         probes AS (
+           SELECT query_id, qv, cid FROM (
+             SELECT query_id, qv, cid, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY ${sqlCosine64("qv", "cv")} DESC, cid) AS rn
+             FROM q, c) WHERE rn <= 2),
+         ranked AS (
+           SELECT query_id, doc_id,
+             ${sqlCosine64("dv", "qv")} AS cosine,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY ${sqlCosine64("dv", "qv")} DESC, doc_id) AS rank
+           FROM probes JOIN assign USING (cid))
+         SELECT query_id, doc_id, round(cosine, 6) AS cosine, rank
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
 
     "v6_ann_topk_planned" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv

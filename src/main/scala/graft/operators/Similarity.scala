@@ -104,6 +104,46 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** IVF-style ANN: corpus vectors partition into inverted lists by
+    * nearest centroid (argmax cosine, ties → lowest centroid id); a
+    * query probes its `nprobe` nearest centroids and ranks only those
+    * lists. Search cost drops from |corpus| to ~|corpus|·nprobe/C per
+    * query — the standard recall/cost dial (nprobe = C degenerates to
+    * brute force). Centroids come from the caller (k-means exercise, or
+    * any deterministic seed set); assignment and probing are pure
+    * DataFrame ops, so the whole index is a (doc_id, centroid_id) table
+    * that persists as parquet and co-partitions with the corpus.
+    */
+  def ivfTopK(docs: DataFrame, docId: Column, docVec: Column,
+              queries: DataFrame, queryId: Column, queryVec: Column,
+              centroids: DataFrame, centroidId: Column, centroidVec: Column,
+              k: Int, nprobe: Int): DataFrame = {
+    val c = broadcast(centroids.select(centroidId.as("cid"), centroidVec.as("cv")))
+    val d = docs.select(docId.as("doc_id"), docVec.as("dv"))
+    val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
+    val wAssign = Window.partitionBy(col("doc_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val assign = d.crossJoin(c)
+      .withColumn("ccos", CosineSim(col("dv"), col("cv")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("dv"), col("cid"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("cid"))
+    val probes = q.crossJoin(c)
+      .withColumn("qcos", CosineSim(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+    probes.join(assign, "cid")
+      .withColumn("cosine", CosineSim(col("dv"), col("qv")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("cosine"), col("rank"))
+  }
+
   /** Brute-force cosine top-k per query: broadcast the query batch, scan
     * the corpus once, rank per query. Ties broken by doc id (ascending)
     * for determinism.

@@ -14,10 +14,12 @@ class SimilaritySpec extends SparkSpec {
   private val b1 = Array.tabulate(16)(i => if (i < 8) 1.0f else 0.0f)
   private val b2 = Array.tabulate(16)(i => if (i >= 8) 1.0f else 0.0f)
 
-  private def corpus = Seq(
+  private lazy val corpusData = Seq(
     (1L, noisy(b1, 0.001f)), (2L, noisy(b1, 0.001f)), (3L, noisy(b1, 0.001f)),
-    (4L, noisy(b2, 0.001f)), (5L, noisy(b2, 0.001f))
-  ).toDF("id", "v")
+    (4L, noisy(b2, 0.001f)), (5L, noisy(b2, 0.001f)))
+  private def corpus = corpusData.toDF("id", "v")
+  private lazy val queryData =
+    Seq((100L, noisy(b1, 0.001f)), (200L, noisy(b2, 0.001f)))
 
   test("hyperplanes are deterministic and in [-1,1)") {
     val p1 = Similarity.hyperplanes(4, 8)
@@ -43,6 +45,29 @@ class SimilaritySpec extends SparkSpec {
       .select($"id_a", $"id_b").orderBy($"id_a", $"id_b"))
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(lsh == exact)
+  }
+
+  test("ivfTopK achieves full recall when clusters align with centroids") {
+    // centroids ARE the cluster bases; docs are noisy cluster members
+    val centroids = Seq((0L, b1.toSeq), (1L, b2.toSeq)).toDF("cid", "cv")
+    val queries = queryData.toDF("qid", "qv")
+    val ivf = rows(Similarity.ivfTopK(
+      corpus, $"id", $"v", queries, $"qid", $"qv",
+      centroids, $"cid", $"cv", k = 3, nprobe = 1)
+      .orderBy($"query_id", $"rank"))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // query 100 probes only cluster b1 -> finds exactly docs 1-3
+    assert(ivf.filter(_._1 == 100L).map(_._2).toSet == Set(1L, 2L, 3L))
+    assert(ivf.filter(_._1 == 200L).map(_._2).toSet == Set(4L, 5L))
+    // nprobe = all centroids degenerates to brute force
+    val brute = rows(Similarity.topKPerQuery(
+      corpus, $"id", $"v", queries, $"qid", $"qv", k = 3)
+      .orderBy($"query_id", $"rank")).map(r => (r.getLong(0), r.getLong(1)))
+    val full = rows(Similarity.ivfTopK(
+      corpus, $"id", $"v", queries, $"qid", $"qv",
+      centroids, $"cid", $"cv", k = 3, nprobe = 2)
+      .orderBy($"query_id", $"rank")).map(r => (r.getLong(0), r.getLong(1)))
+    assert(full == brute)
   }
 
   test("topKPerQuery returns k ranked neighbors per query") {
