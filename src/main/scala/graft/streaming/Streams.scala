@@ -97,6 +97,56 @@ object Streams {
       }
   }
 
+  /** STREAMING sessionizer with real state: one open session per user
+    * rides in `GroupState` across micro-batches; an event beyond the gap
+    * closes it inline, and keys that go quiet close via EVENT-TIME
+    * TIMEOUT once the watermark passes last_event + gap. Append-mode
+    * emissions are final — exactly-once session rows under retries.
+    * Streaming-only by contract (batch runs lose the trailing open
+    * session — use [[sessionizeStateful]]/[[sessionizeBatch]] there).
+    *
+    * State size = one Session per active user; watermark bounds how long
+    * a quiet user's state lives. That is the 100 TB control: state
+    * shards by user across executors and is evicted deterministically.
+    */
+  def sessionizeStreaming(events: Dataset[Event], gapMs: Long,
+                          watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.toDF().withWatermark("ts", watermarkDelay).as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Session, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, it, state: GroupState[Session]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(s)
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = scala.collection.mutable.ListBuffer[Session]()
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000L
+              cur match {
+                case Some(s) if us - s.end_us <= gapMs * 1000L =>
+                  cur = Some(s.copy(end_us = us, n_events = s.n_events + 1,
+                    sum_value = s.sum_value + e.value))
+                case Some(s) =>
+                  closed += s
+                  cur = Some(Session(user, us, us, 1L, e.value))
+                case None =>
+                  cur = Some(Session(user, us, us, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end_us / 1000L + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Batch twin of sessionization as window functions (lag + running sum
     * of session-break flags) — the DuckDB-expressible oracle path.
     */

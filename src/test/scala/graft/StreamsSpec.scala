@@ -47,6 +47,37 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStreaming closes sessions inline and via event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.sessionizeStreaming(input.toDS(), gapMs = 30 * 60 * 1000, "10 minutes")
+      .toDF().writeStream
+      .format("memory").queryName("sss").outputMode("append").start()
+    try {
+      // batch 1: user 1 open session; user 2 single-event session
+      input.addData(
+        Event(1, ts("2026-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2026-01-01 10:10:00"), 1, "click", 2.0),
+        Event(3, ts("2026-01-01 10:05:00"), 2, "view", 8.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM sss").head().getLong(0) == 0)
+
+      // batch 2: user 1 event far beyond the gap -> closes session inline;
+      // also advances the watermark past user 2's timeout
+      input.addData(Event(4, ts("2026-01-01 14:00:00"), 1, "click", 4.0))
+      q.processAllAvailable()
+      // empty batch lets the timeout fire for user 2
+      input.addData(Event(5, ts("2026-01-01 15:00:00"), 3, "click", 0.5))
+      q.processAllAvailable()
+
+      val got = rows(spark.sql(
+        "SELECT user_id, n_events, sum_value FROM sss ORDER BY user_id"))
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.contains((1L, 2L, 3.0)))  // user 1 first session, closed inline
+      assert(got.contains((2L, 1L, 8.0)))  // user 2, closed by timeout
+    } finally q.stop()
+  }
+
   test("sessionizeStateful matches sessionizeBatch on the same input") {
     val ds = evs.toDS()
     val stateful = rows(Streams.sessionizeStateful(ds, gapMs = 30 * 60 * 1000).toDF()
