@@ -372,6 +372,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "c3_record_fingerprint" -> ((s, dir) => {
+      // C1 — md5 record fingerprint over a fixed field order
+      // (provenance_compliance.py:91-102), plus the dup-detection rollup
+      // it exists for: fingerprints shared by >1 part.
+      val p = t(s, dir, "part")
+      p.select(col("p_partkey"),
+          Compliance.fingerprint(col("p_name"), col("p_brand"), col("p_type"))
+            .as("fp"))
+        .groupBy(col("fp")).agg(count(lit(1)).as("n"),
+          min(col("p_partkey")).as("first_key"))
+        .filter(col("n") > 1)
+        .orderBy(col("fp"))
+    }),
+
     "c2_quality_issues" -> ((s, dir) => {
       // C5 — per-row issue arrays + severity, aggregated to issue
       // frequencies (A12 explode-count) and severity rollup (A10).
@@ -930,6 +944,11 @@ object SparkEntry {
              ELSE 0.0 END, 6) AS pii_density
          FROM c ORDER BY doc_id"""
     },
+
+    "c3_record_fingerprint" ->
+      """SELECT md5(concat_ws('|', p_name, p_brand, p_type)) AS fp,
+         count(*) AS n, min(p_partkey) AS first_key
+         FROM part GROUP BY 1 HAVING count(*) > 1 ORDER BY fp""",
 
     "c2_quality_issues" ->
       """WITH d AS (

@@ -83,13 +83,21 @@ object Dedup {
       .withColumn("n", size(col("tids")))
       .withColumn("p", (col("n") - ceil(col("n") * threshold) + 1).cast("int"))
     val prefix = docs.select(col("id"), col("n"),
-      explode(slice(col("tids"), lit(1), col("p"))).as("tid"))
+      posexplode(slice(col("tids"), lit(1), col("p"))).as(Seq("pos", "tid")))
     val tNum = math.round(threshold * 1000000).toInt
+    // PPJoin position filter: if the shared prefix token sits at
+    // (0-based) positions i, j, the best possible overlap is
+    // 1 + min(nA − i − 1, nB − j − 1); J ≥ t needs overlap ≥
+    // t/(1+t)·(nA+nB). Scaled to exact integers:
+    // (1 + min(...))·(10⁶ + tNum) ≥ tNum·(nA + nB).
+    val bestOverlap = lit(1) +
+      least(col("a.n") - col("a.pos") - 1, col("b.n") - col("b.pos") - 1)
     val cands = prefix.as("a")
       .join(prefix.as("b"),
         col("a.tid") === col("b.tid") && col("a.id") < col("b.id") &&
           col("a.n") * 1000000 >= col("b.n") * tNum &&
-          col("b.n") * 1000000 >= col("a.n") * tNum)
+          col("b.n") * 1000000 >= col("a.n") * tNum &&
+          bestOverlap * (1000000L + tNum) >= (col("a.n") + col("b.n")) * tNum)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     cands
