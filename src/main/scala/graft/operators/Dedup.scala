@@ -72,11 +72,18 @@ object Dedup {
   def jaccardPairs(df: DataFrame, id: Column, text: Column,
                    threshold: Double): DataFrame = {
     val toks = tokenIndex(df, id, text)
+    // global rarity rank WITHOUT a single-partition window: distributed
+    // range-sort + zipWithIndex keeps the dictionary build parallel even
+    // when the vocabulary itself is huge.
+    val spark = df.sparkSession
+    import spark.implicits._
     val dict = toks.groupBy(col("tok"))
       .agg(count("*").as("df"))
-      .withColumn("tid", row_number().over(
-        Window.orderBy(col("df"), col("tok"))))
-      .select(col("tok"), col("tid"))
+      .orderBy(col("df"), col("tok"))
+      .select(col("tok")).as[String]
+      .rdd.zipWithIndex()
+      .map { case (tok, i) => (tok, (i + 1).toInt) }
+      .toDF("tok", "tid")
     val docs = toks.join(broadcast(dict), "tok")
       .groupBy(col("id"))
       .agg(sort_array(collect_list(col("tid"))).as("tids"))
