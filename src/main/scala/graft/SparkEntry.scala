@@ -665,6 +665,24 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    "e1_json_props" -> ((s, dir) => {
+      // Semi-structured column parsing: events.props is a JSON string;
+      // from_json with an EXPLICIT schema (never schema_of_json in a
+      // production path) extracts typed fields that aggregate like any
+      // column — parse happens inside the scan projection.
+      t(s, dir, "events")
+        .withColumn("k",
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("k")), 6).as("avg_k"),
+          max(col("k")).as("max_k"),
+          sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_high"))
+        .orderBy(col("event_type"))
+    }),
+
     "w3_session_window_batch" -> ((s, dir) => {
       // Built-in session_window run in BATCH mode — cross-validates
       // Spark's gap-based session assignment against the relational
@@ -1159,6 +1177,14 @@ object SparkEntry {
            round(sum(value), 2) AS sum_value
          FROM s GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
+
+    "e1_json_props" ->
+      """SELECT event_type, count(*) AS n,
+         round(avg(json_extract(props, '$.k')::INT), 6) AS avg_k,
+         max(json_extract(props, '$.k')::INT) AS max_k,
+         sum(CASE WHEN json_extract(props, '$.k')::INT > 50 THEN 1 ELSE 0 END)
+           AS n_high
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "w3_session_window_batch" ->
       """WITH m AS (
