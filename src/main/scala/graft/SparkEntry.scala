@@ -20,6 +20,21 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Floor-stable k-decimal rounding — identical IEEE ops on both engines
+    * (CLAUDE.md contract; `round` differs between Spark and DuckDB at
+    * half-boundaries of derived doubles).
+    */
+  private def fround(c: Column, k: Int): Column = {
+    val p = math.pow(10.0, k)
+    floor(c * p + 0.5) / p
+  }
+
+  /** DuckDB twin of [[fround]]. */
+  private def sqlFround(e: String, k: Int): String = {
+    val p = s"1e$k"
+    s"floor(($e) * $p + 0.5) / $p"
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Runs the document-pipeline spine: clean → dedup → per-language stats.
     */
@@ -259,7 +274,7 @@ object SparkEntry {
       // texts land at small Hamming distance; deterministic across
       // engines.
       t(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simhash16(col("text")).as("sh"))
+        .select(col("doc_id"), Dedup.simhash16(col("text")).cast("long").as("sh"))
         .orderBy(col("doc_id"))
     }),
 
@@ -463,11 +478,11 @@ object SparkEntry {
       li.join(q, "l_returnflag")
         .groupBy(col("l_returnflag"))
         .agg(
-          round(first(col("q1")), 6).as("q1"),
-          round(first(col("q3")), 6).as("q3"),
+          fround(first(col("q1")), 6).as("q1"),
+          fround(first(col("q3")), 6).as("q3"),
           sum(when(col("l_extendedprice") < lo || col("l_extendedprice") > hi,
             1L).otherwise(0L)).as("n_outliers"),
-          round(sum(when(col("l_extendedprice") < lo || col("l_extendedprice") > hi,
+          fround(sum(when(col("l_extendedprice") < lo || col("l_extendedprice") > hi,
             1.0).otherwise(0.0)) * 100.0 / first(col("n_total")), 6).as("pct_outliers"))
         .orderBy(col("l_returnflag"))
     }),
@@ -677,7 +692,7 @@ object SparkEntry {
             .getField("k"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
-          round(avg(col("k")), 6).as("avg_k"),
+          fround(avg(col("k")), 6).as("avg_k"),
           max(col("k")).as("max_k"),
           sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_high"))
         .orderBy(col("event_type"))
@@ -993,12 +1008,14 @@ object SparkEntry {
 
     "p3_quality_gate" -> {
       val ntok = s"len(${sqlTokens("text")})"
+      // ::BIGINT — DuckDB integer sum() yields HUGEINT, Spark BIGINT;
+      // the driver hash is type-sensitive.
       s"""SELECT count(*) AS n_total,
          sum(CASE WHEN n_chars >= 120 AND $ntok >= 20 AND source <> 'src0'
-           THEN 1 ELSE 0 END) AS n_kept,
-         sum(CASE WHEN NOT (n_chars >= 120) THEN 1 ELSE 0 END) AS drop_too_short,
-         sum(CASE WHEN NOT ($ntok >= 20) THEN 1 ELSE 0 END) AS drop_few_tokens,
-         sum(CASE WHEN NOT (source <> 'src0') THEN 1 ELSE 0 END) AS drop_bad_source
+           THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         sum(CASE WHEN NOT (n_chars >= 120) THEN 1 ELSE 0 END)::BIGINT AS drop_too_short,
+         sum(CASE WHEN NOT ($ntok >= 20) THEN 1 ELSE 0 END)::BIGINT AS drop_few_tokens,
+         sum(CASE WHEN NOT (source <> 'src0') THEN 1 ELSE 0 END)::BIGINT AS drop_bad_source
          FROM documents"""
     },
 
@@ -1020,20 +1037,21 @@ object SparkEntry {
          GROUP BY lang ORDER BY lang""",
 
     "a7_iqr_outliers" ->
-      """WITH q AS (
+      s"""WITH q AS (
            SELECT l_returnflag,
              quantile_cont(l_extendedprice, 0.25) AS q1,
              quantile_cont(l_extendedprice, 0.75) AS q3,
              count(*) AS n_total
            FROM lineitem GROUP BY l_returnflag)
          SELECT l.l_returnflag,
-           round(max(q.q1), 6) AS q1, round(max(q.q3), 6) AS q3,
+           ${sqlFround("max(q.q1)", 6)} AS q1, ${sqlFround("max(q.q3)", 6)} AS q3,
            sum(CASE WHEN l.l_extendedprice < q.q1 - (q.q3 - q.q1) * 1.5
              OR l.l_extendedprice > q.q3 + (q.q3 - q.q1) * 1.5
-             THEN 1 ELSE 0 END) AS n_outliers,
-           round(sum(CASE WHEN l.l_extendedprice < q.q1 - (q.q3 - q.q1) * 1.5
+             THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+           ${sqlFround(
+             """sum(CASE WHEN l.l_extendedprice < q.q1 - (q.q3 - q.q1) * 1.5
              OR l.l_extendedprice > q.q3 + (q.q3 - q.q1) * 1.5
-             THEN 1.0 ELSE 0.0 END) * 100.0 / max(q.n_total), 6) AS pct_outliers
+             THEN 1.0 ELSE 0.0 END) * 100.0 / max(q.n_total)""", 6)} AS pct_outliers
          FROM lineitem l JOIN q USING (l_returnflag)
          GROUP BY l.l_returnflag ORDER BY l.l_returnflag""",
 
@@ -1041,7 +1059,7 @@ object SparkEntry {
       """WITH c AS (
            SELECT lang, source, count(*) AS cnt FROM documents GROUP BY 1, 2),
          t AS (
-           SELECT lang, sum(cnt) AS n_docs,
+           SELECT lang, sum(cnt)::BIGINT AS n_docs,
              max_by(source, lpad(cnt::VARCHAR, 8, '0') || source) AS top_source
            FROM c GROUP BY lang),
          b AS (
@@ -1157,7 +1175,7 @@ object SparkEntry {
     },
 
     "w2_sessionization" ->
-      """WITH m AS (
+      s"""WITH m AS (
            SELECT user_id, event_id, value, epoch_us(ts::TIMESTAMP) AS m
            FROM events),
          f AS (
@@ -1170,24 +1188,24 @@ object SparkEntry {
          s AS (
            SELECT user_id, event_id, value, m,
              sum(new_sess) OVER (PARTITION BY user_id ORDER BY m, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
            FROM f)
          SELECT user_id, session_id, count(*) AS n_events,
            min(m) AS start_us, max(m) AS end_us,
-           round(sum(value), 2) AS sum_value
+           ${sqlFround("sum(value)", 2)} AS sum_value
          FROM s GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
 
     "e1_json_props" ->
-      """SELECT event_type, count(*) AS n,
-         round(avg(json_extract(props, '$.k')::INT), 6) AS avg_k,
-         max(json_extract(props, '$.k')::INT) AS max_k,
-         sum(CASE WHEN json_extract(props, '$.k')::INT > 50 THEN 1 ELSE 0 END)
+      s"""SELECT event_type, count(*) AS n,
+         ${sqlFround("avg(json_extract(props, '$$.k')::INT)", 6)} AS avg_k,
+         max(json_extract(props, '$$.k')::INT) AS max_k,
+         sum(CASE WHEN json_extract(props, '$$.k')::INT > 50 THEN 1 ELSE 0 END)::BIGINT
            AS n_high
          FROM events GROUP BY event_type ORDER BY event_type""",
 
     "w3_session_window_batch" ->
-      """WITH m AS (
+      s"""WITH m AS (
            SELECT user_id, event_id, value, epoch_us(ts::TIMESTAMP) AS m
            FROM events),
          f AS (
@@ -1206,7 +1224,7 @@ object SparkEntry {
            FROM f)
          SELECT user_id, min(m) AS start_us,
            max(m) + 1800 * 1000000 AS end_us,
-           count(*) AS n_events, round(sum(value), 2) AS sum_value
+           count(*) AS n_events, ${sqlFround("sum(value)", 2)} AS sum_value
          FROM s GROUP BY user_id, sid
          ORDER BY user_id, start_us""",
 
@@ -1267,7 +1285,7 @@ object SparkEntry {
            CASE WHEN list_sum(list_transform($dtoks, tk ->
              (((('0x' || substr(md5(tk), (b // 4)::INT + 1, 1))::INT
                 // (2 ** (3 - b % 4))::INT) % 2) * 2 - 1))) > 0
-           THEN (2 ** b)::INT ELSE 0 END)) AS sh
+           THEN (2 ** b)::INT ELSE 0 END))::BIGINT AS sh
          FROM documents ORDER BY doc_id"""
     },
 

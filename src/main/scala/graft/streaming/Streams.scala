@@ -23,6 +23,10 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   */
 object Streams {
 
+  /** Floor-stable 2-decimal rounding (CLAUDE.md cross-engine contract). */
+  private def fround2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * 100.0 + 0.5) / 100.0
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class Session(user_id: Long, start_us: Long, end_us: Long,
@@ -46,7 +50,7 @@ object Streams {
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        fround2(sum(col("value"))).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
@@ -57,7 +61,7 @@ object Streams {
       .withWatermark("ts", watermarkDelay)
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        fround2(sum(col("value"))).as("sum_value"))
       .select(col("user_id"), col("session_window.start").as("start"),
         col("session_window.end").as("end"), col("n_events"), col("sum_value"))
 
@@ -165,6 +169,6 @@ object Streams {
         count(lit(1)).as("n_events"),
         min(col("m")).as("start_us"),
         max(col("m")).as("end_us"),
-        round(sum(col("value")), 2).as("sum_value"))
+        fround2(sum(col("value"))).as("sum_value"))
   }
 }
