@@ -1196,13 +1196,17 @@ object SparkEntry {
          FROM s GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
 
-    "e1_json_props" ->
+    "e1_json_props" -> {
+      // NB: the JSON path lives in a plain literal (the $$-escape only
+      // applies to the s-string's own literal parts) — write it once.
+      val jk = "json_extract(props, '$.k')::INT"
       s"""SELECT event_type, count(*) AS n,
-         ${sqlFround("avg(json_extract(props, '$$.k')::INT)", 6)} AS avg_k,
-         max(json_extract(props, '$$.k')::INT) AS max_k,
-         sum(CASE WHEN json_extract(props, '$$.k')::INT > 50 THEN 1 ELSE 0 END)::BIGINT
+         ${sqlFround(s"avg($jk)", 6)} AS avg_k,
+         max($jk) AS max_k,
+         sum(CASE WHEN $jk > 50 THEN 1 ELSE 0 END)::BIGINT
            AS n_high
-         FROM events GROUP BY event_type ORDER BY event_type""",
+         FROM events GROUP BY event_type ORDER BY event_type"""
+    },
 
     "w3_session_window_batch" ->
       s"""WITH m AS (
