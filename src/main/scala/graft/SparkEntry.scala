@@ -185,10 +185,14 @@ object SparkEntry {
       // zero-count dimensions materialize.
       val d = t(s, dir, "documents")
       val exploded = d.select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
+      // Global top-16 via orderBy+limit (TakeOrderedAndProject: partial
+      // per-partition top-k, tiny driver merge) — the rank window then
+      // only ever sees 16 rows, never the whole vocabulary.
       val vocab = exploded.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok"))
+        .limit(16)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("cnt").desc, col("tok"))))
-        .filter(col("rank") <= 16)
         .select(col("tok"), col("rank"))
       val counts = exploded.join(broadcast(vocab), "tok")
         .groupBy(col("doc_id"), col("rank")).agg(count(lit(1)).as("n"))

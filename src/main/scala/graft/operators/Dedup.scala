@@ -84,7 +84,10 @@ object Dedup {
       .rdd.zipWithIndex()
       .map { case (tok, i) => (tok, (i + 1).toInt) }
       .toDF("tok", "tid")
-    val docs = toks.join(broadcast(dict), "tok")
+    // no broadcast hint: at 100 TB the vocabulary is billions of tokens
+    // and a forced broadcast OOMs the driver; AQE still converts this to
+    // a broadcast join at runtime whenever the dictionary actually fits.
+    val docs = toks.join(dict, "tok")
       .groupBy(col("id"))
       .agg(sort_array(collect_list(col("tid"))).as("tids"))
       .withColumn("n", size(col("tids")))

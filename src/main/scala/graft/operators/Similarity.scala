@@ -118,23 +118,40 @@ object Similarity {
               queries: DataFrame, queryId: Column, queryVec: Column,
               centroids: DataFrame, centroidId: Column, centroidVec: Column,
               k: Int, nprobe: Int): DataFrame = {
-    val c = broadcast(centroids.select(centroidId.as("cid"), centroidVec.as("cv")))
+    // The centroid set is tiny by construction (C ≪ corpus), so pull it
+    // into the plan as literals: nearest-centroid assignment is then ONE
+    // shuffle-free codegen'd projection over the corpus — no crossJoin
+    // row blowup, no per-doc-id window (which would shuffle the whole
+    // corpus just to pick an argmax).
+    val cents = centroids
+      .select(centroidId.cast("long").as("cid"), centroidVec.as("cv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "ivfTopK needs at least one centroid")
     val d = docs.select(docId.as("doc_id"), docVec.as("dv"))
     val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
-    val wAssign = Window.partitionBy(col("doc_id"))
-      .orderBy(col("ccos").desc, col("cid"))
-    val assign = d.crossJoin(c)
-      .withColumn("ccos", CosineSim(col("dv"), col("cv")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("dv"), col("cid"))
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("qcos").desc, col("cid"))
-    val probes = q.crossJoin(c)
-      .withColumn("qcos", CosineSim(col("qv"), col("cv")))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cid"))
+    // argmax cosine with ties → lowest cid = lexicographic max over
+    // struct(cos, -cid); each cosine is evaluated exactly once.
+    val assignStructs = cents.map { case (cid, cv) =>
+      struct(CosineSim(col("dv"), typedLit(cv)).as("cos"),
+        lit(-cid).as("ncid"))
+    }
+    val assign = d
+      .withColumn("best", array_max(array(assignStructs: _*)))
+      .select(col("doc_id"), col("dv"), (-col("best.ncid")).as("cid"))
+    // Probe list per query: ascending sort of struct(-cos, cid) puts the
+    // nearest centroids (ties → lowest cid) first; slice takes nprobe.
+    val probeStructs = cents.map { case (cid, cv) =>
+      struct((-CosineSim(col("qv"), typedLit(cv))).as("negcos"),
+        lit(cid).as("cid"))
+    }
+    val probes = q
+      .withColumn("pc",
+        explode(slice(array_sort(array(probeStructs: _*)), 1, nprobe)))
+      .select(col("query_id"), col("qv"), col("pc.cid").as("cid"))
+    // probes ≪ assign: AQE broadcasts the probe side, so the corpus is
+    // scanned once and never shuffled before the per-query rank.
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("doc_id"))
     probes.join(assign, "cid")
