@@ -342,13 +342,19 @@ object SparkEntry {
       val asOf = lit("2026-08-12").cast("date")
       val pubDate = date_sub(asOf, (col("doc_id") % 1000).cast("int"))
       val isDup = col("doc_id") % 50 === 0
+      // categories derived deterministically so the cs.* branch fires on
+      // a strict subset of rows (doc_id % 3 or % 7).
+      val categories = array(
+        when(col("doc_id") % 3 === 0, lit("cs.DB")).otherwise(lit("stat.ME")),
+        when(col("doc_id") % 7 === 0, lit("cs.LG")).otherwise(lit("math.ST")))
       val comp = Ruler.completenessScore(title, abstractC, authorCount, optionals)
       val rec = Ruler.recencyScore(pubDate, asOf)
       val subst = Ruler.substanceScore(abstractC, techTerms)
       val rigor = Ruler.rigorScore(abstractC)
       val impact = Ruler.impactScore(abstractC)
+      val rel = Ruler.relevanceScore(title, abstractC, categories)
       val pen = Ruler.penalty(title, abstractC, isDup)
-      val total = Ruler.totalScore(comp, rec, subst, rigor, impact, lit(0.5), pen)
+      val total = Ruler.totalScore(comp, rec, subst, rigor, impact, rel, pen)
       d.select(
         col("doc_id"),
         round(comp, 6).as("completeness"),
@@ -356,6 +362,7 @@ object SparkEntry {
         round(subst, 6).as("substance"),
         round(rigor, 6).as("rigor"),
         round(impact, 6).as("impact"),
+        round(rel, 6).as("relevance"),
         round(pen, 6).as("penalty"),
         total.as("total_score"),
         Ruler.tierOf(total).as("tier"),
@@ -883,14 +890,23 @@ object SparkEntry {
       val meth = sqlKwHits("text", Ruler.methodWords)
       val metr = sqlKwHits("text", Ruler.metricWords)
       val app = sqlKwHits("text", Ruler.applicationWords)
+      val titleSql = "trim(substring(text, 1, 40))"
+      val tmatch = sqlKwHits(s"$titleSql || ' ' || text", Ruler.topicTerms)
+      val ttitle = sqlKwHits(titleSql, Ruler.topicTerms)
+      val nTopic = Ruler.topicTerms.size
       s"""WITH base AS (
            SELECT doc_id, text,
-             trim(substring(text, 1, 40)) AS title,
+             $titleSql AS title,
              doc_id % 5 AS n_auth, doc_id % 3 AS n_opt,
              doc_id % 10 AS n_terms, doc_id % 1000 AS days,
              doc_id % 50 = 0 AS is_dup,
              $innov AS innov, $ev AS ev, $theory AS theory,
-             $meth AS meth, $metr AS metr, $app AS app
+             $meth AS meth, $metr AS metr, $app AS app,
+             $tmatch AS tmatch, $ttitle AS ttitle,
+             len(list_filter(
+               [CASE WHEN doc_id % 3 = 0 THEN 'cs.DB' ELSE 'stat.ME' END,
+                CASE WHEN doc_id % 7 = 0 THEN 'cs.LG' ELSE 'math.ST' END],
+               c -> contains(lower(c), 'cs.'))) > 0 AS has_cs
            FROM documents),
          scores AS (
            SELECT doc_id, text, title, n_terms,
@@ -920,6 +936,10 @@ object SparkEntry {
                (CASE WHEN app >= 3 THEN 0.6 WHEN app >= 2 THEN 0.4
                  WHEN app >= 1 THEN 0.2 ELSE 0.0 END) +
                (CASE WHEN len(text) > 500 THEN 0.2 ELSE 0.1 END)) AS impact,
+             least(1.0,
+               (CAST(tmatch AS DOUBLE) / $nTopic) * 0.5 +
+               (CASE WHEN has_cs THEN 0.3 ELSE 0.1 END) +
+               least(0.2, CAST(ttitle AS DOUBLE) * 0.1)) AS rel,
              least(0.5,
                (CASE WHEN len(text) < 100 THEN 0.2 ELSE 0.0 END) +
                (CASE WHEN len(title) < 10 THEN 0.1 ELSE 0.0 END) +
@@ -931,13 +951,14 @@ object SparkEntry {
            SELECT *,
              floor(greatest(0.0,
                comp * 0.15 + rec * 0.20 + subst * 0.30 + rigor * 0.25 +
-               impact * 0.10 + 0.5 * 0.15 - pen) * 1000.0 + 0.5) / 1000.0
+               impact * 0.10 + rel * 0.15 - pen) * 1000.0 + 0.5) / 1000.0
                AS total_score
            FROM scores)
          SELECT doc_id,
            round(comp, 6) AS completeness, round(rec, 6) AS recency,
            round(subst, 6) AS substance, round(rigor, 6) AS rigor,
-           round(impact, 6) AS impact, round(pen, 6) AS penalty,
+           round(impact, 6) AS impact, round(rel, 6) AS relevance,
+           round(pen, 6) AS penalty,
            total_score,
            CASE WHEN total_score >= 0.8 THEN 'Excellent'
              WHEN total_score >= 0.6 THEN 'Good'

@@ -109,6 +109,34 @@ object Ruler {
     least(lit(1.0), at + when(length(abstractC) > 500, 0.2).otherwise(0.1))
   }
 
+  /** Topic terms driving R7. The reference receives these from the
+    * search query (quality_scoring.py:306); here a pinned list chosen so
+    * the corpus exercises every branch: common terms, a rare term
+    * ("dup"), and one that never occurs ("quantum").
+    */
+  val topicTerms: Seq[String] =
+    Seq("vector", "stream", "window", "join", "dup", "quantum")
+
+  /** R7 — domain relevance: topic-term match ratio over title+abstract
+    * (substring containment, as the reference), cs.* category bonus,
+    * capped title-match bonus. Empty term list ⇒ neutral 0.5.
+    * Ref: quality_scoring.py:306-327.
+    */
+  def relevanceScore(title: Column, abstractC: Column, categories: Column,
+                     terms: Seq[String] = topicTerms): Column =
+    if (terms.isEmpty) lit(0.5)
+    else {
+      val matchRatio =
+        keywordHits(concat(title, lit(" "), abstractC), terms)
+          .cast("double") / terms.size
+      val catScore =
+        when(exists(categories, c => lower(c).contains("cs.")), 0.3)
+          .otherwise(0.1)
+      val titleScore =
+        least(lit(0.2), keywordHits(title, terms).cast("double") * 0.1)
+      least(lit(1.0), matchRatio * 0.5 + catScore + titleScore)
+    }
+
   /** R8 — penalty: short abstract/title, suspicious patterns, duplicate
     * flag; capped at 0.5. The reference's `<50 ⇒ 0.4` branch is
     * unreachable after `<100` (quality_scoring.py:329-361) — pinned as-is

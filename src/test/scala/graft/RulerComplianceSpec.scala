@@ -49,6 +49,29 @@ class RulerComplianceSpec extends SparkSpec {
     assert(tiers == Seq("Excellent", "Good", "Moderate", "Low"))
   }
 
+  test("relevanceScore: term ratio, cs.* bonus, capped title matches") {
+    val terms = Seq("vector", "stream", "quantum")
+    val df = Seq(
+      // 2/3 terms in text, both in title, cs category:
+      // 2/3*0.5 + 0.3 + min(0.2, 2*0.1) = 0.8333...
+      ("vector stream title", "vector stream body", Seq("cs.DB", "x")),
+      // no terms, no cs: 0 + 0.1 + 0 = 0.1
+      ("plain title", "plain body", Seq("stat.ME")),
+      // all 3 in text, 3 title matches capped at 0.2, no cs:
+      // 0.5 + 0.1 + 0.2 = 0.8
+      ("vector stream quantum", "vector stream quantum", Seq("math.ST"))
+    ).toDF("title", "abs", "cats")
+    val out = col0[Double](df.select(
+      Ruler.relevanceScore($"title", $"abs", $"cats", terms)))
+    assert(math.abs(out(0) - (2.0 / 3 * 0.5 + 0.3 + 0.2)) < 1e-12)
+    assert(out(1) == 0.1)
+    assert(out(2) == 0.8)
+    // empty term list => neutral 0.5
+    val neutral = col0[Double](df.select(
+      Ruler.relevanceScore($"title", $"abs", $"cats", Nil)))
+    assert(neutral.forall(_ == 0.5))
+  }
+
   test("keywordHits counts distinct group members present") {
     val df = Seq("We propose a novel method with experiments").toDF("t")
     assert(col0[Int](df.select(
