@@ -613,6 +613,44 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "l1_mock_fields" -> ((s, dir) => {
+      // L1 — fields-of-study enrichment: the mock client answers in
+      // three shapes (strict JSON array / chatty quoted reply / bare
+      // comma text), so the validator's parse-vs-rescue dispatch and
+      // both rescue tiers are oracle-covered.
+      val enriched = Enrich.enrichColumn(
+        t(s, dir, "documents"),
+        concat(lit("Extract fields: "), col("text")), "raw_fields",
+        new Enrich.MockFieldsClient)
+      val fields = Enrich.validateFields(col("raw_fields"))
+      enriched.select(col("doc_id"),
+        array_join(fields, ",").as("fields"),
+        size(fields).cast("long").as("n_fields"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "l4_summary_validate" -> ((s, dir) => {
+      // L4 — contribution-summary validation: long problem text
+      // truncates at 500 chars with ellipsis, list items trim/compact
+      // (padded + empty entries injected to exercise both), cap 10.
+      val d = t(s, dir, "documents")
+      val toks = TA.tokens(col("text"))
+      val contributions = concat(
+        array(lit(""), lit("  ")),
+        transform(slice(toks, 1, 12), x => concat(lit("  "), x, lit(" "))))
+      val scenarios = slice(toks, 5, 4)
+      val v = Enrich.validatedSummary(
+        col("text"), trim(substring(col("text"), 1, 80)),
+        contributions, scenarios)
+      d.select(col("doc_id"),
+        v.getField("problem").as("problem"),
+        v.getField("method").as("method"),
+        array_join(v.getField("key_contributions"), ",").as("contributions"),
+        size(v.getField("key_contributions")).cast("long").as("n_contrib"),
+        array_join(v.getField("application_scenarios"), ",").as("scenarios"))
+        .orderBy(col("doc_id"))
+    }),
+
     "v5_auto_metrics" -> ((s, dir) => {
       // V5 — automatic answer metrics (rag.ipynb:770-880): the
       // "question" is the doc's 8-token prefix, the "answer" its full
@@ -1135,6 +1173,79 @@ object SparkEntry {
              / 4.0 * 10.0 + 0.5) / 10.0 AS overall_score,
            0.5 AS confidence
          FROM sc ORDER BY doc_id""",
+
+    "l1_mock_fields" -> {
+      // raw responses reconstructed from the same md5-keyed three-shape
+      // rule as MockFieldsClient, then the same validation chain.
+      s"""WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+               x -> len(x) > 3) AS tk,
+             ('0x' || substr(md5(text), 1, 1))::INT % 3 AS h
+           FROM documents),
+         raw AS (
+           SELECT doc_id,
+             CASE WHEN h = 0 THEN '[' || array_to_string(list_transform(
+                 list_slice(tk, 1, 8), x -> '"' || x || '"'), ', ') || ']'
+               WHEN h = 1 THEN 'Sure! The fields are: ' ||
+                 array_to_string(list_transform(list_slice(tk, 1, 5),
+                   x -> '"' || x || '"'), ', ') || '. Hope this helps.'
+               ELSE array_to_string(list_slice(tk, 1, 5), ', ') || '.'
+             END AS r
+           FROM toks),
+         v AS (
+           SELECT doc_id,
+             regexp_extract_all(r, '"([^"]+)"', 1) AS quoted,
+             regexp_extract_all(r, '([\\w\\s]+)(?:,|\\.|$$)', 1) AS runs,
+             CASE WHEN len(quoted) > 0 THEN quoted ELSE runs END AS cand,
+             list_filter(list_transform(cand, x -> trim(x)),
+               x -> len(x) > 3 AND len(x) < 50) AS cleaned,
+             CASE WHEN json_valid(r) THEN
+               list_slice(list_filter(list_transform(
+                 from_json(r, '["VARCHAR"]'), x -> trim(x)),
+                 x -> x IS NOT NULL AND x <> '' AND len(x) < 100), 1, 6)
+             ELSE
+               list_slice(list_filter(cleaned,
+                 (x, i) -> list_position(cleaned, x) = i), 1, 6)
+             END AS fields
+           FROM raw)
+         SELECT doc_id, array_to_string(fields, ',') AS fields,
+           len(fields)::BIGINT AS n_fields
+         FROM v ORDER BY doc_id"""
+    },
+
+    "l4_summary_validate" -> {
+      val toks = sqlTokens("text")
+      s"""WITH t AS (
+           SELECT doc_id, text, trim(text) AS problem0,
+             trim(substring(text, 1, 80)) AS method0,
+             $toks AS tk
+           FROM documents),
+         c AS (
+           SELECT doc_id, problem0, method0,
+             list_concat(['', '  '], list_transform(list_slice(tk, 1, 12),
+               x -> '  ' || x || ' ')) AS contrib0,
+             list_slice(tk, 5, 8) AS scen0
+           FROM t),
+         v AS (
+           SELECT doc_id,
+             CASE WHEN len(problem0) > 500
+               THEN substring(problem0, 1, 500) || '...' ELSE problem0
+             END AS problem,
+             CASE WHEN len(method0) > 500
+               THEN substring(method0, 1, 500) || '...' ELSE method0
+             END AS method,
+             list_slice(list_filter(list_transform(contrib0, x -> trim(x)),
+               x -> x <> ''), 1, 10) AS contrib,
+             list_slice(list_filter(list_transform(scen0, x -> trim(x)),
+               x -> x <> ''), 1, 10) AS scen
+           FROM c)
+         SELECT doc_id, problem, method,
+           array_to_string(contrib, ',') AS contributions,
+           len(contrib)::BIGINT AS n_contrib,
+           array_to_string(scen, ',') AS scenarios
+         FROM v ORDER BY doc_id"""
+    },
 
     "v5_auto_metrics" -> {
       val toks = sqlTokens("text")

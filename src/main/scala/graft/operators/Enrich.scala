@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.types.{ArrayType, StringType, StructType}
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 
 /** LLM-enrichment harness — SURVEY.md §2.6 L1–L6. The reference's four
@@ -56,6 +56,31 @@ object Enrich {
     }
   }
 
+  /** Deterministic fake fields-of-study "LLM": answers in one of three
+    * shapes keyed by md5 of the payload — a strict JSON array, a chatty
+    * reply with quoted fields, and bare comma-separated text — so every
+    * branch of [[validateFields]] (strict parse, quoted-string rescue,
+    * word-run rescue) is exercised.
+    * Response shapes mirror enhance_fields_of_study.py:188-221.
+    */
+  final class MockFieldsClient extends LlmClient {
+    def complete(prompt: String): String = {
+      val payload = prompt.split(": ", 2).last
+      val toks = payload.toLowerCase.split("\\s+").filter(_.length > 3)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(payload.getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 1), 16) % 3 match {
+        case 0 => toks.take(8).map(t => "\"" + t + "\"")
+          .mkString("[", ", ", "]")
+        case 1 => "Sure! The fields are: " +
+          toks.take(5).map(t => "\"" + t + "\"").mkString(", ") +
+          ". Hope this helps."
+        case _ => toks.take(5).mkString(", ") + "."
+      }
+    }
+  }
+
   /** Wraps a client with retry/backoff (reference: retry loops at
     * enhance_fields_of_study.py:120-152) and a fixed inter-call delay
     * (the reference's rate_limited_request global pacing, simplified to
@@ -99,6 +124,31 @@ object Enrich {
       }
     }(Encoders.row(outSchema))
     enriched.drop("__prompt")
+  }
+
+  /** L1 — fields-of-study validation with JSON-rescue fallback. A
+    * response that parses as a JSON array keeps trimmed non-empty string
+    * items shorter than 100 chars; a non-JSON response falls back to
+    * quoted-string extraction, then to word-run extraction
+    * (`([\w\s]+)(?:,|\.|$)` — the reference's lookahead rewritten
+    * RE2-compatibly so the oracle can share it), items trimmed and kept
+    * at 3 < len < 50, first-occurrence deduped. Both paths cap at 6.
+    * The reference dedups via Python set() (nondeterministic order);
+    * first-occurrence order is pinned here.
+    * Ref: enhance_fields_of_study.py:188-221, enhance_scoring.py:296-340.
+    */
+  def validateFields(raw: Column): Column = {
+    val parsed = from_json(raw, ArrayType(StringType))
+    val happy = slice(
+      filter(transform(parsed, x => trim(x)),
+        x => x.isNotNull && x =!= "" && length(x) < 100), 1, 6)
+    val quoted = regexp_extract_all(raw, lit("\"([^\"]+)\""), lit(1))
+    val runs = regexp_extract_all(raw, lit("([\\w\\s]+)(?:,|\\.|$)"), lit(1))
+    val cand = when(size(quoted) > 0, quoted).otherwise(runs)
+    val rescued = slice(
+      array_distinct(filter(transform(cand, x => trim(x)),
+        x => length(x) > 3 && length(x) < 50)), 1, 6)
+    when(parsed.isNotNull, happy).otherwise(rescued)
   }
 
   /** L2 keyword post-validation as pure columns: split, trim, drop

@@ -73,6 +73,25 @@ class EnrichSpec extends SparkSpec {
     assert(r.getSeq[String](3) == Seq("s1"))
   }
 
+  test("validateFields: strict array parse, quoted rescue, word-run rescue") {
+    val df = Seq(
+      // strict JSON array: trim, drop empty/overlong, no dedup, cap 6
+      ("""["  Machine Learning ", "", "NLP", "a", "NLP", "x", "y", "z", "w"]"""),
+      // overlong item dropped on the happy path
+      ("[\"" + "q" * 120 + "\", \"Vision\"]"),
+      // quoted rescue: dedup + 3<len<50 filter
+      ("""Sure! Fields: "Robotics", "ab", "Robotics", "Vision Systems"."""),
+      // word-run rescue (no quotes anywhere)
+      ("databases, systems theory, ml.")
+    ).toDF("raw")
+    val out = rows(df.select(Enrich.validateFields($"raw").as("f")))
+      .map(_.getSeq[String](0))
+    assert(out(0) == Seq("Machine Learning", "NLP", "a", "NLP", "x", "y"))
+    assert(out(1) == Seq("Vision"))
+    assert(out(2) == Seq("Robotics", "Vision Systems"))
+    assert(out(3) == Seq("databases", "systems theory"))
+  }
+
   test("resumeFilter processes only rows absent from the checkpoint") {
     val done = Seq(1L, 3L).toDF("id")
     val out = col0[Long](Enrich.resumeFilter(docs, done, "id").select($"id"))
