@@ -177,6 +177,36 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "s6_nested_projection" -> ((s, dir) => {
+      // S6 — OpenAlex-style nested-ingestion projection
+      // (openalex_scraper.py:42-55): authors from array<struct> rows
+      // that HAVE an author sub-struct; fields_of_study from concepts
+      // with level <= 1. The array-of-struct columns are built
+      // deterministically from tokens (every 3rd-length author null,
+      // level = len % 4) so both engines construct identical nests.
+      val toks = TA.tokens(col("text"))
+      val authorships = transform(slice(toks, 1, 4), tk =>
+        struct(
+          when(length(tk) % 3 =!= 0,
+            struct(concat(lit("dr. "), tk).as("display_name"))).as("author"),
+          length(tk).as("len")))
+      val concepts = transform(slice(toks, 5, 6), tk =>
+        struct(tk.as("display_name"), (length(tk) % 4).as("level")))
+      val authors = transform(
+        filter(authorships, a => a.getField("author").isNotNull),
+        a => a.getField("author").getField("display_name"))
+      val fields = transform(
+        filter(concepts, c => c.getField("level") <= 1),
+        c => c.getField("display_name"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          array_join(authors, ",").as("authors"),
+          size(authors).cast("long").as("n_authors"),
+          array_join(fields, ",").as("fields"),
+          size(fields).cast("long").as("n_fields"))
+        .orderBy(col("doc_id"))
+    }),
+
     "v4_tf_embedding" -> ((s, dir) => {
       // V1 — deterministic TF (bag-of-words) embedding over the global
       // top-16 vocabulary, L2-normalized (RAG/rag.ipynb:413-436
@@ -1173,6 +1203,35 @@ object SparkEntry {
              / 4.0 * 10.0 + 0.5) / 10.0 AS overall_score,
            0.5 AS confidence
          FROM sc ORDER BY doc_id""",
+
+    "s6_nested_projection" -> {
+      // identical nested construction via struct_pack, then the same
+      // list-of-struct filter/projection the Spark side runs.
+      val toks = sqlTokens("text")
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         n AS (
+           SELECT doc_id,
+             list_transform(list_slice(tk, 1, 4), x -> struct_pack(
+               author := CASE WHEN len(x) % 3 <> 0
+                 THEN struct_pack(display_name := 'dr. ' || x) END,
+               len := len(x))) AS authorships,
+             list_transform(list_slice(tk, 5, 10), x -> struct_pack(
+               display_name := x, level := len(x) % 4)) AS concepts
+           FROM t)
+         SELECT doc_id,
+           -- DuckDB array_to_string of an empty list is NULL, Spark
+           -- array_join is '' — coalesce to match.
+           coalesce(array_to_string(list_transform(
+             list_filter(authorships, a -> a.author IS NOT NULL),
+             a -> a.author.display_name), ','), '') AS authors,
+           len(list_filter(authorships, a -> a.author IS NOT NULL))::BIGINT
+             AS n_authors,
+           coalesce(array_to_string(list_transform(
+             list_filter(concepts, c -> c.level <= 1),
+             c -> c.display_name), ','), '') AS fields,
+           len(list_filter(concepts, c -> c.level <= 1))::BIGINT AS n_fields
+         FROM n ORDER BY doc_id"""
+    },
 
     "l1_mock_fields" -> {
       // raw responses reconstructed from the same md5-keyed three-shape
