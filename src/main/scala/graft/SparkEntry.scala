@@ -442,6 +442,68 @@ object SparkEntry {
         .orderBy(col("fp"))
     }),
 
+    "c4_provenance" -> ((s, dir) => {
+      // C2 — provenance + licensing struct append with the reference's
+      // sort_keys-JSON md5 fingerprint; dynamic nested fields flattened
+      // for the oracle. Timestamps injected for determinism.
+      val d = t(s, dir, "documents")
+      val toks = TA.tokens(col("text"))
+      val paperId = concat(lit("arxiv:"), col("doc_id").cast("string"))
+      val title = trim(substring(col("text"), 1, 40))
+      val firstAuthor = concat(lit("dr. "), element_at(toks, 1))
+      val pubDate = concat(lit("2026-01-"),
+        lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"))
+      val fp = Compliance.paperFingerprint(title, firstAuthor, pubDate, paperId)
+      val prov = Compliance.provenance(paperId,
+        concat(lit("https://arxiv.org/abs/"), col("doc_id").cast("string")),
+        fp, lit("2026-08-12T00:00:00"))
+      val lic = Compliance.licensing(paperId)
+      d.select(col("doc_id"),
+        prov.getField("processing").getField("fingerprint").as("fingerprint"),
+        prov.getField("source").getField("platform").as("platform"),
+        prov.getField("source").getField("identifier").as("identifier"),
+        array_join(prov.getField("processing").getField("processing_steps"),
+          ",").as("steps"),
+        prov.getField("history").getField("version").cast("long").as("version"),
+        size(lic.getField("allowed_uses")).cast("long").as("n_allowed"),
+        lic.getField("attribution_requirements").getField("suggested_format")
+          .as("attribution"),
+        lic.getField("compliance_status").getField("attribution_satisfied")
+          .as("attribution_satisfied"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "a13_rag_report" -> ((s, dir) => {
+      // A13/V6 — RAG-vs-baseline evaluation report rollup
+      // (rag.ipynb generate_report): mean scores, improvement rates
+      // (share of questions improved), auto-vs-api Pearson correlation,
+      // token totals. Per-question scores derive from md5 so both
+      // engines evaluate identical inputs.
+      def hx(tag: String) = conv(
+        substring(md5(concat(lit(tag), col("text"))), 1, 2), 16, 10)
+        .cast("int")
+      val scored = t(s, dir, "documents").select(
+        (hx("ar").cast("double") / 255.0).as("ar"),
+        (hx("ab").cast("double") / 255.0).as("ab"),
+        ((hx("pr") % 101).cast("double") / 10.0).as("pr"),
+        ((hx("pb") % 101).cast("double") / 10.0).as("pb"),
+        (expr("length(text) div 4") + lit(150)).as("tok"))
+      scored.agg(
+        count(lit(1)).as("total_questions"),
+        fround(avg(col("ar")), 6).as("avg_auto_score_rag"),
+        fround(avg(col("ab")), 6).as("avg_auto_score_baseline"),
+        fround(avg(col("pr")), 6).as("avg_api_score_rag"),
+        fround(avg(col("pb")), 6).as("avg_api_score_baseline"),
+        fround(avg(col("ar") - col("ab")), 6).as("avg_auto_improvement"),
+        fround(avg(col("pr") - col("pb")), 6).as("avg_api_improvement"),
+        fround(sum(when(col("ar") - col("ab") > 0, 1).otherwise(0))
+          .cast("double") / count(lit(1)), 6).as("auto_improvement_rate"),
+        fround(sum(when(col("pr") - col("pb") > 0, 1).otherwise(0))
+          .cast("double") / count(lit(1)), 6).as("api_improvement_rate"),
+        fround(corr(col("ar"), col("pr")), 6).as("correlation_auto_vs_api"),
+        sum(col("tok")).as("total_tokens_used"))
+    }),
+
     "c2_quality_issues" -> ((s, dir) => {
       // C5 — per-row issue arrays + severity, aggregated to issue
       // frequencies (A12 explode-count) and severity rollup (A10).
@@ -1075,6 +1137,57 @@ object SparkEntry {
       """SELECT md5(concat_ws('|', p_name, p_brand, p_type)) AS fp,
          count(*) AS n, min(p_partkey) AS first_key
          FROM part GROUP BY 1 HAVING count(*) > 1 ORDER BY fp""",
+
+    "c4_provenance" -> {
+      val toks = sqlTokens("text")
+      s"""WITH t AS (SELECT doc_id, text, $toks AS tk FROM documents),
+         f AS (
+           SELECT doc_id,
+             'arxiv:' || doc_id AS paper_id,
+             trim(substring(text, 1, 40)) AS title,
+             'dr. ' || tk[1] AS first_author,
+             '2026-01-' || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') AS pub_date
+           FROM t)
+         SELECT doc_id,
+           md5('{"arxiv_id": "' || paper_id ||
+             '", "first_author": "' || first_author ||
+             '", "publish_date": "' || pub_date ||
+             '", "title": "' || title || '"}') AS fingerprint,
+           'arXiv' AS platform, paper_id AS identifier,
+           'arxiv_crawling,text_cleaning,quality_scoring,provenance_tracking'
+             AS steps,
+           1::BIGINT AS version, 4::BIGINT AS n_allowed,
+           'Data sourced from arXiv paper ' || paper_id ||
+             ', processed via AI Research Pipeline' AS attribution,
+           false AS attribution_satisfied
+         FROM f ORDER BY doc_id"""
+    },
+
+    "a13_rag_report" -> {
+      def hx(tag: String) = s"('0x' || substr(md5('$tag' || text), 1, 2))::INT"
+      s"""WITH s AS (
+           SELECT
+             ${hx("ar")} / 255.0 AS ar,
+             ${hx("ab")} / 255.0 AS ab,
+             (${hx("pr")} % 101) / 10.0 AS pr,
+             (${hx("pb")} % 101) / 10.0 AS pb,
+             len(text) // 4 + 150 AS tok
+           FROM documents)
+         SELECT count(*)::BIGINT AS total_questions,
+           ${sqlFround("avg(ar)", 6)} AS avg_auto_score_rag,
+           ${sqlFround("avg(ab)", 6)} AS avg_auto_score_baseline,
+           ${sqlFround("avg(pr)", 6)} AS avg_api_score_rag,
+           ${sqlFround("avg(pb)", 6)} AS avg_api_score_baseline,
+           ${sqlFround("avg(ar - ab)", 6)} AS avg_auto_improvement,
+           ${sqlFround("avg(pr - pb)", 6)} AS avg_api_improvement,
+           ${sqlFround("sum(CASE WHEN ar - ab > 0 THEN 1 ELSE 0 END) / count(*)", 6)}
+             AS auto_improvement_rate,
+           ${sqlFround("sum(CASE WHEN pr - pb > 0 THEN 1 ELSE 0 END) / count(*)", 6)}
+             AS api_improvement_rate,
+           ${sqlFround("corr(ar, pr)", 6)} AS correlation_auto_vs_api,
+           sum(tok)::BIGINT AS total_tokens_used
+         FROM s"""
+    },
 
     "c2_quality_issues" ->
       """WITH d AS (

@@ -39,6 +39,66 @@ object Compliance {
   def piiDensity(totalHits: Column, wordCount: Column): Column =
     when(wordCount > 0, totalHits.cast("double") / wordCount).otherwise(lit(0.0))
 
+  /** C2 — the reference's paper fingerprint: md5 over the exact
+    * `json.dumps(..., sort_keys=True)` serialization of the four
+    * identity fields (keys sorted: arxiv_id, first_author,
+    * publish_date, title). Callers pass clean derived fields — values
+    * must not require JSON string escaping.
+    * Ref: provenance_compliance.py:91-102.
+    */
+  def paperFingerprint(title: Column, firstAuthor: Column,
+                       publishDate: Column, arxivId: Column): Column =
+    md5(concat(
+      lit("{\"arxiv_id\": \""), arxivId,
+      lit("\", \"first_author\": \""), firstAuthor,
+      lit("\", \"publish_date\": \""), publishDate,
+      lit("\", \"title\": \""), title, lit("\"}")))
+
+  /** C2 — provenance struct append. The reference stamps
+    * `datetime.now()` (provenance_compliance.py:106); determinism here
+    * comes from the injected `asOf`.
+    * Ref: provenance_compliance.py:104-146.
+    */
+  def provenance(paperId: Column, url: Column, fp: Column,
+                 asOf: Column): Column =
+    struct(
+      struct(lit("arXiv").as("platform"), paperId.as("identifier"),
+        url.as("url"), lit("arxiv-py API").as("retrieval_method"))
+        .as("source"),
+      struct(lit("1.0.0").as("pipeline_version"),
+        asOf.as("processing_date"),
+        typedLit(Seq("arxiv_crawling", "text_cleaning", "quality_scoring",
+          "provenance_tracking")).as("processing_steps"),
+        fp.as("fingerprint")).as("processing"),
+      struct(asOf.as("original_crawl_time"), asOf.as("enhancement_date"),
+        lit(1).as("version")).as("history"),
+      struct(lit("JSONL").as("format"), lit("UTF-8").as("encoding"),
+        lit("1.0").as("schema_version")).as("metadata"))
+
+  /** C2 — licensing struct append. Ref: provenance_compliance.py:148-185. */
+  def licensing(paperId: Column): Column =
+    struct(
+      lit("arXiv.org perpetual, non-exclusive license").as("source_license"),
+      struct(lit("arXiv.org License").as("name"),
+        lit("https://arxiv.org/licenses/nonexclusive-distrib/1.0/license.html")
+          .as("url"),
+        lit("1.0").as("version")).as("license_details"),
+      typedLit(Seq("academic_research", "text_analysis",
+        "machine_learning_training", "non_commercial_analysis"))
+        .as("allowed_uses"),
+      typedLit(Seq("commercial_use_may_require_additional_permissions",
+        "no_redistribution_as_is", "attribution_required"))
+        .as("restrictions"),
+      struct(lit(true).as("required"),
+        lit("Cite original arXiv publication and mention data processing")
+          .as("format"),
+        concat(lit("Data sourced from arXiv paper "), paperId,
+          lit(", processed via AI Research Pipeline")).as("suggested_format"))
+        .as("attribution_requirements"),
+      struct(lit(true).as("source_compliant"),
+        lit(true).as("data_use_compliant"),
+        lit(false).as("attribution_satisfied")).as("compliance_status"))
+
   /** C4 — copyright heuristics: platform and journal-mention flags.
     * Ref: provenance_compliance.py:267-293.
     */
