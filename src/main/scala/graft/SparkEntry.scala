@@ -721,6 +721,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "l5_judge_normalize" -> ((s, dir) => {
+      // L5 — judge-score normalization over three response classes
+      // (clean JSON / JSON buried in chatter with missing keys / no
+      // JSON): missing keys default 0, normalized = round(ov/30*10, 2).
+      val enriched = Enrich.enrichColumn(
+        t(s, dir, "documents"),
+        concat(lit("Judge: "), col("text")), "resp",
+        new Enrich.MockJudgeClient)
+      val v = Enrich.normalizedJudgeScores(col("resp"))
+      enriched.select(
+        col("doc_id") +:
+          Enrich.judgeDimensions.map(n => v.getField(n).as(n)) :+
+          v.getField("overall_score").as("overall_score") :+
+          v.getField("overall_score_normalized")
+            .as("overall_score_normalized"): _*)
+        .orderBy(col("doc_id"))
+    }),
+
     "l4_summary_validate" -> ((s, dir) => {
       // L4 — contribution-summary validation: long problem text
       // truncates at 500 chars with ellipsis, list items trim/compact
@@ -1384,6 +1402,33 @@ object SparkEntry {
          SELECT doc_id, array_to_string(fields, ',') AS fields,
            len(fields)::BIGINT AS n_fields
          FROM v ORDER BY doc_id"""
+    },
+
+    "l5_judge_normalize" -> {
+      // same md5-digit scores + three-shape variant rule as
+      // MockJudgeClient; missing keys contribute 0.
+      def dg(i: Int) = s"('0x' || substr(md5(text), $i, 1))::INT % 6"
+      val dims = Enrich.judgeDimensions
+      val dimSql = dims.zipWithIndex.map { case (n, i) =>
+        val v = dg(i + 1)
+        s"""CASE WHEN h = 0 THEN $v
+            WHEN h = 1 AND '$n' IN ('metadata_completeness', 'semantic_clarity')
+              THEN $v
+            ELSE 0 END::DOUBLE AS $n"""
+      }.mkString(",\n             ")
+      s"""WITH v AS (
+           SELECT doc_id, ('0x' || substr(md5(text), 7, 1))::INT % 3 AS h,
+             $dimSql
+           FROM documents),
+         o AS (
+           SELECT doc_id,
+             ${dims.mkString(", ")},
+             (${dims.mkString(" + ")}) AS overall_score
+           FROM v)
+         SELECT doc_id, ${dims.mkString(", ")}, overall_score,
+           floor(overall_score / 30.0 * 10.0 * 100.0 + 0.5) / 100.0
+             AS overall_score_normalized
+         FROM o ORDER BY doc_id"""
     },
 
     "l4_summary_validate" -> {

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, StringType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, MapType, StringType, StructType}
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 
 /** LLM-enrichment harness — SURVEY.md §2.6 L1–L6. The reference's four
@@ -77,6 +77,32 @@ object Enrich {
           toks.take(5).map(t => "\"" + t + "\"").mkString(", ") +
           ". Hope this helps."
         case _ => toks.take(5).mkString(", ") + "."
+      }
+    }
+  }
+
+  /** Deterministic fake judge "LLM" for L5: six 0-5 dimension scores
+    * from md5 hex digits of the payload, answered as clean JSON, JSON
+    * buried in chatter with keys missing, or no JSON at all — the three
+    * response classes deepseek_scoring.py:222-259 handles.
+    */
+  final class MockJudgeClient extends LlmClient {
+    def complete(prompt: String): String = {
+      val payload = prompt.split(": ", 2).last
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(payload.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      def d(i: Int) = Integer.parseInt(hex.substring(i, i + 1), 16) % 6
+      val vals = (0 until 6).map(d)
+      Integer.parseInt(hex.substring(6, 7), 16) % 3 match {
+        case 0 => judgeDimensions.zip(vals)
+          .map { case (k, v) => s""""$k": $v""" }
+          .mkString("{", ", ", s""", "overall_score": ${vals.sum}}""")
+        case 1 => "Sure, here are the scores: " +
+          s"""{"metadata_completeness": ${vals(0)}, """ +
+          s""""semantic_clarity": ${vals(4)}, """ +
+          s""""overall_score": ${vals(0) + vals(4)}} hope that helps"""
+        case _ => "I cannot score this paper."
       }
     }
   }
@@ -204,4 +230,86 @@ object Enrich {
     */
   def resumeFilter(df: DataFrame, done: DataFrame, idCol: String): DataFrame =
     df.join(done.select(idCol).distinct(), Seq(idCol), "left_anti")
+
+  /** The judge's six 0-5 scoring dimensions (deepseek_scoring.py:239-247). */
+  val judgeDimensions: Seq[String] = Seq(
+    "metadata_completeness", "text_cleanliness", "technical_specificity",
+    "domain_relevance", "semantic_clarity", "downstream_usability")
+
+  /** L5 — judge-score normalization: extract the first `{...}` span from
+    * a possibly-noisy response (the reference's DOTALL rescue), parse,
+    * default every missing key to 0, and derive
+    * `overall_score_normalized = round(overall/30*10, 2)` — half-up on
+    * the exact double (repo rounding convention; the reference uses
+    * Python banker's round). No JSON at all ⇒ the all-zero error scores
+    * of deepseek_scoring.py:318-325.
+    * Ref: deepseek_scoring.py:222-259.
+    */
+  def normalizedJudgeScores(raw: Column): Column = {
+    val json = regexp_extract(raw, "(?s)\\{.*\\}", 0)
+    val m = from_json(json, MapType(StringType, DoubleType))
+    def k(name: String) = coalesce(element_at(m, lit(name)), lit(0.0))
+    val overall = k("overall_score")
+    val norm = floor(overall / 30.0 * 10.0 * 100.0 + 0.5) / 100.0
+    struct(
+      judgeDimensions.map(n => k(n).as(n)) ++ Seq(
+        overall.as("overall_score"),
+        norm.as("overall_score_normalized")): _*)
+  }
+
+  /** L6 — adaptive rate limiter (enhance_summary.py:50-111): delay
+    * shrinks ×0.9 when ≥10 calls are recorded and the last 10 were
+    * >90% successful, grows ×1.5 (capped at `maxDelayMs`) on failure;
+    * `delayMs` adds jitter of `jitter() × currentDelay` floored at
+    * `minDelayMs`. The jitter source is injected (reference:
+    * `random.uniform(-0.05, 0.05)`) so specs pin the trajectory.
+    */
+  final class AdaptiveRateLimiter(
+      val minDelayMs: Double, val maxDelayMs: Double,
+      jitter: () => Double = () =>
+        (scala.util.Random.nextDouble() - 0.5) * 0.1) extends Serializable {
+    private var currentDelay = minDelayMs
+    private val window = scala.collection.mutable.Queue.empty[Boolean]
+    def success(): Unit = synchronized {
+      window.enqueue(true)
+      if (window.size > 50) window.dequeue()
+      val last10 = window.takeRight(10)
+      if (window.size >= 10 && last10.count(identity) / 10.0 > 0.9 &&
+        currentDelay > minDelayMs)
+        currentDelay = math.max(minDelayMs, currentDelay * 0.9)
+    }
+    def failure(): Unit = synchronized {
+      window.enqueue(false)
+      if (window.size > 50) window.dequeue()
+      currentDelay = math.min(maxDelayMs, currentDelay * 1.5)
+    }
+    def delayMs: Double = synchronized {
+      math.max(minDelayMs, currentDelay + jitter() * currentDelay)
+    }
+  }
+
+  /** [[ThrottledClient]] variant driven by an [[AdaptiveRateLimiter]];
+    * the sleep is injectable so specs observe pacing without waiting.
+    */
+  final class AdaptiveThrottledClient(
+      inner: LlmClient, limiter: AdaptiveRateLimiter, maxRetries: Int = 3,
+      sleep: Long => Unit = Thread.sleep) extends LlmClient {
+    def complete(prompt: String): String = {
+      var attempt = 0
+      while (true) {
+        sleep(limiter.delayMs.toLong)
+        try {
+          val r = inner.complete(prompt)
+          limiter.success()
+          return r
+        } catch {
+          case e: Exception =>
+            limiter.failure()
+            attempt += 1
+            if (attempt > maxRetries) throw e
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+  }
 }

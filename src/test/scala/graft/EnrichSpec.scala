@@ -73,6 +73,46 @@ class EnrichSpec extends SparkSpec {
     assert(r.getSeq[String](3) == Seq("s1"))
   }
 
+  test("AdaptiveRateLimiter: x1.5 capped on failure, x0.9 floored after hot streak") {
+    val rl = new Enrich.AdaptiveRateLimiter(100.0, 1000.0, jitter = () => 0.0)
+    assert(rl.delayMs == 100.0)
+    rl.failure()                       // 100 * 1.5
+    assert(rl.delayMs == 150.0)
+    (1 to 10).foreach(_ => rl.failure())
+    assert(rl.delayMs == 1000.0)       // capped at max
+    // last-10 window must be >90% successful before the delay shrinks:
+    // 9 successes after a failure leave the rate at 0.9 — no change.
+    (1 to 9).foreach(_ => rl.success())
+    assert(rl.delayMs == 1000.0)
+    rl.success()                       // 10/10 -> * 0.9
+    assert(rl.delayMs == 900.0)
+    (1 to 200).foreach(_ => rl.success())
+    assert(rl.delayMs == 100.0)        // floored at min
+    // jitter scales with the current delay but never goes below min
+    val jittery = new Enrich.AdaptiveRateLimiter(100.0, 1000.0, jitter = () => -0.05)
+    jittery.failure()
+    assert(jittery.delayMs == 150.0 - 0.05 * 150.0)
+  }
+
+  test("AdaptiveThrottledClient paces calls through the limiter and retries") {
+    val rl = new Enrich.AdaptiveRateLimiter(10.0, 1000.0, jitter = () => 0.0)
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var calls = 0
+    val flaky = new Enrich.LlmClient {
+      def complete(p: String): String = {
+        calls += 1
+        if (calls <= 2) throw new RuntimeException("boom")
+        s"ok:$p"
+      }
+    }
+    val c = new Enrich.AdaptiveThrottledClient(flaky, rl, maxRetries = 3,
+      sleep = sleeps += _)
+    assert(c.complete("x") == "ok:x")
+    // two failures grow the delay x1.5 each: sleeps observed 10, 15, 22
+    assert(sleeps.toSeq == Seq(10L, 15L, 22L))
+    assert(rl.delayMs == 22.5)
+  }
+
   test("validateFields: strict array parse, quoted rescue, word-run rescue") {
     val df = Seq(
       // strict JSON array: trim, drop empty/overlong, no dedup, cap 6
