@@ -46,8 +46,8 @@ object SparkEntry {
       .groupBy(col("lang"))
       .agg(
         count("*").as("n_docs"),
-        round(avg(TF.wordCount(col("clean"))), 4).as("avg_words"),
-        round(avg(col("n_chars")), 4).as("avg_chars"))
+        fround(avg(TF.wordCount(col("clean"))), 4).as("avg_words"),
+        fround(avg(col("n_chars")), 4).as("avg_chars"))
       .orderBy(col("lang"))
   }
 
@@ -64,11 +64,11 @@ object SparkEntry {
         .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg(col("l_quantity")), 6).as("avg_qty"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
+          fround(sum(col("l_quantity")), 2).as("sum_qty"),
+          fround(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          fround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          fround(avg(col("l_quantity")), 6).as("avg_qty"),
+          fround(avg(col("l_discount")), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -81,9 +81,9 @@ object SparkEntry {
         .groupBy(col("lang"))
         .agg(
           count(lit(1)).as("n_docs"),
-          round(avg(when(col("n_chars") >= 200, 1.0).otherwise(0.0)) * 100, 4).as("pct_long"),
-          round(avg(when(col("n_chars") > 0, col("n_chars"))), 4).as("avg_chars"),
-          round(avg(TF.wordCount(col("text"))), 4).as("avg_words"),
+          fround(avg(when(col("n_chars") >= 200, 1.0).otherwise(0.0)) * 100, 4).as("pct_long"),
+          fround(avg(when(col("n_chars") > 0, col("n_chars"))), 4).as("avg_chars"),
+          fround(avg(TF.wordCount(col("text"))), 4).as("avg_words"),
           countDistinct(col("source")).as("n_sources"))
         .orderBy(col("lang"))
     }),
@@ -104,7 +104,7 @@ object SparkEntry {
         .groupBy(coalesce(col("r_name"), lit("UNKNOWN")).as("region"),
           coalesce(col("n_name"), lit("UNKNOWN")).as("nation"))
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          fround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
           countDistinct(col("o_orderkey")).as("n_orders"),
           count(lit(1)).as("n_lines"))
         .orderBy(col("region"), col("nation"))
@@ -118,7 +118,7 @@ object SparkEntry {
       c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_customers"),
-          round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+          fround(sum(col("c_acctbal")), 2).as("sum_acctbal"))
         .orderBy(col("c_mktsegment"))
     }),
 
@@ -145,12 +145,40 @@ object SparkEntry {
         .groupBy(col("o_orderstatus"))
         .agg(
           count(lit(1)).as("n_orders"),
-          round(avg(when(col("c_custkey").isNotNull, 1.0).otherwise(0.0)) * 100, 4)
+          fround(avg(when(col("c_custkey").isNotNull, 1.0).otherwise(0.0)) * 100, 4)
             .as("pct_with_customer"),
-          round(avg(when(col("big_qty").isNotNull, 1.0).otherwise(0.0)) * 100, 4)
+          fround(avg(when(col("big_qty").isNotNull, 1.0).otherwise(0.0)) * 100, 4)
             .as("pct_with_big_lines"),
-          round(sum(coalesce(col("big_qty"), lit(0.0))), 2).as("sum_big_qty"))
+          fround(sum(coalesce(col("big_qty"), lit(0.0))), 2).as("sum_big_qty"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    "s8_csv_stats_roundtrip" -> ((s, dir) => {
+      // S8/S10 — stage-stats CSV sink + scan round-trip with the T19
+      // score-string parse (data_quality_comparison.py:130-135 →
+      // visualize_improvement.py:21-32): stats table → single headered
+      // CSV → schema-on-read scan → "x/10" parse. The oracle computes
+      // the stats straight from documents, so equality proves the CSV
+      // hop is lossless (Java shortest-round-trip double formatting).
+      val stats = t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          fround(avg(col("n_chars")) / 100.0, 2).as("score"))
+        .select(col("lang"), col("n_docs"),
+          concat(col("score").cast("string"), lit("/10")).as("score_str"))
+      val out = java.nio.file.Files.createTempDirectory("graft_s8").toString
+      sources.Reports.writeCsv(stats, out, Seq("lang", "n_docs", "score_str"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_docs",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("score_str",
+          org.apache.spark.sql.types.StringType)))
+      sources.Reports.readCsv(s, out, schema)
+        .select(col("lang"), col("n_docs"),
+          TF.scoreOfString(col("score_str")).as("score"))
+        .orderBy(col("lang"))
     }),
 
     "s7_inverted_index_roundtrip" -> ((s, dir) => {
@@ -233,9 +261,9 @@ object SparkEntry {
       d.join(vecs, Seq("doc_id"), "left")
         .select(col("doc_id"), VF.normalize(tf).as("v"))
         .select(col("doc_id"),
-          round(element_at(col("v"), 1), 6).as("c1"),
-          round(element_at(col("v"), 2), 6).as("c2"),
-          round(element_at(col("v"), 3), 6).as("c3"))
+          fround(element_at(col("v"), 1), 6).as("c1"),
+          fround(element_at(col("v"), 2), 6).as("c2"),
+          fround(element_at(col("v"), 3), 6).as("c3"))
         .orderBy(col("doc_id"))
     }),
 
@@ -273,7 +301,7 @@ object SparkEntry {
       // D4 — fuzzy near-duplicate pairs by token-set Jaccard ≥ 0.9
       // (strict_deduplication.py:48-76) via token-blocking join, not O(n²).
       Dedup.jaccardPairs(t(s, dir, "documents"), col("doc_id"), col("text"), 0.9)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .select(col("id_a"), col("id_b"), fround(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -299,16 +327,18 @@ object SparkEntry {
       // dedup path (candidates only form inside buckets).
       Dedup.minhashPairs(t(s, dir, "documents"), col("doc_id"), col("text"))
         .select(col("id_a"), col("id_b"),
-          round(col("est_jaccard"), 6).as("est_jaccard"))
+          fround(col("est_jaccard"), 6).as("est_jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
     "d7_simhash" -> ((s, dir) => {
       // SimHash 16-bit fingerprints (md5-derived bit votes) — near-dup
       // texts land at small Hamming distance; deterministic across
-      // engines.
+      // engines. Native expression: one md5 per token (the declarative
+      // twin pays 16; parity pinned in SimHash16Spec).
       t(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simhash16(col("text")).cast("long").as("sh"))
+        .select(col("doc_id"),
+          graft.expressions.SimHash16(col("text")).cast("long").as("sh"))
         .orderBy(col("doc_id"))
     }),
 
@@ -334,12 +364,12 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          round(avg(col("l_quantity")), 6).as("avg_qty"),
-          round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
-          round(stddev_pop(col("l_quantity")), 6).as("std_qty"),
-          round(min(col("l_quantity")), 2).as("min_qty"),
-          round(max(col("l_quantity")), 2).as("max_qty"),
-          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"))
+          fround(avg(col("l_quantity")), 6).as("avg_qty"),
+          fround(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+          fround(stddev_pop(col("l_quantity")), 6).as("std_qty"),
+          fround(min(col("l_quantity")), 2).as("min_qty"),
+          fround(max(col("l_quantity")), 2).as("max_qty"),
+          fround(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -353,8 +383,8 @@ object SparkEntry {
         .select(
           col("user_id"), col("event_id"),
           row_number().over(w).as("rn"),
-          round(coalesce(lag(col("value"), 1).over(w), lit(0.0)), 2).as("prev_value"),
-          round(sum(col("value")).over(
+          fround(coalesce(lag(col("value"), 1).over(w), lit(0.0)), 2).as("prev_value"),
+          fround(sum(col("value")).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running_value"))
         .orderBy(col("user_id"), col("rn"))
     }),
@@ -387,13 +417,13 @@ object SparkEntry {
       val total = Ruler.totalScore(comp, rec, subst, rigor, impact, rel, pen)
       d.select(
         col("doc_id"),
-        round(comp, 6).as("completeness"),
-        round(rec, 6).as("recency"),
-        round(subst, 6).as("substance"),
-        round(rigor, 6).as("rigor"),
-        round(impact, 6).as("impact"),
-        round(rel, 6).as("relevance"),
-        round(pen, 6).as("penalty"),
+        fround(comp, 6).as("completeness"),
+        fround(rec, 6).as("recency"),
+        fround(subst, 6).as("substance"),
+        fround(rigor, 6).as("rigor"),
+        fround(impact, 6).as("impact"),
+        fround(rel, 6).as("relevance"),
+        fround(pen, 6).as("penalty"),
         total.as("total_score"),
         Ruler.tierOf(total).as("tier"),
         Ruler.confidence(comp, abstractC, techTerms).as("confidence"))
@@ -422,7 +452,7 @@ object SparkEntry {
         col("doc_id"), nEmail.as("n_email"), nPhone.as("n_phone"),
         nSsn.as("n_ssn"),
         Compliance.riskLevel(nEmail, nPhone, nIp, nSsn, nCred).as("risk"),
-        round(Compliance.piiDensity(
+        fround(Compliance.piiDensity(
           nEmail + nPhone + nIp + nSsn + nCred,
           TF.wordCount(dirty)), 6).as("pii_density"))
         .orderBy(col("doc_id"))
@@ -590,6 +620,32 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    "a8_completeness" -> ((s, dir) => {
+      // A8 — per-field completeness stats (enhance_fields_of_study.py
+      // analyze step: share of rows with each field populated). Sparse
+      // fields are derived deterministically so completeness is
+      // non-trivial on the dense test corpus; stack() unpivots to one
+      // row per field, aggregated in a single pass.
+      val d = t(s, dir, "documents").select(
+        when(col("doc_id") % 7 =!= 0, trim(substring(col("text"), 1, 30)))
+          .as("title"),
+        when(col("doc_id") % 5 =!= 0, col("lang")).as("lang"),
+        when(col("doc_id") % 3 =!= 0, col("source")).as("source"),
+        when(col("n_chars") > 400, col("text")).as("abstract"))
+      d.selectExpr(
+        """stack(4,
+             'abstract', abstract IS NOT NULL,
+             'lang', lang IS NOT NULL,
+             'source', source IS NOT NULL,
+             'title', title IS NOT NULL) AS (field, present)""")
+        .groupBy(col("field"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("present"), 1L).otherwise(0L)).as("n_present"),
+          fround(avg(when(col("present"), 1.0).otherwise(0.0)) * 100, 4)
+            .as("pct_complete"))
+        .orderBy(col("field"))
+    }),
+
     "a10_rollup_argmax" -> ((s, dir) => {
       // A10 — per-group rollup with a deterministic argmax (max_by over a
       // tie-proof padded key) and an all-rows predicate (bool_and).
@@ -639,9 +695,9 @@ object SparkEntry {
           col("doc_id"),
           TA.tokenCount(col("text")).as("n_tokens"),
           TA.bpeTokenCount(col("text")).as("n_bpe_tokens"),
-          round(TA.stopwordRatio(col("text")), 6).as("stop_ratio"),
-          round(TA.punctRatio(col("text")), 6).as("punct_ratio"),
-          round(TA.typeTokenRatio(col("text")), 6).as("ttr"),
+          fround(TA.stopwordRatio(col("text")), 6).as("stop_ratio"),
+          fround(TA.punctRatio(col("text")), 6).as("punct_ratio"),
+          fround(TA.typeTokenRatio(col("text")), 6).as("ttr"),
           TA.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))
     }),
@@ -666,7 +722,7 @@ object SparkEntry {
       a.filter(col("a.doc_id") < 200)
         .join(b, col("b.doc_id") === col("a.doc_id") + 1)
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          round(TA.ngramJaccard(col("a.text"), col("b.text"), 3), 6).as("sim"))
+          fround(TA.ngramJaccard(col("a.text"), col("b.text"), 3), 6).as("sim"))
         .orderBy(col("id_a"))
     }),
 
@@ -789,7 +845,7 @@ object SparkEntry {
       enriched.groupBy(col("lang"))
         .agg(
           count(lit(1)).as("n"),
-          round(avg(novelty), 6).as("avg_novelty"),
+          fround(avg(novelty), 6).as("avg_novelty"),
           min(novelty).as("min_novelty"),
           max(novelty).as("max_novelty"))
         .orderBy(col("lang"))
@@ -806,7 +862,7 @@ object SparkEntry {
       val staged = raw.unionByName(gated)
         .groupBy(col("stage"))
         .agg(count(lit(1)).as("n_docs"),
-          round(avg(col("n_chars")), 4).as("avg_chars"))
+          fround(avg(col("n_chars")), 4).as("avg_chars"))
       val w = Window.orderBy(col("stage"))
       staged.select(col("stage"), col("n_docs"), col("avg_chars"),
           coalesce(lag(col("n_docs"), 1).over(w) - col("n_docs"), lit(0L))
@@ -824,9 +880,9 @@ object SparkEntry {
       Multimodal.decodeFeatures(media, "media", 8, new Multimodal.StubDecoder)
         .select(col("doc_id"),
           length(col("media")).as("n_bytes"),
-          round(element_at(col("features"), 1), 6).as("f0"),
-          round(element_at(col("features"), 2), 6).as("f1"),
-          round(element_at(col("features"), 8), 6).as("f7"))
+          fround(element_at(col("features"), 1), 6).as("f0"),
+          fround(element_at(col("features"), 2), 6).as("f1"),
+          fround(element_at(col("features"), 8), 6).as("f7"))
         .orderBy(col("doc_id"))
     }),
 
@@ -881,7 +937,7 @@ object SparkEntry {
       e.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .select(col("vec_id"),
-          round(VF.cosine(col("embedding"), col("qv")), 6).as("sim"))
+          fround(VF.cosine(col("embedding"), col("qv")), 6).as("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(10)
     }),
@@ -896,7 +952,7 @@ object SparkEntry {
           docs, col("vec_id"), col("embedding"),
           queries, col("vec_id"), col("embedding"), k = 5)
         .select(col("query_id"), col("doc_id"),
-          round(col("cosine"), 6).as("cosine"), col("rank"))
+          fround(col("cosine"), 6).as("cosine"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -913,7 +969,7 @@ object SparkEntry {
           e.filter(col("vec_id") < 8), col("vec_id"), col("embedding"),
           k = 5, nprobe = 2)
         .select(col("query_id"), col("doc_id"),
-          round(col("cosine"), 6).as("cosine"), col("rank"))
+          fround(col("cosine"), 6).as("cosine"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -931,7 +987,7 @@ object SparkEntry {
         .select(col("query_id"), col("doc_id"),
           graft.expressions.CosineSim(col("dv"), col("qv")).as("cosine"))
       graft.plans.TopKPerKey(sims, col("query_id"), col("cosine"), 5)
-        .select(col("query_id"), col("doc_id"), round(col("cosine"), 6).as("cosine"))
+        .select(col("query_id"), col("doc_id"), fround(col("cosine"), 6).as("cosine"))
         .orderBy(col("query_id"), col("cosine").desc, col("doc_id"))
     }),
 
@@ -942,7 +998,7 @@ object SparkEntry {
       Similarity.nearDupPairsLsh(
           t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
           threshold = 0.3, dim = 64)
-        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .select(col("id_a"), col("id_b"), fround(col("cosine"), 6).as("cosine"))
         .orderBy(col("id_a"), col("id_b"))
     })
   )
@@ -1103,10 +1159,10 @@ object SparkEntry {
                AS total_score
            FROM scores)
          SELECT doc_id,
-           round(comp, 6) AS completeness, round(rec, 6) AS recency,
-           round(subst, 6) AS substance, round(rigor, 6) AS rigor,
-           round(impact, 6) AS impact, round(rel, 6) AS relevance,
-           round(pen, 6) AS penalty,
+           floor((comp) * 1e6 + 0.5) / 1e6 AS completeness, floor((rec) * 1e6 + 0.5) / 1e6 AS recency,
+           floor((subst) * 1e6 + 0.5) / 1e6 AS substance, floor((rigor) * 1e6 + 0.5) / 1e6 AS rigor,
+           floor((impact) * 1e6 + 0.5) / 1e6 AS impact, floor((rel) * 1e6 + 0.5) / 1e6 AS relevance,
+           floor((pen) * 1e6 + 0.5) / 1e6 AS penalty,
            total_score,
            CASE WHEN total_score >= 0.8 THEN 'Excellent'
              WHEN total_score >= 0.6 THEN 'Good'
@@ -1144,10 +1200,10 @@ object SparkEntry {
              WHEN n_email + n_phone > 2 THEN 'high'
              WHEN n_email + n_phone > 0 OR n_ip > 0 THEN 'medium'
              ELSE 'low' END AS risk,
-           round(CASE WHEN len(regexp_extract_all(dirty, '\\w+')) > 0
+           floor((CASE WHEN len(regexp_extract_all(dirty, '\\w+')) > 0
              THEN (n_email + n_phone + n_ip + n_ssn + n_cred) * 1.0
                / len(regexp_extract_all(dirty, '\\w+'))
-             ELSE 0.0 END, 6) AS pii_density
+             ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS pii_density
          FROM c ORDER BY doc_id"""
     },
 
@@ -1259,6 +1315,30 @@ object SparkEntry {
       s"""SELECT lang, count(DISTINCT tok) AS n_distinct_tokens
          FROM (SELECT lang, unnest(${sqlTokens("text")}) AS tok FROM documents)
          GROUP BY lang ORDER BY lang""",
+
+    "s8_csv_stats_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+           floor((avg(n_chars) / 100.0) * 1e2 + 0.5) / 1e2 AS score
+         FROM documents GROUP BY lang ORDER BY lang""",
+
+    "a8_completeness" ->
+      """WITH d AS (
+           SELECT
+             CASE WHEN doc_id % 7 <> 0 THEN trim(substr(text, 1, 30)) END AS title,
+             CASE WHEN doc_id % 5 <> 0 THEN lang END AS lang,
+             CASE WHEN doc_id % 3 <> 0 THEN source END AS source,
+             CASE WHEN n_chars > 400 THEN text END AS abstract
+           FROM documents),
+         u AS (
+           SELECT 'abstract' AS field, abstract IS NOT NULL AS present FROM d
+           UNION ALL SELECT 'lang', lang IS NOT NULL FROM d
+           UNION ALL SELECT 'source', source IS NOT NULL FROM d
+           UNION ALL SELECT 'title', title IS NOT NULL FROM d)
+         SELECT field, count(*) AS n_rows,
+           sum(CASE WHEN present THEN 1 ELSE 0 END)::BIGINT AS n_present,
+           floor((avg(CASE WHEN present THEN 1.0 ELSE 0.0 END) * 100) * 1e4 + 0.5) / 1e4
+             AS pct_complete
+         FROM u GROUP BY field ORDER BY field""",
 
     "a7_iqr_outliers" ->
       s"""WITH q AS (
@@ -1497,17 +1577,17 @@ object SparkEntry {
                AS novelty
            FROM documents)
          SELECT lang, count(*) AS n,
-           round(avg(novelty), 6) AS avg_novelty,
+           floor((avg(novelty)) * 1e6 + 0.5) / 1e6 AS avg_novelty,
            min(novelty) AS min_novelty, max(novelty) AS max_novelty
          FROM sc GROUP BY lang ORDER BY lang""",
 
     "a11_stage_deltas" ->
       """WITH staged AS (
            SELECT 0 AS stage, count(*) AS n_docs,
-             round(avg(n_chars), 4) AS avg_chars FROM documents
+             floor((avg(n_chars)) * 1e4 + 0.5) / 1e4 AS avg_chars FROM documents
            UNION ALL
            SELECT 1 AS stage, count(*) AS n_docs,
-             round(avg(n_chars), 4) AS avg_chars
+             floor((avg(n_chars)) * 1e4 + 0.5) / 1e4 AS avg_chars
            FROM documents WHERE n_chars >= 120)
          SELECT stage, n_docs, avg_chars,
            coalesce(lag(n_docs) OVER (ORDER BY stage) - n_docs, 0) AS removed
@@ -1517,9 +1597,9 @@ object SparkEntry {
       // feature c = (Σ ascii(byte) at positions ≡ c mod 8) % 997 / 997
       // over the UTF-8 payload (corpus is pure ASCII ⇒ ascii = byte).
       def feat(c: Int) =
-        s"""round((list_sum(list_transform(
+        s"""floor(((list_sum(list_transform(
            list_filter(generate_series(1, len(text)), p -> (p - 1) % 8 = $c),
-           p -> ascii(substr(text, p::INT, 1)))) % 997) / 997.0, 6)"""
+           p -> ascii(substr(text, p::INT, 1)))) % 997) / 997.0) * 1e6 + 0.5) / 1e6"""
       s"""SELECT doc_id, len(text) AS n_bytes,
          coalesce(${feat(0)}, 0.0) AS f0,
          coalesce(${feat(1)}, 0.0) AS f1,
@@ -1629,8 +1709,8 @@ object SparkEntry {
            FROM bucketed a JOIN bucketed b
              ON a.bk = b.bk AND a.doc_id < b.doc_id)
          SELECT id_a, id_b,
-           round(list_sum(list_transform(generate_series(1, 16),
-             i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 16.0, 6)
+           floor((list_sum(list_transform(generate_series(1, 16),
+             i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 16.0) * 1e6 + 0.5) / 1e6
              AS est_jaccard
          FROM pairs ORDER BY id_a, id_b"""
     },
@@ -1655,7 +1735,7 @@ object SparkEntry {
              ${sqlCosine64("dv", "qv")} AS cosine FROM d, q),
          r AS (SELECT query_id, doc_id, cosine, row_number() OVER (
              PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rank FROM s)
-         SELECT query_id, doc_id, round(cosine, 6) AS cosine, rank
+         SELECT query_id, doc_id, floor((cosine) * 1e6 + 0.5) / 1e6 AS cosine, rank
          FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
 
     "v7_ivf_topk" ->
@@ -1683,7 +1763,7 @@ object SparkEntry {
              row_number() OVER (PARTITION BY query_id
                ORDER BY ${sqlCosine64("dv", "qv")} DESC, doc_id) AS rank
            FROM probes JOIN assign USING (cid))
-         SELECT query_id, doc_id, round(cosine, 6) AS cosine, rank
+         SELECT query_id, doc_id, floor((cosine) * 1e6 + 0.5) / 1e6 AS cosine, rank
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
 
     "v6_ann_topk_planned" ->
@@ -1695,7 +1775,7 @@ object SparkEntry {
              ${sqlCosine64("dv", "qv")} AS cosine FROM d, q),
          r AS (SELECT query_id, doc_id, cosine, row_number() OVER (
              PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rank FROM s)
-         SELECT query_id, doc_id, round(cosine, 6) AS cosine
+         SELECT query_id, doc_id, floor((cosine) * 1e6 + 0.5) / 1e6 AS cosine
          FROM r WHERE rank <= 5 ORDER BY query_id, cosine DESC, doc_id""",
 
     "v3_neardup_lsh" -> {
@@ -1722,7 +1802,7 @@ object SparkEntry {
            FROM cands c
            JOIN embeddings ea ON c.id_a = ea.vec_id
            JOIN embeddings eb ON c.id_b = eb.vec_id)
-         SELECT id_a, id_b, round(cosine, 6) AS cosine
+         SELECT id_a, id_b, floor((cosine) * 1e6 + 0.5) / 1e6 AS cosine
          FROM sim WHERE cosine >= 0.3 ORDER BY id_a, id_b"""
     },
 
@@ -1733,8 +1813,8 @@ object SparkEntry {
     "ta2_text_stats" ->
       s"""$sqlQualityCtes
          SELECT doc_id, n_tokens, n_bpe_tokens,
-           round(sr, 6) AS stop_ratio, round(pr, 6) AS punct_ratio,
-           round(tt, 6) AS ttr, $sqlQualityExpr AS quality
+           floor((sr) * 1e6 + 0.5) / 1e6 AS stop_ratio, floor((pr) * 1e6 + 0.5) / 1e6 AS punct_ratio,
+           floor((tt) * 1e6 + 0.5) / 1e6 AS ttr, $sqlQualityExpr AS quality
          FROM s ORDER BY doc_id""",
 
     "a3_histogram" ->
@@ -1747,11 +1827,11 @@ object SparkEntry {
            SELECT l_orderkey, sum(l_quantity) AS big_qty
            FROM lineitem WHERE l_quantity >= 40 GROUP BY 1)
          SELECT o_orderstatus, count(*) AS n_orders,
-           round(avg(CASE WHEN c_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END) * 100, 4)
+           floor((avg(CASE WHEN c_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END) * 100) * 1e4 + 0.5) / 1e4
              AS pct_with_customer,
-           round(avg(CASE WHEN big_qty IS NOT NULL THEN 1.0 ELSE 0.0 END) * 100, 4)
+           floor((avg(CASE WHEN big_qty IS NOT NULL THEN 1.0 ELSE 0.0 END) * 100) * 1e4 + 0.5) / 1e4
              AS pct_with_big_lines,
-           round(sum(coalesce(big_qty, 0.0)), 2) AS sum_big_qty
+           floor((sum(coalesce(big_qty, 0.0))) * 1e2 + 0.5) / 1e2 AS sum_big_qty
          FROM orders
          LEFT JOIN customer ON o_custkey = c_custkey
          LEFT JOIN bl ON o_orderkey = bl.l_orderkey
@@ -1779,9 +1859,9 @@ object SparkEntry {
              sum(n * n) AS ss
            FROM counts GROUP BY doc_id)
          SELECT d.doc_id,
-           round(CASE WHEN ss > 0 THEN n1 / sqrt(ss) ELSE 0.0 END, 6) AS c1,
-           round(CASE WHEN ss > 0 THEN n2 / sqrt(ss) ELSE 0.0 END, 6) AS c2,
-           round(CASE WHEN ss > 0 THEN n3 / sqrt(ss) ELSE 0.0 END, 6) AS c3
+           floor((CASE WHEN ss > 0 THEN n1 / sqrt(ss) ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS c1,
+           floor((CASE WHEN ss > 0 THEN n2 / sqrt(ss) ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS c2,
+           floor((CASE WHEN ss > 0 THEN n3 / sqrt(ss) ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS c3
          FROM documents d LEFT JOIN agg USING (doc_id)
          ORDER BY d.doc_id"""
     },
@@ -1805,16 +1885,16 @@ object SparkEntry {
              len(a.grams) + len(b.grams) AS tot
            FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
            WHERE a.doc_id < 200)
-         SELECT id_a, id_b, round(inter * 1.0 / (tot - inter), 6) AS sim
+         SELECT id_a, id_b, floor((inter * 1.0 / (tot - inter)) * 1e6 + 0.5) / 1e6 AS sim
          FROM p ORDER BY id_a""",
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-         round(sum(l_quantity), 2) AS sum_qty,
-         round(sum(l_extendedprice), 2) AS sum_base_price,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-         round(avg(l_quantity), 6) AS avg_qty,
-         round(avg(l_discount), 6) AS avg_disc,
+         floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty,
+         floor((sum(l_extendedprice)) * 1e2 + 0.5) / 1e2 AS sum_base_price,
+         floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2 AS sum_disc_price,
+         floor((avg(l_quantity)) * 1e6 + 0.5) / 1e6 AS avg_qty,
+         floor((avg(l_discount)) * 1e6 + 0.5) / 1e6 AS avg_disc,
          count(*) AS count_order
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -1824,16 +1904,16 @@ object SparkEntry {
     "q2_doc_quality_stats" ->
       """SELECT lang,
          count(*) AS n_docs,
-         round(avg(CASE WHEN n_chars >= 200 THEN 1.0 ELSE 0.0 END) * 100, 4) AS pct_long,
-         round(avg(CASE WHEN n_chars > 0 THEN n_chars END), 4) AS avg_chars,
-         round(avg(len(regexp_extract_all(text, '\w+'))), 4) AS avg_words,
+         floor((avg(CASE WHEN n_chars >= 200 THEN 1.0 ELSE 0.0 END) * 100) * 1e4 + 0.5) / 1e4 AS pct_long,
+         floor((avg(CASE WHEN n_chars > 0 THEN n_chars END)) * 1e4 + 0.5) / 1e4 AS avg_chars,
+         floor((avg(len(regexp_extract_all(text, '\w+')))) * 1e4 + 0.5) / 1e4 AS avg_words,
          count(DISTINCT source) AS n_sources
          FROM documents GROUP BY lang ORDER BY lang""",
 
     "q3_enrich_5way_join" ->
       """SELECT coalesce(r_name, 'UNKNOWN') AS region,
          coalesce(n_name, 'UNKNOWN') AS nation,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2 AS revenue,
          count(DISTINCT o_orderkey) AS n_orders,
          count(*) AS n_lines
          FROM lineitem
@@ -1845,7 +1925,7 @@ object SparkEntry {
 
     "q4_anti_join" ->
       """SELECT c_mktsegment, count(*) AS n_customers,
-         round(sum(c_acctbal), 2) AS sum_acctbal
+         floor((sum(c_acctbal)) * 1e2 + 0.5) / 1e2 AS sum_acctbal
          FROM customer c
          WHERE NOT EXISTS (SELECT 1 FROM orders o
            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
@@ -1881,7 +1961,7 @@ object SparkEntry {
            FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
            GROUP BY 1, 2)
          SELECT ia AS id_a, ib AS id_b,
-           round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+           floor((inter * 1.0 / (sa.n + sb.n - inter)) * 1e6 + 0.5) / 1e6 AS jaccard
          FROM pairs
          JOIN sizes sa ON ia = sa.doc_id
          JOIN sizes sb ON ib = sb.doc_id
@@ -1909,20 +1989,20 @@ object SparkEntry {
 
     "a4_dist_stats" ->
       """SELECT l_returnflag,
-         round(avg(l_quantity), 6) AS avg_qty,
-         round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
-         round(stddev_pop(l_quantity), 6) AS std_qty,
-         round(min(l_quantity), 2) AS min_qty,
-         round(max(l_quantity), 2) AS max_qty,
-         round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+         floor((avg(l_quantity)) * 1e6 + 0.5) / 1e6 AS avg_qty,
+         floor((quantile_cont(l_quantity, 0.5)) * 1e6 + 0.5) / 1e6 AS median_qty,
+         floor((stddev_pop(l_quantity)) * 1e6 + 0.5) / 1e6 AS std_qty,
+         floor((min(l_quantity)) * 1e2 + 0.5) / 1e2 AS min_qty,
+         floor((max(l_quantity)) * 1e2 + 0.5) / 1e2 AS max_qty,
+         floor((corr(l_quantity, l_extendedprice)) * 1e6 + 0.5) / 1e6 AS corr_qty_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "w1_running_window" ->
       """SELECT user_id, event_id,
          row_number() OVER w AS rn,
-         round(coalesce(lag(value, 1) OVER w, 0.0), 2) AS prev_value,
-         round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+         floor((coalesce(lag(value, 1) OVER w, 0.0)) * 1e2 + 0.5) / 1e2 AS prev_value,
+         floor((sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1e2 + 0.5) / 1e2 AS running_value
          FROM events WHERE user_id < 20
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          ORDER BY user_id, rn""",
@@ -1937,7 +2017,7 @@ object SparkEntry {
               * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
              AS s
            FROM embeddings e, q WHERE e.vec_id <> 0)
-         SELECT vec_id, round(s, 6) AS sim FROM sims
+         SELECT vec_id, floor((s) * 1e6 + 0.5) / 1e6 AS sim FROM sims
          ORDER BY sim DESC, vec_id LIMIT 10"""
   )
 }
