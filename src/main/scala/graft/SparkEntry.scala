@@ -187,21 +187,25 @@ object SparkEntry {
       // from the first 12 tokens, then invert it back to text with the
       // one-expression flatten/sort/join pipeline. Round-trip identity =
       // the oracle just computes the expected prefix directly.
-      val toks12 = slice(TA.tokens(col("text")), 1, 12)
-      val idx = map_from_entries(transform(
-        array_distinct(toks12),
-        tk => struct(tk, filter(sequence(lit(1), size(toks12)),
-          i => element_at(toks12, i) === tk))))
+      // Each stage materializes at a select boundary: lambda-spliced
+      // subexpressions re-evaluate per element, so feeding the raw
+      // tokenizer into the position lambdas would re-tokenize the text
+      // ~|toks|² times per row (this was 18% of the sf0.1 bench).
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), slice(TA.tokens(col("text")), 1, 12).as("t12"))
+      val idx = toks.select(col("doc_id"), map_from_entries(transform(
+        array_distinct(col("t12")),
+        tk => struct(tk, filter(sequence(lit(1), size(col("t12"))),
+          i => element_at(col("t12"), i) === tk)))).as("idx"))
       val reconstructed = array_join(
         transform(
           array_sort(flatten(transform(
-            map_entries(idx),
+            map_entries(col("idx")),
             e => transform(e.getField("value"),
               p => struct(p.as("pos"), e.getField("key").as("w")))))),
           st => st.getField("w")),
         " ")
-      t(s, dir, "documents")
-        .select(col("doc_id"), reconstructed.as("prefix_text"))
+      idx.select(col("doc_id"), reconstructed.as("prefix_text"))
         .orderBy(col("doc_id"))
     }),
 
@@ -727,6 +731,56 @@ object SparkEntry {
     }),
 
     // ---- L: enrichment harness (deterministic mock client) ----------
+    "l7_rag_pipeline" -> ((s, dir) => {
+      // L7 — end-to-end RAG orchestration (rag.ipynb answer_question):
+      // store build → top-3 cosine retrieval per question → DISTRIBUTED
+      // context assembly (collect_list per query, never a driver loop) →
+      // mock answer through the enrichment harness → V5 auto metrics.
+      // Similarity is embedded in the context as integer per-mille
+      // (floor(cos·1000 + 0.5)) because float→string formatting is
+      // engine-specific; the information content matches rag.ipynb:725.
+      val emb = t(s, dir, "embeddings")
+      val docs = t(s, dir, "documents")
+      val store = docs.join(emb, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), trim(substring(col("text"), 1, 40)).as("title"),
+          col("text").as("doc_text"), col("embedding"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .join(docs, col("vec_id") === col("doc_id"))
+        .select(col("vec_id").as("query_id"),
+          concat(lit("What does the corpus say about: "),
+            array_join(slice(TA.tokens(col("text")), 1, 6), " "))
+            .as("question"),
+          col("embedding").as("qv"))
+      val top = Similarity.topKPerQuery(
+        store, col("doc_id"), col("embedding"),
+        queries, col("query_id"), col("qv"), 3)
+      val ctx = top.join(store.drop("embedding"), "doc_id")
+        .join(queries.select(col("query_id"), col("question")), "query_id")
+        .groupBy(col("query_id"), col("question"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("rank"), col("title"),
+            col("doc_text"), col("cosine")))),
+          e => concat(lit("["), e.getField("rank"), lit("] (sim "),
+            floor(e.getField("cosine") * 1000 + 0.5).cast("int"), lit("m) "),
+            e.getField("title"), lit("\n"), e.getField("doc_text"))),
+          "\n\n").as("context"))
+      val answered = Enrich.enrichColumn(ctx,
+        concat(lit("Answer: "), col("question"), lit(" | Context: "),
+          col("context")),
+        "answer", new Enrich.MockKeywordClient(12))
+      answered
+        .select(col("query_id"), col("question"), col("answer"),
+          length(col("context")).as("context_chars"),
+          Rag.autoMetrics(col("question"), col("answer")).as("m"))
+        .select(col("query_id"), col("question"), col("answer"),
+          col("context_chars"),
+          col("m.answer_words").as("answer_words"),
+          col("m.keyword_overlap").as("keyword_overlap"),
+          col("m.n_citations").as("n_citations"),
+          col("m.auto_score").as("auto_score"))
+        .orderBy(col("query_id"))
+    }),
+
     "l2_mock_keywords" -> ((s, dir) => {
       // L2 — the full enrichment shape: prompt-build → mapPartitions call
       // through the (mock) LlmClient → declarative post-validation
@@ -799,12 +853,15 @@ object SparkEntry {
       // L4 — contribution-summary validation: long problem text
       // truncates at 500 chars with ellipsis, list items trim/compact
       // (padded + empty entries injected to exercise both), cap 10.
+      // tokens materialize at a select boundary: splicing the tokenizer
+      // into the two lambda chains below re-tokenizes per element.
       val d = t(s, dir, "documents")
-      val toks = TA.tokens(col("text"))
+        .select(col("doc_id"), col("text"), TA.tokens(col("text")).as("toks"))
       val contributions = concat(
         array(lit(""), lit("  ")),
-        transform(slice(toks, 1, 12), x => concat(lit("  "), x, lit(" "))))
-      val scenarios = slice(toks, 5, 4)
+        transform(slice(col("toks"), 1, 12),
+          x => concat(lit("  "), x, lit(" "))))
+      val scenarios = slice(col("toks"), 5, 4)
       val v = Enrich.validatedSummary(
         col("text"), trim(substring(col("text"), 1, 80)),
         contributions, scenarios)
@@ -1376,6 +1433,62 @@ object SparkEntry {
       s"""SELECT tok, count(*) AS n
          FROM (SELECT unnest(${sqlTokens("text")}) AS tok FROM documents)
          GROUP BY tok ORDER BY n DESC, tok LIMIT 20""",
+
+    "l7_rag_pipeline" -> {
+      val cos = sqlCosine64("s.embedding", "q.qv")
+      s"""WITH store AS (
+           SELECT d.doc_id, trim(substr(d.text, 1, 40)) AS title,
+             d.text AS doc_text, e.embedding
+           FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+         q AS (
+           SELECT e.vec_id AS query_id,
+             'What does the corpus say about: ' ||
+               array_to_string(list_slice(${sqlTokens("d.text")}, 1, 6), ' ')
+               AS question,
+             e.embedding AS qv
+           FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+           WHERE e.vec_id < 5),
+         sims AS (
+           SELECT q.query_id, q.question, s.doc_id, s.title, s.doc_text,
+             $cos AS cosine
+           FROM q CROSS JOIN store s),
+         ranked AS (
+           SELECT *, row_number() OVER
+             (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rank
+           FROM sims),
+         ctx AS (
+           SELECT query_id, question,
+             string_agg('[' || rank || '] (sim ' ||
+               floor(cosine * 1000 + 0.5)::INT || 'm) ' || title ||
+               chr(10) || doc_text, chr(10) || chr(10) ORDER BY rank)
+               AS context
+           FROM ranked WHERE rank <= 3 GROUP BY query_id, question),
+         ans AS (
+           SELECT query_id, question, len(context)::INT AS context_chars,
+             array_to_string(list_slice(list_filter(
+               string_split_regex(
+                 lower(question || ' | Context: ' || context), '\\s+'),
+               x -> len(x) > 3), 1, 12), ',') AS answer
+           FROM ctx),
+         m AS (
+           SELECT query_id, question, answer, context_chars,
+             len(regexp_extract_all(answer, '\\w+')) AS answer_words,
+             len(list_filter(list_distinct(list_filter(
+               string_split_regex(lower(question), '\\s+'), x -> x <> '')),
+               x -> list_contains(list_distinct(list_filter(
+                 string_split_regex(lower(answer), '\\s+'), y -> y <> '')), x)))
+               AS keyword_overlap,
+             len(regexp_extract_all(answer, '\\[[^\\]]*\\d+[^\\]]*\\]'))
+               AS n_citations
+           FROM ans)
+         SELECT query_id, question, answer, context_chars,
+           answer_words, keyword_overlap, n_citations,
+           floor((least(1.0, answer_words / 50.0) * 0.3
+             + least(1.0, keyword_overlap / 5.0) * 0.4
+             + (CASE WHEN n_citations > 0 THEN 1.0 ELSE 0.5 END) * 0.3)
+             * 10000.0 + 0.5) / 10000.0 AS auto_score
+         FROM m ORDER BY query_id"""
+    },
 
     "l2_mock_keywords" -> {
       // mock: lowercase whitespace tokens with len>3, first 12, ','-joined;

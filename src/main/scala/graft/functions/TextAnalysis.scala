@@ -55,16 +55,20 @@ object TextAnalysis {
     * at all → "und" (undetermined, BCP-47 style).
     */
   def languageId(text: Column): Column = {
-    val hits = langMarkers.map { case (l, ms) => l -> markerHits(text, ms) }
-    val noHits = hits.map(_._2).reduce(_ + _) === 0
-    val seed: (Column, Column) = (lit(hits.head._1), hits.head._2)
-    val best = hits.tail.foldLeft(seed) { case ((bestLang, bestHits), (l, h)) =>
-      (when(h > bestHits, lit(l)).otherwise(bestLang),
-        when(h > bestHits, h).otherwise(bestHits))
-    }._1
+    // argmax via array_max over struct(hits, -index): every marker count
+    // appears in the plan EXACTLY once. (A when-fold accumulator doubles
+    // its tree per language — exponential expression size — and a
+    // separate no-hits sum re-evaluates every count again.) Ties keep
+    // the earlier langMarkers entry, and hits are non-negative, so
+    // "no hits anywhere" ⟺ best.h == 0.
+    val best = array_max(array(langMarkers.zipWithIndex.map {
+      case ((_, ms), i) =>
+        struct(markerHits(text, ms).as("h"), lit(-i).as("ni"))
+    }: _*))
+    val langs = array(langMarkers.map(p => lit(p._1)): _*)
     when(cjkCount(text) > 0, lit("zh"))
-      .when(noHits, lit("und"))
-      .otherwise(best)
+      .when(best.getField("h") === 0, lit("und"))
+      .otherwise(element_at(langs, lit(1) - best.getField("ni")))
   }
 
   /** GPT-2-style pre-tokenizer pattern (contractions | letter runs | digit
