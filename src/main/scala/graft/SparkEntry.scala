@@ -684,9 +684,13 @@ object SparkEntry {
     // ---- TA: text analysis ------------------------------------------
     "ta1_language_id" -> ((s, dir) => {
       // Language-ID heuristic (marker-stopword argmax + CJK check) over
-      // every document; one codegen'd projection, zero shuffles.
+      // every document; zero shuffles. Tokens materialize at a select
+      // boundary so the four marker counts share one tokenization.
       t(s, dir, "documents")
-        .select(col("doc_id"), TA.languageId(col("text")).as("lang_pred"))
+        .select(col("doc_id"), col("text"),
+          TA.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          TA.languageIdFromTokens(col("toks"), col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))
     }),
 
@@ -694,15 +698,20 @@ object SparkEntry {
       // Token counting (whitespace + BPE-ish regex) and quality scoring
       // (length/stopword/diversity/punct) — the per-doc text-stat pass a
       // training-data pipeline runs before filtering.
+      // One tokenization per row, shared by every token-based stat via a
+      // select boundary (splicing tokens(text) into each stat would
+      // re-tokenize per stat).
       t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          TA.tokens(col("text")).as("toks"))
         .select(
           col("doc_id"),
-          TA.tokenCount(col("text")).as("n_tokens"),
+          size(col("toks")).as("n_tokens"),
           TA.bpeTokenCount(col("text")).as("n_bpe_tokens"),
-          fround(TA.stopwordRatio(col("text")), 6).as("stop_ratio"),
+          fround(TA.stopwordRatioFromTokens(col("toks")), 6).as("stop_ratio"),
           fround(TA.punctRatio(col("text")), 6).as("punct_ratio"),
-          fround(TA.typeTokenRatio(col("text")), 6).as("ttr"),
-          TA.qualityScore(col("text")).as("quality"))
+          fround(TA.typeTokenRatioFromTokens(col("toks")), 6).as("ttr"),
+          TA.qualityScoreFromTokens(col("toks"), col("text")).as("quality"))
         .orderBy(col("doc_id"))
     }),
 

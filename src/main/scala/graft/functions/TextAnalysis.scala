@@ -54,16 +54,26 @@ object TextAnalysis {
     * highest marker-hit language in [[langMarkers]] priority order; no hits
     * at all → "und" (undetermined, BCP-47 style).
     */
-  def languageId(text: Column): Column = {
-    // argmax via array_max over struct(hits, -index): every marker count
-    // appears in the plan EXACTLY once. (A when-fold accumulator doubles
-    // its tree per language — exponential expression size — and a
-    // separate no-hits sum re-evaluates every count again.) Ties keep
-    // the earlier langMarkers entry, and hits are non-negative, so
-    // "no hits anywhere" ⟺ best.h == 0.
+  def languageId(text: Column): Column =
+    languageIdFromTokens(tokens(text), text)
+
+  /** [[languageId]] over a pre-tokenized column: callers that already
+    * materialized `tokens(text)` at a select boundary pay four cheap
+    * array filters instead of four regex tokenizations per row.
+    *
+    * argmax via array_max over struct(hits, -index): every marker count
+    * appears in the plan EXACTLY once. (A when-fold accumulator doubles
+    * its tree per language — exponential expression size — and a
+    * separate no-hits sum re-evaluates every count again.) Ties keep
+    * the earlier langMarkers entry, and hits are non-negative, so
+    * "no hits anywhere" ⟺ best.h == 0.
+    */
+  def languageIdFromTokens(toks: Column, text: Column): Column = {
     val best = array_max(array(langMarkers.zipWithIndex.map {
       case ((_, ms), i) =>
-        struct(markerHits(text, ms).as("h"), lit(-i).as("ni"))
+        val set = array(ms.map(lit): _*)
+        struct(size(filter(toks, t => array_contains(set, t))).as("h"),
+          lit(-i).as("ni"))
     }: _*))
     val langs = array(langMarkers.map(p => lit(p._1)): _*)
     when(cjkCount(text) > 0, lit("zh"))
@@ -86,9 +96,16 @@ object TextAnalysis {
     * Natural prose sits around 0.3–0.6; keyword soup and boilerplate fall
     * near 0.
     */
-  def stopwordRatio(text: Column): Column = {
-    val n = tokenCount(text)
-    when(n > 0, markerHits(text, enStopwords).cast("double") / n).otherwise(lit(0.0))
+  def stopwordRatio(text: Column): Column =
+    stopwordRatioFromTokens(tokens(text))
+
+  /** [[stopwordRatio]] over a pre-tokenized column. */
+  def stopwordRatioFromTokens(toks: Column): Column = {
+    val set = array(enStopwords.map(lit): _*)
+    val n = size(toks)
+    when(n > 0,
+      size(filter(toks, t => array_contains(set, t))).cast("double") / n)
+      .otherwise(lit(0.0))
   }
 
   /** Punctuation chars / total chars; 0.0 for empty text. */
@@ -102,21 +119,30 @@ object TextAnalysis {
   /** Type-token ratio (distinct tokens / tokens); 0.0 for empty text.
     * Degenerate repetition → low TTR.
     */
-  def typeTokenRatio(text: Column): Column = {
-    val t = tokens(text)
-    when(size(t) > 0, size(array_distinct(t)).cast("double") / size(t))
+  def typeTokenRatio(text: Column): Column =
+    typeTokenRatioFromTokens(tokens(text))
+
+  /** [[typeTokenRatio]] over a pre-tokenized column. */
+  def typeTokenRatioFromTokens(toks: Column): Column =
+    when(size(toks) > 0,
+      size(array_distinct(toks)).cast("double") / size(toks))
       .otherwise(lit(0.0))
-  }
 
   /** Composite document quality score in [0,1] (length, stopword,
     * lexical-diversity, punctuation signals; weights sum to 1). The shape
     * mirrors the reference's ruler scoring (quality_scoring.py:98-133):
     * weighted bounded sub-scores, round(…, 4).
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    qualityScoreFromTokens(tokens(text), text)
+
+  /** [[qualityScore]] over a pre-tokenized column (one tokenization
+    * shared by the stopword and diversity signals).
+    */
+  def qualityScoreFromTokens(toks: Column, text: Column): Column = {
     val lenScore = least(lit(1.0), length(text).cast("double") / 400.0)
-    val stopScore = least(lit(1.0), stopwordRatio(text) * 4.0)
-    val diversity = typeTokenRatio(text)
+    val stopScore = least(lit(1.0), stopwordRatioFromTokens(toks) * 4.0)
+    val diversity = typeTokenRatioFromTokens(toks)
     val punctPenalty = lit(1.0) - least(lit(1.0), punctRatio(text) * 8.0)
     val raw = lenScore * 0.3 + stopScore * 0.3 + diversity * 0.2 + punctPenalty * 0.2
     // floor(x·10⁴ + ½)/10⁴ instead of round(x, 4): identical IEEE ops on

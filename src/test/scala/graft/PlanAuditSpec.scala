@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression guards for the scale-critical operators: these
+  * pin the PHYSICAL plan properties that make each operator survive a
+  * 100× scale-up, so a refactor that silently reintroduces a
+  * corpus-wide shuffle or a forced broadcast fails here, not on the
+  * cluster.
+  */
+class PlanAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq.tabulate(64)(i =>
+    (i.toLong, Array.tabulate(8)(j => (i * 8 + j) % 5 / 4.0f)))
+    .toDF("id", "vec")
+
+  test("IVF assignment stage has no window, no shuffle, no cross join") {
+    val cents = Seq((0L, Array.fill(8)(0.1f)), (1L, Array.fill(8)(0.9f)))
+      .toDF("cid", "cv")
+    val out = Similarity.ivfTopK(
+      docs, $"id", $"vec",
+      docs.limit(3), $"id", $"vec",
+      cents, $"cid", $"cv", k = 2, nprobe = 1)
+    val plan = out.queryExecution.executedPlan.toString
+    // the ONLY window is the final per-query rank; assignment must stay
+    // a shuffle-free projection, so exactly one Window and no cartesian
+    assert(!plan.contains("CartesianProduct"), plan)
+    // "Window [" is the exec node; WindowGroupLimit (the bounded-heap
+    // pushdown) prints "WindowGroupLimit [" and is expected.
+    assert("Window \\[".r.findAllIn(plan).size == 1,
+      s"expected exactly one Window (per-query rank), got plan:\n$plan")
+  }
+
+  test("jaccardPairs dictionary join is not a forced broadcast") {
+    val d = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x y z"))
+      .toDF("id", "text")
+    val pairs = Dedup.jaccardPairs(d, $"id", $"text", 0.5)
+    val analyzed = pairs.queryExecution.analyzed.toString
+    // a ResolvedHint in the analyzed plan means someone re-added
+    // broadcast(); AQE choosing broadcast at runtime is fine.
+    assert(!analyzed.contains("ResolvedHint"),
+      s"forced broadcast hint reintroduced:\n$analyzed")
+  }
+
+  test("brute-force topK broadcasts the query side, not the corpus") {
+    val out = Similarity.topKPerQuery(
+      docs, $"id", $"vec", docs.limit(2), $"id", $"vec", k = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("v4 vocabulary ranking never windows over the full vocabulary") {
+    // the global rank window must sit above a LIMIT (TakeOrdered), so
+    // it only ever sees k rows — mirror of the v4 query shape.
+    val exploded = docs.select(explode(split(lit("a b c d"), " ")).as("tok"))
+    val vocab = exploded.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"tok").limit(16)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"cnt".desc, $"tok")))
+    val plan = vocab.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab rank window must be fed by a take-ordered limit:\n$plan")
+  }
+}
