@@ -54,6 +54,20 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming-ingest exact dedup: keep the first event per key, with
+    * state bounded by the watermark (`dropDuplicatesWithinWatermark` —
+    * a key's state is freed once the watermark passes its event time,
+    * so duplicates arriving within the lateness bound dedup exactly and
+    * state never grows unbounded). This is the streaming twin of the
+    * D2 batch dedup — the front door of a continuously-ingesting
+    * training-data pipeline.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Built-in session windows (gap-based) — the declarative sessionizer. */
   def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
                        watermarkDelay: String = "10 minutes"): DataFrame =

@@ -16,6 +16,25 @@ class StreamsSpec extends SparkSpec {
     Event(3, ts("2026-01-01 11:30:00"), 1, "view", 4.0), // >30min gap: new session
     Event(4, ts("2026-01-01 10:05:00"), 2, "click", 8.0))
 
+  test("dedupStream keeps first arrival per key across batches within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.dedupStream(input.toDF(), Seq("event_id"), "10 minutes")
+      .writeStream.format("memory").queryName("dds").outputMode("append").start()
+    try {
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      // same keys again, different values: duplicates within the
+      // watermark must not re-emit
+      input.addData(evs.map(e => e.copy(value = e.value + 100)): _*)
+      q.processAllAvailable()
+      val got = rows(spark.sql(
+        "SELECT event_id, value FROM dds ORDER BY event_id"))
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got == Seq((1L, 1.0), (2L, 2.0), (3L, 4.0), (4L, 8.0)))
+    } finally q.stop()
+  }
+
   test("windowedTypeCounts aggregates a memory stream with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
