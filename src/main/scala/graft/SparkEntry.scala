@@ -979,6 +979,26 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "e2_variant_props" -> ((s, dir) => {
+      // Semi-structured, Spark-4-native: parse the JSON string ONCE into
+      // a Variant (binary, lazily navigable) and extract typed fields
+      // with variant_get — the production path when the schema is
+      // open-ended (from_json in e1 needs it closed). try_* variants
+      // keep ANSI mode from failing the scan on a malformed row or a
+      // missing path.
+      t(s, dir, "events")
+        .withColumn("v", try_parse_json(col("props")))
+        .select(col("event_type"),
+          try_variant_get(col("v"), "$.k", "int").as("k"),
+          try_variant_get(col("v"), "$.missing", "int").as("miss"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          fround(avg(col("k")), 6).as("avg_k"),
+          min(col("k")).as("min_k"),
+          sum(when(col("miss").isNull, 1L).otherwise(0L)).as("n_missing"))
+        .orderBy(col("event_type"))
+    }),
+
     "w3_session_window_batch" -> ((s, dir) => {
       // Built-in session_window run in BATCH mode — cross-validates
       // Spark's gap-based session assignment against the relational
@@ -1760,6 +1780,16 @@ object SparkEntry {
          max($jk) AS max_k,
          sum(CASE WHEN $jk > 50 THEN 1 ELSE 0 END)::BIGINT
            AS n_high
+         FROM events GROUP BY event_type ORDER BY event_type"""
+    },
+
+    "e2_variant_props" -> {
+      val jk = "json_extract(props, '$.k')::INT"
+      s"""SELECT event_type, count(*) AS n,
+         ${sqlFround(s"avg($jk)", 6)} AS avg_k,
+         min($jk) AS min_k,
+         sum(CASE WHEN json_extract(props, '$$.missing') IS NULL
+           THEN 1 ELSE 0 END)::BIGINT AS n_missing
          FROM events GROUP BY event_type ORDER BY event_type"""
     },
 
