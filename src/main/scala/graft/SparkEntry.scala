@@ -979,6 +979,28 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "v8_kmeans_ivf" -> ((s, dir) => {
+      // V3'/IVF training path — deterministic Lloyd k-means (cosine
+      // argmax assignment, per-dim means, floor-stable 6-decimal
+      // centroid rounding each step so the oracle replicates bit-for-
+      // bit) followed by the cluster rollup: list sizes + mean cosine
+      // to the owning centroid (cohesion).
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(
+        emb, col("vec_id"), col("embedding"), 4, 2)
+      val best = array_max(array(cents.map { case (cid, cv) =>
+        struct(VF.cosine(col("embedding"), typedLit(cv)).as("cos"),
+          lit(-cid).as("ncid"))
+      }: _*))
+      emb.select(col("vec_id"),
+          (-best.getField("ncid")).cast("long").as("cid"),
+          best.getField("cos").as("cos"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_vecs"),
+          fround(avg(col("cos")), 6).as("cohesion"))
+        .orderBy(col("cid"))
+    }),
+
     "e2_variant_props" -> ((s, dir) => {
       // Semi-structured, Spark-4-native: parse the JSON string ONCE into
       // a Variant (binary, lazily navigable) and extract typed fields
@@ -1137,6 +1159,55 @@ object SparkEntry {
 
   private def sqlCosine64(a: String, b: String): String =
     s"${sqlDot64(a, b)} / (sqrt(${sqlDot64(a, a)}) * sqrt(${sqlDot64(b, b)}))"
+
+  /** DuckDB twin of Similarity.kmeansCentroids + the v8 rollup: same
+    * smallest-id init, same cosine-argmax tie-break (ties → lowest
+    * cid), same per-dimension means with floor-stable 6-decimal
+    * centroid rounding after every step — the rounding is what makes
+    * the two engines' distributed-summation noise collapse to
+    * identical centroids. Generated per (k, iters) so both sides share
+    * one definition.
+    */
+  private def sqlKmeansRollup(k: Int, iters: Int): String = {
+    def r6(e: String) = s"floor(($e) * 1e6 + 0.5) / 1e6"
+    val init =
+      s"""cents0 AS (
+           SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid,
+             list_transform(embedding, x -> ${r6("CAST(x AS DOUBLE)")}) AS cv
+           FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $k))"""
+    val steps = (1 to iters).map { it =>
+      s"""assign$it AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${sqlCosine64("e.embedding", "c.cv")} DESC, c.cid)
+                 AS rn
+             FROM embeddings e CROSS JOIN cents${it - 1} c)
+           WHERE rn = 1),
+         cents$it AS (
+           SELECT p.cid, coalesce(n.cv, p.cv) AS cv
+           FROM cents${it - 1} p LEFT JOIN (
+             SELECT cid, list(m ORDER BY i) AS cv FROM (
+               SELECT a.cid, t.i,
+                 ${r6("avg(CAST(a.embedding[t.i] AS DOUBLE))")} AS m
+               FROM assign$it a CROSS JOIN generate_series(1, 64) t(i)
+               GROUP BY a.cid, t.i)
+             GROUP BY cid) n USING (cid))"""
+    }
+    s"""WITH $init,
+       ${steps.mkString(",\n")},
+       final_assign AS (
+         SELECT vec_id, cid, cos FROM (
+           SELECT e.vec_id, c.cid,
+             ${sqlCosine64("e.embedding", "c.cv")} AS cos,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY ${sqlCosine64("e.embedding", "c.cv")} DESC, c.cid)
+               AS rn
+           FROM embeddings e CROSS JOIN cents$iters c)
+         WHERE rn = 1)
+       SELECT cid, count(*) AS n_vecs, ${sqlFround("avg(cos)", 6)} AS cohesion
+       FROM final_assign GROUP BY cid ORDER BY cid"""
+  }
 
   /** DuckDB: `words` members occurring as substrings of lower(e)
     * (Ruler.keywordHits).
@@ -1782,6 +1853,8 @@ object SparkEntry {
            AS n_high
          FROM events GROUP BY event_type ORDER BY event_type"""
     },
+
+    "v8_kmeans_ivf" -> sqlKmeansRollup(4, 2),
 
     "e2_variant_props" -> {
       val jk = "json_extract(props, '$.k')::INT"

@@ -161,6 +161,55 @@ object Similarity {
       .select(col("query_id"), col("doc_id"), col("cosine"), col("rank"))
   }
 
+  /** Deterministic Lloyd k-means over an embedding column, producing the
+    * centroid set [[ivfTopK]] consumes. Engine-independent by
+    * construction, so a SQL oracle can replicate it exactly:
+    * init = the k smallest-id vectors (cid in id order); assignment =
+    * cosine argmax with ties → lowest cid (same rule as ivfTopK);
+    * update = per-dimension mean; every centroid component rounds
+    * floor-stable to 6 decimals after each step, which absorbs the
+    * 1-ulp noise of distributed summation order before it can flip an
+    * assignment. Empty clusters keep their previous centroid.
+    *
+    * Scale shape: assignment is the same shuffle-free literal-fold
+    * projection as ivfTopK; the update is one partial-aggregated
+    * groupBy over (cid, dim) — k·dims rows collect to the driver per
+    * iteration (centroids are tiny by contract).
+    */
+  def kmeansCentroids(df: DataFrame, id: Column, vec: Column, k: Int,
+                      iters: Int): Seq[(Long, Seq[Double])] = {
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val d = df.select(id.cast("long").as("id"), vec.as("v"))
+    var cents: Seq[(Long, Seq[Double])] =
+      d.orderBy(col("id")).limit(k).collect().zipWithIndex.map {
+        case (row, i) =>
+          (i.toLong, row.getSeq[Float](1).map(f => r6(f.toDouble)).toSeq)
+      }.toSeq
+    require(cents.size == k, s"need at least $k vectors to seed k-means")
+    for (_ <- 1 to iters) {
+      val assignStructs = cents.map { case (cid, cv) =>
+        struct(VF.cosine(col("v"), typedLit(cv)).as("cos"),
+          lit(-cid).as("ncid"))
+      }
+      val means = d
+        .withColumn("cid",
+          (-array_max(array(assignStructs: _*)).getField("ncid")).cast("long"))
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+      cents = cents.map { case (cid, old) =>
+        means.get(cid) match {
+          case Some(rows) =>
+            (cid, rows.sortBy(_.getInt(1)).map(r => r6(r.getDouble(2))).toSeq)
+          case None => (cid, old)
+        }
+      }
+    }
+    cents
+  }
+
   /** Brute-force cosine top-k per query: broadcast the query batch, scan
     * the corpus once, rank per query. Ties broken by doc id (ascending)
     * for determinism.

@@ -82,4 +82,29 @@ class SimilaritySpec extends SparkSpec {
     assert(got.drop(3).map(_._2).take(2).toSet == Set(4L, 5L))
     assert(got.map(_._3) == Seq(1, 2, 3, 1, 2, 3))
   }
+
+  test("kmeansCentroids separates clusters and is bit-deterministic") {
+    // ids ordered so the smallest-id init seeds one vector per cluster
+    val data = Seq(
+      (1L, noisy(b1, 0.001f)), (2L, noisy(b2, 0.001f)),
+      (3L, noisy(b1, 0.001f)), (4L, noisy(b1, 0.001f)),
+      (5L, noisy(b2, 0.001f)), (6L, noisy(b2, 0.001f))).toDF("id", "v")
+    val c = Similarity.kmeansCentroids(data, $"id", $"v", 2, 3)
+    assert(c.map(_._1) == Seq(0L, 1L))
+    assert(c(0)._2.take(8).forall(_ > 0.9) && c(0)._2.drop(8).forall(_ < 0.1))
+    assert(c(1)._2.drop(8).forall(_ > 0.9) && c(1)._2.take(8).forall(_ < 0.1))
+    // per-step floor-stable rounding pins fp noise: reruns are identical
+    assert(c == Similarity.kmeansCentroids(data, $"id", $"v", 2, 3))
+  }
+
+  test("kmeansCentroids tolerates empty clusters (ties assign to lowest cid)") {
+    // identical vectors seed identical centroids; the cosine tie sends
+    // every row to cid 0, so cid 1 goes empty and must keep its seed
+    val data = Seq((1L, b1.toSeq), (2L, b1.toSeq), (3L, b1.toSeq))
+      .toDF("id", "v")
+    val c = Similarity.kmeansCentroids(data, $"id", $"v", 2, 2)
+    assert(c.map(_._1) == Seq(0L, 1L))
+    val r6b1 = b1.map(f => math.floor(f.toDouble * 1e6 + 0.5) / 1e6).toSeq
+    assert(c(0)._2 == r6b1 && c(1)._2 == r6b1)
+  }
 }
