@@ -47,6 +47,13 @@ case class TopKPerKeyExec(key: Expression, order: Expression, k: Int,
     if (partial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(Seq(key)))
 
+  // mapPartitions preserves the child's partitioning, and advertising it
+  // lets EnsureRequirements reuse the final stage's hash exchange for a
+  // downstream Window/aggregate on the same key instead of adding a
+  // second one.
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val kLocal = k
