@@ -411,26 +411,33 @@ object SparkEntry {
       val categories = array(
         when(col("doc_id") % 3 === 0, lit("cs.DB")).otherwise(lit("stat.ME")),
         when(col("doc_id") % 7 === 0, lit("cs.LG")).otherwise(lit("math.ST")))
-      val comp = Ruler.completenessScore(title, abstractC, authorCount, optionals)
-      val rec = Ruler.recencyScore(pubDate, asOf)
-      val subst = Ruler.substanceScore(abstractC, techTerms)
-      val rigor = Ruler.rigorScore(abstractC)
-      val impact = Ruler.impactScore(abstractC)
-      val rel = Ruler.relevanceScore(title, abstractC, categories)
-      val pen = Ruler.penalty(title, abstractC, isDup)
-      val total = Ruler.totalScore(comp, rec, subst, rigor, impact, rel, pen)
-      d.select(
+      // sub-scores materialize at a select boundary: comp feeds three
+      // outputs and every keyword-scan score feeds two (its own column
+      // + the weighted total) — attribute reads instead of re-splicing
+      // each scan tree.
+      val scored = d.select(col("doc_id"), col("text"),
+        Ruler.completenessScore(title, abstractC, authorCount, optionals)
+          .as("comp"),
+        Ruler.recencyScore(pubDate, asOf).as("rec"),
+        Ruler.substanceScore(abstractC, techTerms).as("subst"),
+        Ruler.rigorScore(abstractC).as("rigor"),
+        Ruler.impactScore(abstractC).as("impact"),
+        Ruler.relevanceScore(title, abstractC, categories).as("rel"),
+        Ruler.penalty(title, abstractC, isDup).as("pen"))
+      val total = Ruler.totalScore(col("comp"), col("rec"), col("subst"),
+        col("rigor"), col("impact"), col("rel"), col("pen"))
+      scored.select(
         col("doc_id"),
-        fround(comp, 6).as("completeness"),
-        fround(rec, 6).as("recency"),
-        fround(subst, 6).as("substance"),
-        fround(rigor, 6).as("rigor"),
-        fround(impact, 6).as("impact"),
-        fround(rel, 6).as("relevance"),
-        fround(pen, 6).as("penalty"),
+        fround(col("comp"), 6).as("completeness"),
+        fround(col("rec"), 6).as("recency"),
+        fround(col("subst"), 6).as("substance"),
+        fround(col("rigor"), 6).as("rigor"),
+        fround(col("impact"), 6).as("impact"),
+        fround(col("rel"), 6).as("relevance"),
+        fround(col("pen"), 6).as("penalty"),
         total.as("total_score"),
         Ruler.tierOf(total).as("tier"),
-        Ruler.confidence(comp, abstractC, techTerms).as("confidence"))
+        Ruler.confidence(col("comp"), col("text"), techTerms).as("confidence"))
         .orderBy(col("doc_id"))
     }),
 
@@ -447,18 +454,25 @@ object SparkEntry {
           .otherwise(lit("")),
         when(col("doc_id") % 97 === 0, lit(" ssn 123-45-6789"))
           .otherwise(lit("")))
-      val nEmail = Compliance.piiCount(dirty, "email")
-      val nPhone = Compliance.piiCount(dirty, "phone")
-      val nIp = Compliance.piiCount(dirty, "ip")
-      val nSsn = Compliance.piiCount(dirty, "ssn")
-      val nCred = Compliance.piiCount(dirty, "credential_url")
-      d.select(
-        col("doc_id"), nEmail.as("n_email"), nPhone.as("n_phone"),
-        nSsn.as("n_ssn"),
-        Compliance.riskLevel(nEmail, nPhone, nIp, nSsn, nCred).as("risk"),
-        fround(Compliance.piiDensity(
-          nEmail + nPhone + nIp + nSsn + nCred,
-          TF.wordCount(dirty)), 6).as("pii_density"))
+      // two select boundaries: each regex detector runs ONCE (risk and
+      // density then read the materialized counts, instead of splicing
+      // every detector tree into themselves a second and third time)
+      d.select(col("doc_id"), dirty.as("dirty"))
+        .select(col("doc_id"),
+          Compliance.piiCount(col("dirty"), "email").as("n_email"),
+          Compliance.piiCount(col("dirty"), "phone").as("n_phone"),
+          Compliance.piiCount(col("dirty"), "ip").as("n_ip"),
+          Compliance.piiCount(col("dirty"), "ssn").as("n_ssn"),
+          Compliance.piiCount(col("dirty"), "credential_url").as("n_cred"),
+          TF.wordCount(col("dirty")).as("n_words"))
+        .select(
+          col("doc_id"), col("n_email"), col("n_phone"), col("n_ssn"),
+          Compliance.riskLevel(col("n_email"), col("n_phone"), col("n_ip"),
+            col("n_ssn"), col("n_cred")).as("risk"),
+          fround(Compliance.piiDensity(
+            col("n_email") + col("n_phone") + col("n_ip") + col("n_ssn") +
+              col("n_cred"),
+            col("n_words")), 6).as("pii_density"))
         .orderBy(col("doc_id"))
     }),
 
