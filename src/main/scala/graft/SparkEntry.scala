@@ -246,6 +246,12 @@ object SparkEntry {
       // with token tie-break; the vector assembles via map lookup so
       // zero-count dimensions materialize.
       val d = t(s, dir, "documents")
+      // Two scans of the corpus (vocab build + vectorize) are the honest
+      // price of a global vocabulary without caching — at scale the
+      // alternative is persisting the exploded tokens, which costs more
+      // than the second columnar scan. (Sharing a (doc_id, tok) agg
+      // between the branches doesn't help: column pruning gives the two
+      // consumers different schemas, so the exchange can't be reused.)
       val exploded = d.select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
       // Global top-16 via orderBy+limit (TakeOrderedAndProject: partial
       // per-partition top-k, tiny driver merge) — the rank window then
