@@ -153,6 +153,29 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    "s1_jsonl_roundtrip" -> ((s, dir) => {
+      // S1/S2/S3 — canonical JSONL sink → strict schema-on-read scan →
+      // keyed last-wins merge (the reference's dict-overwrite ingest,
+      // build_simple_dataset.py): two "ingest files" staged with an
+      // explicit order column, revision wins. The oracle computes the
+      // surviving revision directly from documents, so equality proves
+      // the JSONL hop and the last-wins rule end-to-end.
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val rev = d.withColumn("n_chars", col("n_chars") + 1000)
+      val staged = d.withColumn("ord", lit(0L))
+        .unionByName(rev.withColumn("ord", lit(1L)))
+      val out = java.nio.file.Files.createTempDirectory("graft_s1").toString
+      sources.Jsonl.writeCanonical(staged, out,
+        Seq("doc_id", "lang", "n_chars", "ord"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id LONG, lang STRING, n_chars LONG, ord LONG")
+      sources.Jsonl.readKeyedLastWins(
+          sources.Jsonl.read(s, out, schema), col("ord"), col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     "s8_csv_stats_roundtrip" -> ((s, dir) => {
       // S8/S10 — stage-stats CSV sink + scan round-trip with the T19
       // score-string parse (data_quality_comparison.py:130-135 →
@@ -1492,6 +1515,10 @@ object SparkEntry {
       s"""SELECT lang, count(DISTINCT tok) AS n_distinct_tokens
          FROM (SELECT lang, unnest(${sqlTokens("text")}) AS tok FROM documents)
          GROUP BY lang ORDER BY lang""",
+
+    "s1_jsonl_roundtrip" ->
+      """SELECT doc_id, lang, n_chars + 1000 AS n_chars
+         FROM documents ORDER BY doc_id""",
 
     "s8_csv_stats_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
