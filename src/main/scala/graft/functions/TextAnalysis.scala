@@ -46,9 +46,13 @@ object TextAnalysis {
     size(filter(tokens(text), t => array_contains(set, t)))
   }
 
-  /** CJK character count — the zh/ja/ko signal no stopword list catches. */
+  /** CJK character count — the zh/ja/ko signal no stopword list catches.
+    * Counted as matches of the CJK class itself: on a non-CJK corpus the
+    * regex never matches, where the delete-everything-else
+    * regexp_replace formulation rebuilds the whole string per row.
+    */
   def cjkCount(text: Column): Column =
-    length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
+    size(regexp_extract_all(text, lit("[\\u4e00-\\u9fff]"), lit(0)))
 
   /** Language-ID n-gram/stopword heuristic: any CJK chars → "zh"; else the
     * highest marker-hit language in [[langMarkers]] priority order; no hits
@@ -108,11 +112,15 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
-  /** Punctuation chars / total chars; 0.0 for empty text. */
+  /** Punctuation chars / total chars; 0.0 for empty text. Counts
+    * matches of the punctuation class directly (single-char pattern ⇒
+    * match count = char count) instead of deleting the complement.
+    */
   def punctRatio(text: Column): Column = {
     val n = length(text)
     when(n > 0,
-      length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") / n)
+      size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0)))
+        .cast("double") / n)
       .otherwise(lit(0.0))
   }
 
