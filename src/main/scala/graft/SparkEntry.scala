@@ -758,6 +758,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "ta5_repetition" -> ((s, dir) => {
+      // Gopher-style repetition filters (top-token share, repeated-
+      // bigram share) — the boilerplate/keyword-stuffing signals a
+      // training-data pipeline gates on. Tokens materialize once at a
+      // select boundary; both signals read the attribute.
+      t(s, dir, "documents")
+        .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          fround(TA.topTokenFraction(col("toks")), 6).as("top_token_frac"),
+          fround(TA.dupBigramFraction(col("toks")), 6).as("dup_bigram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     "ta3_fingerprint" -> ((s, dir) => {
       // Order-sensitive rolling-hash document fingerprint (md5-derived,
       // mod 1e9+7) — exact-dup detection key that any engine can
@@ -2136,6 +2149,26 @@ object SparkEntry {
            floor((CASE WHEN ss > 0 THEN n3 / sqrt(ss) ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS c3
          FROM documents d LEFT JOIN agg USING (doc_id)
          ORDER BY d.doc_id"""
+    },
+
+    "ta5_repetition" -> {
+      val toks = sqlTokens("text")
+      s"""WITH m AS (
+           SELECT doc_id, $toks AS toks, len($toks) AS n FROM documents)
+         SELECT doc_id,
+           ${sqlFround(
+             """CASE WHEN n > 0 THEN
+                list_max(list_transform(list_distinct(toks),
+                  t -> len(list_filter(toks, x -> x = t))))::DOUBLE / n
+                ELSE 0.0 END""", 6)} AS top_token_frac,
+           ${sqlFround(
+             """CASE WHEN n > 1 THEN
+                1.0 - len(list_distinct(list_transform(
+                  generate_series(1, (n - 1)::INT),
+                  i -> toks[i] || ' ' || toks[i + 1])))::DOUBLE
+                  / (n - 1)
+                ELSE 0.0 END""", 6)} AS dup_bigram_frac
+         FROM m ORDER BY doc_id"""
     },
 
     "ta3_fingerprint" ->

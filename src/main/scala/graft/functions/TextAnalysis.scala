@@ -160,6 +160,33 @@ object TextAnalysis {
     floor(raw * 10000.0 + 0.5) / 10000.0
   }
 
+  /** Gopher-style repetition signal (Rae et al. 2021, appendix A1.1
+    * quality filters): share of all tokens taken by the single most
+    * frequent token. High values flag keyword-stuffed or boilerplate
+    * documents. Pass a PRE-TOKENIZED attribute column — the token array
+    * is referenced from inside a lambda.
+    */
+  def topTokenFraction(toks: Column): Column = {
+    val counts = transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t)))
+    when(size(toks) > 0,
+      array_max(counts).cast("double") / size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  /** Repetition signal: fraction of word bigrams that are repeats
+    * (1 − distinct/total). 0.0 for texts of fewer than two tokens.
+    */
+  def dupBigramFraction(toks: Column): Column = {
+    val n = size(toks)
+    val bigrams = transform(sequence(lit(1), n - 1),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    when(n > 1,
+      lit(1.0) - size(array_distinct(bigrams)).cast("double") /
+        (n - 1).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   /** Rolling polynomial fingerprint of the token stream (order-sensitive):
     * h ← (h·31 + md5₍₂₈ bit₎(token)) mod 1e9+7, seeded 7. Equal token
     * streams ⇒ equal fingerprints; engine-independent (md5-derived), so

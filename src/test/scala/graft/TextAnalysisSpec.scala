@@ -68,4 +68,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(sims(1) - 1.0 / 3.0) < 1e-12) // {abc,bcd} vs {bcd,cde}
     assert(sims(2) == 0.0)
   }
+
+  test("repetition signals: top-token and duplicate-bigram fractions") {
+    val df = Seq("a a a b", "x", "", "w w w w").toDF("t")
+      .select(TA.tokens($"t").as("toks"))
+    val got = rows(df.select(
+      TA.topTokenFraction($"toks"), TA.dupBigramFraction($"toks")))
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(got(0)._1 == 0.75)
+    assert(math.abs(got(0)._2 - 1.0 / 3.0) < 1e-12) // aa, aa, ab → 1 repeat of 3
+    assert(got(1) == (1.0, 0.0))
+    assert(got(2) == (0.0, 0.0))
+    assert(got(3) == (1.0, 1.0 - 1.0 / 3.0)) // all bigrams identical
+  }
 }
