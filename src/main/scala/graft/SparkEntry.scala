@@ -191,13 +191,8 @@ object SparkEntry {
           concat(col("score").cast("string"), lit("/10")).as("score_str"))
       val out = java.nio.file.Files.createTempDirectory("graft_s8").toString
       sources.Reports.writeCsv(stats, out, Seq("lang", "n_docs", "score_str"))
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("lang",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("n_docs",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("score_str",
-          org.apache.spark.sql.types.StringType)))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "lang STRING, n_docs LONG, score_str STRING")
       sources.Reports.readCsv(s, out, schema)
         .select(col("lang"), col("n_docs"),
           TF.scoreOfString(col("score_str")).as("score"))
@@ -1044,10 +1039,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val cents = Similarity.kmeansCentroids(
         emb, col("vec_id"), col("embedding"), 4, 2)
-      val best = array_max(array(cents.map { case (cid, cv) =>
-        struct(VF.cosine(col("embedding"), typedLit(cv)).as("cos"),
-          lit(-cid).as("ncid"))
-      }: _*))
+      val best = Similarity.centroidArgmax(col("embedding"), cents)
       emb.select(col("vec_id"),
           (-best.getField("ncid")).cast("long").as("cid"),
           best.getField("cos").as("cos"))

@@ -53,7 +53,7 @@ object SimHash16 {
 
   def compute(s: UTF8String): Int = {
     val md = localMd.get()
-    val toks = s.toString.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val toks = s.toString.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
     val seen = new java.util.HashSet[String]()
     val votes = new Array[Int](16)
     var i = 0

@@ -67,7 +67,7 @@ object TokenMinHash {
   def compute(s: UTF8String, shingleSize: Int,
               as: Array[Long], bs: Array[Long]): Array[Long] = {
     val md = localMd.get()
-    val toks = s.toString.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val toks = s.toString.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
     val shingles: Iterator[String] =
       if (toks.length < shingleSize) Iterator(toks.mkString(" "))
       else {

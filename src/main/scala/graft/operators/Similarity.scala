@@ -179,21 +179,20 @@ object Similarity {
   def kmeansCentroids(df: DataFrame, id: Column, vec: Column, k: Int,
                       iters: Int): Seq[(Long, Seq[Double])] = {
     def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
-    val d = df.select(id.cast("long").as("id"), vec.as("v"))
+    // cast once so any numeric vector type (float or double) works and
+    // the seed rows collect as doubles
+    val d = df.select(id.cast("long").as("id"),
+      vec.cast("array<double>").as("v"))
     var cents: Seq[(Long, Seq[Double])] =
       d.orderBy(col("id")).limit(k).collect().zipWithIndex.map {
         case (row, i) =>
-          (i.toLong, row.getSeq[Float](1).map(f => r6(f.toDouble)).toSeq)
+          (i.toLong, row.getSeq[Double](1).map(r6).toSeq)
       }.toSeq
     require(cents.size == k, s"need at least $k vectors to seed k-means")
     for (_ <- 1 to iters) {
-      val assignStructs = cents.map { case (cid, cv) =>
-        struct(VF.cosine(col("v"), typedLit(cv)).as("cos"),
-          lit(-cid).as("ncid"))
-      }
       val means = d
         .withColumn("cid",
-          (-array_max(array(assignStructs: _*)).getField("ncid")).cast("long"))
+          (-centroidArgmax(col("v"), cents).getField("ncid")).cast("long"))
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
         .agg(avg(col("x").cast("double")).as("m"))
@@ -209,6 +208,17 @@ object Similarity {
     }
     cents
   }
+
+  /** Cosine argmax over a literal centroid set as one shuffle-free
+    * projection: struct(cos, -cid) max picks the highest cosine with
+    * ties → lowest centroid id. The negated-cid tie rule is the
+    * oracle-critical invariant shared by k-means assignment and the v8
+    * rollup — keep every caller on this one definition.
+    */
+  def centroidArgmax(vec: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    array_max(array(cents.map { case (cid, cv) =>
+      struct(VF.cosine(vec, typedLit(cv)).as("cos"), lit(-cid).as("ncid"))
+    }: _*))
 
   /** Brute-force cosine top-k per query: broadcast the query batch, scan
     * the corpus once, rank per query. Ties broken by doc id (ascending)

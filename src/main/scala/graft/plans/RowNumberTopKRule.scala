@@ -20,12 +20,19 @@ import org.apache.spark.sql.types.DoubleType
   * the ≤ k surviving rows, so the plan's output schema and values are
   * unchanged.
   *
-  * Fires only when the rewrite is provably value-preserving:
+  * Fires only when the rewrite is provably value-preserving AND a
+  * strict improvement:
   *  - the ONLY window expression is the filtered row_number;
+  *  - single partition key (a multi-column key would hash the exchange
+  *    on struct(parts), which does not satisfy the window's clustering
+  *    on the bare columns — EnsureRequirements would add a second
+  *    shuffle and the rewrite would pessimize);
   *  - single descending sort key of non-nullable DoubleType (the exec
   *    orders by one double and drops null orders — a nullable key
   *    could lose rows that row_number would have ranked);
-  *  - deterministic sort key, literal bound, k > 0.
+  *  - deterministic sort key, literal bound, k > 0;
+  *  - no TopKPerKey already under the window (fixed-point re-entry
+  *    guard that sees through pruning Projects).
   * Ties at the k boundary pick an arbitrary winner — exactly as
   * row_number over a non-total order already does; the rewrite adds no
   * new nondeterminism (same caveat as WindowGroupLimit).
@@ -46,10 +53,9 @@ object RowNumberTopKRule extends Rule[LogicalPlan] {
     case f @ Filter(RnLimit(rn, k),
         w @ Window(Seq(al @ Alias(WindowExpression(_: RowNumber, _), _)),
           parts, Seq(SortOrder(ord, Descending, NullsLast, _)), child, _))
-        if k > 0 && rn.exprId == al.exprId && parts.nonEmpty &&
+        if k > 0 && rn.exprId == al.exprId && parts.size == 1 &&
           ord.dataType == DoubleType && !ord.nullable && ord.deterministic &&
-          !child.isInstanceOf[TopKPerKey] =>
-      val key = if (parts.size == 1) parts.head else CreateStruct(parts)
-      f.copy(child = w.copy(child = TopKPerKey(key, ord, k, child)))
+          !child.exists(_.isInstanceOf[TopKPerKey]) =>
+      f.copy(child = w.copy(child = TopKPerKey(parts.head, ord, k, child)))
   }
 }
