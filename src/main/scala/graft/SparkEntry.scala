@@ -35,6 +35,22 @@ object SparkEntry {
     s"floor(($e) * $p + 0.5) / $p"
   }
 
+  /** Temp staging dir for round-trip queries (s1/s8), reclaimed at JVM
+    * exit — repeated Verify/Bench runs must not accumulate garbage in
+    * the system temp dir.
+    */
+  private def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Runs the document-pipeline spine: clean → dedup → per-language stats.
     */
@@ -165,7 +181,7 @@ object SparkEntry {
       val rev = d.withColumn("n_chars", col("n_chars") + 1000)
       val staged = d.withColumn("ord", lit(0L))
         .unionByName(rev.withColumn("ord", lit(1L)))
-      val out = java.nio.file.Files.createTempDirectory("graft_s1").toString
+      val out = scratchDir("graft_s1")
       sources.Jsonl.writeCanonical(staged, out,
         Seq("doc_id", "lang", "n_chars", "ord"))
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
@@ -189,7 +205,7 @@ object SparkEntry {
           fround(avg(col("n_chars")) / 100.0, 2).as("score"))
         .select(col("lang"), col("n_docs"),
           concat(col("score").cast("string"), lit("/10")).as("score_str"))
-      val out = java.nio.file.Files.createTempDirectory("graft_s8").toString
+      val out = scratchDir("graft_s8")
       sources.Reports.writeCsv(stats, out, Seq("lang", "n_docs", "score_str"))
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         "lang STRING, n_docs LONG, score_str STRING")
@@ -522,7 +538,10 @@ object SparkEntry {
       val toks = TA.tokens(col("text"))
       val paperId = concat(lit("arxiv:"), col("doc_id").cast("string"))
       val title = trim(substring(col("text"), 1, 40))
-      val firstAuthor = concat(lit("dr. "), element_at(toks, 1))
+      // try_element_at: an empty/whitespace-only text tokenizes to an
+      // empty array — ANSI element_at would throw, DuckDB tk[1] yields
+      // NULL; NULL then propagates through concat/md5 on both engines.
+      val firstAuthor = concat(lit("dr. "), try_element_at(toks, lit(1)))
       val pubDate = concat(lit("2026-01-"),
         lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"))
       val fp = Compliance.paperFingerprint(title, firstAuthor, pubDate, paperId)

@@ -40,7 +40,8 @@ object Enrich {
   final class MockKeywordClient(maxTokens: Int = 12) extends LlmClient {
     def complete(prompt: String): String = {
       val payload = prompt.split(": ", 2).last
-      payload.toLowerCase.split("\\s+").filter(_.length > 3)
+      payload.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        .filter(_.length > 3)
         .take(maxTokens).mkString(",")
     }
   }
@@ -66,7 +67,8 @@ object Enrich {
   final class MockFieldsClient extends LlmClient {
     def complete(prompt: String): String = {
       val payload = prompt.split(": ", 2).last
-      val toks = payload.toLowerCase.split("\\s+").filter(_.length > 3)
+      val toks = payload.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        .filter(_.length > 3)
       val md = java.security.MessageDigest.getInstance("MD5")
       val hex = md.digest(payload.getBytes("UTF-8"))
         .take(1).map("%02x".format(_)).mkString

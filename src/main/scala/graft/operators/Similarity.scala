@@ -123,8 +123,12 @@ object Similarity {
     // shuffle-free codegen'd projection over the corpus — no crossJoin
     // row blowup, no per-doc-id window (which would shuffle the whole
     // corpus just to pick an argmax).
+    // cast the vector too: a double-typed centroid column (e.g. straight
+    // from kmeansCentroids' Seq[(Long, Seq[Double])]) would otherwise
+    // ClassCastException inside getSeq[Float]/literal encoding.
     val cents = centroids
-      .select(centroidId.cast("long").as("cid"), centroidVec.as("cv"))
+      .select(centroidId.cast("long").as("cid"),
+        centroidVec.cast("array<float>").as("cv"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
       .sortBy(_._1)
