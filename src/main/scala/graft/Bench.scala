@@ -13,7 +13,12 @@ object Bench {
     // doesn't absorb session start-up; run in sorted order for
     // run-to-run comparability.
     Tables.names.foreach(t => Tables.load(spark, sfDir, t).count())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args = query-name filter for iterating on hotspots; the
+    // driver invokes with no args and gets the full suite.
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         // Full-evaluation sink: a count() lets Catalyst prune every

@@ -669,7 +669,10 @@ object SparkEntry {
       val iqr = col("q3") - col("q1")
       val lo = col("q1") - iqr * 1.5
       val hi = col("q3") + iqr * 1.5
-      li.join(q, "l_returnflag")
+      // broadcast the 3-row quartile side explicitly: size estimates on a
+      // narrow parquet scan otherwise let Catalyst build the hashed
+      // relation from the FACT side (BuildLeft over all of lineitem).
+      li.join(broadcast(q), "l_returnflag")
         .groupBy(col("l_returnflag"))
         .agg(
           fround(first(col("q1")), 6).as("q1"),

@@ -84,6 +84,11 @@ object Dedup {
       .rdd.zipWithIndex()
       .map { case (tok, i) => (tok, (i + 1).toInt) }
       .toDF("tok", "tid")
+      // the plan consumes dict twice (prefix build + re-attach) and each
+      // scan would otherwise replay the rank shuffle AND the zipWithIndex
+      // job; persist makes the dictionary a build-once artifact (disk-
+      // backed, so a huge vocabulary spills instead of OOMing).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // no broadcast hint: at 100 TB the vocabulary is billions of tokens
     // and a forced broadcast OOMs the driver; AQE still converts this to
     // a broadcast join at runtime whenever the dictionary actually fits.
@@ -92,6 +97,12 @@ object Dedup {
       .agg(sort_array(collect_list(col("tid"))).as("tids"))
       .withColumn("n", size(col("tids")))
       .withColumn("p", (col("n") - ceil(col("n") * threshold) + 1).cast("int"))
+      // four consumers (both prefix self-join sides + both array
+      // re-attach joins) and no exchange reuse across them: without an
+      // explicit materialization the tokenize→dict-join→collect_list
+      // pipeline recomputes per consumer. One row per document, so this
+      // is the natural build-once index artifact (parquet at 100 TB).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefix = docs.select(col("id"), col("n"),
       posexplode(slice(col("tids"), lit(1), col("p"))).as(Seq("pos", "tid")))
     val tNum = math.round(threshold * 1000000).toInt
