@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -39,4 +40,88 @@ object Joins {
                     buckets: Int): Unit =
     df.write.bucketBy(buckets, key).sortBy(key)
       .mode("overwrite").format("parquet").saveAsTable(table)
+
+  /** Backward as-of left join: every left row picks the LATEST right row
+    * of the same `key` with `right(rightTime) <= left(leftTime)`
+    * (inclusive — a right row at exactly the left timestamp matches, the
+    * DuckDB/pandas `merge_asof` convention). Left rows with no earlier
+    * right row keep NULLs.
+    *
+    * Spark has no native as-of join; the naive formulations are a
+    * point-in-time theta-join (row blowup, then argmax per left row) or
+    * a per-left-row subquery. This is the scalable shape instead: tag
+    * and union both sides, ONE hash shuffle on `key`, then a running
+    * `last(payload, ignoreNulls)` window ordered by (time, side) carries
+    * each right payload forward to the left rows that follow it. Cost is
+    * a single sort per key partition — no pair blowup, no second
+    * shuffle. A key whose whole timeline is hot still lands in one task;
+    * if that bites, pre-split by coarse time bucket and stitch boundary
+    * carry-forwards (two-pass) — not needed at current skew.
+    *
+    * Contracts: `right` rows are unique per (key, rightTime) — the match
+    * would otherwise be ambiguous; left/right column names must not
+    * collide (pre-alias the right side). Result columns: all of left's,
+    * then right's payload columns (everything except `key`), NULL when
+    * unmatched.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String): DataFrame = {
+    val lCols = left.columns.toSeq
+    val rPayload = right.columns.toSeq.filterNot(_ == key)
+    val lStructType = left.select(struct(lCols.map(col): _*)).schema.head.dataType
+    val rStructType = right.select(struct(rPayload.map(col): _*)).schema.head.dataType
+    val rSide = right.select(col(key).as("__k"), col(rightTime).as("__t"),
+      lit(0).as("__side"),
+      struct(rPayload.map(col): _*).as("__p"),
+      lit(null).cast(lStructType).as("__l"))
+    val lSide = left.select(col(key).as("__k"), col(leftTime).as("__t"),
+      lit(1).as("__side"),
+      lit(null).cast(rStructType).as("__p"),
+      struct(lCols.map(col): _*).as("__l"))
+    // right sorts before left at equal timestamps, so the running last()
+    // sees a same-instant right row before the left row that matches it.
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rSide.unionByName(lSide)
+      .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(lCols.map(c => col("__l").getField(c).as(c)) ++
+        rPayload.map(c => col("__match").getField(c).as(c)): _*)
+  }
+
+  /** Interval-containment (range) join: pairs every point row with every
+    * range row of the same `key` whose `[rangeStart, rangeEnd]` contains
+    * the point's `pointTime` (both bounds inclusive). Times are LONG
+    * (e.g. epoch microseconds via `unix_micros`).
+    *
+    * The naive plan is a theta-join (broadcast nested loop or worse).
+    * Instead the time axis buckets into fixed `cellWidth` cells: a point
+    * belongs to exactly one cell, a range explodes into every cell it
+    * overlaps, and the pair meets in the point's cell via a plain EQUI
+    * join on (key, cell) — shuffle-hash machinery, AQE, and skew
+    * handling all apply. The exact bounds re-check inside the join
+    * condition keeps the result identical to the theta-join, and the
+    * one-cell-per-point invariant means no post-join dedup. Work scales
+    * with |points| + Σ(span/cellWidth + 1), so pick cellWidth near the
+    * typical range span.
+    *
+    * Contract: point/range column names are disjoint apart from `key`;
+    * rangeStart <= rangeEnd. Result: all point columns + all range
+    * payload columns (inner join).
+    */
+  def rangeJoin(points: DataFrame, pointTime: String,
+                ranges: DataFrame, rangeStart: String, rangeEnd: String,
+                key: String, cellWidth: Long): DataFrame = {
+    require(cellWidth > 0, "cellWidth must be positive")
+    val p = points.withColumn("__cell",
+      expr(s"$pointTime div $cellWidth"))
+    val r = ranges.withColumn("__cell",
+      explode(sequence(expr(s"$rangeStart div $cellWidth"),
+        expr(s"$rangeEnd div $cellWidth"))))
+    p.join(r, Seq(key, "__cell"))
+      .filter(col(pointTime) >= col(rangeStart) &&
+        col(pointTime) <= col(rangeEnd))
+      .drop("__cell")
+  }
 }
