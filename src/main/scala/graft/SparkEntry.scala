@@ -169,6 +169,44 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    "j2_asof_join" -> ((s, dir) => {
+      // As-of (backward, inclusive) join: every click picks the user's
+      // latest purchase at-or-before it. Joins.asofJoin's union + ONE
+      // hash-shuffle running-last plan vs DuckDB's native ASOF LEFT
+      // JOIN. The right side pre-aggregates per (user, ts) to honor the
+      // unique-(key, time) contract at any SF; 141 clicks precede their
+      // user's first purchase at sf0.01, exercising the NULL path.
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tus"))
+      val rates = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("rts"))
+        .agg(max(col("value")).as("rate"))
+      graft.operators.Joins.asofJoin(clicks, rates, "user_id", "tus", "rts")
+        .orderBy(col("user_id"), col("tus"), col("event_id"))
+    }),
+
+    "j3_range_join" -> ((s, dir) => {
+      // Interval-containment join: clicks within ±4 h of a purchase by
+      // the same user. Joins.rangeJoin buckets the time axis into 1 h
+      // cells so the pairing is a plain equi-join on (user, cell) with
+      // an exact bounds re-check — no theta-join, and each ±4 h window
+      // explodes into ~9 cells.
+      val ev = t(s, dir, "events")
+      val halfSpan = 4L * 3600L * 1000000L
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("tus"))
+      val wins = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("win_id"),
+          (unix_micros(col("ts")) - halfSpan).as("start_us"),
+          (unix_micros(col("ts")) + halfSpan).as("end_us"))
+      graft.operators.Joins.rangeJoin(clicks, "tus", wins,
+          "start_us", "end_us", "user_id", cellWidth = 3600L * 1000000L)
+        .orderBy(col("user_id"), col("click_id"), col("win_id"))
+    }),
+
     "s1_jsonl_roundtrip" -> ((s, dir) => {
       // S1/S2/S3 — canonical JSONL sink → strict schema-on-read scan →
       // keyed last-wins merge (the reference's dict-overwrite ingest,
@@ -2135,6 +2173,33 @@ object SparkEntry {
          LEFT JOIN customer ON o_custkey = c_custkey
          LEFT JOIN bl ON o_orderkey = bl.l_orderkey
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "j2_asof_join" ->
+      """WITH clicks AS (
+           SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS tus
+           FROM events WHERE event_type = 'click'),
+         rates AS (
+           SELECT user_id, epoch_us(ts::TIMESTAMP) AS rts, max(value) AS rate
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT c.user_id, c.event_id, c.tus, r.rts, r.rate
+         FROM clicks c ASOF LEFT JOIN rates r
+           ON c.user_id = r.user_id AND c.tus >= r.rts
+         ORDER BY c.user_id, c.tus, c.event_id""",
+
+    "j3_range_join" ->
+      """WITH clicks AS (
+           SELECT user_id, event_id AS click_id, epoch_us(ts::TIMESTAMP) AS tus
+           FROM events WHERE event_type = 'click'),
+         wins AS (
+           SELECT user_id, event_id AS win_id,
+             epoch_us(ts::TIMESTAMP) - 14400000000 AS start_us,
+             epoch_us(ts::TIMESTAMP) + 14400000000 AS end_us
+           FROM events WHERE event_type = 'purchase')
+         SELECT c.user_id, c.click_id, c.tus, w.win_id, w.start_us, w.end_us
+         FROM clicks c JOIN wins w
+           ON c.user_id = w.user_id
+           AND c.tus >= w.start_us AND c.tus <= w.end_us
+         ORDER BY c.user_id, c.click_id, w.win_id""",
 
     "s7_inverted_index_roundtrip" ->
       s"""SELECT doc_id,
