@@ -35,21 +35,11 @@ object SparkEntry {
     s"floor(($e) * $p + 0.5) / $p"
   }
 
-  /** Temp staging dir for round-trip queries (s1/s8), reclaimed at JVM
-    * exit — repeated Verify/Bench runs must not accumulate garbage in
-    * the system temp dir.
+  /** Temp staging dir for round-trip queries (s1/s8/s9), reclaimed at
+    * JVM exit — repeated Verify/Bench runs must not accumulate garbage
+    * in the system temp dir.
     */
-  private def scratchDir(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(p.toFile)
-    }))
-    p.toString
-  }
+  private def scratchDir(prefix: String): String = Scratch.dir(prefix)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Runs the document-pipeline spine: clean → dedup → per-language stats.

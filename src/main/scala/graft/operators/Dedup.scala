@@ -71,6 +71,28 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, id: Column, text: Column,
                    threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    val (pairs, staged) = jaccardPairsPlan(df, id, text, threshold)
+    // Materialize the pair set while the dictionary/doc-index blocks are
+    // pinned, then RELEASE them — a library call must not leave cache
+    // blocks resident for the life of the session (they'd crowd out the
+    // rest of a 60-query run). The stage is a scratch parquet: the same
+    // build-once artifact you'd keep deliberately at 100 TB, and the
+    // returned scan holds no cache at all.
+    try {
+      val stage = graft.Scratch.dir("graft_d4_pairs")
+      pairs.write.mode("overwrite").parquet(stage)
+      spark.read.parquet(stage)
+    } finally staged.foreach(_.unpersist(blocking = false))
+  }
+
+  /** The lazy pair plan plus its two persisted intermediates (token
+    * dictionary, per-doc id arrays). Package-private so plan audits can
+    * assert the cache-reuse shape; callers of the public [[jaccardPairs]]
+    * never see (or leak) the persisted handles.
+    */
+  private[graft] def jaccardPairsPlan(df: DataFrame, id: Column, text: Column,
+                                      threshold: Double): (DataFrame, Seq[DataFrame]) = {
     val toks = tokenIndex(df, id, text)
     // global rarity rank WITHOUT a single-partition window: distributed
     // range-sort + zipWithIndex keeps the dictionary build parallel even
@@ -121,7 +143,7 @@ object Dedup {
           bestOverlap * (1000000L + tNum) >= (col("a.n") + col("b.n")) * tNum)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    cands
+    val pairs = cands
       .join(docs.select(col("id").as("id_a"), col("tids").as("ta"),
         col("n").as("size_a")), "id_a")
       .join(docs.select(col("id").as("id_b"), col("tids").as("tb"),
@@ -136,6 +158,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"),
         col("size_a").cast("long").as("size_a"),
         col("size_b").cast("long").as("size_b"), col("jaccard"))
+    (pairs, Seq(dict, docs))
   }
 
   /** D4 survivors — drop every row that has a near-duplicate with a

@@ -36,12 +36,44 @@ class PlanAuditSpec extends SparkSpec {
   test("jaccardPairs dictionary join is not a forced broadcast") {
     val d = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x y z"))
       .toDF("id", "text")
+    val (pairs, staged) = Dedup.jaccardPairsPlan(d, $"id", $"text", 0.5)
+    try {
+      val analyzed = pairs.queryExecution.analyzed.toString
+      // a ResolvedHint in the analyzed plan means someone re-added
+      // broadcast(); AQE choosing broadcast at runtime is fine.
+      assert(!analyzed.contains("ResolvedHint"),
+        s"forced broadcast hint reintroduced:\n$analyzed")
+    } finally staged.foreach(_.unpersist(blocking = true))
+  }
+
+  test("jaccardPairs reuses the cached doc index instead of re-deriving it") {
+    val d = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x y z"))
+      .toDF("id", "text")
+    val (pairs, staged) = Dedup.jaccardPairsPlan(d, $"id", $"text", 0.5)
+    try {
+      val plan = pairs.queryExecution.executedPlan.toString
+      // four consumers of the doc index (both prefix self-join sides +
+      // both array re-attach joins) must all read the cache — a refactor
+      // that drops the persist re-derives the tokenize→dict-join→
+      // collect_list subtree per consumer (the round-4 2.3× d4 win).
+      val scans = "InMemoryTableScan".r.findAllIn(plan).size
+      assert(scans >= 4, s"expected >=4 InMemoryTableScans, got $scans:\n$plan")
+      // and the dictionary's zipWithIndex RDD must appear only inside the
+      // cached build, never re-derived downstream of the cache scans.
+      assert(!plan.replaceAll("(?s)InMemoryRelation.*", "").contains("ZippedWithIndex"),
+        s"dictionary subtree re-derived outside the cache:\n$plan")
+    } finally staged.foreach(_.unpersist(blocking = true))
+  }
+
+  test("jaccardPairs releases every cache block it pins") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val d = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "q r s"))
+      .toDF("id", "text")
     val pairs = Dedup.jaccardPairs(d, $"id", $"text", 0.5)
-    val analyzed = pairs.queryExecution.analyzed.toString
-    // a ResolvedHint in the analyzed plan means someone re-added
-    // broadcast(); AQE choosing broadcast at runtime is fine.
-    assert(!analyzed.contains("ResolvedHint"),
-      s"forced broadcast hint reintroduced:\n$analyzed")
+    assert(pairs.count() >= 1) // the staged artifact is real
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"jaccardPairs left persisted RDDs resident: $leaked")
   }
 
   test("brute-force topK broadcasts the query side, not the corpus") {
