@@ -41,6 +41,30 @@ object SparkEntry {
     */
   private def scratchDir(prefix: String): String = Scratch.dir(prefix)
 
+  /** Deterministic PII injection over `documents.text` (corpus is clean;
+    * c1/c5 and their oracles must dirty it IDENTICALLY — [[sqlDirtyPii]]
+    * is the DuckDB twin).
+    */
+  private def dirtyPii: Column = concat(col("text"),
+    when(col("doc_id") % 7 === 0,
+      concat(lit(" reach me at user"), col("doc_id").cast("string"),
+        lit("@example.com"))).otherwise(lit("")),
+    when(col("doc_id") % 13 === 0, lit(" call +1 555 123 4567"))
+      .otherwise(lit("")),
+    when(col("doc_id") % 97 === 0, lit(" ssn 123-45-6789"))
+      .otherwise(lit("")))
+
+  /** DuckDB twin of [[dirtyPii]] as a one-CTE body over `documents`. */
+  private val sqlDirtyPii: String =
+    """SELECT doc_id, text ||
+         (CASE WHEN doc_id % 7 = 0
+           THEN ' reach me at user' || doc_id::VARCHAR || '@example.com'
+           ELSE '' END) ||
+         (CASE WHEN doc_id % 13 = 0 THEN ' call +1 555 123 4567' ELSE '' END) ||
+         (CASE WHEN doc_id % 97 = 0 THEN ' ssn 123-45-6789' ELSE '' END)
+         AS dirty
+       FROM documents"""
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Runs the document-pipeline spine: clean → dedup → per-language stats.
     */
@@ -241,6 +265,54 @@ object SparkEntry {
         .select(col("lang"), col("n_docs"),
           TF.scoreOfString(col("score_str")).as("score"))
         .orderBy(col("lang"))
+    }),
+
+    "s9_json_report_roundtrip" -> ((s, dir) => {
+      // S9 — JSON report sink → schema-pinned multiline scan round-trip
+      // (enhance_scoring.py:603-609 pretty-JSON stats dump +
+      // provenance_compliance.py:443-446): per-lang stats → pretty JSON
+      // array on the driver → read back. The oracle computes the stats
+      // directly from documents, so equality proves the JSON hop is
+      // lossless (shortest-round-trip doubles).
+      val stats = t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          fround(avg(col("n_chars")), 4).as("avg_chars"))
+        .orderBy(col("lang"))
+      val out = scratchDir("graft_s9") + "/report.json"
+      sources.Reports.writeJsonReport(stats, out)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "lang STRING, n_docs LONG, avg_chars DOUBLE")
+      sources.Reports.readJsonReport(s, out, schema)
+        .orderBy(col("lang"))
+    }),
+
+    "v9_store_build" -> ((s, dir) => {
+      // T20/V2 — embedding_text template + vector-store build + parquet
+      // round-trip (rag.ipynb:134-154, 446-486): deterministic
+      // title/authors/abstract derive from the text (same recipe family
+      // as s6/c4), buildStore projects the store row, the store writes
+      // to parquet (the store IS a columnar table here) and reads back.
+      // The oracle recomputes doc_text from scratch, so equality proves
+      // the template and the store hop.
+      val d = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      val toks = TA.tokens(col("text"))
+      val authors = transform(slice(toks, 1, 3),
+        tk => concat(lit("dr. "), tk))
+      val store = Rag.buildStore(
+        d.join(e, col("doc_id") === col("vec_id")),
+        col("doc_id"), trim(substring(col("text"), 1, 40)), authors,
+        col("text"), col("embedding"))
+      val out = scratchDir("graft_v9")
+      store.write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .select(col("paper_id"),
+          length(col("doc_text")).cast("long").as("doc_chars"),
+          md5(col("doc_text")).as("doc_md5"),
+          col("title"),
+          size(col("embedding")).cast("long").as("dim"))
+        .orderBy(col("paper_id"))
     }),
 
     "s7_inverted_index_roundtrip" -> ((s, dir) => {
@@ -514,14 +586,7 @@ object SparkEntry {
       // C3 — PII detectors + risk rollup over deterministically-dirtied
       // text (corpus is clean; both sides inject identical PII).
       val d = t(s, dir, "documents")
-      val dirty = concat(col("text"),
-        when(col("doc_id") % 7 === 0,
-          concat(lit(" reach me at user"), col("doc_id").cast("string"),
-            lit("@example.com"))).otherwise(lit("")),
-        when(col("doc_id") % 13 === 0, lit(" call +1 555 123 4567"))
-          .otherwise(lit("")),
-        when(col("doc_id") % 97 === 0, lit(" ssn 123-45-6789"))
-          .otherwise(lit("")))
+      val dirty = dirtyPii
       // two select boundaries: each regex detector runs ONCE (risk and
       // density then read the materialized counts, instead of splicing
       // every detector tree into themselves a second and third time)
@@ -590,6 +655,31 @@ object SparkEntry {
         lic.getField("compliance_status").getField("attribution_satisfied")
           .as("attribution_satisfied"))
         .orderBy(col("doc_id"))
+    }),
+
+    "c5_pii_findings" -> ((s, dir) => {
+      // T14/C3 — the reference's PII findings map with MASKED samples
+      // (provenance_compliance.py:219-243: map<pii_type, struct(count,
+      // sample_matches)>), flattened to (doc, type) rows — map values
+      // hash unstably across engines. Only types that fired emit a row;
+      // the first match masks via maskPii (first 2 + "***" + last 2).
+      val d = t(s, dir, "documents")
+      val types = TF.piiPatterns.keys.toSeq.sorted
+      d.select(col("doc_id"), dirtyPii.as("dirty"))
+        // one select boundary: every detector regex runs exactly once,
+        // then the explode fans the materialized matches into rows.
+        .select(col("doc_id"), explode(array(types.map(k =>
+          struct(lit(k).as("pii_type"),
+            TF.piiMatches(col("dirty"), k).as("ms"))): _*)).as("f"))
+        .select(col("doc_id"),
+          col("f").getField("pii_type").as("pii_type"),
+          size(col("f").getField("ms")).cast("long").as("n_matches"),
+          // try_element_at: rows with zero matches are filtered AFTER
+          // this projection evaluates — ANSI element_at would throw.
+          TF.maskPii(try_element_at(col("f").getField("ms"), lit(1)))
+            .as("sample_masked"))
+        .filter(col("n_matches") > 0)
+        .orderBy(col("doc_id"), col("pii_type"))
     }),
 
     "a13_rag_report" -> ((s, dir) => {
@@ -973,6 +1063,31 @@ object SparkEntry {
           x => concat(lit("  "), x, lit(" "))))
       val scenarios = slice(col("toks"), 5, 4)
       val v = Enrich.validatedSummary(
+        col("text"), trim(substring(col("text"), 1, 80)),
+        contributions, scenarios)
+      d.select(col("doc_id"),
+        v.getField("problem").as("problem"),
+        v.getField("method").as("method"),
+        array_join(v.getField("key_contributions"), ",").as("contributions"),
+        size(v.getField("key_contributions")).cast("long").as("n_contrib"),
+        array_join(v.getField("application_scenarios"), ",").as("scenarios"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "l8_summary_fast" -> ((s, dir) => {
+      // L4 fast profile (enhance_summary.py:209-242): 300-char plain
+      // string truncation (no ellipsis), 200-char item truncation, list
+      // cap 8. Items are padded past 200 chars (rpad) so the item-level
+      // cap actually fires; 2 empty + 10 padded entries exercise
+      // compaction and the cap together.
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), TA.tokens(col("text")).as("toks"))
+      val contributions = concat(
+        array(lit(""), lit(" ")),
+        transform(slice(col("toks"), 1, 10),
+          x => rpad(concat(lit("  "), x), 210, "y")))
+      val scenarios = slice(col("toks"), 5, 4)
+      val v = Enrich.validatedSummaryFast(
         col("text"), trim(substring(col("text"), 1, 80)),
         contributions, scenarios)
       d.select(col("doc_id"),
@@ -1435,15 +1550,7 @@ object SparkEntry {
       val pats = TF.piiPatterns
       def cnt(kind: String) =
         s"len(regexp_extract_all(dirty, '${pats(kind).replace("'", "''")}'))"
-      s"""WITH d AS (
-           SELECT doc_id, text ||
-             (CASE WHEN doc_id % 7 = 0
-               THEN ' reach me at user' || doc_id::VARCHAR || '@example.com'
-               ELSE '' END) ||
-             (CASE WHEN doc_id % 13 = 0 THEN ' call +1 555 123 4567' ELSE '' END) ||
-             (CASE WHEN doc_id % 97 = 0 THEN ' ssn 123-45-6789' ELSE '' END)
-             AS dirty
-           FROM documents),
+      s"""WITH d AS ($sqlDirtyPii),
          c AS (
            SELECT doc_id, dirty,
              ${cnt("email")} AS n_email, ${cnt("phone")} AS n_phone,
@@ -1460,6 +1567,48 @@ object SparkEntry {
                / len(regexp_extract_all(dirty, '\\w+'))
              ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS pii_density
          FROM c ORDER BY doc_id"""
+    },
+
+    "c5_pii_findings" -> {
+      val pats = TF.piiPatterns
+      val vals = pats.keys.toSeq.sorted
+        .map(k => s"('$k', '${pats(k).replace("'", "''")}')").mkString(", ")
+      s"""WITH d AS ($sqlDirtyPii),
+         f AS (
+           SELECT doc_id, t.pii_type,
+             regexp_extract_all(dirty, t.pattern) AS ms
+           FROM d, (VALUES $vals) t(pii_type, pattern))
+         SELECT doc_id, pii_type, len(ms)::BIGINT AS n_matches,
+           CASE WHEN length(ms[1]) > 4
+             THEN substr(ms[1], 1, 2) || '***' ||
+               substr(ms[1], length(ms[1]) - 1, 2)
+             ELSE '***' END AS sample_masked
+         FROM f WHERE len(ms) > 0
+         ORDER BY doc_id, pii_type"""
+    },
+
+    "s9_json_report_roundtrip" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         ${sqlFround("avg(n_chars)", 4)} AS avg_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+
+    "v9_store_build" -> {
+      val toks = sqlTokens("text")
+      s"""WITH t AS (SELECT doc_id, text, $toks AS tk FROM documents),
+         s AS (
+           SELECT doc_id AS paper_id,
+             'Paper Title: ' || trim(substring(text, 1, 40)) || chr(10) ||
+             'Authors: ' || array_to_string(
+               list_transform(list_slice(tk, 1, 3), x -> 'dr. ' || x), ', ')
+               || chr(10) ||
+             'Abstract: ' || substring(text, 1, 500) AS doc_text,
+             trim(substring(text, 1, 40)) AS title
+           FROM t)
+         SELECT s.paper_id, length(doc_text)::BIGINT AS doc_chars,
+           md5(doc_text) AS doc_md5, s.title,
+           len(e.embedding)::BIGINT AS dim
+         FROM s JOIN embeddings e ON e.vec_id = s.paper_id
+         ORDER BY s.paper_id"""
     },
 
     "c3_record_fingerprint" ->
@@ -1851,6 +2000,35 @@ object SparkEntry {
                x -> x <> ''), 1, 10) AS contrib,
              list_slice(list_filter(list_transform(scen0, x -> trim(x)),
                x -> x <> ''), 1, 10) AS scen
+           FROM c)
+         SELECT doc_id, problem, method,
+           array_to_string(contrib, ',') AS contributions,
+           len(contrib)::BIGINT AS n_contrib,
+           array_to_string(scen, ',') AS scenarios
+         FROM v ORDER BY doc_id"""
+    },
+
+    "l8_summary_fast" -> {
+      val toks = sqlTokens("text")
+      s"""WITH t AS (
+           SELECT doc_id, text, trim(text) AS problem0,
+             trim(substring(text, 1, 80)) AS method0,
+             $toks AS tk
+           FROM documents),
+         c AS (
+           SELECT doc_id, problem0, method0,
+             list_concat(['', ' '], list_transform(list_slice(tk, 1, 10),
+               x -> rpad('  ' || x, 210, 'y'))) AS contrib0,
+             list_slice(tk, 5, 8) AS scen0
+           FROM t),
+         v AS (
+           SELECT doc_id,
+             substring(problem0, 1, 300) AS problem,
+             substring(method0, 1, 300) AS method,
+             list_slice(list_filter(list_transform(contrib0,
+               x -> substring(trim(x), 1, 200)), x -> x <> ''), 1, 8) AS contrib,
+             list_slice(list_filter(list_transform(scen0,
+               x -> substring(trim(x), 1, 200)), x -> x <> ''), 1, 8) AS scen
            FROM c)
          SELECT doc_id, problem, method,
            array_to_string(contrib, ',') AS contributions,

@@ -210,22 +210,47 @@ object Enrich {
       lit(0.5).as("confidence"))
   }
 
-  /** L4 — contribution-summary validation: strings trimmed and truncated
-    * at 500 chars with ellipsis, list items trimmed/compacted and capped
-    * at 10. Ref: enhance_optional_summary.py:174-346 (fast variant caps
-    * differ — parameterize if needed).
+  /** L4 — contribution-summary validation, parameterized over the two
+    * reference profiles:
+    *  - optional-summary validator: strings trimmed + truncated at 500
+    *    chars WITH ellipsis, items trimmed/compacted (no item cap),
+    *    list capped at 10 (enhance_optional_summary.py:174-346);
+    *  - fast validator: strings trimmed + hard-truncated at 300 (no
+    *    ellipsis), items hard-truncated at 200, list capped at 8
+    *    (enhance_summary.py:209-242).
     */
-  def validatedSummary(problem: Column, method: Column,
-                       contributions: Column, scenarios: Column): Column = {
-    def s(c: Column) = graft.functions.TextFunctions.truncateEllipsis(trim(c), 500)
+  def validatedSummaryWith(problem: Column, method: Column,
+                           contributions: Column, scenarios: Column,
+                           strCap: Int, ellipsis: Boolean,
+                           itemCap: Option[Int], listCap: Int): Column = {
+    def s(c: Column) =
+      if (ellipsis) graft.functions.TextFunctions.truncateEllipsis(trim(c), strCap)
+      else substring(trim(c), 1, strCap)
+    // item emptiness is checked on the TRIMMED value; truncation of a
+    // non-empty trimmed string can't make it empty, so filtering after
+    // the cap matches the reference's pre-cap check.
     def l(c: Column) = slice(
-      filter(transform(c, x => trim(x)), x => x =!= ""), 1, 10)
+      filter(transform(c,
+        x => itemCap.fold(trim(x))(k => substring(trim(x), 1, k))),
+        x => x =!= ""), 1, listCap)
     struct(
       s(problem).as("problem"),
       s(method).as("method"),
       l(contributions).as("key_contributions"),
       l(scenarios).as("application_scenarios"))
   }
+
+  /** Optional-summary L4 profile (500/ellipsis/no item cap/10). */
+  def validatedSummary(problem: Column, method: Column,
+                       contributions: Column, scenarios: Column): Column =
+    validatedSummaryWith(problem, method, contributions, scenarios,
+      strCap = 500, ellipsis = true, itemCap = None, listCap = 10)
+
+  /** Fast L4 profile (300 plain/200-char items/8). */
+  def validatedSummaryFast(problem: Column, method: Column,
+                           contributions: Column, scenarios: Column): Column =
+    validatedSummaryWith(problem, method, contributions, scenarios,
+      strCap = 300, ellipsis = false, itemCap = Some(200), listCap = 8)
 
   /** P5 — checkpoint/resume anti-join: rows of `df` whose `idCol` is not
     * in `done`. Ref: enhance_fields_of_study.py:347-356.
