@@ -682,6 +682,27 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pii_type"))
     }),
 
+    "c6_copyright" -> ((s, dir) => {
+      // C4 — copyright heuristics (provenance_compliance.py:267-293):
+      // platform flag from the url, journal_reference found/not_found
+      // from the comments. Inputs derive deterministically: every third
+      // doc a non-arXiv url, every fifth a journal mention appended to
+      // the text prefix (the prefix itself may also mention one — fine,
+      // both engines see identical strings).
+      val d = t(s, dir, "documents")
+      val url = when(col("doc_id") % 3 === 0,
+        concat(lit("https://example.com/"), col("doc_id").cast("string")))
+        .otherwise(concat(lit("https://arxiv.org/abs/"), col("doc_id").cast("string")))
+      val comments = concat(substring(col("text"), 1, 60),
+        when(col("doc_id") % 5 === 0, lit(" Accepted, Journal of Data."))
+          .otherwise(lit("")))
+      d.select(col("doc_id"),
+        Compliance.isArxivUrl(url).as("is_arxiv"),
+        when(Compliance.mentionsJournal(comments), "found")
+          .otherwise("not_found").as("journal_reference"))
+        .orderBy(col("doc_id"))
+    }),
+
     "a13_rag_report" -> ((s, dir) => {
       // A13/V6 — RAG-vs-baseline evaluation report rollup
       // (rag.ipynb generate_report): mean scores, improvement rates
@@ -1586,6 +1607,21 @@ object SparkEntry {
          FROM f WHERE len(ms) > 0
          ORDER BY doc_id, pii_type"""
     },
+
+    "c6_copyright" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+               THEN 'https://example.com/' || doc_id::VARCHAR
+               ELSE 'https://arxiv.org/abs/' || doc_id::VARCHAR END AS url,
+             substring(text, 1, 60) ||
+               (CASE WHEN doc_id % 5 = 0
+                 THEN ' Accepted, Journal of Data.' ELSE '' END) AS comments
+           FROM documents)
+         SELECT doc_id, contains(url, 'arxiv.org') AS is_arxiv,
+           CASE WHEN contains(lower(comments), 'journal')
+             THEN 'found' ELSE 'not_found' END AS journal_reference
+         FROM t ORDER BY doc_id""",
 
     "s9_json_report_roundtrip" ->
       s"""SELECT lang, count(*) AS n_docs,
