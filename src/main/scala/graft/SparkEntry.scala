@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextAnalysis => TA, TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Align, Compliance, Dedup, Enrich, Multimodal, Rag, Ruler, Similarity}
+import graft.operators.{Align, Compliance, Dedup, Enrich, Multimodal, Rag, Ruler, Sampling, Similarity}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -487,6 +487,40 @@ object SparkEntry {
     }),
 
     // ---- T: text functions ------------------------------------------
+    "d8_stratified_sample" -> ((s, dir) => {
+      // Deterministic per-language corpus rebalancing (beyond the
+      // reference; standard curation need): md5-hash sampling keeps the
+      // same rows regardless of run, partitioning, or cluster size —
+      // en downsamples to 50%, zh to 25%, the tail languages keep 80%.
+      // The filter is a pure scan-fused predicate; the oracle replays
+      // the identical hash arithmetic.
+      Sampling.stratifiedSample(
+          t(s, dir, "documents"),
+          col("lang"), col("doc_id"),
+          Map("en" -> 0.5, "zh" -> 0.25), defaultRate = 0.8, salt = "s42")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "ta6_seq_packing" -> ((s, dir) => {
+      // Sequence packing for training (beyond the reference): concat-
+      // and-chunk semantics — per language, documents concatenate in
+      // doc_id order and cut every 2048 tokens; a doc belongs to the
+      // bin where it STARTS (start offset = running token sum minus own
+      // length). One window per language partition — partition-parallel,
+      // no global sort. Rolled up to per-bin doc/token counts.
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TA.tokenCount(col("text")).cast("long").as("n_tok"))
+        .withColumn("start_tok", sum(col("n_tok")).over(w) - col("n_tok"))
+        .withColumn("bin", expr("start_tok div 2048"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy(col("lang"), col("bin"))
+    }),
+
     "t1_text_clean" -> ((s, dir) => {
       // T1-T4 — LaTeX/HTML-entity/non-ASCII strip + whitespace collapse
       // (text_cleaning.py:20-50). The corpus is clean, so dirty input is
@@ -1331,6 +1365,23 @@ object SparkEntry {
       graft.plans.TopKPerKey(sims, col("query_id"), col("cosine"), 5)
         .select(col("query_id"), col("doc_id"), fround(col("cosine"), 6).as("cosine"))
         .orderBy(col("query_id"), col("cosine").desc, col("doc_id"))
+    }),
+
+    "v10_quantized_ann" -> ((s, dir) => {
+      // Int8 scalar-quantized ANN + exact rerank (beyond the reference;
+      // the memory-bandwidth scale path): 3-query batch broadcast,
+      // candidate scoring over int8 codes (scales cancel in cosine),
+      // top-20 per query rerank with exact float cosine, final top-5.
+      val e = t(s, dir, "embeddings")
+      Similarity.quantizedTopK(
+          e.filter(col("vec_id") >= 3), col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < 3), col("vec_id"), col("embedding"),
+          k = 5, rerank = 20)
+        .select(col("query_id"), col("doc_id"),
+          fround(col("cosine"), 6).as("cosine"),
+          fround(col("approx_cosine"), 6).as("approx_cosine"),
+          col("rank"))
+        .orderBy(col("query_id"), col("rank"))
     }),
 
     "v3_neardup_lsh" -> ((s, dir) => {
@@ -2377,6 +2428,80 @@ object SparkEntry {
          LEFT JOIN customer ON o_custkey = c_custkey
          LEFT JOIN bl ON o_orderkey = bl.l_orderkey
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "d8_stratified_sample" -> {
+      val rateCases = Map("en" -> 0.5, "zh" -> 0.25).toSeq.sortBy(_._1)
+        .map { case (l, r) => s"WHEN lang = '$l' THEN ${Sampling.threshold(r)}" }
+        .mkString(" ")
+      s"""SELECT doc_id, lang FROM documents
+         WHERE ('0x' || substr(md5('s42:' || doc_id::VARCHAR), 1, 7))::BIGINT <
+           (CASE $rateCases ELSE ${Sampling.threshold(0.8)} END)
+         ORDER BY doc_id"""
+    },
+
+    "ta6_seq_packing" -> {
+      val toks = sqlTokens("text")
+      s"""WITH t AS (
+           SELECT doc_id, lang, len($toks)::BIGINT AS n_tok FROM documents),
+         s AS (
+           SELECT lang, n_tok,
+             (sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+               - n_tok AS start_tok
+           FROM t)
+         SELECT lang, start_tok // 2048 AS bin, count(*) AS n_docs,
+           sum(n_tok)::BIGINT AS n_tokens
+         FROM s GROUP BY lang, bin ORDER BY lang, bin"""
+    },
+
+    "v10_quantized_ann" -> {
+      def codes(src: String) =
+        s"""CASE WHEN sc > 0
+            THEN list_transform($src, x -> (floor(CAST(x AS DOUBLE) / sc + 0.5))::BIGINT)
+            ELSE list_transform($src, x -> 0::BIGINT) END"""
+      def isum(e: String) = s"list_reduce($e, (x, y) -> x + y)"
+      def sq(code: String) = s"sqrt(${isum(s"list_transform($code, x -> x * x)")}::DOUBLE)"
+      s"""WITH dq AS (
+           SELECT vec_id, embedding,
+             list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+               (a, b) -> greatest(a, b)) / 127.0 AS sc
+           FROM embeddings WHERE vec_id >= 3),
+         d AS (
+           SELECT vec_id AS doc_id, embedding AS dv,
+             ${codes("embedding")} AS code FROM dq),
+         qq AS (
+           SELECT vec_id, embedding,
+             list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+               (a, b) -> greatest(a, b)) / 127.0 AS sc
+           FROM embeddings WHERE vec_id < 3),
+         q AS (
+           SELECT vec_id AS query_id, embedding AS qv,
+             ${codes("embedding")} AS qcode FROM qq),
+         ap AS (
+           SELECT q.query_id, d.doc_id, d.dv, q.qv,
+             CASE WHEN ${sq("d.code")} * ${sq("q.qcode")} > 0
+               THEN ${isum("list_transform(generate_series(1, 64), i -> d.code[i] * q.qcode[i])")}::DOUBLE
+                 / (${sq("d.code")} * ${sq("q.qcode")})
+             END AS approx_cosine
+           FROM d CROSS JOIN q),
+         cand AS (
+           SELECT * FROM (
+             SELECT query_id, doc_id, dv, qv, approx_cosine,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY approx_cosine DESC, doc_id) AS arank
+             FROM ap) WHERE arank <= 20),
+         ex AS (
+           SELECT query_id, doc_id, ${sqlCosine64("dv", "qv")} AS cosine,
+             approx_cosine FROM cand),
+         rk AS (
+           SELECT query_id, doc_id, cosine, approx_cosine,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, doc_id) AS rank
+           FROM ex)
+         SELECT query_id, doc_id, ${sqlFround("cosine", 6)} AS cosine,
+           ${sqlFround("approx_cosine", 6)} AS approx_cosine, rank
+         FROM rk WHERE rank <= 5 ORDER BY query_id, rank"""
+    },
 
     "j2_asof_join" ->
       """WITH clicks AS (

@@ -46,4 +46,29 @@ object VectorFunctions {
     val n = l2Norm(a)
     when(n > 0, transform(a, x => x.cast("double") / n)).otherwise(a.cast("array<double>"))
   }
+
+  // ---------------------------------------------------------------------
+  // Symmetric int8 scalar quantization (the ANN memory-bandwidth path:
+  // codes are 4× smaller than float32, and cosine over codes needs no
+  // dequantization because the per-vector scales cancel).
+  // ---------------------------------------------------------------------
+
+  /** Per-vector symmetric scale: max|xᵢ|/127 (0 for the zero vector). */
+  def int8Scale(v: Column): Column =
+    aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0
+
+  /** Quantize to int8 codes in [−127, 127] with a PRE-MATERIALIZED scale
+    * column (pass [[int8Scale]] through a select boundary first —
+    * splicing it into this lambda re-runs the max-fold per element).
+    * Rounding is the floor-stable half-up used everywhere else, so the
+    * oracle replicates codes exactly. Zero vectors code to zeros.
+    */
+  def int8Codes(v: Column, scale: Column): Column =
+    when(scale > 0,
+      transform(v, x => floor(x.cast("double") / scale + 0.5).cast("long")))
+      .otherwise(transform(v, _ => lit(0L)))
+
+  /** Integer dot product of two code arrays (exact, order-independent). */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 }

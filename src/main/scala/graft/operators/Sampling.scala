@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deterministic sampling for training-data curation (beyond the
+  * reference's surface; a standard corpus-pipeline need). Decisions hash
+  * a stable record key instead of drawing from an RNG, so a sample is
+  * reproducible across runs, cluster sizes, and repartitionings —
+  * `DataFrame.sample`'s per-partition seeds are none of those. The hash
+  * is md5-derived, so the DuckDB oracle replicates it bit-for-bit.
+  *
+  * At 100 TB the filter is a pure per-row expression fused into the
+  * scan: no shuffle, no state, and the same row always lands on the
+  * same side of the cut (stable train/eval splits, resumable jobs).
+  */
+object Sampling {
+
+  /** 28-bit uniform hash of (salt, key) in [0, 2²⁸): first 7 hex chars
+    * of md5. The salt separates independent samples over the same keys
+    * (e.g. train/eval splits that must not correlate).
+    */
+  def keyHash(key: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt + ":"), key.cast("string"))), 1, 7), 16, 10)
+      .cast("long")
+
+  /** Integer acceptance threshold for a rate in [0, 1]. */
+  def threshold(rate: Double): Long = math.round(rate * (1L << 28))
+
+  /** Keep ~`rate` of rows, deterministically by key. */
+  def hashSample(df: DataFrame, key: Column, rate: Double,
+                 salt: String): DataFrame =
+    df.filter(keyHash(key, salt) < threshold(rate))
+
+  /** Stratified variant: per-stratum rates (e.g. per-language corpus
+    * rebalancing), unlisted strata fall back to `defaultRate`. One
+    * when-chain threshold — still a single scan-fused predicate.
+    */
+  def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
+                       rates: Map[String, Double], defaultRate: Double,
+                       salt: String): DataFrame = {
+    val thr = rates.toSeq.sortBy(_._1).foldLeft(lit(threshold(defaultRate))) {
+      case (acc, (s, r)) => when(stratum === s, lit(threshold(r))).otherwise(acc)
+    }
+    df.filter(keyHash(key, salt) < thr)
+  }
+}

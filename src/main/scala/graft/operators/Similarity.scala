@@ -242,4 +242,52 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("cosine"), col("rank"))
   }
+
+  /** Int8 scalar-quantized top-k with exact rerank — the memory-bandwidth
+    * scale path. Candidate scoring runs on symmetric int8 codes (the
+    * per-vector scales cancel in cosine, so the approximate score is
+    * Σqₐ·q_b / (‖qₐ‖·‖q_b‖) over integers — no dequantization); the top
+    * `rerank` candidates per query re-score with exact float cosine and
+    * the final top `k` returns. At 100 TB the codes live as their own 4×
+    * smaller column (built once at ingest, as here at a select
+    * boundary), so candidate generation streams a quarter of the bytes
+    * and the exact path touches only `rerank` rows per query.
+    *
+    * Output: query_id, doc_id, cosine (exact), approx_cosine, rank —
+    * deterministic (both ranks tie-break by doc id).
+    */
+  def quantizedTopK(docs: DataFrame, docId: Column, docVec: Column,
+                    queries: DataFrame, queryId: Column, queryVec: Column,
+                    k: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, "rerank depth must cover the final k")
+    def coded(df: DataFrame, id: Column, vec: Column,
+              idName: String, vecName: String): DataFrame =
+      df.select(id.as(idName), vec.as(vecName),
+          VF.int8Scale(vec).as("__sc"))
+        .select(col(idName), col(vecName),
+          VF.int8Codes(col(vecName), col("__sc")).as("__code"))
+        .select(col(idName), col(vecName), col("__code"),
+          sqrt(VF.intDot(col("__code"), col("__code")).cast("double"))
+            .as("__cnorm"))
+    val d = coded(docs, docId, docVec, "doc_id", "dv")
+    val q = coded(queries, queryId, queryVec, "query_id", "qv")
+      .withColumnRenamed("__code", "__qcode")
+      .withColumnRenamed("__cnorm", "__qnorm")
+    val denom = col("__cnorm") * col("__qnorm")
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cosine").desc, col("doc_id"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+    d.crossJoin(broadcast(q))
+      .withColumn("approx_cosine",
+        when(denom > 0,
+          VF.intDot(col("__code"), col("__qcode")).cast("double") / denom))
+      .withColumn("__arank", row_number().over(wApprox))
+      .filter(col("__arank") <= rerank)
+      .withColumn("cosine", CosineSim(col("dv"), col("qv")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("cosine"),
+        col("approx_cosine"), col("rank"))
+  }
 }

@@ -83,6 +83,34 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._3) == Seq(1, 2, 3, 1, 2, 3))
   }
 
+  test("quantizedTopK matches exact top-k when rerank covers the corpus") {
+    val queries = Seq((100L, b1.toSeq), (200L, b2.toSeq)).toDF("qid", "qv")
+    val exact = rows(Similarity.topKPerQuery(
+      corpus, $"id", $"v", queries, $"qid", $"qv", k = 3)
+      .orderBy($"query_id", $"rank"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val quant = rows(Similarity.quantizedTopK(
+      corpus, $"id", $"v", queries, $"qid", $"qv", k = 3, rerank = 5)
+      .orderBy($"query_id", $"rank"))
+    assert(quant.map(r => (r.getLong(0), r.getLong(1), r.getInt(4))) == exact,
+      "full-depth rerank must reproduce the exact ranking")
+    // int8 approximation stays close to the exact cosine on unit-scale data
+    quant.foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 0.02,
+        s"approx drifted: $r")
+    }
+  }
+
+  test("quantizedTopK tolerates zero vectors (null scores rank last)") {
+    val data = Seq((1L, b1.toSeq), (2L, Seq.fill(16)(0.0f))).toDF("id", "v")
+    val queries = Seq((100L, b1.toSeq)).toDF("qid", "qv")
+    val got = rows(Similarity.quantizedTopK(
+      data, $"id", $"v", queries, $"qid", $"qv", k = 2, rerank = 2))
+    assert(got.map(_.getLong(1)).toSet == Set(1L, 2L))
+    val zeroRow = got.find(_.getLong(1) == 2L).get
+    assert(zeroRow.isNullAt(2) && zeroRow.isNullAt(3))
+  }
+
   test("kmeansCentroids separates clusters and is bit-deterministic") {
     // ids ordered so the smallest-id init seeds one vector per cluster
     val data = Seq(
