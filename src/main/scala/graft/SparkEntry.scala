@@ -201,6 +201,23 @@ object SparkEntry {
         .orderBy(col("user_id"), col("tus"), col("event_id"))
     }),
 
+    "j4_asof_join_bucketed" -> ((s, dir) => {
+      // Same as-of contract as j2 through the HOT-KEY path: per-bucket
+      // running last + summary carry, so no task ever sorts a whole
+      // user's timeline. Checked against the identical DuckDB ASOF
+      // oracle — the two operator shapes must agree exactly.
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tus"))
+      val rates = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("rts"))
+        .agg(max(col("value")).as("rate"))
+      graft.operators.Joins.asofJoinBucketed(clicks, rates, "user_id",
+          "tus", "rts", bucketWidth = 6L * 3600L * 1000000L)
+        .orderBy(col("user_id"), col("tus"), col("event_id"))
+    }),
+
     "j3_range_join" -> ((s, dir) => {
       // Interval-containment join: clicks within ±4 h of a purchase by
       // the same user. Joins.rangeJoin buckets the time axis into 1 h
@@ -2504,6 +2521,18 @@ object SparkEntry {
     },
 
     "j2_asof_join" ->
+      """WITH clicks AS (
+           SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS tus
+           FROM events WHERE event_type = 'click'),
+         rates AS (
+           SELECT user_id, epoch_us(ts::TIMESTAMP) AS rts, max(value) AS rate
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT c.user_id, c.event_id, c.tus, r.rts, r.rate
+         FROM clicks c ASOF LEFT JOIN rates r
+           ON c.user_id = r.user_id AND c.tus >= r.rts
+         ORDER BY c.user_id, c.tus, c.event_id""",
+
+    "j4_asof_join_bucketed" ->
       """WITH clicks AS (
            SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS tus
            FROM events WHERE event_type = 'click'),

@@ -90,6 +90,72 @@ object Joins {
         rPayload.map(c => col("__match").getField(c).as(c)): _*)
   }
 
+  /** As-of join for HOT keys — same semantics as [[asofJoin]] (backward,
+    * inclusive, NULLs when unmatched), but no task ever sorts a whole
+    * key's history: the timeline splits into `bucketWidth` time buckets
+    * and the carry across buckets happens on per-bucket SUMMARIES.
+    *
+    * Pass 1: running `last` within (key, bucket) — the sort unit is one
+    * bucket, so a hot key spreads over #buckets tasks. Pass 2: each
+    * bucket's closing right payload (one aggregate row per non-empty
+    * (key, bucket)) carries forward along the bucket spine with a
+    * window over #buckets-sized partitions; left rows that found no
+    * right row inside their own bucket take the carry of the latest
+    * earlier bucket. The final stitch joins on (key, bucket), reusing
+    * pass 1's partitioning for the big side — the only corpus-scale
+    * sort is per-bucket.
+    *
+    * Contracts as [[asofJoin]], plus: both time columns are integral
+    * (castable to long). Pick bucketWidth so a bucket's rows fit a
+    * task comfortably; correctness holds for any positive width.
+    */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame, key: String,
+                       leftTime: String, rightTime: String,
+                       bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val lCols = left.columns.toSeq
+    val rPayload = right.columns.toSeq.filterNot(_ == key)
+    val lStructType = left.select(struct(lCols.map(col): _*)).schema.head.dataType
+    val rStructType = right.select(struct(rPayload.map(col): _*)).schema.head.dataType
+    val rSide = right.select(col(key).as("__k"),
+      col(rightTime).cast("long").as("__t"),
+      lit(0).as("__side"),
+      struct(rPayload.map(col): _*).as("__p"),
+      lit(null).cast(lStructType).as("__l"))
+    val lSide = left.select(col(key).as("__k"),
+      col(leftTime).cast("long").as("__t"),
+      lit(1).as("__side"),
+      lit(null).cast(rStructType).as("__p"),
+      struct(lCols.map(col): _*).as("__l"))
+    // trunc-division bucketing is monotone in __t, which is all pass 2
+    // needs; both sides use the same function so same-instant semantics
+    // are preserved by the (__t, __side) in-bucket ordering.
+    val u = rSide.unionByName(lSide)
+      .withColumn("__b", expr(s"__t div $bucketWidth"))
+    val wIn = Window.partitionBy(col("__k"), col("__b"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = u.withColumn("__match",
+      last(col("__p"), ignoreNulls = true).over(wIn))
+    // pass 2 inputs are per-bucket summaries: one closing payload per
+    // non-empty (key, bucket) — tiny relative to the data.
+    val closes = rSide.withColumn("__b", expr(s"__t div $bucketWidth"))
+      .groupBy(col("__k"), col("__b"))
+      .agg(max_by(col("__p"), col("__t")).as("__close"))
+    val spine = u.select(col("__k"), col("__b")).distinct()
+      .join(closes, Seq("__k", "__b"), "left")
+    val wCarry = Window.partitionBy(col("__k")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = spine.withColumn("__carry",
+      last(col("__close"), ignoreNulls = true).over(wCarry))
+      .select(col("__k"), col("__b"), col("__carry"))
+    inBucket.filter(col("__side") === 1)
+      .join(carries, Seq("__k", "__b"))
+      .withColumn("__m", coalesce(col("__match"), col("__carry")))
+      .select(lCols.map(c => col("__l").getField(c).as(c)) ++
+        rPayload.map(c => col("__m").getField(c).as(c)): _*)
+  }
+
   /** Interval-containment (range) join: pairs every point row with every
     * range row of the same `key` whose `[rangeStart, rangeEnd]` contains
     * the point's `pointTime` (both bounds inclusive). Times are LONG

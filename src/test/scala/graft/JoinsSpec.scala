@@ -63,6 +63,30 @@ class JoinsSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("asofJoinBucketed equals asofJoin across bucket widths on hot-key data") {
+    val rnd = new scala.util.Random(11)
+    // one hot key (most rows) + a tail; negative and positive times
+    val left = Seq.tabulate(400)(i =>
+      (if (i % 5 == 0) rnd.nextInt(4).toLong + 1 else 0L,
+        (rnd.nextInt(2001) - 1000).toLong, i.toLong))
+      .toDF("k", "t", "lid")
+    val right = Seq.fill(150)((rnd.nextInt(5).toLong, (rnd.nextInt(2001) - 1000).toLong))
+      .distinct
+      .map { case (k, rt) => (k, rt, s"p$k-$rt") }
+      .toDF("k", "rt", "rv")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"lid", $"rt", $"rv").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -9999L else r.getLong(1),
+          if (r.isNullAt(2)) "NULL" else r.getString(2))).sorted.toSeq
+    val want = canon(Joins.asofJoin(left, right, "k", "t", "rt"))
+    // widths straddling: sub-span, near-span, and larger-than-span
+    for (w <- Seq(7L, 100L, 1000L, 5000L)) {
+      assert(canon(Joins.asofJoinBucketed(left, right, "k", "t", "rt", w)) == want,
+        s"bucketed asof diverged at bucketWidth=$w")
+    }
+  }
+
   test("rangeJoin: inclusive bounds, multi-cell spans, negative-time cells") {
     val points = Seq((1L, 0L, 100L), (1L, 10L, 101L), (1L, 50L, 102L),
       (2L, -25L, 103L)).toDF("k", "pt", "pid")
