@@ -519,6 +519,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "d9_incremental_dedup" -> ((s, dir) => {
+      // Incremental new-batch-vs-corpus dedup (beyond the reference):
+      // the corpus key set folds ONCE into a Bloom filter (treeAggregate,
+      // no shuffle), the batch scan probes it per row inside codegen, and
+      // only the "maybe seen" sliver takes the exact anti-join — the
+      // daily-crawl-vs-100 TB-corpus shape. Result is exactly
+      // batch ANTI JOIN corpus for any fpp (bloom has no false
+      // negatives; positives re-check exactly), which is what the
+      // oracle replays.
+      val docs = t(s, dir, "documents")
+      val corpus = Sampling.hashSample(docs, col("doc_id"), 0.6, "corp")
+      val batch = Sampling.hashSample(docs, col("doc_id"), 0.5, "newb")
+        .select(col("doc_id"), col("lang"))
+      Dedup.incrementalDedup(batch, corpus, "doc_id",
+          expectedItems = 100000, fpp = 0.01)
+        .orderBy(col("doc_id"))
+    }),
+
     "ta6_seq_packing" -> ((s, dir) => {
       // Sequence packing for training (beyond the reference): concat-
       // and-chunk semantics — per language, documents concatenate in
@@ -2453,6 +2471,17 @@ object SparkEntry {
       s"""SELECT doc_id, lang FROM documents
          WHERE ('0x' || substr(md5('s42:' || doc_id::VARCHAR), 1, 7))::BIGINT <
            (CASE $rateCases ELSE ${Sampling.threshold(0.8)} END)
+         ORDER BY doc_id"""
+    },
+
+    "d9_incremental_dedup" -> {
+      def keep(salt: String, rate: Double) =
+        s"('0x' || substr(md5('$salt:' || doc_id::VARCHAR), 1, 7))::BIGINT" +
+          s" < ${Sampling.threshold(rate)}"
+      s"""WITH corpus AS (SELECT doc_id FROM documents WHERE ${keep("corp", 0.6)}),
+           batch AS (SELECT doc_id, lang FROM documents WHERE ${keep("newb", 0.5)})
+         SELECT doc_id, lang FROM batch b
+         WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.doc_id = b.doc_id)
          ORDER BY doc_id"""
     },
 

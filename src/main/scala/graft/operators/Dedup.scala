@@ -276,6 +276,64 @@ object Dedup {
       .distinct()
   }
 
+  // ---------------------------------------------------------------------
+  // Incremental dedup: new batch vs existing corpus (bloom pre-filter)
+  // ---------------------------------------------------------------------
+
+  /** Serialized Bloom filter over a corpus key column. Built with ONE
+    * distributed pass (treeAggregate: per-partition filters merge up a
+    * tree, never funneling through a single reducer), sized by the
+    * caller's `expectedItems`/`fpp`. Keys insert as UTF-8 bytes, the
+    * exact bytes [[graft.expressions.BloomMightContain]] probes.
+    */
+  def corpusBloom(corpus: DataFrame, key: String,
+                  expectedItems: Long, fpp: Double): Array[Byte] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bloom = corpus.select(col(key).cast("string")).na.drop().as[String]
+      .rdd.treeAggregate(
+        org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp))(
+        (f, s) => {
+          f.putBinary(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)); f
+        },
+        (a, b) => { a.mergeInPlace(b); a })
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Rows of `batch` whose `key` does NOT appear in `corpus` — exactly
+    * `batch LEFT ANTI JOIN corpus ON key` (NULL-key rows are kept, as in
+    * anti-join semantics and D2's null passthrough) — without shuffling
+    * the batch against the full corpus.
+    *
+    * The 100 TB shape: a daily crawl batch is orders of magnitude
+    * smaller than the accumulated corpus, and most of its keys are
+    * genuinely new. A plain anti-join re-shuffles (at least the keys of)
+    * the whole corpus every day. Instead the corpus's key set aggregates
+    * ONCE into a Bloom filter ([[corpusBloom]] — a few GiB of bits for
+    * billions of keys; build it when the corpus changes, reuse it for
+    * every batch); the batch scan probes the filter per row:
+    *  - probe says NO → definitely unseen (bloom filters have no false
+    *    negatives): the row passes through with no join at all;
+    *  - probe says MAYBE → true duplicates plus the filter's fpp share
+    *    of innocents: only these few rows go through the exact anti-join
+    *    against the corpus keys.
+    * The result is therefore exact for ANY fpp — the filter only decides
+    * how much work the exact check sees. (This is the lifecycle-owned
+    * cousin of Spark's runtime bloom-filter join pruning, which won't
+    * fire across jobs/days.)
+    */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame, key: String,
+                       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bytes = corpusBloom(corpus, key, expectedItems, fpp)
+    val probe = graft.expressions.BloomMightContain(bytes, col(key).cast("string"))
+    val fresh = batch.filter(col(key).isNull || !probe)
+    val confirmedNew = batch.filter(col(key).isNotNull && probe)
+      .join(corpus.select(col(key)), Seq(key), "left_anti")
+    fresh.unionByName(confirmedNew)
+  }
+
   /** hex char → 0..15 (portable: also expressible as strpos in SQL). */
   private def hexVal(c: Column): Column = conv(c, 16, 10).cast("int")
 

@@ -80,6 +80,40 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 1.0)))
   }
 
+  test("incrementalDedup equals the plain anti-join (nulls kept, dup corpus keys, FP-heavy filter)") {
+    // corpus has duplicate keys and the filter is deliberately undersized
+    // (expectedItems=2 over 6 keys, fpp 0.3) so bloom false positives are
+    // near-certain — they must all be caught by the exact re-check.
+    val corpus = Seq("a", "a", "b", "c", "d", "e", "f", "f")
+      .toDF("key").withColumn("extra", lit(1))
+    val batch = Seq(
+      (1, Some("a")), (2, Some("x")), (3, None),
+      (4, Some("f")), (5, Some("y")), (6, None)
+    ).toDF("ord", "key")
+    val got = Dedup.incrementalDedup(batch, corpus, "key",
+        expectedItems = 2, fpp = 0.3)
+      .select($"ord").as[Int].collect().sorted.toSeq
+    val want = batch.join(corpus, Seq("key"), "left_anti")
+      .select($"ord").as[Int].collect().sorted.toSeq
+    assert(got == want)
+    assert(got == Seq(2, 3, 5, 6)) // x, y new; NULL keys pass through
+  }
+
+  test("corpusBloom has no false negatives and BloomMightContain agrees interpreted vs codegen") {
+    val keys = (1 to 200).map(i => s"key_$i")
+    val corpus = keys.toDF("key")
+    val bytes = Dedup.corpusBloom(corpus, "key", expectedItems = 200, fpp = 0.01)
+    val probeDf = keys.toDF("k")
+      .select(graft.expressions.BloomMightContain(bytes, $"k").as("hit"))
+    // every inserted key must probe true (bloom guarantee the
+    // incremental-dedup pass-through path rests on)
+    assert(col0[Boolean](probeDf).forall(identity))
+    // NULL key probes NULL (null-intolerant unary expression)
+    val nullProbe = Seq(Option.empty[String]).toDF("k")
+      .select(graft.expressions.BloomMightContain(bytes, $"k"))
+    assert(rows(nullProbe).head.isNullAt(0))
+  }
+
   test("simhash16 is deterministic, bounded, and equal for equal texts") {
     val df = Seq("one two three", "one two three", "four five six").toDF("t")
     val out = col0[Int](df.select(Dedup.simhash16($"t")))
