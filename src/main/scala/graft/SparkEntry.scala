@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextAnalysis => TA, TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Align, Compliance, Dedup, Enrich, Multimodal, Rag, Ruler, Sampling, Similarity}
+import graft.operators.{Align, Compliance, Dedup, Enrich, Multimodal, Packing, Rag, Ruler, Sampling, Similarity}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -541,18 +541,18 @@ object SparkEntry {
       // Sequence packing for training (beyond the reference): concat-
       // and-chunk semantics — per language, documents concatenate in
       // doc_id order and cut every 2048 tokens; a doc belongs to the
-      // bin where it STARTS (start offset = running token sum minus own
-      // length). One window per language partition — partition-parallel,
-      // no global sort. Rolled up to per-bin doc/token counts.
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, dir, "documents")
+      // bin where it STARTS. Bucketed two-pass path (Packing.scala):
+      // in-bucket running sums + summary-carry across buckets, so a
+      // skewed language distribution never serializes one language's
+      // whole corpus through a single task's sort (the j4 pattern;
+      // PackingSpec pins equality with the single-window formulation).
+      val d = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           TA.tokenCount(col("text")).cast("long").as("n_tok"))
-        .withColumn("start_tok", sum(col("n_tok")).over(w) - col("n_tok"))
-        .withColumn("bin", expr("start_tok div 2048"))
-        .groupBy(col("lang"), col("bin"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      Packing.packBins(
+          Packing.packedStartsBucketed(d, col("lang"), col("doc_id"),
+            col("n_tok"), bucketWidth = 4096L),
+          binTokens = 2048L)
         .orderBy(col("lang"), col("bin"))
     }),
 

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Sequence packing for training-data assembly (beyond the reference;
+  * standard LLM-pretraining need): per group (language), documents
+  * concatenate in id order and cut into fixed-size token bins; a document
+  * belongs to the bin where it STARTS (start offset = running token sum
+  * minus its own length).
+  *
+  * Two formulations with identical results (PackingSpec pins equality):
+  *
+  *  - [[packedStarts]]: one window per group — simple, but a skewed group
+  *    distribution (English ≫ rest in any real crawl) serializes the
+  *    dominant group's whole corpus through ONE task's sort.
+  *  - [[packedStartsBucketed]]: the scale path, same two-pass summary-
+  *    carry shape as [[Joins.asofJoinBucketed]]. Pass 1 sums tokens
+  *    within (group, id-bucket) — the sort unit is one bucket, so a hot
+  *    group spreads over #buckets tasks. Pass 2 carries bucket-closing
+  *    token totals along the bucket spine (one aggregate row per
+  *    non-empty (group, bucket) — tiny relative to the data), and the
+  *    stitch joins on (group, bucket), reusing pass 1's partitioning for
+  *    the big side while the carry side broadcasts.
+  */
+object Packing {
+
+  /** Global start offset per document via one window per group.
+    * Returns (doc_id, lang, n_tok, start_tok); `docId` must be integral
+    * and unique within a group.
+    */
+  def packedStarts(docs: DataFrame, lang: Column, docId: Column,
+                   nTok: Column): DataFrame = {
+    val d = docs.select(lang.as("lang"), docId.cast("long").as("doc_id"),
+      nTok.cast("long").as("n_tok"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("start_tok", sum(col("n_tok")).over(w) - col("n_tok"))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("start_tok"))
+  }
+
+  /** Same result as [[packedStarts]], but no task ever sorts a whole
+    * group: ids bucket by `bucketWidth`, in-bucket running sums compute
+    * per (group, bucket), and cross-bucket offsets come from a running
+    * sum over per-bucket totals. Correct for any positive width; pick
+    * bucketWidth so a bucket's rows fit a task comfortably.
+    */
+  def packedStartsBucketed(docs: DataFrame, lang: Column, docId: Column,
+                           nTok: Column, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val d = docs.select(lang.as("lang"), docId.cast("long").as("doc_id"),
+        nTok.cast("long").as("n_tok"))
+      .withColumn("__b", expr(s"doc_id div $bucketWidth"))
+    val wIn = Window.partitionBy(col("lang"), col("__b"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = d.withColumn("__in_start",
+      sum(col("n_tok")).over(wIn) - col("n_tok"))
+    // pass 2: one total per non-empty (group, bucket); the carry window's
+    // partitions are #buckets-sized — never corpus-sized.
+    val totals = d.groupBy(col("lang"), col("__b"))
+      .agg(sum(col("n_tok")).as("__tot"))
+    val wCarry = Window.partitionBy(col("lang")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = totals.withColumn("__carry",
+        coalesce(sum(col("__tot")).over(wCarry), lit(0L)))
+      .select(col("lang"), col("__b"), col("__carry"))
+    inBucket.join(broadcast(carries), Seq("lang", "__b"))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        (col("__carry") + col("__in_start")).as("start_tok"))
+  }
+
+  /** Roll packed starts up to per-bin document/token counts. */
+  def packBins(starts: DataFrame, binTokens: Long): DataFrame = {
+    require(binTokens > 0, "binTokens must be positive")
+    starts.withColumn("bin", expr(s"start_tok div $binTokens"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+  }
+}
