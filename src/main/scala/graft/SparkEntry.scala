@@ -41,6 +41,15 @@ object SparkEntry {
     */
   private def scratchDir(prefix: String): String = Scratch.dir(prefix)
 
+  /** 16 common CJK ideographs (all inside TA.cjkRange) for deterministic
+    * Chinese-text injection: the corpus is pure ASCII, so ta7 and its
+    * oracle synthesize CJK text from doc_id IDENTICALLY on both sides
+    * (the sqlDirtyPii precedent).
+    */
+  private val cjkAlpha: String =
+    "的一是不了人我在" +
+    "有他这中大来上国"
+
   /** Deterministic PII injection over `documents.text` (corpus is clean;
     * c1/c5 and their oracles must dirty it IDENTICALLY — [[sqlDirtyPii]]
     * is the DuckDB twin).
@@ -554,6 +563,29 @@ object SparkEntry {
             col("n_tok"), bucketWidth = 4096L),
           binTokens = 2048L)
         .orderBy(col("lang"), col("bin"))
+    }),
+
+    "ta7_cjk_text" -> ((s, dir) => {
+      // CJK tokenization end-to-end (the reference's Chinese RAG corpus
+      // path, RAG/rag_chinese_test.ipynb): whitespace-free ideograph
+      // runs tokenize per-character and ASCII runs glued to them stay
+      // their own tokens, so token counts, language-ID, the rolling
+      // fingerprint, and simhash all stay meaningful on Chinese text
+      // instead of collapsing to one giant pseudo-token per document.
+      val txt = concat(
+        lit(cjkAlpha).substr((col("doc_id") % 8 + 1).cast("int"), lit(6)),
+        lit("mix"),
+        lit(cjkAlpha).substr((col("doc_id") % 4 + 1).cast("int"), lit(3)),
+        lit(" "), substring(col("text"), 1, 40))
+      t(s, dir, "documents")
+        .select(col("doc_id"), txt.as("ztext"))
+        .select(col("doc_id"),
+          TA.tokenCount(col("ztext")).as("n_tok"),
+          TA.cjkCount(col("ztext")).as("n_cjk"),
+          TA.languageId(col("ztext")).as("lang_pred"),
+          graft.expressions.TokenFingerprint(col("ztext")).as("fp"),
+          graft.expressions.SimHash16(col("ztext")).cast("long").as("sh"))
+        .orderBy(col("doc_id"))
     }),
 
     "t1_text_clean" -> ((s, dir) => {
@@ -1442,9 +1474,32 @@ object SparkEntry {
   private def sqlList(xs: Seq[String]): String =
     xs.map(s => s"'$s'").mkString("[", ", ", "]")
 
-  /** DuckDB: non-empty lowercase whitespace tokens of `e`. */
+  /** DuckDB: non-empty lowercase tokens of `e` — TA.tokens' twin, built
+    * from the SAME pattern constant (`\x{…}` hex classes parse
+    * identically under Java regex and RE2; regex matches are never
+    * empty, so no filter needed).
+    */
   private def sqlTokens(e: String): String =
-    s"list_filter(string_split_regex(lower($e), '\\s+'), x -> x <> '')"
+    s"regexp_extract_all(lower($e), '${TA.tokenPattern}')"
+
+  /** DuckDB twin of TokenFingerprint / TA.fingerprint over `e`. */
+  private def sqlFingerprint(e: String): String =
+    s"""list_reduce(
+       list_prepend(7::BIGINT, list_transform(${sqlTokens(e)},
+         t -> ('0x' || substr(md5(t), 1, 7))::BIGINT)),
+       (h, v) -> (h * 31 + v) % 1000000007)"""
+
+  /** DuckDB twin of SimHash16 over `e` (per-bit md5-nibble majority vote
+    * across the distinct token set).
+    */
+  private def sqlSimhash(e: String): String = {
+    val dtoks = s"list_distinct(${sqlTokens(e)})"
+    s"""list_sum(list_transform(generate_series(0, 15), b ->
+       CASE WHEN list_sum(list_transform($dtoks, tk ->
+         (((('0x' || substr(md5(tk), (b // 4)::INT + 1, 1))::INT
+            // (2 ** (3 - b % 4))::INT) % 2) * 2 - 1))) > 0
+       THEN (2 ** b)::INT ELSE 0 END))::BIGINT"""
+  }
 
   /** DuckDB: occurrences of `markers` tokens in `e` (TA.markerHits). */
   private def sqlHits(e: String, markers: Seq[String]): String =
@@ -1463,7 +1518,7 @@ object SparkEntry {
       if (laters.isEmpty) s"ELSE '$l'"
       else s"WHEN ${laters.map(o => s"$h >= $o").mkString(" AND ")} THEN '$l'"
     }
-    s"""CASE WHEN regexp_matches($e, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+    s"""CASE WHEN regexp_matches($e, '[${TA.cjkRange}]') THEN 'zh'
         WHEN $total = 0 THEN 'und'
         ${branches.init.mkString("\n        ")}
         ${branches.last} END"""
@@ -1946,10 +2001,8 @@ object SparkEntry {
          m AS (
            SELECT query_id, question, answer, context_chars,
              len(regexp_extract_all(answer, '\\w+')) AS answer_words,
-             len(list_filter(list_distinct(list_filter(
-               string_split_regex(lower(question), '\\s+'), x -> x <> '')),
-               x -> list_contains(list_distinct(list_filter(
-                 string_split_regex(lower(answer), '\\s+'), y -> y <> '')), x)))
+             len(list_filter(list_distinct(${sqlTokens("question")}),
+               x -> list_contains(list_distinct(${sqlTokens("answer")}), x)))
                AS keyword_overlap,
              len(regexp_extract_all(answer, '\\[[^\\]]*\\d+[^\\]]*\\]'))
                AS n_citations
@@ -2169,10 +2222,8 @@ object SparkEntry {
            SELECT doc_id,
              len(text) AS answer_chars,
              len(regexp_extract_all(text, '\\w+')) AS answer_words,
-             len(list_filter(list_distinct(list_filter(
-               string_split_regex(lower(question), '\\s+'), x -> x <> '')),
-               x -> list_contains(list_distinct(list_filter(
-                 string_split_regex(lower(text), '\\s+'), y -> y <> '')), x)))
+             len(list_filter(list_distinct(${sqlTokens("question")}),
+               x -> list_contains(list_distinct(${sqlTokens("text")}), x)))
                AS keyword_overlap,
              len(regexp_extract_all(text, '\\[[^\\]]*\\d+[^\\]]*\\]'))
                AS n_citations
@@ -2342,16 +2393,9 @@ object SparkEntry {
          FROM pairs ORDER BY id_a, id_b"""
     },
 
-    "d7_simhash" -> {
-      val dtoks = s"list_distinct(${sqlTokens("text")})"
-      s"""SELECT doc_id,
-         list_sum(list_transform(generate_series(0, 15), b ->
-           CASE WHEN list_sum(list_transform($dtoks, tk ->
-             (((('0x' || substr(md5(tk), (b // 4)::INT + 1, 1))::INT
-                // (2 ** (3 - b % 4))::INT) % 2) * 2 - 1))) > 0
-           THEN (2 ** b)::INT ELSE 0 END))::BIGINT AS sh
-         FROM documents ORDER BY doc_id"""
-    },
+    "d7_simhash" ->
+      s"""SELECT doc_id, ${sqlSimhash("text")} AS sh
+         FROM documents ORDER BY doc_id""",
 
     "v2_ann_topk_batch" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
@@ -2638,12 +2682,23 @@ object SparkEntry {
     },
 
     "ta3_fingerprint" ->
-      s"""SELECT doc_id,
-         list_reduce(
-           list_prepend(7::BIGINT, list_transform(${sqlTokens("text")},
-             t -> ('0x' || substr(md5(t), 1, 7))::BIGINT)),
-           (h, v) -> (h * 31 + v) % 1000000007) AS fp
+      s"""SELECT doc_id, ${sqlFingerprint("text")} AS fp
          FROM documents ORDER BY doc_id""",
+
+    "ta7_cjk_text" ->
+      s"""WITH t AS (
+           SELECT doc_id,
+             substr('$cjkAlpha', (doc_id % 8 + 1)::INT, 6) || 'mix' ||
+             substr('$cjkAlpha', (doc_id % 4 + 1)::INT, 3) || ' ' ||
+             substr(text, 1, 40) AS ztext
+           FROM documents)
+         SELECT doc_id,
+           len(${sqlTokens("ztext")}) AS n_tok,
+           len(regexp_extract_all(ztext, '[${TA.cjkRange}]')) AS n_cjk,
+           ${sqlLanguageId("ztext")} AS lang_pred,
+           ${sqlFingerprint("ztext")} AS fp,
+           ${sqlSimhash("ztext")} AS sh
+         FROM t ORDER BY doc_id""",
 
     "ta4_ngram_jaccard" ->
       """WITH g AS (
@@ -2722,9 +2777,8 @@ object SparkEntry {
            FROM documents) WHERE rn = 1 ORDER BY doc_id""",
 
     "d4_jaccard_pairs" ->
-      """WITH toks AS (
-           SELECT doc_id, unnest(list_distinct(
-             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS tok
+      s"""WITH toks AS (
+           SELECT doc_id, unnest(list_distinct(${sqlTokens("text")})) AS tok
            FROM documents),
          sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
          pairs AS (

@@ -53,7 +53,9 @@ object SimHash16 {
 
   def compute(s: UTF8String): Int = {
     val md = localMd.get()
-    val toks = s.toString.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+    // same tokenization as TextFunctions.tokenSet (CJK-aware; parity
+    // pinned in SimHash16Spec)
+    val toks = graft.functions.TextAnalysis.jvmTokens(s.toString)
     val seen = new java.util.HashSet[String]()
     val votes = new Array[Int](16)
     var i = 0

@@ -48,19 +48,16 @@ object TokenFingerprint {
   def compute(s: UTF8String): Long = {
     val md = localMd.get()
     var h = 7L
-    // same tokenization as TextAnalysis.tokens: lower, split \s+, drop ""
-    val toks = s.toString.toLowerCase.split("\\s+")
+    // same tokenization as TextAnalysis.tokens (CJK-aware)
+    val toks = graft.functions.TextAnalysis.jvmTokens(s.toString)
     var i = 0
     while (i < toks.length) {
-      val t = toks(i)
-      if (t.nonEmpty) {
-        md.reset()
-        val d = md.digest(t.getBytes("UTF-8"))
-        // first 7 hex chars = 28 bits: 3.5 bytes, high nibble of byte 3
-        val v = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
-          ((d(2) & 0xffL) << 4) | ((d(3) & 0xf0L) >> 4)
-        h = (h * 31L + v) % MOD
-      }
+      md.reset()
+      val d = md.digest(toks(i).getBytes("UTF-8"))
+      // first 7 hex chars = 28 bits: 3.5 bytes, high nibble of byte 3
+      val v = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+        ((d(2) & 0xffL) << 4) | ((d(3) & 0xf0L) >> 4)
+      h = (h * 31L + v) % MOD
       i += 1
     }
     h

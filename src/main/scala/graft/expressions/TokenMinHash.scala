@@ -67,7 +67,9 @@ object TokenMinHash {
   def compute(s: UTF8String, shingleSize: Int,
               as: Array[Long], bs: Array[Long]): Array[Long] = {
     val md = localMd.get()
-    val toks = s.toString.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+    // same tokenization as TextAnalysis.tokens (CJK-aware; parity pinned
+    // in TokenMinHashSpec)
+    val toks = graft.functions.TextAnalysis.jvmTokens(s.toString)
     val shingles: Iterator[String] =
       if (toks.length < shingleSize) Iterator(toks.mkString(" "))
       else {

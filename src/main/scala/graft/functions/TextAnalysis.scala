@@ -31,9 +31,41 @@ object TextAnalysis {
   val enStopwords: Seq[String] = langMarkers.head._2 ++
     Seq("a", "an", "on", "at", "by", "be", "are", "was", "this", "as")
 
-  /** Non-empty lowercase whitespace tokens. */
+  /** CJK ideograph range (regex class body, `\x{…}` hex syntax — valid in
+    * both Java regex and RE2, so the same pattern string serves Spark and
+    * the DuckDB oracle).
+    */
+  val cjkRange: String = "\\x{4e00}-\\x{9fff}"
+
+  /** CJK-aware token pattern: each CJK ideograph is a token of its own;
+    * any other run of non-space non-CJK chars is one token. On pure-ASCII
+    * text this is exactly whitespace tokenization — but Chinese text
+    * (which has no word spaces) yields per-character tokens instead of
+    * one giant pseudo-token, so minhash/simhash dedup, repetition
+    * filters, word counts, and TF embeddings stay meaningful on
+    * multilingual corpora (the reference's own Chinese RAG evaluation,
+    * RAG/rag_chinese_test.ipynb, exercises that corpus path).
+    */
+  val tokenPattern: String = s"[$cjkRange]|[^\\s$cjkRange]+"
+
+  /** JVM twin of [[tokens]] for the native expressions (TokenMinHash,
+    * SimHash16, TokenFingerprint) — same pattern, Locale.ROOT lowering.
+    * Bit-parity with the declarative path is pinned in each
+    * expression's spec.
+    */
+  private val jvmTokenPattern = java.util.regex.Pattern.compile(tokenPattern)
+  def jvmTokens(s: String): Array[String] = {
+    val m = jvmTokenPattern.matcher(s.toLowerCase(java.util.Locale.ROOT))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) buf += m.group()
+    buf.toArray
+  }
+
+  /** Non-empty lowercase tokens (whitespace-delimited, CJK per-char —
+    * [[tokenPattern]]).
+    */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => t =!= "")
+    regexp_extract_all(lower(text), lit(tokenPattern), lit(0))
 
   /** Whitespace token count (the reference's word-count basis,
     * RAG/rag.ipynb:783 uses `\w+`; this is the whitespace variant).
@@ -52,7 +84,7 @@ object TextAnalysis {
     * regexp_replace formulation rebuilds the whole string per row.
     */
   def cjkCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[\\u4e00-\\u9fff]"), lit(0)))
+    size(regexp_extract_all(text, lit(s"[$cjkRange]"), lit(0)))
 
   /** Language-ID n-gram/stopword heuristic: any CJK chars → "zh"; else the
     * highest marker-hit language in [[langMarkers]] priority order; no hits

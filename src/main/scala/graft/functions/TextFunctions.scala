@@ -51,11 +51,12 @@ object TextFunctions {
   def truncateEllipsis(c: Column, n: Int): Column =
     when(length(c) > n, concat(substring(c, 1, n), lit("..."))).otherwise(c)
 
-  /** T10 — lowercase whitespace tokenization to a distinct token set
-    * (first-occurrence order). Ref: strict_deduplication.py:54.
+  /** T10 — lowercase tokenization to a distinct token set
+    * (first-occurrence order); CJK chars tokenize per-character
+    * (TextAnalysis.tokenPattern). Ref: strict_deduplication.py:54.
     */
   def tokenSet(c: Column): Column =
-    array_distinct(filter(split(lower(c), "\\s+"), t => t =!= ""))
+    array_distinct(TextAnalysis.tokens(c))
 
   /** T11 — word count via `\w+` matches. Ref: RAG/rag.ipynb:783. */
   def wordCount(c: Column): Column =

@@ -179,9 +179,12 @@ object Dedup {
 
   /** Word-level n-gram shingles of a text column (distinct). Short texts
     * (< n tokens) yield their whole token string as a single shingle.
+    * CJK runs tokenize per-character (TextAnalysis.tokenPattern), so a
+    * Chinese document shingles into char n-grams instead of collapsing
+    * to one whole-document shingle.
     */
   def shingles(text: Column, n: Int): Column = {
-    val toks = filter(split(lower(text), "\\s+"), t => t =!= "")
+    val toks = graft.functions.TextAnalysis.tokens(text)
     when(size(toks) < n, array(array_join(toks, " "))).otherwise(
       array_distinct(transform(
         sequence(lit(1), size(toks) - (n - 1)),

@@ -80,6 +80,24 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 1.0)))
   }
 
+  test("minhash recalls CJK near-dups (per-char tokens, not one giant pseudo-token)") {
+    // Two Chinese docs differing by one trailing ideograph, one unrelated.
+    // Whitespace tokenization would collapse each doc to a single token →
+    // single whole-doc shingle → zero signature agreement between the
+    // near-dups. CJK per-char tokens shingle into char 3-grams, so the
+    // near-dup pair shares most of its shingle set.
+    val df = Seq(
+      (1L, "我在中国大学学习计算机科学与技术专业"),
+      (2L, "我在中国大学学习计算机科学与技术专门"),
+      (3L, "的一是不了人的一是不了人的一是不了人"))
+      .toDF("id", "text")
+    val got = rows(Dedup.minhashPairs(df, $"id", $"text"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val nearDup = got.find(p => p._1 == 1L && p._2 == 2L)
+    assert(nearDup.exists(_._3 >= 0.5), s"near-dup pair missing or weak: $got")
+    assert(!got.exists(p => p._2 == 3L && p._3 > 0.5), s"false positive: $got")
+  }
+
   test("incrementalDedup equals the plain anti-join (nulls kept, dup corpus keys, FP-heavy filter)") {
     // corpus has duplicate keys and the filter is deliberately undersized
     // (expectedItems=2 over 6 keys, fpp 0.3) so bloom false positives are

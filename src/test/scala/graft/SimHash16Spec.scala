@@ -11,7 +11,8 @@ class SimHash16Spec extends SparkSpec {
     val texts = Seq(
       "alpha beta gamma", "  spaced   out  tokens ", "MIXED Case Words",
       "alpha alpha alpha beta", "one", "", "   ",
-      "a b c d e f g h i j k l m n o p q r s t u v w x y z")
+      "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+      "我在中国大学学习", "mixed 中文 and english了text")
     val got = rows(texts.toDF("t").select(
       SimHash16($"t"), Dedup.simhash16($"t")))
     got.foreach(r => assert(r.getInt(0) == r.getInt(1), r))

@@ -32,6 +32,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getDouble(4) == 1.0)
   }
 
+  test("CJK text tokenizes per-character; glued ASCII stays its own token") {
+    val in = Seq(
+      "我在中国",                 // pure CJK run → 4 per-char tokens
+      "学中文mix中文 words",      // ASCII glued between CJK runs
+      "plain ascii words").toDF("t")
+    val out = col0[collection.Seq[String]](in.select(TA.tokens($"t")))
+    assert(out(0) == Seq("我", "在", "中", "国"))
+    assert(out(1) == Seq("学", "中", "文", "mix", "中", "文", "words"))
+    assert(out(2) == Seq("plain", "ascii", "words"))
+    // word counts no longer degenerate to ~1 token per CJK doc
+    val n = col0[Int](in.select(TA.tokenCount($"t")))
+    assert(n == Seq(4, 7, 3))
+  }
+
   test("empty text yields zeros and 'und'") {
     val in = Seq("").toDF("t")
     val r = rows(in.select(TA.tokenCount($"t"), TA.stopwordRatio($"t"),

@@ -10,7 +10,8 @@ class TokenFingerprintSpec extends SparkSpec {
   test("native fingerprint is bit-identical to the declarative chain") {
     val texts = Seq(
       "alpha beta gamma", "  spaced   out  tokens ", "MIXED Case Words",
-      "one", "", "a b c d e f g h i j k l m n o p")
+      "one", "", "a b c d e f g h i j k l m n o p",
+      "我在中国大学学习", "mixed 中文 and english了text")
     val got = rows(texts.toDF("t").select(
       TokenFingerprint($"t"), TA.fingerprint($"t")))
     got.foreach(r => assert(r.getLong(0) == r.getLong(1)))

@@ -12,7 +12,11 @@ class TokenMinHashSpec extends SparkSpec {
       "spark is a unified analytics engine for large scale data",
       "short text", "one", "",
       "repeat repeat repeat repeat repeat",
-      "  padded   whitespace   tokens everywhere  ")
+      "  padded   whitespace   tokens everywhere  ",
+      // CJK: no-whitespace runs tokenize per-character; glued ASCII
+      // stays its own token
+      "我在中国大学学习",
+      "mixed 中文 and english了text")
     val df = texts.toDF("t")
     val native = df.select(
       TokenMinHash($"t", 3, Dedup.minhashCoeffs(16)).as("sig"))
