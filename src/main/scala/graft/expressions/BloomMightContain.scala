@@ -2,7 +2,8 @@ package graft.expressions
 
 import java.io.ByteArrayInputStream
 
-import org.apache.spark.sql.Column
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -18,22 +19,25 @@ import org.apache.spark.util.sketch.BloomFilter
   * (definitely new); `true` means "maybe" at the filter's false-positive
   * rate and must be confirmed exactly downstream.
   *
-  * The serialized filter travels in the expression (and, deserialized,
-  * in the codegen references array), so a probe costs a few hash ops per
-  * row inside whole-stage codegen — same mechanism as Spark's own
-  * runtime bloom pruning, but against a filter whose lifecycle the
-  * pipeline owns (build once over the corpus, reuse across every
-  * incoming batch).
+  * The filter ships as a BROADCAST handle, not task-closure bytes: at
+  * the operator's design point (a few GiB of bits for billions of keys,
+  * see Dedup.corpusBloom) closure transport would re-serialize the
+  * filter with every task, where a broadcast lands on each executor
+  * once. Codegen binds `broadcast.value()` to a per-partition local at
+  * init, so the per-row cost stays a few hash ops inside whole-stage
+  * codegen — same mechanism as Spark's own runtime bloom pruning, but
+  * against a filter whose lifecycle the pipeline owns (build once over
+  * the corpus, persist, reuse across every incoming batch).
   *
   * Keys are probed as UTF-8 bytes; build the filter with
   * `putBinary(key.getBytes(UTF_8))` (Dedup.corpusBloom does) so probe
   * and insert hash identical bytes.
   */
-case class BloomMightContain(filterBytes: Array[Byte], child: Expression)
+case class BloomMightContain(filterBc: Broadcast[BloomFilter],
+                             child: Expression)
   extends UnaryExpression {
 
-  @transient private lazy val bloom: BloomFilter =
-    BloomFilter.readFrom(new ByteArrayInputStream(filterBytes))
+  @transient private lazy val bloom: BloomFilter = filterBc.value
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -48,10 +52,15 @@ case class BloomMightContain(filterBytes: Array[Byte], child: Expression)
     bloom.mightContainBinary(v.asInstanceOf[UTF8String].getBytes)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("graftBloom", bloom,
-      classOf[BloomFilter].getName)
+    val bcCls = classOf[Broadcast[_]].getName
+    val bfCls = classOf[BloomFilter].getName
+    val bcRef = ctx.addReferenceObj("graftBloomBc", filterBc, bcCls)
+    // dereference the broadcast ONCE per partition, not per row — the
+    // value() lookup synchronizes on the broadcast block
+    val local = ctx.addMutableState(bfCls, "graftBloom",
+      v => s"$v = ($bfCls) (($bcCls) $bcRef).value();")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = $ref.mightContainBinary($c.getBytes());")
+      s"${ev.value} = $local.mightContainBinary($c.getBytes());")
   }
 
   override protected def withNewChildInternal(
@@ -60,7 +69,13 @@ case class BloomMightContain(filterBytes: Array[Byte], child: Expression)
 }
 
 object BloomMightContain {
-  def apply(filterBytes: Array[Byte], key: Column): Column =
+  def apply(filterBc: Broadcast[BloomFilter], key: Column): Column =
     GraftBridge.column(
-      BloomMightContain(filterBytes, GraftBridge.expression(key)))
+      BloomMightContain(filterBc, GraftBridge.expression(key)))
+
+  /** Convenience: broadcast serialized filter bytes, then probe. */
+  def apply(spark: SparkSession, filterBytes: Array[Byte],
+            key: Column): Column =
+    apply(spark.sparkContext.broadcast(
+      BloomFilter.readFrom(new ByteArrayInputStream(filterBytes))), key)
 }

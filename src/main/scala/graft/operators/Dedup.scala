@@ -305,6 +305,18 @@ object Dedup {
     bos.toByteArray
   }
 
+  /** Persist a [[corpusBloom]] artifact — the "build it when the corpus
+    * changes, reuse it for every batch" half of the lifecycle. Plain
+    * bytes on any Path-addressable store.
+    */
+  def saveBloom(filterBytes: Array[Byte], path: String): Unit = {
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), filterBytes): Unit
+  }
+
+  /** Load a previously saved [[corpusBloom]] artifact. */
+  def loadBloom(path: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+
   /** Rows of `batch` whose `key` does NOT appear in `corpus` — exactly
     * `batch LEFT ANTI JOIN corpus ON key` (NULL-key rows are kept, as in
     * anti-join semantics and D2's null passthrough) — without shuffling
@@ -328,9 +340,20 @@ object Dedup {
     * fire across jobs/days.)
     */
   def incrementalDedup(batch: DataFrame, corpus: DataFrame, key: String,
-                       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    val bytes = corpusBloom(corpus, key, expectedItems, fpp)
-    val probe = graft.expressions.BloomMightContain(bytes, col(key).cast("string"))
+                       expectedItems: Long, fpp: Double = 0.01): DataFrame =
+    incrementalDedup(batch, corpus, key,
+      corpusBloom(corpus, key, expectedItems, fpp))
+
+  /** [[incrementalDedup]] against a PREBUILT filter (from [[corpusBloom]]
+    * now or [[loadBloom]] of a past run) — the steady-state daily-batch
+    * call, paying zero corpus passes. The filter broadcasts once per
+    * executor (not per task closure); `corpus` is only touched by the
+    * exact anti-join over the maybe-seen sliver.
+    */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame, key: String,
+                       filterBytes: Array[Byte]): DataFrame = {
+    val probe = graft.expressions.BloomMightContain(
+      batch.sparkSession, filterBytes, col(key).cast("string"))
     val fresh = batch.filter(col(key).isNull || !probe)
     val confirmedNew = batch.filter(col(key).isNotNull && probe)
       .join(corpus.select(col(key)), Seq(key), "left_anti")

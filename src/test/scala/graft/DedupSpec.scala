@@ -122,14 +122,33 @@ class DedupSpec extends SparkSpec {
     val corpus = keys.toDF("key")
     val bytes = Dedup.corpusBloom(corpus, "key", expectedItems = 200, fpp = 0.01)
     val probeDf = keys.toDF("k")
-      .select(graft.expressions.BloomMightContain(bytes, $"k").as("hit"))
+      .select(graft.expressions.BloomMightContain(spark, bytes, $"k").as("hit"))
     // every inserted key must probe true (bloom guarantee the
-    // incremental-dedup pass-through path rests on)
+    // incremental-dedup pass-through path rests on): probe-vs-insert
+    // byte identity holds through the broadcast hop
     assert(col0[Boolean](probeDf).forall(identity))
     // NULL key probes NULL (null-intolerant unary expression)
     val nullProbe = Seq(Option.empty[String]).toDF("k")
-      .select(graft.expressions.BloomMightContain(bytes, $"k"))
+      .select(graft.expressions.BloomMightContain(spark, bytes, $"k"))
     assert(rows(nullProbe).head.isNullAt(0))
+  }
+
+  test("bloom artifact round-trips through save/load and a prebuilt filter dedups identically") {
+    val corpus = (1 to 50).map(i => s"c$i").toDF("key")
+    val batch = ((40 to 60).map(i => s"c$i") :+ "brand-new").toDF("key")
+    val bytes = Dedup.corpusBloom(corpus, "key", expectedItems = 50, fpp = 0.05)
+    val path = java.nio.file.Files.createTempFile("bloomspec", ".bin")
+    try {
+      Dedup.saveBloom(bytes, path.toString)
+      val loaded = Dedup.loadBloom(path.toString)
+      assert(loaded.toSeq == bytes.toSeq)
+      val viaBuild = col0[String](
+        Dedup.incrementalDedup(batch, corpus, "key", 50L, 0.05).orderBy($"key"))
+      val viaArtifact = col0[String](
+        Dedup.incrementalDedup(batch, corpus, "key", loaded).orderBy($"key"))
+      assert(viaArtifact == viaBuild)
+      assert(viaArtifact == ((51 to 60).map(i => s"c$i") :+ "brand-new").sorted)
+    } finally java.nio.file.Files.deleteIfExists(path): Unit
   }
 
   test("simhash16 is deterministic, bounded, and equal for equal texts") {
