@@ -18,26 +18,33 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // min of two runs: single-shot timings swing ±2-8× with machine
-      // load, making round-over-round comparison meaningless; the min is
-      // the stable "code speed" estimate and stays comparable.
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try {
-          // Full-evaluation sink: a count() lets Catalyst prune every
-          // unreferenced projection expression, timing a skeleton plan.
-          // Materializing the InternalRow iterator forces all columns.
-          fn(spark, sfDir).queryExecution.toRdd
-            .foreachPartition(it => it.foreach(_ => ()))
-          (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
-            -1.0
-        }
+    val ordered = selected.toSeq.sortBy(_._1)
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try {
+        // Full-evaluation sink: a count() lets Catalyst prune every
+        // unreferenced projection expression, timing a skeleton plan.
+        // Materializing the InternalRow iterator forces all columns.
+        fn(spark, sfDir).queryExecution.toRdd
+          .foreachPartition(it => it.foreach(_ => ()))
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+          -1.0
       }
-      name -> times
+    }
+    // min of two runs: single-shot timings swing ±2-8× with machine
+    // load, making round-over-round comparison meaningless; the min is
+    // the stable "code speed" estimate and stays comparable. The two
+    // reps are INTERLEAVED (full pass over every query, then a second
+    // full pass) so a transient load spike lands on at most one rep of
+    // any query — back-to-back reps were both poisoned by the same
+    // spike, indistinguishable from a real regression.
+    val pass1 = ordered.map { case (name, fn) => name -> timeOne(name, fn) }
+    val pass2 = ordered.map { case (name, fn) => name -> timeOne(name, fn) }
+    val results = pass1.zip(pass2).map { case ((name, t1), (_, t2)) =>
+      name -> Seq(t1, t2)
     }.toMap
     val mins = results.view.mapValues(ts =>
       if (ts.exists(_ < 0)) -1.0 else ts.min).toMap

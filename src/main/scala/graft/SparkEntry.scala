@@ -74,6 +74,24 @@ object SparkEntry {
          AS dirty
        FROM documents"""
 
+  /** Dirty-text prefix for g1's cleaning stage (the corpus is clean, so
+    * LaTeX/entity/non-ASCII input is constructed identically on both
+    * sides — the t1 precedent). Contains no single quotes, so it embeds
+    * verbatim in a DuckDB string literal.
+    */
+  private val g1DirtyPrefix = "\\textbf{Note} on $x^2$ &amp; caf\u00e9 "
+
+  /** DuckDB twin of [[graft.functions.TextFunctions.cleanText]] — the
+    * T2→T3→T4→T1 regexp_replace chain over expression `e` (same patterns,
+    * same order; Java regex and RE2 agree on all five).
+    */
+  private def sqlClean(e: String): String =
+    "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      "regexp_replace(regexp_replace(" + e +
+      """, '\$.*?\$', ' ', 'g'), '\\[a-zA-Z]+\{[^}]*\}', ' ', 'g'), """ +
+      """'\\[a-zA-Z]+\s*', ' ', 'g'), '&[a-zA-Z]+;', ' ', 'g'), """ +
+      """'[^\x00-\x7F]+', ' ', 'g'), '\s+', ' ', 'g'))"""
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Runs the document-pipeline spine: clean → dedup → per-language stats.
     */
@@ -601,6 +619,51 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "g1_fused_pipeline" -> ((s, dir) => {
+      // G1 — the reference's end-to-end product (README.md:70-106
+      // dataflow) composed as ONE lazy plan: merge-union dedup (D1) →
+      // title-hash dedup (D3) → LaTeX/entity/non-ASCII clean + whitespace
+      // collapse (T1-T4) → schema align with defaults (P1) → mock keyword
+      // enrichment + validation (L2) → quality gate (P3) → per-language
+      // stats (A1). Nothing materializes mid-pipeline: every stage is
+      // declarative (the enrich step is a lazy mapPartitions over the
+      // same iterator), so Catalyst fuses the chain end to end and the
+      // only exchanges are the two dedup windows and the final aggregate.
+      val d = t(s, dir, "documents")
+      val fileA = d.filter(col("doc_id") % 2 === 0)
+        .withColumn("file_idx", lit(0L))
+      val fileB = d.withColumn("file_idx", lit(1L))
+      val ord = col("file_idx") * 1000000L + col("doc_id")
+      val merged = Dedup.dedupFirstWins(
+        fileA.unionByName(fileB),
+        md5(lower(trim(substring(col("text"), 1, 20)))), ord)
+      // D3 keys on an OFFSET slice so it is not subsumed by the D1 key
+      // (equal 1..20 prefixes already collapsed; 8..31 still can collide).
+      val deduped = Dedup.titleHashDedup(merged,
+        substring(col("text"), 8, 24), ord)
+      val cleaned = deduped.withColumn("clean_text",
+        TF.cleanText(concat(lit(g1DirtyPrefix), col("text"))))
+      val aligned = Align.alignTo(cleaned, Seq(
+        "doc_id" -> lit(-1L),
+        "lang" -> lit("und"),
+        "license" -> lit("unknown"),
+        "n_chars" -> lit(0L),
+        "clean_text" -> lit("")))
+      val enriched = Enrich.enrichColumn(aligned,
+          concat(lit("Extract keywords: "), col("clean_text")), "raw_kw",
+          new Enrich.MockKeywordClient(12))
+        .withColumn("keywords", Enrich.validateKeywords(col("raw_kw")))
+      val kept = Align.gate(enriched, Seq(
+        "too_short" -> (col("n_chars") >= 120),
+        "few_keywords" -> (size(col("keywords")) >= 3)))
+      kept.groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          fround(avg(length(col("clean_text"))), 4).as("avg_clean_chars"),
+          fround(avg(size(col("keywords"))), 4).as("avg_keywords"),
+          sum(size(col("keywords")).cast("long")).as("total_keywords"))
+        .orderBy(col("lang"))
+    }),
+
     // ---- A4/A5: statistics ------------------------------------------
     "a4_dist_stats" -> ((s, dir) => {
       // A4/A5/A7 — mean/median/σ_pop/min/max + Pearson corr
@@ -912,6 +975,34 @@ object SparkEntry {
       // broadcast the 3-row quartile side explicitly: size estimates on a
       // narrow parquet scan otherwise let Catalyst build the hashed
       // relation from the FACT side (BuildLeft over all of lineitem).
+      li.join(broadcast(q), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          fround(first(col("q1")), 6).as("q1"),
+          fround(first(col("q3")), 6).as("q3"),
+          sum(when(col("l_extendedprice") < lo || col("l_extendedprice") > hi,
+            1L).otherwise(0L)).as("n_outliers"),
+          fround(sum(when(col("l_extendedprice") < lo || col("l_extendedprice") > hi,
+            1.0).otherwise(0.0)) * 100.0 / first(col("n_total")), 6).as("pct_outliers"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "a7x_iqr_approx" -> ((s, dir) => {
+      // A7 approx twin — the documented 100 TB substitute for exact
+      // quartiles, shipped as a BENCH-ONLY entry (no oracle SQL: DuckDB's
+      // approx sketch differs, so the driver records a rows-only check)
+      // so its measured cost is visible next to exact a7.
+      // approx_percentile is a single-pass mergeable sketch (partial agg
+      // per partition + merge) — no per-group sorted materialization, so
+      // it scales to corpus-sized groups where exact percentile cannot.
+      val li = t(s, dir, "lineitem")
+      val q = li.groupBy(col("l_returnflag")).agg(
+        expr("approx_percentile(l_extendedprice, 0.25, 10000)").as("q1"),
+        expr("approx_percentile(l_extendedprice, 0.75, 10000)").as("q3"),
+        count(lit(1)).as("n_total"))
+      val iqr = col("q3") - col("q1")
+      val lo = col("q1") - iqr * 1.5
+      val hi = col("q3") + iqr * 1.5
       li.join(broadcast(q), "l_returnflag")
         .groupBy(col("l_returnflag"))
         .agg(
@@ -2036,6 +2127,56 @@ object SparkEntry {
            list_filter(ks, (x, i) -> list_position(ks, x) = i), 1, 8), ',')
            AS keywords
          FROM v ORDER BY doc_id"""
+    },
+
+    "g1_fused_pipeline" -> {
+      val stop = sqlList(Enrich.keywordStopList)
+      val clean = sqlClean(s"'$g1DirtyPrefix' || text")
+      s"""WITH u AS (
+           SELECT doc_id, 0 AS file_idx, text, lang, n_chars
+           FROM documents WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT doc_id, 1 AS file_idx, text, lang, n_chars FROM documents),
+         m AS (
+           SELECT * FROM (
+             SELECT u.*, row_number() OVER (
+               PARTITION BY md5(lower(trim(substring(text, 1, 20))))
+               ORDER BY file_idx * 1000000 + doc_id) AS rn
+             FROM u) WHERE rn = 1),
+         dd AS (
+           SELECT * FROM (
+             SELECT m.*, row_number() OVER (
+               PARTITION BY md5(lower(trim(substring(text, 8, 24))))
+               ORDER BY file_idx * 1000000 + doc_id) AS rn2
+             FROM m) WHERE rn2 = 1),
+         c AS (
+           SELECT doc_id, coalesce(lang, 'und') AS lang, n_chars,
+             $clean AS clean_text
+           FROM dd),
+         raw AS (
+           SELECT c.*, array_to_string(list_slice(
+             list_filter(string_split_regex(lower(clean_text), '\\s+'),
+               x -> len(x) > 3), 1, 12), ',') AS raw_kw
+           FROM c),
+         v AS (
+           SELECT raw.*,
+             list_filter(
+               list_transform(string_split(raw_kw, ','), x -> trim(x)),
+               x -> x <> '' AND len(x) >= 3 AND len(x) <= 50
+                 AND NOT list_contains($stop, x)) AS ks
+           FROM raw),
+         kw AS (
+           SELECT v.*, list_slice(
+             list_filter(ks, (x, i) -> list_position(ks, x) = i), 1, 8)
+             AS keywords
+           FROM v),
+         kept AS (
+           SELECT * FROM kw WHERE n_chars >= 120 AND len(keywords) >= 3)
+         SELECT lang, count(*) AS n_docs,
+           ${sqlFround("avg(len(clean_text))", 4)} AS avg_clean_chars,
+           ${sqlFround("avg(len(keywords))", 4)} AS avg_keywords,
+           sum(len(keywords))::BIGINT AS total_keywords
+         FROM kept GROUP BY lang ORDER BY lang"""
     },
 
     "l3_mock_scores" ->

@@ -95,4 +95,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2) == (0.0, 0.0))
     assert(got(3) == (1.0, 1.0 - 1.0 / 3.0)) // all bigrams identical
   }
+
+  test("topTokenFraction: linear sorted-run form == brute-force twin") {
+    val texts = Seq(
+      "a a a b",                                     // simple repetition
+      "the quick brown fox jumps over the lazy dog", // prose, one repeat
+      "机器学习是机器智能的分支 机器 learning",         // CJK per-char + ASCII mix
+      "data data data data data data data data",     // degenerate repeat
+      "x",                                           // single token
+      "",                                            // empty
+      "z y x w v u t s r q p o n m l k j i h g")     // all-distinct, reverse-sorted
+    val df = texts.toDF("t").select(TA.tokens($"t").as("toks"))
+    val got = rows(df.select(
+      TA.topTokenFraction($"toks"), TA.topTokenFractionBrute($"toks")))
+    got.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1),
+        s"linear ${r.getDouble(0)} != brute ${r.getDouble(1)}")
+    }
+  }
 }
