@@ -1381,6 +1381,49 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "m2_media_headers" -> ((s, dir) => {
+      // M2 — real media header decode: synthesize well-formed PNG and
+      // JPEG payloads (dims derived from doc_id; every 11th payload
+      // truncated to 10 bytes), then parse width/height BACK out of the
+      // binary with the pure-expression PNG IHDR / JPEG SOF readers.
+      // The oracle is ground truth recomputed from doc_id alone — any
+      // parser defect (offset, endianness, segment-walk, truncation
+      // handling) surfaces as a mismatch.
+      val w = col("doc_id") % 640 + 16
+      val hgt = col("doc_id") % 480 + 16
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"))
+        .withColumn("com_len", (col("doc_id") % 5 + 4).cast("int"))
+        .withColumn("png_hex", concat(
+          lit(Multimodal.pngSigIhdrHex),
+          lpad(hex(w), 8, "0"), lpad(hex(hgt), 8, "0"),
+          // bit depth 8, color type 6, compression/filter/interlace 0 + CRC
+          lit("0806000000DEADBEEF")))
+        .withColumn("jpg_hex", concat(
+          // SOI + 16-byte JFIF APP0
+          lit("FFD8" + "FFE00010" + "4A46494600010100000100010000"),
+          // COM segment of doc_id-dependent length: the SOF offset is
+          // NOT constant, so a fixed-offset peek would fail the oracle
+          lit("FFFE"), lpad(hex(col("com_len")), 4, "0"),
+          expr("repeat('41', com_len - 2)"),
+          // SOF0: len 17, precision 8, height, width, 3 components
+          lit("FFC00011" + "08"), lpad(hex(hgt), 4, "0"), lpad(hex(w), 4, "0"),
+          lit("03" + "011100" + "021101" + "031101"), lit("FFD9")))
+        .withColumn("full_hex",
+          when(col("doc_id") % 2 === 0, col("png_hex")).otherwise(col("jpg_hex")))
+        .withColumn("media",
+          unhex(when(col("doc_id") % 11 === 0, substring(col("full_hex"), 1, 20))
+            .otherwise(col("full_hex"))))
+      val png = Multimodal.pngDims(col("media"))
+      val jpg = Multimodal.jpegDims(col("media"))
+      d.select(col("doc_id"),
+          when(png.isNotNull, lit("png"))
+            .when(jpg.isNotNull, lit("jpeg")).as("fmt"),
+          coalesce(png.getField("width"), jpg.getField("width")).as("width"),
+          coalesce(png.getField("height"), jpg.getField("height")).as("height"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- W2: sessionization (batch twin of the streaming path) ------
     "w2_sessionization" -> ((s, dir) => {
       // Gap-based sessionization via lag + running session-break sum —
@@ -2413,6 +2456,18 @@ object SparkEntry {
          coalesce(${feat(7)}, 0.0) AS f7
          FROM documents ORDER BY doc_id"""
     },
+
+    "m2_media_headers" ->
+      // ground truth from doc_id — the Spark side must parse the same
+      // numbers back out of the bytes it synthesized
+      """SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN NULL
+              WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+         CASE WHEN doc_id % 11 = 0 THEN NULL
+              ELSE doc_id % 640 + 16 END AS width,
+         CASE WHEN doc_id % 11 = 0 THEN NULL
+              ELSE doc_id % 480 + 16 END AS height
+         FROM documents ORDER BY doc_id""",
 
     "w2_sessionization" ->
       s"""WITH m AS (

@@ -10,13 +10,16 @@ import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
   * frame-sample run as batched `mapPartitions` stages over the bytes —
   * the Scala-side equivalent of a Pandas-UDF `mapInPandas` batch stage.
   *
-  * The actual codec step is STUBBED (this container has no image/audio
+  * The pixel-decode step is STUBBED (this container has no image/audio
   * libraries): [[StubDecoder]] derives a deterministic feature frame
-  * from the raw bytes. Everything around it — schema, batching,
-  * partition-local execution, column contracts — is the real 100 TB
-  * plumbing: payload bytes never hit the driver, a real decoder drops in
-  * behind the same trait, and feature output lands in an
-  * `array<float>`-compatible column ready for the Similarity operators.
+  * from the raw bytes. The HEADER parse is real: [[pngDims]] /
+  * [[jpegDims]] read width/height straight from PNG IHDR / JPEG SOF
+  * bytes as pure expressions (no library, no UDF). Everything around
+  * the stub — schema, batching, partition-local execution, column
+  * contracts — is the real 100 TB plumbing: payload bytes never hit
+  * the driver, a real decoder drops in behind the same trait, and
+  * feature output lands in an `array<float>`-compatible column ready
+  * for the Similarity operators.
   */
 object Multimodal {
 
@@ -83,6 +86,71 @@ object Multimodal {
         }
       }
     }(Encoders.row(outSchema))
+  }
+
+  /** Hex of the fixed PNG prefix a well-formed file must carry: 8-byte
+    * signature + IHDR chunk length (13) + "IHDR" type (bytes 0-15).
+    */
+  val pngSigIhdrHex: String = "89504E470D0A1A0A" + "0000000D" + "49484452"
+
+  /** PNG IHDR width/height as a pure binary expression — a REAL header
+    * parse, no codec library: hex the payload once, check the 16-byte
+    * signature+IHDR prefix, and read the two big-endian u32s at byte
+    * offsets 16 and 20 (PNG spec §5.2/§11.2.2). Returns
+    * struct(width BIGINT, height BIGINT), NULL for truncated or
+    * non-PNG payloads (never throws — every read is length-guarded, so
+    * ANSI mode stays safe).
+    */
+  def pngDims(bin: Column): Column = {
+    val h = upper(hex(bin))
+    when(length(bin) >= 24 && substring(h, 1, 32) === pngSigIhdrHex,
+      struct(
+        conv(substring(h, 33, 8), 16, 10).cast("long").as("width"),
+        conv(substring(h, 41, 8), 16, 10).cast("long").as("height")))
+  }
+
+  /** JPEG SOF width/height as a pure expression — a real bounded segment
+    * walk, not a fixed-offset peek: after the FFD8 SOI, each marker
+    * segment carries a big-endian u16 length, so the walker hops
+    * segment-to-segment (APPn/COM/DQT/... all skip uniformly) until it
+    * hits an SOF0-SOF3 frame header (FFC0-FFC3) and reads
+    * height@+5/width@+7 (ITU T.81 §B.2.2). The walk is an `aggregate`
+    * over a `maxSegments` sequence with a struct(off,width,height)
+    * accumulator — each step references the accumulator once, so the
+    * expression stays linear in `maxSegments` (a when-cascade unroll
+    * would square it). Truncated/malformed input → NULL at the first
+    * unreadable byte; every substring is length-guarded (ANSI-safe).
+    */
+  def jpegDims(bin: Column, maxSegments: Int = 8): Column = {
+    val h = upper(hex(bin))
+    val n = length(h)
+    def hp(off: Column) = substring(h, off * 2 + 1, lit(2))
+    def v16(off: Column) = conv(substring(h, off * 2 + 1, lit(4)), 16, 10).cast("long")
+    val nullL = lit(null).cast("long")
+    val dead = struct(nullL.as("off"), nullL.as("width"), nullL.as("height"))
+    val start = struct(lit(2L).as("off"), nullL.as("width"), nullL.as("height"))
+    val walked = aggregate(
+      sequence(lit(1), lit(maxSegments)), start,
+      (a, _) => {
+        val off = a.getField("off")
+        val done = a.getField("width").isNotNull
+        // marker (2 bytes) + segment length (2 bytes) must be in range
+        val canRead = off.isNotNull && (off * 2 + 8) <= n
+        val m = hp(off + 1)
+        val isSof = m >= "C0" && m <= "C3"
+        val hasDims = (off * 2 + 18) <= n
+        when(done, a)
+          .when(!canRead || hp(off) =!= "FF", dead)
+          .when(isSof && hasDims, struct(off.as("off"),
+            v16(off + 7).as("width"), v16(off + 5).as("height")))
+          .when(isSof, dead)
+          .otherwise(struct((off + 2 + v16(off + 2)).as("off"),
+            nullL.as("width"), nullL.as("height")))
+      })
+    when(length(bin) >= 2 && substring(h, 1, 4) === "FFD8" &&
+        walked.getField("width").isNotNull,
+      struct(walked.getField("width").as("width"),
+        walked.getField("height").as("height")))
   }
 
   /** Frame sampling: n evenly-spaced byte-range "frames" from a payload

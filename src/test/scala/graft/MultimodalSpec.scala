@@ -45,6 +45,50 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(2).forall(_ == 0.0)) // empty payload -> zero sums
   }
 
+  // handcrafted fixtures: a 3x2 PNG and a JPEG with a COM segment before
+  // its SOF0 declaring 5x7 (width x height)
+  private val pngHex = Multimodal.pngSigIhdrHex +
+    "00000003" + "00000002" + "0806000000" + "CAFEBABE"
+  private val jpgHex = "FFD8" + "FFE00010" + "4A46494600010100000100010000" +
+    "FFFE0004" + "4142" + // COM, length 4 (2-byte payload "AB")
+    "FFC00011" + "08" + "0007" + "0005" + "03011100021101031101" + "FFD9"
+
+  test("pngDims / jpegDims parse width+height from real header bytes") {
+    val df = Seq(
+      (1L, pngHex), (2L, jpgHex),
+      (3L, pngHex.take(20)),          // truncated PNG (10 bytes)
+      (4L, jpgHex.take(20)),          // truncated JPEG mid-APP0
+      (5L, "DEADBEEF"),               // neither format
+      (6L, "FFD8" + "FFD9"))          // JPEG with no SOF at all
+      .toDF("id", "hx").select($"id", unhex($"hx").as("media"))
+    val got = rows(df.orderBy($"id").select(
+      Multimodal.pngDims($"media").as("p"),
+      Multimodal.jpegDims($"media").as("j")))
+    assert(got(0).getStruct(0).getLong(0) == 3L)  // png width
+    assert(got(0).getStruct(0).getLong(1) == 2L)  // png height
+    assert(got(0).isNullAt(1))
+    assert(got(1).isNullAt(0))
+    assert(got(1).getStruct(1).getLong(0) == 5L)  // jpeg width
+    assert(got(1).getStruct(1).getLong(1) == 7L)  // jpeg height
+    // truncated / malformed payloads → NULL, never an ANSI throw
+    (2 to 5).foreach { i =>
+      assert(got(i).isNullAt(0) && got(i).isNullAt(1), s"row ${i + 1}")
+    }
+  }
+
+  test("jpegDims walks past a long APPn run and respects maxSegments") {
+    // five COM segments (len 4 each) before the SOF
+    val manyCom = "FFD8" + ("FFFE0004" + "4142") * 5 +
+      "FFC00011" + "08" + "0010" + "0020" + "03011100021101031101" + "FFD9"
+    val df = Seq((1L, manyCom)).toDF("id", "hx")
+      .select($"id", unhex($"hx").as("media"))
+    val wide = rows(df.select(Multimodal.jpegDims($"media", 8).as("j"))).head
+    assert(wide.getStruct(0).getLong(0) == 32L && wide.getStruct(0).getLong(1) == 16L)
+    // walker budget too small → NULL, not a wrong answer
+    val narrow = rows(df.select(Multimodal.jpegDims($"media", 3).as("j"))).head
+    assert(narrow.isNullAt(0))
+  }
+
   test("frameSample yields n byte-range frames that reassemble a prefix") {
     val m = Multimodal.withFakeMedia(docs.filter($"id" === 1), $"text")
     val f = Multimodal.frameSample(m, "media", 4)
