@@ -133,6 +133,66 @@ object Enrich {
     }
   }
 
+  /** Thin JDK-only HTTP implementation of [[LlmClient]] — the live path
+    * the reference runs (enhance_fields_of_study.py:67-152 POSTs a chat
+    * request and reads `choices[0].message.content`). POSTs an
+    * OpenAI-style JSON body to `endpoint` (bearer-authed when `apiKey`
+    * is non-empty), bounded by per-request connect+response timeouts;
+    * non-2xx status or a missing content field throws IOException, so
+    * the existing [[ThrottledClient]]/[[AdaptiveThrottledClient]]
+    * wrappers own retry/backoff policy — compose as
+    * `new AdaptiveThrottledClient(new HttpLlmClient(...), limiter)`.
+    *
+    * `contentPath` is a JSON Pointer to the reply text, so non-OpenAI
+    * response shapes need no code change. The HTTP client and JSON
+    * mapper are transient-lazy: instances serialize to executors as
+    * config only and each executor builds its own connections.
+    */
+  final class HttpLlmClient(
+      endpoint: String,
+      apiKey: String = "",
+      model: String = "default",
+      timeoutMs: Long = 30000,
+      contentPath: String = "/choices/0/message/content") extends LlmClient {
+
+    @transient private lazy val http = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
+      .build()
+    @transient private lazy val mapper =
+      new com.fasterxml.jackson.databind.ObjectMapper()
+
+    private def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+    def complete(prompt: String): String = {
+      val body = s"""{"model":"${esc(model)}","messages":[""" +
+        s"""{"role":"user","content":"${esc(prompt)}"}]}"""
+      val builder = java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(endpoint))
+        .timeout(java.time.Duration.ofMillis(timeoutMs))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers
+          .ofString(body, java.nio.charset.StandardCharsets.UTF_8))
+      if (apiKey.nonEmpty) builder.header("Authorization", s"Bearer $apiKey")
+      val resp = http.send(builder.build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 != 2)
+        throw new java.io.IOException(
+          s"HTTP ${resp.statusCode()}: ${resp.body().take(200)}")
+      val node = mapper.readTree(resp.body()).at(contentPath)
+      if (node.isMissingNode || node.isNull)
+        throw new java.io.IOException(s"no $contentPath in response body")
+      node.asText()
+    }
+  }
+
   /** Core harness: evaluate `prompt` per row, call the client inside
     * mapPartitions in batches of `batchSize`, append the raw response as
     * `outCol` (string). Downstream validation/parsing stays declarative.

@@ -137,4 +137,102 @@ class EnrichSpec extends SparkSpec {
     val out = col0[Long](Enrich.resumeFilter(docs, done, "id").select($"id"))
     assert(out == Seq(2L))
   }
+
+  // ---- HttpLlmClient against a hermetic in-process HTTP stub ----------
+
+  /** Starts a localhost HttpServer answering `handler`, runs `f` against
+    * its URL, always shuts the server down.
+    */
+  private def withHttpStub(
+      handler: com.sun.net.httpserver.HttpExchange => Unit)(
+      f: String => Unit): Unit = {
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/v1/chat", ex => try handler(ex) finally ex.close())
+    srv.start()
+    try f(s"http://127.0.0.1:${srv.getAddress.getPort}/v1/chat")
+    finally srv.stop(0)
+  }
+
+  private def respond(ex: com.sun.net.httpserver.HttpExchange,
+                      status: Int, body: String): Unit = {
+    val bytes = body.getBytes("UTF-8")
+    ex.sendResponseHeaders(status, bytes.length)
+    ex.getResponseBody.write(bytes)
+  }
+
+  test("HttpLlmClient posts the prompt, auths, and parses the content path") {
+    @volatile var seenBody = ""
+    @volatile var seenAuth = ""
+    withHttpStub { ex =>
+      seenBody = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      seenAuth = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+      respond(ex, 200,
+        """{"choices":[{"message":{"content":"graph, attention"}}]}""")
+    } { url =>
+      val c = new Enrich.HttpLlmClient(url, apiKey = "sk-test", model = "m0")
+      assert(c.complete("Extract: \"quoted\"\nline2") == "graph, attention")
+      assert(seenAuth == "Bearer sk-test")
+      // prompt JSON-escaped into the OpenAI-style body
+      assert(seenBody.contains(""""model":"m0""""))
+      assert(seenBody.contains("""Extract: \"quoted\"\nline2"""))
+    }
+  }
+
+  test("HttpLlmClient throws on non-2xx and on a missing content field") {
+    withHttpStub { ex => respond(ex, 500, """{"error":"overloaded"}""") } { url =>
+      val c = new Enrich.HttpLlmClient(url)
+      val e = intercept[java.io.IOException](c.complete("x"))
+      assert(e.getMessage.contains("500"))
+    }
+    withHttpStub { ex => respond(ex, 200, """{"unexpected":"shape"}""") } { url =>
+      val c = new Enrich.HttpLlmClient(url)
+      val e = intercept[java.io.IOException](c.complete("x"))
+      assert(e.getMessage.contains("/choices/0/message/content"))
+    }
+  }
+
+  test("HttpLlmClient times out on a stalled server (bounded, not hung)") {
+    withHttpStub { ex =>
+      Thread.sleep(2000)
+      respond(ex, 200, """{"choices":[{"message":{"content":"late"}}]}""")
+    } { url =>
+      val c = new Enrich.HttpLlmClient(url, timeoutMs = 200)
+      intercept[java.io.IOException](c.complete("x"))
+    }
+  }
+
+  test("HttpLlmClient retries through AdaptiveThrottledClient and recovers") {
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    withHttpStub { ex =>
+      if (calls.incrementAndGet() == 1) respond(ex, 503, "busy")
+      else respond(ex, 200, """{"choices":[{"message":{"content":"ok"}}]}""")
+    } { url =>
+      val limiter = new Enrich.AdaptiveRateLimiter(10, 1000, jitter = () => 0.0)
+      val slept = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val c = new Enrich.AdaptiveThrottledClient(
+        new Enrich.HttpLlmClient(url), limiter, maxRetries = 3,
+        sleep = ms => slept += ms)
+      assert(c.complete("x") == "ok")
+      assert(calls.get() == 2)
+      // failure grew the limiter delay x1.5 before the retry
+      assert(slept.toSeq == Seq(10L, 15L))
+    }
+  }
+
+  test("HttpLlmClient serializes into enrichColumn's executor path") {
+    withHttpStub { ex =>
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      // echo the last word of the prompt back as the content
+      val word = body.split("\\s+").last.takeWhile(_.isLetter)
+      respond(ex, 200,
+        s"""{"choices":[{"message":{"content":"$word"}}]}""")
+    } { url =>
+      val out = Enrich.enrichColumn(docs,
+        concat(lit("Summarize: "), $"text"), "resp",
+        new Enrich.HttpLlmClient(url))
+      val got = rows(out.orderBy($"id").select($"resp")).map(_.getString(0))
+      assert(got == Seq("aggregation", "doc", "pipelines"))
+    }
+  }
 }
