@@ -1594,6 +1594,22 @@ object SparkEntry {
           threshold = 0.3, dim = 64)
         .select(col("id_a"), col("id_b"), fround(col("cosine"), 6).as("cosine"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "d10_semantic_dedup" -> ((s, dir) => {
+      // Embedding-space near-dup pairs, SemDeDup shape: deterministic
+      // k-means clusters the corpus, exact cosine pairs form ONLY
+      // within a cluster (Σ|cluster|² work instead of n²; cross-cluster
+      // near-dups are the accepted recall trade). Same k-means as v8,
+      // so the oracle replays clustering + pairing bit-for-bit.
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(
+        emb, col("vec_id"), col("embedding"), 4, 2)
+      Similarity.semanticDupPairs(emb, col("vec_id"), col("embedding"),
+          cents, threshold = 0.3)
+        .select(col("cid"), col("id_a"), col("id_b"),
+          fround(col("cosine"), 6).as("cosine"))
+        .orderBy(col("cid"), col("id_a"), col("id_b"))
     })
   )
 
@@ -1669,15 +1685,16 @@ object SparkEntry {
   private def sqlCosine64(a: String, b: String): String =
     s"${sqlDot64(a, b)} / (sqrt(${sqlDot64(a, a)}) * sqrt(${sqlDot64(b, b)}))"
 
-  /** DuckDB twin of Similarity.kmeansCentroids + the v8 rollup: same
-    * smallest-id init, same cosine-argmax tie-break (ties → lowest
+  /** DuckDB twin of Similarity.kmeansCentroids as a reusable WITH-body:
+    * same smallest-id init, same cosine-argmax tie-break (ties → lowest
     * cid), same per-dimension means with floor-stable 6-decimal
     * centroid rounding after every step — the rounding is what makes
     * the two engines' distributed-summation noise collapse to
-    * identical centroids. Generated per (k, iters) so both sides share
-    * one definition.
+    * identical centroids. Ends in a `final_assign(vec_id, embedding,
+    * cid, cos)` CTE consumed by the v8 rollup and the d10 pair query.
+    * Generated per (k, iters) so every consumer shares one definition.
     */
-  private def sqlKmeansRollup(k: Int, iters: Int): String = {
+  private def sqlKmeansCtes(k: Int, iters: Int): String = {
     def r6(e: String) = s"floor(($e) * 1e6 + 0.5) / 1e6"
     val init =
       s"""cents0 AS (
@@ -1703,20 +1720,24 @@ object SparkEntry {
                GROUP BY a.cid, t.i)
              GROUP BY cid) n USING (cid))"""
     }
-    s"""WITH $init,
+    s"""$init,
        ${steps.mkString(",\n")},
        final_assign AS (
-         SELECT vec_id, cid, cos FROM (
-           SELECT e.vec_id, c.cid,
+         SELECT vec_id, embedding, cid, cos FROM (
+           SELECT e.vec_id, e.embedding, c.cid,
              ${sqlCosine64("e.embedding", "c.cv")} AS cos,
              row_number() OVER (PARTITION BY e.vec_id
                ORDER BY ${sqlCosine64("e.embedding", "c.cv")} DESC, c.cid)
                AS rn
            FROM embeddings e CROSS JOIN cents$iters c)
-         WHERE rn = 1)
+         WHERE rn = 1)"""
+  }
+
+  /** v8: [[sqlKmeansCtes]] + the cluster-size/cohesion rollup. */
+  private def sqlKmeansRollup(k: Int, iters: Int): String =
+    s"""WITH ${sqlKmeansCtes(k, iters)}
        SELECT cid, count(*) AS n_vecs, ${sqlFround("avg(cos)", 6)} AS cohesion
        FROM final_assign GROUP BY cid ORDER BY cid"""
-  }
 
   /** DuckDB: `words` members occurring as substrings of lower(e)
     * (Ruler.keywordHits).
@@ -2504,6 +2525,17 @@ object SparkEntry {
     },
 
     "v8_kmeans_ivf" -> sqlKmeansRollup(4, 2),
+
+    "d10_semantic_dedup" ->
+      s"""WITH ${sqlKmeansCtes(4, 2)},
+         pairs AS (
+           SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
+             ${sqlCosine64("a.embedding", "b.embedding")} AS cos
+           FROM final_assign a JOIN final_assign b
+             ON a.cid = b.cid AND a.vec_id < b.vec_id)
+         SELECT cid, id_a, id_b, ${sqlFround("cos", 6)} AS cosine
+         FROM pairs WHERE cos >= 0.3
+         ORDER BY cid, id_a, id_b""",
 
     "e2_variant_props" -> {
       val jk = "json_extract(props, '$.k')::INT"

@@ -224,6 +224,36 @@ object Similarity {
       struct(VF.cosine(vec, typedLit(cv)).as("cos"), lit(-cid).as("ncid"))
     }: _*))
 
+  /** Semantic dedup (the SemDeDup shape — Abbas et al. 2023,
+    * arXiv:2303.09540): assign every vector to its nearest centroid via
+    * the same shuffle-free literal-fold [[centroidArgmax]] as
+    * ivfTopK/k-means, then emit exact-cosine near-dup pairs ONLY within
+    * each cluster — candidate work drops from n² to Σ|cluster|², and
+    * the per-cluster self-join shuffles both sides by `cid` so pairs
+    * form co-partitioned. Precision is exact (every emitted pair passes
+    * the true cosine filter); recall misses only pairs whose members
+    * straddle a centroid boundary — the standard SemDeDup trade, dialed
+    * by k. At corpus scale k is large (10⁴-10⁵), so each cluster is a
+    * small co-resident block; tiny k on a huge corpus would skew the
+    * cid shuffle.
+    *
+    * Output: cid, id_a, id_b (id_a < id_b), cosine.
+    */
+  def semanticDupPairs(df: DataFrame, id: Column, vec: Column,
+                       cents: Seq[(Long, Seq[Double])],
+                       threshold: Double): DataFrame = {
+    val assigned = df.select(id.as("id"), vec.as("v"))
+      .withColumn("cid",
+        (-centroidArgmax(col("v"), cents).getField("ncid")).cast("long"))
+    val a = assigned.select(col("cid"), col("id").as("id_a"), col("v").as("va"))
+    val b = assigned.select(col("cid"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", CosineSim(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("cid"), col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Brute-force cosine top-k per query: broadcast the query batch, scan
     * the corpus once, rank per query. Ties broken by doc id (ascending)
     * for determinism.

@@ -125,6 +125,51 @@ class SimilaritySpec extends SparkSpec {
     assert(c == Similarity.kmeansCentroids(data, $"id", $"v", 2, 3))
   }
 
+  test("semanticDupPairs: full recall vs exact when clusters are separable") {
+    // 6 vectors, two tight clusters; all near-dup pairs are
+    // intra-cluster, so SemDeDup recall against the exact O(n²)
+    // baseline is 1.0 and precision is exact by construction
+    val data = Seq(
+      (1L, noisy(b1, 0.001f)), (2L, noisy(b2, 0.001f)),
+      (3L, noisy(b1, 0.001f)), (4L, noisy(b1, 0.001f)),
+      (5L, noisy(b2, 0.001f)), (6L, noisy(b2, 0.001f))).toDF("id", "v")
+    val cents = Similarity.kmeansCentroids(data, $"id", $"v", 2, 2)
+    val sem = rows(Similarity
+      .semanticDupPairs(data, $"id", $"v", cents, 0.99)
+      .select($"id_a", $"id_b").orderBy($"id_a", $"id_b"))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val exact = rows(Similarity.nearDupPairsExact(data, $"id", $"v", 0.99)
+      .select($"id_a", $"id_b").orderBy($"id_a", $"id_b"))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(sem == exact)
+    assert(sem == Seq((1L, 3L), (1L, 4L), (2L, 5L), (2L, 6L), (3L, 4L), (5L, 6L)))
+  }
+
+  test("semanticDupPairs misses only boundary-straddling pairs (subset of exact)") {
+    // a 45-degree vector sits between the clusters: its near-dup twin
+    // may land in the other cluster, but emitted pairs are always a
+    // subset of the exact pair set at the same threshold
+    val mid = Array.tabulate(16)(_ => 0.5f)
+    val data = Seq(
+      (1L, noisy(b1, 0.001f)), (2L, noisy(b1, 0.001f)),
+      (3L, noisy(b2, 0.001f)), (4L, noisy(b2, 0.001f)),
+      (7L, noisy(mid, 0.001f)), (8L, noisy(mid, 0.001f))).toDF("id", "v")
+    val cents = Similarity.kmeansCentroids(data, $"id", $"v", 2, 2)
+    val sem = rows(Similarity
+      .semanticDupPairs(data, $"id", $"v", cents, 0.9)
+      .select($"id_a", $"id_b"))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = rows(Similarity.nearDupPairsExact(data, $"id", $"v", 0.9)
+      .select($"id_a", $"id_b"))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem.subsetOf(exact))
+    // intra-cluster near-dups are always kept
+    assert(sem.contains((1L, 2L)) && sem.contains((3L, 4L)))
+    // the mid-pair lands wherever its cluster is — but both members
+    // share a cluster here (same direction), so it must be found too
+    assert(sem.contains((7L, 8L)))
+  }
+
   test("kmeansCentroids tolerates empty clusters (ties assign to lowest cid)") {
     // identical vectors seed identical centroids; the cosine tie sends
     // every row to cid 0, so cid 1 goes empty and must keep its seed
