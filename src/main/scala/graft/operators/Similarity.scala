@@ -237,17 +237,28 @@ object Similarity {
     * small co-resident block; tiny k on a huge corpus would skew the
     * cid shuffle.
     *
+    * A bare `cid` equi-join would cap parallelism at k (and skew on hot
+    * clusters), so the left side salts on hash(id_a) and the right side
+    * replicates `saltBuckets` ways: the join key becomes (cid, salt),
+    * k·saltBuckets-way parallel, each pair produced exactly once (by
+    * its id_a's salt). Replication multiplies the right-side shuffle by
+    * saltBuckets — the standard, bounded skew-salting trade.
+    *
     * Output: cid, id_a, id_b (id_a < id_b), cosine.
     */
   def semanticDupPairs(df: DataFrame, id: Column, vec: Column,
                        cents: Seq[(Long, Seq[Double])],
-                       threshold: Double): DataFrame = {
+                       threshold: Double, saltBuckets: Int = 8): DataFrame = {
     val assigned = df.select(id.as("id"), vec.as("v"))
       .withColumn("cid",
         (-centroidArgmax(col("v"), cents).getField("ncid")).cast("long"))
-    val a = assigned.select(col("cid"), col("id").as("id_a"), col("v").as("va"))
-    val b = assigned.select(col("cid"), col("id").as("id_b"), col("v").as("vb"))
-    a.join(b, Seq("cid"))
+    val a = assigned
+      .select(col("cid"), col("id").as("id_a"), col("v").as("va"),
+        pmod(hash(col("id")), lit(saltBuckets)).as("salt"))
+    val b = assigned
+      .select(col("cid"), col("id").as("id_b"), col("v").as("vb"),
+        explode(sequence(lit(0), lit(saltBuckets - 1))).as("salt"))
+    a.join(b, Seq("cid", "salt"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", CosineSim(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
