@@ -84,6 +84,49 @@ class PlanAuditSpec extends SparkSpec {
       plan.contains("BroadcastExchange"), plan)
   }
 
+  test("semanticDupPairs joins on (cid, salt), never bare cid") {
+    val cents = Seq((0L, Seq.fill(8)(0.1)), (1L, Seq.fill(8)(0.9)))
+    val out = Similarity.semanticDupPairs(
+      docs, $"id", $"vec", cents, 0.5, saltBuckets = 4)
+    val plan = out.queryExecution.executedPlan.toString
+    // parallelism must be k x saltBuckets: the pair join's equi-key
+    // list has to include the salt column, or hot clusters serialize
+    // through k tasks. (The join node prints its key lists whichever
+    // strategy — broadcast here on the tiny fixture, sort-merge at
+    // scale — the planner picks.)
+    val joinKeys = "HashJoin \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(joinKeys.exists(k => k.contains("cid") && k.contains("salt")),
+      s"pair join not salted — join keys: $joinKeys\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("g1 fused pipeline materializes nothing mid-chain") {
+    val dir = "/root/testdata/sf0.001"
+    val g1 = SparkEntry.queries("g1_fused_pipeline")(spark, dir)
+    val plan = g1.queryExecution.executedPlan.toString
+    // one lazy plan end to end: no cache, no scratch-parquet rescan —
+    // the only scans are the two documents branches of the D1 union
+    assert(!plan.contains("InMemoryTableScan"), plan)
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 2, s"expected exactly 2 parquet scans (D1 union), got $scans")
+    // both dedup windows survive as the only windows
+    assert("Window \\[".r.findAllIn(plan).size == 2,
+      s"expected exactly two Windows (D1+D3 survivorship):\n$plan")
+  }
+
+  test("m2 header parse is a pure scan-stage projection (no shuffle before sort)") {
+    val dir = "/root/testdata/sf0.001"
+    val m2 = SparkEntry.queries("m2_media_headers")(spark, dir)
+    val plan = m2.queryExecution.executedPlan.toString
+    // synthesize + parse fuse into the scan projection: no join, no
+    // aggregate, no window — the single exchange is the final ORDER BY
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    val exch = "Exchange".r.findAllIn(plan).size
+    assert(exch <= 1, s"expected at most the ORDER BY exchange, got $exch:\n$plan")
+  }
+
   test("v4 vocabulary ranking never windows over the full vocabulary") {
     // the global rank window must sit above a LIMIT (TakeOrdered), so
     // it only ever sees k rows — mirror of the v4 query shape.
