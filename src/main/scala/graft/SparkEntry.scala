@@ -961,6 +961,19 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    "a6x_distinct_approx" -> ((s, dir) => {
+      // A6 approx twin — approx_count_distinct (HLL++) as the BENCH-ONLY
+      // measured substitute for a6's exact countDistinct (no oracle SQL:
+      // DuckDB's HLL sketch differs). Exact distinct = one extra shuffle
+      // of every (lang, tok) pair for dedup; the sketch merges per
+      // partition, so at corpus scale this is the only viable form.
+      t(s, dir, "documents")
+        .select(col("lang"), explode(TA.tokens(col("text"))).as("tok"))
+        .groupBy(col("lang"))
+        .agg(approx_count_distinct(col("tok")).as("n_distinct_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     "a7_iqr_outliers" -> ((s, dir) => {
       // A7 — IQR outlier detection: exact quartiles per group, then one
       // pass counting rows outside [Q1-1.5·IQR, Q3+1.5·IQR].
