@@ -1437,6 +1437,57 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "m3_audio_headers" -> ((s, dir) => {
+      // M3 — the audio/animation legs of the multimodal header suite:
+      // synthesize well-formed WAV (even doc_id) and GIF (odd) payloads
+      // with fields derived from doc_id (every 13th truncated to 6
+      // bytes), then parse them BACK out with the pure-expression
+      // RIFF chunk walk / GIF screen-descriptor readers. A JUNK chunk
+      // of doc_id-dependent length sits before `fmt `, so a
+      // fixed-offset peek would fail the oracle, which recomputes
+      // ground truth from doc_id alone.
+      def leHexC(v: Column, nBytes: Int): Column =
+        concat((0 until nBytes).map(k =>
+          lpad(hex(pmod(shiftright(v.cast("long"), 8 * k), lit(256))), 2, "0")): _*)
+      val ch = when(col("doc_id") % 4 === 0, 1L).otherwise(2L)
+      val rate = (col("doc_id") % 3 + 1) * 8000
+      val brate = rate * ch * 2 // 16-bit PCM
+      val dlen = brate * (col("doc_id") % 7 + 1) // whole seconds
+      val w = col("doc_id") % 320 + 8
+      val hgt = col("doc_id") % 200 + 8
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"))
+        .withColumn("jlen", ((col("doc_id") % 5) * 2 + 2).cast("int"))
+        .withColumn("wav_hex", concat(
+          lit("52494646"), leHexC(lit(36L) + dlen, 4), lit("57415645"),
+          // JUNK chunk of varying even length: the fmt offset is NOT
+          // constant, so only a real chunk walk parses every row
+          lit("4A554E4B"), leHexC(col("jlen"), 4), expr("repeat('00', jlen)"),
+          lit("666D7420" + "10000000" + "0100"), leHexC(ch, 2),
+          leHexC(rate, 4), leHexC(brate, 4), leHexC(ch * 2, 2), lit("1000"),
+          // data chunk: declared length only (header-level parse)
+          lit("64617461"), leHexC(dlen, 4)))
+        .withColumn("gif_hex", concat(
+          lit("474946383961"), leHexC(w, 2), leHexC(hgt, 2),
+          lit("F70000" + "3B")))
+        .withColumn("full_hex",
+          when(col("doc_id") % 2 === 0, col("wav_hex")).otherwise(col("gif_hex")))
+        .withColumn("media",
+          unhex(when(col("doc_id") % 13 === 0, substring(col("full_hex"), 1, 12))
+            .otherwise(col("full_hex"))))
+      val wav = Multimodal.wavInfo(col("media"))
+      val gif = Multimodal.gifDims(col("media"))
+      d.select(col("doc_id"),
+          when(wav.isNotNull, lit("wav"))
+            .when(gif.isNotNull, lit("gif")).as("fmt"),
+          wav.getField("channels").as("channels"),
+          wav.getField("sample_rate").as("sample_rate"),
+          wav.getField("duration_ms").as("duration_ms"),
+          gif.getField("width").as("width"),
+          gif.getField("height").as("height"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- W2: sessionization (batch twin of the streaming path) ------
     "w2_sessionization" -> ((s, dir) => {
       // Gap-based sessionization via lag + running session-break sum —
@@ -2501,6 +2552,24 @@ object SparkEntry {
               ELSE doc_id % 640 + 16 END AS width,
          CASE WHEN doc_id % 11 = 0 THEN NULL
               ELSE doc_id % 480 + 16 END AS height
+         FROM documents ORDER BY doc_id""",
+
+    "m3_audio_headers" ->
+      // ground truth from doc_id — the Spark side must walk the RIFF
+      // chunks / GIF descriptor to recover the same numbers
+      """SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN NULL
+              WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'gif' END AS fmt,
+         CASE WHEN doc_id % 13 = 0 OR doc_id % 2 <> 0 THEN NULL
+              WHEN doc_id % 4 = 0 THEN 1 ELSE 2 END AS channels,
+         CASE WHEN doc_id % 13 = 0 OR doc_id % 2 <> 0 THEN NULL
+              ELSE (doc_id % 3 + 1) * 8000 END AS sample_rate,
+         CASE WHEN doc_id % 13 = 0 OR doc_id % 2 <> 0 THEN NULL
+              ELSE (doc_id % 7 + 1) * 1000 END AS duration_ms,
+         CASE WHEN doc_id % 13 = 0 OR doc_id % 2 = 0 THEN NULL
+              ELSE doc_id % 320 + 8 END AS width,
+         CASE WHEN doc_id % 13 = 0 OR doc_id % 2 = 0 THEN NULL
+              ELSE doc_id % 200 + 8 END AS height
          FROM documents ORDER BY doc_id""",
 
     "w2_sessionization" ->

@@ -153,6 +153,94 @@ object Multimodal {
         walked.getField("height").as("height")))
   }
 
+  /** Little-endian u16 at byte offset `off` of hex string `h` (1-indexed
+    * hex chars; byte o lives at chars o*2+1..o*2+2).
+    */
+  private def leU16(h: Column, off: Column): Column =
+    conv(concat(substring(h, off * 2 + 3, lit(2)),
+      substring(h, off * 2 + 1, lit(2))), 16, 10).cast("long")
+
+  /** Little-endian u32 at byte offset `off` of hex string `h`. */
+  private def leU32(h: Column, off: Column): Column =
+    conv(concat(substring(h, off * 2 + 7, lit(2)),
+      substring(h, off * 2 + 5, lit(2)),
+      substring(h, off * 2 + 3, lit(2)),
+      substring(h, off * 2 + 1, lit(2))), 16, 10).cast("long")
+
+  /** WAV/RIFF audio header as a pure expression — the audio leg of the
+    * multimodal column suite, same shape as [[jpegDims]]'s segment walk:
+    * after the "RIFF....WAVE" preamble, chunks carry an id + a
+    * little-endian u32 length, so the walker hops chunk-to-chunk
+    * (JUNK/LIST/... skip uniformly, odd lengths pad to even per the
+    * RIFF spec) collecting the `fmt ` fields (channels@+10, sample
+    * rate@+12, byte rate@+16, bits@+22 — all little-endian) and the
+    * declared `data` chunk length, until it has both. Returns
+    * struct(channels, sample_rate, bits_per_sample, duration_ms) with
+    * duration derived as data_len·1000/byte_rate; NULL for truncated or
+    * non-WAV payloads (every read is length-guarded — ANSI-safe), and
+    * the byte-rate division is guarded against zero.
+    */
+  def wavInfo(bin: Column, maxChunks: Int = 8): Column = {
+    val h = upper(hex(bin))
+    val n = length(h)
+    val nullL = lit(null).cast("long")
+    def carry(off: Column, a: Column) = struct(off.as("off"),
+      a.getField("ch").as("ch"), a.getField("rate").as("rate"),
+      a.getField("brate").as("brate"), a.getField("bits").as("bits"),
+      a.getField("dlen").as("dlen"))
+    val dead = struct(nullL.as("off"), nullL.as("ch"), nullL.as("rate"),
+      nullL.as("brate"), nullL.as("bits"), nullL.as("dlen"))
+    val start = struct(lit(12L).as("off"), nullL.as("ch"), nullL.as("rate"),
+      nullL.as("brate"), nullL.as("bits"), nullL.as("dlen"))
+    val walked = aggregate(
+      sequence(lit(1), lit(maxChunks)), start,
+      (a, _) => {
+        val off = a.getField("off")
+        val done = a.getField("ch").isNotNull && a.getField("dlen").isNotNull
+        // chunk id (4 bytes) + chunk length (4 bytes) must be in range
+        val canRead = off.isNotNull && (off * 2 + 16) <= n
+        val id = substring(h, off * 2 + 1, lit(8))
+        val len = leU32(h, off + 4)
+        val next = off + 8 + len + pmod(len, lit(2)) // RIFF pads chunks to even
+        when(done, a)
+          .when(!canRead, dead)
+          // "fmt " with its 16 mandatory bytes readable
+          .when(id === "666D7420" && (off * 2 + 48) <= n &&
+              a.getField("ch").isNull,
+            struct(next.as("off"), leU16(h, off + 10).as("ch"),
+              leU32(h, off + 12).as("rate"), leU32(h, off + 16).as("brate"),
+              leU16(h, off + 22).as("bits"), a.getField("dlen").as("dlen")))
+          // "data": only the DECLARED length is read (header-only parse)
+          .when(id === "64617461" && a.getField("dlen").isNull,
+            struct(next.as("off"), a.getField("ch").as("ch"),
+              a.getField("rate").as("rate"), a.getField("brate").as("brate"),
+              a.getField("bits").as("bits"), len.as("dlen")))
+          .otherwise(carry(next, a))
+      })
+    when(length(bin) >= 12 && substring(h, 1, 8) === "52494646" &&
+        substring(h, 17, 8) === "57415645" &&
+        walked.getField("ch").isNotNull && walked.getField("dlen").isNotNull &&
+        walked.getField("brate") > 0,
+      struct(walked.getField("ch").as("channels"),
+        walked.getField("rate").as("sample_rate"),
+        walked.getField("bits").as("bits_per_sample"),
+        floor(walked.getField("dlen").cast("double") * 1000.0 /
+          walked.getField("brate")).cast("long").as("duration_ms")))
+  }
+
+  /** GIF logical-screen width/height as a pure expression: "GIF87a" or
+    * "GIF89a" signature (bytes 0-5), then two little-endian u16s at byte
+    * offsets 6 and 8 (GIF89a spec §18). NULL for truncated or non-GIF
+    * payloads.
+    */
+  def gifDims(bin: Column): Column = {
+    val h = upper(hex(bin))
+    when(length(bin) >= 10 &&
+        (substring(h, 1, 12) === "474946383761" ||
+         substring(h, 1, 12) === "474946383961"),
+      struct(leU16(h, lit(6)).as("width"), leU16(h, lit(8)).as("height")))
+  }
+
   /** Frame sampling: n evenly-spaced byte-range "frames" from a payload
     * (the video-decode shape: sample k frames, decode each). Returns
     * array<binary>; empty payload ⇒ empty array.

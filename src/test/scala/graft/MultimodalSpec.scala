@@ -89,6 +89,62 @@ class MultimodalSpec extends SparkSpec {
     assert(narrow.isNullAt(0))
   }
 
+  // handcrafted WAV: RIFF/WAVE, a JUNK chunk, fmt (stereo 8000 Hz 16-bit,
+  // byte rate 32000), data declaring 64000 bytes (2000 ms)
+  private val fmtHex = "666D7420" + "10000000" + "0100" + "0200" +
+    "401F0000" + "007D0000" + "0400" + "1000"
+  private val wavHex = "52494646" + "24FA0000" + "57415645" +
+    "4A554E4B" + "04000000" + "00000000" + // JUNK, 4 bytes
+    fmtHex + "64617461" + "00FA0000" // data: 0xFA00 = 64000 bytes declared
+  private val gifHex = "474946383961" + "4001" + "F000" + "F70000" + "3B"
+
+  test("wavInfo walks RIFF chunks; gifDims reads the screen descriptor") {
+    val df = Seq(
+      (1L, wavHex),
+      // data chunk BEFORE fmt (with its bytes present so the walk can hop it)
+      (2L, "52494646" + "24FA0000" + "57415645" +
+        "64617461" + "04000000" + "AABBCCDD" + fmtHex),
+      (3L, gifHex),
+      (4L, wavHex.take(30)),          // truncated mid-JUNK (15 bytes)
+      (5L, gifHex.take(16)),          // truncated GIF (8 bytes)
+      (6L, "DEADBEEFDEADBEEFDEADBEEFDEADBEEF"), // neither
+      (7L, "52494646" + "24FA0000" + "57415645" + fmtHex)) // fmt but no data
+      .toDF("id", "hx").select($"id", unhex($"hx").as("media"))
+    val got = rows(df.orderBy($"id").select(
+      Multimodal.wavInfo($"media").as("w"),
+      Multimodal.gifDims($"media").as("g")))
+    val w1 = got(0).getStruct(0)
+    assert((w1.getLong(0), w1.getLong(1), w1.getLong(2), w1.getLong(3)) ==
+      ((2L, 8000L, 16L, 2000L)))
+    val w2 = got(1).getStruct(0) // chunk order does not matter
+    assert(w2.getLong(0) == 2L && w2.getLong(1) == 8000L)
+    assert(w2.getLong(3) == 0L) // 4 data bytes at 32000 B/s -> 0 ms
+    val g = got(2).getStruct(1)
+    assert(g.getLong(0) == 320L && g.getLong(1) == 240L)
+    assert(got(2).isNullAt(0)) // GIF is not a WAV
+    // truncated / malformed / incomplete → NULL, never an ANSI throw
+    (3 to 6).foreach { i =>
+      assert(got(i).isNullAt(0) && got(i).isNullAt(1), s"row ${i + 1}")
+    }
+  }
+
+  test("wavInfo guards the zero byte-rate division and walker budget") {
+    val zeroRate = "52494646" + "24000000" + "57415645" +
+      "666D7420" + "10000000" + "0100" + "0200" + "401F0000" +
+      "00000000" + "0400" + "1000" + // byte rate 0
+      "64617461" + "00FA0000"
+    val manyJunk = "52494646" + "24FA0000" + "57415645" +
+      ("4A554E4B" + "02000000" + "0000") * 5 + fmtHex + "64617461" + "00FA0000"
+    val df = Seq((1L, zeroRate), (2L, manyJunk))
+      .toDF("id", "hx").select($"id", unhex($"hx").as("media"))
+    val got = rows(df.orderBy($"id").select(
+      Multimodal.wavInfo($"media").as("w"),
+      Multimodal.wavInfo($"media", maxChunks = 3).as("narrow")))
+    assert(got(0).isNullAt(0))                    // zero byte rate → NULL
+    assert(got(1).getStruct(0).getLong(0) == 2L)  // 7 chunks fit in default 8
+    assert(got(1).isNullAt(1))                    // budget 3 → NULL, not wrong
+  }
+
   test("frameSample yields n byte-range frames that reassemble a prefix") {
     val m = Multimodal.withFakeMedia(docs.filter($"id" === 1), $"text")
     val f = Multimodal.frameSample(m, "media", 4)
