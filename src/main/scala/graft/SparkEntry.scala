@@ -1427,13 +1427,17 @@ object SparkEntry {
         .withColumn("media",
           unhex(when(col("doc_id") % 11 === 0, substring(col("full_hex"), 1, 20))
             .otherwise(col("full_hex"))))
-      val png = Multimodal.pngDims(col("media"))
-      val jpg = Multimodal.jpegDims(col("media"))
-      d.select(col("doc_id"),
-          when(png.isNotNull, lit("png"))
-            .when(jpg.isNotNull, lit("jpeg")).as("fmt"),
-          coalesce(png.getField("width"), jpg.getField("width")).as("width"),
-          coalesce(png.getField("height"), jpg.getField("height")).as("height"))
+      // the parsed structs project ONCE into named columns: each is
+      // referenced 2-3 times below, and re-evaluating the segment walk
+      // per reference would triple the parse cost (CollapseProject keeps
+      // the two Projects apart — the producers are not cheap)
+      d.withColumn("png", Multimodal.pngDims(col("media")))
+        .withColumn("jpg", Multimodal.jpegDims(col("media")))
+        .select(col("doc_id"),
+          when(col("png").isNotNull, lit("png"))
+            .when(col("jpg").isNotNull, lit("jpeg")).as("fmt"),
+          coalesce(col("png.width"), col("jpg.width")).as("width"),
+          coalesce(col("png.height"), col("jpg.height")).as("height"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1475,16 +1479,17 @@ object SparkEntry {
         .withColumn("media",
           unhex(when(col("doc_id") % 13 === 0, substring(col("full_hex"), 1, 12))
             .otherwise(col("full_hex"))))
-      val wav = Multimodal.wavInfo(col("media"))
-      val gif = Multimodal.gifDims(col("media"))
-      d.select(col("doc_id"),
-          when(wav.isNotNull, lit("wav"))
-            .when(gif.isNotNull, lit("gif")).as("fmt"),
-          wav.getField("channels").as("channels"),
-          wav.getField("sample_rate").as("sample_rate"),
-          wav.getField("duration_ms").as("duration_ms"),
-          gif.getField("width").as("width"),
-          gif.getField("height").as("height"))
+      // single projection of each parsed struct (see m2's note)
+      d.withColumn("wav", Multimodal.wavInfo(col("media")))
+        .withColumn("gif", Multimodal.gifDims(col("media")))
+        .select(col("doc_id"),
+          when(col("wav").isNotNull, lit("wav"))
+            .when(col("gif").isNotNull, lit("gif")).as("fmt"),
+          col("wav.channels").as("channels"),
+          col("wav.sample_rate").as("sample_rate"),
+          col("wav.duration_ms").as("duration_ms"),
+          col("gif.width").as("width"),
+          col("gif.height").as("height"))
         .orderBy(col("doc_id"))
     }),
 

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 
 /** Multimodal column support (BASELINE.json "multimodal columns"
   * north-star): image/audio/video payloads ride as opaque `binary`
@@ -54,6 +54,24 @@ object Multimodal {
     }
   }
 
+  /** Ingest a directory of media files via Spark's `binaryFile` source —
+    * the production entry point for image/audio directories: one row per
+    * file (path, length, payload bytes), fully distributed (files are
+    * listed and read executor-side, never through the driver).
+    * `glob` prunes at LISTING time (pathGlobFilter — non-matching files
+    * are never opened); `maxBytes` drops oversized payloads before they
+    * can blow an executor's task memory, using the source's `length`
+    * column so the filter needs no file contents. Feed the result
+    * straight to [[decodeFeatures]] / [[pngDims]] / [[wavInfo]].
+    */
+  def readBinaryDir(spark: SparkSession, dir: String, glob: String = "*",
+                    maxBytes: Long = 64L * 1024 * 1024): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .filter(col("length") <= maxBytes)
+      .select(col("path"), col("length"), col("content").as("media"))
+
   /** Demo/test fixture: synthesize a binary media column (UTF-8 payload
     * of a text column) plus a plausible metadata struct. In production
     * the payload arrives from the source (parquet/binaryFile).
@@ -101,8 +119,7 @@ object Multimodal {
     * non-PNG payloads (never throws — every read is length-guarded, so
     * ANSI mode stays safe).
     */
-  def pngDims(bin: Column): Column = {
-    val h = upper(hex(bin))
+  def pngDims(bin: Column): Column = bind(upper(hex(bin))) { h =>
     when(length(bin) >= 24 && substring(h, 1, 32) === pngSigIhdrHex,
       struct(
         conv(substring(h, 33, 8), 16, 10).cast("long").as("width"),
@@ -121,37 +138,50 @@ object Multimodal {
     * would square it). Truncated/malformed input → NULL at the first
     * unreadable byte; every substring is length-guarded (ANSI-safe).
     */
-  def jpegDims(bin: Column, maxSegments: Int = 8): Column = {
-    val h = upper(hex(bin))
-    val n = length(h)
-    def hp(off: Column) = substring(h, off * 2 + 1, lit(2))
-    def v16(off: Column) = conv(substring(h, off * 2 + 1, lit(4)), 16, 10).cast("long")
-    val nullL = lit(null).cast("long")
-    val dead = struct(nullL.as("off"), nullL.as("width"), nullL.as("height"))
-    val start = struct(lit(2L).as("off"), nullL.as("width"), nullL.as("height"))
-    val walked = aggregate(
-      sequence(lit(1), lit(maxSegments)), start,
-      (a, _) => {
-        val off = a.getField("off")
-        val done = a.getField("width").isNotNull
-        // marker (2 bytes) + segment length (2 bytes) must be in range
-        val canRead = off.isNotNull && (off * 2 + 8) <= n
-        val m = hp(off + 1)
-        val isSof = m >= "C0" && m <= "C3"
-        val hasDims = (off * 2 + 18) <= n
-        when(done, a)
-          .when(!canRead || hp(off) =!= "FF", dead)
-          .when(isSof && hasDims, struct(off.as("off"),
-            v16(off + 7).as("width"), v16(off + 5).as("height")))
-          .when(isSof, dead)
-          .otherwise(struct((off + 2 + v16(off + 2)).as("off"),
-            nullL.as("width"), nullL.as("height")))
-      })
-    when(length(bin) >= 2 && substring(h, 1, 4) === "FFD8" &&
-        walked.getField("width").isNotNull,
-      struct(walked.getField("width").as("width"),
-        walked.getField("height").as("height")))
-  }
+  def jpegDims(bin: Column, maxSegments: Int = 8): Column =
+    bind(upper(hex(bin))) { h =>
+      val n = length(h)
+      def hp(off: Column) = substring(h, off * 2 + 1, lit(2))
+      def v16(off: Column) = conv(substring(h, off * 2 + 1, lit(4)), 16, 10).cast("long")
+      val nullL = lit(null).cast("long")
+      val dead = struct(nullL.as("off"), nullL.as("width"), nullL.as("height"))
+      val start = struct(lit(2L).as("off"), nullL.as("width"), nullL.as("height"))
+      val walk = aggregate(
+        sequence(lit(1), lit(maxSegments)), start,
+        (a, _) => {
+          val off = a.getField("off")
+          val done = a.getField("width").isNotNull
+          // marker (2 bytes) + segment length (2 bytes) must be in range
+          val canRead = off.isNotNull && (off * 2 + 8) <= n
+          val m = hp(off + 1)
+          val isSof = m >= "C0" && m <= "C3"
+          val hasDims = (off * 2 + 18) <= n
+          when(done, a)
+            .when(!canRead || hp(off) =!= "FF", dead)
+            .when(isSof && hasDims, struct(off.as("off"),
+              v16(off + 7).as("width"), v16(off + 5).as("height")))
+            .when(isSof, dead)
+            .otherwise(struct((off + 2 + v16(off + 2)).as("off"),
+              nullL.as("width"), nullL.as("height")))
+        })
+      bind(walk) { walked =>
+        when(length(bin) >= 2 && substring(h, 1, 4) === "FFD8" &&
+            walked.getField("width").isNotNull,
+          struct(walked.getField("width").as("width"),
+            walked.getField("height").as("height")))
+      }
+    }
+
+  /** Evaluate `c` ONCE per row and hand the bound value to `f` as a
+    * lambda variable. Inside a single expression tree Catalyst has no
+    * common-subexpression elimination (and higher-order functions block
+    * codegen's), so an expression referenced k times is EVALUATED k
+    * times — for the header walkers below, each `getField` on the chunk
+    * walk would re-run the whole walk. A lambda variable is evaluated
+    * exactly once, making reuse free.
+    */
+  private def bind(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
 
   /** Little-endian u16 at byte offset `off` of hex string `h` (1-indexed
     * hex chars; byte o lives at chars o*2+1..o*2+2).
@@ -180,61 +210,62 @@ object Multimodal {
     * non-WAV payloads (every read is length-guarded — ANSI-safe), and
     * the byte-rate division is guarded against zero.
     */
-  def wavInfo(bin: Column, maxChunks: Int = 8): Column = {
-    val h = upper(hex(bin))
-    val n = length(h)
-    val nullL = lit(null).cast("long")
-    def carry(off: Column, a: Column) = struct(off.as("off"),
-      a.getField("ch").as("ch"), a.getField("rate").as("rate"),
-      a.getField("brate").as("brate"), a.getField("bits").as("bits"),
-      a.getField("dlen").as("dlen"))
-    val dead = struct(nullL.as("off"), nullL.as("ch"), nullL.as("rate"),
-      nullL.as("brate"), nullL.as("bits"), nullL.as("dlen"))
-    val start = struct(lit(12L).as("off"), nullL.as("ch"), nullL.as("rate"),
-      nullL.as("brate"), nullL.as("bits"), nullL.as("dlen"))
-    val walked = aggregate(
-      sequence(lit(1), lit(maxChunks)), start,
-      (a, _) => {
-        val off = a.getField("off")
-        val done = a.getField("ch").isNotNull && a.getField("dlen").isNotNull
-        // chunk id (4 bytes) + chunk length (4 bytes) must be in range
-        val canRead = off.isNotNull && (off * 2 + 16) <= n
-        val id = substring(h, off * 2 + 1, lit(8))
-        val len = leU32(h, off + 4)
-        val next = off + 8 + len + pmod(len, lit(2)) // RIFF pads chunks to even
-        when(done, a)
-          .when(!canRead, dead)
-          // "fmt " with its 16 mandatory bytes readable
-          .when(id === "666D7420" && (off * 2 + 48) <= n &&
-              a.getField("ch").isNull,
-            struct(next.as("off"), leU16(h, off + 10).as("ch"),
-              leU32(h, off + 12).as("rate"), leU32(h, off + 16).as("brate"),
-              leU16(h, off + 22).as("bits"), a.getField("dlen").as("dlen")))
-          // "data": only the DECLARED length is read (header-only parse)
-          .when(id === "64617461" && a.getField("dlen").isNull,
-            struct(next.as("off"), a.getField("ch").as("ch"),
-              a.getField("rate").as("rate"), a.getField("brate").as("brate"),
-              a.getField("bits").as("bits"), len.as("dlen")))
-          .otherwise(carry(next, a))
-      })
-    when(length(bin) >= 12 && substring(h, 1, 8) === "52494646" &&
-        substring(h, 17, 8) === "57415645" &&
-        walked.getField("ch").isNotNull && walked.getField("dlen").isNotNull &&
-        walked.getField("brate") > 0,
-      struct(walked.getField("ch").as("channels"),
-        walked.getField("rate").as("sample_rate"),
-        walked.getField("bits").as("bits_per_sample"),
-        floor(walked.getField("dlen").cast("double") * 1000.0 /
-          walked.getField("brate")).cast("long").as("duration_ms")))
-  }
+  def wavInfo(bin: Column, maxChunks: Int = 8): Column =
+    bind(upper(hex(bin))) { h =>
+      val n = length(h)
+      val nullL = lit(null).cast("long")
+      def carry(off: Column, a: Column) = struct(off.as("off"),
+        a.getField("ch").as("ch"), a.getField("rate").as("rate"),
+        a.getField("brate").as("brate"), a.getField("bits").as("bits"),
+        a.getField("dlen").as("dlen"))
+      val dead = struct(nullL.as("off"), nullL.as("ch"), nullL.as("rate"),
+        nullL.as("brate"), nullL.as("bits"), nullL.as("dlen"))
+      val start = struct(lit(12L).as("off"), nullL.as("ch"), nullL.as("rate"),
+        nullL.as("brate"), nullL.as("bits"), nullL.as("dlen"))
+      val walk = aggregate(
+        sequence(lit(1), lit(maxChunks)), start,
+        (a, _) => {
+          val off = a.getField("off")
+          val done = a.getField("ch").isNotNull && a.getField("dlen").isNotNull
+          // chunk id (4 bytes) + chunk length (4 bytes) must be in range
+          val canRead = off.isNotNull && (off * 2 + 16) <= n
+          val id = substring(h, off * 2 + 1, lit(8))
+          val len = leU32(h, off + 4)
+          val next = off + 8 + len + pmod(len, lit(2)) // RIFF pads chunks to even
+          when(done, a)
+            .when(!canRead, dead)
+            // "fmt " with its 16 mandatory bytes readable
+            .when(id === "666D7420" && (off * 2 + 48) <= n &&
+                a.getField("ch").isNull,
+              struct(next.as("off"), leU16(h, off + 10).as("ch"),
+                leU32(h, off + 12).as("rate"), leU32(h, off + 16).as("brate"),
+                leU16(h, off + 22).as("bits"), a.getField("dlen").as("dlen")))
+            // "data": only the DECLARED length is read (header-only parse)
+            .when(id === "64617461" && a.getField("dlen").isNull,
+              struct(next.as("off"), a.getField("ch").as("ch"),
+                a.getField("rate").as("rate"), a.getField("brate").as("brate"),
+                a.getField("bits").as("bits"), len.as("dlen")))
+            .otherwise(carry(next, a))
+        })
+      bind(walk) { walked =>
+        when(length(bin) >= 12 && substring(h, 1, 8) === "52494646" &&
+            substring(h, 17, 8) === "57415645" &&
+            walked.getField("ch").isNotNull && walked.getField("dlen").isNotNull &&
+            walked.getField("brate") > 0,
+          struct(walked.getField("ch").as("channels"),
+            walked.getField("rate").as("sample_rate"),
+            walked.getField("bits").as("bits_per_sample"),
+            floor(walked.getField("dlen").cast("double") * 1000.0 /
+              walked.getField("brate")).cast("long").as("duration_ms")))
+      }
+    }
 
   /** GIF logical-screen width/height as a pure expression: "GIF87a" or
     * "GIF89a" signature (bytes 0-5), then two little-endian u16s at byte
     * offsets 6 and 8 (GIF89a spec §18). NULL for truncated or non-GIF
     * payloads.
     */
-  def gifDims(bin: Column): Column = {
-    val h = upper(hex(bin))
+  def gifDims(bin: Column): Column = bind(upper(hex(bin))) { h =>
     when(length(bin) >= 10 &&
         (substring(h, 1, 12) === "474946383761" ||
          substring(h, 1, 12) === "474946383961"),

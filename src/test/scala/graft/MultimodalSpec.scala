@@ -145,6 +145,28 @@ class MultimodalSpec extends SparkSpec {
     assert(got(1).isNullAt(1))                    // budget 3 → NULL, not wrong
   }
 
+  test("readBinaryDir ingests files with glob pruning and a size cap") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media")
+    def put(name: String, hx: String): Unit =
+      java.nio.file.Files.write(dir.resolve(name),
+        hx.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+    put("a.png", pngHex)
+    put("b.png", pngHex + "00" * 64) // oversized once capped below
+    put("c.txt", "41414141")          // pruned by the glob
+    try {
+      val df = Multimodal.readBinaryDir(spark, dir.toString,
+        glob = "*.png", maxBytes = pngHex.length / 2)
+      val got = rows(df.select($"path",
+        Multimodal.pngDims($"media").getField("width").as("w")))
+      assert(got.size == 1)
+      assert(got.head.getString(0).endsWith("a.png"))
+      assert(got.head.getLong(1) == 3L)
+    } finally {
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
+
   test("frameSample yields n byte-range frames that reassemble a prefix") {
     val m = Multimodal.withFakeMedia(docs.filter($"id" === 1), $"text")
     val f = Multimodal.frameSample(m, "media", 4)

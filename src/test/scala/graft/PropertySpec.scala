@@ -82,6 +82,33 @@ class PropertySpec extends SparkSpec {
     assert(first == second)
   }
 
+  test("media header parsers never throw on arbitrary bytes (ANSI safety)") {
+    import graft.operators.Multimodal
+    // raw fuzz + adversarial prefixes: valid magics followed by garbage,
+    // so the walkers get past their signature guards into length fields
+    val rawBytes = Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))
+      .map(_.take(64).toArray)
+    val magic = Gen.oneOf("89504E470D0A1A0A", "FFD8", "52494646", "474946383961")
+    val prefixed = Gen.zip(magic, rawBytes).map { case (m, b) =>
+      m.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray ++ b
+    }
+    val payloads = sample(rawBytes, 40) ++ sample(prefixed, 40)
+    val df = payloads.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("id", "media")
+    // collect() would throw if ANY length/conv/division were unguarded
+    val got = df.select(
+      Multimodal.pngDims($"media").as("p"),
+      Multimodal.jpegDims($"media").as("j"),
+      Multimodal.wavInfo($"media").as("w"),
+      Multimodal.gifDims($"media").as("g")).collect().toSeq
+    assert(got.size == payloads.size)
+    // any dims that DID parse are sane (u16/u32 reads can't go negative)
+    got.flatMap(r => Seq(0, 1, 3).filterNot(r.isNullAt).map(r.getStruct))
+      .foreach { s =>
+        assert(s.getLong(0) >= 0 && s.getLong(1) >= 0)
+      }
+  }
+
   test("alignment is total: output schema is fixed for any input projection") {
     import graft.operators.Align
     val spec = Seq("a" -> lit(0L), "b" -> lit(""), "c" -> lit(false))
