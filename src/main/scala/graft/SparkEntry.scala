@@ -564,6 +564,50 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "d11_merge_upsert" -> ((s, dir) => {
+      // CDC merge (beyond the reference; the corpus-maintenance twin of
+      // d9): snapshot = documents; the change batch carries two upsert
+      // versions of every doc_id % 7 row (the later wins) and
+      // tombstones every doc_id % 11 row — rows hit by both (% 77)
+      // resolve to the tombstone. The snapshot's only touch is an
+      // anti-join against the delta's key set (broadcast under AQE at
+      // real delta/corpus ratios); competing delta versions window-
+      // resolve over the DELTA alone. See Dedup.mergeUpsert.
+      val snap = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      def ver(rows: org.apache.spark.sql.DataFrame, bump: Long, v: Long,
+              dead: Boolean) =
+        rows.select(col("doc_id"), col("lang"),
+          (col("n_chars") + bump).as("n_chars"),
+          lit(v).as("version"), lit(dead).as("deleted"))
+      val touched = snap.filter(col("doc_id") % 7 === 0)
+      val delta = ver(touched, 1000L, 1L, dead = false)
+        .unionByName(ver(touched, 2000L, 2L, dead = false))
+        .unionByName(ver(snap.filter(col("doc_id") % 11 === 0), 0L, 3L,
+          dead = true))
+      Dedup.mergeUpsert(snap, delta, "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    "s11_sized_sink" -> ((s, dir) => {
+      // Size-targeted partitioned sink round-trip (beyond the
+      // reference): documents land as lang=<v>/ parquet, each language
+      // fanned across 4 writer buckets with a 1000-row hard cap per
+      // file, then read back with schema-on-read — identity on the
+      // data columns proves the layout machinery is lossless. File
+      // counts and per-file caps are pinned in CompactionSpec.
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+      val out = scratchDir("graft_s11")
+      sources.Compaction.writeSized(d, out, Seq("lang"), col("doc_id"),
+        targetRows = 1000L, spread = 4)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id LONG, n_chars LONG, lang STRING")
+      sources.Compaction.readSized(s, out, schema)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     "ta6_seq_packing" -> ((s, dir) => {
       // Sequence packing for training (beyond the reference): concat-
       // and-chunk semantics — per language, documents concatenate in
@@ -2124,6 +2168,31 @@ object SparkEntry {
     "s1_jsonl_roundtrip" ->
       """SELECT doc_id, lang, n_chars + 1000 AS n_chars
          FROM documents ORDER BY doc_id""",
+
+    "d11_merge_upsert" ->
+      """WITH snap AS (SELECT doc_id, lang, n_chars FROM documents),
+         delta AS (
+           SELECT doc_id, lang, n_chars + 1000 AS n_chars,
+                  1 AS version, false AS deleted FROM snap WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id, lang, n_chars + 2000, 2, false
+           FROM snap WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id, lang, n_chars, 3, true
+           FROM snap WHERE doc_id % 11 = 0),
+         latest AS (
+           SELECT doc_id, lang, n_chars, deleted FROM (
+             SELECT *, row_number() OVER
+               (PARTITION BY doc_id ORDER BY version DESC) AS rn
+             FROM delta) WHERE rn = 1)
+         SELECT doc_id, lang, n_chars FROM snap s
+         WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.doc_id = s.doc_id)
+         UNION ALL
+         SELECT doc_id, lang, n_chars FROM latest WHERE NOT deleted
+         ORDER BY doc_id""",
+
+    "s11_sized_sink" ->
+      """SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""",
 
     "s8_csv_stats_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,

@@ -360,6 +360,38 @@ object Dedup {
     fresh.unionByName(confirmedNew)
   }
 
+  /** CDC merge — apply a change batch (upserts + tombstones) onto a
+    * snapshot (beyond the reference; the corpus-maintenance twin of
+    * [[incrementalDedup]]). `delta` carries the snapshot's data columns
+    * plus a version column and a boolean tombstone column, possibly with
+    * several versions per key; the result keeps, per key, the highest
+    * delta version (dropped entirely when that version is a tombstone)
+    * and passes every untouched snapshot row through as-is.
+    *
+    * Scale shape: the window that resolves competing delta versions
+    * shuffles ONLY the delta, and the snapshot's single touch is a
+    * left-anti join against the delta's key set — with a daily delta
+    * orders of magnitude smaller than a 100 TB snapshot, AQE plans that
+    * as a broadcast, so the snapshot streams through map-side with no
+    * shuffle and no sort. Never `unionByName(snapshot, delta)` first and
+    * window the whole thing — that re-sorts the full corpus to apply a
+    * 0.1% change.
+    *
+    * NULL-key snapshot rows pass through (anti-join can't match them);
+    * delta keys are assumed non-null (CDC contract) and (key, version)
+    * unique, as in any log-compaction stream.
+    */
+  def mergeUpsert(snapshot: DataFrame, delta: DataFrame, key: String,
+                  version: String = "version",
+                  deleted: String = "deleted"): DataFrame = {
+    val latest = dedupFirstWins(delta, col(key), col(version).desc)
+    val untouched =
+      snapshot.join(latest.select(col(key)), Seq(key), "left_anti")
+    val applied = latest.filter(!col(deleted))
+      .select(snapshot.columns.toIndexedSeq.map(col): _*)
+    untouched.unionByName(applied)
+  }
+
   /** hex char → 0..15 (portable: also expressible as strpos in SQL). */
   private def hexVal(c: Column): Column = conv(c, 16, 10).cast("int")
 

@@ -151,6 +151,51 @@ class DedupSpec extends SparkSpec {
     } finally java.nio.file.Files.deleteIfExists(path): Unit
   }
 
+  test("mergeUpsert applies latest version, drops tombstoned keys, passes the rest") {
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "v")
+    val delta = Seq(
+      (2L, "b1", 1L, false), (2L, "b2", 2L, false), // competing upserts
+      (3L, "c", 5L, true),                          // tombstone
+      (9L, "new", 1L, false)                        // pure insert
+    ).toDF("id", "v", "version", "deleted")
+    val out = rows(Dedup.mergeUpsert(snap, delta, "id").orderBy($"id"))
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out == Seq((1L, "a"), (2L, "b2"), (4L, "d"), (9L, "new")))
+  }
+
+  test("mergeUpsert: a higher-version tombstone beats an upsert on the same key") {
+    val snap = Seq((1L, "a")).toDF("id", "v")
+    val delta = Seq((1L, "a2", 1L, false), (1L, "a2", 2L, true))
+      .toDF("id", "v", "version", "deleted")
+    assert(rows(Dedup.mergeUpsert(snap, delta, "id")).isEmpty)
+  }
+
+  test("mergeUpsert matches the union-then-window brute force") {
+    val snap = (1L to 40L).map(i => (i, s"s$i")).toDF("id", "v")
+    val delta = ((1L to 40L by 3L).flatMap(i =>
+      Seq((i, s"d$i-1", 1L, false), (i, s"d$i-2", 2L, i % 6 == 1))))
+      .toDF("id", "v", "version", "deleted")
+    // brute force: snapshot rows as version 0, one global window
+    val all = snap.select($"id", $"v", lit(0L).as("version"),
+        lit(false).as("deleted"))
+      .unionByName(delta)
+    val brute = Dedup.dedupFirstWins(all, $"id", $"version".desc)
+      .filter(!$"deleted").select($"id", $"v")
+    val fast = Dedup.mergeUpsert(snap, delta, "id")
+    assert(rows(fast.orderBy($"id")).map(r => (r.getLong(0), r.getString(1)))
+      == rows(brute.orderBy($"id")).map(r => (r.getLong(0), r.getString(1))))
+  }
+
+  test("mergeUpsert passes NULL-key snapshot rows through untouched") {
+    val snap = Seq((Some(1L), "a"), (None, "n1"), (None, "n2"))
+      .toDF("id", "v")
+    val delta = Seq((1L, "a2", 1L, false)).toDF("id", "v", "version", "deleted")
+    val out = rows(Dedup.mergeUpsert(snap, delta, "id").orderBy($"v"))
+      .map(_.getString(1))
+    assert(out == Seq("a2", "n1", "n2"))
+  }
+
   test("simhash16 is deterministic, bounded, and equal for equal texts") {
     val df = Seq("one two three", "one two three", "four five six").toDF("t")
     val out = col0[Int](df.select(Dedup.simhash16($"t")))
