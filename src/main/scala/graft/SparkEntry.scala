@@ -564,6 +564,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "ta8_unigram_logprob" -> ((s, dir) => {
+      // Corpus-unigram LM score (beyond the reference): frequency-
+      // weighted mean ln P(token) under the corpus's own unigram
+      // distribution — the cheap KenLM-seat fluency signal of
+      // CCNet/Gopher quality stacks. Tokens collapse to per-doc
+      // (token, count) before the vocabulary join, so the shuffle
+      // moves the distinct footprint, not every occurrence; the
+      // corpus total rides along as a broadcast scalar.
+      val d = t(s, dir, "documents")
+      TA.unigramLogProb(d, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("n_tok"),
+          fround(col("avg_logprob"), 6).as("logprob"))
+        .orderBy(col("doc_id"))
+    }),
+
     "d11_merge_upsert" -> ((s, dir) => {
       // CDC merge (beyond the reference; the corpus-maintenance twin of
       // d9): snapshot = documents; the change batch carries two upsert
@@ -1663,6 +1678,33 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "v11_ivf_persisted" -> ((s, dir) => {
+      // The IVF build-once/probe-many lifecycle (the bloom save/load
+      // pattern, for ANN): index persists as centroids + hive-
+      // partitioned inverted lists (via the size-targeted sink), then
+      // the probe reads ONLY its nprobe list directories — partition
+      // pruning makes query IO ∝ nprobe/C of the corpus, with zero
+      // assignment work at serve time.
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("long"),
+          col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
+      val idx = scratchDir("graft_v11") + "/ivf"
+      Similarity.saveIvfIndex(
+        e.filter(col("vec_id") >= 13), col("vec_id"), col("embedding"),
+        cents, idx, targetRows = 10000L, spread = 2)
+      Similarity.ivfTopKIndexed(s, idx,
+          e.filter(col("vec_id") >= 8 && col("vec_id") < 13),
+          col("vec_id").as("query_id"), col("embedding"),
+          k = 4, nprobe = 3)
+        .select(col("query_id"), col("doc_id"),
+          fround(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "v6_ann_topk_planned" -> ((s, dir) => {
       // The custom whole-operator tier: grouped top-k planned through
       // the TopKPerKey logical node → TopKPerKeyStrategy → two-phase
@@ -2168,6 +2210,19 @@ object SparkEntry {
     "s1_jsonl_roundtrip" ->
       """SELECT doc_id, lang, n_chars + 1000 AS n_chars
          FROM documents ORDER BY doc_id""",
+
+    "ta8_unigram_logprob" ->
+      s"""WITH toks AS (
+           SELECT doc_id, unnest(${sqlTokens("text")}) AS tok FROM documents),
+         perdoc AS (
+           SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+         vocab AS (SELECT tok, sum(c) AS cf FROM perdoc GROUP BY 1),
+         tot AS (SELECT sum(cf) AS tot FROM vocab)
+         SELECT doc_id, sum(c)::BIGINT AS n_tok,
+           floor((sum(c * ln(cf / tot)) / sum(c)) * 1e6 + 0.5) / 1e6
+             AS logprob
+         FROM perdoc JOIN vocab USING (tok) CROSS JOIN tot
+         GROUP BY doc_id ORDER BY doc_id""",
 
     "d11_merge_upsert" ->
       """WITH snap AS (SELECT doc_id, lang, n_chars FROM documents),
@@ -2820,6 +2875,34 @@ object SparkEntry {
            FROM probes JOIN assign USING (cid))
          SELECT query_id, doc_id, floor((cosine) * 1e6 + 0.5) / 1e6 AS cosine, rank
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "v11_ivf_persisted" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv
+             FROM embeddings WHERE vec_id < 8),
+         d AS (SELECT vec_id AS doc_id, embedding AS dv
+             FROM embeddings WHERE vec_id >= 13),
+         q AS (SELECT vec_id AS query_id, embedding AS qv
+             FROM embeddings WHERE vec_id >= 8 AND vec_id < 13),
+         assign AS (
+           SELECT doc_id, dv, cid FROM (
+             SELECT doc_id, dv, cid, row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY ${sqlCosine64("dv", "cv")} DESC, cid) AS rn
+             FROM d, c) WHERE rn = 1),
+         probes AS (
+           SELECT query_id, qv, cid FROM (
+             SELECT query_id, qv, cid, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY ${sqlCosine64("qv", "cv")} DESC, cid) AS rn
+             FROM q, c) WHERE rn <= 3),
+         ranked AS (
+           SELECT query_id, doc_id,
+             ${sqlCosine64("dv", "qv")} AS cosine,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY ${sqlCosine64("dv", "qv")} DESC, doc_id) AS rank
+           FROM probes JOIN assign USING (cid))
+         SELECT query_id, doc_id, floor((cosine) * 1e6 + 0.5) / 1e6 AS cosine, rank
+         FROM ranked WHERE rank <= 4 ORDER BY query_id, rank""",
 
     "v6_ann_topk_planned" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv

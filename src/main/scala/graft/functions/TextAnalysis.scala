@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operator family for large-scale training-data pipelines:
@@ -282,5 +282,39 @@ object TextAnalysis {
     val gb = charNgrams(b, n)
     size(array_intersect(ga, gb)).cast("double") /
       size(array_union(ga, gb))
+  }
+
+  /** Corpus-unigram language-model score (beyond the reference): per
+    * document, the frequency-weighted mean natural-log probability of
+    * its tokens under the corpus's own unigram distribution — the
+    * classic cheap fluency/outlier signal (the KenLM-perplexity seat in
+    * CCNet/Gopher-style quality stacks, with the corpus itself as the
+    * model). Low scores flag rare-token soup (OCR noise, boilerplate
+    * hashes); docs with no tokens drop out.
+    *
+    * Scale shape: tokens collapse to per-doc (token, count) FIRST
+    * (map-side combinable groupBy), so the vocabulary join moves one
+    * row per distinct token per doc, not one per occurrence — on
+    * repetitive corpora that's the difference between shuffling total
+    * tokens and shuffling the much smaller distinct footprint. The
+    * corpus total joins as a broadcast scalar; no corpus-scale window
+    * anywhere.
+    *
+    * Output: (idName, n_tok, avg_logprob), unrounded — callers round
+    * at their contract boundary.
+    */
+  def unigramLogProb(df: DataFrame, id: Column, text: Column,
+                     idName: String = "doc_id"): DataFrame = {
+    val perDoc = df.select(id.as(idName), explode(tokens(text)).as("tok"))
+      .groupBy(col(idName), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val vocab = perDoc.groupBy(col("tok")).agg(sum(col("c")).as("cf"))
+    val total = vocab.agg(sum(col("cf")).as("tot"))
+    perDoc.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idName))
+      .agg(sum(col("c")).as("n_tok"),
+        (sum(col("c") * log(col("cf") / col("tot"))) /
+          sum(col("c"))).as("avg_logprob"))
   }
 }

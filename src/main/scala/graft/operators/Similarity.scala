@@ -331,4 +331,86 @@ object Similarity {
       .select(col("query_id"), col("doc_id"), col("cosine"),
         col("approx_cosine"), col("rank"))
   }
+
+  /** Persist an IVF index: build once, probe many (the bloom
+    * save/load lifecycle, for ANN). Layout:
+    *
+    * {{{
+    *   path/centroids/      (cid, cv)      one tiny file
+    *   path/lists/cid=N/    (doc_id, dv)   inverted lists as hive
+    *                                       partitions, size-bounded
+    * }}}
+    *
+    * The lists land via [[graft.sources.Compaction.writeSized]], so a
+    * hot list still writes in parallel and no list becomes a small-file
+    * spray. Because `cid` is a PARTITION column, a probe's
+    * `cid IN (...)` filter prunes at the directory level —
+    * [[ivfTopKIndexed]] reads only the nprobe lists it ranks,
+    * IO ∝ nprobe/C of the corpus, with zero assignment work at query
+    * time. Assignment uses the same [[centroidArgmax]] tie rule as
+    * every other centroid consumer.
+    */
+  def saveIvfIndex(docs: DataFrame, docId: Column, docVec: Column,
+                   cents: Seq[(Long, Seq[Double])], path: String,
+                   targetRows: Long = 1L << 20, spread: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    require(cents.nonEmpty, "saveIvfIndex needs at least one centroid")
+    spark.createDataFrame(cents).toDF("cid", "cv")
+      .coalesce(1).write.mode("errorifexists").parquet(s"$path/centroids")
+    // dv stores as array<float> (CosineSim's native input; embeddings
+    // are float32 anyway) — assignment math still runs in double
+    // (VF.cosine upcasts elementwise), matching the SQL oracle.
+    val assigned = docs
+      .select(docId.cast("long").as("doc_id"),
+        docVec.cast("array<float>").as("dv"))
+      .withColumn("cid",
+        (-centroidArgmax(col("dv"), cents).getField("ncid")).cast("long"))
+    graft.sources.Compaction.writeSized(assigned, s"$path/lists",
+      Seq("cid"), col("doc_id"), targetRows, spread)
+  }
+
+  /** Centroid set of a saved index, in cid order. */
+  def loadIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Seq[(Long, Seq[Double])] =
+    spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1).toSeq
+
+  /** Probe a saved IVF index: per query rank ONLY the nprobe nearest
+    * lists, read via partition pruning — the steady-state ANN serving
+    * call. Probe lists compute with the same expression as [[ivfTopK]]
+    * (nearest centroids, ties → lowest cid); the probed cid set — at
+    * most |queries|·nprobe values, tiny by the query-batch contract —
+    * collects to the driver to become a literal partition filter on the
+    * list scan. Output matches [[ivfTopK]]: query_id, doc_id, cosine,
+    * rank.
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, queryId: Column, queryVec: Column,
+                     k: Int, nprobe: Int): DataFrame = {
+    val cents = loadIvfCentroids(spark, path)
+    val q = queries.select(queryId.as("query_id"),
+      queryVec.cast("array<float>").as("qv"))
+    val probeStructs = cents.map { case (cid, cv) =>
+      struct((-VF.cosine(col("qv"), typedLit(cv))).as("negcos"),
+        lit(cid).as("cid"))
+    }
+    val probes = q
+      .withColumn("pc",
+        explode(slice(array_sort(array(probeStructs: _*)), 1, nprobe)))
+      .select(col("query_id"), col("qv"), col("pc.cid").as("cid"))
+    val probedCids = probes.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, dv ARRAY<FLOAT>, cid LONG")
+    val lists = spark.read.schema(schema).parquet(s"$path/lists")
+      .filter(col("cid").isin(probedCids.toIndexedSeq: _*))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+    probes.join(lists, "cid")
+      .withColumn("cosine", CosineSim(col("dv"), col("qv")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("cosine"), col("rank"))
+  }
 }

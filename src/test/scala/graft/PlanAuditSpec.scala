@@ -127,6 +127,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(exch <= 1, s"expected at most the ORDER BY exchange, got $exch:\n$plan")
   }
 
+  test("mergeUpsert windows ONLY the delta; the snapshot side takes an anti-join") {
+    val snap = Seq.tabulate(64)(i => (i.toLong, s"s$i")).toDF("id", "v")
+    val delta = Seq((1L, "d1", 1L, false), (2L, "d2", 1L, true))
+      .toDF("id", "v", "version", "deleted")
+    val out = Dedup.mergeUpsert(snap, delta, "id")
+    val plan = out.queryExecution.executedPlan.toString
+    // the delta resolve windows appear BELOW the final Union (the
+    // `latest` subtree is consumed twice, both over the tiny delta) — a
+    // refactor that unions first and windows the whole table re-sorts
+    // the corpus to apply a 0.1% change, and would print its Window
+    // ABOVE the Union
+    val unionAt = plan.indexOf("Union")
+    assert(unionAt >= 0, plan)
+    val windowsAbove = "Window \\[".r.findAllIn(plan.take(unionAt)).size
+    assert(windowsAbove == 0,
+      s"Window above the Union — snapshot-side sort reintroduced:\n$plan")
+    assert("Window \\[".r.findAllIn(plan).size <= 2, plan)
+    assert(plan.contains("LeftAnti"), plan)
+  }
+
+  test("ta8 unigram model collapses per-doc counts map-side before the vocab join") {
+    val d = Seq((1L, "a a b"), (2L, "b c")).toDF("id", "t")
+    val out = graft.functions.TextAnalysis.unigramLogProb(d, $"id", $"t", "id")
+    val plan = out.queryExecution.executedPlan.toString
+    // every HashAggregate pairs partial+final (map-side combine); the
+    // corpus total must ride as a broadcast, and nothing windows
+    assert(!plan.contains("Window ["), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    val partials = "partial_".r.findAllIn(plan).size
+    assert(partials >= 2,
+      s"expected map-side partial aggregation, got $partials:\n$plan")
+  }
+
   test("v4 vocabulary ranking never windows over the full vocabulary") {
     // the global rank window must sit above a LIMIT (TakeOrdered), so
     // it only ever sees k rows — mirror of the v4 query shape.

@@ -70,6 +70,33 @@ class SimilaritySpec extends SparkSpec {
     assert(full == brute)
   }
 
+  test("persisted IVF index probes match ivfTopK and prune unprobed lists") {
+    val cents = Seq((0L, b1.map(_.toDouble).toSeq), (1L, b2.map(_.toDouble).toSeq))
+    val queries = queryData.toDF("qid", "qv")
+    val idx = Scratch.dir("ivf_idx") + "/ivf"
+    Similarity.saveIvfIndex(corpus, $"id", $"v", cents, idx,
+      targetRows = 100L, spread = 2)
+    val centroids = cents.toDF("cid", "cv")
+    def proj(df: org.apache.spark.sql.DataFrame) =
+      rows(df.orderBy($"query_id", $"rank"))
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val live = proj(Similarity.ivfTopK(
+      corpus, $"id", $"v", queries, $"qid", $"qv",
+      centroids, $"cid", $"cv", k = 3, nprobe = 1))
+    val indexed = Similarity.ivfTopKIndexed(
+      spark, idx, queries, $"qid", $"qv", k = 3, nprobe = 1)
+    assert(proj(indexed) == live)
+    // single-cluster query set: the list scan must PRUNE to the probed
+    // partition — the cid IN (…) literal shows up as a PartitionFilter,
+    // and only cluster-0 docs can come back
+    val oneQuery = Seq((100L, noisy(b1, 0.001f))).toDF("qid", "qv")
+    val pruned = Similarity.ivfTopKIndexed(
+      spark, idx, oneQuery, $"qid", $"qv", k = 3, nprobe = 1)
+    assert(rows(pruned).map(_.getLong(1)).toSet == Set(1L, 2L, 3L))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"), plan)
+  }
+
   test("topKPerQuery returns k ranked neighbors per query") {
     val queries = Seq((100L, b1.toSeq), (200L, b2.toSeq)).toDF("qid", "qv")
     val got = rows(Similarity.topKPerQuery(

@@ -96,6 +96,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3) == (1.0, 1.0 - 1.0 / 3.0)) // all bigrams identical
   }
 
+  test("unigramLogProb: hand-computed corpus model, tokenless docs drop") {
+    val df = Seq((1L, "a a b"), (2L, "b c"), (3L, "")).toDF("id", "t")
+    // corpus: a×2, b×2, c×1, total 5
+    val out = rows(TA.unigramLogProb(df, $"id", $"t", "id")
+      .orderBy($"id"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(x => (x._1, x._2)) == Seq((1L, 3L), (2L, 2L)))
+    val exp1 = (2 * math.log(2 / 5.0) + math.log(2 / 5.0)) / 3
+    val exp2 = (math.log(2 / 5.0) + math.log(1 / 5.0)) / 2
+    assert(math.abs(out(0)._3 - exp1) < 1e-12)
+    assert(math.abs(out(1)._3 - exp2) < 1e-12)
+    // repeated rare-token soup scores strictly below common prose
+    assert(exp2 < exp1)
+  }
+
   test("topTokenFraction: linear sorted-run form == brute-force twin") {
     val texts = Seq(
       "a a a b",                                     // simple repetition
