@@ -579,6 +579,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "ta9_bpe_merges" -> ((s, dir) => {
+      // Distributed BPE tokenizer training (beyond the reference): the
+      // corpus is read ONCE (wordFreqs); each merge step then costs one
+      // partial-aggregated pair count over the vocab-sized (word, freq)
+      // table plus a projection — never a text rescan. Deterministic
+      // (count desc, lexicographic tiebreak), but iterative training is
+      // not single-statement SQL, so no oracle twin — the driver's
+      // rows-check plus BpeSpec's textbook-corpus pin cover it (the
+      // a6x/a7x precedent).
+      import s.implicits._
+      val merges = operators.Bpe.trainMerges(
+        operators.Bpe.wordFreqs(t(s, dir, "documents"), col("text")),
+        numMerges = 8)
+      merges.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a, b, a + b) }
+        .toDF("step", "left", "right", "merged")
+    }),
+
     "d11_merge_upsert" -> ((s, dir) => {
       // CDC merge (beyond the reference; the corpus-maintenance twin of
       // d9): snapshot = documents; the change batch carries two upsert

@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.functions.{TextAnalysis => TA}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Distributed byte-pair-encoding merge training (beyond the reference —
+  * the tokenizer-training seat of an LLM data pipeline; the reference
+  * counts whitespace tokens only, RAG/rag.ipynb:783).
+  *
+  * The scale shape is the point: the 100 TB corpus is touched EXACTLY
+  * once, by [[wordFreqs]] (tokenize → groupBy word, map-side combined).
+  * Training then iterates on the compressed (word, freq) table — vocab-
+  * sized, millions of rows not billions — and each merge step is one
+  * partial-aggregated pair count plus one projection. Nothing in the
+  * loop rescans text; driver traffic per step is ONE (pair, count) row.
+  *
+  * Determinism: ties on pair count break lexicographically (a, then b),
+  * so the learned merge list is engine-independent and the JVM twin
+  * [[jvmSegment]] reproduces segmentation bit-for-bit (pinned in
+  * BpeSpec).
+  */
+object Bpe {
+
+  /** One corpus pass: lowercase whitespace/CJK tokens → (word, freq).
+    * This is the ONLY stage that reads text; everything downstream is
+    * vocab-sized.
+    */
+  def wordFreqs(df: DataFrame, text: Column): DataFrame =
+    df.select(explode(TA.tokens(text)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Split a word into its initial character symbols. Empty-string
+    * guard matters: `sequence(1, 0)` counts DOWN in Spark, it is not
+    * empty.
+    */
+  private def charSymbols(word: Column): Column =
+    when(length(word) === 0, array().cast("array<string>"))
+      .otherwise(
+        transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1))))
+
+  /** Left-to-right non-overlapping replacement of the adjacent pair
+    * (a, b) with the merged symbol, as a single linear fold.
+    */
+  private def mergePair(syms: Column, a: String, b: String): Column =
+    aggregate(syms,
+      array().cast("array<string>"),
+      (out, x) =>
+        when(size(out) > 0 &&
+            element_at(out, -1) === lit(a) && x === lit(b),
+          concat(slice(out, lit(1), size(out) - 1), array(lit(a + b))))
+          .otherwise(concat(out, array(x))))
+
+  /** Train `numMerges` BPE merges over a (word, freq) table.
+    *
+    * Each step: count adjacent symbol pairs weighted by word frequency
+    * (one partial-aggregated shuffle over the vocab table), pick the
+    * most frequent pair (ties → lexicographic), rewrite the symbol
+    * arrays. The evolving vocab table re-materializes each step
+    * (localCheckpoint) so lineage stays flat across iterations instead
+    * of nesting `numMerges` fold expressions into one plan. Stops early
+    * when no pair repeats.
+    */
+  def trainMerges(freqs: DataFrame, numMerges: Int): Seq[(String, String)] = {
+    var words = freqs
+      .select(charSymbols(col("word")).as("syms"),
+        col("freq").cast("long").as("freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    for (_ <- 1 to numMerges if !done) {
+      val n = size(col("syms"))
+      val best = words
+        .filter(n >= 2)
+        .select(explode(zip_with(
+          slice(col("syms"), lit(1), n - 1),
+          slice(col("syms"), lit(2), n - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"),
+          col("freq"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .filter(col("cnt") >= 2)
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      best.headOption match {
+        case None => done = true
+        case Some(r) =>
+          val (a, b) = (r.getString(0), r.getString(1))
+          merges += ((a, b))
+          val prev = words
+          words = words
+            .select(mergePair(col("syms"), a, b).as("syms"), col("freq"))
+            .localCheckpoint()
+          prev.unpersist(): Unit
+      }
+    }
+    words.unpersist(): Unit
+    merges.toSeq
+  }
+
+  /** Segment a word column with a learned merge list: char split, then
+    * the merges applied in training order. Expression depth grows with
+    * the merge count — fine for the bounded lists trained here; a
+    * serving-path tokenizer with 10⁴+ merges belongs in a native
+    * expression (the [[jvmSegment]] loop), not a nested fold.
+    */
+  def segment(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(charSymbols(word)) {
+      case (syms, (a, b)) => mergePair(syms, a, b)
+    }
+
+  /** JVM twin of [[segment]] — same left-to-right non-overlapping rule,
+    * for parity specs and driver-side use.
+    */
+  def jvmSegment(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms: Vector[String] = word.map(_.toString).toVector
+    merges.foreach { case (a, b) =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      syms.foreach { x =>
+        if (buf.nonEmpty && buf.last == a && x == b) {
+          buf.remove(buf.length - 1)
+          buf += (a + b)
+        } else buf += x
+      }
+      syms = buf.toVector
+    }
+    syms
+  }
+}
