@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextAnalysis => TA, TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Align, Compliance, Dedup, Enrich, Multimodal, Packing, Rag, Ruler, Sampling, Similarity}
+import graft.operators.{Align, Compliance, Decontam, Dedup, Enrich, Multimodal, Packing, Rag, Ruler, Sampling, Similarity}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -542,6 +542,37 @@ object SparkEntry {
           t(s, dir, "documents"),
           col("lang"), col("doc_id"),
           Map("en" -> 0.5, "zh" -> 0.25), defaultRate = 0.8, salt = "s42")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "tc1_decontamination" -> ((s, dir) => {
+      // Benchmark decontamination (beyond the reference): train docs
+      // (id < 450) probed for 5-token-gram containment against the
+      // eval split (id >= 450). Eval grams broadcast (benchmarks are
+      // MBs vs a TB corpus); the corpus side is one narrow
+      // tokenize→gram→explode scan with a partial-aggregated per-doc
+      // match count — corpus text never shuffles.
+      val docs = t(s, dir, "documents")
+      Decontam.contaminationReport(
+          docs.filter(col("doc_id") < 450),
+          docs.filter(col("doc_id") >= 450),
+          col("doc_id"), col("text"), n = 5)
+        .select(col("id").as("doc_id"), col("n_grams"),
+          col("n_matched"), fround(col("contamination"), 6).as("contamination"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "x1_corpus_mix" -> ((s, dir) => {
+      // Temperature-weighted corpus mixing to a 50% token budget
+      // (beyond the reference): per-language keep rates ∝ √tokens,
+      // capped at 1, then the usual deterministic hash cut. Exact
+      // BIGINT sums + one IEEE divide per language = the oracle
+      // replays the rate arithmetic bit-for-bit.
+      Sampling.tokenBudgetMix(
+          t(s, dir, "documents"),
+          col("lang"), col("doc_id"), TA.tokenCount(col("text")),
+          budgetPct = 50, salt = "mix7")
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     }),
@@ -3001,6 +3032,45 @@ object SparkEntry {
          WHERE ('0x' || substr(md5('s42:' || doc_id::VARCHAR), 1, 7))::BIGINT <
            (CASE $rateCases ELSE ${Sampling.threshold(0.8)} END)
          ORDER BY doc_id"""
+    },
+
+    "tc1_decontamination" -> {
+      val toks = sqlTokens("text")
+      // strict n-grams: a doc with < 5 tokens has none (generate_series
+      // with stop < start is empty in DuckDB, mirroring the Spark guard)
+      s"""WITH g AS (
+           SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, len($toks) - 4),
+             i -> array_to_string(list_slice($toks, i, i + 4), ' '))) AS grams
+           FROM documents),
+         ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id >= 450),
+         tr AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id < 450),
+         m AS (SELECT tr.doc_id, count(*) AS n_matched
+               FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id)
+         SELECT g.doc_id, len(grams) AS n_grams,
+           coalesce(m.n_matched, 0) AS n_matched,
+           floor((CASE WHEN len(grams) > 0
+             THEN coalesce(m.n_matched, 0) * 1.0 / len(grams)
+             ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS contamination
+         FROM g LEFT JOIN m ON g.doc_id = m.doc_id
+         WHERE g.doc_id < 450 ORDER BY g.doc_id"""
+    },
+
+    "x1_corpus_mix" -> {
+      val toks = sqlTokens("text")
+      s"""WITH tok AS (
+           SELECT doc_id, lang, len($toks)::BIGINT AS ntok FROM documents),
+         st AS (SELECT lang, sum(ntok)::BIGINT AS t FROM tok GROUP BY lang),
+         w AS (SELECT lang, t, floor(sqrt(t) * 1e6)::BIGINT AS wgt FROM st),
+         tot AS (SELECT sum(t)::BIGINT AS tot_t, sum(wgt)::BIGINT AS s FROM w),
+         r AS (SELECT lang,
+           CASE WHEN t > 0 THEN least(268435456,
+             floor(((tot_t * 50 // 100) * wgt)::DOUBLE
+               / (s * t)::DOUBLE * 268435456.0)::BIGINT)
+           ELSE 268435456 END AS thr FROM w, tot)
+         SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+         WHERE ('0x' || substr(md5('mix7:' || d.doc_id::VARCHAR), 1, 7))::BIGINT < r.thr
+         ORDER BY d.doc_id"""
     },
 
     "d9_incremental_dedup" -> {

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.functions.{TextAnalysis => TA}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Benchmark decontamination (beyond the reference — the eval-overlap
+  * gate every LLM training corpus needs; the reference's dedup passes
+  * are all train-vs-train): flag training documents that contain any
+  * token n-gram from an evaluation set.
+  *
+  * The scale asymmetry is the design: eval benchmarks are MBs while the
+  * training corpus is TBs, so the eval n-gram set ALWAYS fits in a
+  * broadcast. The corpus side is one narrow scan — tokenize, strict
+  * n-grams, explode — probed against the broadcast hash set with a
+  * partial-aggregated per-doc count on top. The corpus never shuffles
+  * its text; only (doc_id, matched-gram) survive past the probe. For a
+  * truly huge eval union (or fpp tolerance), [[Dedup.corpusBloom]]
+  * composes in front of this as a pre-filter, same as d9.
+  */
+object Decontam {
+
+  /** Strict token n-grams (distinct, space-joined). Unlike
+    * [[Dedup.shingles]] there is NO short-text fallback: a document
+    * with fewer than n tokens has no n-grams, so it can never be
+    * flagged by containment — the right semantics for a gate, where
+    * the fallback shingle could only produce spurious full-text hits.
+    * The empty-guard matters: Spark's `sequence(1, 0)` counts down.
+    */
+  def tokenNgrams(text: Column, n: Int): Column = {
+    val toks = TA.tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " "))))
+  }
+
+  /** Per-train-doc contamination report against `eval`'s n-gram set.
+    *
+    * Returns one row per train doc: `id, n_grams, n_matched,
+    * contamination` (matched / total distinct grams, 0 when the doc is
+    * too short to have grams — ANSI-guarded), ordered by nothing (the
+    * caller sorts). `n_matched` counts DISTINCT matched grams, so a
+    * gram repeated in the doc is one hit — containment, not frequency.
+    */
+  def contaminationReport(train: DataFrame, eval: DataFrame,
+                          id: Column, text: Column, n: Int): DataFrame = {
+    val evalGrams = eval
+      .select(explode(tokenNgrams(text, n)).as("gram"))
+      .distinct()
+    val trainGrams = train
+      .select(id.as("id"), explode(tokenNgrams(text, n)).as("gram"))
+    val matched = trainGrams
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_matched"))
+    train
+      .select(id.as("id"), size(tokenNgrams(text, n)).as("n_grams"))
+      .join(matched, Seq("id"), "left")
+      .select(col("id"),
+        col("n_grams"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        when(col("n_grams") > 0,
+          coalesce(col("n_matched"), lit(0L)).cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)).as("contamination"))
+  }
+
+  /** The gate itself: drop train docs whose contamination exceeds
+    * `maxFraction` (strictly greater — 0.0 drops any doc with a hit).
+    * Anti-join on the flagged id set; the corpus scan that produces the
+    * report and the one that survives are the same cached/lazy frame.
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame, idName: String,
+                    text: Column, n: Int, maxFraction: Double): DataFrame = {
+    val flagged = contaminationReport(train, eval, col(idName), text, n)
+      .filter(col("contamination") > maxFraction)
+      .select(col("id").as("_flagged_id"))
+    train.join(broadcast(flagged), col(idName) === col("_flagged_id"),
+      "left_anti")
+  }
+}

@@ -44,4 +44,43 @@ object Sampling {
     }
     df.filter(keyHash(key, salt) < thr)
   }
+
+  /** Temperature-weighted corpus mixing to a token budget (the UniMax /
+    * multilingual-pretraining rebalance): sample each stratum (domain,
+    * language) so the kept corpus totals ~`budgetPct`% of the tokens,
+    * with per-stratum shares ∝ √(stratum tokens) — temperature α = 0.5,
+    * which upsamples tails relative to proportional and caps any
+    * stratum at rate 1 (never replicates rows).
+    *
+    * Per-stratum keep rate: r = min(1, B·W / (S·T)) where T = stratum
+    * tokens, W = ⌊√T·10⁶⌋, S = ΣW, B = total·budgetPct div 100. Sums
+    * are exact BIGINTs and the one scalar divide is a single IEEE
+    * binary64 op, so the oracle replays the arithmetic bit-for-bit —
+    * no order-dependent float accumulation anywhere.
+    *
+    * Scale shape: one partial-aggregated pass for stats (stratum-count
+    * rows), a broadcast of the tiny rate table back onto the scan, and
+    * the same scan-fused hash predicate as [[hashSample]]. The corpus
+    * never shuffles.
+    */
+  def tokenBudgetMix(df: DataFrame, stratum: Column, key: Column,
+                     tokenCount: Column, budgetPct: Int,
+                     salt: String): DataFrame = {
+    val maxHash = 1L << 28
+    val stats = df.groupBy(stratum.as("_stratum"))
+      .agg(sum(tokenCount.cast("long")).as("_t"))
+      .withColumn("_w", floor(sqrt(col("_t")) * 1e6).cast("long"))
+    val totals = stats.agg(sum(col("_t")).as("_tot"), sum(col("_w")).as("_s"))
+    val rates = stats.crossJoin(broadcast(totals))
+      .withColumn("_b", expr(s"_tot * $budgetPct div 100"))
+      .withColumn("_thr", when(col("_t") > 0,
+        least(lit(maxHash),
+          floor((col("_b") * col("_w")).cast("double")
+            / (col("_s") * col("_t")).cast("double") * lit(maxHash.toDouble))))
+        .otherwise(lit(maxHash)))
+      .select(col("_stratum"), col("_thr"))
+    df.join(broadcast(rates), stratum === col("_stratum"))
+      .filter(keyHash(key, salt) < col("_thr"))
+      .drop("_stratum", "_thr")
+  }
 }

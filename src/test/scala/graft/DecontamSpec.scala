@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.Decontam
+import org.apache.spark.sql.functions._
+
+class DecontamSpec extends SparkSpec {
+  import spark.implicits._
+
+  // train doc 1 contains eval doc 10's opening 3-gram; doc 2 is clean;
+  // doc 3 is too short to have any 3-gram; doc 4 repeats a
+  // contaminated gram twice (must count once — containment).
+  private def train = Seq(
+    (1L, "the quick brown fox jumps high"),
+    (2L, "entirely different words here now"),
+    (3L, "too short"),
+    (4L, "alpha beta gamma x alpha beta gamma")
+  ).toDF("doc_id", "text")
+
+  private def eval = Seq(
+    (10L, "the quick brown dog"),
+    (11L, "alpha beta gamma delta")
+  ).toDF("doc_id", "text")
+
+  test("tokenNgrams: strict (short text has none), distinct, CJK-aware") {
+    val got = rows(Seq("a b c d", "a b", "x y x y x y", "你好世界")
+      .toDF("t").select(Decontam.tokenNgrams($"t", 3).as("g")))
+      .map(_.getSeq[String](0).toList)
+    assert(got(0) == List("a b c", "b c d"))
+    assert(got(1) == Nil)
+    assert(got(2) == List("x y x", "y x y")) // distinct
+    assert(got(3) == List("你 好 世", "好 世 界")) // per-char CJK tokens
+  }
+
+  test("contaminationReport counts distinct matched grams per doc") {
+    val rep = rows(
+      Decontam.contaminationReport(train, eval, $"doc_id", $"text", 3)
+        .orderBy($"id"))
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rep(0) == ((1L, 4, 1L, 0.25))) // "the quick brown"
+    assert(rep(1) == ((2L, 3, 0L, 0.0)))
+    assert(rep(2) == ((3L, 0, 0L, 0.0))) // no grams → 0, not a div error
+    // doc 4 has 4 distinct grams; "alpha beta gamma" appears twice but
+    // matches once
+    assert(rep(3) == ((4L, 4, 1L, 0.25)))
+  }
+
+  test("decontaminate drops flagged docs; threshold is strict-greater") {
+    val kept0 = col0[Long](
+      Decontam.decontaminate(train, eval, "doc_id", $"text", 3, 0.0)
+        .select($"doc_id").orderBy($"doc_id"))
+    assert(kept0 == Seq(2L, 3L)) // any hit drops at 0.0
+    val keptHalf = col0[Long](
+      Decontam.decontaminate(train, eval, "doc_id", $"text", 3, 0.25)
+        .select($"doc_id").orderBy($"doc_id"))
+    assert(keptHalf == Seq(1L, 2L, 3L, 4L)) // 0.25 > 0.25 is false
+  }
+
+  test("eval gram set broadcast: plan has no shuffle on the train text side") {
+    val plan = Decontam.contaminationReport(train, eval, $"doc_id", $"text", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast probe in:\n$plan")
+  }
+}

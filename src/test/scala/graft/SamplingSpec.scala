@@ -41,4 +41,45 @@ class SamplingSpec extends SparkSpec {
     assert(out("en") > 800 && out("en") <= 1000, out.toString)
     assert(out("de") < 200, out.toString)
   }
+
+  // skewed corpus: en 1600 docs × 100 tokens, de 400 × 100 — a 50%
+  // token budget with α=0.5 weights must keep a HIGHER rate of de
+  // (upsampled tail) than of en, and land near the budget overall.
+  private lazy val mixDf = (0L until 2000L)
+    .map(i => (i, if (i % 5 == 4) "de" else "en", 100))
+    .toDF("id", "lang", "ntok")
+
+  test("tokenBudgetMix hits the token budget with temperature-tilted rates") {
+    val kept = Sampling.tokenBudgetMix(mixDf, $"lang", $"id", $"ntok",
+      budgetPct = 50, salt = "m1")
+      .groupBy($"lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact rates: W_en=√160000·1e6, W_de=√40000·1e6 → en 2/3·½·(T/T_en)…
+    // en rate = B·W_en/(S·T_en) = 0.4167, de rate = 0.8333
+    assert(kept("en") > 550 && kept("en") < 780, kept.toString)
+    assert(kept("de") > 280 && kept("de") < 390, kept.toString)
+    val totalTokens = (kept("en") + kept("de")) * 100.0
+    assert(math.abs(totalTokens / 200000.0 - 0.5) < 0.06,
+      s"kept ${totalTokens} of 200000 tokens")
+    // tail language keeps a strictly higher fraction than the head
+    assert(kept("de") / 400.0 > kept("en") / 1600.0)
+  }
+
+  test("tokenBudgetMix caps tiny-stratum rates at 1 (no row replication)") {
+    val tiny = (0L until 1000L).map(i => (i, "en", 1000)) ++
+      Seq((5000L, "rare", 1), (5001L, "rare", 1))
+    val out = Sampling.tokenBudgetMix(tiny.toDF("id", "lang", "ntok"),
+      $"lang", $"id", $"ntok", budgetPct = 50, salt = "m1")
+    val rare = out.filter($"lang" === "rare").count()
+    assert(rare == 2, s"rare stratum must keep all rows, got $rare")
+    assert(out.count() <= 1002)
+  }
+
+  test("tokenBudgetMix is deterministic and partitioning-stable") {
+    val a = col0[Long](Sampling.tokenBudgetMix(mixDf, $"lang", $"id", $"ntok",
+      50, "m1").select($"id")).toSet
+    val b = col0[Long](Sampling.tokenBudgetMix(mixDf.repartition(7), $"lang",
+      $"id", $"ntok", 50, "m1").select($"id")).toSet
+    assert(a == b)
+  }
 }
