@@ -548,15 +548,16 @@ object SparkEntry {
 
     "tc1_decontamination" -> ((s, dir) => {
       // Benchmark decontamination (beyond the reference): train docs
-      // (id < 450) probed for 5-token-gram containment against the
-      // eval split (id >= 450). Eval grams broadcast (benchmarks are
-      // MBs vs a TB corpus); the corpus side is one narrow
-      // tokenize→gram→explode scan with a partial-aggregated per-doc
-      // match count — corpus text never shuffles.
+      // (id >= 50, grows with SF) probed for 5-token-gram containment
+      // against the eval split (id < 50 — FIXED size at every SF, the
+      // real shape: benchmarks are MBs while the corpus is TBs, so the
+      // eval gram set always broadcasts). The corpus side is one
+      // tokenize→gram→explode_outer scan with a partial-aggregated
+      // per-doc count — corpus text never shuffles.
       val docs = t(s, dir, "documents")
       Decontam.contaminationReport(
-          docs.filter(col("doc_id") < 450),
-          docs.filter(col("doc_id") >= 450),
+          docs.filter(col("doc_id") >= 50),
+          docs.filter(col("doc_id") < 50),
           col("doc_id"), col("text"), n = 5)
         .select(col("id").as("doc_id"), col("n_grams"),
           col("n_matched"), fround(col("contamination"), 6).as("contamination"))
@@ -3043,17 +3044,17 @@ object SparkEntry {
              generate_series(1, len($toks) - 4),
              i -> array_to_string(list_slice($toks, i, i + 4), ' '))) AS grams
            FROM documents),
-         ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id >= 450),
-         tr AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id < 450),
-         m AS (SELECT tr.doc_id, count(*) AS n_matched
-               FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id)
-         SELECT g.doc_id, len(grams) AS n_grams,
+         ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 50),
+         tr AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= 50),
+         m AS (SELECT tr.doc_id, count(*) AS n_grams, count(ev.gram) AS n_matched
+               FROM tr LEFT JOIN ev ON tr.gram = ev.gram GROUP BY tr.doc_id)
+         SELECT g.doc_id, coalesce(m.n_grams, 0) AS n_grams,
            coalesce(m.n_matched, 0) AS n_matched,
-           floor((CASE WHEN len(grams) > 0
-             THEN coalesce(m.n_matched, 0) * 1.0 / len(grams)
+           floor((CASE WHEN coalesce(m.n_grams, 0) > 0
+             THEN coalesce(m.n_matched, 0) * 1.0 / m.n_grams
              ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS contamination
          FROM g LEFT JOIN m ON g.doc_id = m.doc_id
-         WHERE g.doc_id < 450 ORDER BY g.doc_id"""
+         WHERE g.doc_id >= 50 ORDER BY g.doc_id"""
     },
 
     "x1_corpus_mix" -> {

@@ -35,6 +35,22 @@ object Decontam {
         i => array_join(slice(toks, i, lit(n)), " "))))
   }
 
+  /** Hashed twin of [[tokenNgrams]] for the probe path: xxhash64 over
+    * the token slice directly, so no per-gram string ever
+    * materializes — the probe joins 8-byte longs, not ~n-word strings.
+    * Distinct-by-hash equals distinct-by-gram up to a 2⁻⁶⁴ collision
+    * (~10⁻⁹ across a 10⁶-gram corpus probe — below any oracle's noise
+    * floor; the exact-string [[tokenNgrams]] stays the reference
+    * semantics and the parity spec pins the counts equal).
+    */
+  def tokenNgramHashes(text: Column, n: Int): Column = {
+    val toks = TA.tokens(text)
+    when(size(toks) < n, array().cast("array<long>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => xxhash64(slice(toks, i, lit(n))))))
+  }
+
   /** Per-train-doc contamination report against `eval`'s n-gram set.
     *
     * Returns one row per train doc: `id, n_grams, n_matched,
@@ -42,26 +58,26 @@ object Decontam {
     * too short to have grams — ANSI-guarded), ordered by nothing (the
     * caller sorts). `n_matched` counts DISTINCT matched grams, so a
     * gram repeated in the doc is one hit — containment, not frequency.
+    *
+    * The train text tokenizes ONCE: `explode_outer` keeps gram-less
+    * docs as a single null-gram row (so they report 0/0 instead of
+    * vanishing), the broadcast probe left-joins a hit marker, and one
+    * partial-aggregated count pass produces both the total and the
+    * matched count. No second scan for totals, no post-agg join.
     */
   def contaminationReport(train: DataFrame, eval: DataFrame,
                           id: Column, text: Column, n: Int): DataFrame = {
     val evalGrams = eval
-      .select(explode(tokenNgrams(text, n)).as("gram"))
+      .select(explode(tokenNgramHashes(text, n)).as("gram"))
       .distinct()
-    val trainGrams = train
-      .select(id.as("id"), explode(tokenNgrams(text, n)).as("gram"))
-    val matched = trainGrams
-      .join(broadcast(evalGrams), "gram")
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_matched"))
     train
-      .select(id.as("id"), size(tokenNgrams(text, n)).as("n_grams"))
-      .join(matched, Seq("id"), "left")
-      .select(col("id"),
-        col("n_grams"),
-        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+      .select(id.as("id"), explode_outer(tokenNgramHashes(text, n)).as("gram"))
+      .join(broadcast(evalGrams.withColumn("_hit", lit(1))), Seq("gram"), "left")
+      .groupBy(col("id"))
+      .agg(count(col("gram")).as("n_grams"), count(col("_hit")).as("n_matched"))
+      .select(col("id"), col("n_grams"), col("n_matched"),
         when(col("n_grams") > 0,
-          coalesce(col("n_matched"), lit(0L)).cast("double") / col("n_grams"))
+          col("n_matched").cast("double") / col("n_grams"))
           .otherwise(lit(0.0)).as("contamination"))
   }
 

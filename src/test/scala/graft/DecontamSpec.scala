@@ -31,17 +31,26 @@ class DecontamSpec extends SparkSpec {
     assert(got(3) == List("你 好 世", "好 世 界")) // per-char CJK tokens
   }
 
+  test("hashed probe parity: hash-gram cardinality equals string-gram") {
+    val df = train.unionAll(eval)
+      .unionAll(Seq((20L, "你好世界你好"), (21L, "a a a a a")).toDF("doc_id", "text"))
+    rows(df.select(
+      size(Decontam.tokenNgrams($"text", 3)).as("s"),
+      size(Decontam.tokenNgramHashes($"text", 3)).as("h")))
+      .foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+  }
+
   test("contaminationReport counts distinct matched grams per doc") {
     val rep = rows(
       Decontam.contaminationReport(train, eval, $"doc_id", $"text", 3)
         .orderBy($"id"))
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
-    assert(rep(0) == ((1L, 4, 1L, 0.25))) // "the quick brown"
-    assert(rep(1) == ((2L, 3, 0L, 0.0)))
-    assert(rep(2) == ((3L, 0, 0L, 0.0))) // no grams → 0, not a div error
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rep(0) == ((1L, 4L, 1L, 0.25))) // "the quick brown"
+    assert(rep(1) == ((2L, 3L, 0L, 0.0)))
+    assert(rep(2) == ((3L, 0L, 0L, 0.0))) // no grams → 0, not a div error
     // doc 4 has 4 distinct grams; "alpha beta gamma" appears twice but
     // matches once
-    assert(rep(3) == ((4L, 4, 1L, 0.25)))
+    assert(rep(3) == ((4L, 4L, 1L, 0.25)))
   }
 
   test("decontaminate drops flagged docs; threshold is strict-greater") {

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Decontam, Dedup, Sampling, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Plan-shape regression guards for the scale-critical operators: these
@@ -159,6 +159,31 @@ class PlanAuditSpec extends SparkSpec {
     val partials = "partial_".r.findAllIn(plan).size
     assert(partials >= 2,
       s"expected map-side partial aggregation, got $partials:\n$plan")
+  }
+
+  test("decontamination probe: broadcast eval set, no sort-merge join") {
+    val train = Seq.tabulate(40)(i => (i.toLong, s"w$i x$i y$i z$i q$i"))
+      .toDF("id", "text")
+    val ev = Seq((100L, "w1 x1 y1 z1 q1")).toDF("id", "text")
+    val plan = Decontam.contaminationReport(train, ev, $"id", $"text", 3)
+      .queryExecution.executedPlan.toString
+    // the corpus side must probe a broadcast, never co-shuffle its
+    // grams against the (tiny, fixed-size) eval set
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("tokenBudgetMix: rate table broadcasts back, corpus never shuffles") {
+    val df = (0L until 200L)
+      .map(i => (i, if (i % 2 == 0) "en" else "de", 10))
+      .toDF("id", "lang", "ntok")
+    val plan = Sampling.tokenBudgetMix(df, $"lang", $"id", $"ntok", 50, "s")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the stats aggregations are map-side partial (stratum-count rows)
+    assert("partial_".r.findAllIn(plan).size >= 1, plan)
   }
 
   test("v4 vocabulary ranking never windows over the full vocabulary") {
