@@ -27,13 +27,18 @@ object Decontam {
     * the fallback shingle could only produce spurious full-text hits.
     * The empty-guard matters: Spark's `sequence(1, 0)` counts down.
     */
-  def tokenNgrams(text: Column, n: Int): Column = {
-    val toks = TA.tokens(text)
+  def tokenNgramsFromTokens(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(array_distinct(transform(
         sequence(lit(1), size(toks) - (n - 1)),
         i => array_join(slice(toks, i, lit(n)), " "))))
-  }
+
+  /** Single-shot wrapper — see the capture caveat on
+    * [[tokenNgramHashesFromTokens]]; bulk paths should tokenize in
+    * their own projection and call the FromTokens form.
+    */
+  def tokenNgrams(text: Column, n: Int): Column =
+    tokenNgramsFromTokens(TA.tokens(text), n)
 
   /** Hashed twin of [[tokenNgrams]] for the probe path: xxhash64 over
     * the token slice directly, so no per-gram string ever
@@ -42,14 +47,26 @@ object Decontam {
     * (~10⁻⁹ across a 10⁶-gram corpus probe — below any oracle's noise
     * floor; the exact-string [[tokenNgrams]] stays the reference
     * semantics and the parity spec pins the counts equal).
+    *
+    * `toks` must be a MATERIALIZED column (a bound attribute), not an
+    * inline `TA.tokens(...)` tree: an expression captured inside the
+    * transform lambda re-evaluates once per array element, which for an
+    * inline tokenizer means re-running the regex once per gram —
+    * O(grams · doc length) per row. [[contaminationReport]] projects
+    * the token array first for exactly this reason.
     */
-  def tokenNgramHashes(text: Column, n: Int): Column = {
-    val toks = TA.tokens(text)
+  def tokenNgramHashesFromTokens(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<long>"))
       .otherwise(array_distinct(transform(
         sequence(lit(1), size(toks) - (n - 1)),
         i => xxhash64(slice(toks, i, lit(n))))))
-  }
+
+  /** Convenience wrapper over [[tokenNgramHashesFromTokens]] — only for
+    * single-shot column use where the quadratic capture cost cannot
+    * bite (tiny arrays, specs).
+    */
+  def tokenNgramHashes(text: Column, n: Int): Column =
+    tokenNgramHashesFromTokens(TA.tokens(text), n)
 
   /** Per-train-doc contamination report against `eval`'s n-gram set.
     *
@@ -67,11 +84,18 @@ object Decontam {
     */
   def contaminationReport(train: DataFrame, eval: DataFrame,
                           id: Column, text: Column, n: Int): DataFrame = {
+    // tokenize in a SEPARATE projection: the token array must be a
+    // bound attribute by the time the gram lambda slices it, or the
+    // regex re-runs once per gram (CollapseProject keeps multi-use,
+    // non-cheap aliases materialized, so the split survives Catalyst)
     val evalGrams = eval
-      .select(explode(tokenNgramHashes(text, n)).as("gram"))
+      .select(TA.tokens(text).as("_toks"))
+      .select(explode(tokenNgramHashesFromTokens(col("_toks"), n)).as("gram"))
       .distinct()
     train
-      .select(id.as("id"), explode_outer(tokenNgramHashes(text, n)).as("gram"))
+      .select(id.as("id"), TA.tokens(text).as("_toks"))
+      .select(col("id"),
+        explode_outer(tokenNgramHashesFromTokens(col("_toks"), n)).as("gram"))
       .join(broadcast(evalGrams.withColumn("_hit", lit(1))), Seq("gram"), "left")
       .groupBy(col("id"))
       .agg(count(col("gram")).as("n_grams"), count(col("_hit")).as("n_matched"))
