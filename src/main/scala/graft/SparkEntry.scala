@@ -773,6 +773,39 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    "g2_training_corpus" -> ((s, dir) => {
+      // G2 — the NORTH-STAR end-to-end product (the 100 TB
+      // training-data build, BASELINE.json): benchmark decontamination
+      // (tc1) → quality gate (ta2's composite ≥ 0.55) → temperature-
+      // weighted token-budget mix (x1) → sequence packing (ta6), as ONE
+      // lazy plan. The eval gram set and the per-language rate table
+      // both broadcast; the corpus sides never shuffle their text —
+      // the only exchanges are the decontamination report's per-doc
+      // count, the mix stats aggregate, and the packing windows. The
+      // corpus tokenizes twice (once in the probe branch, once shared
+      // by gate+mix+packing via a select boundary) — the probe branch
+      // is structurally separate, so a single pass would need a cache
+      // that costs more than the narrow re-scan.
+      val docs = t(s, dir, "documents")
+      val clean = Decontam.decontaminate(
+        docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+        "doc_id", col("text"), n = 5, maxFraction = 0.0)
+      val scored = clean
+        .select(col("doc_id"), col("lang"), col("text"),
+          TA.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("lang"),
+          size(col("toks")).cast("long").as("n_tok"),
+          TA.qualityScoreFromTokens(col("toks"), col("text")).as("q"))
+        .filter(col("q") >= 0.55)
+      val mixed = Sampling.tokenBudgetMix(scored, col("lang"), col("doc_id"),
+        col("n_tok"), budgetPct = 50, salt = "g2m")
+      Packing.packBins(
+          Packing.packedStartsBucketed(mixed, col("lang"), col("doc_id"),
+            col("n_tok"), bucketWidth = 4096L),
+          binTokens = 2048L)
+        .orderBy(col("lang"), col("bin"))
+    }),
+
     // ---- A4/A5: statistics ------------------------------------------
     "a4_dist_stats" -> ((s, dir) => {
       // A4/A5/A7 — mean/median/σ_pop/min/max + Pearson corr
@@ -2484,6 +2517,47 @@ object SparkEntry {
            ${sqlFround("avg(len(keywords))", 4)} AS avg_keywords,
            sum(len(keywords))::BIGINT AS total_keywords
          FROM kept GROUP BY lang ORDER BY lang"""
+    },
+
+    "g2_training_corpus" -> {
+      // decontaminate (tc1 CTEs) → quality gate (ta2 CTEs) → token-
+      // budget mix (x1 CTEs) → packing (ta6 window), composed over the
+      // same shared Scala constants each stage's standalone oracle uses.
+      s"""$sqlQualityCtes,
+         g AS (
+           SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, len(toks) - 4),
+             i -> array_to_string(list_slice(toks, i, i + 4), ' '))) AS grams
+           FROM t),
+         ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 50),
+         tr AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= 50),
+         bad AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev ON tr.gram = ev.gram),
+         kept0 AS (
+           SELECT s.doc_id, d.lang, s.n_tokens::BIGINT AS n_tok
+           FROM s JOIN documents d ON d.doc_id = s.doc_id
+           WHERE s.doc_id >= 50
+             AND s.doc_id NOT IN (SELECT doc_id FROM bad)
+             AND $sqlQualityExpr >= 0.55),
+         st AS (SELECT lang, sum(n_tok)::BIGINT AS t FROM kept0 GROUP BY lang),
+         w AS (SELECT lang, t, floor(sqrt(t) * 1e6)::BIGINT AS wgt FROM st),
+         tot AS (SELECT sum(t)::BIGINT AS tot_t, sum(wgt)::BIGINT AS s2 FROM w),
+         r AS (SELECT lang,
+           CASE WHEN t > 0 THEN least(268435456,
+             floor(((tot_t * 50 // 100) * wgt)::DOUBLE
+               / (s2 * t)::DOUBLE * 268435456.0)::BIGINT)
+           ELSE 268435456 END AS thr FROM w, tot),
+         mixed AS (
+           SELECT k.doc_id, k.lang, k.n_tok FROM kept0 k JOIN r USING (lang)
+           WHERE ('0x' || substr(md5('g2m:' || k.doc_id::VARCHAR), 1, 7))::BIGINT < r.thr),
+         packed AS (
+           SELECT lang, n_tok,
+             (sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+               - n_tok AS start_tok
+           FROM mixed)
+         SELECT lang, start_tok // 2048 AS bin, count(*) AS n_docs,
+           sum(n_tok)::BIGINT AS n_tokens
+         FROM packed GROUP BY lang, bin ORDER BY lang, bin"""
     },
 
     "l3_mock_scores" ->

@@ -161,6 +161,21 @@ class PlanAuditSpec extends SparkSpec {
       s"expected map-side partial aggregation, got $partials:\n$plan")
   }
 
+  test("g2 training-corpus build fuses lazily with one packing window") {
+    val dir = "/root/testdata/sf0.001"
+    val g2 = SparkEntry.queries("g2_training_corpus")(spark, dir)
+    val plan = g2.queryExecution.executedPlan.toString
+    assert(!plan.contains("InMemoryTableScan"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // decontam probe + quality gate + mix rates all broadcast; the only
+    // windows are the two halves of bucketed packing (in-bucket running
+    // sum over the corpus + the carry prefix over the tiny per-bucket
+    // summary table)
+    assert("Window \\[".r.findAllIn(plan).size == 2,
+      s"expected exactly two Windows (bucketed packing):\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("decontamination probe: broadcast eval set, no sort-merge join") {
     val train = Seq.tabulate(40)(i => (i.toLong, s"w$i x$i y$i z$i q$i"))
       .toDF("id", "text")
