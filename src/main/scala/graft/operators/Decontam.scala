@@ -105,6 +105,49 @@ object Decontam {
           .otherwise(lit(0.0)).as("contamination"))
   }
 
+  /** Driver-side eval gram-hash set for [[contaminationFilter]]. Eval
+    * benchmarks are contract-tiny (MBs), so the set collects to the
+    * driver and ships inside the filter expression as a literal —
+    * the streaming-safe analogue of the batch broadcast.
+    */
+  def evalGramHashes(eval: DataFrame, text: Column, n: Int): Array[Long] =
+    eval.select(TA.tokens(text).as("_toks"))
+      .select(explode(tokenNgramHashesFromTokens(col("_toks"), n)).as("g"))
+      .distinct().collect().map(_.getLong(0)).sorted
+
+  /** Stateless per-row keep-predicate: true iff the document's
+    * contamination (matched/total distinct grams) does NOT exceed
+    * `maxFraction`. No aggregation, no join, no state — so it drops
+    * straight into a Structured Streaming pipeline (`readStream
+    * .filter(...)`), where the batch [[decontaminate]]'s per-doc
+    * groupBy cannot run mid-stream. Matches [[decontaminate]]'s keep
+    * set row-for-row (pinned in DecontamSpec).
+    *
+    * Scale note: the per-row `array_intersect` against the literal is
+    * right for real eval sets (≤10⁶ grams). If the union of benchmarks
+    * ever outgrows a comfortable literal, compose [[Dedup.corpusBloom]]
+    * in front exactly as d9 does and keep this as the exact check on
+    * the maybe-hit sliver.
+    */
+  def contaminationFilter(text: Column, n: Int, evalGrams: Array[Long],
+                          maxFraction: Double): Column = {
+    val lits = array(evalGrams.map(lit): _*)
+    // single struct projection so the gram array builds once per row
+    // even though both counts read it (no select boundary exists
+    // inside a lone predicate Column)
+    val counts = {
+      val grams = tokenNgramHashesFromTokens(TA.tokens(text), n)
+      struct(size(array_intersect(grams, lits)).as("m"),
+        size(grams).as("t"))
+    }
+    val frac = when(counts.getField("t") > 0,
+      counts.getField("m").cast("double") / counts.getField("t"))
+      .otherwise(lit(0.0))
+    // null text → null sizes → null frac; batch decontaminate keeps
+    // such rows (0/0 report), so the predicate must too
+    coalesce(frac, lit(0.0)) <= maxFraction
+  }
+
   /** The gate itself: drop train docs whose contamination exceeds
     * `maxFraction` (strictly greater — 0.0 drops any doc with a hit).
     * Anti-join on the flagged id set; the corpus scan that produces the

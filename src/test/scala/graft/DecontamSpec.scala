@@ -64,6 +64,44 @@ class DecontamSpec extends SparkSpec {
     assert(keptHalf == Seq(1L, 2L, 3L, 4L)) // 0.25 > 0.25 is false
   }
 
+  test("contaminationFilter matches batch decontaminate row-for-row") {
+    val hashes = Decontam.evalGramHashes(eval, $"text", 3)
+    for (thr <- Seq(0.0, 0.25, 0.5)) {
+      val batch = col0[Long](
+        Decontam.decontaminate(train, eval, "doc_id", $"text", 3, thr)
+          .select($"doc_id").orderBy($"doc_id"))
+      val perRow = col0[Long](train
+        .filter(Decontam.contaminationFilter($"text", 3, hashes, thr))
+        .select($"doc_id").orderBy($"doc_id"))
+      assert(perRow == batch, s"threshold $thr")
+    }
+    // null text keeps on both paths
+    val nullRow = Seq((9L, null: String)).toDF("doc_id", "text")
+    assert(nullRow.filter(
+      Decontam.contaminationFilter($"text", 3, hashes, 0.0)).count() == 1)
+  }
+
+  test("contaminationFilter gates a stream (stateless, append-safe)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val hashes = Decontam.evalGramHashes(eval, $"text", 3)
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .filter(Decontam.contaminationFilter($"text", 3, hashes, 0.0))
+      .writeStream.format("memory").queryName("decon")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "the quick brown fox jumps high"), // contaminated
+        (2L, "entirely different words here now"),
+        (3L, "too short"))
+      q.processAllAvailable()
+      val got = col0[Long](
+        spark.sql("SELECT doc_id FROM decon ORDER BY doc_id"))
+      assert(got == Seq(2L, 3L))
+    } finally q.stop()
+  }
+
   test("eval gram set broadcast: plan has no shuffle on the train text side") {
     val plan = Decontam.contaminationReport(train, eval, $"doc_id", $"text", 3)
       .queryExecution.executedPlan.toString
