@@ -629,6 +629,24 @@ object SparkEntry {
         .toDF("step", "left", "right", "merged")
     }),
 
+    "ta10_bpe_encode" -> ((s, dir) => {
+      // Serving-path BPE encode over the corpus with the native
+      // codegen kernel (expressions.BpeEncode): train 8 merges (ta9),
+      // then one flat JVM pass per document — the shape that holds at
+      // 10⁴-merge production vocabularies, where the declarative
+      // per-merge fold is unplannable. Iterative segmentation is not
+      // single-statement SQL (the ta9 precedent): rows-check + the
+      // BpeSpec native/declarative parity pin.
+      val docs = t(s, dir, "documents")
+      val merges = operators.Bpe.trainMerges(
+        operators.Bpe.wordFreqs(docs, col("text")), numMerges = 8)
+      docs.select(col("doc_id"),
+          TA.tokenCount(col("text")).as("n_tokens"),
+          size(graft.expressions.BpeEncode(col("text"), merges))
+            .as("n_pieces"))
+        .orderBy(col("doc_id"))
+    }),
+
     "d11_merge_upsert" -> ((s, dir) => {
       // CDC merge (beyond the reference; the corpus-maintenance twin of
       // d9): snapshot = documents; the change batch carries two upsert

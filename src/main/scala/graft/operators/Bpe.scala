@@ -110,6 +110,16 @@ object Bpe {
       case (syms, (a, b)) => mergePair(syms, a, b)
     }
 
+  /** Declarative whole-document encode: tokenize, segment each token,
+    * flatten. Plan depth grows with the merge count, so this is the
+    * PARITY TWIN of the native [[graft.expressions.BpeEncode]] kernel
+    * (one JVM pass, flat plan at any merge-list size) — use the native
+    * expression in real plans. `toks` must be a materialized column
+    * (CLAUDE.md lambda-capture contract).
+    */
+  def encodeDeclarative(toks: Column, merges: Seq[(String, String)]): Column =
+    flatten(transform(toks, w => segment(w, merges)))
+
   /** JVM twin of [[segment]] — same left-to-right non-overlapping rule,
     * for parity specs and driver-side use.
     */

@@ -47,6 +47,42 @@ class BpeSpec extends SparkSpec {
     assert(got == Seq("aa", "a"))
   }
 
+  test("native BpeEncode == declarative encode == per-token jvmSegment") {
+    val merges = Bpe.trainMerges(freqs, 4)
+    val docs = Seq("the newest widest thing", "lower low lowest",
+      "你好 newest 世界", "", "  ", "aaa estest").toDF("text")
+    val bound = docs.select($"text",
+      graft.functions.TextAnalysis.tokens($"text").as("toks"))
+    val got = rows(bound.select(
+      graft.expressions.BpeEncode($"text", merges).as("n"),
+      Bpe.encodeDeclarative($"toks", merges).as("d")))
+    got.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString)
+    }
+    // and against the JVM twin token-by-token
+    val enc = rows(docs.select(
+      graft.expressions.BpeEncode($"text", merges).as("n"), $"text"))
+    enc.foreach { r =>
+      val expected = graft.functions.TextAnalysis.jvmTokens(r.getString(1))
+        .toSeq.flatMap(t => Bpe.jvmSegment(t, merges))
+      assert(r.getSeq[String](0) == expected, r.getString(1))
+    }
+  }
+
+  test("BpeEncode handles null, codegen and interpreted paths agree") {
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    val df = Seq(Some("abc abx"), None).toDF("text")
+    val out = rows(df.select(
+      graft.expressions.BpeEncode($"text", merges).as("p")))
+    assert(out(0).getSeq[String](0) == Seq("abc", "ab", "x"))
+    assert(out(1).isNullAt(0))
+    // interpreted (no-codegen) path
+    val interp = graft.expressions.BpeEncode.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abc abx"),
+      Array("a", "ab"), Array("b", "c"), Array("ab", "abc"))
+    assert(interp.map(_.toString).toSeq == Seq("abc", "ab", "x"))
+  }
+
   test("wordFreqs is one corpus pass producing the training table") {
     val df = Seq("the cat sat", "the cat").toDF("t")
     val f = rows(Bpe.wordFreqs(df, $"t").orderBy($"word"))
