@@ -629,6 +629,18 @@ object SparkEntry {
         .toDF("step", "left", "right", "merged")
     }),
 
+    "d12_repeated_grams" -> ((s, dir) => {
+      // Cross-doc repeated 8-gram stats (beyond the reference): the
+      // exact-substring-dedup signal over hashed grams — one map-side-
+      // combined gram count, only the repeated sliver rejoins, bare
+      // (id, hash) pairs on the wire.
+      Dedup.repeatedGramStats(
+          t(s, dir, "documents"), col("doc_id"), col("text"), n = 8)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_shared"),
+          fround(col("shared_frac"), 6).as("shared_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     "ta10_bpe_encode" -> ((s, dir) => {
       // Serving-path BPE encode over the corpus with the native
       // codegen kernel (expressions.BpeEncode): train 8 merges (ta9),
@@ -3125,6 +3137,25 @@ object SparkEntry {
          WHERE ('0x' || substr(md5('s42:' || doc_id::VARCHAR), 1, 7))::BIGINT <
            (CASE $rateCases ELSE ${Sampling.threshold(0.8)} END)
          ORDER BY doc_id"""
+    },
+
+    "d12_repeated_grams" -> {
+      val toks = sqlTokens("text")
+      s"""WITH g AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, len($toks) - 7),
+             i -> array_to_string(list_slice($toks, i, i + 7), ' ')))) AS gram
+           FROM documents),
+         c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         m AS (SELECT g.doc_id, count(*) AS n_grams, count(c.gram) AS n_shared
+               FROM g LEFT JOIN c ON g.gram = c.gram GROUP BY g.doc_id)
+         SELECT d.doc_id, coalesce(m.n_grams, 0) AS n_grams,
+           coalesce(m.n_shared, 0) AS n_shared,
+           floor((CASE WHEN coalesce(m.n_grams, 0) > 0
+             THEN coalesce(m.n_shared, 0) * 1.0 / m.n_grams
+             ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS shared_frac
+         FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+         ORDER BY d.doc_id"""
     },
 
     "tc1_decontamination" -> {

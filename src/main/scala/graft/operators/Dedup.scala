@@ -413,4 +413,43 @@ object Dedup {
     })
     aggregate(bits, lit(0), (acc, x) => acc + x)
   }
+
+  /** Cross-document repeated n-gram stats — the exact-substring-dedup
+    * signal (Lee et al. 2022 "Deduplicating Training Data Makes
+    * Language Models Better"): for each doc, how many of its distinct
+    * token n-grams also occur in at least one OTHER document. High
+    * shared fractions flag boilerplate and templated spam that
+    * whole-doc dedup (D1-D4) misses.
+    *
+    * Scale shape: grams are xxhash64 longs (never strings), counted
+    * with one map-side-combined aggregation; only grams with doc-count
+    * ≥ 2 — a tiny sliver of the corpus gram set — survive into the
+    * per-doc re-join, which shuffles bare (id, gram) pairs. This is
+    * exactly the Spark-sized stand-in for the suffix-array pass the
+    * paper runs on one machine.
+    *
+    * Output: `id, n_grams, n_shared, shared_frac` (ANSI-guarded), one
+    * row per doc including gram-less ones (0/0).
+    */
+  def repeatedGramStats(df: DataFrame, id: Column, text: Column,
+                        n: Int): DataFrame = {
+    val grams = df
+      .select(id.as("id"), graft.functions.TextAnalysis.tokens(text).as("_toks"))
+      .select(col("id"),
+        explode_outer(Decontam.tokenNgramHashesFromTokens(col("_toks"), n))
+          .as("gram"))
+    val repeated = grams
+      .filter(col("gram").isNotNull)
+      .groupBy(col("gram")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+    grams
+      .join(repeated, Seq("gram"), "left")
+      .groupBy(col("id"))
+      .agg(count(col("gram")).as("n_grams"),
+        count(col("ndocs")).as("n_shared"))
+      .select(col("id"), col("n_grams"), col("n_shared"),
+        when(col("n_grams") > 0,
+          col("n_shared").cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)).as("shared_frac"))
+  }
 }

@@ -203,4 +203,20 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(h => h >= 0 && h < 65536))
     assert(out(0) != out(2))
   }
+
+  test("repeatedGramStats counts grams shared across docs, not within") {
+    val df = Seq(
+      (1L, "a b c d e"),     // "a b c" shared with doc 2; "b c d", "c d e" not
+      (2L, "a b c x y"),     // "a b c" shared with doc 1
+      (3L, "p q r p q r p q"), // repeats internally ONLY → zero shared
+      (4L, "zz")             // too short for grams → 0/0
+    ).toDF("id", "t")
+    val got = rows(Dedup.repeatedGramStats(df, $"id", $"t", 3).orderBy($"id"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got(0) == ((1L, 3L, 1L, 1.0 / 3)))
+    assert(got(1) == ((2L, 3L, 1L, 1.0 / 3)))
+    // within-doc repetition is NOT cross-doc sharing (distinct per doc)
+    assert(got(2)._3 == 0L)
+    assert(got(3) == ((4L, 0L, 0L, 0.0)))
+  }
 }
