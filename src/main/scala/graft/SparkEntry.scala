@@ -611,6 +611,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "ta11_bigram_logprob" -> ((s, dir) => {
+      // Interpolated corpus-bigram LM fluency (beyond the reference;
+      // the order-2 upgrade of ta8): one tokenization, one bigram
+      // count table, both marginals derived from it, λ=0.75 backoff to
+      // the continuation marginal.
+      TA.bigramLogProb(t(s, dir, "documents"), col("doc_id"), col("text"))
+        .select(col("doc_id"), col("n_big"),
+          fround(col("avg_logprob"), 6).as("logprob"))
+        .orderBy(col("doc_id"))
+    }),
+
     "ta9_bpe_merges" -> ((s, dir) => {
       // Distributed BPE tokenizer training (beyond the reference): the
       // corpus is read ONCE (wordFreqs); each merge step then costs one
@@ -2336,6 +2347,29 @@ object SparkEntry {
              AS logprob
          FROM perdoc JOIN vocab USING (tok) CROSS JOIN tot
          GROUP BY doc_id ORDER BY doc_id""",
+
+    "ta11_bigram_logprob" -> {
+      val toks = sqlTokens("text")
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         pairs AS (
+           SELECT doc_id, unnest(list_zip(
+             list_slice(tk, 1, len(tk) - 1),
+             list_slice(tk, 2, len(tk)))) AS p
+           FROM t WHERE len(tk) >= 2),
+         perdoc AS (
+           SELECT doc_id, p[1] AS a, p[2] AS b, count(*) AS c
+           FROM pairs GROUP BY 1, 2, 3),
+         big AS (SELECT a, b, sum(c) AS cab FROM perdoc GROUP BY 1, 2),
+         ctx AS (SELECT a, sum(cab) AS ca FROM big GROUP BY 1),
+         cont AS (SELECT b, sum(cab) AS cb FROM big GROUP BY 1),
+         tot AS (SELECT sum(cab) AS tot FROM big)
+         SELECT doc_id, sum(c)::BIGINT AS n_big,
+           floor((sum(c * ln(0.75 * (cab / ca) + 0.25 * (cb / tot))) / sum(c))
+             * 1e6 + 0.5) / 1e6 AS logprob
+         FROM perdoc JOIN big USING (a, b) JOIN ctx USING (a)
+           JOIN cont USING (b) CROSS JOIN tot
+         GROUP BY doc_id ORDER BY doc_id"""
+    },
 
     "d11_merge_upsert" ->
       """WITH snap AS (SELECT doc_id, lang, n_chars FROM documents),

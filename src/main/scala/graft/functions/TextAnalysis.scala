@@ -317,4 +317,47 @@ object TextAnalysis {
         (sum(col("c") * log(col("cf") / col("tot"))) /
           sum(col("c"))).as("avg_logprob"))
   }
+
+  /** Interpolated corpus-bigram LM score (the KenLM-order-2 seat,
+    * upgrading [[unigramLogProb]]): frequency-weighted mean
+    * ln(λ·P(b|a) + (1−λ)·P_cont(b)) over each doc's token bigrams,
+    * where P(b|a) = c(a,b)/c(a,·) and the backoff P_cont(b) =
+    * c(·,b)/c(·,·) — BOTH marginals of the one bigram-count table, so
+    * the corpus tokenizes exactly once and every model table derives
+    * from the same map-side-combined aggregation (no second scan for a
+    * unigram table; the continuation marginal is also the better
+    * backoff, à la Kneser-Ney). Docs with fewer than two tokens have
+    * no bigrams and drop (mirrors unigramLogProb's empty-doc drop).
+    *
+    * Shuffle discipline: per-doc (a,b,c) collapse before any join, so
+    * the wire carries distinct bigram footprints, not occurrences; the
+    * three model tables join back on bigram/context/continuation keys;
+    * the scalar total broadcasts.
+    */
+  def bigramLogProb(df: DataFrame, id: Column, text: Column,
+                    lambda: Double = 0.75,
+                    idName: String = "doc_id"): DataFrame = {
+    val perDoc = df.select(id.as(idName), tokens(text).as("_toks"))
+      .filter(size(col("_toks")) >= 2)
+      .select(col(idName), explode(zip_with(
+        slice(col("_toks"), lit(1), size(col("_toks")) - 1),
+        slice(col("_toks"), lit(2), size(col("_toks")) - 1),
+        (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+      .groupBy(col(idName), col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val big = perDoc.groupBy(col("a"), col("b")).agg(sum(col("c")).as("cab"))
+    val ctx = big.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+    val cont = big.groupBy(col("b")).agg(sum(col("cab")).as("cb"))
+    val total = big.agg(sum(col("cab")).as("tot"))
+    val interp = lit(lambda) * (col("cab") / col("ca")) +
+      lit(1.0 - lambda) * (col("cb") / col("tot"))
+    perDoc
+      .join(big, Seq("a", "b"))
+      .join(ctx, Seq("a"))
+      .join(cont, Seq("b"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idName))
+      .agg(sum(col("c")).as("n_big"),
+        (sum(col("c") * log(interp)) / sum(col("c"))).as("avg_logprob"))
+  }
 }

@@ -111,6 +111,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(exp2 < exp1)
   }
 
+  test("bigramLogProb: hand-computed interpolated model, short docs drop") {
+    val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x"), (4L, ""))
+      .toDF("id", "t")
+    // bigram table: (a,b)=3, (b,a)=1; ctx a=3, b=1; cont b=3, a=1; tot=4
+    val out = rows(TA.bigramLogProb(df, $"id", $"t", 0.75, "id")
+      .orderBy($"id"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(x => (x._1, x._2)) == Seq((1L, 3L), (2L, 1L)))
+    val pab = 0.75 * (3 / 3.0) + 0.25 * (3 / 4.0)
+    val pba = 0.75 * (1 / 1.0) + 0.25 * (1 / 4.0)
+    val exp1 = (2 * math.log(pab) + math.log(pba)) / 3
+    val exp2 = math.log(pab)
+    assert(math.abs(out(0)._3 - exp1) < 1e-12)
+    assert(math.abs(out(1)._3 - exp2) < 1e-12)
+    // the unseen-context penalty: doc 1 carries the rarer (b,a) bigram
+    assert(exp1 < exp2)
+  }
+
   test("topTokenFraction: linear sorted-run form == brute-force twin") {
     val texts = Seq(
       "a a a b",                                     // simple repetition
