@@ -369,6 +369,29 @@ object Similarity {
       Seq("cid"), col("doc_id"), targetRows, spread)
   }
 
+  /** Append a new batch to a saved IVF index WITHOUT touching existing
+    * list files: assign against the saved (frozen) centroids, then
+    * append size-bounded files into the same hive partitions. O(batch)
+    * — the daily-crawl maintenance path, the ANN cousin of the d9
+    * bloom lifecycle: the corpus-sized lists never rewrite or
+    * reshuffle, and [[ivfTopKIndexed]] reads old + new files of a
+    * pruned list transparently. Recall drifts only as the data
+    * distribution drifts from the frozen centroids — re-center by
+    * re-running [[kmeansCentroids]] + [[saveIvfIndex]] when it does.
+    */
+  def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                     docs: DataFrame, docId: Column, docVec: Column,
+                     targetRows: Long = 1L << 20, spread: Int = 8): Unit = {
+    val cents = loadIvfCentroids(spark, path)
+    val assigned = docs
+      .select(docId.cast("long").as("doc_id"),
+        docVec.cast("array<float>").as("dv"))
+      .withColumn("cid",
+        (-centroidArgmax(col("dv"), cents).getField("ncid")).cast("long"))
+    graft.sources.Compaction.writeSized(assigned, s"$path/lists",
+      Seq("cid"), col("doc_id"), targetRows, spread, mode = "append")
+  }
+
   /** Centroid set of a saved index, in cid order. */
   def loadIvfCentroids(spark: org.apache.spark.sql.SparkSession,
                        path: String): Seq[(Long, Seq[Double])] =

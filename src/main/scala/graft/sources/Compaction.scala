@@ -35,13 +35,14 @@ object Compaction {
     * @param spread         max writer tasks per partition value
     */
   def writeSized(df: DataFrame, path: String, partitionCols: Seq[String],
-                 fileKey: Column, targetRows: Long, spread: Int = 8): Unit = {
+                 fileKey: Column, targetRows: Long, spread: Int = 8,
+                 mode: String = "overwrite"): Unit = {
     require(spread > 0, s"spread must be positive, got $spread")
     val bucket = pmod(xxhash64(fileKey), lit(spread))
     val parts = partitionCols.map(col) :+ bucket
     df.repartition(parts: _*)
       .write
-      .mode("overwrite")
+      .mode(mode)
       .option("maxRecordsPerFile", targetRows)
       .partitionBy(partitionCols: _*)
       .parquet(path)

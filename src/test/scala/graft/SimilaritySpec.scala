@@ -97,6 +97,38 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("cid"), plan)
   }
 
+  test("appendIvfIndex: append == rebuild on the union, old files untouched") {
+    val cents = Seq((0L, b1.map(_.toDouble).toSeq), (1L, b2.map(_.toDouble).toSeq))
+    val queries = queryData.toDF("qid", "qv")
+    val batchA = corpusData.take(3).toDF("id", "v")
+    val batchB = (corpusData.drop(3) ++
+      Seq((6L, noisy(b1, 0.002f)), (7L, noisy(b2, 0.002f)))).toDF("id", "v")
+    val union = (corpusData ++
+      Seq((6L, noisy(b1, 0.002f)), (7L, noisy(b2, 0.002f)))).toDF("id", "v")
+    val inc = Scratch.dir("ivf_inc") + "/ivf"
+    val full = Scratch.dir("ivf_full") + "/ivf"
+    Similarity.saveIvfIndex(batchA, $"id", $"v", cents, inc,
+      targetRows = 100L, spread = 2)
+    val listFiles = new java.io.File(s"$inc/lists")
+    def files(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(listFiles).map(_.getPath).filter(_.endsWith(".parquet")).toSet
+    }
+    val before = files()
+    Similarity.appendIvfIndex(spark, inc, batchB, $"id", $"v",
+      targetRows = 100L, spread = 2)
+    // append only ADDS files — the existing list files are immutable
+    assert(before.subsetOf(files()), "append must not rewrite old list files")
+    Similarity.saveIvfIndex(union, $"id", $"v", cents, full,
+      targetRows = 100L, spread = 2)
+    def probe(path: String) = rows(Similarity.ivfTopKIndexed(
+      spark, path, queries, $"qid", $"qv", k = 4, nprobe = 1)
+      .orderBy($"query_id", $"rank"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(probe(inc) == probe(full))
+  }
+
   test("topKPerQuery returns k ranked neighbors per query") {
     val queries = Seq((100L, b1.toSeq), (200L, b2.toSeq)).toDF("qid", "qv")
     val got = rows(Similarity.topKPerQuery(
