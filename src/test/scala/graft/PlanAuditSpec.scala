@@ -201,6 +201,27 @@ class PlanAuditSpec extends SparkSpec {
     assert("partial_".r.findAllIn(plan).size >= 1, plan)
   }
 
+  test("d12 repeated-gram join carries longs and combines map-side") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("id", "t")
+    val out = Dedup.repeatedGramStats(df, $"id", $"t", 3)
+    val plan = out.queryExecution.executedPlan.toString
+    // gram counts must partial-aggregate before the shuffle
+    assert("partial_count".r.findAllIn(plan).size >= 2,
+      s"expected map-side combined counts:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("ta11 bigram model collapses per-doc counts before any join") {
+    val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("id", "t")
+    val out = graft.functions.TextAnalysis.bigramLogProb(df, $"id", $"t", 0.75, "id")
+    val plan = out.queryExecution.executedPlan.toString
+    assert("partial_count".r.findAllIn(plan).size >= 1, plan)
+    // the scalar total rides as a broadcast, never a shuffle join
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("v4 vocabulary ranking never windows over the full vocabulary") {
     // the global rank window must sit above a LIMIT (TakeOrdered), so
     // it only ever sees k rows — mirror of the v4 query shape.
