@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 
 /** Structured Streaming operators over the `events` table shape
   * (event_id, ts, user_id, event_type, value).
@@ -53,6 +53,40 @@ object Streams {
         fround2(sum(col("value"))).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
+
+  /** Streaming corpus-quality drift monitor (beyond the reference): the
+    * ops view a training-data pipeline runs on its ingest stream —
+    * per event-time window, document volume, mean composite quality,
+    * mean token count, and the share of docs under the quality floor.
+    * A collapsing quality or spiking low-share flags a bad crawl batch
+    * BEFORE it reaches the corpus. Pure per-row scoring (the ta2
+    * composite) + one watermarked windowed aggregation: append-safe,
+    * state bounded by the watermark. Works identically on a batch
+    * frame (no watermark applied) — spec pins batch/stream equality.
+    */
+  def qualityDrift(docs: DataFrame, ts: Column, text: Column,
+                   watermarkDelay: String = "10 minutes",
+                   windowLen: String = "1 hour",
+                   qualityFloor: Double = 0.5): DataFrame = {
+    import graft.functions.{TextAnalysis => TA}
+    val scored = docs
+      .select(ts.as("_ts"), text.as("_text"), TA.tokens(text).as("_toks"))
+      .select(col("_ts"),
+        TA.qualityScoreFromTokens(col("_toks"), col("_text")).as("_q"),
+        size(col("_toks")).as("_ntok"))
+    val marked =
+      if (docs.isStreaming) scored.withWatermark("_ts", watermarkDelay)
+      else scored
+    marked
+      .groupBy(window(col("_ts"), windowLen))
+      .agg(count(lit(1)).as("n_docs"),
+        fround2(avg(col("_q"))).as("avg_quality"),
+        fround2(avg(col("_ntok").cast("double"))).as("avg_tokens"),
+        fround2(avg(when(col("_q") < qualityFloor, 1.0).otherwise(0.0)))
+          .as("low_quality_share"))
+      .select(col("window.start").as("window_start"), col("n_docs"),
+        col("avg_quality"), col("avg_tokens"), col("low_quality_share"))
+  }
 
   /** Streaming-ingest exact dedup: keep the first event per key, with
     * state bounded by the watermark (`dropDuplicatesWithinWatermark` —

@@ -97,6 +97,36 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("qualityDrift: streaming windows equal the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (ts("2024-01-01 10:05:00"), "the quick brown fox jumps over the lazy dog again and again today"),
+      (ts("2024-01-01 10:20:00"), "x"),
+      (ts("2024-01-01 11:10:00"), "a much longer and perfectly reasonable document with the usual share of common words in it"),
+      (ts("2024-01-01 11:40:00"), "zz qq pp"))
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = Streams.qualityDrift(
+        input.toDF().toDF("ts", "text"), $"ts", $"text",
+        windowLen = "1 hour", qualityFloor = 0.5)
+      .writeStream.format("memory").queryName("qd")
+      .outputMode("complete").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val stream = rows(spark.sql(
+        "SELECT * FROM qd ORDER BY window_start"))
+      val batch = rows(Streams.qualityDrift(
+          docs.toDF("ts", "text"), $"ts", $"text",
+          windowLen = "1 hour", qualityFloor = 0.5)
+        .orderBy($"window_start"))
+      assert(stream == batch)
+      assert(stream.size == 2)
+      // the 10:00 window carries the degenerate "x" doc below the floor
+      assert(stream.head.getLong(1) == 2L)
+      assert(stream.head.getDouble(4) == 0.5)
+    } finally q.stop()
+  }
+
   test("sessionizeStateful matches sessionizeBatch on the same input") {
     val ds = evs.toDS()
     val stateful = rows(Streams.sessionizeStateful(ds, gapMs = 30 * 60 * 1000).toDF()
