@@ -640,6 +640,20 @@ object SparkEntry {
         .toDF("step", "left", "right", "merged")
     }),
 
+    "w4_quality_drift" -> ((s, dir) => {
+      // Batch twin of the streaming corpus-quality drift monitor
+      // (streaming.Streams.qualityDrift — same function, batch frame):
+      // per event-time hour, doc volume, mean ta2 quality, mean
+      // tokens, sub-floor share. Timestamps synthesize as
+      // doc_id minutes past a fixed origin so the oracle replays them.
+      val docs = t(s, dir, "documents").withColumn("ts",
+        expr("timestampadd(MINUTE, doc_id, TIMESTAMP '2024-01-01 00:00:00')"))
+      graft.streaming.Streams.qualityDrift(
+          docs, col("ts"), col("text"),
+          windowLen = "1 hour", qualityFloor = 0.5)
+        .orderBy(col("window_start"))
+    }),
+
     "d12_repeated_grams" -> ((s, dir) => {
       // Cross-doc repeated 8-gram stats (beyond the reference): the
       // exact-substring-dedup signal over hashed grams — one map-side-
@@ -3171,6 +3185,22 @@ object SparkEntry {
          WHERE ('0x' || substr(md5('s42:' || doc_id::VARCHAR), 1, 7))::BIGINT <
            (CASE $rateCases ELSE ${Sampling.threshold(0.8)} END)
          ORDER BY doc_id"""
+    },
+
+    "w4_quality_drift" -> {
+      s"""$sqlQualityCtes,
+         q AS (
+           SELECT TIMESTAMP '2024-01-01 00:00:00'
+               + s.doc_id * INTERVAL 1 MINUTE AS ts,
+             $sqlQualityExpr AS qv, s.n_tokens AS ntok
+           FROM s)
+         SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           count(*) AS n_docs,
+           floor(avg(qv) * 100.0 + 0.5) / 100.0 AS avg_quality,
+           floor(avg(ntok * 1.0) * 100.0 + 0.5) / 100.0 AS avg_tokens,
+           floor(avg(CASE WHEN qv < 0.5 THEN 1.0 ELSE 0.0 END) * 100.0 + 0.5)
+             / 100.0 AS low_quality_share
+         FROM q GROUP BY 1 ORDER BY window_start"""
     },
 
     "d12_repeated_grams" -> {
