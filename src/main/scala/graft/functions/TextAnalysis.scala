@@ -346,15 +346,20 @@ object TextAnalysis {
       .groupBy(col(idName), col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("c"))
     val big = perDoc.groupBy(col("a"), col("b")).agg(sum(col("c")).as("cab"))
-    val ctx = big.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
-    val cont = big.groupBy(col("b")).agg(sum(col("cab")).as("cb"))
+    // marginals as windows over the (already vocab-sized) bigram table,
+    // not separate groupBy+join branches: each extra branch would
+    // recompute the whole tokenize→explode→count chain from scratch
+    // (Catalyst shares no work across DataFrame reuse without a cache)
+    val model = big
+      .withColumn("ca", sum(col("cab")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("a"))))
+      .withColumn("cb", sum(col("cab")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("b"))))
     val total = big.agg(sum(col("cab")).as("tot"))
     val interp = lit(lambda) * (col("cab") / col("ca")) +
       lit(1.0 - lambda) * (col("cb") / col("tot"))
     perDoc
-      .join(big, Seq("a", "b"))
-      .join(ctx, Seq("a"))
-      .join(cont, Seq("b"))
+      .join(model, Seq("a", "b"))
       .crossJoin(broadcast(total))
       .groupBy(col(idName))
       .agg(sum(col("c")).as("n_big"),
