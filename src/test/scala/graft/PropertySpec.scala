@@ -122,4 +122,42 @@ class PropertySpec extends SparkSpec {
       assert(out.count() == df.count())
     }
   }
+
+  test("BPE segmentation concatenates back to the word for any merge list") {
+    import graft.operators.Bpe
+    val words = sample(Gen.listOfN(8, Gen.alphaLowerChar).map(_.mkString), 40) ++
+      Seq("", "a", "你好世界")
+    val merges = sample(for {
+      a <- Gen.listOfN(2, Gen.alphaLowerChar).map(_.mkString)
+      b <- Gen.listOfN(1, Gen.alphaLowerChar).map(_.mkString)
+    } yield (a, b), 10) ++ Seq(("a", "a"), ("aa", "a"))
+    words.foreach { w =>
+      assert(Bpe.jvmSegment(w, merges).mkString == w, s"round-trip broke on '$w'")
+    }
+    // and the native kernel preserves the full token stream of a doc
+    val doc = words.filter(_.nonEmpty).mkString(" ")
+    val pieces = graft.expressions.BpeEncode.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(doc),
+      merges.map(_._1).toArray, merges.map(_._2).toArray,
+      merges.map(p => p._1 + p._2).toArray)
+    assert(pieces.map(_.toString).mkString ==
+      TA.jvmTokens(doc).mkString)
+  }
+
+  test("token n-gram count law: distinct grams ≤ max(0, n_tok − n + 1)") {
+    import graft.operators.Decontam
+    val texts = sample(asciiText, 60)
+    val rows = texts.toDF("t")
+      .select(TA.tokens($"t").as("toks"))
+      .select(size($"toks").as("nt"),
+        size(Decontam.tokenNgramsFromTokens($"toks", 3)).as("ng"),
+        size(Decontam.tokenNgramHashesFromTokens($"toks", 3)).as("nh"))
+      .collect().toSeq
+    rows.foreach { r =>
+      val (nt, ng, nh) = (r.getInt(0), r.getInt(1), r.getInt(2))
+      assert(ng <= math.max(0, nt - 2))
+      assert(nh == ng, "hash-gram cardinality must equal string-gram")
+      if (nt < 3) assert(ng == 0, "short texts must have no grams")
+    }
+  }
 }
