@@ -2620,10 +2620,8 @@ object SparkEntry {
          w AS (SELECT lang, t, floor(sqrt(t) * 1e6)::BIGINT AS wgt FROM st),
          tot AS (SELECT sum(t)::BIGINT AS tot_t, sum(wgt)::BIGINT AS s2 FROM w),
          r AS (SELECT lang,
-           CASE WHEN t > 0 THEN least(268435456,
-             floor(((tot_t * 50 // 100) * wgt)::DOUBLE
-               / (s2 * t)::DOUBLE * 268435456.0)::BIGINT)
-           ELSE 268435456 END AS thr FROM w, tot),
+           ${Sampling.sqlMixThr("t", "wgt", "tot_t", "s2", 50)} AS thr
+           FROM w, tot),
          mixed AS (
            SELECT k.doc_id, k.lang, k.n_tok FROM kept0 k JOIN r USING (lang)
            WHERE ('0x' || substr(md5('g2m:' || k.doc_id::VARCHAR), 1, 7))::BIGINT < r.thr),
@@ -3252,10 +3250,8 @@ object SparkEntry {
          w AS (SELECT lang, t, floor(sqrt(t) * 1e6)::BIGINT AS wgt FROM st),
          tot AS (SELECT sum(t)::BIGINT AS tot_t, sum(wgt)::BIGINT AS s FROM w),
          r AS (SELECT lang,
-           CASE WHEN t > 0 THEN least(268435456,
-             floor(((tot_t * 50 // 100) * wgt)::DOUBLE
-               / (s * t)::DOUBLE * 268435456.0)::BIGINT)
-           ELSE 268435456 END AS thr FROM w, tot)
+           ${Sampling.sqlMixThr("t", "wgt", "tot_t", "s", 50)} AS thr
+           FROM w, tot)
          SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
          WHERE ('0x' || substr(md5('mix7:' || d.doc_id::VARCHAR), 1, 7))::BIGINT < r.thr
          ORDER BY d.doc_id"""

@@ -121,10 +121,24 @@ object Bpe {
     flatten(transform(toks, w => segment(w, merges)))
 
   /** JVM twin of [[segment]] — same left-to-right non-overlapping rule,
-    * for parity specs and driver-side use.
+    * for parity specs and driver-side use. Splits by CODE POINTS, not
+    * UTF-16 code units: [[charSymbols]]'s `substr` counts code points
+    * and BpeEncode.compute walks codePointAt/charCount, so a UTF-16
+    * split would hand non-BMP text (emoji, CJK extensions) lone
+    * surrogates that can never match trained merges.
     */
   def jvmSegment(word: String, merges: Seq[(String, String)]): Seq[String] = {
-    var syms: Vector[String] = word.map(_.toString).toVector
+    var syms: Vector[String] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        val w = Character.charCount(cp)
+        buf += word.substring(i, i + w)
+        i += w
+      }
+      buf.toVector
+    }
     merges.foreach { case (a, b) =>
       val buf = scala.collection.mutable.ArrayBuffer.empty[String]
       syms.foreach { x =>

@@ -123,29 +123,45 @@ object Decontam {
     * groupBy cannot run mid-stream. Matches [[decontaminate]]'s keep
     * set row-for-row (pinned in DecontamSpec).
     *
-    * Scale note: the per-row `array_intersect` against the literal is
-    * right for real eval sets (≤10⁶ grams). If the union of benchmarks
-    * ever outgrows a comfortable literal, compose [[Dedup.corpusBloom]]
-    * in front exactly as d9 does and keep this as the exact check on
-    * the maybe-hit sliver.
+    * Backed by the native [[graft.expressions.TokenNgramContamination]]
+    * — ONE tokenize + hash pass per row. A declarative gram chain
+    * cannot live safely inside a filter predicate: there is no select
+    * boundary to bind the token array to, and even with one,
+    * PushPredicateThroughNonJoin substitutes projection aliases back
+    * into the pushed condition, re-inlining the tokenizer inside the
+    * transform lambda (O(grams · doc length) per row — measured in the
+    * optimized plan). The declarative formula survives only as the
+    * parity twin [[contaminationFractionDeclarative]].
+    *
+    * Scale note: the per-row binary search against the shipped sorted
+    * array is right for real eval sets (≤10⁶ grams). If the union of
+    * benchmarks ever outgrows a comfortable broadcast-in-expression,
+    * compose [[Dedup.corpusBloom]] in front exactly as d9 does and
+    * keep this as the exact check on the maybe-hit sliver.
     */
   def contaminationFilter(text: Column, n: Int, evalGrams: Array[Long],
-                          maxFraction: Double): Column = {
+                          maxFraction: Double): Column =
+    // null text → null fraction; batch decontaminate keeps such rows
+    // (0/0 report), so the predicate must too
+    coalesce(
+      graft.expressions.TokenNgramContamination(text, n, evalGrams.sorted),
+      lit(0.0)) <= maxFraction
+
+  /** Declarative twin of the native contamination fraction — spec-only
+    * (DecontamSpec pins bit-equality, CJK included). NOT for production
+    * filters: see the capture caveat on [[contaminationFilter]].
+    */
+  def contaminationFractionDeclarative(text: Column, n: Int,
+                                       evalGrams: Array[Long]): Column = {
     val lits = array(evalGrams.map(lit): _*)
-    // single struct projection so the gram array builds once per row
-    // even though both counts read it (no select boundary exists
-    // inside a lone predicate Column)
     val counts = {
       val grams = tokenNgramHashesFromTokens(TA.tokens(text), n)
       struct(size(array_intersect(grams, lits)).as("m"),
         size(grams).as("t"))
     }
-    val frac = when(counts.getField("t") > 0,
+    when(counts.getField("t") > 0,
       counts.getField("m").cast("double") / counts.getField("t"))
       .otherwise(lit(0.0))
-    // null text → null sizes → null frac; batch decontaminate keeps
-    // such rows (0/0 report), so the predicate must too
-    coalesce(frac, lit(0.0)) <= maxFraction
   }
 
   /** The gate itself: drop train docs whose contamination exceeds

@@ -38,13 +38,21 @@ object MergeLog {
     new org.apache.hadoop.fs.Path(dir).getFileSystem(
       spark.sessionState.newHadoopConf())
 
+  /** COMMITTED versions only: a segment counts once its `_SUCCESS`
+    * marker exists (written last by Spark's file committer). A dir
+    * without one is a torn write from a crashed job — readers must not
+    * merge its partial part-files, compact must not retire it as
+    * absorbed, and a replaying writer must rewrite it rather than
+    * skip it as already-done.
+    */
   private def listVersions(spark: SparkSession, dir: String,
                            prefix: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val f = fs(spark, dir)
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix + "="))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix + "=")
+        && f.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
       .map(_.getPath.getName.drop(prefix.length + 1).toLong)
       .sorted
   }
@@ -59,15 +67,22 @@ object MergeLog {
   /** Append one change batch (data + version + deleted columns) as the
     * next delta segment. O(batch) — base is never read or written. An
     * explicit `id` (streaming batch id) makes the write idempotent:
-    * re-delivery of a committed batch is a no-op instead of a dup.
+    * re-delivery of a COMMITTED batch (its `_SUCCESS` marker exists) is
+    * a no-op instead of a dup, while a torn dir from a crashed attempt
+    * is deleted and rewritten — existence of the directory alone is NOT
+    * commitment, or a replay after a mid-write crash would silently
+    * drop the batch.
     */
   def appendDelta(delta: DataFrame, dir: String,
                   id: Option[Long] = None): Long = {
     val spark = delta.sparkSession
-    val existing = listVersions(spark, s"$dir/delta", "d")
-    val k = id.getOrElse(existing.lastOption.map(_ + 1).getOrElse(0L))
-    if (existing.contains(k)) k
+    val committed = listVersions(spark, s"$dir/delta", "d")
+    val k = id.getOrElse(committed.lastOption.map(_ + 1).getOrElse(0L))
+    if (committed.contains(k)) k
     else {
+      val p = new org.apache.hadoop.fs.Path(deltaDir(dir, k))
+      val f = fs(spark, dir)
+      if (f.exists(p)) f.delete(p, true): Unit // torn write — rewrite it
       delta.write.mode("errorifexists").parquet(deltaDir(dir, k))
       k
     }
@@ -95,9 +110,11 @@ object MergeLog {
   /** Fold the current delta log into base v=N+1 and retire the absorbed
     * segments. Write order is crash-safe: the new base lands complete
     * before any delta is removed, and a reader always takes the highest
-    * complete base (a torn compact at worst leaves deltas whose final
-    * values the new base already holds, so re-merging them reads
-    * identically). Returns the new base version.
+    * COMMITTED base — [[listVersions]] skips a torn `v=N+1` missing its
+    * `_SUCCESS` marker (a torn compact at worst leaves deltas whose
+    * final values the new base already holds, so re-merging them reads
+    * identically; the next compact deletes the torn dir before writing).
+    * Returns the new base version.
     */
   def compact(spark: SparkSession, dir: String, key: String,
               version: String = "version",
@@ -106,6 +123,9 @@ object MergeLog {
       throw new IllegalStateException(s"no base under $dir — init() first"))
     val absorbed = listVersions(spark, s"$dir/delta", "d")
     val next = bv + 1
+    val nextPath = new org.apache.hadoop.fs.Path(baseDir(dir, next))
+    val f = fs(spark, dir)
+    if (f.exists(nextPath)) f.delete(nextPath, true): Unit // torn prior compact
     read(spark, dir, key, version, deleted)
       .write.mode("errorifexists").parquet(baseDir(dir, next))
     absorbed.foreach { k =>

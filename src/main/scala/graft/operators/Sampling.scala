@@ -54,9 +54,12 @@ object Sampling {
     *
     * Per-stratum keep rate: r = min(1, B·W / (S·T)) where T = stratum
     * tokens, W = ⌊√T·10⁶⌋, S = ΣW, B = total·budgetPct div 100. Sums
-    * are exact BIGINTs and the one scalar divide is a single IEEE
-    * binary64 op, so the oracle replays the arithmetic bit-for-bit —
-    * no order-dependent float accumulation anywhere.
+    * are exact BIGINTs; each factor is cast to binary64 INDIVIDUALLY
+    * before the multiplies (B·W as a BIGINT product overflows Long once
+    * the corpus passes ~4·10⁸ tokens — an ANSI ArithmeticException at
+    * exactly the corpus scale this targets). The oracle mirrors the
+    * same cast-then-multiply tree ([[sqlMixThr]]), so the IEEE ops
+    * replay bit-for-bit — no order-dependent accumulation anywhere.
     *
     * Scale shape: one partial-aggregated pass for stats (stratum-count
     * rows), a broadcast of the tiny rate table back onto the scan, and
@@ -75,12 +78,28 @@ object Sampling {
       .withColumn("_b", expr(s"_tot * $budgetPct div 100"))
       .withColumn("_thr", when(col("_t") > 0,
         least(lit(maxHash),
-          floor((col("_b") * col("_w")).cast("double")
-            / (col("_s") * col("_t")).cast("double") * lit(maxHash.toDouble))))
+          floor(col("_b").cast("double") * col("_w").cast("double")
+            / (col("_s").cast("double") * col("_t").cast("double"))
+            * lit(maxHash.toDouble))))
         .otherwise(lit(maxHash)))
       .select(col("_stratum"), col("_thr"))
     df.join(broadcast(rates), stratum === col("_stratum"))
       .filter(keyHash(key, salt) < col("_thr"))
       .drop("_stratum", "_thr")
+  }
+
+  /** DuckDB twin of the `_thr` expression above — same cast-to-double-
+    * then-multiply tree, so the one rate divide replays bit-for-bit.
+    * `t`/`wgt`/`tot`/`s` are the caller's column names for stratum
+    * tokens, ⌊√T·10⁶⌋, Σtokens and Σweights. Keep in lockstep with
+    * [[tokenBudgetMix]].
+    */
+  def sqlMixThr(t: String, wgt: String, tot: String, s: String,
+                budgetPct: Int): String = {
+    val maxHash = 1L << 28
+    s"""CASE WHEN $t > 0 THEN least($maxHash,
+         floor(($tot * $budgetPct // 100)::DOUBLE * $wgt::DOUBLE
+           / ($s::DOUBLE * $t::DOUBLE) * $maxHash.0)::BIGINT)
+       ELSE $maxHash END"""
   }
 }

@@ -25,10 +25,12 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.trainMerges(f, 10).isEmpty)
   }
 
-  test("segment == jvmSegment across edge cases (parity)") {
+  test("segment == jvmSegment across edge cases (parity, incl. non-BMP)") {
     val merges = Bpe.trainMerges(freqs, 4)
+    // 😀/𝕏 are surrogate pairs: a UTF-16 code-unit split would produce
+    // lone surrogates here and diverge from the code-point substr path
     val words = Seq("newest", "lowest", "low", "wider", "x", "", "aaa",
-      "estest", "ees")
+      "estest", "ees", "😀😀est", "a𝕏b", "😀")
     val got = rows(words.toDF("w")
       .select(Bpe.segment($"w", merges).as("s")))
       .map(_.getSeq[String](0).toList)
@@ -45,6 +47,12 @@ class BpeSpec extends SparkSpec {
     val got = rows(Seq("aaa").toDF("w")
       .select(Bpe.segment($"w", m).as("s"))).head.getSeq[String](0)
     assert(got == Seq("aa", "a"))
+    // same rule on surrogate-pair symbols
+    val me = Seq(("😀", "😀"))
+    assert(Bpe.jvmSegment("😀😀😀", me) == Seq("😀😀", "😀"))
+    val gotE = rows(Seq("😀😀😀").toDF("w")
+      .select(Bpe.segment($"w", me).as("s"))).head.getSeq[String](0)
+    assert(gotE == Seq("😀😀", "😀"))
   }
 
   test("native BpeEncode == declarative encode == per-token jvmSegment") {

@@ -81,6 +81,36 @@ class DecontamSpec extends SparkSpec {
       Decontam.contaminationFilter($"text", 3, hashes, 0.0)).count() == 1)
   }
 
+  test("native contamination fraction matches declarative twin bit-for-bit") {
+    val hashes = Decontam.evalGramHashes(eval, $"text", 3)
+    // CJK (per-char tokens), repeats (distinct grams), empty, non-BMP
+    // (surrogate pairs inside a token), plus the shared corpora
+    val df = train.unionAll(eval).unionAll(Seq(
+      (20L, "你好世界你好世界"), (21L, "a a a a a"), (22L, ""),
+      (23L, "😀😀 b c 😀😀 b c d")).toDF("doc_id", "text"))
+    rows(df.select(
+      coalesce(graft.expressions.TokenNgramContamination($"text", 3, hashes.sorted),
+        lit(0.0)).as("nat"),
+      coalesce(Decontam.contaminationFractionDeclarative($"text", 3, hashes),
+        lit(0.0)).as("dec")))
+      .foreach(r => assert(r.getDouble(0) == r.getDouble(1), r.toString))
+  }
+
+  test("contaminationFilter survives pushdown without re-inlining the tokenizer") {
+    val hashes = Decontam.evalGramHashes(eval, $"text", 3)
+    val plan = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+      .withColumn("keepme", lit(1))
+      .filter(Decontam.contaminationFilter($"text", 3, hashes, 0.0))
+      .select($"doc_id")
+      .queryExecution.optimizedPlan.treeString
+    // the whole check is one native expression; the tokenizer regex must
+    // not appear inside any lambdafunction in the optimized condition
+    assert(plan.contains("token_ngram_contamination"), plan)
+    assert(!plan.contains("lambdafunction"), plan)
+  }
+
   test("contaminationFilter gates a stream (stateless, append-safe)") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

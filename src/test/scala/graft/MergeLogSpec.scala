@@ -62,6 +62,43 @@ class MergeLogSpec extends SparkSpec {
     assert(state(dir) == after)
   }
 
+  test("torn delta dir (no _SUCCESS) is not committed: replay rewrites it") {
+    val dir = Scratch.dir("mergelog_torn")
+    MergeLog.init(snap, dir)
+    // simulate a crash mid-write: the d=5 dir exists with a partial part
+    // file but no _SUCCESS marker
+    val torn = new java.io.File(s"$dir/delta/d=5")
+    assert(torn.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/delta/d=5/part-00000.parquet"),
+      Array[Byte](1, 2, 3))
+    // the torn segment must be invisible to readers
+    assert(state(dir) == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // replaying batch 5 must rewrite, not skip-as-committed
+    assert(MergeLog.appendDelta(
+      Seq(LogDelta(2, "b1", 1, false)).toDF(), dir, Some(5L)) == 5L)
+    assert(new java.io.File(s"$dir/delta/d=5/_SUCCESS").exists())
+    assert(state(dir) == Seq((1L, "a"), (2L, "b1"), (3L, "c"), (4L, "d")))
+    // and now that it IS committed, a second replay is a no-op
+    assert(MergeLog.appendDelta(
+      Seq(LogDelta(2, "XX", 9, false)).toDF(), dir, Some(5L)) == 5L)
+    assert(state(dir) == Seq((1L, "a"), (2L, "b1"), (3L, "c"), (4L, "d")))
+  }
+
+  test("torn base dir from a crashed compact is skipped and reclaimed") {
+    val dir = Scratch.dir("mergelog_tornbase")
+    MergeLog.init(snap, dir)
+    MergeLog.appendDelta(Seq(LogDelta(2, "b1", 1, false)).toDF(), dir)
+    // simulate a compact that died after creating base/v=1 sans marker
+    assert(new java.io.File(s"$dir/base/v=1").mkdirs())
+    // readers stay on the committed v=0 ⊕ deltas
+    assert(state(dir) == Seq((1L, "a"), (2L, "b1"), (3L, "c"), (4L, "d")))
+    // a retried compact reclaims v=1 and commits it
+    assert(MergeLog.compact(spark, dir, "id") == 1L)
+    assert(new java.io.File(s"$dir/base/v=1/_SUCCESS").exists())
+    assert(state(dir) == Seq((1L, "a"), (2L, "b1"), (3L, "c"), (4L, "d")))
+  }
+
   test("upsertSink: micro-batches land as delta segments, CDC state is exact") {
     val dir = Scratch.dir("mergelog_stream")
     MergeLog.init(snap, dir)
