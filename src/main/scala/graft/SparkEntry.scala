@@ -627,10 +627,9 @@ object SparkEntry {
       // corpus is read ONCE (wordFreqs); each merge step then costs one
       // partial-aggregated pair count over the vocab-sized (word, freq)
       // table plus a projection — never a text rescan. Deterministic
-      // (count desc, lexicographic tiebreak), but iterative training is
-      // not single-statement SQL, so no oracle twin — the driver's
-      // rows-check plus BpeSpec's textbook-corpus pin cover it (the
-      // a6x/a7x precedent).
+      // (count desc, lexicographic tiebreak); the DuckDB oracle replays
+      // the bounded loop UNROLLED (Bpe.sqlTrainChain), so the full
+      // training output is hash-gated.
       import s.implicits._
       val merges = operators.Bpe.trainMerges(
         operators.Bpe.wordFreqs(t(s, dir, "documents"), col("text")),
@@ -671,9 +670,9 @@ object SparkEntry {
       // codegen kernel (expressions.BpeEncode): train 8 merges (ta9),
       // then one flat JVM pass per document — the shape that holds at
       // 10⁴-merge production vocabularies, where the declarative
-      // per-merge fold is unplannable. Iterative segmentation is not
-      // single-statement SQL (the ta9 precedent): rows-check + the
-      // BpeSpec native/declarative parity pin.
+      // per-merge fold is unplannable. Oracle: the unrolled training
+      // chain's final vocab table doubles as the per-word encoding
+      // (pieces = len(s8.syms)), joined back onto doc tokens.
       val docs = t(s, dir, "documents")
       val merges = operators.Bpe.trainMerges(
         operators.Bpe.wordFreqs(docs, col("text")), numMerges = 8)
@@ -1925,6 +1924,11 @@ object SparkEntry {
   private def sqlTokens(e: String): String =
     s"regexp_extract_all(lower($e), '${TA.tokenPattern}')"
 
+  /** Shared (word, freq) base for the ta9/ta10 BPE oracles. */
+  private def sqlBpeBase: String =
+    s"""tok AS (SELECT unnest(${sqlTokens("text")}) AS word FROM documents),
+       wf AS (SELECT word, count(*)::BIGINT AS freq FROM tok GROUP BY word)"""
+
   /** DuckDB twin of TokenFingerprint / TA.fingerprint over `e`. */
   private def sqlFingerprint(e: String): String =
     s"""list_reduce(
@@ -2361,6 +2365,31 @@ object SparkEntry {
              AS logprob
          FROM perdoc JOIN vocab USING (tok) CROSS JOIN tot
          GROUP BY doc_id ORDER BY doc_id""",
+
+    "ta9_bpe_merges" -> {
+      // the bounded training loop UNROLLED into a CTE chain
+      // (Bpe.sqlTrainChain) — a real independent replay of the 8 merge
+      // steps, not a literal pin
+      s"""WITH $sqlBpeBase,
+         ${operators.Bpe.sqlTrainChain(8, "wf")}
+         ${operators.Bpe.sqlMergesSelect(8)}"""
+    },
+
+    "ta10_bpe_encode" -> {
+      // the final rewritten vocab table s8 IS the per-word encoding:
+      // len(syms) = pieces per distinct word; docs join against it
+      s"""WITH $sqlBpeBase,
+         ${operators.Bpe.sqlTrainChain(8, "wf")},
+         wp AS (SELECT word, len(syms) AS pieces FROM s8),
+         dt AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS word
+                FROM documents),
+         dp AS (SELECT doc_id, sum(pieces)::BIGINT AS n_pieces
+                FROM dt JOIN wp USING (word) GROUP BY doc_id)
+         SELECT d.doc_id, len(${sqlTokens("d.text")})::INT AS n_tokens,
+           (CASE WHEN d.text IS NULL THEN NULL
+             ELSE coalesce(dp.n_pieces, 0) END)::INT AS n_pieces
+         FROM documents d LEFT JOIN dp USING (doc_id) ORDER BY d.doc_id"""
+    },
 
     "ta11_bigram_logprob" -> {
       val toks = sqlTokens("text")

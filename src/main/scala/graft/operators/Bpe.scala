@@ -120,6 +120,65 @@ object Bpe {
   def encodeDeclarative(toks: Column, merges: Seq[(String, String)]): Column =
     flatten(transform(toks, w => segment(w, merges)))
 
+  /** DuckDB twin of [[trainMerges]] for the ta9/ta10 oracles: the
+    * training loop UNROLLED into a CTE chain (`numMerges` is a bounded
+    * demo constant, so "iterative ≠ SQL" doesn't apply — each step is
+    * pair-count → argmax → greedy rewrite, all expressible). The greedy
+    * left-to-right non-overlapping rewrite maps to windows: candidate
+    * positions (pair matches) group into runs of CONSECUTIVE indices
+    * (only possible when a = b), the 1st/3rd/5th… of each run merge,
+    * and the position after a chosen one is consumed. Chains from a
+    * `baseCte(word, freq)`; step k's tables are `m{k}` (the chosen
+    * pair, empty after early stop) and `s{k}` (the rewritten vocab).
+    * Keep in lockstep with [[trainMerges]]/[[mergePair]].
+    */
+  def sqlTrainChain(numMerges: Int, baseCte: String): String = {
+    val head = s"""s0 AS (
+      SELECT word, freq, regexp_extract_all(word, '.') AS syms FROM $baseCte)"""
+    val steps = (1 to numMerges).map { k =>
+      val p = k - 1
+      s"""pc$k AS (
+      SELECT syms[i] AS a, syms[i+1] AS b, sum(freq)::BIGINT AS cnt
+      FROM (SELECT syms, freq, unnest(generate_series(1, len(syms)-1)) AS i
+            FROM s$p WHERE len(syms) >= 2)
+      GROUP BY 1, 2 HAVING sum(freq) >= 2),
+    m$k AS (SELECT a, b FROM pc$k ORDER BY cnt DESC, a, b LIMIT 1),
+    pos$k AS (
+      SELECT s.word, s.freq, s.syms, u.i, s.syms[u.i] AS sym, m.a, m.b,
+        (m.a IS NOT NULL AND u.i < len(s.syms)
+          AND s.syms[u.i] = m.a AND s.syms[u.i+1] = m.b) AS is_cand
+      FROM s$p s
+      CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(s.syms))) AS i) u
+      LEFT JOIN m$k m ON TRUE),
+    runs$k AS (
+      SELECT *, i - row_number() OVER (PARTITION BY word, is_cand ORDER BY i) AS run
+      FROM pos$k),
+    sel$k AS (
+      SELECT *, is_cand AND
+        (row_number() OVER (PARTITION BY word, is_cand, run ORDER BY i) % 2 = 1) AS ch
+      FROM runs$k),
+    cons$k AS (
+      SELECT *, coalesce(lag(ch) OVER (PARTITION BY word ORDER BY i), FALSE) AS consumed
+      FROM sel$k),
+    s$k AS (
+      SELECT word, freq, list(CASE WHEN ch THEN a || b ELSE sym END ORDER BY i) AS syms
+      FROM cons$k WHERE NOT consumed GROUP BY word, freq)"""
+    }
+    (head +: steps).mkString(",\n    ")
+  }
+
+  /** Companion of [[sqlTrainChain]]: the learned merge list in ta9's
+    * output shape (early-stopped steps contribute no row; stop is
+    * monotone, so step numbering stays contiguous like the Scala loop).
+    */
+  def sqlMergesSelect(numMerges: Int): String = {
+    val union = (1 to numMerges)
+      .map(k => s"SELECT ${k - 1} AS step, a, b FROM m$k")
+      .mkString(" UNION ALL ")
+    s"""SELECT step::BIGINT AS step, a AS "left", b AS "right", a || b AS merged
+      FROM ($union) ORDER BY step"""
+  }
+
   /** JVM twin of [[segment]] — same left-to-right non-overlapping rule,
     * for parity specs and driver-side use. Splits by CODE POINTS, not
     * UTF-16 code units: [[charSymbols]]'s `substr` counts code points
