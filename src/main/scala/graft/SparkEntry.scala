@@ -631,7 +631,7 @@ object SparkEntry {
       // the bounded loop UNROLLED (Bpe.sqlTrainChain), so the full
       // training output is hash-gated.
       import s.implicits._
-      val merges = operators.Bpe.trainMerges(
+      val merges = operators.Bpe.trainMergesBatched(
         operators.Bpe.wordFreqs(t(s, dir, "documents"), col("text")),
         numMerges = 8)
       merges.zipWithIndex
@@ -674,7 +674,7 @@ object SparkEntry {
       // chain's final vocab table doubles as the per-word encoding
       // (pieces = len(s8.syms)), joined back onto doc tokens.
       val docs = t(s, dir, "documents")
-      val merges = operators.Bpe.trainMerges(
+      val merges = operators.Bpe.trainMergesBatched(
         operators.Bpe.wordFreqs(docs, col("text")), numMerges = 8)
       docs.select(col("doc_id"),
           TA.tokenCount(col("text")).as("n_tokens"),

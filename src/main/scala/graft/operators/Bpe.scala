@@ -11,9 +11,11 @@ import org.apache.spark.sql.{Column, DataFrame}
   * The scale shape is the point: the 100 TB corpus is touched EXACTLY
   * once, by [[wordFreqs]] (tokenize → groupBy word, map-side combined).
   * Training then iterates on the compressed (word, freq) table — vocab-
-  * sized, millions of rows not billions — and each merge step is one
-  * partial-aggregated pair count plus one projection. Nothing in the
-  * loop rescans text; driver traffic per step is ONE (pair, count) row.
+  * sized, millions of rows not billions — and each ROUND is one
+  * partial-aggregated pair count plus one projection, landing a whole
+  * batch of provably-independent merges ([[trainMergesBatched]]).
+  * Nothing in the loop rescans text; driver traffic per round is one
+  * small top-K pair listing.
   *
   * Determinism: ties on pair count break lexicographically (a, then b),
   * so the learned merge list is engine-independent and the JVM twin
@@ -51,7 +53,10 @@ object Bpe {
           concat(slice(out, lit(1), size(out) - 1), array(lit(a + b))))
           .otherwise(concat(out, array(x))))
 
-  /** Train `numMerges` BPE merges over a (word, freq) table.
+  /** Train `numMerges` BPE merges over a (word, freq) table, ONE merge
+    * per Spark cycle — the small-N reference implementation and parity
+    * twin of the production [[trainMergesBatched]] (which lands many
+    * merges per cycle and is what real training should call).
     *
     * Each step: count adjacent symbol pairs weighted by word frequency
     * (one partial-aggregated shuffle over the vocab table), pick the
@@ -97,6 +102,99 @@ object Bpe {
     }
     words.unpersist(): Unit
     merges.toSeq
+  }
+
+  /** Batched [[trainMerges]]: per ROUND, one pair-count aggregation +
+    * one driver collect of the top-`batchSize` pairs + one composed
+    * rewrite + one localCheckpoint — instead of one full cycle per
+    * merge. At a production 32k-merge vocabulary the sequential loop is
+    * 32k driver-bound Spark jobs; this costs one cycle per round with
+    * typically tens of merges landing per round.
+    *
+    * The selection is SEQUENTIAL-EXACT, not approximate — pinned
+    * against [[trainMerges]] in BpeSpec. Walking the collected pairs in
+    * (count desc, a, b) order, a pair is selected iff (1) it shares no
+    * symbol with — and its merged symbol collides with nothing in — the
+    * already-selected set (a non-overlapping pair's count is invariant
+    * under the others' rewrites), and (2) its count strictly exceeds
+    * the barrier: the max count over skipped-for-overlap pairs and,
+    * when the listing filled, the tail count bounding every uncollected
+    * pair. Any pair a selected rewrite creates or boosts descends from
+    * a pair overlapping a selected symbol, so its count is ≤ the
+    * barrier — meaning the sequential algorithm could never have
+    * ranked it above a selected pair. Selection stops at the first
+    * candidate at/below the barrier (the list is sorted). The batch
+    * then applies as [[mergePair]] folds composed in selection order —
+    * literally the sequential rewrites, fused into one projection.
+    */
+  def trainMergesBatched(freqs: DataFrame, numMerges: Int,
+                         batchSize: Int = 64): Seq[(String, String)] =
+    trainMergesBatchedWithRounds(freqs, numMerges, batchSize)._1
+
+  /** [[trainMergesBatched]] plus the round count, for specs/telemetry. */
+  private[graft] def trainMergesBatchedWithRounds(
+      freqs: DataFrame, numMerges: Int,
+      batchSize: Int): (Seq[(String, String)], Int) = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    var words = freqs
+      .select(charSymbols(col("word")).as("syms"),
+        col("freq").cast("long").as("freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var rounds = 0
+    var done = false
+    while (merges.length < numMerges && !done) {
+      val n = size(col("syms"))
+      val top = words
+        .filter(n >= 2)
+        .select(explode(zip_with(
+          slice(col("syms"), lit(1), n - 1),
+          slice(col("syms"), lit(2), n - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"),
+          col("freq"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .filter(col("cnt") >= 2)
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(batchSize)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        rounds += 1
+        // pairs below the collected listing are bounded by its tail
+        val uncollectedBound =
+          if (top.length == batchSize) top.last.getLong(2) else Long.MinValue
+        val used = scala.collection.mutable.HashSet.empty[String]
+        val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        var barrier = Long.MinValue
+        var stop = false
+        val room = numMerges - merges.length
+        val it = top.iterator
+        while (!stop && it.hasNext && sel.length < room) {
+          val r = it.next()
+          val (a, b, c) = (r.getString(0), r.getString(1), r.getLong(2))
+          val floor =
+            if (sel.isEmpty) Long.MinValue
+            else math.max(barrier, uncollectedBound)
+          if (c <= floor) stop = true
+          else if (used(a) || used(b) || used(a + b))
+            barrier = math.max(barrier, c)
+          else {
+            sel += ((a, b)); used += a; used += b; used += (a + b)
+          }
+        }
+        merges ++= sel
+        val prev = words
+        words = words
+          .select(sel.foldLeft(col("syms")) {
+            case (s, (a, b)) => mergePair(s, a, b)
+          }.as("syms"), col("freq"))
+          .localCheckpoint()
+        prev.unpersist(): Unit
+      }
+    }
+    words.unpersist(): Unit
+    (merges.toSeq, rounds)
   }
 
   /** Segment a word column with a learned merge list: char split, then

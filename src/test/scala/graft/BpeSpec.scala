@@ -23,6 +23,38 @@ class BpeSpec extends SparkSpec {
   test("trainMerges stops early when no pair repeats") {
     val f = Seq(("abc", 1L), ("def", 1L)).toDF("word", "freq")
     assert(Bpe.trainMerges(f, 10).isEmpty)
+    assert(Bpe.trainMergesBatched(f, 10).isEmpty)
+  }
+
+  test("batched == sequential on the textbook corpus, at every batch size") {
+    val seqMerges = Bpe.trainMerges(freqs, 4)
+    for (m <- Seq(1, 2, 4, 64))
+      assert(Bpe.trainMergesBatched(freqs, 4, m) == seqMerges, s"batchSize $m")
+  }
+
+  test("batched == sequential on a multi-round real corpus, in fewer rounds") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val wf = Bpe.wordFreqs(docs, col("text")).localCheckpoint()
+    try {
+      val seqMerges = Bpe.trainMerges(wf, 12)
+      assert(seqMerges.length == 12) // corpus genuinely has 12 merges
+      val (batched, rounds) = Bpe.trainMergesBatchedWithRounds(wf, 12, 64)
+      assert(batched == seqMerges)
+      // the whole point: many merges land per cycle
+      assert(rounds < seqMerges.length, s"rounds=$rounds")
+    } finally { wf.unpersist(): Unit }
+  }
+
+  test("batched barrier: dependent pairs wait for the round that creates them") {
+    // (a,b) dominates; its descendants must not jump the queue. "xaby"
+    // corpus: (a,b):12, then the merges (ab,y) and (x,aby) only exist
+    // after the previous one lands, forcing 3 rounds.
+    val f = Seq(("xaby", 8L), ("ab", 4L)).toDF("word", "freq")
+    val seqMerges = Bpe.trainMerges(f, 3)
+    assert(seqMerges == Seq(("a", "b"), ("ab", "y"), ("x", "aby")))
+    val (batched, rounds) = Bpe.trainMergesBatchedWithRounds(f, 3, 64)
+    assert(batched == seqMerges)
+    assert(rounds == 3)
   }
 
   test("segment == jvmSegment across edge cases (parity, incl. non-BMP)") {
