@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextAnalysis => TA, TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Align, Compliance, Decontam, Dedup, Enrich, Multimodal, Packing, Rag, Ruler, Sampling, Similarity}
+import graft.operators.{Align, Compliance, Decontam, Dedup, Embed, Enrich, Multimodal, Packing, Rag, Ruler, Sampling, Similarity}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1842,6 +1842,27 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "v12_embed_topk" -> ((s, dir) => {
+      // Engine-side embedding inference (the reference's batch-32
+      // sentence-transformer encode, rag.ipynb:359-374): documents
+      // embed through Embed.embedColumn — ONE client call per
+      // mapPartitions batch behind the EmbeddingClient trait (the
+      // deterministic mock here; HttpEmbeddingClient is the live
+      // drop-in) — and the fresh array<float> column feeds the
+      // existing brute top-k path unchanged.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val emb = Embed.embedColumn(docs, col("text"), "emb",
+        new Embed.MockHashEmbeddingClient(dim = 8), batchSize = 32)
+      val queries = emb.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("emb").as("qv"))
+      Similarity.topKPerQuery(
+          emb.filter(col("doc_id") >= 5), col("doc_id"), col("emb"),
+          queries, col("qid"), col("qv"), k = 5)
+        .select(col("query_id"), col("doc_id"),
+          fround(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "v6_ann_topk_planned" -> ((s, dir) => {
       // The custom whole-operator tier: grouped top-k planned through
       // the TopKPerKey logical node → TopKPerKeyStrategy → two-phase
@@ -1975,12 +1996,25 @@ object SparkEntry {
     * cast to double exactly like VectorFunctions.dot (left-to-right
     * summation ⇒ bit-identical accumulation order).
     */
-  private def sqlDot64(a: String, b: String): String =
-    s"""list_reduce(list_transform(generate_series(1, 64),
+  private def sqlDot(a: String, b: String, dim: Int): String =
+    s"""list_reduce(list_transform(generate_series(1, $dim),
         i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc, x) -> acc + x)"""
 
-  private def sqlCosine64(a: String, b: String): String =
-    s"${sqlDot64(a, b)} / (sqrt(${sqlDot64(a, a)}) * sqrt(${sqlDot64(b, b)}))"
+  private def sqlDot64(a: String, b: String): String = sqlDot(a, b, 64)
+
+  private def sqlCosine(a: String, b: String, dim: Int): String =
+    s"${sqlDot(a, b, dim)} / (sqrt(${sqlDot(a, a, dim)}) * sqrt(${sqlDot(b, b, dim)}))"
+
+  private def sqlCosine64(a: String, b: String): String = sqlCosine(a, b, 64)
+
+  /** DuckDB twin of Embed.MockHashEmbeddingClient: per dimension the
+    * 28-bit md5 hash of "i:text" scaled to [0,1) as double, rounded
+    * once to float — identical IEEE ops to the JVM mock.
+    */
+  private def sqlMockEmbedding(text: String, dim: Int): String =
+    s"""list_transform(generate_series(0, ${dim - 1}),
+        i -> (('0x' || substr(md5(i::VARCHAR || ':' || $text), 1, 7))::BIGINT
+          / 268435456.0)::FLOAT)"""
 
   /** DuckDB twin of Similarity.kmeansCentroids as a reusable WITH-body:
     * same smallest-id init, same cosine-argmax tie-break (ties → lowest
@@ -3072,6 +3106,18 @@ object SparkEntry {
              FROM embeddings WHERE vec_id >= 5),
          s AS (SELECT query_id, doc_id,
              ${sqlCosine64("dv", "qv")} AS cosine FROM d, q),
+         r AS (SELECT query_id, doc_id, cosine, row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rank FROM s)
+         SELECT query_id, doc_id, floor((cosine) * 1e6 + 0.5) / 1e6 AS cosine, rank
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "v12_embed_topk" ->
+      s"""WITH emb AS (SELECT doc_id,
+             ${sqlMockEmbedding("text", 8)} AS v FROM documents),
+         q AS (SELECT doc_id AS query_id, v AS qv FROM emb WHERE doc_id < 5),
+         d AS (SELECT doc_id, v AS dv FROM emb WHERE doc_id >= 5),
+         s AS (SELECT query_id, doc_id,
+             ${sqlCosine("dv", "qv", 8)} AS cosine FROM d, q),
          r AS (SELECT query_id, doc_id, cosine, row_number() OVER (
              PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rank FROM s)
          SELECT query_id, doc_id, floor((cosine) * 1e6 + 0.5) / 1e6 AS cosine, rank
