@@ -41,6 +41,29 @@ object SparkEntry {
     */
   private def scratchDir(prefix: String): String = Scratch.dir(prefix)
 
+  /** The g2/g3 shared build: decontaminate → quality gate → token-
+    * budget mix → bucketed packed starts, one lazy plan per caller
+    * (g2 rolls bins up; g3 lands the per-doc layout via the sized
+    * sink). See the g2 query for the plan-shape commentary.
+    */
+  private def g2PackedStarts(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val clean = Decontam.decontaminate(
+      docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+      "doc_id", col("text"), n = 5, maxFraction = 0.0)
+    val scored = clean
+      .select(col("doc_id"), col("lang"), col("text"),
+        TA.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).cast("long").as("n_tok"),
+        TA.qualityScoreFromTokens(col("toks"), col("text")).as("q"))
+      .filter(col("q") >= 0.55)
+    val mixed = Sampling.tokenBudgetMix(scored, col("lang"), col("doc_id"),
+      col("n_tok"), budgetPct = 50, salt = "g2m")
+    Packing.packedStartsBucketed(mixed, col("lang"), col("doc_id"),
+      col("n_tok"), bucketWidth = 4096L)
+  }
+
   /** 16 common CJK ideographs (all inside TA.cjkRange) for deterministic
     * Chinese-text injection: the corpus is pure ASCII, so ta7 and its
     * oracle synthesize CJK text from doc_id IDENTICALLY on both sides
@@ -840,24 +863,33 @@ object SparkEntry {
       // by gate+mix+packing via a select boundary) — the probe branch
       // is structurally separate, so a single pass would need a cache
       // that costs more than the narrow re-scan.
-      val docs = t(s, dir, "documents")
-      val clean = Decontam.decontaminate(
-        docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
-        "doc_id", col("text"), n = 5, maxFraction = 0.0)
-      val scored = clean
-        .select(col("doc_id"), col("lang"), col("text"),
-          TA.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), col("lang"),
-          size(col("toks")).cast("long").as("n_tok"),
-          TA.qualityScoreFromTokens(col("toks"), col("text")).as("q"))
-        .filter(col("q") >= 0.55)
-      val mixed = Sampling.tokenBudgetMix(scored, col("lang"), col("doc_id"),
-        col("n_tok"), budgetPct = 50, salt = "g2m")
-      Packing.packBins(
-          Packing.packedStartsBucketed(mixed, col("lang"), col("doc_id"),
-            col("n_tok"), bucketWidth = 4096L),
-          binTokens = 2048L)
+      Packing.packBins(g2PackedStarts(s, dir), binTokens = 2048L)
         .orderBy(col("lang"), col("bin"))
+    }),
+
+    "g3_corpus_store" -> ((s, dir) => {
+      // G3 — close the north-star loop: build → STORE → serve. The g2
+      // per-doc packed layout LANDS via the size-targeted sink, hive-
+      // partitioned by (lang, bin_range-of-8-bins) with doc_id-keyed
+      // writer fan-out and a hard per-file row cap, then reads back
+      // with schema-on-read. A training job then scans exactly the
+      // (lang, bin range) directories of its shard — partition pruning
+      // makes reader IO ∝ its slice of the corpus, and the round trip
+      // is the identity on the layout columns (the oracle replays the
+      // whole build; CompactionSpec pins the file layout).
+      val laid = g2PackedStarts(s, dir)
+        .withColumn("bin", expr("start_tok div 2048"))
+        .withColumn("bin_range", expr("bin div 8"))
+      val out = scratchDir("graft_g3")
+      sources.Compaction.writeSized(laid, out, Seq("lang", "bin_range"),
+        col("doc_id"), targetRows = 1000L, spread = 4)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id LONG, n_tok LONG, start_tok LONG, bin LONG, " +
+          "lang STRING, bin_range LONG")
+      sources.Compaction.readSized(s, out, schema)
+        .select(col("doc_id"), col("lang"), col("bin"), col("bin_range"),
+          col("n_tok"), col("start_tok"))
+        .orderBy(col("doc_id"))
     }),
 
     // ---- A4/A5: statistics ------------------------------------------
@@ -1945,6 +1977,43 @@ object SparkEntry {
   private def sqlTokens(e: String): String =
     s"regexp_extract_all(lower($e), '${TA.tokenPattern}')"
 
+  /** Shared g2/g3 oracle body: decontaminate → quality gate → token-
+    * budget mix → per-doc packed layout, ending in a
+    * `packed(doc_id, lang, n_tok, start_tok)` CTE — g2 rolls it up per
+    * bin, g3 reads it back per doc after the sized-sink round trip.
+    */
+  private def sqlG2PackedCtes: String =
+    s"""$sqlQualityCtes,
+       g AS (
+         SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, len(toks) - 4),
+           i -> array_to_string(list_slice(toks, i, i + 4), ' '))) AS grams
+         FROM t),
+       ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 50),
+       tr AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= 50),
+       bad AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev ON tr.gram = ev.gram),
+       kept0 AS (
+         SELECT s.doc_id, d.lang, s.n_tokens::BIGINT AS n_tok
+         FROM s JOIN documents d ON d.doc_id = s.doc_id
+         WHERE s.doc_id >= 50
+           AND s.doc_id NOT IN (SELECT doc_id FROM bad)
+           AND $sqlQualityExpr >= 0.55),
+       st AS (SELECT lang, sum(n_tok)::BIGINT AS t FROM kept0 GROUP BY lang),
+       w AS (SELECT lang, t, floor(sqrt(t) * 1e6)::BIGINT AS wgt FROM st),
+       tot AS (SELECT sum(t)::BIGINT AS tot_t, sum(wgt)::BIGINT AS s2 FROM w),
+       r AS (SELECT lang,
+         ${Sampling.sqlMixThr("t", "wgt", "tot_t", "s2", 50)} AS thr
+         FROM w, tot),
+       mixed AS (
+         SELECT k.doc_id, k.lang, k.n_tok FROM kept0 k JOIN r USING (lang)
+         WHERE ('0x' || substr(md5('g2m:' || k.doc_id::VARCHAR), 1, 7))::BIGINT < r.thr),
+       packed AS (
+         SELECT doc_id, lang, n_tok,
+           (sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+             - n_tok AS start_tok
+         FROM mixed)"""
+
   /** Shared (word, freq) base for the ta9/ta10 BPE oracles. */
   private def sqlBpeBase: String =
     s"""tok AS (SELECT unnest(${sqlTokens("text")}) AS word FROM documents),
@@ -2664,39 +2733,19 @@ object SparkEntry {
       // decontaminate (tc1 CTEs) → quality gate (ta2 CTEs) → token-
       // budget mix (x1 CTEs) → packing (ta6 window), composed over the
       // same shared Scala constants each stage's standalone oracle uses.
-      s"""$sqlQualityCtes,
-         g AS (
-           SELECT doc_id, list_distinct(list_transform(
-             generate_series(1, len(toks) - 4),
-             i -> array_to_string(list_slice(toks, i, i + 4), ' '))) AS grams
-           FROM t),
-         ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 50),
-         tr AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= 50),
-         bad AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev ON tr.gram = ev.gram),
-         kept0 AS (
-           SELECT s.doc_id, d.lang, s.n_tokens::BIGINT AS n_tok
-           FROM s JOIN documents d ON d.doc_id = s.doc_id
-           WHERE s.doc_id >= 50
-             AND s.doc_id NOT IN (SELECT doc_id FROM bad)
-             AND $sqlQualityExpr >= 0.55),
-         st AS (SELECT lang, sum(n_tok)::BIGINT AS t FROM kept0 GROUP BY lang),
-         w AS (SELECT lang, t, floor(sqrt(t) * 1e6)::BIGINT AS wgt FROM st),
-         tot AS (SELECT sum(t)::BIGINT AS tot_t, sum(wgt)::BIGINT AS s2 FROM w),
-         r AS (SELECT lang,
-           ${Sampling.sqlMixThr("t", "wgt", "tot_t", "s2", 50)} AS thr
-           FROM w, tot),
-         mixed AS (
-           SELECT k.doc_id, k.lang, k.n_tok FROM kept0 k JOIN r USING (lang)
-           WHERE ('0x' || substr(md5('g2m:' || k.doc_id::VARCHAR), 1, 7))::BIGINT < r.thr),
-         packed AS (
-           SELECT lang, n_tok,
-             (sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
-               - n_tok AS start_tok
-           FROM mixed)
+      s"""$sqlG2PackedCtes
          SELECT lang, start_tok // 2048 AS bin, count(*) AS n_docs,
            sum(n_tok)::BIGINT AS n_tokens
          FROM packed GROUP BY lang, bin ORDER BY lang, bin"""
+    },
+
+    "g3_corpus_store" -> {
+      // same build as g2 through `packed`; the round trip through the
+      // sized sink is the identity on the layout columns
+      s"""$sqlG2PackedCtes
+         SELECT doc_id, lang, start_tok // 2048 AS bin,
+           (start_tok // 2048) // 8 AS bin_range, n_tok, start_tok
+         FROM packed ORDER BY doc_id"""
     },
 
     "l3_mock_scores" ->

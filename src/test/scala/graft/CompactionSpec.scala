@@ -52,6 +52,39 @@ class CompactionSpec extends SparkSpec {
     }
   }
 
+  test("g3 layout: two-level (lang, bin_range) partitioning prunes and caps") {
+    // the g3 shape: per-doc packed layout written under
+    // lang=<v>/bin_range=<r>/ — a reader of one shard lists only its
+    // directories
+    val laid = (1L to 300L).map(i => (i, Seq("en", "zh")((i % 2).toInt),
+        (i / 25L), (i / 25L) / 8L, 10L + i % 5, i * 10L))
+      .toDF("doc_id", "lang", "bin", "bin_range", "n_tok", "start_tok")
+    val out = Scratch.dir("compaction_g3")
+    Compaction.writeSized(laid, out, Seq("lang", "bin_range"), $"doc_id",
+      targetRows = 40L, spread = 2)
+    val langDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("lang="))
+    assert(langDirs.map(_.getName).sorted.toSeq == Seq("lang=en", "lang=zh"))
+    langDirs.foreach { ld =>
+      val rangeDirs = ld.listFiles().filter(f =>
+        f.isDirectory && f.getName.startsWith("bin_range="))
+      assert(rangeDirs.nonEmpty, ld.getName)
+      rangeDirs.foreach { rd =>
+        val perFile = parquetFiles(rd).map(f =>
+          spark.read.parquet(f.getAbsolutePath).count())
+        assert(perFile.forall(_ <= 40L), s"${rd.getName}: $perFile")
+      }
+    }
+    // pruning: a single (lang, bin_range) directory read touches only
+    // its own rows
+    val shard = spark.read
+      .schema(StructType.fromDDL(
+        "doc_id LONG, bin LONG, n_tok LONG, start_tok LONG"))
+      .parquet(s"$out/lang=en/bin_range=0")
+    assert(shard.count() ==
+      laid.filter($"lang" === "en" && $"bin_range" === 0L).count())
+  }
+
   test("writeSized bucket co-location is deterministic across runs") {
     // file names differ run to run (task/attempt ids), so compare the
     // STRUCTURE: which ids share a shuffle bucket. xxhash64(id) % spread
