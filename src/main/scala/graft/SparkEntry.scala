@@ -676,6 +676,24 @@ object SparkEntry {
         .orderBy(col("window_start"))
     }),
 
+    "w5_gated_drift" -> ((s, dir) => {
+      // Batch twin of the streaming g2 front half (Streams
+      // .gatedCorpusDrift): benchmark decontamination + quality gate +
+      // drift monitor — the pipeline a corpus ingest runs continuously.
+      // Same function, batch frame; StreamFileSpec pins stream == batch
+      // over the same closed input.
+      val docs = t(s, dir, "documents")
+      val evalGrams = Decontam.evalGramHashes(
+        docs.filter(col("doc_id") < 50), col("text"), 5)
+      val train = docs.filter(col("doc_id") >= 50).withColumn("ts",
+        expr("timestampadd(MINUTE, doc_id, TIMESTAMP '2024-01-01 00:00:00')"))
+      graft.streaming.Streams.gatedCorpusDrift(
+          train, col("ts"), col("text"), evalGrams, ngram = 5,
+          maxContamination = 0.0, qualityGate = 0.55,
+          windowLen = "1 hour", qualityFloor = 0.5)
+        .orderBy(col("window_start"))
+    }),
+
     "d12_repeated_grams" -> ((s, dir) => {
       // Cross-doc repeated 8-gram stats (beyond the reference): the
       // exact-substring-dedup signal over hashed grams — one map-side-
@@ -1982,16 +2000,23 @@ object SparkEntry {
     * `packed(doc_id, lang, n_tok, start_tok)` CTE — g2 rolls it up per
     * bin, g3 reads it back per doc after the sized-sink round trip.
     */
-  private def sqlG2PackedCtes: String =
-    s"""$sqlQualityCtes,
-       g AS (
+  /** Decontamination CTEs over the quality CTEs' `t` table: per-doc
+    * distinct 5-gram sets, the eval (doc_id < 50) gram union, and the
+    * flagged train-doc set `bad`. Shared by g2/g3/w5.
+    */
+  private def sqlDecontamCtes: String =
+    s"""g AS (
          SELECT doc_id, list_distinct(list_transform(
            generate_series(1, len(toks) - 4),
            i -> array_to_string(list_slice(toks, i, i + 4), ' '))) AS grams
          FROM t),
        ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 50),
        tr AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= 50),
-       bad AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev ON tr.gram = ev.gram),
+       bad AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev ON tr.gram = ev.gram)"""
+
+  private def sqlG2PackedCtes: String =
+    s"""$sqlQualityCtes,
+       $sqlDecontamCtes,
        kept0 AS (
          SELECT s.doc_id, d.lang, s.n_tokens::BIGINT AS n_tok
          FROM s JOIN documents d ON d.doc_id = s.doc_id
@@ -3316,6 +3341,28 @@ object SparkEntry {
                + s.doc_id * INTERVAL 1 MINUTE AS ts,
              $sqlQualityExpr AS qv, s.n_tokens AS ntok
            FROM s)
+         SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           count(*) AS n_docs,
+           floor(avg(qv) * 100.0 + 0.5) / 100.0 AS avg_quality,
+           floor(avg(ntok * 1.0) * 100.0 + 0.5) / 100.0 AS avg_tokens,
+           floor(avg(CASE WHEN qv < 0.5 THEN 1.0 ELSE 0.0 END) * 100.0 + 0.5)
+             / 100.0 AS low_quality_share
+         FROM q GROUP BY 1 ORDER BY window_start"""
+    },
+
+    "w5_gated_drift" -> {
+      s"""$sqlQualityCtes,
+         $sqlDecontamCtes,
+         kept AS (
+           SELECT s.doc_id, $sqlQualityExpr AS qv, s.n_tokens AS ntok
+           FROM s
+           WHERE s.doc_id >= 50
+             AND s.doc_id NOT IN (SELECT doc_id FROM bad)
+             AND $sqlQualityExpr >= 0.55),
+         q AS (
+           SELECT TIMESTAMP '2024-01-01 00:00:00'
+               + doc_id * INTERVAL 1 MINUTE AS ts, qv, ntok
+           FROM kept)
          SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
            count(*) AS n_docs,
            floor(avg(qv) * 100.0 + 0.5) / 100.0 AS avg_quality,

@@ -14,6 +14,19 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Let-binding inside a single Column: evaluate `c` ONCE per row and
+    * hand it to `f` as a bound lambda variable (a one-element transform;
+    * the binding is the HOF's direct array argument). Catalyst has no
+    * common-subexpression elimination inside one expression tree, so a
+    * subtree referenced k times evaluates k times; and a select-boundary
+    * alias referenced from a FILTER is inlined back into the condition
+    * by predicate pushdown. A lambda variable is immune to both: use
+    * this for expensive predicates (quality gates) and multi-reference
+    * scalar pipelines (the Multimodal header walkers).
+    */
+  def letBound(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
   /** T1 — collapse runs of whitespace to a single space and trim.
     * Ref: Data_Cleaning/text_cleaning.py:22,47.
     */

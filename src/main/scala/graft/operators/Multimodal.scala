@@ -173,15 +173,12 @@ object Multimodal {
     }
 
   /** Evaluate `c` ONCE per row and hand the bound value to `f` as a
-    * lambda variable. Inside a single expression tree Catalyst has no
-    * common-subexpression elimination (and higher-order functions block
-    * codegen's), so an expression referenced k times is EVALUATED k
-    * times — for the header walkers below, each `getField` on the chunk
-    * walk would re-run the whole walk. A lambda variable is evaluated
-    * exactly once, making reuse free.
+    * lambda variable — see [[graft.functions.TextFunctions.letBound]]
+    * (each `getField` on a header chunk walk would otherwise re-run the
+    * whole walk).
     */
   private def bind(c: Column)(f: Column => Column): Column =
-    element_at(transform(array(c), f), 1)
+    graft.functions.TextFunctions.letBound(c)(f)
 
   /** Little-endian u16 at byte offset `off` of hex string `h` (1-indexed
     * hex chars; byte o lives at chars o*2+1..o*2+2).

@@ -88,6 +88,45 @@ object Streams {
         col("avg_quality"), col("avg_tokens"), col("low_quality_share"))
   }
 
+  /** The streaming twin of the g2 front half — benchmark
+    * decontamination + the ta2 quality gate + [[qualityDrift]], as ONE
+    * stream pipeline a corpus ingest runs continuously (the batch g2
+    * build runs the same gates offline; only the mix/pack tail needs
+    * global state and stays batch). Every stage is stateless or
+    * watermark-bounded, so it runs under `readStream` +
+    * `Trigger.AvailableNow` as an idempotent catch-up batch too:
+    *
+    *  - decontamination is the per-row native probe
+    *    (Decontam.contaminationFilter — eval grams ship as a sorted
+    *    literal, nothing shuffles);
+    *  - the quality gate is a pushdown-immune predicate: the token
+    *    array let-binds as the HOF's direct argument
+    *    (TextFunctions.letBound), so the tokenizer runs ONCE per row
+    *    even after Catalyst inlines the filter condition — a select-
+    *    boundary alias would be re-inlined per reference;
+    *  - the drift monitor re-scores survivors at its own select
+    *    boundary (one more tokenize — the price of keeping every stage
+    *    independently composable; a fused scored-then-gated variant
+    *    would push the gate back into the scan anyway).
+    *
+    * Batch/stream equality over closed input is pinned in
+    * StreamFileSpec; the batch frame is oracle-checked as w5.
+    */
+  def gatedCorpusDrift(docs: DataFrame, ts: Column, text: Column,
+                       evalGrams: Array[Long], ngram: Int,
+                       maxContamination: Double, qualityGate: Double,
+                       watermarkDelay: String = "10 minutes",
+                       windowLen: String = "1 hour",
+                       qualityFloor: Double = 0.5): DataFrame = {
+    import graft.functions.{TextAnalysis => TA, TextFunctions => TF}
+    val kept = docs
+      .filter(graft.operators.Decontam.contaminationFilter(
+        text, ngram, evalGrams, maxContamination))
+      .filter(TF.letBound(TA.tokens(text))(toks =>
+        TA.qualityScoreFromTokens(toks, text)) >= qualityGate)
+    qualityDrift(kept, ts, text, watermarkDelay, windowLen, qualityFloor)
+  }
+
   /** Streaming-ingest exact dedup: keep the first event per key, with
     * state bounded by the watermark (`dropDuplicatesWithinWatermark` —
     * a key's state is freed once the watermark passes its event time,

@@ -51,4 +51,41 @@ class StreamFileSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.map(_._2).sum == 1000L)
   }
+
+  test("streaming g2 front half (decontam+gate+drift) equals the batch twin") {
+    import graft.operators.Decontam
+    val dir = "/root/testdata/sf0.001"
+    val batchDocs = Tables.load(spark, dir, "documents")
+    val evalGrams = Decontam.evalGramHashes(
+      batchDocs.filter(col("doc_id") < 50), col("text"), 5)
+    def pipeline(docs: org.apache.spark.sql.DataFrame) =
+      Streams.gatedCorpusDrift(
+        docs.filter(col("doc_id") >= 50).withColumn("ts",
+          expr("timestampadd(MINUTE, doc_id, TIMESTAMP '2024-01-01 00:00:00')")),
+        col("ts"), col("text"), evalGrams, ngram = 5,
+        maxContamination = 0.0, qualityGate = 0.55,
+        windowLen = "1 hour", qualityFloor = 0.5)
+
+    val streamDir = java.nio.file.Files.createTempDirectory("docstream")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .parquet(streamDir.toString)
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_g2s").toString
+    val q = pipeline(stream).writeStream
+      .format("memory").queryName("g2_stream").outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = rows(spark.sql(
+      "SELECT * FROM g2_stream ORDER BY window_start")).map(_.toSeq)
+    val batch = rows(pipeline(batchDocs).orderBy(col("window_start")))
+      .map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
 }
