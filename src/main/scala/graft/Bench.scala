@@ -19,6 +19,14 @@ object Bench {
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
     val ordered = selected.toSeq.sortBy(_._1)
+    // System load average (1-min, process count) read before each rep:
+    // three rounds of bench artifacts have been poisoned by external
+    // machine load, so the artifact carries the evidence — a rep taken
+    // at load >> cpus is discountable mechanically instead of by a
+    // human re-running the suite.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def sysLoad: Double =
+      math.floor(osBean.getSystemLoadAverage * 100) / 100
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try {
@@ -41,23 +49,34 @@ object Bench {
     // full pass) so a transient load spike lands on at most one rep of
     // any query — back-to-back reps were both poisoned by the same
     // spike, indistinguishable from a real regression.
-    val pass1 = ordered.map { case (name, fn) => name -> timeOne(name, fn) }
-    val pass2 = ordered.map { case (name, fn) => name -> timeOne(name, fn) }
-    val results = pass1.zip(pass2).map { case ((name, t1), (_, t2)) =>
-      name -> Seq(t1, t2)
+    def pass() = ordered.map { case (name, fn) =>
+      val l = sysLoad
+      (name, timeOne(name, fn), l)
+    }
+    val pass1 = pass()
+    val pass2 = pass()
+    val results = pass1.zip(pass2).map { case ((name, t1, l1), (_, t2, l2)) =>
+      name -> (Seq(t1, t2), Seq(l1, l2))
+    }
+    val mins = results.map { case (k, (ts, _)) =>
+      k -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }.toMap
-    val mins = results.view.mapValues(ts =>
-      if (ts.exists(_ < 0)) -1.0 else ts.min).toMap
     val qs = mins.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Both raw timings per query: a loaded machine shows as BOTH runs
     // slow across the board, distinguishable from a real code regression
     // without a re-run. The min stays the headline comparison number.
-    val runs = results.map { case (k, ts) =>
+    val runs = results.map { case (k, (ts, _)) =>
       s"\"" + k + "\":[" + ts.mkString(",") + "]"
     }.mkString("{", ",", "}")
+    // 1-min system load sampled immediately before each rep: a rep taken
+    // at load far above the allotted cpus is externally contaminated and
+    // its timing should be discounted by the reader.
+    val loads = results.map { case (k, (_, ls)) =>
+      s"\"" + k + "\":[" + ls.mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = mins.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"loads":$loads,"cpus":"$cpus","sf":"$sfDir"}""")
     spark.stop()
   }
 }
