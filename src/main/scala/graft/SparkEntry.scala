@@ -1913,6 +1913,43 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "v13_ivf_recall" -> ((s, dir) => {
+      // Recall drift of the frozen-centroid append path (v11's
+      // maintenance cousin): base corpus indexes against the v11
+      // centroids, a second batch APPENDS with centroids frozen, and
+      // recall@5 of the probe vs exact brute cosine over the full
+      // corpus is the re-center signal — the number that says when
+      // appendIvfIndex's freeze has drifted too far. Deterministic
+      // end to end (same argmax/tie rules as v7/v11), so the whole
+      // measurement is oracle-checked, not just the exact side.
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("long"),
+          col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
+      val idx = scratchDir("graft_v13") + "/ivf"
+      Similarity.saveIvfIndex(
+        e.filter(col("vec_id") >= 13 && col("vec_id") < 40),
+        col("vec_id"), col("embedding"), cents, idx,
+        targetRows = 10000L, spread = 2)
+      Similarity.appendIvfIndex(s, idx,
+        e.filter(col("vec_id") >= 40), col("vec_id"), col("embedding"),
+        targetRows = 10000L, spread = 2)
+      val queries = e.filter(col("vec_id") >= 8 && col("vec_id") < 13)
+      val approx = Similarity.ivfTopKIndexed(s, idx,
+        queries, col("vec_id").as("query_id"), col("embedding"),
+        k = 5, nprobe = 2)
+      val exact = Similarity.topKPerQuery(
+        e.filter(col("vec_id") >= 13), col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k = 5)
+      Similarity.recallAtK(approx, exact, k = 5)
+        .select(col("query_id"), col("n_exact"), col("n_hit"),
+          fround(col("recall"), 6).as("recall"))
+        .orderBy(col("query_id"))
+    }),
+
     "v6_ann_topk_planned" -> ((s, dir) => {
       // The custom whole-operator tier: grouped top-k planned through
       // the TopKPerKey logical node → TopKPerKeyStrategy → two-phase
@@ -3252,6 +3289,46 @@ object SparkEntry {
            FROM probes JOIN assign USING (cid))
          SELECT query_id, doc_id, floor((cosine) * 1e6 + 0.5) / 1e6 AS cosine, rank
          FROM ranked WHERE rank <= 4 ORDER BY query_id, rank""",
+
+    "v13_ivf_recall" ->
+      // append freezes the saved centroids, so assigning the full
+      // corpus (base ∪ appended) against them in one pass replays the
+      // save-then-append index state exactly
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv
+             FROM embeddings WHERE vec_id < 8),
+         d AS (SELECT vec_id AS doc_id, embedding AS dv
+             FROM embeddings WHERE vec_id >= 13),
+         q AS (SELECT vec_id AS query_id, embedding AS qv
+             FROM embeddings WHERE vec_id >= 8 AND vec_id < 13),
+         assign AS (
+           SELECT doc_id, dv, cid FROM (
+             SELECT doc_id, dv, cid, row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY ${sqlCosine64("dv", "cv")} DESC, cid) AS rn
+             FROM d, c) WHERE rn = 1),
+         probes AS (
+           SELECT query_id, qv, cid FROM (
+             SELECT query_id, qv, cid, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY ${sqlCosine64("qv", "cv")} DESC, cid) AS rn
+             FROM q, c) WHERE rn <= 2),
+         approx AS (
+           SELECT query_id, doc_id FROM (
+             SELECT query_id, doc_id, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY ${sqlCosine64("dv", "qv")} DESC, doc_id) AS rank
+             FROM probes JOIN assign USING (cid)) WHERE rank <= 5),
+         exact AS (
+           SELECT query_id, doc_id FROM (
+             SELECT query_id, doc_id, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY ${sqlCosine64("dv", "qv")} DESC, doc_id) AS rank
+             FROM d, q) WHERE rank <= 5)
+         SELECT e.query_id, count(*)::BIGINT AS n_exact,
+           count(a.doc_id)::BIGINT AS n_hit,
+           ${sqlFround("count(a.doc_id)::DOUBLE / count(*)", 6)} AS recall
+         FROM exact e LEFT JOIN approx a USING (query_id, doc_id)
+         GROUP BY e.query_id ORDER BY e.query_id""",
 
     "v6_ann_topk_planned" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv

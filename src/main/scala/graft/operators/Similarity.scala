@@ -392,6 +392,32 @@ object Similarity {
       Seq("cid"), col("doc_id"), targetRows, spread, mode = "append")
   }
 
+  /** Recall@k of an approximate top-k result against the exact one —
+    * the number that drives the IVF RE-CENTER decision:
+    * [[appendIvfIndex]] freezes centroids, so recall decays only as
+    * the appended data drifts from them; measure on each appended
+    * batch (approx = the frozen-centroid probe, exact = brute cosine
+    * over the same corpus) and re-center when it dips. Inputs are any
+    * two (query_id, doc_id, rank) frames; output per query:
+    * `n_exact` (exact hits ≤ k — can be < k on small corpora),
+    * `n_hit` (exact hits the approx result found), and
+    * `recall = n_hit / n_exact`. Both sides are query-batch-sized —
+    * the join is broadcast-trivial at any corpus scale.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val a = approx.filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), lit(1).as("_hit"))
+    val e = exact.filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"))
+    e.join(a, Seq("query_id", "doc_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("_hit")).as("n_hit"))
+      .withColumn("recall",
+        when(col("n_exact") > 0,
+          col("n_hit").cast("double") / col("n_exact"))
+          .otherwise(lit(1.0)))
+  }
+
   /** Centroid set of a saved index, in cid order. */
   def loadIvfCentroids(spark: org.apache.spark.sql.SparkSession,
                        path: String): Seq[(Long, Seq[Double])] =

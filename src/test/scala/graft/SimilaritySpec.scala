@@ -129,6 +129,39 @@ class SimilaritySpec extends SparkSpec {
     assert(probe(inc) == probe(full))
   }
 
+  test("recallAtK: frozen-centroid append keeps recall 1.0 on separable data") {
+    val cents = Seq((0L, b1.map(_.toDouble).toSeq), (1L, b2.map(_.toDouble).toSeq))
+    val queries = queryData.toDF("qid", "qv")
+    val batchA = corpusData.take(3).toDF("id", "v")
+    val batchB = (corpusData.drop(3) ++
+      Seq((6L, noisy(b1, 0.002f)), (7L, noisy(b2, 0.002f)))).toDF("id", "v")
+    val union = (corpusData ++
+      Seq((6L, noisy(b1, 0.002f)), (7L, noisy(b2, 0.002f)))).toDF("id", "v")
+    val idx = Scratch.dir("ivf_recall") + "/ivf"
+    Similarity.saveIvfIndex(batchA, $"id", $"v", cents, idx,
+      targetRows = 100L, spread = 2)
+    Similarity.appendIvfIndex(spark, idx, batchB, $"id", $"v",
+      targetRows = 100L, spread = 2)
+    val approx = Similarity.ivfTopKIndexed(
+      spark, idx, queries, $"qid", $"qv", k = 3, nprobe = 1)
+    val exact = Similarity.topKPerQuery(
+      union, $"id", $"v", queries, $"qid", $"qv", k = 3)
+    val rec = rows(Similarity.recallAtK(approx, exact, k = 3)
+      .orderBy($"query_id"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // appended batch stays near the frozen centroids → nothing lost
+    assert(rec.nonEmpty)
+    rec.foreach { case (q, nExact, nHit, recall) =>
+      assert(nExact == 3L && nHit == 3L && recall == 1.0, s"query $q: $rec")
+    }
+    // and the metric actually moves: probing zero lists of the other
+    // cluster with a cross-cluster exact set must drop below 1
+    val recHalf = rows(Similarity.recallAtK(
+      approx.filter($"doc_id" =!= 1L && $"doc_id" =!= 4L), exact, k = 3))
+      .map(_.getDouble(3))
+    assert(recHalf.exists(_ < 1.0))
+  }
+
   test("topKPerQuery returns k ranked neighbors per query") {
     val queries = Seq((100L, b1.toSeq), (200L, b2.toSeq)).toDF("qid", "qv")
     val got = rows(Similarity.topKPerQuery(
