@@ -423,16 +423,27 @@ object Dedup {
     *
     * Scale shape: grams are xxhash64 longs (never strings), counted
     * with one map-side-combined aggregation; only grams with doc-count
-    * ≥ 2 — a tiny sliver of the corpus gram set — survive into the
-    * per-doc re-join, which shuffles bare (id, gram) pairs. This is
-    * exactly the Spark-sized stand-in for the suffix-array pass the
-    * paper runs on one machine.
+    * ≥ 2 — a sliver of the corpus gram set — survive into the per-doc
+    * re-join, which shuffles bare (id, gram) pairs. This is exactly
+    * the Spark-sized stand-in for the suffix-array pass the paper runs
+    * on one machine.
+    *
+    * Skew proofing: a stop-gram present in most documents would make
+    * its hash the hottest key of the rejoin shuffle. The rejoin only
+    * needs MEMBERSHIP, so the repeated set splits at `hotThreshold`:
+    * grams in more docs than that — a stop-gram-sized set, bounded by
+    * total-gram-occurrences / threshold — match through a BROADCAST
+    * probe, which partitions nothing; every key left in the shuffled
+    * branch has per-key multiplicity ≤ hotThreshold by construction.
+    * Provably bounded reducers, no salting replication, any threshold
+    * gives identical results (DedupSpec pins both extremes equal).
     *
     * Output: `id, n_grams, n_shared, shared_frac` (ANSI-guarded), one
     * row per doc including gram-less ones (0/0).
     */
   def repeatedGramStats(df: DataFrame, id: Column, text: Column,
-                        n: Int): DataFrame = {
+                        n: Int, hotThreshold: Long = 100000L): DataFrame = {
+    require(hotThreshold >= 1, s"hotThreshold must be >= 1, got $hotThreshold")
     val grams = df
       .select(id.as("id"), graft.functions.TextAnalysis.tokens(text).as("_toks"))
       .select(col("id"),
@@ -442,11 +453,16 @@ object Dedup {
       .filter(col("gram").isNotNull)
       .groupBy(col("gram")).agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") >= 2)
+    val cold = repeated.filter(col("ndocs") <= hotThreshold)
+      .select(col("gram"), lit(1).as("_cold"))
+    val hot = repeated.filter(col("ndocs") > hotThreshold)
+      .select(col("gram"), lit(1).as("_hot"))
     grams
-      .join(repeated, Seq("gram"), "left")
+      .join(cold, Seq("gram"), "left")
+      .join(broadcast(hot), Seq("gram"), "left")
       .groupBy(col("id"))
       .agg(count(col("gram")).as("n_grams"),
-        count(col("ndocs")).as("n_shared"))
+        count(coalesce(col("_cold"), col("_hot"))).as("n_shared"))
       .select(col("id"), col("n_grams"), col("n_shared"),
         when(col("n_grams") > 0,
           col("n_shared").cast("double") / col("n_grams"))

@@ -219,4 +219,28 @@ class DedupSpec extends SparkSpec {
     assert(got(2)._3 == 0L)
     assert(got(3) == ((4L, 0L, 0L, 0.0)))
   }
+
+  test("repeatedGramStats hot-gram split: identical at both threshold extremes") {
+    // "t u v" is the stop-gram: present in every doc → hot at
+    // threshold 1, cold at the default. Results must not depend on
+    // which branch a gram takes.
+    val df = Seq(
+      (1L, "t u v a b c"), (2L, "t u v a b c"), (3L, "t u v x y z"),
+      (4L, "t u v p q r"), (5L, "only unique words here now")
+    ).toDF("id", "t")
+    def run(thr: Long) =
+      rows(Dedup.repeatedGramStats(df, $"id", $"t", 3, thr).orderBy($"id"))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val allCold = run(Long.MaxValue)
+    val allHot = run(1L)
+    assert(allCold == allHot)
+    // every ≥2-count gram hot → the shuffled branch is empty but the
+    // broadcast probe still finds them
+    assert(allHot.head._3 > 0L)
+    // plan guard: the hot branch joins by BROADCAST — no partitioning
+    // by gram for hot keys
+    val plan = Dedup.repeatedGramStats(df, $"id", $"t", 3, 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
