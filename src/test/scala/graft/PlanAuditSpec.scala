@@ -176,6 +176,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("w5 gated drift: one streaming-safe pass — no joins, no extra shuffles") {
+    val dir = "/root/testdata/sf0.001"
+    val w5 = SparkEntry.queries("w5_gated_drift")(spark, dir)
+    val plan = w5.queryExecution.executedPlan.toString
+    // decontam probe is a self-contained native expression and the gate
+    // is let-bound, so the whole pre-aggregation pipeline is scan-fused:
+    // no join of any kind, exactly the windowed-agg exchange + sort
+    assert(plan.contains("token_ngram_contamination"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("InMemoryTableScan"), plan)
+    // the tokenizer must not be re-inlined into a per-gram lambda: every
+    // lambdafunction in the plan operates on bound variables only
+    assert(!"lambdafunction\\([^)]*regexp_extract_all".r
+      .findAllIn(plan).hasNext, plan)
+  }
+
+  test("v12 embed top-k: query side broadcasts against the embedded corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val v12 = SparkEntry.queries("v12_embed_topk")(spark, dir)
+    val plan = v12.queryExecution.executedPlan.toString
+    // the corpus embeds once (mapPartitions) and scans once against the
+    // broadcast query batch; ranking is the bounded-heap window
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("decontamination probe: broadcast eval set, no sort-merge join") {
     val train = Seq.tabulate(40)(i => (i.toLong, s"w$i x$i y$i z$i q$i"))
       .toDF("id", "text")
