@@ -706,6 +706,38 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "d13_line_dedup" -> ((s, dir) => {
+      // C4/RefinedWeb-style boilerplate line removal (beyond the
+      // reference; line-level is the dedup granularity doc-level D1-D4
+      // misses): lines recurring across ≥50 docs are detected from a
+      // hash-only count (strings never shuffle), capped + collected
+      // (the tc1 eval-gram contract), and stripped by a scan-fused
+      // per-row filter. The corpus has no newlines, so lined text
+      // synthesizes from doc_id identically on both sides (the c1/ta7
+      // injection precedent): a unique head, universal + modular
+      // boilerplate, a per-parity tail, and a trailing empty line that
+      // must survive verbatim.
+      val lined = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          substring(col("text"), 1, 40),
+          lit("all rights reserved"),
+          concat(lit("footer "), pmod(col("doc_id"), lit(3)).cast("string")),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            lit("subscribe to our newsletter"))
+            .otherwise(concat(lit("unique tail "), col("doc_id").cast("string"))),
+          lit("")).as("text"))
+      val bp = Dedup.boilerplateLineHashes(
+        lined, col("text"), minDocs = 50L, maxLines = 100)
+      lined
+        .select(col("doc_id"),
+          size(split(col("text"), "\n")).as("n_lines"),
+          Dedup.stripLines(col("text"), bp).as("_clean"))
+        .select(col("doc_id"), col("n_lines"),
+          (col("n_lines") - size(split(col("_clean"), "\n"))).as("n_removed"),
+          md5(col("_clean")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     "ta10_bpe_encode" -> ((s, dir) => {
       // Serving-path BPE encode over the corpus with the native
       // codegen kernel (expressions.BpeEncode): train 8 merges (ta9),
@@ -3425,6 +3457,38 @@ object SparkEntry {
            floor(avg(CASE WHEN qv < 0.5 THEN 1.0 ELSE 0.0 END) * 100.0 + 0.5)
              / 100.0 AS low_quality_share
          FROM q GROUP BY 1 ORDER BY window_start"""
+    },
+
+    "d13_line_dedup" -> {
+      // same doc_id-synthesized lined text; bp detection counts
+      // per-doc-distinct non-blank lines, strips by exact line match
+      s"""WITH lined AS (
+           SELECT doc_id,
+             substr(text, 1, 40) || chr(10) || 'all rights reserved'
+             || chr(10) || 'footer ' || (doc_id % 3)::VARCHAR || chr(10)
+             || CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter'
+                  ELSE 'unique tail ' || doc_id::VARCHAR END || chr(10)
+             AS text
+           FROM documents),
+         per AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, chr(10))))
+             AS line
+           FROM lined),
+         bp AS (
+           SELECT line FROM per WHERE trim(line) <> ''
+           GROUP BY line HAVING count(*) >= 50
+           ORDER BY count(*) DESC, line LIMIT 100),
+         bpl AS (SELECT coalesce(list(line), CAST([] AS VARCHAR[])) AS bls
+           FROM bp),
+         kept AS (
+           SELECT doc_id,
+             len(string_split(text, chr(10)))::INT AS n_lines,
+             list_filter(string_split(text, chr(10)),
+               l -> NOT list_contains(bls, l)) AS ks
+           FROM lined, bpl)
+         SELECT doc_id, n_lines, (n_lines - len(ks))::INT AS n_removed,
+           md5(coalesce(array_to_string(ks, chr(10)), '')) AS clean_md5
+         FROM kept ORDER BY doc_id"""
     },
 
     "w5_gated_drift" -> {

@@ -414,6 +414,53 @@ object Dedup {
     aggregate(bits, lit(0), (acc, x) => acc + x)
   }
 
+  /** Boilerplate line detection — the C4/RefinedWeb line-level dedup
+    * signal: lines ("All rights reserved.", cookie banners, nav
+    * footers) that recur across at least `minDocs` documents. Counting
+    * is per-doc-distinct (a line repeated inside one doc is not
+    * boilerplate) and whitespace-only lines never qualify.
+    *
+    * Scale shape: the count aggregates xxhash64 longs (map-side
+    * combined — line strings never shuffle); only the ≥ minDocs sliver
+    * joins back (broadcast) to pick up one representative string per
+    * hash for the deterministic (count desc, line) order. The result
+    * is driver-side by contract — boilerplate is a top-`maxLines` set,
+    * like the eval-gram literal of tc1 — and feeds [[stripLines]] as a
+    * sorted hash array.
+    */
+  def boilerplateLineHashes(df: DataFrame, text: Column, minDocs: Long,
+                            maxLines: Int): Array[Long] = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    require(maxLines >= 1, s"maxLines must be >= 1, got $maxLines")
+    def lines = df
+      .select(explode(array_distinct(split(text, "\n"))).as("l"))
+      .filter(trim(col("l")) =!= "")
+    val hot = lines
+      .groupBy(xxhash64(col("l")).as("h")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minDocs)
+    lines
+      .select(xxhash64(col("l")).as("h"), col("l"))
+      .join(broadcast(hot), Seq("h"))
+      .distinct()
+      .orderBy(col("n").desc, col("l"))
+      .limit(maxLines)
+      .select(col("h"))
+      .collect().map(_.getLong(0)).sorted
+  }
+
+  /** Strip boilerplate lines from a text column: split on newline, drop
+    * lines whose hash is in `hashes`, rejoin. A pure scan-fused per-row
+    * expression — the set ships as a literal (maxLines-bounded by the
+    * [[boilerplateLineHashes]] contract), the corpus never shuffles,
+    * and empty lines / paragraph structure pass through untouched.
+    */
+  def stripLines(text: Column, hashes: Array[Long]): Column = {
+    val set = typedLit(hashes.toSeq)
+    array_join(
+      filter(split(text, "\n"), l => !array_contains(set, xxhash64(l))),
+      "\n")
+  }
+
   /** Cross-document repeated n-gram stats — the exact-substring-dedup
     * signal (Lee et al. 2022 "Deduplicating Training Data Makes
     * Language Models Better"): for each doc, how many of its distinct

@@ -220,6 +220,44 @@ class DedupSpec extends SparkSpec {
     assert(got(3) == ((4L, 0L, 0L, 0.0)))
   }
 
+  test("boilerplate lines: per-doc-distinct count, blanks excluded, strip keeps structure") {
+    val df = Seq(
+      (1L, "intro one\nall rights reserved\n\nbody a"),
+      (2L, "intro two\nall rights reserved\nall rights reserved\nbody b"),
+      (3L, "intro three\nall rights reserved\n\nbody c"),
+      (4L, "no footer here\nbody d")
+    ).toDF("id", "t")
+    // "all rights reserved" is in 3 docs (doc 2's repeat counts ONCE);
+    // "" appears in 2 docs but blanks never qualify
+    val bp = graft.operators.Dedup.boilerplateLineHashes(
+      df, $"t", minDocs = 3L, maxLines = 10)
+    assert(bp.length == 1)
+    val cleaned = rows(df.select($"id",
+      graft.operators.Dedup.stripLines($"t", bp).as("c")).orderBy($"id"))
+      .map(_.getString(1))
+    assert(cleaned(0) == "intro one\n\nbody a") // empty line survives
+    assert(cleaned(1) == "intro two\nbody b")   // both copies stripped
+    assert(cleaned(3) == "no footer here\nbody d") // untouched
+  }
+
+  test("boilerplate cap takes the most frequent lines with a lexicographic tie") {
+    val df = (1L to 6L).map { i =>
+      val always = "shared everywhere"
+      val even = if (i % 2 == 0) "\neven line" else ""
+      (i, s"head $i\n$always$even")
+    }.toDF("id", "t")
+    // cap 1 at minDocs 3: "shared everywhere" (6 docs) beats "even line" (3)
+    val bp1 = graft.operators.Dedup.boilerplateLineHashes(df, $"t", 3L, 1)
+    val bp2 = graft.operators.Dedup.boilerplateLineHashes(df, $"t", 3L, 10)
+    assert(bp1.length == 1 && bp2.length == 2)
+    assert(bp2.contains(bp1.head))
+    val c = rows(df.select(
+      graft.operators.Dedup.stripLines($"t", bp1).as("c")).orderBy($"c"))
+      .map(_.getString(0))
+    assert(c.forall(!_.contains("shared everywhere")))
+    assert(c.exists(_.contains("even line")))
+  }
+
   test("repeatedGramStats hot-gram split: identical at both threshold extremes") {
     // "t u v" is the stop-gram: present in every doc → hot at
     // threshold 1, cold at the default. Results must not depend on
