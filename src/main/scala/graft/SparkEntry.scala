@@ -1982,6 +1982,53 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    "v14_ivf_recenter" -> ((s, dir) => {
+      // The complete IVF maintenance loop, measured end to end: build
+      // (v11) → frozen-centroid append (v13) → RE-CENTER
+      // (Similarity.recenterIvfIndex: re-train k-means over the
+      // indexed vectors, rebuild once) → probe both indexes and score
+      // recall@5 against exact brute cosine. One row per query with
+      // frozen vs re-centered recall side by side — the before/after
+      // of the re-center decision v13's number triggers. Deterministic
+      // k-means (v8's rules) keeps the WHOLE lifecycle oracle-checked.
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("long"),
+          col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
+      val idx = scratchDir("graft_v14") + "/ivf"
+      Similarity.saveIvfIndex(
+        e.filter(col("vec_id") >= 13 && col("vec_id") < 40),
+        col("vec_id"), col("embedding"), cents, idx,
+        targetRows = 10000L, spread = 2)
+      Similarity.appendIvfIndex(s, idx,
+        e.filter(col("vec_id") >= 40), col("vec_id"), col("embedding"),
+        targetRows = 10000L, spread = 2)
+      val out = scratchDir("graft_v14r") + "/ivf"
+      Similarity.recenterIvfIndex(s, idx, out, k = 4, iters = 2,
+        targetRows = 10000L, spread = 2)
+      val queries = e.filter(col("vec_id") >= 8 && col("vec_id") < 13)
+      val exact = Similarity.topKPerQuery(
+        e.filter(col("vec_id") >= 13), col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k = 5)
+      def rec(path: String) = Similarity.recallAtK(
+        Similarity.ivfTopKIndexed(s, path,
+          queries, col("vec_id").as("query_id"), col("embedding"),
+          k = 5, nprobe = 2),
+        exact, k = 5)
+      rec(idx)
+        .select(col("query_id"), col("n_exact"),
+          col("n_hit").as("n_hit_frozen"),
+          fround(col("recall"), 6).as("recall_frozen"))
+        .join(rec(out)
+          .select(col("query_id"), col("n_hit").as("n_hit_recentered"),
+            fround(col("recall"), 6).as("recall_recentered")),
+          Seq("query_id"))
+        .orderBy(col("query_id"))
+    }),
+
     "v6_ann_topk_planned" -> ((s, dir) => {
       // The custom whole-operator tier: grouped top-k planned through
       // the TopKPerKey logical node → TopKPerKeyStrategy → two-phase
@@ -2186,15 +2233,18 @@ object SparkEntry {
     * the two engines' distributed-summation noise collapse to
     * identical centroids. Ends in a `final_assign(vec_id, embedding,
     * cid, cos)` CTE consumed by the v8 rollup and the d10 pair query.
-    * Generated per (k, iters) so every consumer shares one definition.
+    * Generated per (k, iters, source-CTE) so every consumer shares one
+    * definition — v14 trains over an index subset instead of the full
+    * `embeddings` table.
     */
-  private def sqlKmeansCtes(k: Int, iters: Int): String = {
+  private def sqlKmeansCtes(k: Int, iters: Int,
+                            src: String = "embeddings"): String = {
     def r6(e: String) = s"floor(($e) * 1e6 + 0.5) / 1e6"
     val init =
       s"""cents0 AS (
            SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid,
              list_transform(embedding, x -> ${r6("CAST(x AS DOUBLE)")}) AS cv
-           FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $k))"""
+           FROM (SELECT * FROM $src ORDER BY vec_id LIMIT $k))"""
     val steps = (1 to iters).map { it =>
       s"""assign$it AS (
            SELECT vec_id, embedding, cid FROM (
@@ -2202,7 +2252,7 @@ object SparkEntry {
                row_number() OVER (PARTITION BY e.vec_id
                  ORDER BY ${sqlCosine64("e.embedding", "c.cv")} DESC, c.cid)
                  AS rn
-             FROM embeddings e CROSS JOIN cents${it - 1} c)
+             FROM $src e CROSS JOIN cents${it - 1} c)
            WHERE rn = 1),
          cents$it AS (
            SELECT p.cid, coalesce(n.cv, p.cv) AS cv
@@ -2223,7 +2273,7 @@ object SparkEntry {
              row_number() OVER (PARTITION BY e.vec_id
                ORDER BY ${sqlCosine64("e.embedding", "c.cv")} DESC, c.cid)
                AS rn
-           FROM embeddings e CROSS JOIN cents$iters c)
+           FROM $src e CROSS JOIN cents$iters c)
          WHERE rn = 1)"""
   }
 
@@ -3361,6 +3411,70 @@ object SparkEntry {
            ${sqlFround("count(a.doc_id)::DOUBLE / count(*)", 6)} AS recall
          FROM exact e LEFT JOIN approx a USING (query_id, doc_id)
          GROUP BY e.query_id ORDER BY e.query_id""",
+
+    "v14_ivf_recenter" -> {
+      // frozen branch = the v13 CTEs; re-centered branch = k-means
+      // retrained over the SAME index subset (srcidx), then assignment
+      // + probe + rank against the new centroids
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv
+             FROM embeddings WHERE vec_id < 8),
+         d AS (SELECT vec_id AS doc_id, embedding AS dv
+             FROM embeddings WHERE vec_id >= 13),
+         q AS (SELECT vec_id AS query_id, embedding AS qv
+             FROM embeddings WHERE vec_id >= 8 AND vec_id < 13),
+         srcidx AS (SELECT vec_id, embedding FROM embeddings
+             WHERE vec_id >= 13),
+         ${sqlKmeansCtes(4, 2, "srcidx")},
+         assignF AS (
+           SELECT doc_id, dv, cid FROM (
+             SELECT doc_id, dv, cid, row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY ${sqlCosine64("dv", "cv")} DESC, cid) AS rn
+             FROM d, c) WHERE rn = 1),
+         probesF AS (
+           SELECT query_id, qv, cid FROM (
+             SELECT query_id, qv, cid, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY ${sqlCosine64("qv", "cv")} DESC, cid) AS rn
+             FROM q, c) WHERE rn <= 2),
+         approxF AS (
+           SELECT query_id, doc_id FROM (
+             SELECT query_id, doc_id, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY ${sqlCosine64("dv", "qv")} DESC, doc_id) AS rank
+             FROM probesF JOIN assignF USING (cid)) WHERE rank <= 5),
+         probesR AS (
+           SELECT query_id, qv, cid FROM (
+             SELECT query_id, qv, cid, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY ${sqlCosine64("qv", "cv")} DESC, cid) AS rn
+             FROM q, cents2) WHERE rn <= 2),
+         approxR AS (
+           SELECT query_id, vec_id AS doc_id FROM (
+             SELECT p.query_id, fa.vec_id, row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY ${sqlCosine64("fa.embedding", "p.qv")} DESC,
+                 fa.vec_id) AS rank
+             FROM probesR p JOIN final_assign fa USING (cid))
+           WHERE rank <= 5),
+         exact AS (
+           SELECT query_id, doc_id FROM (
+             SELECT query_id, doc_id, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY ${sqlCosine64("dv", "qv")} DESC, doc_id) AS rank
+             FROM d, q) WHERE rank <= 5)
+         SELECT e.query_id, count(*)::BIGINT AS n_exact,
+           count(f.doc_id)::BIGINT AS n_hit_frozen,
+           ${sqlFround("count(f.doc_id)::DOUBLE / count(*)", 6)}
+             AS recall_frozen,
+           count(r.doc_id)::BIGINT AS n_hit_recentered,
+           ${sqlFround("count(r.doc_id)::DOUBLE / count(*)", 6)}
+             AS recall_recentered
+         FROM exact e
+         LEFT JOIN approxF f USING (query_id, doc_id)
+         LEFT JOIN approxR r USING (query_id, doc_id)
+         GROUP BY e.query_id ORDER BY e.query_id"""
+    },
 
     "v6_ann_topk_planned" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv

@@ -418,6 +418,35 @@ object Similarity {
           .otherwise(lit(1.0)))
   }
 
+  /** Re-center a persisted IVF index once [[recallAtK]] says the
+    * frozen centroids have drifted: re-train k-means over the indexed
+    * vectors (a deterministic hash-sample below `sampleRate` 1.0 — at
+    * corpus scale the centroids need a sample, not every vector) and
+    * rebuild into `outPath`. The corpus rewrites ONCE — the same cost
+    * as the original build, which is the floor for changing every
+    * row's partition — while the old index stays readable throughout;
+    * serving cuts over by path swap. Completes the lifecycle:
+    * build ([[saveIvfIndex]]) → O(batch) grow ([[appendIvfIndex]]) →
+    * measure ([[recallAtK]]/v13) → re-center (here) → repeat.
+    * Returns the new centroids.
+    */
+  def recenterIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String, outPath: String, k: Int, iters: Int,
+                       sampleRate: Double = 1.0,
+                       targetRows: Long = 1L << 20,
+                       spread: Int = 8): Seq[(Long, Seq[Double])] = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, dv ARRAY<FLOAT>, cid LONG")
+    val docs = spark.read.schema(schema).parquet(s"$path/lists")
+    val trainSet =
+      if (sampleRate >= 1.0) docs
+      else Sampling.hashSample(docs, col("doc_id"), sampleRate, "ivf-recenter")
+    val cents = kmeansCentroids(trainSet, col("doc_id"), col("dv"), k, iters)
+    saveIvfIndex(docs, col("doc_id"), col("dv"), cents, outPath,
+      targetRows, spread)
+    cents
+  }
+
   /** Centroid set of a saved index, in cid order. */
   def loadIvfCentroids(spark: org.apache.spark.sql.SparkSession,
                        path: String): Seq[(Long, Seq[Double])] =

@@ -162,6 +162,38 @@ class SimilaritySpec extends SparkSpec {
     assert(recHalf.exists(_ < 1.0))
   }
 
+  test("recenterIvfIndex restores recall after distribution drift") {
+    def v(a: Double, b: Double) = Seq(a, b, 0.0, 0.0).map(_.toFloat)
+    // base: two clean clusters matching the frozen centroids
+    val base = Seq((1L, v(1, 0)), (2L, v(0, 1)), (4L, v(0.99, 0.01)),
+      (5L, v(0.98, 0.02)), (6L, v(0.01, 0.99))).toDF("id", "v")
+    // drifted append: a NEW cluster between them — its members split
+    // across both frozen lists
+    val drift = Seq((3L, v(0.8, 0.75)), (7L, v(0.75, 0.8)),
+      (8L, v(0.78, 0.77))).toDF("id", "v")
+    val cents = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0, 0.0)))
+    val idx = Scratch.dir("ivf_rc") + "/ivf"
+    Similarity.saveIvfIndex(base, $"id", $"v", cents, idx,
+      targetRows = 100L, spread = 2)
+    Similarity.appendIvfIndex(spark, idx, drift, $"id", $"v",
+      targetRows = 100L, spread = 2)
+    val q = Seq((500L, v(0.77, 0.78))).toDF("qid", "qv")
+    val exact = Similarity.topKPerQuery(
+      base.unionAll(drift), $"id", $"v", q, $"qid", $"qv", k = 3)
+    def recall(path: String): Double = rows(Similarity.recallAtK(
+      Similarity.ivfTopKIndexed(spark, path, q, $"qid", $"qv", k = 3, nprobe = 1),
+      exact, k = 3)).head.getDouble(3)
+    // the v13 signal fires: frozen centroids miss the straddling cluster
+    assert(recall(idx) < 1.0)
+    val out = Scratch.dir("ivf_rc2") + "/ivf"
+    val newCents = Similarity.recenterIvfIndex(spark, idx, out, k = 3, iters = 3)
+    assert(newCents.length == 3)
+    // re-centered index isolates the new cluster — recall back to 1
+    assert(recall(out) == 1.0)
+    // old index stayed readable and unchanged throughout
+    assert(recall(idx) < 1.0)
+  }
+
   test("topKPerQuery returns k ranked neighbors per query") {
     val queries = Seq((100L, b1.toSeq), (200L, b2.toSeq)).toDF("qid", "qv")
     val got = rows(Similarity.topKPerQuery(
