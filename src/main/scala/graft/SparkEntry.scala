@@ -738,6 +738,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "d14_dup_clusters" -> ((s, dir) => {
+      // Pairs → CLUSTERS (beyond the reference): near-dup similarity is
+      // not transitive, so keep-one survivorship needs the connected-
+      // components closure over the d6 pair graph — alternating
+      // large-star/small-star rounds (O(log²) worst case, never
+      // O(chain-length)), edges-only iteration, corpus text never
+      // shuffles. Every doc gets a cluster label (singletons label
+      // themselves); `kept` marks the one canonical row per cluster —
+      // the SlimPajama/RefinedWeb keep-one-per-cluster dedup step.
+      Dedup.dupClusters(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          col("doc_id"), col("text"), threshold = 0.5)
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          col("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     "ta10_bpe_encode" -> ((s, dir) => {
       // Serving-path BPE encode over the corpus with the native
       // codegen kernel (expressions.BpeEncode): train 8 merges (ta9),
@@ -2167,6 +2184,50 @@ object SparkEntry {
          t -> ('0x' || substr(md5(t), 1, 7))::BIGINT)),
        (h, v) -> (h * 31 + v) % 1000000007)"""
 
+  /** CTE chain replaying [[Dedup.minhashPairs]] over `documents`
+    * (shingle→affine-minhash→band→bucket self-join), ending in
+    * `mh_pairs(id_a, id_b, est_jaccard)` with the RAW (unrounded)
+    * signature-agreement estimate. Shared by the d6 pair listing and
+    * the d14 cluster closure so both gates replay one definition.
+    */
+  private def sqlMinhashPairCtes: String = {
+    val toks = sqlTokens("text")
+    s"""t AS (SELECT doc_id, $toks AS toks FROM documents),
+       sh AS (
+         SELECT doc_id,
+           CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+               i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+           END AS shingles
+         FROM t),
+       vs AS (
+         SELECT doc_id, list_transform(shingles,
+           x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS vs
+         FROM sh),
+       sig AS (
+         SELECT doc_id, [${
+           Dedup.minhashCoeffs(16).map { case (a, b) =>
+             s"list_min(list_transform(vs, v -> (v * $a + $b) % 1000000007))"
+           }.mkString(",\n           ")}] AS sig
+         FROM vs),
+       bucketed AS (
+         SELECT doc_id, sig, unnest(list_transform(generate_series(0, 3), b ->
+           b::VARCHAR || '|' || md5(array_to_string(
+             list_slice(sig, b * 4 + 1, b * 4 + 4), ',')))) AS bk
+         FROM sig),
+       mh_cand AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.sig AS sa, b.sig AS sb
+         FROM bucketed a JOIN bucketed b
+           ON a.bk = b.bk AND a.doc_id < b.doc_id),
+       mh_pairs AS (
+         SELECT id_a, id_b,
+           list_sum(list_transform(generate_series(1, 16),
+             i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 16.0
+             AS est_jaccard
+         FROM mh_cand)"""
+  }
+
   /** DuckDB twin of SimHash16 over `e` (per-bit md5-nibble majority vote
     * across the distinct token set).
     */
@@ -3251,42 +3312,36 @@ object SparkEntry {
          SELECT doc_id, file_idx FROM r WHERE rn = 1
          ORDER BY doc_id, file_idx""",
 
-    "d6_minhash_lsh" -> {
-      val toks = sqlTokens("text")
-      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
-         sh AS (
-           SELECT doc_id,
-             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-               ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
-                 i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
-             END AS shingles
-           FROM t),
-         vs AS (
-           SELECT doc_id, list_transform(shingles,
-             x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS vs
-           FROM sh),
-         sig AS (
-           SELECT doc_id, [${
-             Dedup.minhashCoeffs(16).map { case (a, b) =>
-               s"list_min(list_transform(vs, v -> (v * $a + $b) % 1000000007))"
-             }.mkString(",\n             ")}] AS sig
-           FROM vs),
-         bucketed AS (
-           SELECT doc_id, sig, unnest(list_transform(generate_series(0, 3), b ->
-             b::VARCHAR || '|' || md5(array_to_string(
-               list_slice(sig, b * 4 + 1, b * 4 + 4), ',')))) AS bk
-           FROM sig),
-         pairs AS (
-           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-             a.sig AS sa, b.sig AS sb
-           FROM bucketed a JOIN bucketed b
-             ON a.bk = b.bk AND a.doc_id < b.doc_id)
+    "d6_minhash_lsh" ->
+      s"""WITH $sqlMinhashPairCtes
          SELECT id_a, id_b,
-           floor((list_sum(list_transform(generate_series(1, 16),
-             i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 16.0) * 1e6 + 0.5) / 1e6
-             AS est_jaccard
-         FROM pairs ORDER BY id_a, id_b"""
-    },
+           floor((est_jaccard) * 1e6 + 0.5) / 1e6 AS est_jaccard
+         FROM mh_pairs ORDER BY id_a, id_b""",
+
+    "d14_dup_clusters" ->
+      // closure of the d6 pair graph: transitive reachability via a
+      // recursive CTE (the oracle-side stand-in for large-star/small-
+      // star), component label = min reachable id, singletons label
+      // themselves
+      s"""WITH RECURSIVE $sqlMinhashPairCtes,
+         edges AS (SELECT id_a AS ea, id_b AS eb FROM mh_pairs
+           WHERE est_jaccard >= 0.5),
+         sym AS (SELECT ea, eb FROM edges
+           UNION SELECT eb AS ea, ea AS eb FROM edges),
+         reach(id, r) AS (
+           SELECT ea, eb FROM sym
+           UNION
+           SELECT t.id, s.eb FROM reach t JOIN sym s ON t.r = s.ea),
+         comp AS (SELECT id, min(r) AS mr FROM reach GROUP BY id),
+         lab AS (SELECT d.doc_id,
+             least(coalesce(c.mr, d.doc_id), d.doc_id) AS cluster_id
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+         sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+           FROM lab GROUP BY cluster_id)
+         SELECT l.doc_id, l.cluster_id, s.cluster_size,
+           (l.doc_id = l.cluster_id) AS kept
+         FROM lab l JOIN sz s USING (cluster_id)
+         ORDER BY doc_id""",
 
     "d7_simhash" ->
       s"""SELECT doc_id, ${sqlSimhash("text")} AS sh

@@ -515,4 +515,119 @@ object Dedup {
           col("n_shared").cast("double") / col("n_grams"))
           .otherwise(lit(0.0)).as("shared_frac"))
   }
+
+  // ---------------------------------------------------------------------
+  // Duplicate-cluster closure: pairs → components (beyond the reference)
+  // ---------------------------------------------------------------------
+
+  /** Connected components over an undirected edge list — the closure
+    * step every near-dup pipeline needs after pair generation
+    * ([[minhashPairs]]/[[jaccardPairs]] emit PAIRS; keep-one-per-group
+    * survivorship needs CLUSTERS, since near-dup is not transitive:
+    * A~B and B~C pairs must collapse A,B,C together even when A~C was
+    * never a candidate).
+    *
+    * Algorithm: alternating large-star / small-star rounds (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    * the scale answer. Each round is two hash shuffles (a groupBy for
+    * per-node minima and a co-partitioned rejoin); convergence is
+    * O(log²) rounds on pathological chains, 2–3 rounds on the dense
+    * clusters dup graphs actually produce — NOT O(diameter) like naive
+    * label propagation, so a million-doc chain of pairwise near-dups
+    * cannot degenerate into a million rounds. The edge set only ever
+    * shrinks toward a star forest, and each round's frame is
+    * `localCheckpoint`ed so lineage stays flat across iterations.
+    * Per-round driver traffic is one (count, hash-sum) row — the
+    * fixpoint test — regardless of graph size.
+    *
+    * Input rows are (a, b) long pairs in either orientation, dups and
+    * self-loops tolerated (self-loops are dropped — a node with only a
+    * self edge is a singleton). Output: one `(id, comp)` row per node
+    * that appears in any proper edge, where `comp` is the smallest node
+    * id in the component (the conventional canonical label —
+    * deterministic, so oracle-checkable). Singletons are absent: the
+    * caller left-joins and coalesces to the node's own id.
+    */
+  def connectedComponents(edges: DataFrame, a: Column, b: Column,
+                          maxRounds: Int = 64): DataFrame = {
+    // canonical (u > v) undirected representation, self-loops dropped
+    def canon(df: DataFrame): DataFrame = df
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    var e = canon(edges.select(a.cast("long").as("u"), b.cast("long").as("v")))
+      .localCheckpoint()
+    // fixpoint signature: order-independent (count, hash-sum) — one tiny
+    // row to the driver per round, never the edge set itself
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = sig(e)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // large-star: every node links its larger neighbors to the
+      // smallest member of its closed neighborhood
+      val nbrs = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy(col("u"))
+        .agg(min(col("v")).as("_mn"))
+        .select(col("u"), least(col("u"), col("_mn")).as("m"))
+      val large = canon(nbrs.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+      // small-star: every node links its smaller neighbors (and itself)
+      // to the smallest of them — e is already (u > v) oriented
+      val smins = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = canon(
+        large.join(smins, "u")
+          .select(col("v").as("u"), col("m").as("v"))
+          .unionAll(smins.select(col("u"), col("m").as("v"))))
+        .localCheckpoint()
+      val cur = sig(small)
+      converged = cur == prev
+      prev = cur
+      e = small
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    // star forest: children point at the root; roots label themselves
+    e.select(col("u").as("id"), col("v").as("comp"))
+      .unionAll(e.select(col("v").as("id"), col("v").as("comp")))
+      .distinct()
+  }
+
+  /** Per-row duplicate-cluster labels: run [[minhashPairs]], keep pairs
+    * with estimated Jaccard ≥ `threshold`, close them into components,
+    * and label EVERY input row — singletons label themselves. Output
+    * adds `cluster_id` (smallest doc id in the near-dup cluster),
+    * `cluster_size`, and `kept` (true for the one canonical row per
+    * cluster — filter on it for SlimPajama-style keep-one dedup).
+    *
+    * Scale shape: the pair graph is tiny relative to the corpus (only
+    * bucket-colliding docs appear), the CC loop touches edges only, and
+    * the corpus-side cost is one hash join on id plus one count
+    * aggregate over the label column. The corpus text never shuffles.
+    */
+  def dupClusters(df: DataFrame, id: Column, text: Column,
+                  threshold: Double,
+                  shingleSize: Int = 3, numHashes: Int = 16,
+                  rowsPerBand: Int = 4): DataFrame = {
+    val pairs = minhashPairs(df, id, text, shingleSize, numHashes, rowsPerBand)
+      .where(col("est_jaccard") >= threshold)
+    val labels = connectedComponents(pairs, col("id_a"), col("id_b"))
+      .select(col("id").as("_cc_id"), col("comp").as("_cc_comp"))
+    val labeled = df.withColumn("_id", id.cast("long"))
+      .join(labels, col("_id") === col("_cc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("_cc_comp"), col("_id")))
+      .drop("_cc_id", "_cc_comp")
+    val sizes = labeled.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster_id")
+      .withColumn("kept", col("_id") === col("cluster_id"))
+      .drop("_id")
+  }
 }

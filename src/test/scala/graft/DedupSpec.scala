@@ -281,4 +281,79 @@ class DedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  /** Brute-force component labels for [[ccMatches]]: repeated min
+    * propagation over the full edge list until fixpoint — O(V·E), fine
+    * at spec scale, obviously correct.
+    */
+  private def bruteComponents(edges0: Seq[(Long, Long)]): Map[Long, Long] = {
+    // mirror the operator contract: self-loops drop (singleton nodes
+    // are the caller's coalesce case)
+    val edges = edges0.filter(e => e._1 != e._2)
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    var lab = nodes.map(n => n -> n).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      edges.foreach { case (x, y) =>
+        val m = math.min(lab(x), lab(y))
+        if (lab(x) != m) { lab += x -> m; changed = true }
+        if (lab(y) != m) { lab += y -> m; changed = true }
+      }
+    }
+    lab
+  }
+
+  private def ccMatches(edges: Seq[(Long, Long)]): Unit = {
+    val got = rows(Dedup.connectedComponents(
+        edges.toDF("a", "b"), $"a", $"b"))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == bruteComponents(edges))
+  }
+
+  test("connectedComponents matches brute force on chains, cycles, merges") {
+    // long chain — the shape naive label propagation pays O(n) rounds
+    // for; star rounds collapse it in O(log²)
+    ccMatches((1L to 40L).sliding(2).map(s => (s(1), s.head)).toSeq)
+    // two components, a cycle, duplicate + reversed + self edges
+    ccMatches(Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (5L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L)))
+    // bridge added later in the list merges two grown components
+    ccMatches(Seq((1L, 2L), (3L, 4L), (5L, 6L), (2L, 3L), (6L, 7L), (4L, 5L)))
+  }
+
+  test("connectedComponents: empty edge set yields empty labels") {
+    val out = Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a", "b"), $"a", $"b")
+    assert(out.columns.toSeq == Seq("id", "comp"))
+    assert(out.count() == 0L)
+  }
+
+  test("dupClusters labels every row; kept = canonical row per cluster") {
+    val df = Seq(
+      // A~B and B~C collide in LSH buckets; A~C need not — the closure
+      // must still put all three in one cluster
+      (1L, "the quick brown fox jumps over the lazy dog again today ok"),
+      (2L, "the quick brown fox jumps over the lazy dog again today yes"),
+      (3L, "a quick brown fox jumps over the lazy dog again today yes"),
+      (40L, "completely different content about spark execution engines"),
+      (50L, "nothing like anything else in this tiny corpus at all now")
+    ).toDF("doc_id", "text")
+    val out = rows(Dedup.dupClusters(df, $"doc_id", $"text", threshold = 0.4)
+      .orderBy($"doc_id"))
+      .map(r => (r.getLong(r.fieldIndex("doc_id")),
+        r.getLong(r.fieldIndex("cluster_id")),
+        r.getLong(r.fieldIndex("cluster_size")),
+        r.getBoolean(r.fieldIndex("kept"))))
+    assert(out.map(_._1) == Seq(1L, 2L, 3L, 40L, 50L))
+    // every row labeled; singletons label themselves and are kept
+    assert(out.filter(_._1 >= 40L).forall(t => t._2 == t._1 && t._3 == 1L && t._4))
+    // the near-dup trio collapses to one cluster, canonical = min id
+    val trio = out.filter(_._1 <= 3L)
+    assert(trio.forall(_._2 == 1L) && trio.forall(_._3 == 3L))
+    assert(trio.map(_._4) == Seq(true, false, false))
+    // exactly one kept row per cluster id
+    val byCluster = out.groupBy(_._2).values
+    assert(byCluster.forall(_.count(_._4) == 1))
+  }
 }
