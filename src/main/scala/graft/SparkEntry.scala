@@ -601,6 +601,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "x2_epoch_shuffle" -> ((s, dir) => {
+      // Deterministic per-epoch global shuffle (beyond the reference):
+      // the training-order permutation as an epoch-salted hash sort —
+      // reproducible across runs/partitionings, shards uniformly sized
+      // by contiguous hash ranges, per-shard dense positions via a
+      // shard-parallel window (never a global sort).
+      Sampling.epochShuffle(
+          t(s, dir, "documents").select(col("doc_id")),
+          col("doc_id"), epoch = 1, numShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("doc_id"))
+    }),
+
     "d9_incremental_dedup" -> ((s, dir) => {
       // Incremental new-batch-vs-corpus dedup (beyond the reference):
       // the corpus key set folds ONCE into a Bloom filter (treeAggregate,
@@ -3737,6 +3750,16 @@ object SparkEntry {
          WHERE ('0x' || substr(md5('mix7:' || d.doc_id::VARCHAR), 1, 7))::BIGINT < r.thr
          ORDER BY d.doc_id"""
     },
+
+    "x2_epoch_shuffle" ->
+      s"""WITH h AS (SELECT doc_id,
+           ('0x' || substr(md5('ep:1:' || doc_id::VARCHAR), 1, 7))::BIGINT AS hh
+         FROM documents),
+         s AS (SELECT doc_id, hh, (hh * 8) // ${1L << 28} AS shard FROM h)
+         SELECT doc_id, shard,
+           (row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) - 1)::BIGINT
+             AS pos
+         FROM s ORDER BY doc_id""",
 
     "d9_incremental_dedup" -> {
       def keep(salt: String, rate: Double) =

@@ -102,4 +102,34 @@ object Sampling {
            / ($s::DOUBLE * $t::DOUBLE) * $maxHash.0)::BIGINT)
        ELSE $maxHash END"""
   }
+
+  /** Deterministic per-epoch corpus shuffle: the global-random training
+    * order every pretraining loader needs, computed as a keyed hash
+    * sort instead of an RNG so epoch E's order is bit-reproducible
+    * across runs, partitionings, and cluster sizes (and trivially
+    * resumable from any position). Each row gets an epoch-salted 28-bit
+    * hash; `shard` is the hash's contiguous range bucket (so shards are
+    * uniformly sized with no extra pass) and `pos` the dense 0-based
+    * rank within the shard by (hash, key). Reading shards in id order,
+    * each sorted by `pos`, replays one global permutation; a different
+    * `epoch` yields an independent permutation over the same rows.
+    *
+    * Scale shape: the hash and shard are scan-fused projections; the
+    * only exchange is the hash partition by `shard` — exactly the
+    * shuffle a sharded write needs anyway — and `pos` is a per-shard
+    * window, parallel across shards, never a global sort.
+    */
+  def epochShuffle(df: DataFrame, key: Column, epoch: Int,
+                   numShards: Int, salt: String = "ep"): DataFrame = {
+    require(numShards > 0, s"numShards must be > 0, got $numShards")
+    val sharded = df
+      .withColumn("_h", keyHash(key, s"$salt:$epoch"))
+      .withColumn("shard", expr(s"_h * $numShards div ${1L << 28}"))
+    sharded
+      .withColumn("pos",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("_h"), key)) - 1)
+          .cast("long"))
+      .drop("_h")
+  }
 }

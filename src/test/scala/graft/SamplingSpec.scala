@@ -82,4 +82,37 @@ class SamplingSpec extends SparkSpec {
       $"id", $"ntok", 50, "m1").select($"id")).toSet
     assert(a == b)
   }
+
+  test("epochShuffle: a permutation — dense per-shard positions, stable across partitionings") {
+    val df = (0L until 400L).toDF("id")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      rows(Sampling.epochShuffle(d, $"id", epoch = 1, numShards = 4)
+        .orderBy($"shard", $"pos"))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val a = run(df)
+    // every row appears exactly once; positions are dense 0..n-1 per shard
+    assert(a.map(_._1).sorted == (0L until 400L))
+    a.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted == (0L until rs.size.toLong))
+    }
+    // shards are contiguous hash ranges → roughly uniform (no shard
+    // under a quarter of its fair share on 400 keys)
+    val sizes = a.groupBy(_._2).view.mapValues(_.size)
+    assert(sizes.size == 4 && sizes.values.forall(_ > 25), sizes.toMap)
+    // bit-stable under repartitioning (the reproducibility contract)
+    assert(run(df.repartition(7)) == a)
+  }
+
+  test("epochShuffle: different epochs give independent permutations") {
+    val df = (0L until 200L).toDF("id")
+    def order(ep: Int) =
+      rows(Sampling.epochShuffle(df, $"id", ep, numShards = 1)
+        .orderBy($"pos")).map(_.getLong(0))
+    val e1 = order(1)
+    val e2 = order(2)
+    assert(e1 != e2)
+    assert(e1.sorted == e2.sorted)
+    // neither epoch is the identity (the hash actually shuffles)
+    assert(e1 != (0L until 200L) && e2 != (0L until 200L))
+  }
 }
