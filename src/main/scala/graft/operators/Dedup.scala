@@ -556,8 +556,11 @@ object Dedup {
         least(col("u"), col("v")).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
+    // LAZY checkpoints throughout: the fixpoint-signature action below
+    // doubles as the materializing job, so each round costs one Spark
+    // job, not a checkpoint job plus a signature job
     var e = canon(edges.select(a.cast("long").as("u"), b.cast("long").as("v")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // fixpoint signature: order-independent (count, hash-sum) — one tiny
     // row to the driver per round, never the edge set itself
     def sig(df: DataFrame): (Long, Long) = {
@@ -586,7 +589,7 @@ object Dedup {
         large.join(smins, "u")
           .select(col("v").as("u"), col("m").as("v"))
           .unionAll(smins.select(col("u"), col("m").as("v"))))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val cur = sig(small)
       converged = cur == prev
       prev = cur
