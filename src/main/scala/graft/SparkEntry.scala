@@ -768,6 +768,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "d15_lsh_index_probe" -> ((s, dir) => {
+      // Persisted LSH band index + incremental probe (beyond the
+      // reference): the batch-vs-corpus NEAR-dup production shape — d9's
+      // bloom lifecycle for exact keys, done for near-duplicates. The
+      // corpus's band rows persist once (hive-partitioned by an
+      // md5-derived bucket of the band key); each incoming batch
+      // broadcasts its own band rows, prunes the index read to the
+      // buckets it touches, and the TB-sized index streams map-side
+      // through the join — no corpus shuffle, no corpus text re-scan.
+      val docs = t(s, dir, "documents")
+      val idx = scratchDir("graft_d15") + "/lsh"
+      Dedup.saveLshBandIndex(
+        Sampling.hashSample(docs, col("doc_id"), 0.6, "corp"),
+        col("doc_id"), col("text"), idx)
+      Dedup.probeLshBandIndex(s, idx,
+          Sampling.hashSample(docs, col("doc_id"), 0.5, "newb"),
+          col("doc_id"), col("text"))
+        .select(col("id_batch"), col("id_corpus"),
+          fround(col("est_jaccard"), 6).as("est_jaccard"))
+        .orderBy(col("id_batch"), col("id_corpus"))
+    }),
+
     "ta10_bpe_encode" -> ((s, dir) => {
       // Serving-path BPE encode over the corpus with the native
       // codegen kernel (expressions.BpeEncode): train 8 merges (ta9),
@@ -2203,31 +2225,40 @@ object SparkEntry {
     * signature-agreement estimate. Shared by the d6 pair listing and
     * the d14 cluster closure so both gates replay one definition.
     */
-  private def sqlMinhashPairCtes: String = {
+  /** Band chain of [[Dedup.minhashPairs]]/[[Dedup.saveLshBandIndex]]
+    * over source CTE/table `src`, names prefixed `p` so two sides of a
+    * batch-vs-corpus probe can coexist: ends in
+    * `${p}bucketed(doc_id, sig, bk)` with bk = `"band|md5hex"`.
+    */
+  private def sqlMinhashBandCtes(src: String, p: String): String = {
     val toks = sqlTokens("text")
-    s"""t AS (SELECT doc_id, $toks AS toks FROM documents),
-       sh AS (
+    s"""${p}t AS (SELECT doc_id, $toks AS toks FROM $src),
+       ${p}sh AS (
          SELECT doc_id,
            CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
              ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
                i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
            END AS shingles
-         FROM t),
-       vs AS (
+         FROM ${p}t),
+       ${p}vs AS (
          SELECT doc_id, list_transform(shingles,
            x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS vs
-         FROM sh),
-       sig AS (
+         FROM ${p}sh),
+       ${p}sig AS (
          SELECT doc_id, [${
            Dedup.minhashCoeffs(16).map { case (a, b) =>
              s"list_min(list_transform(vs, v -> (v * $a + $b) % 1000000007))"
            }.mkString(",\n           ")}] AS sig
-         FROM vs),
-       bucketed AS (
+         FROM ${p}vs),
+       ${p}bucketed AS (
          SELECT doc_id, sig, unnest(list_transform(generate_series(0, 3), b ->
            b::VARCHAR || '|' || md5(array_to_string(
              list_slice(sig, b * 4 + 1, b * 4 + 4), ',')))) AS bk
-         FROM sig),
+         FROM ${p}sig)"""
+  }
+
+  private def sqlMinhashPairCtes: String =
+    s"""${sqlMinhashBandCtes("documents", "")},
        mh_cand AS (
          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
            a.sig AS sa, b.sig AS sb
@@ -2239,7 +2270,6 @@ object SparkEntry {
              i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 16.0
              AS est_jaccard
          FROM mh_cand)"""
-  }
 
   /** DuckDB twin of SimHash16 over `e` (per-bit md5-nibble majority vote
     * across the distinct token set).
@@ -3355,6 +3385,26 @@ object SparkEntry {
            (l.doc_id = l.cluster_id) AS kept
          FROM lab l JOIN sz s USING (cluster_id)
          ORDER BY doc_id""",
+
+    "d15_lsh_index_probe" -> {
+      def keep(salt: String, rate: Double) =
+        s"('0x' || substr(md5('$salt:' || doc_id::VARCHAR), 1, 7))::BIGINT" +
+          s" < ${Sampling.threshold(rate)}"
+      s"""WITH corp AS (SELECT doc_id, text FROM documents WHERE ${keep("corp", 0.6)}),
+         newb AS (SELECT doc_id, text FROM documents WHERE ${keep("newb", 0.5)}),
+         ${sqlMinhashBandCtes("corp", "c_")},
+         ${sqlMinhashBandCtes("newb", "b_")},
+         cand AS (
+           SELECT DISTINCT b.doc_id AS id_batch, c.doc_id AS id_corpus,
+             b.sig AS bs, c.sig AS cs
+           FROM b_bucketed b JOIN c_bucketed c
+             ON b.bk = c.bk AND b.doc_id != c.doc_id)
+         SELECT id_batch, id_corpus,
+           floor((list_sum(list_transform(generate_series(1, 16),
+             i -> CASE WHEN bs[i] = cs[i] THEN 1 ELSE 0 END)) / 16.0) * 1e6 + 0.5) / 1e6
+             AS est_jaccard
+         FROM cand ORDER BY id_batch, id_corpus"""
+    },
 
     "d7_simhash" ->
       s"""SELECT doc_id, ${sqlSimhash("text")} AS sh

@@ -279,6 +279,104 @@ object Dedup {
       .distinct()
   }
 
+  /** Band keys serialized as `"band|md5hex"` strings — the join key of
+    * the persisted band index, and byte-identical to the layout the d6
+    * oracle CTE builds, so any engine can replay index membership.
+    */
+  def bandKeys(sig: Column, numHashes: Int, rowsPerBand: Int): Column =
+    transform(lshBands(sig, numHashes, rowsPerBand),
+      b => concat(b.getField("band").cast("string"), lit("|"), b.getField("h")))
+
+  /** Directory bucket of a band key (md5-derived, engine-replayable) —
+    * the hive partition column of the persisted band index. */
+  def bandBucket(bk: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(bk), 1, 7), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  private val bandIndexSchema = org.apache.spark.sql.types.StructType
+    .fromDDL("id LONG, sig ARRAY<BIGINT>, bk STRING, bp BIGINT")
+
+  /** Persist an LSH band index: the near-dup cousin of the d9 bloom and
+    * v11 IVF lifecycles — build once over the corpus, probe every
+    * incoming batch for near-duplicates WITHOUT re-scanning corpus
+    * text. Layout: `path/bands/bp=N/` parquet of (id, sig, bk) rows,
+    * one row per (doc, band), landed via the sized sink (hot buckets
+    * still write in parallel; no small-file spray). `bp` is an
+    * md5-derived bucket of the band key, so a probe's `bp IN (...)`
+    * filter prunes at the directory level.
+    */
+  def saveLshBandIndex(df: DataFrame, id: Column, text: Column,
+                       path: String, shingleSize: Int = 3,
+                       numHashes: Int = 16, rowsPerBand: Int = 4,
+                       buckets: Int = 64, targetRows: Long = 1L << 20,
+                       spread: Int = 8): Unit =
+    graft.sources.Compaction.writeSized(
+      bandRows(df, id, text, shingleSize, numHashes, rowsPerBand, buckets),
+      s"$path/bands", Seq("bp"), col("id"), targetRows, spread)
+
+  /** O(batch) growth of a saved band index: new docs' band rows append
+    * into the existing `bp=N` partitions; corpus-sized files never
+    * rewrite. Unlike IVF centroids there is nothing frozen to drift —
+    * band membership is exact, so probe quality never decays with
+    * appends. */
+  def appendLshBandIndex(df: DataFrame, id: Column, text: Column,
+                         path: String, shingleSize: Int = 3,
+                         numHashes: Int = 16, rowsPerBand: Int = 4,
+                         buckets: Int = 64, targetRows: Long = 1L << 20,
+                         spread: Int = 8): Unit =
+    graft.sources.Compaction.writeSized(
+      bandRows(df, id, text, shingleSize, numHashes, rowsPerBand, buckets),
+      s"$path/bands", Seq("bp"), col("id"), targetRows, spread,
+      mode = "append")
+
+  private def bandRows(df: DataFrame, id: Column, text: Column,
+                       shingleSize: Int, numHashes: Int, rowsPerBand: Int,
+                       buckets: Int): DataFrame =
+    df.select(id.cast("long").as("id"),
+        graft.expressions.TokenMinHash(text, shingleSize,
+          minhashCoeffs(numHashes)).as("sig"))
+      .select(col("id"), col("sig"),
+        explode(bandKeys(col("sig"), numHashes, rowsPerBand)).as("bk"))
+      .withColumn("bp", bandBucket(col("bk"), buckets))
+
+  /** Probe a saved band index with a new batch: near-dup candidate
+    * pairs (batch doc, corpus doc) with the signature-agreement Jaccard
+    * estimate. Self-matches (same id on both sides) are excluded.
+    *
+    * Scale shape — the daily-crawl-vs-100 TB-corpus asymmetry: the
+    * batch's band rows BROADCAST (a batch is MBs against a TB index),
+    * so the index side streams map-side through the join and NEVER
+    * shuffles; the batch's distinct `bp` set (bounded by `buckets` —
+    * contract-tiny) becomes a directory-pruning partition filter, so
+    * IO is only the buckets the batch actually touches. Signatures ride
+    * the index rows (numHashes longs — the narrow-shuffle budget), so
+    * the estimate computes without ever revisiting corpus text.
+    */
+  def probeLshBandIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String, batch: DataFrame, id: Column,
+                        text: Column, shingleSize: Int = 3,
+                        numHashes: Int = 16, rowsPerBand: Int = 4,
+                        buckets: Int = 64): DataFrame = {
+    val bb = bandRows(batch, id, text, shingleSize, numHashes, rowsPerBand,
+        buckets)
+      .withColumnRenamed("id", "id_batch")
+      .withColumnRenamed("sig", "b_sig")
+    val bps = bb.select(col("bp")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val idx = spark.read.schema(bandIndexSchema).parquet(s"$path/bands")
+      .where(col("bp").isin(bps: _*))
+    idx.join(broadcast(bb.select(col("id_batch"), col("b_sig"), col("bk"))),
+        Seq("bk"))
+      .where(col("id") =!= col("id_batch"))
+      .select(col("id_batch"), col("id").as("id_corpus"),
+        (aggregate(
+          zip_with(col("sig"), col("b_sig"),
+            (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes))
+          .as("est_jaccard"))
+      .distinct()
+  }
+
   // ---------------------------------------------------------------------
   // Incremental dedup: new batch vs existing corpus (bloom pre-filter)
   // ---------------------------------------------------------------------

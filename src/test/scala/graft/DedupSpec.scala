@@ -329,6 +329,56 @@ class DedupSpec extends SparkSpec {
     assert(out.count() == 0L)
   }
 
+  test("LSH band index: probe matches minhashPairs cross pairs; append grows it; reads prune") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today ok"),
+      (2L, "an entirely different document about distributed query engines"),
+      (3L, "rain in spain falls mainly on the plain every single year"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again today yes"),
+      (2L, "an entirely different document about distributed query engines"),
+      (11L, "nothing here resembles anything stored in the corpus at all"))
+      .toDF("doc_id", "text")
+    val idx = Scratch.dir("lsh_idx") + "/lsh"
+    Dedup.saveLshBandIndex(corpus, $"doc_id", $"text", idx, buckets = 8)
+    val probe = Dedup.probeLshBandIndex(spark, idx, batch, $"doc_id", $"text",
+      buckets = 8)
+    val got = rows(probe.orderBy($"id_batch", $"id_corpus"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // oracle: self-join of the union, restricted to cross (batch,corpus)
+    // pairs with different ids
+    val expected = rows(Dedup.minhashPairs(
+        corpus.unionAll(batch.withColumn("doc_id", $"doc_id" + 100L)),
+        $"doc_id", $"text"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .collect { // (corpus id < 100 < shifted batch id) = a cross pair
+        case (a, b, e) if a <= 3L && b > 100L && (b - 100L) != a =>
+          (b - 100L, a, e)
+      }.toSet
+    assert(got == expected)
+    // the near-identical doc is found, the unrelated one is not
+    assert(got.exists(p => p._1 == 10L && p._2 == 1L && p._3 > 0.3))
+    assert(!got.exists(_._1 == 11L))
+    // same id on both sides (doc 2 re-sent) is a self-match: excluded
+    assert(!got.exists(p => p._1 == 2L && p._2 == 2L))
+    // append: new corpus doc becomes probe-visible, old results stable
+    Dedup.appendLshBandIndex(
+      Seq((4L, "nothing here resembles anything stored in the corpus at all"))
+        .toDF("doc_id", "text"),
+      $"doc_id", $"text", idx, buckets = 8)
+    val got2 = rows(Dedup.probeLshBandIndex(spark, idx, batch, $"doc_id",
+        $"text", buckets = 8))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got2.exists(p => p._1 == 11L && p._2 == 4L && p._3 == 1.0))
+    assert(got.subsetOf(got2))
+    // plan guard: the index scan is partition-pruned by the batch's
+    // bucket set and the batch side broadcasts (index never shuffles)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bp"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("dupClusters labels every row; kept = canonical row per cluster") {
     val df = Seq(
       // A~B and B~C collide in LSH buckets; A~C need not — the closure
