@@ -294,7 +294,7 @@ object Dedup {
       lit(buckets.toLong))
 
   private val bandIndexSchema = org.apache.spark.sql.types.StructType
-    .fromDDL("id LONG, sig ARRAY<BIGINT>, bk STRING, bp BIGINT")
+    .fromDDL("id LONG, sig ARRAY<BIGINT>, bk STRING, sb LONG, bp BIGINT")
 
   /** Persist an LSH band index: the near-dup cousin of the d9 bloom and
     * v11 IVF lifecycles — build once over the corpus, probe every
@@ -311,7 +311,8 @@ object Dedup {
                        buckets: Int = 64, targetRows: Long = 1L << 20,
                        spread: Int = 8): Unit =
     graft.sources.Compaction.writeSized(
-      bandRows(df, id, text, shingleSize, numHashes, rowsPerBand, buckets),
+      bandRows(df, id, text, shingleSize, numHashes, rowsPerBand, buckets,
+        srcBatch = -1L),
       s"$path/bands", Seq("bp"), col("id"), targetRows, spread)
 
   /** O(batch) growth of a saved band index: new docs' band rows append
@@ -323,20 +324,26 @@ object Dedup {
                          path: String, shingleSize: Int = 3,
                          numHashes: Int = 16, rowsPerBand: Int = 4,
                          buckets: Int = 64, targetRows: Long = 1L << 20,
-                         spread: Int = 8): Unit =
+                         spread: Int = 8, srcBatch: Long = -1L): Unit =
     graft.sources.Compaction.writeSized(
-      bandRows(df, id, text, shingleSize, numHashes, rowsPerBand, buckets),
+      bandRows(df, id, text, shingleSize, numHashes, rowsPerBand, buckets,
+        srcBatch),
       s"$path/bands", Seq("bp"), col("id"), targetRows, spread,
       mode = "append")
 
+  // `sb` tags each band row with the micro-batch that appended it
+  // (−1 for batch builds): [[probeLshBandIndex]] can then exclude a
+  // replayed batch's own earlier rows, which is what makes the
+  // [[nearDupSink]] recompute idempotent at any crash point.
   private def bandRows(df: DataFrame, id: Column, text: Column,
                        shingleSize: Int, numHashes: Int, rowsPerBand: Int,
-                       buckets: Int): DataFrame =
+                       buckets: Int, srcBatch: Long): DataFrame =
     df.select(id.cast("long").as("id"),
         graft.expressions.TokenMinHash(text, shingleSize,
           minhashCoeffs(numHashes)).as("sig"))
       .select(col("id"), col("sig"),
         explode(bandKeys(col("sig"), numHashes, rowsPerBand)).as("bk"))
+      .withColumn("sb", lit(srcBatch))
       .withColumn("bp", bandBucket(col("bk"), buckets))
 
   /** Probe a saved band index with a new batch: near-dup candidate
@@ -356,15 +363,17 @@ object Dedup {
                         path: String, batch: DataFrame, id: Column,
                         text: Column, shingleSize: Int = 3,
                         numHashes: Int = 16, rowsPerBand: Int = 4,
-                        buckets: Int = 64): DataFrame = {
+                        buckets: Int = 64,
+                        excludeBatch: Option[Long] = None): DataFrame = {
     val bb = bandRows(batch, id, text, shingleSize, numHashes, rowsPerBand,
-        buckets)
+        buckets, srcBatch = -1L)
       .withColumnRenamed("id", "id_batch")
       .withColumnRenamed("sig", "b_sig")
     val bps = bb.select(col("bp")).distinct()
       .collect().map(_.getLong(0)).sorted
     val idx = spark.read.schema(bandIndexSchema).parquet(s"$path/bands")
       .where(col("bp").isin(bps: _*))
+      .where(excludeBatch.map(b => col("sb") =!= lit(b)).getOrElse(lit(true)))
     idx.join(broadcast(bb.select(col("id_batch"), col("b_sig"), col("bk"))),
         Seq("bk"))
       .where(col("id") =!= col("id_batch"))
@@ -376,6 +385,59 @@ object Dedup {
           .as("est_jaccard"))
       .distinct()
   }
+
+  /** One micro-batch of streaming near-dup ingest: drop batch rows
+    * whose estimated Jaccard against the saved index reaches
+    * `threshold`, then collapse intra-batch near-dups to one canonical
+    * row each ([[dupClusters]] over the survivors — batch-sized, so the
+    * component loop is micro-batch work, not corpus work). Returns the
+    * kept rows with the batch's original columns.
+    */
+  def nearDupIngest(spark: org.apache.spark.sql.SparkSession, path: String,
+                    batch: DataFrame, id: Column, text: Column,
+                    threshold: Double, batchId: Long = -1L,
+                    buckets: Int = 64): DataFrame = {
+    val dupVsCorpus = probeLshBandIndex(spark, path, batch, id, text,
+        buckets = buckets, excludeBatch = Some(batchId))
+      .where(col("est_jaccard") >= threshold)
+      .select(col("id_batch").as("_dup_id")).distinct()
+    val fresh = batch.join(dupVsCorpus,
+      id.cast("long") === col("_dup_id"), "left_anti")
+    dupClusters(fresh, id, text, threshold)
+      .where(col("kept"))
+      .drop("cluster_id", "cluster_size", "kept")
+  }
+
+  /** Streaming near-dup dedup sink — the LSH-index lifecycle as a
+    * continuously-ingesting pipeline: per micro-batch, [[nearDupIngest]]
+    * filters against everything ingested so far, kept rows land as
+    * `outDir/b=<batchId>/` parquet, and their band rows append to the
+    * index tagged with the batch id. The index must exist
+    * ([[saveLshBandIndex]] over the bootstrap corpus, possibly empty).
+    *
+    * Replay safety, at any crash point: the probe EXCLUDES band rows
+    * tagged with the current batch id, so a replay recomputes the same
+    * kept set whether the previous attempt died before, during, or
+    * after its index append; the output overwrite of `b=<batchId>` is
+    * idempotent; and a double-append only duplicates band rows, which
+    * is probe-idempotent (candidates dedup by pair, the estimate is a
+    * pure function of the two signatures).
+    */
+  def nearDupSink(stream: DataFrame, idName: String, textName: String,
+                  path: String, outDir: String, threshold: Double,
+                  buckets: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val kept = nearDupIngest(spark, path, batch,
+          col(idName), col(textName), threshold, batchId, buckets).persist()
+        try {
+          kept.write.mode("overwrite").parquet(s"$outDir/b=$batchId")
+          appendLshBandIndex(kept, col(idName), col(textName), path,
+            buckets = buckets, srcBatch = batchId)
+        } finally { kept.unpersist(): Unit }
+    }
 
   // ---------------------------------------------------------------------
   // Incremental dedup: new batch vs existing corpus (bloom pre-filter)

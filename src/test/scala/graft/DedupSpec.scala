@@ -379,6 +379,55 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("nearDupSink: streaming ingest dedups vs corpus, within batch, across batches; replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val idx = Scratch.dir("lsh_stream") + "/lsh"
+    val outDir = Scratch.dir("lsh_stream_out")
+    // bootstrap corpus: one known doc
+    Dedup.saveLshBandIndex(
+      Seq((1L, "the quick brown fox jumps over the lazy dog again today ok"))
+        .toDF("doc_id", "text"),
+      $"doc_id", $"text", idx, buckets = 8)
+    val input = MemoryStream[(Long, String)]
+    val q = Dedup.nearDupSink(
+        input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", idx, outDir, threshold = 0.4, buckets = 8)
+      .option("checkpointLocation", Scratch.dir("lsh_stream_ckpt"))
+      .start()
+    def landed(): Seq[Long] =
+      col0[Long](spark.read.parquet(outDir).select($"doc_id").orderBy($"doc_id"))
+    try {
+      // batch 0: a corpus near-dup (dropped), an intra-batch dup pair
+      // (collapsed to min id), a fresh doc (kept)
+      input.addData(
+        (10L, "the quick brown fox jumps over the lazy dog again today yes"),
+        (11L, "completely novel content about adaptive query execution now"),
+        (12L, "completely novel content about adaptive query execution now indeed"),
+        (13L, "rain in spain falls mainly on the plain every single year"))
+      q.processAllAvailable()
+      assert(landed() == Seq(11L, 13L))
+      // batch 1: near-dup of a batch-0 SURVIVOR (dropped — the index
+      // grew), plus a fresh doc
+      input.addData(
+        (20L, "completely novel content about adaptive query execution ok"),
+        (21L, "totally unrelated musing on parquet footer metadata layout"))
+      q.processAllAvailable()
+      assert(landed() == Seq(11L, 13L, 21L))
+    } finally q.stop()
+    // replay any batch id: the sb tag excludes that batch's own band
+    // rows, so the recompute yields the same kept set at any crash point
+    val replay0 = Dedup.nearDupIngest(spark, idx,
+      Seq((10L, "the quick brown fox jumps over the lazy dog again today yes"),
+        (11L, "completely novel content about adaptive query execution now"),
+        (12L, "completely novel content about adaptive query execution now indeed"),
+        (13L, "rain in spain falls mainly on the plain every single year"))
+        .toDF("doc_id", "text"),
+      $"doc_id", $"text", threshold = 0.4, batchId = 0L, buckets = 8)
+    assert(col0[Long](replay0.select($"doc_id").orderBy($"doc_id")) ==
+      Seq(11L, 13L))
+  }
+
   test("dupClusters labels every row; kept = canonical row per cluster") {
     val df = Seq(
       // A~B and B~C collide in LSH buckets; A~C need not — the closure
