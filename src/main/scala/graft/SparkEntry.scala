@@ -46,10 +46,19 @@ object SparkEntry {
     * (g2 rolls bins up; g3 lands the per-doc layout via the sized
     * sink). See the g2 query for the plan-shape commentary.
     */
-  private def g2PackedStarts(s: SparkSession, dir: String): DataFrame = {
+  private def g2PackedStarts(s: SparkSession, dir: String,
+                             dedup: Boolean = false): DataFrame = {
     val docs = t(s, dir, "documents")
+    val train0 = docs.filter(col("doc_id") >= 50)
+    // g4 variant: near-dup KEEP-ONE dedup of the train corpus before
+    // everything else (the closure is pair-graph-sized work; the eval
+    // split is never deduped)
+    val train = if (!dedup) train0
+      else Dedup.dupClusters(train0, col("doc_id"), col("text"),
+          threshold = 0.5)
+        .where(col("kept")).drop("cluster_id", "cluster_size", "kept")
     val clean = Decontam.decontaminate(
-      docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+      train, docs.filter(col("doc_id") < 50),
       "doc_id", col("text"), n = 5, maxFraction = 0.0)
     val scored = clean
       .select(col("doc_id"), col("lang"), col("text"),
@@ -966,6 +975,22 @@ object SparkEntry {
       // is structurally separate, so a single pass would need a cache
       // that costs more than the narrow re-scan.
       Packing.packBins(g2PackedStarts(s, dir), binTokens = 2048L)
+        .orderBy(col("lang"), col("bin"))
+    }),
+
+    "g4_dedup_corpus" -> ((s, dir) => {
+      // G4 — g2 with its missing first stage fused in: near-dup
+      // KEEP-ONE dedup (the d14 closure) → decontaminate → quality
+      // gate → token-budget mix → pack, raw documents to training
+      // bins as one product. The dedup prunes the train corpus BEFORE
+      // any tokenization-heavy stage runs, so every downstream pass
+      // (decontam probe, gate, mix stats, packing windows) works on
+      // the deduped sliver — at 100 TB that ordering is the difference
+      // between paying the pipeline on the corpus or on its unique
+      // fraction. Only the pair graph iterates; corpus text still
+      // never shuffles.
+      Packing.packBins(g2PackedStarts(s, dir, dedup = true),
+          binTokens = 2048L)
         .orderBy(col("lang"), col("bin"))
     }),
 
@@ -2182,14 +2207,20 @@ object SparkEntry {
        tr AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= 50),
        bad AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev ON tr.gram = ev.gram)"""
 
-  private def sqlG2PackedCtes: String =
-    s"""$sqlQualityCtes,
+  /** `prelude` splices extra CTEs (and the RECURSIVE keyword) right
+    * after WITH; `extraKept` adds a predicate to the corpus gate —
+    * both used by g4 to fuse the dedup closure upstream of the chain.
+    */
+  private def sqlG2PackedCtes(prelude: String = "",
+                              extraKept: String = ""): String =
+    s"""${sqlQualityCtes(prelude)},
        $sqlDecontamCtes,
        kept0 AS (
          SELECT s.doc_id, d.lang, s.n_tokens::BIGINT AS n_tok
          FROM s JOIN documents d ON d.doc_id = s.doc_id
          WHERE s.doc_id >= 50
            AND s.doc_id NOT IN (SELECT doc_id FROM bad)
+           $extraKept
            AND $sqlQualityExpr >= 0.55),
        st AS (SELECT lang, sum(n_tok)::BIGINT AS t FROM kept0 GROUP BY lang),
        w AS (SELECT lang, t, floor(sqrt(t) * 1e6)::BIGINT AS wgt FROM st),
@@ -2397,10 +2428,10 @@ object SparkEntry {
     * `documents` (twin of TA.tokenCount/stopwordRatio/punctRatio/
     * typeTokenRatio/qualityScore). Used by ta2 and a3.
     */
-  private def sqlQualityCtes: String = {
+  private def sqlQualityCtes(prelude: String = ""): String = {
     val toks = sqlTokens("text")
     val stopHits = sqlHits("text", TA.enStopwords)
-    s"""WITH t AS (
+    s"""WITH ${prelude}t AS (
            SELECT doc_id, text, $toks AS toks,
              len(regexp_extract_all(text, '${TA.bpePattern.replace("'", "''")}')) AS n_bpe,
              len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
@@ -2981,7 +3012,7 @@ object SparkEntry {
       // decontaminate (tc1 CTEs) → quality gate (ta2 CTEs) → token-
       // budget mix (x1 CTEs) → packing (ta6 window), composed over the
       // same shared Scala constants each stage's standalone oracle uses.
-      s"""$sqlG2PackedCtes
+      s"""${sqlG2PackedCtes()}
          SELECT lang, start_tok // 2048 AS bin, count(*) AS n_docs,
            sum(n_tok)::BIGINT AS n_tokens
          FROM packed GROUP BY lang, bin ORDER BY lang, bin"""
@@ -2990,10 +3021,48 @@ object SparkEntry {
     "g3_corpus_store" -> {
       // same build as g2 through `packed`; the round trip through the
       // sized sink is the identity on the layout columns
-      s"""$sqlG2PackedCtes
+      s"""${sqlG2PackedCtes()}
          SELECT doc_id, lang, start_tok // 2048 AS bin,
            (start_tok // 2048) // 8 AS bin_range, n_tok, start_tok
          FROM packed ORDER BY doc_id"""
+    },
+
+    "g4_dedup_corpus" -> {
+      // the d14 closure (band CTEs + recursive reachability) computed
+      // over the train split only, spliced as a prelude into the g2
+      // chain; kept0 additionally requires cluster-canonical doc_ids
+      val prelude =
+        s"""RECURSIVE traindocs AS (
+             SELECT doc_id, text FROM documents WHERE doc_id >= 50),
+           ${sqlMinhashBandCtes("traindocs", "g4_")},
+           g4cand AS (
+             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.sig AS sa, b.sig AS sb
+             FROM g4_bucketed a JOIN g4_bucketed b
+               ON a.bk = b.bk AND a.doc_id < b.doc_id),
+           g4edges AS (
+             SELECT id_a AS ea, id_b AS eb FROM g4cand
+             WHERE list_sum(list_transform(generate_series(1, 16),
+               i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 16.0
+               >= 0.5),
+           g4sym AS (SELECT ea, eb FROM g4edges
+             UNION SELECT eb AS ea, ea AS eb FROM g4edges),
+           g4reach(id, r) AS (
+             SELECT ea, eb FROM g4sym
+             UNION
+             SELECT t.id, s2.eb FROM g4reach t
+               JOIN g4sym s2 ON t.r = s2.ea),
+           g4comp AS (SELECT id, min(r) AS mr FROM g4reach GROUP BY id),
+           g4kept AS (
+             SELECT d.doc_id FROM traindocs d
+             LEFT JOIN g4comp c ON d.doc_id = c.id
+             WHERE least(coalesce(c.mr, d.doc_id), d.doc_id) = d.doc_id),
+           """
+      s"""${sqlG2PackedCtes(prelude,
+             "AND s.doc_id IN (SELECT doc_id FROM g4kept)")}
+         SELECT lang, start_tok // 2048 AS bin, count(*) AS n_docs,
+           sum(n_tok)::BIGINT AS n_tokens
+         FROM packed GROUP BY lang, bin ORDER BY lang, bin"""
     },
 
     "l3_mock_scores" ->
@@ -3639,14 +3708,14 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
 
     "ta2_text_stats" ->
-      s"""$sqlQualityCtes
+      s"""${sqlQualityCtes()}
          SELECT doc_id, n_tokens, n_bpe_tokens,
            floor((sr) * 1e6 + 0.5) / 1e6 AS stop_ratio, floor((pr) * 1e6 + 0.5) / 1e6 AS punct_ratio,
            floor((tt) * 1e6 + 0.5) / 1e6 AS ttr, $sqlQualityExpr AS quality
          FROM s ORDER BY doc_id""",
 
     "a3_histogram" ->
-      s"""$sqlQualityCtes
+      s"""${sqlQualityCtes()}
          SELECT floor($sqlQualityExpr * 10)::BIGINT AS decile, count(*) AS n
          FROM s GROUP BY 1 ORDER BY 1""",
 
@@ -3676,7 +3745,7 @@ object SparkEntry {
     },
 
     "w4_quality_drift" -> {
-      s"""$sqlQualityCtes,
+      s"""${sqlQualityCtes()},
          q AS (
            SELECT TIMESTAMP '2024-01-01 00:00:00'
                + s.doc_id * INTERVAL 1 MINUTE AS ts,
@@ -3724,7 +3793,7 @@ object SparkEntry {
     },
 
     "w5_gated_drift" -> {
-      s"""$sqlQualityCtes,
+      s"""${sqlQualityCtes()},
          $sqlDecontamCtes,
          kept AS (
            SELECT s.doc_id, $sqlQualityExpr AS qv, s.n_tokens AS ntok
