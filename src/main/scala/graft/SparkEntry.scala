@@ -777,6 +777,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "d16_substring_scrub" -> ((s, dir) => {
+      // Exact-substring span REMOVAL (beyond the reference; Lee et al.
+      // dedup — d12 is the detection signal, this is the rewrite):
+      // cross-doc repeated 8-grams keep one canonical copy (smallest
+      // doc id), every other covering span is cut from the text.
+      // Hashed grams with positions, keeper resolved in the same
+      // partial-aggregated pass as the doc frequency, hot/cold rejoin,
+      // scan-fused HOF span mask.
+      Dedup.scrubRepeatedSpans(
+          t(s, dir, "documents"), col("doc_id"), col("text"), n = 8)
+        .select(col("id").as("doc_id"), col("n_tok"), col("n_removed"),
+          md5(col("scrubbed")).as("scrub_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     "d15_lsh_index_probe" -> ((s, dir) => {
       // Persisted LSH band index + incremental probe (beyond the
       // reference): the batch-vs-corpus NEAR-dup production shape — d9's
@@ -3454,6 +3469,40 @@ object SparkEntry {
            (l.doc_id = l.cluster_id) AS kept
          FROM lab l JOIN sz s USING (cluster_id)
          ORDER BY doc_id""",
+
+    "d16_substring_scrub" -> {
+      val toks = sqlTokens("text")
+      // pos is 0-based on both sides; Spark joins xxhash64 gram hashes,
+      // the oracle joins gram strings — equal up to the documented
+      // 2⁻⁶⁴ collision bound
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         gi AS (SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks) - 7)) AS i
+           FROM t),
+         gp AS (SELECT doc_id, i - 1 AS pos,
+             array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+           FROM gi),
+         df AS (SELECT gram, count(DISTINCT doc_id) AS ndocs,
+             min(doc_id) AS keeper
+           FROM gp GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+         hit AS (SELECT gp.doc_id, gp.pos FROM gp JOIN df USING (gram)
+           WHERE gp.doc_id <> df.keeper),
+         h AS (SELECT doc_id, list_sort(list(pos)) AS hits
+           FROM hit GROUP BY doc_id),
+         o AS (SELECT t.doc_id, t.toks,
+             coalesce(h.hits, CAST([] AS BIGINT[])) AS hits
+           FROM t LEFT JOIN h USING (doc_id)),
+         sc AS (SELECT doc_id, len(toks) AS n_tok,
+             list_filter(list_transform(generate_series(1, len(toks)),
+               j -> CASE WHEN len(list_filter(hits,
+                 p -> p <= j - 1 AND j - 1 < p + 8)) = 0
+                 THEN toks[j] END), x -> x IS NOT NULL) AS kept
+           FROM o)
+         SELECT doc_id, n_tok::BIGINT AS n_tok,
+           (n_tok - len(kept))::BIGINT AS n_removed,
+           md5(coalesce(array_to_string(kept, ' '), '')) AS scrub_md5
+         FROM sc ORDER BY doc_id"""
+    },
 
     "d15_lsh_index_probe" -> {
       def keep(salt: String, rate: Double) =

@@ -676,6 +676,77 @@ object Dedup {
           .otherwise(lit(0.0)).as("shared_frac"))
   }
 
+  /** Positional twin of Decontam.tokenNgramHashesFromTokens: hash of
+    * the n-gram STARTING at each token index, in order, NOT distinct —
+    * index i of the result is start position i. Same capture caveat:
+    * `toks` must be a bound attribute, not an inline tokenizer tree.
+    */
+  def tokenNgramHashPositions(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<long>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => xxhash64(slice(toks, i, lit(n)))))
+
+  /** Exact-substring span scrubbing (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better" — the REMOVAL step
+    * whose detection signal is [[repeatedGramStats]]): for every
+    * n-token gram appearing in ≥ `minDocs` distinct docs, keep the
+    * occurrences in ONE canonical doc (the smallest doc id containing
+    * the gram) and remove the covered token spans everywhere else.
+    * Returns `(id, n_tok, n_removed, scrubbed)` — every input row, with
+    * `scrubbed` the surviving tokens rejoined by single spaces.
+    *
+    * Scale shape, mirroring d12: grams travel as xxhash64 longs with
+    * their start position (never gram strings); doc-frequency + keeper
+    * come from one partial-aggregated pass over per-doc-distinct
+    * (gram, id) pairs; only the ≥ minDocs sliver rejoins, split
+    * hot/cold on `hotThreshold` so no shuffled key exceeds bounded
+    * multiplicity (hot grams broadcast). Per-doc hit positions collapse
+    * to one sorted int array — the only per-doc state — and the span
+    * mask is a scan-fused nested HOF over (token index, hit starts).
+    * The corpus tokenizes twice (occurrence pass + rewrite pass), the
+    * same accepted trade as g2's probe branch: a cache of the token
+    * arrays costs more than the narrow re-scan.
+    */
+  def scrubRepeatedSpans(df: DataFrame, id: Column, text: Column,
+                         n: Int, minDocs: Long = 2L,
+                         hotThreshold: Long = 100000L): DataFrame = {
+    require(n >= 1 && minDocs >= 2,
+      s"need n >= 1 and minDocs >= 2, got n=$n minDocs=$minDocs")
+    def base(d: DataFrame) = d
+      .select(id.cast("long").as("id"), text.as("_text"))
+      .select(col("id"), col("_text"),
+        graft.functions.TextAnalysis.tokens(col("_text")).as("_toks"))
+    val occ = base(df)
+      .select(col("id"),
+        posexplode(tokenNgramHashPositions(col("_toks"), n)))
+      .withColumnRenamed("col", "gram")
+    val stats = occ.select(col("id"), col("gram")).distinct()
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("ndocs"), min(col("id")).as("keeper"))
+      .filter(col("ndocs") >= minDocs)
+    val cold = stats.filter(col("ndocs") <= hotThreshold)
+      .select(col("gram"), col("keeper").as("_kc"))
+    val hot = stats.filter(col("ndocs") > hotThreshold)
+      .select(col("gram"), col("keeper").as("_kh"))
+    val hits = occ
+      .join(cold, Seq("gram"), "left")
+      .join(broadcast(hot), Seq("gram"), "left")
+      .withColumn("_keeper", coalesce(col("_kc"), col("_kh")))
+      .where(col("_keeper").isNotNull && col("id") =!= col("_keeper"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("_hits"))
+    base(df)
+      .join(hits, Seq("id"), "left")
+      .withColumn("_h", coalesce(col("_hits"), array().cast("array<int>")))
+      .select(col("id"), size(col("_toks")).as("n_tok"),
+        filter(col("_toks"), (tk, j) =>
+          !exists(col("_h"), p => p <= j && j < p + lit(n))).as("_kept"))
+      .select(col("id"), col("n_tok").cast("long").as("n_tok"),
+        (col("n_tok") - size(col("_kept"))).cast("long").as("n_removed"),
+        array_join(col("_kept"), " ").as("scrubbed"))
+  }
+
   // ---------------------------------------------------------------------
   // Duplicate-cluster closure: pairs → components (beyond the reference)
   // ---------------------------------------------------------------------

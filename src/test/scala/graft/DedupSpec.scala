@@ -428,6 +428,29 @@ class DedupSpec extends SparkSpec {
       Seq(11L, 13L))
   }
 
+  test("scrubRepeatedSpans: cross-doc spans removed, canonical copy kept, within-doc repeats untouched") {
+    val df = Seq(
+      (1L, "alpha beta gamma shared span here delta"),    // keeper (min id)
+      (2L, "intro words shared span here outro tail"),
+      (3L, "shared span here shared span here again ok"), // two hits
+      (4L, "self repeat self repeat self repeat done"),   // within-doc only
+      (5L, "nothing in common with anything else at")
+    ).toDF("id", "t")
+    def run(thr: Long) =
+      rows(Dedup.scrubRepeatedSpans(df, $"id", $"t", n = 3,
+          hotThreshold = thr).orderBy($"id"))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val out = run(100000L)
+    assert(out == Seq(
+      (1L, 7L, 0L, "alpha beta gamma shared span here delta"),
+      (2L, 7L, 3L, "intro words outro tail"),
+      (3L, 8L, 6L, "again ok"),
+      (4L, 7L, 0L, "self repeat self repeat self repeat done"),
+      (5L, 7L, 0L, "nothing in common with anything else at")))
+    // hot/cold split must not change results (every repeated gram hot)
+    assert(run(1L) == out)
+  }
+
   test("dupClusters labels every row; kept = canonical row per cluster") {
     val df = Seq(
       // A~B and B~C collide in LSH buckets; A~C need not — the closure
