@@ -805,7 +805,8 @@ object SparkEntry {
       val idx = scratchDir("graft_d15") + "/lsh"
       Dedup.saveLshBandIndex(
         Sampling.hashSample(docs, col("doc_id"), 0.6, "corp"),
-        col("doc_id"), col("text"), idx)
+        col("doc_id"), col("text"), idx,
+        targetRows = 100000L, spread = 2)
       Dedup.probeLshBandIndex(s, idx,
           Sampling.hashSample(docs, col("doc_id"), 0.5, "newb"),
           col("doc_id"), col("text"))
