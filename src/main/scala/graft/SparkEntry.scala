@@ -667,6 +667,39 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "ta12_url_filter" -> ((s, dir) => {
+      // URL-level source curation (beyond the reference; the
+      // RefinedWeb front gate): host extraction, canonical URL
+      // normalization (lowercase scheme/host, tracking-param/fragment/
+      // trailing-slash strip), and a suffix-match domain blocklist —
+      // all pure per-row regex expressions fused into the scan, zero
+      // shuffles. The corpus has no URL column, so URLs synthesize
+      // from doc_id identically on both sides (the c1/ta7 precedent):
+      // mixed-case scheme+host, rotating domains, tracking params on
+      // some, fragments on some, trailing slashes on the rest.
+      val domains = array(lit("ads.tracker.com"), lit("Example.org"),
+        lit("blog.example.org"), lit("spam.example.net"), lit("News.Site.io"))
+      val url = concat(lit("HTTPS://"),
+        element_at(domains, (pmod(col("doc_id"), lit(5)) + 1).cast("int")),
+        lit("/p/"), col("doc_id").cast("string"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("?utm_source=feed&id="), col("doc_id").cast("string")))
+          .when(pmod(col("doc_id"), lit(3)) === 1,
+            concat(lit("?id="), col("doc_id").cast("string"),
+              lit("&utm_campaign=x")))
+          .otherwise(lit("/")),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit("#frag"))
+          .otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), url.as("_url"))
+        .select(col("doc_id"),
+          TF.urlHost(col("_url")).as("host"),
+          TF.urlNormalize(col("_url")).as("norm_url"),
+          TF.hostBlocked(TF.urlHost(col("_url")),
+            Seq("tracker.com", "spam.example.net")).as("blocked"))
+        .orderBy(col("doc_id"))
+    }),
+
     "ta9_bpe_merges" -> ((s, dir) => {
       // Distributed BPE tokenizer training (beyond the reference): the
       // corpus is read ONCE (wordFreqs); each merge step then costs one
@@ -2787,6 +2820,44 @@ object SparkEntry {
            (CASE WHEN d.text IS NULL THEN NULL
              ELSE coalesce(dp.n_pieces, 0) END)::INT AS n_pieces
          FROM documents d LEFT JOIN dp USING (doc_id) ORDER BY d.doc_id"""
+    },
+
+    "ta12_url_filter" -> {
+      // same synthesized URLs; the normalization chain mirrors
+      // TF.urlNormalize step for step (DuckDB replacement
+      // backrefs are \\1 and need the 'g' flag — Spark's are $1 and
+      // global by default)
+      val parts = "^([a-zA-Z][a-zA-Z0-9+.-]*://)([^/?#]+)(.*)$"
+      s"""WITH u AS (SELECT doc_id,
+           'HTTPS://' ||
+           (['ads.tracker.com','Example.org','blog.example.org',
+             'spam.example.net','News.Site.io'])[(doc_id % 5 + 1)::INT] ||
+           '/p/' || doc_id::VARCHAR ||
+           (CASE WHEN doc_id % 3 = 0
+               THEN '?utm_source=feed&id=' || doc_id::VARCHAR
+             WHEN doc_id % 3 = 1
+               THEN '?id=' || doc_id::VARCHAR || '&utm_campaign=x'
+             ELSE '/' END) ||
+           (CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END) AS url
+         FROM documents),
+         p AS (SELECT doc_id,
+           nullif(lower(regexp_extract(url, '$parts', 2)), '') AS host,
+           lower(regexp_extract(url, '$parts', 1)) ||
+             lower(regexp_extract(url, '$parts', 2)) ||
+             regexp_extract(url, '$parts', 3) AS rebuilt
+         FROM u),
+         n AS (SELECT doc_id, host,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(rebuilt, '#.*$$', '', 'g'),
+             '([?&])(utm_[a-zA-Z]+|fbclid|gclid)=[^&#]*', '\\1', 'g'),
+             '\\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$$', '', 'g') AS nt
+         FROM p)
+         SELECT doc_id, host,
+           regexp_replace(nt, '/+$$', '', 'g') AS norm_url,
+           coalesce(host = 'tracker.com' OR host LIKE '%.tracker.com'
+             OR host = 'spam.example.net' OR host LIKE '%.spam.example.net',
+             false) AS blocked
+         FROM n ORDER BY doc_id"""
     },
 
     "ta11_bigram_logprob" -> {

@@ -138,6 +138,46 @@ object TextFunctions {
     regexp_extract_all(c, lit(piiPatterns(kind)), lit(0))
 
   /** Mask all but the first and last 2 chars of a detected PII string. */
+  // --- URL curation (beyond reference; RefinedWeb-style source filter) --
+
+  /** Lowercased host of an absolute URL; NULL when there is none.
+    * Pure regex (no parse_url — identical semantics replayable in any
+    * RE2-compatible engine, which is what the oracle needs).
+    */
+  def urlHost(url: Column): Column =
+    nullif(lower(regexp_extract(url,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)), lit(""))
+
+  /** Canonical URL for dedup/blocklists: lowercase scheme+host, strip
+    * tracking params (utm_*, fbclid, gclid), the fragment, empty query
+    * leftovers, and trailing path slashes. A regexp_replace chain —
+    * scan-fused, order-significant, mirrored literally in the oracle.
+    */
+  def urlNormalize(url: Column): Column = {
+    val parts = "^([a-zA-Z][a-zA-Z0-9+.-]*://)([^/?#]+)(.*)$"
+    val rebuilt = concat(
+      lower(regexp_extract(url, parts, 1)),
+      lower(regexp_extract(url, parts, 2)),
+      regexp_extract(url, parts, 3))
+    val noFrag = regexp_replace(rebuilt, "#.*$", "")
+    val noTrack = regexp_replace(noFrag,
+      "([?&])(utm_[a-zA-Z]+|fbclid|gclid)=[^&#]*", "$1")
+    val cleanQ = regexp_replace(
+      regexp_replace(noTrack, "\\?&+", "?"), "&&+", "&")
+    val noTail = regexp_replace(cleanQ, "[?&]+$", "")
+    when(urlHost(url).isNull, url)
+      .otherwise(regexp_replace(noTail, "/+$", ""))
+  }
+
+  /** TRUE when `host` is `domain` or a subdomain of one in `blocked`
+    * — the standard suffix-match blocklist. Literal when-fold over the
+    * (small, broadcast-free) list; NULL host ⇒ not blocked.
+    */
+  def hostBlocked(host: Column, blocked: Seq[String]): Column =
+    coalesce(blocked.foldLeft(lit(false)) { (acc, d) =>
+      acc || host === d || host.endsWith("." + d)
+    }, lit(false))
+
   def maskPii(c: Column): Column =
     when(length(c) > 4,
       concat(substring(c, 1, 2), lit("***"), substring(c, -2, 2)))

@@ -81,4 +81,33 @@ class TextFunctionsSpec extends SparkSpec {
     val out = col0[String](in.select(TF.embeddingText($"title", $"authors", $"abstract")))
     assert(out.head == "Paper Title: T\nAuthors: A, B\nAbstract: abs")
   }
+
+  test("urlHost / urlNormalize: case, tracking params, fragments, slashes, no-host passthrough") {
+    def norm(u: String): String = col0[String](
+      Seq(u).toDF("u").select(TF.urlNormalize($"u"))).head
+    def host(u: String): Option[String] = rows(
+      Seq(u).toDF("u").select(TF.urlHost($"u"))).headOption
+      .flatMap(r => Option(r.getString(0)))
+    assert(host("HTTPS://Ads.Example.COM/x") == Some("ads.example.com"))
+    assert(host("not a url") == None)
+    // scheme+host lowercase, path case preserved
+    assert(norm("HTTPS://Ex.ORG/Path") == "https://ex.org/Path")
+    // tracking params stripped wherever they sit; real params survive
+    assert(norm("http://a.b/p?utm_source=x&id=7") == "http://a.b/p?id=7")
+    assert(norm("http://a.b/p?id=7&utm_campaign=x&fbclid=9") == "http://a.b/p?id=7")
+    assert(norm("http://a.b/p?gclid=1") == "http://a.b/p")
+    // fragment and trailing slashes go
+    assert(norm("http://a.b/deep/path//#frag") == "http://a.b/deep/path")
+    // no host → returned untouched
+    assert(norm("not a url") == "not a url")
+  }
+
+  test("hostBlocked: exact and subdomain suffix match only; NULL host never blocked") {
+    val bl = Seq("tracker.com", "spam.example.net")
+    val in = Seq(Some("tracker.com"), Some("ads.tracker.com"),
+      Some("xtracker.com"), Some("spam.example.net"),
+      Some("example.net"), None).toDF("h")
+    val out = col0[Boolean](in.select(TF.hostBlocked($"h", bl)))
+    assert(out == Seq(true, true, false, true, false, false))
+  }
 }
