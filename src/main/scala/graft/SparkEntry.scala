@@ -810,6 +810,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "d17_simhash_pairs" -> ((s, dir) => {
+      // SimHash pair generation (beyond the reference; completes d7's
+      // fingerprint path): pigeonhole 4-band blocking — distance ≤ 3
+      // implies one whole nibble band agrees — then exact
+      // bit_count(xor) verify. At 16 bits (the d7 contract size) the
+      // space is small, so bucket collisions are common; the operator
+      // shape is band-count-generic and a production 64-bit fingerprint
+      // makes the same plan selective.
+      Dedup.simhashPairs(
+          t(s, dir, "documents"), col("doc_id"), col("text"), maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "d16_substring_scrub" -> ((s, dir) => {
       // Exact-substring span REMOVAL (beyond the reference; Lee et al.
       // dedup — d12 is the detection signal, this is the rewrite):
@@ -2363,6 +2376,23 @@ object SparkEntry {
        THEN (2 ** b)::INT ELSE 0 END))::BIGINT"""
   }
 
+  /** DuckDB twin of SimHash64 over `e` — the 64-bit sibling of
+    * [[sqlSimhash]]: bit b votes with bit (3 − b%4) of hex char
+    * (b/4 + 1) of each token's md5; the fingerprint assembles as a
+    * signed-64 sum (bit 63 contributes Long.MIN_VALUE; every other
+    * power of two is double-exact).
+    */
+  private def sqlSimhash64(e: String): String = {
+    val dtoks = s"list_distinct(${sqlTokens(e)})"
+    s"""(list_sum(list_transform(generate_series(0, 63), b ->
+       CASE WHEN list_sum(list_transform($dtoks, tk ->
+         (((('0x' || substr(md5(tk), (b // 4)::INT + 1, 1))::INT
+            // (2 ** (3 - b % 4))::INT) % 2) * 2 - 1))) > 0
+       THEN (CASE WHEN b = 63 THEN -9223372036854775807 - 1
+             ELSE (2 ** b)::BIGINT END)
+       ELSE 0 END)))::BIGINT"""
+  }
+
   /** DuckDB: occurrences of `markers` tokens in `e` (TA.markerHits). */
   private def sqlHits(e: String, markers: Seq[String]): String =
     s"len(list_filter(${sqlTokens(e)}, x -> list_contains(${sqlList(markers)}, x)))"
@@ -3541,6 +3571,22 @@ object SparkEntry {
            (l.doc_id = l.cluster_id) AS kept
          FROM lab l JOIN sz s USING (cluster_id)
          ORDER BY doc_id""",
+
+    "d17_simhash_pairs" ->
+      s"""WITH sh AS (SELECT doc_id, ${sqlSimhash64("text")} AS sh
+             FROM documents),
+         bx AS (SELECT doc_id, sh, unnest(generate_series(0, 3)) AS band
+             FROM sh),
+         bb AS (SELECT doc_id, sh, band,
+             (sh >> (band * 16)::INT) & 65535 AS v FROM bx),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+             x.sh AS sa, y.sh AS sb
+           FROM bb x JOIN bb y
+             ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id)
+         SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS dist
+         FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+         ORDER BY id_a, id_b""",
 
     "d16_substring_scrub" -> {
       val toks = sqlTokens("text")

@@ -574,6 +574,60 @@ object Dedup {
     aggregate(bits, lit(0), (acc, x) => acc + x)
   }
 
+  /** Declarative twin of [[graft.expressions.SimHash64]] — spec-only
+    * parity artifact (the native expression is the execution path).
+    * The token set binds ONCE via letBound; each of the 64 per-bit
+    * vote aggregates then captures the cheap bound variable, not the
+    * tokenizer tree. Fingerprint assembles by bitwise OR of literal
+    * powers, so no double-precision loss at high bits.
+    */
+  def simhash64(text: Column): Column =
+    TextFunctions.letBound(TextFunctions.tokenSet(text)) { toks =>
+      (0 until 64).map { b =>
+        val vote = aggregate(toks, lit(0), (acc, t) => {
+          val hx = substring(md5(t), b / 4 + 1, 1)
+          val bit = pmod((hexVal(hx) / pow(lit(2), lit(3 - b % 4))).cast("int"),
+            lit(2))
+          acc + (bit * 2 - 1)
+        })
+        when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+    }
+
+  /** SimHash near-dup candidate pairs at Hamming distance ≤ `maxDist`
+    * over the 64-bit fingerprint ([[graft.expressions.SimHash64]] —
+    * the production width; 16-bit blocking saturates once a corpus
+    * outgrows 2¹⁶ and goes quadratic). Blocking is the pigeonhole
+    * multi-index: the fingerprint splits into 4 sixteen-bit bands, and
+    * two fingerprints within distance 3 must agree on at least one
+    * whole band, so candidates only form inside a (band, value) bucket
+    * — never all-pairs, and the bucket key space (4·2¹⁶) stays
+    * selective at any corpus size. The exact `bit_count(xor)` then
+    * verifies each candidate. Same scale shape as MinHash-LSH: bare
+    * (id, fingerprint) longs ride the bucket self-join.
+    */
+  def simhashPairs(df: DataFrame, id: Column, text: Column,
+                   maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"4-band blocking is exact only for maxDist <= 3, got $maxDist")
+    val sigs = df.select(id.cast("long").as("id"),
+      graft.expressions.SimHash64(text).as("sh"))
+    val bands = sigs.select(col("id"), col("sh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*))
+        .as("bk"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.sh").as("_sa"), col("y.sh").as("_sb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("_sa").bitwiseXOR(col("_sb"))).cast("int").as("dist"))
+      .where(col("dist") <= maxDist)
+  }
+
   /** Boilerplate line detection — the C4/RefinedWeb line-level dedup
     * signal: lines ("All rights reserved.", cookie banners, nav
     * footers) that recur across at least `minDocs` documents. Counting
@@ -833,6 +887,24 @@ object Dedup {
       .unionAll(e.select(col("v").as("id"), col("v").as("comp")))
       .distinct()
   }
+
+  /** Incremental component maintenance — the O(batch + labels) path
+    * for a daily near-dup pipeline where re-closing the full historic
+    * pair graph would re-iterate over everything: feed the PRIOR label
+    * set (a star forest, which preserves exactly the connectivity of
+    * the edges it summarized) plus the new batch's pairs back through
+    * [[connectedComponents]]. Star inputs converge in 1–2 rounds, and
+    * the result equals a full recompute over (old ∪ new) edges —
+    * pinned in DedupSpec. Labels stay canonical (component min), so
+    * repeated maintenance composes.
+    */
+  def mergeComponents(labels: DataFrame, newEdges: DataFrame,
+                      a: Column, b: Column): DataFrame =
+    connectedComponents(
+      labels.select(col("id").as("u"), col("comp").as("v"))
+        .unionAll(newEdges.select(a.cast("long").as("u"),
+          b.cast("long").as("v"))),
+      col("u"), col("v"))
 
   /** Per-row duplicate-cluster labels: run [[minhashPairs]], keep pairs
     * with estimated Jaccard ≥ `threshold`, close them into components,

@@ -428,6 +428,73 @@ class DedupSpec extends SparkSpec {
       Seq(11L, 13L))
   }
 
+  test("mergeComponents: incremental maintenance equals full recompute") {
+    val batch1 = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+    // batch 2 bridges two old components, extends one, adds a new one
+    val batch2 = Seq((3L, 10L), (21L, 22L), (30L, 31L))
+    val labels1 = Dedup.connectedComponents(batch1.toDF("a", "b"), $"a", $"b")
+    val inc = rows(Dedup.mergeComponents(labels1, batch2.toDF("a", "b"),
+        $"a", $"b"))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = rows(Dedup.connectedComponents(
+        (batch1 ++ batch2).toDF("a", "b"), $"a", $"b"))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full)
+    // composes: a third round over the incremental labels
+    val batch3 = Seq((22L, 30L))
+    val inc3 = rows(Dedup.mergeComponents(inc.toSeq.toDF("id", "comp"),
+        batch3.toDF("a", "b"), $"a", $"b"))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full3 = rows(Dedup.connectedComponents(
+        (batch1 ++ batch2 ++ batch3).toDF("a", "b"), $"a", $"b"))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc3 == full3)
+  }
+
+  test("simhashPairs: only pairs within the Hamming radius; near-identical docs collide") {
+    val df = Seq(
+      (1L, "spark is a unified analytics engine for large scale data"),
+      (2L, "spark is a unified analytics engine for large scale data"),
+      (3L, "spark is a unified analytics engine for big scale data"),
+      (4L, "ducks prefer ponds with quiet reeds and morning fog"))
+      .toDF("id", "text")
+    val got = rows(Dedup.simhashPairs(df, $"id", $"text", maxDist = 3)
+      .orderBy($"id_a", $"id_b"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // identical docs: distance 0
+    assert(got.contains((1L, 2L, 0)))
+    // every reported pair respects the radius and the exact distance
+    val sh = rows(df.select($"id",
+        graft.expressions.SimHash64($"text").as("s")))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (a, b, d) =>
+      assert(d == java.lang.Long.bitCount(sh(a) ^ sh(b)) && d <= 3)
+    }
+    // completeness: every true pair within the radius is reported
+    // (pigeonhole guarantee of the 4-band index)
+    val all = sh.keys.toSeq.sorted.combinations(2).collect {
+      case Seq(a, b) if java.lang.Long.bitCount(sh(a) ^ sh(b)) <= 3 =>
+        (a, b, java.lang.Long.bitCount(sh(a) ^ sh(b)))
+    }.toSet
+    assert(got.toSet == all)
+  }
+
+  test("SimHash64: native == declarative; distinct-token invariance; near-dups land close") {
+    val texts = Seq("spark is a unified analytics engine for data",
+      "spark is a unified analytics engine for data ok",
+      "data for engine analytics unified a is spark", // same token set
+      "ducks prefer ponds with quiet reeds and morning fog", "", "一 二 三")
+    val df = texts.toDF("t")
+    val native = col0[Long](df.select(graft.expressions.SimHash64($"t")))
+    val decl = col0[Long](df.select(Dedup.simhash64($"t")))
+    assert(native == decl)
+    // token-set semantics: permutation of the same tokens → same print
+    assert(native(0) == native(2))
+    // near-identical docs differ in few bits; unrelated in many
+    assert(java.lang.Long.bitCount(native(0) ^ native(1)) <= 16)
+    assert(java.lang.Long.bitCount(native(0) ^ native(3)) > 16)
+  }
+
   test("scrubRepeatedSpans: cross-doc spans removed, canonical copy kept, within-doc repeats untouched") {
     val df = Seq(
       (1L, "alpha beta gamma shared span here delta"),    // keeper (min id)
