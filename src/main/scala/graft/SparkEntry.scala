@@ -667,6 +667,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "ta13_char_diversity" -> ((s, dir) => {
+      // Character-diversity quality signals (beyond the reference;
+      // Gopher-family heuristic — generated/boilerplate text
+      // concentrates on few symbols): Shannon bits/char + exact
+      // Simpson concentration, one linear sorted-run aggregate per row
+      // (the ta5 trick), scan-fused, zero shuffles. Simpson is
+      // rational → bit-exact across engines; entropy rounds at 6dp.
+      t(s, dir, "documents")
+        .select(col("doc_id"), TA.charDiversity(col("text")).as("_d"))
+        .select(col("doc_id"),
+          col("_d.n_chars").as("n_chars"),
+          fround(col("_d.entropy"), 6).as("entropy"),
+          fround(col("_d.simpson"), 6).as("simpson"))
+        .orderBy(col("doc_id"))
+    }),
+
     "ta12_url_filter" -> ((s, dir) => {
       // URL-level source curation (beyond the reference; the
       // RefinedWeb front gate): host extraction, canonical URL
@@ -2851,6 +2867,27 @@ object SparkEntry {
              ELSE coalesce(dp.n_pieces, 0) END)::INT AS n_pieces
          FROM documents d LEFT JOIN dp USING (doc_id) ORDER BY d.doc_id"""
     },
+
+    "ta13_char_diversity" ->
+      // counts enumerate in ascending-char order (list_distinct of the
+      // sorted list), matching the Spark fold's run-closing order, so
+      // the double accumulation sequences identically
+      s"""WITH ch AS (SELECT doc_id, string_split(text, '') AS chars
+           FROM documents),
+         cc AS (SELECT doc_id, len(chars)::BIGINT AS n,
+             list_transform(list_distinct(list_sort(chars)),
+               q -> len(list_filter(chars, x -> x = q))::BIGINT) AS counts
+           FROM ch)
+         SELECT doc_id, n AS n_chars,
+           floor((CASE WHEN n > 0
+             THEN log2(n) - list_sum(list_transform(counts,
+               q -> q * log2(q))) / n
+             ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS entropy,
+           floor((CASE WHEN n > 1
+             THEN list_sum(list_transform(counts, q -> q * (q - 1)))::DOUBLE
+               / (n * (n - 1))
+             ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS simpson
+         FROM cc ORDER BY doc_id""",
 
     "ta12_url_filter" -> {
       // same synthesized URLs; the normalization chain mirrors

@@ -238,6 +238,46 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  /** Character-diversity quality signals (Gopher-family heuristics —
+    * machine-generated and boilerplate text concentrates on few
+    * symbols): Shannon entropy in bits/char and the exact Simpson
+    * concentration Σc(c−1)/(N(N−1)). Returns
+    * `struct(n_chars, entropy, simpson)`.
+    *
+    * Linear in text length via the [[topTokenFraction]] sorted-run
+    * trick: sort the chars once, then ONE aggregate pass closes run
+    * lengths and accumulates Σ c·log₂c (double) and Σ c·(c−1) (exact
+    * BIGINT — Simpson is rational, so it is bit-identical across
+    * engines; entropy carries the usual libm-log ulp noise and rounds
+    * at the caller). H = log₂N − (Σ c·log₂c)/N.
+    */
+  def charDiversity(text: Column): Column = {
+    val chars = split(text, "")
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0.0).as("s"), lit(0L).as("s2"))
+    val closed = (a: Column) =>
+      when(a.getField("run") > 0,
+        a.getField("run").cast("double") * log2(a.getField("run")))
+        .otherwise(lit(0.0))
+    val closed2 = (a: Column) =>
+      a.getField("run") * (a.getField("run") - 1)
+    val acc = aggregate(array_sort(chars), zero, (a, c) =>
+      when(c === a.getField("prev"),
+        struct(c.as("prev"), (a.getField("run") + 1).as("run"),
+          a.getField("s").as("s"), a.getField("s2").as("s2")))
+        .otherwise(struct(c.as("prev"), lit(1L).as("run"),
+          (a.getField("s") + closed(a)).as("s"),
+          (a.getField("s2") + closed2(a)).as("s2"))))
+    val n = size(chars).cast("long")
+    val sTot = acc.getField("s") + closed(acc)
+    val s2Tot = acc.getField("s2") + closed2(acc)
+    struct(n.as("n_chars"),
+      when(n > 0, log2(n) - sTot / n.cast("double"))
+        .otherwise(lit(0.0)).as("entropy"),
+      when(n > 1, s2Tot.cast("double") / (n * (n - 1)).cast("double"))
+        .otherwise(lit(0.0)).as("simpson"))
+  }
+
   /** Repetition signal: fraction of word bigrams that are repeats
     * (1 − distinct/total). 0.0 for texts of fewer than two tokens.
     */

@@ -146,4 +146,20 @@ class TextAnalysisSpec extends SparkSpec {
         s"linear ${r.getDouble(0)} != brute ${r.getDouble(1)}")
     }
   }
+
+  test("charDiversity: known entropies and exact Simpson values") {
+    def d(t: String): (Long, Double, Double) = {
+      val r = rows(Seq(t).toDF("t")
+        .select(TA.charDiversity($"t").as("x"))
+        .select($"x.n_chars", $"x.entropy", $"x.simpson")).head
+      (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    }
+    assert(d("aaaa") == ((4L, 0.0, 1.0)))            // one symbol
+    assert(d("abab") == ((4L, 1.0, 1.0 / 3)))        // two symbols 2+2
+    assert(d("abcd") == ((4L, 2.0, 0.0)))            // uniform distinct
+    // 1 char: entropy 0, simpson guard (n>1) → 0
+    assert(d("q") == ((1L, 0.0, 0.0)))
+    // mixed: entropy of {a:2, b:1, c:1} = 1.5 bits
+    assert(d("abca") == ((4L, 1.5, 2.0 / 12)))
+  }
 }
