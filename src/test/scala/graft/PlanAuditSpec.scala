@@ -250,6 +250,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("scrubRepeatedSpans: map-side gram combine, broadcast hot join, no cartesian") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("id", "t")
+    val out = Dedup.scrubRepeatedSpans(df, $"id", $"t", 3, hotThreshold = 1L)
+    val plan = out.queryExecution.executedPlan.toString
+    // doc-frequency counts partial-aggregate before the shuffle
+    assert("partial_".r.findAllIn(plan).size >= 1, plan)
+    // every-gram-hot: the hot branch must match via broadcast
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("simhashPairs: fingerprints ride the bucket self-join, no cartesian, no window") {
+    val df = Seq((1L, "a b c"), (2L, "a b d")).toDF("id", "t")
+    val plan = Dedup.simhashPairs(df, $"id", $"t")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window ["), plan)
+  }
+
+  test("epochShuffle: one exchange (the shard partition), shard-parallel window") {
+    val df = Seq.tabulate(40)(i => i.toLong).toDF("id")
+    val plan = Sampling.epochShuffle(df, $"id", 1, 4)
+      .queryExecution.executedPlan.toString
+    // the per-shard rank is partitioned — a global (empty-partition)
+    // window would move everything to one task
+    assert(!plan.contains("Window [pos"), plan) // no global unpartitioned form
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected exactly one hash exchange (by shard):\n$plan")
+  }
+
   test("v4 vocabulary ranking never windows over the full vocabulary") {
     // the global rank window must sit above a LIMIT (TakeOrdered), so
     // it only ever sees k rows — mirror of the v4 query shape.
