@@ -1056,6 +1056,24 @@ object SparkEntry {
         .orderBy(col("lang"), col("bin"))
     }),
 
+    "g5_training_batches" -> ((s, dir) => {
+      // G5 — the serve schedule: g2's packed bins put into the epoch-1
+      // training order. Bins (not docs) shuffle — the unit a loader
+      // fetches — via the x2 epoch-salted hash sort into 4 uniform
+      // shards with dense per-shard positions. Still one lazy plan on
+      // top of the g2 chain; the only additions are the bin rollup and
+      // the shard window.
+      val bins = g2PackedStarts(s, dir)
+        .withColumn("bin", expr("start_tok div 2048"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      Sampling.epochShuffle(bins,
+          concat_ws(":", col("lang"), col("bin")), epoch = 1, numShards = 4)
+        .select(col("lang"), col("bin"), col("n_docs"), col("n_tokens"),
+          col("shard"), col("pos"))
+        .orderBy(col("lang"), col("bin"))
+    }),
+
     "g4_dedup_corpus" -> ((s, dir) => {
       // G4 — g2 with its missing first stage fused in: near-dup
       // KEEP-ONE dedup (the d14 closure) → decontaminate → quality
@@ -3180,6 +3198,23 @@ object SparkEntry {
            (start_tok // 2048) // 8 AS bin_range, n_tok, start_tok
          FROM packed ORDER BY doc_id"""
     },
+
+    "g5_training_batches" ->
+      s"""${sqlG2PackedCtes()},
+         bins AS (
+           SELECT lang, start_tok // 2048 AS bin, count(*) AS n_docs,
+             sum(n_tok)::BIGINT AS n_tokens
+           FROM packed GROUP BY lang, bin),
+         hs AS (SELECT lang, bin, n_docs, n_tokens,
+             ('0x' || substr(md5('ep:1:' || lang || ':' || bin::VARCHAR),
+               1, 7))::BIGINT AS hh
+           FROM bins),
+         sx AS (SELECT lang, bin, n_docs, n_tokens, hh,
+             (hh * 4) // ${1L << 28} AS shard FROM hs)
+         SELECT lang, bin, n_docs, n_tokens, shard,
+           (row_number() OVER (PARTITION BY shard
+             ORDER BY hh, lang || ':' || bin::VARCHAR) - 1)::BIGINT AS pos
+         FROM sx ORDER BY lang, bin""",
 
     "g4_dedup_corpus" -> {
       // the d14 closure (band CTEs + recursive reachability) computed
