@@ -671,11 +671,14 @@ object SparkEntry {
       // Character-diversity quality signals (beyond the reference;
       // Gopher-family heuristic — generated/boilerplate text
       // concentrates on few symbols): Shannon bits/char + exact
-      // Simpson concentration, one linear sorted-run aggregate per row
-      // (the ta5 trick), scan-fused, zero shuffles. Simpson is
+      // Simpson concentration. Native one-pass kernel (the
+      // declarative sorted-run fold is an interpreted per-char HOF —
+      // it benched 13 s at sf0.1 vs ~1 s native; bit-parity pinned in
+      // TextAnalysisSpec), scan-fused, zero shuffles. Simpson is
       // rational → bit-exact across engines; entropy rounds at 6dp.
       t(s, dir, "documents")
-        .select(col("doc_id"), TA.charDiversity(col("text")).as("_d"))
+        .select(col("doc_id"),
+          graft.expressions.CharDiversity(col("text")).as("_d"))
         .select(col("doc_id"),
           col("_d.n_chars").as("n_chars"),
           fround(col("_d.entropy"), 6).as("entropy"),
@@ -2890,7 +2893,9 @@ object SparkEntry {
       // counts enumerate in ascending-char order (list_distinct of the
       // sorted list), matching the Spark fold's run-closing order, so
       // the double accumulation sequences identically
-      s"""WITH ch AS (SELECT doc_id, string_split(text, '') AS chars
+      s"""WITH ch AS (SELECT doc_id,
+             CASE WHEN len(text) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE string_split(text, '') END AS chars
            FROM documents),
          cc AS (SELECT doc_id, len(chars)::BIGINT AS n,
              list_transform(list_distinct(list_sort(chars)),

@@ -252,7 +252,9 @@ object TextAnalysis {
     * at the caller). H = log₂N − (Σ c·log₂c)/N.
     */
   def charDiversity(text: Column): Column = {
-    val chars = split(text, "")
+    // split("") yields [""] — guard so the empty text has ZERO chars
+    val chars = when(length(text) === 0, array().cast("array<string>"))
+      .otherwise(split(text, ""))
     val zero = struct(lit("").as("prev"), lit(0L).as("run"),
       lit(0.0).as("s"), lit(0L).as("s2"))
     val closed = (a: Column) =>

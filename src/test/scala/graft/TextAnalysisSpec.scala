@@ -161,5 +161,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d("q") == ((1L, 0.0, 0.0)))
     // mixed: entropy of {a:2, b:1, c:1} = 1.5 bits
     assert(d("abca") == ((4L, 1.5, 2.0 / 12)))
+    // empty text has zero chars (split("") would claim one)
+    assert(d("") == ((0L, 0.0, 0.0)))
+  }
+
+  test("CharDiversity native == declarative bit-for-bit") {
+    val texts = Seq("the quick brown fox", "aaaa bbbb", "", "x",
+      "机器学习是机器智能的分支 机器 learning",
+      "mixed CASE with   spaces\tand\nnewlines 12345!!")
+    val df = texts.toDF("t")
+    val native = rows(df.select(
+      graft.expressions.CharDiversity($"t").as("x"))
+      .select($"x.n_chars", $"x.entropy", $"x.simpson"))
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val decl = rows(df.select(TA.charDiversity($"t").as("x"))
+      .select($"x.n_chars", $"x.entropy", $"x.simpson"))
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(native == decl)
   }
 }
