@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextAnalysis => TA, TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Align, Compliance, Decontam, Dedup, Embed, Enrich, Multimodal, Packing, Rag, Ruler, Sampling, Similarity}
+import graft.operators.{Align, Compliance, Decontam, Dedup, Embed, Enrich, Multimodal, Packing, Rag, Ruler, Sampling, Similarity, Sketches}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -665,6 +665,24 @@ object SparkEntry {
         .select(col("doc_id"), col("n_big"),
           fround(col("avg_logprob"), 6).as("logprob"))
         .orderBy(col("doc_id"))
+    }),
+
+    "a14_hll_rollup" -> ((s, dir) => {
+      // Mergeable-sketch lifecycle (beyond the reference): per-day HLL
+      // sketches of the token stream fold once per ingest batch (day
+      // synthesizes from doc_id, the w4 precedent), then ANY slice
+      // answers distinct-token questions by unioning sketch bytes —
+      // history never rescans. Approximate ⇒ no DuckDB oracle (the
+      // a6x precedent; SketchesSpec pins accuracy vs exact and the
+      // union-equals-direct law); driver rows-check applies.
+      val toks = t(s, dir, "documents")
+        .select(col("lang"), pmod(col("doc_id"), lit(7)).as("day"),
+          TA.tokens(col("text")).as("_toks"))
+        .select(col("lang"), col("day"), explode(col("_toks")).as("tok"))
+      Sketches.unionEstimates(
+          Sketches.dailySketches(toks, col("lang"), col("day"), col("tok")))
+        .select(col("stratum").as("lang"), col("est_distinct"))
+        .orderBy(col("lang"))
     }),
 
     "ta13_char_diversity" -> ((s, dir) => {
