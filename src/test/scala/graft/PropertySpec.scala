@@ -144,6 +144,58 @@ class PropertySpec extends SparkSpec {
       TA.jvmTokens(doc).mkString)
   }
 
+  test("connectedComponents equals brute union-find on arbitrary random graphs") {
+    // the riskiest algorithm in the dedup suite: pin it against an
+    // obviously-correct union-find over many random edge lists of
+    // varied density (sparse forests → dense near-cliques)
+    def brute(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val es = edges.filter(e => e._1 != e._2)
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      es.flatMap(e => Seq(e._1, e._2)).distinct.map(n => n -> find(n)).toMap
+    }
+    val edgeGen = for {
+      nNodes <- Gen.chooseNum(2, 24)
+      nEdges <- Gen.chooseNum(1, 40)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.chooseNum(0L, nNodes.toLong)
+        b <- Gen.chooseNum(0L, nNodes.toLong)
+      } yield (a, b))
+    } yield edges
+    sample(edgeGen, 12, seed = 7L).foreach { edges =>
+      val got = Dedup.connectedComponents(edges.toDF("a", "b"), $"a", $"b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == brute(edges), s"edges=$edges")
+    }
+  }
+
+  test("epochShuffle is a permutation with dense shard positions for arbitrary sizes") {
+    val cases = sample(for {
+      n <- Gen.chooseNum(1, 300)
+      shards <- Gen.chooseNum(1, 7)
+      epoch <- Gen.chooseNum(1, 5)
+    } yield (n, shards, epoch), 6, seed = 11L)
+    cases.foreach { case (n, shards, epoch) =>
+      import graft.operators.Sampling
+      val out = Sampling.epochShuffle(
+          (0L until n.toLong).toDF("id"), $"id", epoch, shards)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(out.map(_._1).sorted.toSeq == (0L until n.toLong),
+        s"n=$n shards=$shards epoch=$epoch")
+      out.groupBy(_._2).foreach { case (_, rs) =>
+        assert(rs.map(_._3).sorted.toSeq == (0L until rs.length.toLong))
+      }
+      assert(out.forall(t => t._2 >= 0 && t._2 < shards))
+    }
+  }
+
   test("token n-gram count law: distinct grams ≤ max(0, n_tok − n + 1)") {
     import graft.operators.Decontam
     val texts = sample(asciiText, 60)
