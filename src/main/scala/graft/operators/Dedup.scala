@@ -761,6 +761,11 @@ object Dedup {
     * The corpus tokenizes twice (occurrence pass + rewrite pass), the
     * same accepted trade as g2's probe branch: a cache of the token
     * arrays costs more than the narrow re-scan.
+    *
+    * Known artifact (shared with Lee et al.): cutting a span joins the
+    * tokens on either side, which can CREATE a new n-gram that was not
+    * in the original text; a second pass converges in practice but is
+    * not run here — one pass is the published semantics.
     */
   def scrubRepeatedSpans(df: DataFrame, id: Column, text: Column,
                          n: Int, minDocs: Long = 2L,
@@ -834,7 +839,10 @@ object Dedup {
     * caller left-joins and coalesces to the node's own id.
     */
   def connectedComponents(edges: DataFrame, a: Column, b: Column,
-                          maxRounds: Int = 64): DataFrame = {
+                          maxRounds: Int = 128): DataFrame = {
+    // 128 covers the O(log²) worst case with slack at any realistic
+    // graph size (practice is 2-5 rounds); exhaustion fails loudly
+    // below rather than returning partial labels.
     // canonical (u > v) undirected representation, self-loops dropped
     def canon(df: DataFrame): DataFrame = df
       .select(greatest(col("u"), col("v")).as("u"),
