@@ -667,6 +667,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "ta14_corpus_divergence" -> ((s, dir) => {
+      // Per-language JS divergence vs the corpus mixture (beyond the
+      // reference): the drift statistic that validates a mix or flags
+      // a bad ingest source. One tokenize pass; both distributions
+      // derive from one vocab-sized count table; strata totals and
+      // the scalar grand total broadcast.
+      TA.corpusDivergence(
+          t(s, dir, "documents"), col("lang"), col("text"))
+        .select(col("stratum").as("lang"), col("n_tok"),
+          fround(col("js_bits"), 6).as("js_bits"))
+        .orderBy(col("lang"))
+    }),
+
     "a14_hll_rollup" -> ((s, dir) => {
       // Mergeable-sketch lifecycle (beyond the reference): per-day HLL
       // sketches of the token stream fold once per ingest batch (day
@@ -2905,6 +2918,29 @@ object SparkEntry {
            (CASE WHEN d.text IS NULL THEN NULL
              ELSE coalesce(dp.n_pieces, 0) END)::INT AS n_pieces
          FROM documents d LEFT JOIN dp USING (doc_id) ORDER BY d.doc_id"""
+    },
+
+    "ta14_corpus_divergence" -> {
+      val toks = sqlTokens("text")
+      s"""WITH tk AS (SELECT lang AS stratum, unnest($toks) AS tok
+           FROM documents),
+         sc AS (SELECT stratum, tok, count(*)::BIGINT AS c
+           FROM tk GROUP BY stratum, tok),
+         st AS (SELECT stratum, sum(c)::BIGINT AS ts FROM sc GROUP BY stratum),
+         tot AS (SELECT tok, sum(c)::BIGINT AS ct FROM sc GROUP BY tok),
+         g AS (SELECT sum(ct)::BIGINT AS t FROM tot),
+         pairs AS (
+           SELECT s.stratum, s.ts,
+             coalesce(x.c, 0)::DOUBLE / s.ts::DOUBLE AS p,
+             tot.ct::DOUBLE / g.t::DOUBLE AS q
+           FROM tot CROSS JOIN st s CROSS JOIN g
+           LEFT JOIN sc x ON x.stratum = s.stratum AND x.tok = tot.tok)
+         SELECT stratum AS lang, max(ts) AS n_tok,
+           floor((sum(
+             (CASE WHEN p > 0 THEN 0.5 * p * log2(2 * p / (p + q))
+               ELSE 0.0 END) +
+             0.5 * q * log2(2 * q / (p + q)))) * 1e6 + 0.5) / 1e6 AS js_bits
+         FROM pairs GROUP BY stratum ORDER BY lang"""
     },
 
     "ta13_char_diversity" ->

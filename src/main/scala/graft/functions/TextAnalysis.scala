@@ -407,4 +407,45 @@ object TextAnalysis {
       .agg(sum(col("c")).as("n_big"),
         (sum(col("c") * log(interp)) / sum(col("c"))).as("avg_logprob"))
   }
+
+  /** Per-stratum corpus drift: Jensen-Shannon divergence (bits) of
+    * each stratum's unigram token distribution against the WHOLE
+    * corpus mixture — the "which slice is drifting from the mix"
+    * statistic that validates a tokenBudgetMix or flags an ingest
+    * source gone bad. JS is symmetric, bounded by 1 bit, and defined
+    * on disjoint supports (unlike KL), so no smoothing constant to
+    * pick. Output: `(stratum, n_tok, js_bits)`.
+    *
+    * Scale shape: the corpus tokenizes once; counts partial-aggregate
+    * map-side to a vocab-sized table from which BOTH distributions
+    * derive (stratum totals AND corpus totals — no second scan); the
+    * per-(stratum, token) term table is |vocab|·|strata| rows, with
+    * the strata totals and the scalar grand total broadcast.
+    */
+  def corpusDivergence(df: DataFrame, stratum: Column,
+                       text: Column): DataFrame = {
+    val toks = df
+      .select(stratum.as("stratum"), tokens(text).as("_toks"))
+      .select(col("stratum"), explode(col("_toks")).as("tok"))
+    val sc = toks.groupBy(col("stratum"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val st = sc.groupBy(col("stratum")).agg(sum(col("c")).as("ts"))
+    val tot = sc.groupBy(col("tok")).agg(sum(col("c")).as("ct"))
+    val grand = tot.agg(sum(col("ct")).as("t"))
+    val pairs = tot
+      .crossJoin(broadcast(st.crossJoin(broadcast(grand))))
+      .join(sc, Seq("stratum", "tok"), "left")
+      .withColumn("p",
+        coalesce(col("c"), lit(0L)).cast("double") / col("ts").cast("double"))
+      .withColumn("q", col("ct").cast("double") / col("t").cast("double"))
+    // q > 0 for every vocab token by construction; the p-side term is
+    // zero at p = 0 (x·log x → 0)
+    val term =
+      when(col("p") > 0,
+        lit(0.5) * col("p") * log2(lit(2) * col("p") / (col("p") + col("q"))))
+        .otherwise(lit(0.0)) +
+      lit(0.5) * col("q") * log2(lit(2) * col("q") / (col("p") + col("q")))
+    pairs.groupBy(col("stratum"))
+      .agg(max(col("ts")).as("n_tok"), sum(term).as("js_bits"))
+  }
 }

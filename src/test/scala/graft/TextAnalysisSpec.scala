@@ -165,6 +165,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d("") == ((0L, 0.0, 0.0)))
   }
 
+  test("corpusDivergence: zero for identical strata, symmetric and positive for disjoint") {
+    // identical distributions: p == q bitwise → JS exactly 0
+    val same = Seq(("x", "a b c a"), ("y", "a b c a")).toDF("s", "t")
+    val js0 = rows(TA.corpusDivergence(same, $"s", $"t").orderBy($"stratum"))
+      .map(r => (r.getString(0), r.getDouble(2)))
+    assert(js0 == Seq(("x", 0.0), ("y", 0.0)))
+    // equal-size disjoint vocabularies: both strata sit at the same
+    // analytic distance from the mixture:
+    // 0.5·log2(4/3) + 0.25·log2(2/3) + 0.25
+    val disj = Seq(("x", "a b c d"), ("y", "e f g h")).toDF("s", "t")
+    val js1 = rows(TA.corpusDivergence(disj, $"s", $"t").orderBy($"stratum"))
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val expected = 0.5 * math.log(4.0 / 3) / math.log(2) +
+      0.25 * math.log(2.0 / 3) / math.log(2) + 0.25
+    js1.foreach { case (_, n, js) =>
+      assert(n == 4L && math.abs(js - expected) < 1e-12, js1)
+    }
+    assert(js1.head._3 == js1.last._3)
+  }
+
   test("CharDiversity native == declarative bit-for-bit") {
     val texts = Seq("the quick brown fox", "aaaa bbbb", "", "x",
       "机器学习是机器智能的分支 机器 learning",
