@@ -439,6 +439,64 @@ object Dedup {
         } finally { kept.unpersist(): Unit }
     }
 
+  /** One micro-batch of streaming cluster-label maintenance — the
+    * REGISTRY alternative to [[nearDupSink]]'s drop-on-ingest: instead
+    * of discarding near-dups, every ingested doc gets a persistent
+    * cluster label, so survivorship policy (keep-one, keep-best,
+    * keep-all-with-weights) stays a downstream choice. Per batch:
+    * near-dup edges form from the band-index probe (batch vs corpus)
+    * plus intra-batch pairs, [[mergeComponents]] folds them into the
+    * prior label snapshot (O(batch + labels) — star-forest inputs
+    * converge in 1-2 rounds), and changed labels land as CDC upserts
+    * (version = batchId) in a [[MergeLog]] at `labelDir`.
+    *
+    * Replay safety: the probe excludes the batch's own earlier band
+    * rows (`sb` tag); if the previous attempt already committed its
+    * label delta, re-merging the same edges into the already-merged
+    * labels is a no-op (closure is idempotent), the recomputed delta is
+    * empty, and `appendDelta` skips by batch id — so any crash point
+    * replays to the same state. Returns the new full label snapshot.
+    */
+  def maintainClusterLabels(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String, labelDir: String,
+                            batch: DataFrame, id: Column, text: Column,
+                            threshold: Double, batchId: Long,
+                            buckets: Int = 64): DataFrame = {
+    val vsCorpus = probeLshBandIndex(spark, indexPath, batch, id, text,
+        buckets = buckets, excludeBatch = Some(batchId))
+      .where(col("est_jaccard") >= threshold)
+      .select(col("id_batch").as("ea"), col("id_corpus").as("eb"))
+    val intra = minhashPairs(batch, id, text)
+      .where(col("est_jaccard") >= threshold)
+      .select(col("id_a").as("ea"), col("id_b").as("eb"))
+    val old = MergeLog.read(spark, labelDir, "id")
+      .select(col("id"), col("comp"))
+    val merged = mergeComponents(old, vsCorpus.unionAll(intra),
+      col("ea"), col("eb"))
+    val delta = merged.exceptAll(old)
+      .withColumn("version", lit(batchId))
+      .withColumn("deleted", lit(false))
+    MergeLog.appendDelta(delta, labelDir, Some(batchId)): Unit
+    appendLshBandIndex(batch, id, text, indexPath,
+      buckets = buckets, srcBatch = batchId)
+    merged
+  }
+
+  /** Streaming wrapper over [[maintainClusterLabels]]: initialize the
+    * label log (`MergeLog.init` over a possibly-empty (id, comp)
+    * snapshot) and the band index (`saveLshBandIndex`) first.
+    */
+  def clusterLabelSink(stream: DataFrame, idName: String, textName: String,
+                       indexPath: String, labelDir: String,
+                       threshold: Double, buckets: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        maintainClusterLabels(batch.sparkSession, indexPath, labelDir,
+          batch, col(idName), col(textName), threshold, batchId,
+          buckets): Unit
+    }
+
   // ---------------------------------------------------------------------
   // Incremental dedup: new batch vs existing corpus (bloom pre-filter)
   // ---------------------------------------------------------------------

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, MergeLog}
 import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkSpec {
@@ -493,6 +493,52 @@ class DedupSpec extends SparkSpec {
     // near-identical docs differ in few bits; unrelated in many
     assert(java.lang.Long.bitCount(native(0) ^ native(1)) <= 16)
     assert(java.lang.Long.bitCount(native(0) ^ native(3)) > 16)
+  }
+
+  test("clusterLabelSink: labels accrue across batches; bridges merge; replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val idx = Scratch.dir("lbl_idx") + "/lsh"
+    val labels = Scratch.dir("lbl_log")
+    Dedup.saveLshBandIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      $"doc_id", $"text", idx, buckets = 8)
+    MergeLog.init(Seq.empty[(Long, Long)].toDF("id", "comp"), labels)
+    def snapshot(): Map[Long, Long] =
+      rows(MergeLog.read(spark, labels, "id"))
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val input = MemoryStream[(Long, String)]
+    val q = Dedup.clusterLabelSink(
+        input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", idx, labels, threshold = 0.4, buckets = 8)
+      .option("checkpointLocation", Scratch.dir("lbl_ckpt"))
+      .start()
+    try {
+      // batch 0: an intra-batch near-dup pair + an unrelated singleton
+      input.addData(
+        (10L, "the quick brown fox jumps over the lazy dog again today ok"),
+        (11L, "the quick brown fox jumps over the lazy dog again today yes"),
+        (30L, "completely different content about spark execution engines"))
+      q.processAllAvailable()
+      assert(snapshot() == Map(10L -> 10L, 11L -> 10L))
+      // batch 1: near-dup of doc 11 (found via the grown index) plus a
+      // fresh singleton — the bridge extends the existing cluster
+      input.addData(
+        (20L, "a quick brown fox jumps over the lazy dog again today yes"),
+        (40L, "rain in spain falls mainly on the plain every single year"))
+      q.processAllAvailable()
+      assert(snapshot() == Map(10L -> 10L, 11L -> 10L, 20L -> 10L))
+    } finally q.stop()
+    // replay batch 1 at any crash point: closure is idempotent, the
+    // delta recomputes empty, appendDelta skips by batch id
+    val replay = Dedup.maintainClusterLabels(spark, idx, labels,
+      Seq((20L, "a quick brown fox jumps over the lazy dog again today yes"),
+        (40L, "rain in spain falls mainly on the plain every single year"))
+        .toDF("doc_id", "text"),
+      $"doc_id", $"text", threshold = 0.4, batchId = 1L, buckets = 8)
+    assert(rows(replay).map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(10L -> 10L, 11L -> 10L, 20L -> 10L))
+    assert(snapshot() == Map(10L -> 10L, 11L -> 10L, 20L -> 10L))
   }
 
   test("scrubRepeatedSpans: cross-doc spans removed, canonical copy kept, within-doc repeats untouched") {
