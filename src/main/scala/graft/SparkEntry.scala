@@ -873,6 +873,26 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "d18_neardup_ingest" -> ((s, dir) => {
+      // The one-batch near-dup ingest decision, oracle-gated end to
+      // end (the streaming nearDupSink runs exactly this per micro-
+      // batch): probe the persisted band index for corpus near-dups,
+      // drop them, then collapse intra-batch near-dups to the
+      // canonical (min-id) survivor via the component closure.
+      val docs = t(s, dir, "documents")
+      val idx = scratchDir("graft_d18") + "/lsh"
+      Dedup.saveLshBandIndex(
+        Sampling.hashSample(docs, col("doc_id"), 0.6, "corp"),
+        col("doc_id"), col("text"), idx,
+        targetRows = 100000L, spread = 2)
+      Dedup.nearDupIngest(s, idx,
+          Sampling.hashSample(docs, col("doc_id"), 0.5, "newb")
+            .select(col("doc_id"), col("lang"), col("text")),
+          col("doc_id"), col("text"), threshold = 0.5)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     "d16_substring_scrub" -> ((s, dir) => {
       // Exact-substring span REMOVAL (beyond the reference; Lee et al.
       // dedup — d12 is the detection signal, this is the rewrite):
@@ -3718,6 +3738,49 @@ object SparkEntry {
          SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS dist
          FROM cand WHERE bit_count(xor(sa, sb)) <= 3
          ORDER BY id_a, id_b""",
+
+    "d18_neardup_ingest" -> {
+      // corpus-vs-batch pairs from the d15 band chains; intra-batch
+      // pairs restricted to fresh survivors (band keys are per-doc, so
+      // subset pairs == full pairs with both endpoints fresh); closure
+      // via the d14 recursive CTE; kept = component-canonical fresh
+      def keep(salt: String, rate: Double) =
+        s"('0x' || substr(md5('$salt:' || doc_id::VARCHAR), 1, 7))::BIGINT" +
+          s" < ${Sampling.threshold(rate)}"
+      def est(sa: String, sb: String) =
+        s"""list_sum(list_transform(generate_series(1, 16),
+           i -> CASE WHEN $sa[i] = $sb[i] THEN 1 ELSE 0 END)) / 16.0"""
+      s"""WITH RECURSIVE
+         corp AS (SELECT doc_id, text FROM documents WHERE ${keep("corp", 0.6)}),
+         newb AS (SELECT doc_id, lang, text FROM documents
+           WHERE ${keep("newb", 0.5)}),
+         ${sqlMinhashBandCtes("corp", "c_")},
+         ${sqlMinhashBandCtes("newb", "b_")},
+         dupb AS (
+           SELECT DISTINCT b.doc_id FROM b_bucketed b
+           JOIN c_bucketed c ON b.bk = c.bk AND b.doc_id <> c.doc_id
+           WHERE ${est("b.sig", "c.sig")} >= 0.5),
+         fresh AS (SELECT doc_id, lang FROM newb
+           WHERE doc_id NOT IN (SELECT doc_id FROM dupb)),
+         fedges AS (
+           SELECT DISTINCT x.doc_id AS ea, y.doc_id AS eb
+           FROM b_bucketed x JOIN b_bucketed y
+             ON x.bk = y.bk AND x.doc_id < y.doc_id
+           JOIN fresh fx ON fx.doc_id = x.doc_id
+           JOIN fresh fy ON fy.doc_id = y.doc_id
+           WHERE ${est("x.sig", "y.sig")} >= 0.5),
+         fsym AS (SELECT ea, eb FROM fedges
+           UNION SELECT eb AS ea, ea AS eb FROM fedges),
+         freach(id, r) AS (
+           SELECT ea, eb FROM fsym
+           UNION
+           SELECT t.id, s2.eb FROM freach t JOIN fsym s2 ON t.r = s2.ea),
+         fcomp AS (SELECT id, min(r) AS mr FROM freach GROUP BY id)
+         SELECT f.doc_id, f.lang FROM fresh f
+         LEFT JOIN fcomp c ON f.doc_id = c.id
+         WHERE least(coalesce(c.mr, f.doc_id), f.doc_id) = f.doc_id
+         ORDER BY f.doc_id"""
+    },
 
     "d16_substring_scrub" -> {
       val toks = sqlTokens("text")

@@ -397,8 +397,12 @@ object Dedup {
                     batch: DataFrame, id: Column, text: Column,
                     threshold: Double, batchId: Long = -1L,
                     buckets: Int = 64): DataFrame = {
+    // batchId < 0 = non-streaming call: exclude NOTHING — Some(-1)
+    // would match the sb = -1 tag of every batch-built index row and
+    // silently blind the probe to the whole saved corpus
     val dupVsCorpus = probeLshBandIndex(spark, path, batch, id, text,
-        buckets = buckets, excludeBatch = Some(batchId))
+        buckets = buckets,
+        excludeBatch = if (batchId >= 0) Some(batchId) else None)
       .where(col("est_jaccard") >= threshold)
       .select(col("id_batch").as("_dup_id")).distinct()
     val fresh = batch.join(dupVsCorpus,
@@ -463,7 +467,8 @@ object Dedup {
                             threshold: Double, batchId: Long,
                             buckets: Int = 64): DataFrame = {
     val vsCorpus = probeLshBandIndex(spark, indexPath, batch, id, text,
-        buckets = buckets, excludeBatch = Some(batchId))
+        buckets = buckets,
+        excludeBatch = if (batchId >= 0) Some(batchId) else None)
       .where(col("est_jaccard") >= threshold)
       .select(col("id_batch").as("ea"), col("id_corpus").as("eb"))
     val intra = minhashPairs(batch, id, text)
