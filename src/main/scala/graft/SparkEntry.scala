@@ -873,6 +873,22 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "s12_zorder" -> ((s, dir) => {
+      // Morton/Z-order value (beyond the reference): the write-time
+      // clustering key behind 2D data skipping — each output file
+      // covers a square-ish tile of the key space, so range predicates
+      // on EITHER column prune on parquet min/max stats. The query
+      // oracle-gates the bit interleave; CompactionSpec pins the
+      // layout property (z-tiles vs 1D stripes).
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 1000)
+        .select(col("l_orderkey"), col("l_partkey"),
+          sources.Compaction.zValue(
+            pmod(col("l_orderkey").cast("long"), lit(1L << 20)),
+            pmod(col("l_partkey").cast("long"), lit(1L << 20))).as("z"))
+        .orderBy(col("l_orderkey"), col("l_partkey"), col("z"))
+    }),
+
     "d18_neardup_ingest" -> ((s, dir) => {
       // The one-batch near-dup ingest decision, oracle-gated end to
       // end (the streaming nearDupSink runs exactly this per micro-
@@ -3738,6 +3754,16 @@ object SparkEntry {
          SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS dist
          FROM cand WHERE bit_count(xor(sa, sb)) <= 3
          ORDER BY id_a, id_b""",
+
+    "s12_zorder" ->
+      s"""SELECT l_orderkey, l_partkey,
+           list_sum(list_transform(generate_series(0, 19), b ->
+             (((l_orderkey % 1048576) // (2 ** b)::BIGINT) % 2)
+               * (2 ** (2 * b))::BIGINT +
+             (((l_partkey % 1048576) // (2 ** b)::BIGINT) % 2)
+               * (2 ** (2 * b + 1))::BIGINT))::BIGINT AS z
+         FROM lineitem WHERE l_orderkey <= 1000
+         ORDER BY l_orderkey, l_partkey, z""",
 
     "d18_neardup_ingest" -> {
       // corpus-vs-batch pairs from the d15 band chains; intra-batch

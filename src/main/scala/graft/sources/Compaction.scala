@@ -53,4 +53,44 @@ object Compaction {
   def readSized(spark: SparkSession, path: String,
                 schema: StructType): DataFrame =
     spark.read.schema(schema).parquet(path)
+
+  /** Morton (Z-order) interleave of two non-negative long columns,
+    * `bits` low bits each: bit b of x lands at position 2b, bit b of y
+    * at 2b+1. Pure literal-fold bit arithmetic — codegen-friendly,
+    * deterministic, replayable by any engine (oracle-checked in s12).
+    * Callers pre-normalize values into [0, 2^bits).
+    */
+  def zValue(x: Column, y: Column, bits: Int = 20): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    (0 until bits).map { b =>
+      shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b)
+        .bitwiseOR(
+          shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-ordered parquet layout: range-partition then sort by the Morton
+    * value of (x, y), so each output FILE covers a small square-ish
+    * tile of the 2D key space instead of a stripe — a range predicate
+    * on EITHER dimension then skips most files/row-groups on parquet
+    * min/max stats (one-dimension sorting prunes only its own column).
+    * This is write-time clustering: one range shuffle, a per-partition
+    * sort, hard per-file row caps — no count pre-pass, no driver loop,
+    * the standard lakehouse OPTIMIZE ZORDER shape expressed as a plain
+    * Spark write. CompactionSpec pins the per-file tile-narrowness
+    * against a 1D-sorted layout.
+    */
+  def writeZOrdered(df: DataFrame, path: String, x: Column, y: Column,
+                    bits: Int = 20, targetRows: Long = 1L << 20,
+                    numFiles: Int = 0): Unit = {
+    val withZ = df.withColumn("_z", zValue(x, y, bits))
+    val parts =
+      if (numFiles > 0) withZ.repartitionByRange(numFiles, col("_z"))
+      else withZ.repartitionByRange(col("_z"))
+    parts.sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRows)
+      .parquet(path)
+  }
 }

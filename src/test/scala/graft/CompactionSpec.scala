@@ -85,6 +85,43 @@ class CompactionSpec extends SparkSpec {
       laid.filter($"lang" === "en" && $"bin_range" === 0L).count())
   }
 
+  test("zValue interleaves bits; z-order files are tiles, 1D-sorted files are stripes") {
+    // bit interleave on hand-checked values: x=0b101 (5), y=0b011 (3)
+    // → z bits: x0@0, y0@1, x1@2, y1@3, x2@4, y2@5 = 0b011011 wrong?
+    // x=101: bits (0,1,2)=(1,0,1); y=011: bits=(1,1,0)
+    // z = 1·1 + 1·2 + 0·4 + 1·8 + 1·16 + 0·32 = 27
+    val z = col0[Long](Seq((5L, 3L)).toDF("x", "y")
+      .select(Compaction.zValue($"x", $"y", 3)))
+    assert(z.head == 27L)
+    // layout property: a 64×64 grid written z-ordered gives per-file
+    // ranges bounded on BOTH dims; the same data sorted by x alone
+    // gives full-width y stripes
+    val grid = spark.range(64L * 64L)
+      .select(($"id" / 64).cast("long").as("x"),
+        pmod($"id" * 2654435761L, lit(64L)).as("y"))
+    def fileRanges(path: String): Seq[(Long, Long)] =
+      rows(spark.read.parquet(path)
+          .groupBy(input_file_name())
+          .agg((max($"x") - min($"x")).as("xr"), (max($"y") - min($"y")).as("yr")))
+        .map(r => (r.getLong(1), r.getLong(2)))
+    val zOut = Scratch.dir("zorder_z")
+    Compaction.writeZOrdered(grid, zOut, $"x", $"y", bits = 6,
+      targetRows = 256L, numFiles = 16)
+    val sOut = Scratch.dir("zorder_s")
+    grid.repartitionByRange(16, $"x").sortWithinPartitions($"x")
+      .write.mode("overwrite").option("maxRecordsPerFile", 256L).parquet(sOut)
+    val zr = fileRanges(zOut)
+    val sr = fileRanges(sOut)
+    def avg(v: Seq[Long]): Double = v.sum.toDouble / v.size
+    // 1D sort: y spans the full 0..63 in every file; z-order: bounded
+    // tiles on both dims
+    assert(avg(sr.map(_._2)) > 55.0, sr)
+    assert(avg(zr.map(_._2)) < 32.0, zr)
+    assert(avg(zr.map(_._1)) < 32.0, zr)
+    // round trip: the layout write loses no rows
+    assert(spark.read.parquet(zOut).count() == 64L * 64L)
+  }
+
   test("writeSized bucket co-location is deterministic across runs") {
     // file names differ run to run (task/attempt ids), so compare the
     // STRUCTURE: which ids share a shuffle bucket. xxhash64(id) % spread
