@@ -107,6 +107,35 @@ object MergeLog {
     }
   }
 
+  /** Time-travel read: the table AS OF delta segment `upTo` (inclusive)
+    * — the reproducibility primitive: a training run records the batch
+    * id it consumed, and any later job reads the exact same corpus
+    * state back. Implemented as the plain [[read]] restricted to delta
+    * segments ≤ `upTo`; one lazy plan, no snapshot copies. Only valid
+    * back to the current base — [[compact]] absorbs and retires older
+    * segments (throws if `upTo` predates a still-listed segment range
+    * that compaction has folded away, i.e. when segments ≤ upTo no
+    * longer exist but later ones do).
+    */
+  def readAsOf(spark: SparkSession, dir: String, key: String, upTo: Long,
+               version: String = "version",
+               deleted: String = "deleted"): DataFrame = {
+    val bv = listVersions(spark, s"$dir/base", "v").lastOption.getOrElse(
+      throw new IllegalStateException(s"no base under $dir — init() first"))
+    val base = spark.read.parquet(baseDir(dir, bv))
+    val all = listVersions(spark, s"$dir/delta", "d")
+    if (all.nonEmpty && all.min > upTo)
+      throw new IllegalStateException(
+        s"as-of $upTo predates the current base — segments <= $upTo were " +
+          s"compacted away (earliest retained: ${all.min})")
+    val deltas = all.filter(_ <= upTo)
+    if (deltas.isEmpty) base
+    else {
+      val delta = spark.read.parquet(deltas.map(deltaDir(dir, _)): _*)
+      Dedup.mergeUpsert(base, delta, key, version, deleted)
+    }
+  }
+
   /** Fold the current delta log into base v=N+1 and retire the absorbed
     * segments. Write order is crash-safe: the new base lands complete
     * before any delta is removed, and a reader always takes the highest

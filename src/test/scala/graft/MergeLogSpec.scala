@@ -17,6 +17,29 @@ class MergeLogSpec extends SparkSpec {
     rows(MergeLog.read(spark, dir, "id").orderBy($"id"))
       .map(r => (r.getLong(0), r.getString(1)))
 
+  test("readAsOf replays any past delta state; compaction bounds the horizon") {
+    val dir = Scratch.dir("mergelog_asof")
+    MergeLog.init(snap, dir)
+    def asOf(k: Long) = rows(MergeLog.readAsOf(spark, dir, "id", k)
+      .orderBy($"id")).map(r => (r.getLong(0), r.getString(1)))
+    MergeLog.appendDelta(
+      Seq(LogDelta(2, "b1", 1, false)).toDF(), dir, Some(0L))
+    MergeLog.appendDelta(
+      Seq(LogDelta(3, "c", 2, true), LogDelta(5, "e", 2, false)).toDF(),
+      dir, Some(1L))
+    val afterD0 = Seq((1L, "a"), (2L, "b1"), (3L, "c"), (4L, "d"))
+    val afterD1 = Seq((1L, "a"), (2L, "b1"), (4L, "d"), (5L, "e"))
+    assert(asOf(0L) == afterD0)
+    assert(asOf(1L) == afterD1)
+    assert(asOf(99L) == afterD1) // beyond the log = current state
+    // compaction absorbs the segments: the horizon moves forward
+    MergeLog.compact(spark, dir, "id")
+    MergeLog.appendDelta(
+      Seq(LogDelta(6, "f", 3, false)).toDF(), dir, Some(2L))
+    assert(asOf(2L) == afterD1 :+ (6L, "f"))
+    intercept[IllegalStateException](asOf(0L))
+  }
+
   test("read = base ⊕ all delta segments, resolved by row version") {
     val dir = Scratch.dir("mergelog_rw")
     MergeLog.init(snap, dir)
