@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextAnalysis => TA, TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Align, Compliance, Decontam, Dedup, Embed, Enrich, Multimodal, Packing, Rag, Ruler, Sampling, Similarity, Sketches}
+import graft.operators.{Align, Classify, Compliance, Decontam, Dedup, Embed, Enrich, Multimodal, Packing, Rag, Ruler, Sampling, Similarity, Sketches}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -2332,6 +2332,42 @@ object SparkEntry {
         .select(col("cid"), col("id_a"), col("id_b"),
           fround(col("cosine"), 6).as("cosine"))
         .orderBy(col("cid"), col("id_a"), col("id_b"))
+    }),
+
+    "tq1_nb_classifier" -> ((s, dir) => {
+      // Trained quality classifier (beyond the reference; the
+      // GPT-3/CCNet-style corpus filter): multinomial Naive Bayes over
+      // hashed token features, fit on a deterministic 60% keyed split
+      // with "is the target stratum" labels, scoring the held-out 40%.
+      // Counting IS the fit — no SGD order-dependence — so the oracle
+      // replays training AND scoring from the same integer counts. The
+      // model is ≤ 4096 rows whatever the vocabulary (feature hashing)
+      // and broadcasts; raw text never shuffles.
+      val d = t(s, dir, "documents")
+      val isTrain = Sampling.keyHash(col("doc_id"), "nbt") <
+        Sampling.threshold(0.6)
+      val model = Classify.trainModel(d.filter(isTrain),
+        col("lang") <=> "en", col("text"), 4096)
+      Classify.score(model, d.filter(!isTrain), col("doc_id"), col("text"))
+        .select(col("doc_id"), col("n_tok"),
+          fround(col("log_odds"), 6).as("log_odds"))
+        .withColumn("pred_target", col("log_odds") > 0)
+        .orderBy(col("doc_id"))
+    }),
+
+    "tq2_dsir_weights" -> ((s, dir) => {
+      // DSIR importance weights (beyond the reference; Xie et al.
+      // 2023): per-doc mean log likelihood ratio of a hashed-unigram
+      // LM fit on the target stratum vs one fit on the whole corpus —
+      // the data-selection signal that reweights raw data toward a
+      // target distribution; a keyed sampler over the weights
+      // completes the resampling. Both LMs derive from ONE tokenized
+      // pass and broadcast back onto the per-doc feature counts.
+      Classify.dsirWeights(t(s, dir, "documents"), col("doc_id"),
+          col("text"), col("lang") <=> "en", 4096)
+        .select(col("doc_id"), col("n_tok"),
+          fround(col("avg_logratio"), 6).as("logratio"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -4592,6 +4628,81 @@ object SparkEntry {
              AS s
            FROM embeddings e, q WHERE e.vec_id <> 0)
          SELECT vec_id, floor((s) * 1e6 + 0.5) / 1e6 AS sim FROM sims
-         ORDER BY sim DESC, vec_id LIMIT 10"""
+         ORDER BY sim DESC, vec_id LIMIT 10""",
+
+    "tq1_nb_classifier" -> {
+      // NB training replayed from the same integer counts: per-class
+      // feature-slot counts over the 60% keyed split, Laplace-smoothed
+      // log-odds over the held-out docs. Split predicate, feature hash
+      // and bucket count are the SAME Scala constants as the query.
+      val b = 4096
+      val thr = operators.Sampling.threshold(0.6)
+      val toks = sqlTokens("text")
+      s"""WITH tk AS (SELECT doc_id,
+             coalesce(lang = 'en', false) AS pos,
+             ('0x' || substr(md5('nbt:' || doc_id::VARCHAR), 1, 7))::BIGINT
+               < $thr AS tr,
+             unnest($toks) AS tok
+           FROM documents),
+         f AS (SELECT doc_id, pos, tr,
+             ${operators.Classify.sqlFeatHash("tok", b)} AS f FROM tk),
+         cls AS (SELECT f,
+             sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS npos,
+             sum(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT AS nneg
+           FROM f WHERE tr GROUP BY f),
+         st AS (SELECT
+             sum(CASE WHEN coalesce(lang = 'en', false) THEN 1 ELSE 0
+               END)::BIGINT AS dpos,
+             sum(CASE WHEN coalesce(lang = 'en', false) THEN 0 ELSE 1
+               END)::BIGINT AS dneg,
+             sum(CASE WHEN coalesce(lang = 'en', false) THEN len($toks)
+               ELSE 0 END)::BIGINT AS tpos,
+             sum(CASE WHEN coalesce(lang = 'en', false) THEN 0
+               ELSE len($toks) END)::BIGINT AS tneg
+           FROM documents
+           WHERE ('0x' || substr(md5('nbt:' || doc_id::VARCHAR), 1, 7))::BIGINT
+             < $thr),
+         docf AS (SELECT doc_id, f, count(*)::BIGINT AS c
+           FROM f WHERE NOT tr GROUP BY 1, 2),
+         sc AS (SELECT doc_id, sum(c)::BIGINT AS n_tok,
+             ln(any_value(dpos)::DOUBLE / any_value(dneg)::DOUBLE) +
+               sum(c * (ln((coalesce(npos, 0) + 1)::DOUBLE
+                   / (tpos + $b)::DOUBLE)
+                 - ln((coalesce(nneg, 0) + 1)::DOUBLE
+                   / (tneg + $b)::DOUBLE))) AS lo
+           FROM docf LEFT JOIN cls USING (f) CROSS JOIN st
+           GROUP BY doc_id)
+         SELECT doc_id, n_tok, ${sqlFround("lo", 6)} AS log_odds,
+           ${sqlFround("lo", 6)} > 0 AS pred_target
+         FROM sc ORDER BY doc_id"""
+    },
+
+    "tq2_dsir_weights" -> {
+      // Both hashed-unigram LMs (target stratum + whole corpus) from
+      // one token pass; per-doc mean log ratio, Laplace-smoothed.
+      val b = 4096
+      val toks = sqlTokens("text")
+      s"""WITH tk AS (SELECT doc_id,
+             coalesce(lang = 'en', false) AS tgt, unnest($toks) AS tok
+           FROM documents),
+         f AS (SELECT doc_id, tgt,
+             ${operators.Classify.sqlFeatHash("tok", b)} AS f FROM tk),
+         cnt AS (SELECT f,
+             sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS nt,
+             count(*)::BIGINT AS nr
+           FROM f GROUP BY f),
+         tot AS (SELECT sum(nt)::BIGINT AS tt, sum(nr)::BIGINT AS tr
+           FROM cnt),
+         docf AS (SELECT doc_id, f, count(*)::BIGINT AS c
+           FROM f GROUP BY 1, 2),
+         sc AS (SELECT doc_id, sum(c)::BIGINT AS n_tok,
+             sum(c * (ln((coalesce(nt, 0) + 1)::DOUBLE / (tt + $b)::DOUBLE)
+               - ln((coalesce(nr, 0) + 1)::DOUBLE / (tr + $b)::DOUBLE)))
+               / sum(c) AS w
+           FROM docf LEFT JOIN cnt USING (f) CROSS JOIN tot
+           GROUP BY doc_id)
+         SELECT doc_id, n_tok, ${sqlFround("w", 6)} AS logratio
+         FROM sc ORDER BY doc_id"""
+    }
   )
 }

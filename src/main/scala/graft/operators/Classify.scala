@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Trained quality classification over hashed token features (beyond the
+  * reference's rule-based scorers): the GPT-3 / CCNet-style corpus
+  * filter — fit a cheap linear model on "curated vs raw" labels, score
+  * every document, keep the high scorers — plus DSIR importance
+  * weighting (Xie et al. 2023), the likelihood-ratio variant that
+  * reweights raw data toward a target distribution without a labeled
+  * negative class. The reference scores quality with fixed heuristics
+  * (`Data_Analysis/evaluation/quality_scoring.py`); a *trained* filter
+  * is the standard scale upgrade, and multinomial Naive Bayes is its
+  * deterministic, exactly-reproducible seat (per-class token counts ARE
+  * the fit — no SGD order-dependence, so the DuckDB oracle replays
+  * training bit-for-bit from the same integer counts).
+  *
+  * Feature hashing bounds the model, not the corpus: tokens hash into
+  * `buckets` slots (28-bit md5, engine-independent), so the model table
+  * holds ≤ `buckets` rows whatever the vocabulary — at 100 TB a few-MB
+  * broadcast, never a shuffled join side. Collisions are benign (both
+  * classes count into the same slot; the hashing-trick trade).
+  *
+  * Scale shape, both train and score: tokenize once, collapse to
+  * per-key (feature, count) with map-side combine — the wire carries
+  * distinct-feature footprints, not occurrences (the ta8 discipline);
+  * the model and its 1-row scalar totals come back as broadcasts onto
+  * the scoring scan. Raw text never shuffles anywhere.
+  */
+object Classify {
+
+  /** 28-bit md5 hash of a token folded into [0, buckets). */
+  def featHash(tok: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(tok), 1, 7), 16, 10).cast("long"), lit(buckets))
+
+  /** DuckDB twin of [[featHash]]. */
+  def sqlFeatHash(tok: String, buckets: Int): String =
+    s"('0x' || substr(md5($tok), 1, 7))::BIGINT % $buckets"
+
+  /** Per-document hashed-feature counts: (idName, f, c). One tokenize
+    * pass, exploded then counted — map-side combinable, so shuffled
+    * volume is the per-doc distinct-feature footprint.
+    */
+  def docFeatures(df: DataFrame, id: Column, text: Column, buckets: Int,
+                  idName: String = "doc_id"): DataFrame =
+    df.select(id.as(idName),
+        explode(graft.functions.TextAnalysis.tokens(text)).as("_tok"))
+      .select(col(idName), featHash(col("_tok"), buckets).as("f"))
+      .groupBy(col(idName), col("f"))
+      .agg(count(lit(1)).as("c"))
+
+  /** A fitted binary NB model: `feat` = (f, npos, nneg) token-slot
+    * counts (≤ buckets rows); `stats` = one row of (dpos, dneg, tpos,
+    * tneg) — doc counts per class (the prior) and token totals per
+    * class (the smoothing denominators).
+    */
+  final case class NbModel(feat: DataFrame, stats: DataFrame, buckets: Int)
+
+  /** Fit multinomial NB: per-class counts of each feature slot, plus
+    * per-class doc/token totals. `label` is the positive-class
+    * predicate (e.g. "is from the curated source"). Counting IS the
+    * fit: one map-side-combined aggregation over the training scan.
+    */
+  def train(df: DataFrame, label: Column, text: Column,
+            buckets: Int): DataFrame = {
+    val toks = df
+      .select(label.as("_pos"),
+        explode(graft.functions.TextAnalysis.tokens(text)).as("_tok"))
+      .select(col("_pos"), featHash(col("_tok"), buckets).as("f"))
+    toks.groupBy(col("f"))
+      .agg(sum(when(col("_pos"), 1L).otherwise(0L)).as("npos"),
+        sum(when(!col("_pos"), 1L).otherwise(0L)).as("nneg"))
+  }
+
+  /** Fit and package the full model (feature counts + scalar stats).
+    * Doc counts take one distinct-id aggregation over the SAME
+    * tokenized scan shape; token totals are the feature-count sums
+    * (vocab-sized input, trivial).
+    */
+  def trainModel(df: DataFrame, label: Column, text: Column,
+                 buckets: Int): NbModel = {
+    val feat = train(df, label, text, buckets)
+    val docs = df.select(label.as("_pos"),
+        size(graft.functions.TextAnalysis.tokens(text)).as("_n"))
+      .agg(sum(when(col("_pos"), 1L).otherwise(0L)).as("dpos"),
+        sum(when(!col("_pos"), 1L).otherwise(0L)).as("dneg"),
+        sum(when(col("_pos"), col("_n")).otherwise(0L)).as("tpos"),
+        sum(when(!col("_pos"), col("_n")).otherwise(0L)).as("tneg"))
+    NbModel(feat, docs, buckets)
+  }
+
+  /** Score documents with a fitted model: per-doc log-odds
+    *
+    *   ln(dpos/dneg) + Σ_f c_f · [ln((npos_f+1)/(tpos+B)) −
+    *                              ln((nneg_f+1)/(tneg+B))]
+    *
+    * (Laplace-smoothed; B = buckets). Docs with no tokens drop (the
+    * ta8 contract). The model LEFT-joins so slots unseen in training
+    * still contribute their smoothed weight; with balanced class token
+    * totals that weight is exactly 0.
+    *
+    * Output: (idName, n_tok, log_odds), unrounded — callers round at
+    * their contract boundary. Plan: per-doc counts ⋈ broadcast(model)
+    * ⋈ broadcast(stats) → one map-side-combined rollup per doc.
+    */
+  def score(model: NbModel, df: DataFrame, id: Column, text: Column,
+            idName: String = "doc_id"): DataFrame = {
+    val b = model.buckets
+    val perDoc = docFeatures(df, id, text, b, idName)
+    perDoc
+      .join(broadcast(model.feat), Seq("f"), "left")
+      .crossJoin(broadcast(model.stats))
+      .groupBy(col(idName))
+      .agg(sum(col("c")).as("n_tok"),
+        (first(log(col("dpos").cast("double") / col("dneg").cast("double"))) +
+          sum(col("c") *
+            (log((coalesce(col("npos"), lit(0L)) + 1L).cast("double") /
+              (col("tpos") + b).cast("double")) -
+             log((coalesce(col("nneg"), lit(0L)) + 1L).cast("double") /
+               (col("tneg") + b).cast("double")))))
+          .as("log_odds"))
+  }
+
+  /** DSIR importance weight (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per document, the
+    * mean per-token log likelihood ratio of a hashed-unigram target
+    * LM (fit on the `target` stratum) against the raw LM (fit on the
+    * whole corpus). Positive ⇒ the doc looks more like the target than
+    * like average raw data; feeding the weights into a keyed sampler
+    * ([[Sampling.hashSample]]) completes the resampling step.
+    *
+    * Same machinery as NB scoring with the prior dropped and the
+    * negative class replaced by the unconditional corpus: both LMs are
+    * Laplace-smoothed hashed-unigram tables derived from ONE tokenized
+    * pass (the target counts are a filtered aggregation of the same
+    * rows), broadcast back onto the per-doc counts.
+    *
+    * Output: (idName, n_tok, avg_logratio), unrounded.
+    */
+  def dsirWeights(df: DataFrame, id: Column, text: Column, target: Column,
+                  buckets: Int, idName: String = "doc_id"): DataFrame = {
+    val perDoc = docFeatures(df, id, text, buckets, idName)
+    val tagged = df.select(target.as("_tgt"),
+        explode(graft.functions.TextAnalysis.tokens(text)).as("_tok"))
+      .select(col("_tgt"), featHash(col("_tok"), buckets).as("f"))
+    val counts = tagged.groupBy(col("f"))
+      .agg(sum(when(col("_tgt"), 1L).otherwise(0L)).as("nt"),
+        count(lit(1)).as("nr"))
+    val totals = counts.agg(sum(col("nt")).as("tt"), sum(col("nr")).as("tr"))
+    perDoc
+      .join(broadcast(counts), Seq("f"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idName))
+      .agg(sum(col("c")).as("n_tok"),
+        (sum(col("c") *
+          (log((coalesce(col("nt"), lit(0L)) + 1L).cast("double") /
+            (col("tt") + buckets).cast("double")) -
+           log((coalesce(col("nr"), lit(0L)) + 1L).cast("double") /
+             (col("tr") + buckets).cast("double")))) /
+          sum(col("c")))
+          .as("avg_logratio"))
+  }
+}
