@@ -2355,6 +2355,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "tq3_incremental_model" -> ((s, dir) => {
+      // Persisted-model lifecycle under the oracle gate: the tq1
+      // training split arrives as THREE ingest batches, each trained
+      // alone and folded into a CountLog as partial counts (O(batch),
+      // no corpus rescan). Integer sums are associative, so the loaded
+      // model is bit-identical to full retraining — the oracle IS the
+      // from-scratch tq1 SQL, proving the incremental path exact, not
+      // approximately fresh.
+      val d = t(s, dir, "documents")
+      val isTrain = Sampling.keyHash(col("doc_id"), "nbt") <
+        Sampling.threshold(0.6)
+      val train = d.filter(isTrain)
+      val label = col("lang") <=> "en"
+      val logDir = scratchDir("nbmodel")
+      val b0 = Classify.trainModel(
+        train.filter(pmod(col("doc_id"), lit(3)) === 0), label,
+        col("text"), 4096)
+      Classify.initModelLog(b0, logDir)
+      Classify.appendModelBatch(
+        train.filter(pmod(col("doc_id"), lit(3)) === 1), label,
+        col("text"), 4096, logDir, Some(1L))
+      Classify.appendModelBatch(
+        train.filter(pmod(col("doc_id"), lit(3)) === 2), label,
+        col("text"), 4096, logDir, Some(2L))
+      val model = Classify.loadModel(s, logDir, 4096)
+      Classify.score(model, d.filter(!isTrain), col("doc_id"), col("text"))
+        .select(col("doc_id"), col("n_tok"),
+          fround(col("log_odds"), 6).as("log_odds"))
+        .orderBy(col("doc_id"))
+    }),
+
     "tq2_dsir_weights" -> ((s, dir) => {
       // DSIR importance weights (beyond the reference; Xie et al.
       // 2023): per-doc mean log likelihood ratio of a hashed-unigram
@@ -2670,6 +2701,55 @@ object SparkEntry {
   private val sqlQualityExpr: String =
     """floor((ls * 0.3 + least(1.0, sr * 4.0) * 0.3 + tt * 0.2
        + (1.0 - least(1.0, pr * 8.0)) * 0.2) * 10000.0 + 0.5) / 10000.0"""
+
+  /** Shared NB classifier oracle body (tq1 from-scratch / tq3
+    * incremental — the CountLog fold must hit identical numbers):
+    * per-class feature-slot counts over the 60% keyed split,
+    * Laplace-smoothed log-odds over the held-out docs. Split
+    * predicate, feature hash and bucket count are the SAME Scala
+    * constants as the Spark queries. Ends mid-SELECT so callers
+    * append extra output columns + the FROM/ORDER BY tail.
+    */
+  private lazy val sqlNbScore: String = {
+    val b = 4096
+    val thr = operators.Sampling.threshold(0.6)
+    val toks = sqlTokens("text")
+    s"""WITH tk AS (SELECT doc_id,
+             coalesce(lang = 'en', false) AS pos,
+             ('0x' || substr(md5('nbt:' || doc_id::VARCHAR), 1, 7))::BIGINT
+               < $thr AS tr,
+             unnest($toks) AS tok
+           FROM documents),
+         f AS (SELECT doc_id, pos, tr,
+             ${operators.Classify.sqlFeatHash("tok", b)} AS f FROM tk),
+         cls AS (SELECT f,
+             sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS npos,
+             sum(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT AS nneg
+           FROM f WHERE tr GROUP BY f),
+         st AS (SELECT
+             sum(CASE WHEN coalesce(lang = 'en', false) THEN 1 ELSE 0
+               END)::BIGINT AS dpos,
+             sum(CASE WHEN coalesce(lang = 'en', false) THEN 0 ELSE 1
+               END)::BIGINT AS dneg,
+             sum(CASE WHEN coalesce(lang = 'en', false) THEN len($toks)
+               ELSE 0 END)::BIGINT AS tpos,
+             sum(CASE WHEN coalesce(lang = 'en', false) THEN 0
+               ELSE len($toks) END)::BIGINT AS tneg
+           FROM documents
+           WHERE ('0x' || substr(md5('nbt:' || doc_id::VARCHAR), 1, 7))::BIGINT
+             < $thr),
+         docf AS (SELECT doc_id, f, count(*)::BIGINT AS c
+           FROM f WHERE NOT tr GROUP BY 1, 2),
+         sc AS (SELECT doc_id, sum(c)::BIGINT AS n_tok,
+             ln(any_value(dpos)::DOUBLE / any_value(dneg)::DOUBLE) +
+               sum(c * (ln((coalesce(npos, 0) + 1)::DOUBLE
+                   / (tpos + $b)::DOUBLE)
+                 - ln((coalesce(nneg, 0) + 1)::DOUBLE
+                   / (tneg + $b)::DOUBLE))) AS lo
+           FROM docf LEFT JOIN cls USING (f) CROSS JOIN st
+           GROUP BY doc_id)
+         SELECT doc_id, n_tok, ${sqlFround("lo", 6)} AS log_odds"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "r1_ruler_scores" -> {
@@ -4630,52 +4710,21 @@ object SparkEntry {
          SELECT vec_id, floor((s) * 1e6 + 0.5) / 1e6 AS sim FROM sims
          ORDER BY sim DESC, vec_id LIMIT 10""",
 
-    "tq1_nb_classifier" -> {
+    "tq1_nb_classifier" ->
       // NB training replayed from the same integer counts: per-class
       // feature-slot counts over the 60% keyed split, Laplace-smoothed
       // log-odds over the held-out docs. Split predicate, feature hash
       // and bucket count are the SAME Scala constants as the query.
-      val b = 4096
-      val thr = operators.Sampling.threshold(0.6)
-      val toks = sqlTokens("text")
-      s"""WITH tk AS (SELECT doc_id,
-             coalesce(lang = 'en', false) AS pos,
-             ('0x' || substr(md5('nbt:' || doc_id::VARCHAR), 1, 7))::BIGINT
-               < $thr AS tr,
-             unnest($toks) AS tok
-           FROM documents),
-         f AS (SELECT doc_id, pos, tr,
-             ${operators.Classify.sqlFeatHash("tok", b)} AS f FROM tk),
-         cls AS (SELECT f,
-             sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS npos,
-             sum(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT AS nneg
-           FROM f WHERE tr GROUP BY f),
-         st AS (SELECT
-             sum(CASE WHEN coalesce(lang = 'en', false) THEN 1 ELSE 0
-               END)::BIGINT AS dpos,
-             sum(CASE WHEN coalesce(lang = 'en', false) THEN 0 ELSE 1
-               END)::BIGINT AS dneg,
-             sum(CASE WHEN coalesce(lang = 'en', false) THEN len($toks)
-               ELSE 0 END)::BIGINT AS tpos,
-             sum(CASE WHEN coalesce(lang = 'en', false) THEN 0
-               ELSE len($toks) END)::BIGINT AS tneg
-           FROM documents
-           WHERE ('0x' || substr(md5('nbt:' || doc_id::VARCHAR), 1, 7))::BIGINT
-             < $thr),
-         docf AS (SELECT doc_id, f, count(*)::BIGINT AS c
-           FROM f WHERE NOT tr GROUP BY 1, 2),
-         sc AS (SELECT doc_id, sum(c)::BIGINT AS n_tok,
-             ln(any_value(dpos)::DOUBLE / any_value(dneg)::DOUBLE) +
-               sum(c * (ln((coalesce(npos, 0) + 1)::DOUBLE
-                   / (tpos + $b)::DOUBLE)
-                 - ln((coalesce(nneg, 0) + 1)::DOUBLE
-                   / (tneg + $b)::DOUBLE))) AS lo
-           FROM docf LEFT JOIN cls USING (f) CROSS JOIN st
-           GROUP BY doc_id)
-         SELECT doc_id, n_tok, ${sqlFround("lo", 6)} AS log_odds,
+      s"""$sqlNbScore,
            ${sqlFround("lo", 6)} > 0 AS pred_target
-         FROM sc ORDER BY doc_id"""
-    },
+         FROM sc ORDER BY doc_id""",
+
+    "tq3_incremental_model" ->
+      // The incremental path's oracle IS the from-scratch retrain:
+      // integer count sums are associative, so the CountLog-folded
+      // model must reproduce tq1's numbers exactly.
+      s"""$sqlNbScore
+         FROM sc ORDER BY doc_id""",
 
     "tq2_dsir_weights" -> {
       // Both hashed-unigram LMs (target stratum + whole corpus) from

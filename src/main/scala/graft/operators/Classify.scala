@@ -1,7 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 
 /** Trained quality classification over hashed token features (beyond the
   * reference's rule-based scorers): the GPT-3 / CCNet-style corpus
@@ -81,12 +82,18 @@ object Classify {
   def trainModel(df: DataFrame, label: Column, text: Column,
                  buckets: Int): NbModel = {
     val feat = train(df, label, text, buckets)
+    // coalesce: an empty batch (e.g. a replayed empty micro-batch in
+    // the model log) must contribute zeros, not NULL sums.
     val docs = df.select(label.as("_pos"),
         size(graft.functions.TextAnalysis.tokens(text)).as("_n"))
-      .agg(sum(when(col("_pos"), 1L).otherwise(0L)).as("dpos"),
-        sum(when(!col("_pos"), 1L).otherwise(0L)).as("dneg"),
-        sum(when(col("_pos"), col("_n")).otherwise(0L)).as("tpos"),
-        sum(when(!col("_pos"), col("_n")).otherwise(0L)).as("tneg"))
+      .agg(coalesce(sum(when(col("_pos"), 1L).otherwise(0L)), lit(0L))
+          .as("dpos"),
+        coalesce(sum(when(!col("_pos"), 1L).otherwise(0L)), lit(0L))
+          .as("dneg"),
+        coalesce(sum(when(col("_pos"), col("_n")).otherwise(0L)), lit(0L))
+          .as("tpos"),
+        coalesce(sum(when(!col("_pos"), col("_n")).otherwise(0L)), lit(0L))
+          .as("tneg"))
     NbModel(feat, docs, buckets)
   }
 
@@ -121,6 +128,61 @@ object Classify {
                (col("tneg") + b).cast("double")))))
           .as("log_odds"))
   }
+
+  // ---------------------------------------------------------------
+  // Persisted model lifecycle: NB counts are additive, so the model
+  // lives in a [[CountLog]] (feat table + 1-row stats table) and stays
+  // fresh by O(batch) appends — a daily ingest batch trains alone and
+  // lands as one partial-count segment; NO corpus rescan, and the
+  // folded model is bit-identical to retraining from scratch (integer
+  // sums are associative/commutative). The drift question IVF centroids
+  // need ([[Similarity.appendIvfIndex]]) does not exist here.
+  // ---------------------------------------------------------------
+
+  private def statsKeyed(stats: DataFrame): DataFrame =
+    stats.select(lit(0L).as("k"), col("dpos"), col("dneg"),
+      col("tpos"), col("tneg"))
+
+  /** Create the persisted model log from a first trained batch. */
+  def initModelLog(model: NbModel, dir: String): Unit = {
+    CountLog.init(model.feat, s"$dir/feat")
+    CountLog.init(statsKeyed(model.stats), s"$dir/stats")
+  }
+
+  /** Fold one ingest batch into the persisted model: train on the
+    * batch ALONE (one batch-sized pass), append the partial counts.
+    * Idempotent per batch `id` (streaming replay safe). O(batch).
+    */
+  def appendModelBatch(df: DataFrame, label: Column, text: Column,
+                       buckets: Int, dir: String,
+                       id: Option[Long] = None): Long = {
+    val m = trainModel(df, label, text, buckets)
+    val k = CountLog.append(m.feat, s"$dir/feat", id)
+    CountLog.append(statsKeyed(m.stats), s"$dir/stats", id)
+    k
+  }
+
+  /** The current model: both count tables folded from their logs. */
+  def loadModel(spark: SparkSession, dir: String, buckets: Int): NbModel =
+    NbModel(
+      CountLog.read(spark, s"$dir/feat", Seq("f")),
+      CountLog.read(spark, s"$dir/stats", Seq("k")).drop("k"),
+      buckets)
+
+  /** Streaming model maintenance: each micro-batch of labeled docs
+    * trains alone and appends its partial counts (batch-id idempotent
+    * — the exactly-once contract against the checkpoint).
+    */
+  def modelSink(docs: DataFrame, label: Column, text: Column,
+                buckets: Int, dir: String): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        // an empty micro-batch appends all-zero partials — harmless
+        // under the sum fold (trainModel's coalesce keeps stats 0, not
+        // NULL), and the segment still marks the batch id as done.
+        appendModelBatch(batch, label, text, buckets, dir,
+          Some(batchId)): Unit
+    }
 
   /** DSIR importance weight (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): per document, the

@@ -30,11 +30,16 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * manifest state to corrupt; `d=K` names come from the writer's
   * batch id (streaming) or max+1 (batch), both monotone.
   */
-object MergeLog {
+/** Shared segment-directory discipline for the merge-on-read logs
+  * ([[MergeLog]] last-wins-by-version, [[CountLog]] additive): Hadoop-FS
+  * listing-discovered `base/v=N` + `delta/d=K` dirs, `_SUCCESS`-gated
+  * commitment, idempotent per-batch appends, torn-write reclaim.
+  */
+private[operators] object SegmentFs {
 
   // Hadoop FS, not java.io.File: the log must live on whatever
   // filesystem the cluster writes (HDFS/S3A/local alike).
-  private def fs(spark: SparkSession, dir: String) =
+  def fs(spark: SparkSession, dir: String): org.apache.hadoop.fs.FileSystem =
     new org.apache.hadoop.fs.Path(dir).getFileSystem(
       spark.sessionState.newHadoopConf())
 
@@ -45,8 +50,8 @@ object MergeLog {
     * absorbed, and a replaying writer must rewrite it rather than
     * skip it as already-done.
     */
-  private def listVersions(spark: SparkSession, dir: String,
-                           prefix: String): Seq[Long] = {
+  def listVersions(spark: SparkSession, dir: String,
+                   prefix: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val f = fs(spark, dir)
     if (!f.exists(p)) Seq.empty
@@ -57,8 +62,59 @@ object MergeLog {
       .sorted
   }
 
-  private def baseDir(dir: String, v: Long) = s"$dir/base/v=$v"
-  private def deltaDir(dir: String, k: Long) = s"$dir/delta/d=$k"
+  def baseDir(dir: String, v: Long) = s"$dir/base/v=$v"
+  def deltaDir(dir: String, k: Long) = s"$dir/delta/d=$k"
+
+  /** Append `delta` as segment `d=K` (K = `id` or max+1), idempotent on
+    * COMMITTED batch ids, rewriting torn dirs. Returns K.
+    */
+  def appendSegment(delta: DataFrame, dir: String,
+                    id: Option[Long]): Long = {
+    val spark = delta.sparkSession
+    val committed = listVersions(spark, s"$dir/delta", "d")
+    val k = id.getOrElse(committed.lastOption.map(_ + 1).getOrElse(0L))
+    if (committed.contains(k)) k
+    else {
+      val p = new org.apache.hadoop.fs.Path(deltaDir(dir, k))
+      val f = fs(spark, dir)
+      if (f.exists(p)) f.delete(p, true): Unit // torn write — rewrite it
+      delta.write.mode("errorifexists").parquet(deltaDir(dir, k))
+      k
+    }
+  }
+
+  /** Latest committed base version, or throw if the log is not
+    * initialized. */
+  def latestBase(spark: SparkSession, dir: String): Long =
+    listVersions(spark, s"$dir/base", "v").lastOption.getOrElse(
+      throw new IllegalStateException(s"no base under $dir — init() first"))
+
+  /** Fold `resolved` (the current read) into base v=N+1 and retire the
+    * absorbed delta segments. Crash-safe write order: the new base
+    * lands complete before any delta is removed, and readers take the
+    * highest COMMITTED base, so a torn compact leaves the log readable
+    * and the next compact deletes the torn dir before writing.
+    * Returns the new base version.
+    */
+  def compactInto(spark: SparkSession, dir: String,
+                  resolved: DataFrame): Long = {
+    val bv = latestBase(spark, dir)
+    val absorbed = listVersions(spark, s"$dir/delta", "d")
+    val next = bv + 1
+    val nextPath = new org.apache.hadoop.fs.Path(baseDir(dir, next))
+    val f = fs(spark, dir)
+    if (f.exists(nextPath)) f.delete(nextPath, true): Unit // torn prior compact
+    resolved.write.mode("errorifexists").parquet(baseDir(dir, next))
+    absorbed.foreach { k =>
+      val p = new org.apache.hadoop.fs.Path(deltaDir(dir, k))
+      f.delete(p, true): Unit
+    }
+    next
+  }
+}
+
+object MergeLog {
+  import SegmentFs.{baseDir, deltaDir, listVersions}
 
   /** Create the log with `snapshot` as base v=0. */
   def init(snapshot: DataFrame, dir: String): Unit =
@@ -74,19 +130,8 @@ object MergeLog {
     * drop the batch.
     */
   def appendDelta(delta: DataFrame, dir: String,
-                  id: Option[Long] = None): Long = {
-    val spark = delta.sparkSession
-    val committed = listVersions(spark, s"$dir/delta", "d")
-    val k = id.getOrElse(committed.lastOption.map(_ + 1).getOrElse(0L))
-    if (committed.contains(k)) k
-    else {
-      val p = new org.apache.hadoop.fs.Path(deltaDir(dir, k))
-      val f = fs(spark, dir)
-      if (f.exists(p)) f.delete(p, true): Unit // torn write — rewrite it
-      delta.write.mode("errorifexists").parquet(deltaDir(dir, k))
-      k
-    }
-  }
+                  id: Option[Long] = None): Long =
+    SegmentFs.appendSegment(delta, dir, id)
 
   /** Current table state: latest base ⊕ every delta segment, resolved
     * by row version. ONE lazy plan — the delta union windows on the
@@ -96,8 +141,7 @@ object MergeLog {
   def read(spark: SparkSession, dir: String, key: String,
            version: String = "version",
            deleted: String = "deleted"): DataFrame = {
-    val bv = listVersions(spark, s"$dir/base", "v").lastOption.getOrElse(
-      throw new IllegalStateException(s"no base under $dir — init() first"))
+    val bv = SegmentFs.latestBase(spark, dir)
     val base = spark.read.parquet(baseDir(dir, bv))
     val deltas = listVersions(spark, s"$dir/delta", "d")
     if (deltas.isEmpty) base
@@ -120,8 +164,7 @@ object MergeLog {
   def readAsOf(spark: SparkSession, dir: String, key: String, upTo: Long,
                version: String = "version",
                deleted: String = "deleted"): DataFrame = {
-    val bv = listVersions(spark, s"$dir/base", "v").lastOption.getOrElse(
-      throw new IllegalStateException(s"no base under $dir — init() first"))
+    val bv = SegmentFs.latestBase(spark, dir)
     val base = spark.read.parquet(baseDir(dir, bv))
     val all = listVersions(spark, s"$dir/delta", "d")
     if (all.nonEmpty && all.min > upTo)
@@ -147,22 +190,8 @@ object MergeLog {
     */
   def compact(spark: SparkSession, dir: String, key: String,
               version: String = "version",
-              deleted: String = "deleted"): Long = {
-    val bv = listVersions(spark, s"$dir/base", "v").lastOption.getOrElse(
-      throw new IllegalStateException(s"no base under $dir — init() first"))
-    val absorbed = listVersions(spark, s"$dir/delta", "d")
-    val next = bv + 1
-    val nextPath = new org.apache.hadoop.fs.Path(baseDir(dir, next))
-    val f = fs(spark, dir)
-    if (f.exists(nextPath)) f.delete(nextPath, true): Unit // torn prior compact
-    read(spark, dir, key, version, deleted)
-      .write.mode("errorifexists").parquet(baseDir(dir, next))
-    absorbed.foreach { k =>
-      val p = new org.apache.hadoop.fs.Path(deltaDir(dir, k))
-      fs(spark, dir).delete(p, true): Unit
-    }
-    next
-  }
+              deleted: String = "deleted"): Long =
+    SegmentFs.compactInto(spark, dir, read(spark, dir, key, version, deleted))
 
   /** Streaming CDC sink: every micro-batch appends one delta segment
     * keyed by the batch id (idempotent on replay after a sink-side
