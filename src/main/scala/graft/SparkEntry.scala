@@ -2386,6 +2386,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "tq4_classifier_eval" -> ((s, dir) => {
+      // Evaluation closes the classifier loop: ROC-AUC (exact
+      // Mann-Whitney — integer u2 fold over the distinct-score table,
+      // ONE IEEE divide, no float accumulation) + confusion/accuracy
+      // at threshold 0 on the tq1 held-out split. AUC ranks the
+      // ROUNDED score so tie groups agree across engines.
+      val d = t(s, dir, "documents")
+      val isTrain = Sampling.keyHash(col("doc_id"), "nbt") <
+        Sampling.threshold(0.6)
+      val label = col("lang") <=> "en"
+      val model = Classify.trainModel(d.filter(isTrain), label,
+        col("text"), 4096)
+      val scored = Classify.score(model, d.filter(!isTrain),
+          col("doc_id"), col("text"))
+        .select(col("doc_id"), fround(col("log_odds"), 6).as("lo6"))
+        .join(d.select(col("doc_id"), label.as("y")), "doc_id")
+      Classify.evalBinary(scored, col("lo6"), col("y"))
+        .select(col("n_pos"), col("n_neg"), col("tp"), col("fp"),
+          col("tn"), col("fn"), fround(col("auc"), 6).as("auc"),
+          fround(col("accuracy"), 6).as("accuracy"))
+    }),
+
     "tq2_dsir_weights" -> ((s, dir) => {
       // DSIR importance weights (beyond the reference; Xie et al.
       // 2023): per-doc mean log likelihood ratio of a hashed-unigram
@@ -4725,6 +4747,37 @@ object SparkEntry {
       // model must reproduce tq1's numbers exactly.
       s"""$sqlNbScore
          FROM sc ORDER BY doc_id""",
+
+    "tq4_classifier_eval" ->
+      // Exact Mann-Whitney AUC over the tq1 held-out scores: integer
+      // u2 = Σ np·(2·cum_neg_below + nn) over the distinct-ROUNDED-
+      // score table (tie groups align across engines), one IEEE
+      // divide; confusion counts at threshold 0.
+      s"""WITH scored AS ($sqlNbScore FROM sc),
+         lab AS (SELECT s.doc_id, ${sqlFround("s.log_odds", 6)} AS lo6,
+             coalesce(d.lang = 'en', false) AS y
+           FROM scored s JOIN documents d USING (doc_id)),
+         bys AS (SELECT lo6 AS s,
+             sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS np,
+             sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS nn
+           FROM lab GROUP BY lo6),
+         cum AS (SELECT *,
+             coalesce(sum(nn) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0)::BIGINT AS cumneg
+           FROM bys),
+         agg AS (SELECT sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,
+             sum(CASE WHEN s > 0 THEN np ELSE 0 END)::BIGINT AS tp,
+             sum(CASE WHEN s > 0 THEN nn ELSE 0 END)::BIGINT AS fp,
+             sum(CASE WHEN s <= 0 THEN nn ELSE 0 END)::BIGINT AS tn,
+             sum(CASE WHEN s <= 0 THEN np ELSE 0 END)::BIGINT AS fn,
+             sum(np * (2 * cumneg + nn))::BIGINT AS u2
+           FROM cum)
+         SELECT n_pos, n_neg, tp, fp, tn, fn,
+           ${sqlFround("u2::DOUBLE / (2 * n_pos * n_neg)::DOUBLE", 6)} AS auc,
+           ${sqlFround("(tp + tn)::DOUBLE / (n_pos + n_neg)::DOUBLE", 6)}
+             AS accuracy
+         FROM agg""",
 
     "tq2_dsir_weights" -> {
       // Both hashed-unigram LMs (target stratum + whole corpus) from

@@ -184,6 +184,52 @@ object Classify {
           Some(batchId)): Unit
     }
 
+  /** Binary-classifier evaluation over a scored eval set: ROC-AUC via
+    * the Mann-Whitney U statistic plus the confusion counts/accuracy at
+    * `threshold`. One row out: (n_pos, n_neg, tp, fp, tn, fn, auc,
+    * accuracy).
+    *
+    * AUC is computed EXACTLY: group to per-distinct-score class counts
+    * (np, nn), take the running negative count below each score (a
+    * window over the distinct-score table — eval-set-sized, not
+    * corpus-sized), and fold u2 = Σ np·(2·cum_neg_below + nn), which is
+    * an exact BIGINT = 2·U (ties count half). auc = u2 / (2·n_pos·
+    * n_neg) is then ONE IEEE divide — bit-reproducible across engines,
+    * no order-dependent float accumulation anywhere. Exact while
+    * 2·n_pos·n_neg fits a long — any benchmark-sized eval set; this is
+    * an eval-set statistic, not a corpus pass.
+    *
+    * Callers comparing against another engine should pass an
+    * already-rounded score so tie GROUPS agree across engines (ranking
+    * is order-sensitive at the ulp level; the score values themselves
+    * are safe once grouped).
+    */
+  def evalBinary(df: DataFrame, score: Column, label: Column,
+                 threshold: Double = 0.0): DataFrame = {
+    val byScore = df.select(score.as("s"), label.as("_y"))
+      .groupBy(col("s"))
+      .agg(sum(when(col("_y"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("_y"), 1L).otherwise(0L)).as("nn"))
+    val below = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val pred = col("s") > threshold
+    byScore
+      .withColumn("cumneg", coalesce(sum(col("nn")).over(below), lit(0L)))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(when(pred, col("np")).otherwise(0L)).as("tp"),
+        sum(when(pred, col("nn")).otherwise(0L)).as("fp"),
+        sum(when(!pred, col("nn")).otherwise(0L)).as("tn"),
+        sum(when(!pred, col("np")).otherwise(0L)).as("fn"),
+        sum(col("np") * (lit(2L) * col("cumneg") + col("nn"))).as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("tp"), col("fp"),
+        col("tn"), col("fn"),
+        (col("u2").cast("double") /
+          (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"),
+        ((col("tp") + col("tn")).cast("double") /
+          (col("n_pos") + col("n_neg")).cast("double")).as("accuracy"))
+  }
+
   /** DSIR importance weight (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): per document, the
     * mean per-token log likelihood ratio of a hashed-unigram target

@@ -80,6 +80,31 @@ class ClassifySpec extends SparkSpec {
     assert(mt > mr)
   }
 
+  test("evalBinary: exact AUC on separable, reversed, and tied scores") {
+    def auc(rows: Seq[(Double, Boolean)]): (Double, Double) = {
+      val r = Classify.evalBinary(rows.toDF("s", "y"), $"s", $"y")
+        .select($"auc", $"accuracy").head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    // perfect separation: every pos outranks every neg
+    assert(auc(Seq((-2.0, false), (-1.0, false), (1.0, true), (2.0, true)))
+      == ((1.0, 1.0)))
+    // reversed scores: AUC 0
+    assert(auc(Seq((2.0, false), (1.0, false), (-1.0, true), (-2.0, true)))
+      ._1 == 0.0)
+    // one tie counts half: pairs (tie 0.5) + (win 1.0) over 2 → 0.75
+    assert(auc(Seq((1.0, true), (1.0, false), (2.0, true)))._1 == 0.75)
+  }
+
+  test("evalBinary confusion counts at the threshold") {
+    val r = Classify.evalBinary(
+      Seq((0.5, true), (1.5, true), (-0.5, false), (0.25, false))
+        .toDF("s", "y"), $"s", $"y").head()
+    // (n_pos, n_neg, tp, fp, tn, fn)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((2L, 2L, 2L, 1L, 1L, 0L)))
+  }
+
   test("dsirWeights of the whole corpus as target is exactly zero") {
     // target LM == raw LM ⇒ every log ratio cancels term-by-term.
     val out = Classify.dsirWeights(corpus, $"id", $"text", lit(true), B, "id")
