@@ -2386,6 +2386,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "tq5_dsir_resample" -> ((s, dir) => {
+      // DSIR's actual selection: weighted sampling WITHOUT replacement
+      // over the importance weights (Efraimidis–Spirakis keyed top-k,
+      // w = exp(2·logratio)). Deterministic like every sampler here —
+      // same corpus in, same sample out, on any cluster. Top-k plans
+      // as TakeOrderedAndProject, never a global sort.
+      val w = Classify.dsirWeights(t(s, dir, "documents"), col("doc_id"),
+          col("text"), col("lang") <=> "en", 4096)
+        .select(col("doc_id"), col("n_tok"),
+          fround(col("avg_logratio"), 6).as("logratio"))
+      Sampling.weightedSample(w, col("doc_id"),
+          exp(lit(2.0) * col("logratio")), 100, "dsir")
+        .select(col("doc_id"), col("n_tok"), col("logratio"),
+          col("sel_key"))
+        .orderBy(col("sel_key").desc, col("doc_id"))
+    }),
+
     "tq4_classifier_eval" -> ((s, dir) => {
       // Evaluation closes the classifier loop: ROC-AUC (exact
       // Mann-Whitney — integer u2 fold over the distinct-score table,
@@ -4779,12 +4796,34 @@ object SparkEntry {
              AS accuracy
          FROM agg""",
 
-    "tq2_dsir_weights" -> {
+    "tq2_dsir_weights" ->
       // Both hashed-unigram LMs (target stratum + whole corpus) from
       // one token pass; per-doc mean log ratio, Laplace-smoothed.
-      val b = 4096
-      val toks = sqlTokens("text")
-      s"""WITH tk AS (SELECT doc_id,
+      s"""$sqlDsirWeights
+         FROM sc ORDER BY doc_id""",
+
+    "tq5_dsir_resample" ->
+      // The resampling step over the tq2 weights: Efraimidis–Spirakis
+      // keyed top-k — u from the doc's md5 hash, selection key
+      // u^(1/w), w = exp(2·logratio); rank on the ROUNDED key with a
+      // doc_id tiebreak so the top-k boundary is engine-independent.
+      s"""WITH wgt AS ($sqlDsirWeights FROM sc),
+         sel AS (SELECT doc_id, n_tok, logratio,
+             ${operators.Sampling.sqlSelKey(
+               "doc_id", "exp(2 * logratio)", "dsir")} AS sel_key
+           FROM wgt)
+         SELECT doc_id, n_tok, logratio, sel_key FROM sel
+         ORDER BY sel_key DESC, doc_id LIMIT 100"""
+  )
+
+  /** Shared DSIR oracle chain (tq2 weights / tq5 resample): both
+    * hashed-unigram LMs from one token pass, per-doc mean log ratio.
+    * Ends mid-SELECT (`… AS logratio`); callers append FROM/ORDER BY.
+    */
+  private lazy val sqlDsirWeights: String = {
+    val b = 4096
+    val toks = sqlTokens("text")
+    s"""WITH tk AS (SELECT doc_id,
              coalesce(lang = 'en', false) AS tgt, unnest($toks) AS tok
            FROM documents),
          f AS (SELECT doc_id, tgt,
@@ -4803,8 +4842,6 @@ object SparkEntry {
                / sum(c) AS w
            FROM docf LEFT JOIN cnt USING (f) CROSS JOIN tot
            GROUP BY doc_id)
-         SELECT doc_id, n_tok, ${sqlFround("w", 6)} AS logratio
-         FROM sc ORDER BY doc_id"""
-    }
-  )
+         SELECT doc_id, n_tok, ${sqlFround("w", 6)} AS logratio"""
+  }
 }

@@ -103,6 +103,43 @@ object Sampling {
        ELSE $maxHash END"""
   }
 
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis): each row draws u ∈ (0, 1] from its keyed
+    * md5 hash and ranks by selection key u^(1/w) — the top-k by that
+    * key IS a weight-proportional sample without replacement. With the
+    * uniform draw keyed instead of random, the sample is reproducible
+    * across runs, partitionings and cluster sizes, like every sampler
+    * here — this is the resampling step DSIR needs downstream of
+    * [[Classify.dsirWeights]] (weight = exp(logratio/T)).
+    *
+    * Returned with `sel_key` = the ROUNDED (6 dp) selection key: ranking
+    * on the rounded value with an `idCol` tiebreak keeps the top-k
+    * boundary engine-independent (raw-double orderings can disagree at
+    * the ulp between engines; rounded values compare identically under
+    * the fround parity contract). `weight` must be strictly positive.
+    *
+    * Scale shape: the key is a scan-fused projection; top-k plans as
+    * TakeOrderedAndProject (per-partition heaps + one k-row merge),
+    * never a global sort.
+    */
+  def weightedSample(df: DataFrame, id: Column, weight: Column, k: Int,
+                     salt: String): DataFrame = {
+    val u = (keyHash(id, salt) + 1L).cast("double") / lit((1L << 28).toDouble)
+    val selKey = floor(pow(u, lit(1.0) / weight) * 1e6 + 0.5) / 1e6
+    df.withColumn("sel_key", selKey)
+      .orderBy(col("sel_key").desc, id)
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[weightedSample]]'s selection key (u from the same
+    * md5 hash; round-then-rank). `idExpr` must cast to VARCHAR the way
+    * [[keyHash]] does. Keep in lockstep.
+    */
+  def sqlSelKey(idExpr: String, weightExpr: String, salt: String): String =
+    s"""floor(pow((('0x' || substr(md5('$salt:' || ($idExpr)::VARCHAR), 1, 7))::BIGINT
+         + 1)::DOUBLE / ${(1L << 28).toDouble},
+         1.0 / ($weightExpr)) * 1e6 + 0.5) / 1e6"""
+
   /** Deterministic per-epoch corpus shuffle: the global-random training
     * order every pretraining loader needs, computed as a keyed hash
     * sort instead of an RNG so epoch E's order is bit-reproducible

@@ -115,4 +115,39 @@ class SamplingSpec extends SparkSpec {
     // neither epoch is the identity (the hash actually shuffles)
     assert(e1 != (0L until 200L) && e2 != (0L until 200L))
   }
+
+  test("weightedSample: deterministic, partitioning-stable, k-bounded") {
+    val w = df.withColumn("w", lit(1.0) + (col("id") % 5).cast("double"))
+    val a = col0[Long](Sampling.weightedSample(w, $"id", $"w", 50, "ws")
+      .select($"id"))
+    val b = col0[Long](
+      Sampling.weightedSample(w.repartition(7), $"id", $"w", 50, "ws")
+        .select($"id"))
+    assert(a == b && a.size == 50)
+    assert(Sampling.weightedSample(w.limit(10), $"id", $"w", 50, "ws")
+      .count() == 10, "k beyond population returns everything")
+  }
+
+  test("weightedSample with equal weights ranks exactly like the raw hash") {
+    val w = df.limit(200).withColumn("w", lit(1.0))
+    val sampled = col0[Long](
+      Sampling.weightedSample(w, $"id", $"w", 30, "eq").select($"id")).toSet
+    // u^(1/1) = u: the top-30 by hash directly
+    val expect = w.withColumn("h", Sampling.keyHash($"id", "eq"))
+      .orderBy($"h".desc, $"id").limit(30)
+    assert(sampled == col0[Long](expect.select($"id")).toSet)
+  }
+
+  test("weightedSample favors heavy rows at the E-S proportion") {
+    // Two rows, weights 9:1. P(heavy ranks first) = 9/10 under
+    // Efraimidis–Spirakis; over 60 fixed salts the deterministic
+    // count must sit near 54, certainly above 45 (and below 60 —
+    // the light row does sometimes win).
+    val two = Seq((1L, 9.0), (2L, 1.0)).toDF("id", "w")
+    val wins = (0 until 60).count { s =>
+      col0[Long](Sampling.weightedSample(two, $"id", $"w", 1, s"p$s")
+        .select($"id")).head == 1L
+    }
+    assert(wins > 45 && wins < 60, s"heavy row won $wins/60")
+  }
 }
