@@ -75,26 +75,26 @@ object Classify {
   }
 
   /** Fit and package the full model (feature counts + scalar stats).
-    * Doc counts take one distinct-id aggregation over the SAME
-    * tokenized scan shape; token totals are the feature-count sums
-    * (vocab-sized input, trivial).
+    * The corpus tokenizes ONCE — for the feature counts; the class
+    * token totals are the feature table's own sums (every token lands
+    * in exactly one slot, so Σ_f npos_f IS the positive token count),
+    * and the doc-count priors take only a label-projected narrow scan
+    * — no second pass over text.
     */
   def trainModel(df: DataFrame, label: Column, text: Column,
                  buckets: Int): NbModel = {
     val feat = train(df, label, text, buckets)
     // coalesce: an empty batch (e.g. a replayed empty micro-batch in
     // the model log) must contribute zeros, not NULL sums.
-    val docs = df.select(label.as("_pos"),
-        size(graft.functions.TextAnalysis.tokens(text)).as("_n"))
+    val docs = df.select(label.as("_pos"))
       .agg(coalesce(sum(when(col("_pos"), 1L).otherwise(0L)), lit(0L))
           .as("dpos"),
         coalesce(sum(when(!col("_pos"), 1L).otherwise(0L)), lit(0L))
-          .as("dneg"),
-        coalesce(sum(when(col("_pos"), col("_n")).otherwise(0L)), lit(0L))
-          .as("tpos"),
-        coalesce(sum(when(!col("_pos"), col("_n")).otherwise(0L)), lit(0L))
-          .as("tneg"))
-    NbModel(feat, docs, buckets)
+          .as("dneg"))
+    val toks = feat.agg(
+      coalesce(sum(col("npos")), lit(0L)).as("tpos"),
+      coalesce(sum(col("nneg")), lit(0L)).as("tneg"))
+    NbModel(feat, docs.crossJoin(toks), buckets)
   }
 
   /** Score documents with a fitted model: per-doc log-odds

@@ -292,4 +292,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"vocab rank window must be fed by a take-ordered limit:\n$plan")
   }
+
+  test("NB scoring joins the broadcast model; counts combine map-side") {
+    val d = Seq((1L, true, "a a b"), (2L, false, "b c")).toDF("id", "y", "t")
+    val model = graft.operators.Classify.trainModel(d, $"y", $"t", 64)
+    val out = graft.operators.Classify.score(model, d, $"id", $"t", "id")
+    val plan = out.queryExecution.executedPlan.toString
+    // the model (≤ buckets rows) and its 1-row stats must both ride
+    // broadcasts — never a shuffled join side; per-doc feature counts
+    // combine map-side; nothing windows over the corpus
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Window ["), plan)
+    assert("partial_".r.findAllIn(plan).size >= 2,
+      s"expected map-side partial aggregation:\n$plan")
+  }
+
+  test("weightedSample plans as take-ordered, never a global sort") {
+    val d = Seq((1L, 2.0), (2L, 1.0), (3L, 4.0)).toDF("id", "w")
+    val out = graft.operators.Sampling.weightedSample(d, $"id", $"w", 2, "s")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrderedAndProject:\n$plan")
+  }
 }
