@@ -184,6 +184,65 @@ object Classify {
           Some(batchId)): Unit
     }
 
+  /** A fitted model collapsed to its serving form: per-slot log-odds
+    * weights (size = buckets) plus the prior. `weights(f)` already
+    * includes Laplace smoothing, and slots unseen in training carry the
+    * smoothed default — [[scoreColumn]] is then a pure lookup-sum.
+    */
+  final case class NbWeights(prior: Double, weights: Array[Double])
+
+  /** Collapse a model to serving weights (driver-side; the model is
+    * ≤ buckets rows by construction — contract-tiny like the IVF
+    * centroid and decontam gram collects).
+    */
+  def collectWeights(model: NbModel): NbWeights = {
+    val st = model.stats.select(col("dpos"), col("dneg"), col("tpos"),
+      col("tneg")).head()
+    val (dpos, dneg, tpos, tneg) =
+      (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+    val b = model.buckets
+    def w(np: Long, nn: Long): Double =
+      math.log((np + 1).toDouble / (tpos + b).toDouble) -
+        math.log((nn + 1).toDouble / (tneg + b).toDouble)
+    val arr = Array.fill(b)(w(0L, 0L))
+    model.feat.select(col("f"), col("npos"), col("nneg")).collect()
+      .foreach(r => arr(r.getLong(0).toInt) = w(r.getLong(1), r.getLong(2)))
+    NbWeights(math.log(dpos.toDouble / dneg.toDouble), arr)
+  }
+
+  /** Stateless per-row serving score — the ingest-gate form of
+    * [[score]]: the weight table rides the plan as a LITERAL array, so
+    * scoring is one scan-fused expression per row (tokenize → hash →
+    * lookup-sum) with NO join, NO aggregation, NO state. That makes it
+    * streaming-safe (use in any `readStream` filter/projection — the
+    * [[Decontam.contaminationFilter]] seat) and free at ingest: the
+    * classifier gates documents the moment they arrive instead of in a
+    * later batch pass.
+    *
+    * The fold adds token weights in DOCUMENT ORDER starting from 0 and
+    * applies the prior in the finish step. Agreement with the
+    * join-based [[score]] (which sums count·weight per distinct slot)
+    * is mathematically exact and floating-point-tight (reassociation
+    * only); pin with a rounded compare, not bitwise. Empty docs score
+    * the bare prior (the join path drops them — document contract).
+    */
+  def scoreColumn(text: Column, w: NbWeights, buckets: Int): Column =
+    aggregate(
+      graft.functions.TextAnalysis.tokens(text),
+      lit(0.0),
+      (acc, t) => acc +
+        element_at(typedLit(w.weights.toSeq),
+          featHash(t, buckets).cast("int") + 1),
+      acc => acc + lit(w.prior))
+
+  /** The streaming/ingest quality gate: keep rows the serving model
+    * scores above `threshold`. Stateless — composes into any
+    * structured-streaming pipeline.
+    */
+  def qualityGate(df: DataFrame, text: Column, w: NbWeights, buckets: Int,
+                  threshold: Double = 0.0): DataFrame =
+    df.filter(scoreColumn(text, w, buckets) > threshold)
+
   /** Binary-classifier evaluation over a scored eval set: ROC-AUC via
     * the Mann-Whitney U statistic plus the confusion counts/accuracy at
     * `threshold`. One row out: (n_pos, n_neg, tp, fp, tn, fn, auc,

@@ -44,6 +44,12 @@ object CountLog {
   def append(counts: DataFrame, dir: String, id: Option[Long] = None): Long =
     SegmentFs.appendSegment(counts, dir, id)
 
+  private def fold(rows: DataFrame, keys: Seq[String]): DataFrame = {
+    val sums = rows.columns.filterNot(keys.contains)
+      .map(c => sum(col(c)).as(c))
+    rows.groupBy(keys.map(col): _*).agg(sums.head, sums.tail: _*)
+  }
+
   /** Current totals: base ∪ every committed delta → one keyed sum. ONE
     * lazy plan over (#segments × key-space) rows.
     */
@@ -55,9 +61,30 @@ object CountLog {
       if (deltas.isEmpty) base
       else base.unionByName(
         spark.read.parquet(deltas.map(SegmentFs.deltaDir(dir, _)): _*))
-    val sums = all.columns.filterNot(keys.contains)
-      .map(c => sum(col(c)).as(c))
-    all.groupBy(keys.map(col): _*).agg(sums.head, sums.tail: _*)
+    fold(all, keys)
+  }
+
+  /** Time-travel read: totals AS OF delta segment `upTo` (inclusive) —
+    * the model-reproducibility primitive ("score with the model as of
+    * batch K", [[MergeLog.readAsOf]]'s sibling). Valid back to the
+    * current base; compaction absorbs older segments and the read
+    * throws past the retained horizon.
+    */
+  def readAsOf(spark: SparkSession, dir: String, keys: Seq[String],
+               upTo: Long): DataFrame = {
+    val bv = SegmentFs.latestBase(spark, dir)
+    val base = spark.read.parquet(SegmentFs.baseDir(dir, bv))
+    val all = SegmentFs.listVersions(spark, s"$dir/delta", "d")
+    if (all.nonEmpty && all.min > upTo)
+      throw new IllegalStateException(
+        s"as-of $upTo predates the current base — segments <= $upTo were " +
+          s"compacted away (earliest retained: ${all.min})")
+    val deltas = all.filter(_ <= upTo)
+    val rows =
+      if (deltas.isEmpty) base
+      else base.unionByName(
+        spark.read.parquet(deltas.map(SegmentFs.deltaDir(dir, _)): _*))
+    fold(rows, keys)
   }
 
   /** Fold the delta log into base v=N+1 and retire absorbed segments

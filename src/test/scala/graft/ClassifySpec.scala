@@ -80,6 +80,54 @@ class ClassifySpec extends SparkSpec {
     assert(mt > mr)
   }
 
+  test("scoreColumn serving path agrees with the join-based score") {
+    val model = Classify.trainModel(corpus, $"pos", $"text", B)
+    val w = Classify.collectWeights(model)
+    val held = Seq((10L, "apple banana mango"), (11L, "rock sand gravel"),
+      (12L, "apple rock apple zz1")).toDF("id", "text")
+    val serving = held.select($"id",
+      Classify.scoreColumn($"text", w, B).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val joined = Classify.score(model, held, $"id", $"text", "id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    joined.foreach { case (id, s) =>
+      assert(math.abs(serving(id) - s) < 1e-9,
+        s"doc $id: serving ${serving(id)} vs join $s")
+    }
+  }
+
+  test("scoreColumn scores an empty doc at exactly the prior") {
+    val model = Classify.trainModel(corpus, $"pos", $"text", B)
+    val w = Classify.collectWeights(model)
+    val s = Seq((1L, "")).toDF("id", "text")
+      .select(Classify.scoreColumn($"text", w, B)).as[Double].head()
+    assert(s == w.prior)
+  }
+
+  test("qualityGate is stateless: streaming filter == batch filter") {
+    val model = Classify.trainModel(corpus, $"pos", $"text", B)
+    val w = Classify.collectWeights(model)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val rowsIn = Seq((1L, "apple banana apple"), (2L, "rock sand basalt"),
+      (3L, "apple rock banana mango"))
+    val q = Classify.qualityGate(
+        src.toDF().toDF("id", "text"), $"text", w, B)
+      .writeStream.format("memory").queryName("nb_gate")
+      .outputMode("append").start()
+    try {
+      src.addData(rowsIn: _*)
+      q.processAllAvailable()
+      val streamed = col0[Long](
+        spark.table("nb_gate").select($"id").orderBy($"id"))
+      val batch = col0[Long](Classify.qualityGate(
+          rowsIn.toDF("id", "text"), $"text", w, B)
+        .select($"id").orderBy($"id"))
+      assert(streamed == batch && batch.nonEmpty && batch.size < rowsIn.size)
+    } finally q.stop()
+  }
+
   test("evalBinary: exact AUC on separable, reversed, and tied scores") {
     def auc(rows: Seq[(Double, Boolean)]): (Double, Double) = {
       val r = Classify.evalBinary(rows.toDF("s", "y"), $"s", $"y")

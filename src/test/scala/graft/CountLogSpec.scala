@@ -29,6 +29,25 @@ class CountLogSpec extends SparkSpec {
     assert(asMap(CountLog.read(spark, dir, Seq("f")))(3L) == ((8L, 1L)))
   }
 
+  test("readAsOf reproduces totals at any retained batch horizon") {
+    val dir = tmp("countlog")
+    CountLog.init(Seq((1L, 1L, 0L)).toDF("f", "a", "b"), dir)
+    CountLog.append(Seq((1L, 2L, 0L)).toDF("f", "a", "b"), dir, Some(0L))
+    CountLog.append(Seq((1L, 4L, 0L)).toDF("f", "a", "b"), dir, Some(1L))
+    assert(asMap(CountLog.readAsOf(spark, dir, Seq("f"), 0L)) ==
+      Map(1L -> (3L, 0L)))
+    assert(asMap(CountLog.readAsOf(spark, dir, Seq("f"), 1L)) ==
+      asMap(CountLog.read(spark, dir, Seq("f"))))
+    CountLog.compact(spark, dir, Seq("f"))
+    CountLog.append(Seq((1L, 8L, 0L)).toDF("f", "a", "b"), dir, Some(2L))
+    // pre-compaction horizons are gone; retained ones still resolve
+    intercept[IllegalStateException] {
+      CountLog.readAsOf(spark, dir, Seq("f"), 1L).collect()
+    }
+    assert(asMap(CountLog.readAsOf(spark, dir, Seq("f"), 2L)) ==
+      Map(1L -> (15L, 0L)))
+  }
+
   test("append is idempotent per committed batch id") {
     val dir = tmp("countlog")
     CountLog.init(Seq((1L, 1L, 1L)).toDF("f", "a", "b"), dir)
