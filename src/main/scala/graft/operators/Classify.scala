@@ -243,6 +243,55 @@ object Classify {
                   threshold: Double = 0.0): DataFrame =
     df.filter(scoreColumn(text, w, buckets) > threshold)
 
+  /** Collapse DSIR's two hashed-unigram LMs to per-slot log-ratio
+    * serving weights: w(f) = ln((nt_f+1)/(tt+B)) − ln((nr_f+1)/(tr+B)),
+    * fit from `df` (raw = whole input, target = rows where `target`).
+    * Prior is 0 — DSIR has no class prior. The counts table is ≤
+    * buckets rows (contract-tiny collect), and [[dsirColumn]] then
+    * scores target-likeness statelessly at ingest, like
+    * [[scoreColumn]] for the NB filter.
+    */
+  def collectDsirWeights(df: DataFrame, text: Column, target: Column,
+                         buckets: Int): NbWeights = {
+    val tagged = df.select(target.as("_tgt"),
+        explode(graft.functions.TextAnalysis.tokens(text)).as("_tok"))
+      .select(col("_tgt"), featHash(col("_tok"), buckets).as("f"))
+    val counts = tagged.groupBy(col("f"))
+      .agg(sum(when(col("_tgt"), 1L).otherwise(0L)).as("nt"),
+        count(lit(1)).as("nr"))
+    val rows = counts.collect()
+    val tt = rows.map(_.getLong(1)).sum
+    val tr = rows.map(_.getLong(2)).sum
+    def w(nt: Long, nr: Long): Double =
+      math.log((nt + 1).toDouble / (tt + buckets).toDouble) -
+        math.log((nr + 1).toDouble / (tr + buckets).toDouble)
+    val arr = Array.fill(buckets)(w(0L, 0L))
+    rows.foreach(r => arr(r.getLong(0).toInt) = w(r.getLong(1), r.getLong(2)))
+    NbWeights(0.0, arr)
+  }
+
+  /** Stateless per-row DSIR score: MEAN per-token log ratio under the
+    * collapsed weights — [[dsirWeights]]'s serving twin (agreement is
+    * reassociation-tight, not bitwise; empty docs yield NULL where the
+    * join path drops the row). Use directly in a streaming projection
+    * or threshold filter to steer ingest toward the target
+    * distribution.
+    */
+  def dsirColumn(text: Column, w: NbWeights, buckets: Int): Column =
+    // one (sum, count) struct fold — the tokenizer runs exactly once
+    // per row (a bare sum/size pair would tokenize twice)
+    aggregate(
+      graft.functions.TextAnalysis.tokens(text),
+      struct(lit(0.0).as("s"), lit(0L).as("n")),
+      (acc, t) => struct(
+        (acc.getField("s") +
+          element_at(typedLit(w.weights.toSeq),
+            featHash(t, buckets).cast("int") + 1)).as("s"),
+        (acc.getField("n") + 1L).as("n")),
+      acc => when(acc.getField("n") > 0L,
+        acc.getField("s") / acc.getField("n").cast("double"))
+        .otherwise(lit(null).cast("double")))
+
   /** Binary-classifier evaluation over a scored eval set: ROC-AUC via
     * the Mann-Whitney U statistic plus the confusion counts/accuracy at
     * `threshold`. One row out: (n_pos, n_neg, tp, fp, tn, fn, auc,

@@ -128,6 +128,24 @@ class ClassifySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dsirColumn serving path agrees with the join-based dsirWeights") {
+    val w = Classify.collectDsirWeights(corpus, $"text", $"pos", B)
+    assert(w.prior == 0.0)
+    val serving = corpus.select($"id",
+        Classify.dsirColumn($"text", w, B).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val joined = Classify.dsirWeights(corpus, $"id", $"text", $"pos", B, "id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    joined.foreach { case (id, s) =>
+      assert(math.abs(serving(id) - s) < 1e-9,
+        s"doc $id: serving ${serving(id)} vs join $s")
+    }
+    // empty doc: NULL where the join path drops the row
+    val empty = Seq((9L, "")).toDF("id", "text")
+      .select(Classify.dsirColumn($"text", w, B)).collect().head
+    assert(empty.isNullAt(0))
+  }
+
   test("evalBinary: exact AUC on separable, reversed, and tied scores") {
     def auc(rows: Seq[(Double, Boolean)]): (Double, Double) = {
       val r = Classify.evalBinary(rows.toDF("s", "y"), $"s", $"y")
