@@ -47,7 +47,9 @@ object SparkEntry {
     * sink). See the g2 query for the plan-shape commentary.
     */
   private def g2PackedStarts(s: SparkSession, dir: String,
-                             dedup: Boolean = false): DataFrame = {
+                             dedup: Boolean = false,
+                             tokenGate: Option[Column => Column] = None)
+      : DataFrame = {
     val docs = t(s, dir, "documents")
     val train0 = docs.filter(col("doc_id") >= 50)
     // g4 variant: near-dup KEEP-ONE dedup of the train corpus before
@@ -60,9 +62,14 @@ object SparkEntry {
     val clean = Decontam.decontaminate(
       train, docs.filter(col("doc_id") < 50),
       "doc_id", col("text"), n = 5, maxFraction = 0.0)
+    // g6 variant: an extra token-derived gate (the trained-classifier
+    // evidence filter) rides the SAME select boundary as the heuristic
+    // quality score — one tokenization feeds both, and the gate stays
+    // a scan-fused predicate (zero new exchanges vs g2)
     val scored = clean
       .select(col("doc_id"), col("lang"), col("text"),
         TA.tokens(col("text")).as("toks"))
+      .filter(tokenGate.map(g => g(col("toks"))).getOrElse(lit(true)))
       .select(col("doc_id"), col("lang"),
         size(col("toks")).cast("long").as("n_tok"),
         TA.qualityScoreFromTokens(col("toks"), col("text")).as("q"))
@@ -1156,6 +1163,34 @@ object SparkEntry {
       // fraction. Only the pair graph iterates; corpus text still
       // never shuffles.
       Packing.packBins(g2PackedStarts(s, dir, dedup = true),
+          binTokens = 2048L)
+        .orderBy(col("lang"), col("bin"))
+    }),
+
+    "g6_steered_corpus" -> ((s, dir) => {
+      // G6 — g2 with a TRAINED steering gate on top of the heuristic
+      // one (the GPT-3-style upgrade: rule gates first, a learned
+      // filter above them): the DSIR target/raw LMs collapse to
+      // serving weights (contract-tiny collect, like tc1's grams and
+      // v11's centroids), and docs must show ABOVE-CORPUS-AVERAGE
+      // target affinity — mean per-token log ratio past the corpus
+      // mean, both rounded (scale-free: at sf-size corpora the
+      // Laplace term biases every raw ratio negative, so an absolute
+      // 0 threshold is meaningless; the relative gate is the honest
+      // contract at any scale). The gate rides the SAME select
+      // boundary as the heuristic score: one tokenization feeds both,
+      // and the classifier adds ZERO exchanges to the g2 plan — the
+      // weights and the threshold are literals.
+      val docs = t(s, dir, "documents")
+      val w = Classify.collectDsirWeights(docs, col("text"),
+        col("lang") <=> "en", 4096)
+      val thr = fround(
+        avg(fround(Classify.dsirColumn(col("text"), w, 4096), 6)), 6)
+      val thrVal = docs.agg(thr).head().getDouble(0)
+      Packing.packBins(
+          g2PackedStarts(s, dir, tokenGate = Some(toks =>
+            fround(Classify.dsirColumnFromTokens(toks, w, 4096), 6)
+              > lit(thrVal))),
           binTokens = 2048L)
         .orderBy(col("lang"), col("bin"))
     }),
@@ -2749,23 +2784,31 @@ object SparkEntry {
     * constants as the Spark queries. Ends mid-SELECT so callers
     * append extra output columns + the FROM/ORDER BY tail.
     */
-  private lazy val sqlNbScore: String = {
-    val b = 4096
+  /** The NB model-fit CTEs with names prefixed `p` (so the chain can
+    * splice into the g2 prelude without colliding with its CTE names):
+    * `${p}tk` tokenized+labeled rows with the train flag, `${p}f`
+    * hashed features, `${p}cls` per-class slot counts over the train
+    * split, `${p}st` the doc/token class totals. Same Scala constants
+    * (bucket count, split threshold, feature hash) as the Spark
+    * queries.
+    */
+  private def sqlNbModelCtes(p: String): String = {
+    val b = nbBuckets
     val thr = operators.Sampling.threshold(0.6)
     val toks = sqlTokens("text")
-    s"""WITH tk AS (SELECT doc_id,
+    s"""${p}tk AS (SELECT doc_id,
              coalesce(lang = 'en', false) AS pos,
              ('0x' || substr(md5('nbt:' || doc_id::VARCHAR), 1, 7))::BIGINT
                < $thr AS tr,
              unnest($toks) AS tok
            FROM documents),
-         f AS (SELECT doc_id, pos, tr,
-             ${operators.Classify.sqlFeatHash("tok", b)} AS f FROM tk),
-         cls AS (SELECT f,
+         ${p}f AS (SELECT doc_id, pos, tr,
+             ${operators.Classify.sqlFeatHash("tok", b)} AS f FROM ${p}tk),
+         ${p}cls AS (SELECT f,
              sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS npos,
              sum(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT AS nneg
-           FROM f WHERE tr GROUP BY f),
-         st AS (SELECT
+           FROM ${p}f WHERE tr GROUP BY f),
+         ${p}st AS (SELECT
              sum(CASE WHEN coalesce(lang = 'en', false) THEN 1 ELSE 0
                END)::BIGINT AS dpos,
              sum(CASE WHEN coalesce(lang = 'en', false) THEN 0 ELSE 1
@@ -2776,19 +2819,30 @@ object SparkEntry {
                ELSE len($toks) END)::BIGINT AS tneg
            FROM documents
            WHERE ('0x' || substr(md5('nbt:' || doc_id::VARCHAR), 1, 7))::BIGINT
-             < $thr),
+             < $thr)"""
+  }
+
+  /** Bucket count shared by every NB/DSIR query and oracle. */
+  private val nbBuckets = 4096
+
+  /** Laplace-smoothed per-slot log-odds weight, as SQL, against the
+    * `${p}cls`/`${p}st` columns (LEFT-join side: npos/nneg may be
+    * NULL).
+    */
+  private def sqlNbWeight: String =
+    s"""(ln((coalesce(npos, 0) + 1)::DOUBLE / (tpos + $nbBuckets)::DOUBLE)
+       - ln((coalesce(nneg, 0) + 1)::DOUBLE / (tneg + $nbBuckets)::DOUBLE))"""
+
+  private lazy val sqlNbScore: String =
+    s"""WITH ${sqlNbModelCtes("")},
          docf AS (SELECT doc_id, f, count(*)::BIGINT AS c
            FROM f WHERE NOT tr GROUP BY 1, 2),
          sc AS (SELECT doc_id, sum(c)::BIGINT AS n_tok,
              ln(any_value(dpos)::DOUBLE / any_value(dneg)::DOUBLE) +
-               sum(c * (ln((coalesce(npos, 0) + 1)::DOUBLE
-                   / (tpos + $b)::DOUBLE)
-                 - ln((coalesce(nneg, 0) + 1)::DOUBLE
-                   / (tneg + $b)::DOUBLE))) AS lo
+               sum(c * $sqlNbWeight) AS lo
            FROM docf LEFT JOIN cls USING (f) CROSS JOIN st
            GROUP BY doc_id)
          SELECT doc_id, n_tok, ${sqlFround("lo", 6)} AS log_odds"""
-  }
 
   def oracleSql: Map[String, String] = Map(
     "r1_ruler_scores" -> {
@@ -4802,6 +4856,26 @@ object SparkEntry {
       s"""$sqlDsirWeights
          FROM sc ORDER BY doc_id""",
 
+    "g6_steered_corpus" -> {
+      // the DSIR chain (prefixed q6, same constants as tq2) splices
+      // into the g2 prelude; the steering gate — rounded per-doc mean
+      // log ratio above the rounded corpus mean — becomes one more
+      // kept0 membership condition
+      val prelude =
+        s"""${sqlDsirCtes("q6")},
+           q6ev AS (SELECT doc_id, ${sqlFround("w", 6)} AS ev
+             FROM q6sc),
+           q6thr AS (SELECT ${sqlFround("avg(ev)", 6)} AS thr FROM q6ev),
+           q6keep AS (SELECT doc_id FROM q6ev CROSS JOIN q6thr
+             WHERE ev > thr),
+           """
+      s"""${sqlG2PackedCtes(prelude,
+             "AND s.doc_id IN (SELECT doc_id FROM q6keep)")}
+         SELECT lang, start_tok // 2048 AS bin, count(*) AS n_docs,
+           sum(n_tok)::BIGINT AS n_tokens
+         FROM packed GROUP BY lang, bin ORDER BY lang, bin"""
+    },
+
     "tq5_dsir_resample" ->
       // The resampling step over the tq2 weights: Efraimidis–Spirakis
       // keyed top-k — u from the doc's md5 hash, selection key
@@ -4816,32 +4890,39 @@ object SparkEntry {
          ORDER BY sel_key DESC, doc_id LIMIT 100"""
   )
 
-  /** Shared DSIR oracle chain (tq2 weights / tq5 resample): both
-    * hashed-unigram LMs from one token pass, per-doc mean log ratio.
-    * Ends mid-SELECT (`… AS logratio`); callers append FROM/ORDER BY.
+  /** The DSIR chain with CTE names prefixed `p` (so it can splice into
+    * the g2 prelude without name collisions): both hashed-unigram LMs
+    * from one token pass, ending in `${p}sc(doc_id, n_tok, w)` with the
+    * RAW per-doc mean log ratio. Same constants as the Spark queries.
     */
-  private lazy val sqlDsirWeights: String = {
-    val b = 4096
+  private def sqlDsirCtes(p: String): String = {
+    val b = nbBuckets
     val toks = sqlTokens("text")
-    s"""WITH tk AS (SELECT doc_id,
+    s"""${p}tk AS (SELECT doc_id,
              coalesce(lang = 'en', false) AS tgt, unnest($toks) AS tok
            FROM documents),
-         f AS (SELECT doc_id, tgt,
-             ${operators.Classify.sqlFeatHash("tok", b)} AS f FROM tk),
-         cnt AS (SELECT f,
+         ${p}f AS (SELECT doc_id, tgt,
+             ${operators.Classify.sqlFeatHash("tok", b)} AS f FROM ${p}tk),
+         ${p}cnt AS (SELECT f,
              sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS nt,
              count(*)::BIGINT AS nr
-           FROM f GROUP BY f),
-         tot AS (SELECT sum(nt)::BIGINT AS tt, sum(nr)::BIGINT AS tr
-           FROM cnt),
-         docf AS (SELECT doc_id, f, count(*)::BIGINT AS c
-           FROM f GROUP BY 1, 2),
-         sc AS (SELECT doc_id, sum(c)::BIGINT AS n_tok,
+           FROM ${p}f GROUP BY f),
+         ${p}tot AS (SELECT sum(nt)::BIGINT AS tt, sum(nr)::BIGINT AS tr
+           FROM ${p}cnt),
+         ${p}docf AS (SELECT doc_id, f, count(*)::BIGINT AS c
+           FROM ${p}f GROUP BY 1, 2),
+         ${p}sc AS (SELECT doc_id, sum(c)::BIGINT AS n_tok,
              sum(c * (ln((coalesce(nt, 0) + 1)::DOUBLE / (tt + $b)::DOUBLE)
                - ln((coalesce(nr, 0) + 1)::DOUBLE / (tr + $b)::DOUBLE)))
                / sum(c) AS w
-           FROM docf LEFT JOIN cnt USING (f) CROSS JOIN tot
-           GROUP BY doc_id)
-         SELECT doc_id, n_tok, ${sqlFround("w", 6)} AS logratio"""
+           FROM ${p}docf LEFT JOIN ${p}cnt USING (f) CROSS JOIN ${p}tot
+           GROUP BY doc_id)"""
   }
+
+  /** Shared DSIR oracle body (tq2 weights / tq5 resample). Ends
+    * mid-SELECT (`… AS logratio`); callers append FROM/ORDER BY.
+    */
+  private lazy val sqlDsirWeights: String =
+    s"""WITH ${sqlDsirCtes("")}
+         SELECT doc_id, n_tok, ${sqlFround("w", 6)} AS logratio"""
 }

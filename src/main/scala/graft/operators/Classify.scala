@@ -227,8 +227,17 @@ object Classify {
     * the bare prior (the join path drops them — document contract).
     */
   def scoreColumn(text: Column, w: NbWeights, buckets: Int): Column =
+    scoreColumnFromTokens(graft.functions.TextAnalysis.tokens(text),
+      w, buckets)
+
+  /** [[scoreColumn]] over an already-bound token column (the
+    * `...FromTokens` pattern) — for pipelines that tokenize once and
+    * feed several token-derived signals from the same select boundary.
+    */
+  def scoreColumnFromTokens(toks: Column, w: NbWeights,
+                            buckets: Int): Column =
     aggregate(
-      graft.functions.TextAnalysis.tokens(text),
+      toks,
       lit(0.0),
       (acc, t) => acc +
         element_at(typedLit(w.weights.toSeq),
@@ -278,10 +287,18 @@ object Classify {
     * distribution.
     */
   def dsirColumn(text: Column, w: NbWeights, buckets: Int): Column =
+    dsirColumnFromTokens(graft.functions.TextAnalysis.tokens(text),
+      w, buckets)
+
+  /** [[dsirColumn]] over an already-bound token column (the
+    * `...FromTokens` pattern).
+    */
+  def dsirColumnFromTokens(toks: Column, w: NbWeights,
+                           buckets: Int): Column =
     // one (sum, count) struct fold — the tokenizer runs exactly once
     // per row (a bare sum/size pair would tokenize twice)
     aggregate(
-      graft.functions.TextAnalysis.tokens(text),
+      toks,
       struct(lit(0.0).as("s"), lit(0L).as("n")),
       (acc, t) => struct(
         (acc.getField("s") +
