@@ -176,6 +176,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("g6 steered build adds zero exchanges and zero joins over g2") {
+    val dir = "/root/testdata/sf0.001"
+    def shape(name: String): (Int, Int, Int) = {
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      ("Exchange ".r.findAllIn(plan).size,
+        "Join".r.findAllIn(plan).size,
+        "Window \\[".r.findAllIn(plan).size)
+    }
+    // the trained gate is a literal-weight scan-fused predicate: the g6
+    // physical plan must match g2's exchange/join/window census exactly
+    assert(shape("g6_steered_corpus") == shape("g2_training_corpus"))
+  }
+
   test("w5 gated drift: one streaming-safe pass — no joins, no extra shuffles") {
     val dir = "/root/testdata/sf0.001"
     val w5 = SparkEntry.queries("w5_gated_drift")(spark, dir)
