@@ -2438,6 +2438,22 @@ object SparkEntry {
         .orderBy(col("sel_key").desc, col("doc_id"))
     }),
 
+    "tq6_score_threshold" -> ((s, dir) => {
+      // The deployment knob for the trained filter: the most inclusive
+      // threshold keeping ≤ 30% of the tq1 held-out docs by rounded
+      // log-odds — exact integer census over the distinct-score table
+      // (the tq4 shape; eval-set-sized, no corpus sort).
+      val d = t(s, dir, "documents")
+      val isTrain = Sampling.keyHash(col("doc_id"), "nbt") <
+        Sampling.threshold(0.6)
+      val model = Classify.trainModel(d.filter(isTrain),
+        col("lang") <=> "en", col("text"), 4096)
+      val scored = Classify.score(model, d.filter(!isTrain),
+          col("doc_id"), col("text"))
+        .select(fround(col("log_odds"), 6).as("lo6"))
+      Classify.thresholdForKeepRate(scored, col("lo6"), keepPct = 30)
+    }),
+
     "tq4_classifier_eval" -> ((s, dir) => {
       // Evaluation closes the classifier loop: ROC-AUC (exact
       // Mann-Whitney — integer u2 fold over the distinct-score table,
@@ -4855,6 +4871,22 @@ object SparkEntry {
       // one token pass; per-doc mean log ratio, Laplace-smoothed.
       s"""$sqlDsirWeights
          FROM sc ORDER BY doc_id""",
+
+    "tq6_score_threshold" ->
+      // descending running census over the distinct rounded-score
+      // table; integer cap rows·30 div 100; most inclusive qualifying
+      // threshold
+      s"""WITH scored AS ($sqlNbScore FROM sc),
+         bys AS (SELECT ${sqlFround("log_odds", 6)} AS s,
+             count(*)::BIGINT AS n
+           FROM scored GROUP BY 1),
+         cum AS (SELECT s, sum(n) OVER (ORDER BY s DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+             AS kept
+           FROM bys),
+         tot AS (SELECT count(*)::BIGINT AS tot FROM scored)
+         SELECT min(s) AS threshold, max(kept)::BIGINT AS n_kept
+         FROM cum CROSS JOIN tot WHERE kept <= tot * 30 // 100""",
 
     "g6_steered_corpus" -> {
       // the DSIR chain (prefixed q6, same constants as tq2) splices

@@ -355,6 +355,35 @@ object Classify {
           (col("n_pos") + col("n_neg")).cast("double")).as("accuracy"))
   }
 
+  /** The keep-rate knob: the most inclusive score threshold whose
+    * `score ≥ threshold` population stays within `keepPct`% of the
+    * rows — "keep the top X% by classifier score", the practical form
+    * of every trained-filter deployment. One row out: (threshold,
+    * n_kept); NULL threshold when even the top score group exceeds the
+    * cap (ties are indivisible — a keyed sampler splits them if an
+    * exact count matters).
+    *
+    * Exact and engine-independent: per-distinct-score counts, a
+    * descending running total over the distinct-score table (eval-set-
+    * sized, not corpus-sized — the tq4 shape), and an integer cap
+    * `rows·keepPct div 100`. Pass an already-rounded score so tie
+    * groups agree across engines.
+    */
+  def thresholdForKeepRate(df: DataFrame, score: Column,
+                           keepPct: Int): DataFrame = {
+    val byScore = df.select(score.as("s")).groupBy(col("s"))
+      .agg(count(lit(1)).as("n"))
+    val desc = org.apache.spark.sql.expressions.Window.orderBy(col("s").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        0)
+    byScore
+      .withColumn("kept", sum(col("n")).over(desc))
+      .crossJoin(broadcast(
+        df.agg(count(lit(1)).as("tot"))))
+      .filter(col("kept") <= expr(s"tot * $keepPct div 100"))
+      .agg(min(col("s")).as("threshold"), max(col("kept")).as("n_kept"))
+  }
+
   /** DSIR importance weight (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): per document, the
     * mean per-token log likelihood ratio of a hashed-unigram target

@@ -171,6 +171,19 @@ class ClassifySpec extends SparkSpec {
       r.getLong(4), r.getLong(5)) == ((2L, 2L, 2L, 1L, 1L, 0L)))
   }
 
+  test("thresholdForKeepRate: most inclusive threshold within the cap") {
+    val scores = Seq(1.0, 1.0, 2.0, 3.0).toDF("s")
+    // cap = 4·50 div 100 = 2: kept(3)=1 ok, kept(2)=2 ok, kept(1)=4 no
+    val r = Classify.thresholdForKeepRate(scores, $"s", 50).head()
+    assert((r.getDouble(0), r.getLong(1)) == ((2.0, 2L)))
+    // cap 0: even the top group exceeds it → NULL threshold
+    val none = Classify.thresholdForKeepRate(scores, $"s", 10).head()
+    assert(none.isNullAt(0) && none.isNullAt(1))
+    // cap 100%: everything kept at the minimum score
+    val all = Classify.thresholdForKeepRate(scores, $"s", 100).head()
+    assert((all.getDouble(0), all.getLong(1)) == ((1.0, 4L)))
+  }
+
   test("dsirWeights of the whole corpus as target is exactly zero") {
     // target LM == raw LM ⇒ every log ratio cancels term-by-term.
     val out = Classify.dsirWeights(corpus, $"id", $"text", lit(true), B, "id")
