@@ -120,6 +120,12 @@ object SparkEntry {
     */
   private val g1DirtyPrefix = "\\textbf{Note} on $x^2$ &amp; caf\u00e9 "
 
+  /** ta15 chunk window: sized so the sf documents (10-99 tokens) really
+    * split 1-4 ways; shared by the query and its oracle SQL.
+    */
+  private val ChunkMax = 32
+  private val ChunkStride = 24
+
   /** DuckDB twin of [[graft.functions.TextFunctions.cleanText]] — the
     * T2→T3→T4→T1 regexp_replace chain over expression `e` (same patterns,
     * same order; Java regex and RE2 agree on all five).
@@ -1033,6 +1039,19 @@ object SparkEntry {
             col("n_tok"), bucketWidth = 4096L),
           binTokens = 2048L)
         .orderBy(col("lang"), col("bin"))
+    }),
+
+    "ta15_chunk_windows" -> ((s, dir) => {
+      // Sliding-window chunking (beyond the reference; the tokenizer
+      // return_overflowing_tokens shape): over-length documents split
+      // into ≤32-token windows every 24 tokens (8-token overlap)
+      // before packing/serving — docs here run 10-99 tokens, so the
+      // corpus really splits 1-4 ways. Zero exchanges: one narrow
+      // tokenize-once projection + generator per row (Packing.scala);
+      // the final sort exists only for the oracle compare.
+      Packing.chunkWindows(t(s, dir, "documents"), col("doc_id"),
+          col("text"), maxTokens = ChunkMax, stride = ChunkStride)
+        .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
     "ta7_cjk_text" -> ((s, dir) => {
@@ -4516,6 +4535,26 @@ object SparkEntry {
          SELECT lang, start_tok // 2048 AS bin, count(*) AS n_docs,
            sum(n_tok)::BIGINT AS n_tokens
          FROM s GROUP BY lang, bin ORDER BY lang, bin"""
+    },
+
+    "ta15_chunk_windows" -> {
+      // Spark `sequence(0, k)` and DuckDB `generate_series(0, k)` are
+      // both inclusive; `list_slice` is 1-based inclusive and clamps at
+      // the list end exactly like Spark's `slice(arr, start, length)`.
+      val toks = sqlTokens("text")
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         k AS (SELECT doc_id, toks,
+           CASE WHEN len(toks) <= $ChunkMax THEN 0
+                ELSE (len(toks) - $ChunkMax + $ChunkStride - 1) // $ChunkStride
+           END AS last_i FROM t),
+         c AS (SELECT doc_id, toks,
+           unnest(generate_series(0, last_i))::BIGINT AS chunk_idx FROM k)
+         SELECT doc_id, chunk_idx,
+           len(list_slice(toks, chunk_idx * $ChunkStride + 1,
+             chunk_idx * $ChunkStride + $ChunkMax))::BIGINT AS n_tok,
+           array_to_string(list_slice(toks, chunk_idx * $ChunkStride + 1,
+             chunk_idx * $ChunkStride + $ChunkMax), ' ') AS chunk_text
+         FROM c ORDER BY doc_id, chunk_idx"""
     },
 
     "v10_quantized_ann" -> {

@@ -78,4 +78,45 @@ object Packing {
       .groupBy(col("lang"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
   }
+
+  /** Sliding-window chunking: split each document into token windows of
+    * at most `maxTokens`, consecutive windows `stride` tokens apart (so
+    * adjacent chunks overlap by `maxTokens - stride` tokens — the
+    * tokenizer `return_overflowing_tokens` shape every pretraining
+    * pipeline applies to over-length documents before packing). A doc
+    * with `n <= maxTokens` tokens (including an empty one) yields
+    * exactly one chunk; otherwise `ceil((n - maxTokens)/stride) + 1`
+    * chunks, the last possibly short. Output: one row per chunk —
+    * `(doc_id, chunk_idx, n_tok, chunk_text)`.
+    *
+    * Scale shape: embarrassingly parallel — the whole operator is one
+    * narrow projection + generator per row, ZERO exchanges; tokenize
+    * once at a select boundary (the `__toks` alias is multi-use and
+    * non-cheap, so CollapseProject materializes it rather than inlining
+    * the regex into the generator and both slices); the per-chunk work
+    * after the explode only re-reads the materialized array.
+    */
+  def chunkWindows(docs: DataFrame, docId: Column, text: Column,
+                   maxTokens: Int, stride: Int): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    require(stride > 0 && stride <= maxTokens,
+      "stride must be in (0, maxTokens]")
+    docs
+      .select(docId.cast("long").as("doc_id"),
+        graft.functions.TextAnalysis.tokens(text).as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        size(col("__toks")).cast("long").as("__n"))
+      .select(col("doc_id"), col("__toks"),
+        explode(sequence(lit(0L),
+          when(col("__n") <= maxTokens, lit(0L))
+            .otherwise(expr(s"(__n - $maxTokens + $stride - 1) div $stride"))))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("__toks"),
+          (col("chunk_idx") * stride + 1).cast("int"), lit(maxTokens))
+          .as("__ct"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("__ct")).cast("long").as("n_tok"),
+        concat_ws(" ", col("__ct")).as("chunk_text"))
+  }
 }

@@ -65,4 +65,64 @@ class PackingSpec extends SparkSpec {
     // zero-length docs occupy no tokens: starts are 0, 0, 5
     assert(got.toSeq == Seq((1L, 0L), (2L, 0L), (3L, 5L)))
   }
+
+  // Docs spanning every chunking regime for (max=8, stride=5): empty,
+  // 1 token, exactly max, max+1 (first over-length), a stride-boundary
+  // exact fit (8 + 2*5 = 18 tokens → last chunk full), and a long tail.
+  private def chunkCorpus = Seq(
+    (0L, ""),
+    (1L, "a"),
+    (2L, (1 to 8).map(i => s"t$i").mkString(" ")),
+    (3L, (1 to 9).map(i => s"t$i").mkString(" ")),
+    (4L, (1 to 18).map(i => s"t$i").mkString(" ")),
+    (5L, (1 to 47).map(i => s"w$i").mkString(" "))
+  ).toDF("doc_id", "text")
+
+  test("chunkWindows matches a JVM brute force on all regimes") {
+    import graft.functions.TextAnalysis
+    val got = Packing
+      .chunkWindows(chunkCorpus, $"doc_id", $"text", maxTokens = 8, stride = 5)
+      .orderBy($"doc_id", $"chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val want = chunkCorpus.collect().flatMap { r =>
+      val id = r.getLong(0)
+      val toks = TextAnalysis.jvmTokens(r.getString(1))
+      val k = if (toks.length <= 8) 1 else (toks.length - 8 + 4) / 5 + 1
+      (0 until k).map { i =>
+        val ct = toks.slice(i * 5, i * 5 + 8)
+        (id, i.toLong, ct.length.toLong, ct.mkString(" "))
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("chunkWindows laws: starts, overlap, coverage, reconstruction") {
+    val max = 8; val stride = 5
+    val chunks = Packing
+      .chunkWindows(chunkCorpus, $"doc_id", $"text", max, stride)
+      .orderBy($"doc_id", $"chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    chunks.foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // contiguous indices from 0; every chunk but the last is full or
+      // the doc was short; consecutive chunks overlap by max - stride
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length).toSeq)
+      sorted.init.foreach { c => assert(c._3 == max, s"doc $id chunk ${c._2}") }
+      sorted.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        val aToks = a._4.split(" ").toSeq
+        val bToks = b._4.split(" ").toSeq
+        assert(aToks.drop(stride) == bToks.take(max - stride))
+      }
+      // stride-prefixes of all but the last chunk + the last chunk
+      // reconstruct the token stream exactly (lossless coverage)
+      val rebuilt = (sorted.init.flatMap(_._4.split(" ").take(stride)) ++
+        sorted.last._4.split(" ").filter(_.nonEmpty)).toSeq
+      val original = chunkCorpus.filter($"doc_id" === id).collect()
+        .head.getString(1)
+      assert(rebuilt == graft.functions.TextAnalysis.jvmTokens(original).toSeq)
+    }
+    // single-chunk docs: empty doc yields one empty chunk
+    assert(chunks(0L).toSeq == Seq((0L, 0L, 0L, "")))
+  }
 }

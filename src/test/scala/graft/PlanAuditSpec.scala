@@ -206,6 +206,21 @@ class PlanAuditSpec extends SparkSpec {
       .findAllIn(plan).hasNext, plan)
   }
 
+  test("ta15 chunk windows: narrow generator pass, tokenize exactly once") {
+    val dir = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("ta15_chunk_windows")(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    // chunking is embarrassingly parallel: no join, no aggregation, and
+    // the only exchange is the oracle-compare output sort
+    assert(!plan.contains("Join"), plan)
+    assert("Exchange ".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("Generate explode"), plan)
+    // the tokenizer runs once per doc — CollapseProject must keep the
+    // multi-use __toks alias materialized, not inline the regex into
+    // the generator bound and both slice sites
+    assert("regexp_extract_all".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("v12 embed top-k: query side broadcasts against the embedded corpus") {
     val dir = "/root/testdata/sf0.001"
     val v12 = SparkEntry.queries("v12_embed_topk")(spark, dir)
