@@ -636,6 +636,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "x3_curriculum" -> ((s, dir) => {
+      // Curriculum serve schedule (beyond the reference; Bengio et al.
+      // 2009): exact score-quantile phases served easy→hard, the
+      // epoch-shuffle permutation within each phase. Easiness here is
+      // doc brevity — score = -(n_tok div 10), the length-curriculum
+      // convention, bucketed to tens so the distinct-score census
+      // stays bounded. The corpus never shuffles for the phase
+      // assignment: the census aggregates distinct scores and the
+      // phase table broadcast-joins back.
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TA.tokenCount(col("text")).cast("long").as("n_tok"))
+        .select(col("doc_id"), expr("-(n_tok div 10)").as("sc"))
+      Sampling.curriculumSchedule(d, col("doc_id"), col("sc"),
+          phases = 4, epoch = 1, numShards = 8)
+        .orderBy(col("id"))
+    }),
+
     "d9_incremental_dedup" -> ((s, dir) => {
       // Incremental new-batch-vs-corpus dedup (beyond the reference):
       // the corpus key set folds ONCE into a Bloom filter (treeAggregate,
@@ -4510,6 +4528,32 @@ object SparkEntry {
            (row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) - 1)::BIGINT
              AS pos
          FROM s ORDER BY doc_id""",
+
+    "x3_curriculum" -> {
+      // Replays the phase census (strictly-greater cumulative count ×
+      // phases div total), the cur:1-salted 28-bit hash, the contiguous
+      // shard ranges, and the per-(phase, shard) dense rank. Both `div`s
+      // see nonnegative operands, so DuckDB's flooring `//` matches
+      // Spark's truncating `div`.
+      val toks = sqlTokens("text")
+      s"""WITH d AS (SELECT doc_id AS id,
+           -(len($toks)::BIGINT // 10) AS s FROM documents),
+         cen AS (SELECT s, count(*)::BIGINT AS n FROM d GROUP BY s),
+         cum AS (SELECT s, coalesce(sum(n) OVER (ORDER BY s DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+             AS cum FROM cen),
+         ph AS (SELECT s, (cum * 4) // (SELECT count(*) FROM d) AS phase
+           FROM cum),
+         h AS (SELECT id, d.s, phase,
+           ('0x' || substr(md5('cur:1:' || id::VARCHAR), 1, 7))::BIGINT AS hh
+           FROM d JOIN ph ON d.s = ph.s),
+         sh AS (SELECT id, s, phase, hh, (hh * 8) // ${1L << 28} AS shard
+           FROM h)
+         SELECT id, s AS score, phase, shard,
+           (row_number() OVER (PARTITION BY phase, shard
+             ORDER BY hh, id) - 1)::BIGINT AS pos
+         FROM sh ORDER BY id"""
+    },
 
     "d9_incremental_dedup" -> {
       def keep(salt: String, rate: Double) =

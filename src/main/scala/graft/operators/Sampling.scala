@@ -169,4 +169,56 @@ object Sampling {
           .cast("long"))
       .drop("_h")
   }
+
+  /** Curriculum serve schedule (Bengio et al. 2009 easiness ordering,
+    * the curriculum-learning seat): rows split into `phases` exact
+    * score-quantile phases — phase 0 is the highest-scoring (serve
+    * first) fraction ~1/phases, and so on — and within each phase the
+    * serve order is the [[epochShuffle]] permutation, so training walks
+    * easy→hard across phases but unordered within one (ordering WITHIN
+    * a phase would un-shuffle the data and hurt SGD).
+    *
+    * Phase assignment is exact and tie-stable: phase(s) =
+    * (count of rows with score > s) · phases div total, so equal
+    * scores always share a phase (a heavy tie mass widens its phase
+    * rather than splitting nondeterministically). `score` should be
+    * rounded/bucketed by the caller (the tq6 convention) so the
+    * distinct-score census stays bounded.
+    *
+    * Scale shape: the census aggregates distinct scores with map-side
+    * partial aggregation (shuffle footprint = distinct scores, not
+    * rows); its cumulative window runs over that bounded table; the
+    * phase table broadcast-joins back, so the corpus itself never
+    * shuffles for the assignment — its only exchange is epochShuffle's
+    * own shard partition. Long arithmetic: cum·phases ≤ 9·10¹⁸ needs
+    * phases ≤ ~10⁶ at 10¹² rows — require'd far below that.
+    *
+    * Output: (id, score, phase, shard, pos); serve in (phase, shard,
+    * pos) order.
+    */
+  def curriculumSchedule(df: DataFrame, id: Column, score: Column,
+                         phases: Int, epoch: Int, numShards: Int,
+                         salt: String = "cur"): DataFrame = {
+    require(phases > 0 && phases <= 1000000,
+      s"phases must be in [1, 1e6], got $phases")
+    require(numShards > 0, s"numShards must be > 0, got $numShards")
+    val d = df.select(id.as("id"), score.as("s"))
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("s").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val phaseTab = d.groupBy(col("s")).agg(count(lit(1)).as("n"))
+      .withColumn("cum", coalesce(sum(col("n")).over(wDesc), lit(0L)))
+      .crossJoin(broadcast(d.agg(count(lit(1)).as("tot"))))
+      .select(col("s"), expr(s"cum * $phases div tot").as("phase"))
+    d.join(broadcast(phaseTab), Seq("s"))
+      .withColumn("_h", keyHash(col("id"), s"$salt:$epoch"))
+      .withColumn("shard", expr(s"_h * $numShards div ${1L << 28}"))
+      .withColumn("pos",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("phase"), col("shard"))
+          .orderBy(col("_h"), col("id"))) - 1).cast("long"))
+      .select(col("id"), col("s").as("score"), col("phase"), col("shard"),
+        col("pos"))
+  }
 }

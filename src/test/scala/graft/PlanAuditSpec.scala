@@ -221,6 +221,20 @@ class PlanAuditSpec extends SparkSpec {
     assert("regexp_extract_all".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("x3 curriculum: phase table broadcasts back; corpus never sort-merges") {
+    val dir = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("x3_curriculum")(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    // the phase assignment must reach the corpus as a broadcast of the
+    // distinct-score census, never a co-shuffle of the corpus itself
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // exactly two Windows: the census cumulative (single-partition but
+    // distinct-scores-sized — the tq6 precedent) and the partitioned
+    // per-(phase, shard) rank
+    assert("Window \\[".r.findAllIn(plan).size == 2, plan)
+  }
+
   test("v12 embed top-k: query side broadcasts against the embedded corpus") {
     val dir = "/root/testdata/sf0.001"
     val v12 = SparkEntry.queries("v12_embed_topk")(spark, dir)

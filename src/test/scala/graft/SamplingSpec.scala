@@ -150,4 +150,58 @@ class SamplingSpec extends SparkSpec {
     }
     assert(wins > 45 && wins < 60, s"heavy row won $wins/60")
   }
+
+  test("curriculumSchedule: exact quantile phases, monotone in score") {
+    // 400 rows with distinct scores 0..399 → 4 phases of exactly 100,
+    // and a higher score never lands in a later phase than a lower one
+    val d = (0L until 400L).map(i => (i, i)).toDF("id", "sc")
+    val got = Sampling.curriculumSchedule(d, $"id", $"sc", 4, 1, 8)
+      .select($"score", $"phase").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.groupBy(_._2).view.mapValues(_.length).toMap ==
+      Map(0L -> 100, 1L -> 100, 2L -> 100, 3L -> 100))
+    got.sortBy(-_._1).sliding(2).foreach { case Array(hi, lo) =>
+      assert(hi._2 <= lo._2, s"$hi before $lo")
+    }
+    // phase 0 holds the TOP scores (easy-first contract)
+    assert(got.filter(_._2 == 0L).map(_._1).min == 300L)
+  }
+
+  test("curriculumSchedule: ties share a phase; tie mass widens it") {
+    // 90 rows of score 5 (45%) + 110 distinct lower scores: the tie
+    // block crosses the 25% boundary but must stay one phase
+    val d = ((0L until 90L).map(i => (i, 5L)) ++
+      (90L until 200L).map(i => (i, -i))).toDF("id", "sc")
+    val byScore = Sampling.curriculumSchedule(d, $"id", $"sc", 4, 1, 4)
+      .select($"score", $"phase").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(byScore(5L) == 0L)
+    assert(byScore.count(_._2 == 0L) == 1, "tie block fills phase 0 alone")
+  }
+
+  test("curriculumSchedule: within-phase order is the epoch permutation") {
+    // dense per-(phase, shard) positions; the whole schedule is a
+    // permutation of ids; a different epoch reorders within phases but
+    // never moves a row across phases
+    val d = (0L until 500L).map(i => (i, i % 7)).toDF("id", "sc")
+    def run(ep: Int) = Sampling.curriculumSchedule(d, $"id", $"sc", 3, ep, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val a = run(1)
+    assert(a.map(_._1).toSet == (0L until 500L).toSet)
+    a.groupBy(t => (t._2, t._3)).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+    val b = run(2)
+    assert(a.map(t => t._1 -> t._2).toMap == b.map(t => t._1 -> t._2).toMap,
+      "phases must not depend on epoch")
+    assert(a.map(t => t._1 -> (t._3, t._4)).toMap !=
+      b.map(t => t._1 -> (t._3, t._4)).toMap,
+      "epoch must reshuffle within phases")
+    // partitioning-stability: the schedule is a pure function of keys
+    val c = Sampling.curriculumSchedule(d.repartition(13), $"id", $"sc",
+      3, 1, 4).collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(c.toSeq == a.sortBy(_._1).toSeq)
+  }
 }
