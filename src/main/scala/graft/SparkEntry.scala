@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextAnalysis => TA, TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Align, Classify, Compliance, Decontam, Dedup, Embed, Enrich, Multimodal, Packing, Rag, Ruler, Sampling, Similarity, Sketches}
+import graft.operators.{Align, Classify, Compliance, Decontam, Dedup, Embed, Enrich, MergeLog, Multimodal, Packing, Rag, Ruler, Sampling, Similarity, Sketches}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -993,6 +993,39 @@ object SparkEntry {
           TA.tokenCount(col("text")).as("n_tokens"),
           size(graft.expressions.BpeEncode(col("text"), merges))
             .as("n_pieces"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "d19_snapshot_diff" -> ((s, dir) => {
+      // Row-level diff between two corpus versions (beyond the
+      // reference; the "what changed since yesterday" audit over the
+      // merge-on-read log): init = documents; d=0 updates every %7 row
+      // (+1000 n_chars) and REWRITES every %13∧¬%7 row to its same
+      // value (must not appear); d=1 tombstones every %11 row and
+      // inserts fresh %17 ids. diff(-1, 1) answers from the delta
+      // segments alone — the touched-key set broadcasts as a semi-join
+      // prune, the snapshot never shuffles (MergeLog.diff). Deletes
+      // carry the old row, inserts/updates the new one.
+      val snap = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val log = scratchDir("graft_d19") + "/log"
+      MergeLog.init(snap, log)
+      def d(rows: DataFrame, v: Long, dead: Boolean) =
+        rows.select(col("doc_id"), col("lang"), col("n_chars"),
+          lit(v).as("version"), lit(dead).as("deleted"))
+      val upd = snap.filter(col("doc_id") % 7 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000L)
+      val rew = snap.filter(col("doc_id") % 13 === 0 && col("doc_id") % 7 =!= 0)
+      MergeLog.appendDelta(
+        d(upd, 1L, dead = false).unionByName(d(rew, 1L, dead = false)),
+        log, Some(0L))
+      val del = snap.filter(col("doc_id") % 11 === 0)
+      val ins = snap.filter(col("doc_id") % 17 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      MergeLog.appendDelta(
+        d(del, 2L, dead = true).unionByName(d(ins, 2L, dead = false)),
+        log, Some(1L))
+      MergeLog.diff(s, log, "doc_id", from = -1L, to = 1L)
         .orderBy(col("doc_id"))
     }),
 
@@ -3324,6 +3357,42 @@ object SparkEntry {
            JOIN cont USING (b) CROSS JOIN tot
          GROUP BY doc_id ORDER BY doc_id"""
     },
+
+    "d19_snapshot_diff" ->
+      """WITH snap AS (SELECT doc_id, lang, n_chars FROM documents),
+         delta AS (
+           SELECT doc_id, lang, n_chars + 1000 AS n_chars,
+                  1 AS version, false AS deleted FROM snap WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id, lang, n_chars, 1, false
+           FROM snap WHERE doc_id % 13 = 0 AND doc_id % 7 <> 0
+           UNION ALL
+           SELECT doc_id, lang, n_chars, 2, true
+           FROM snap WHERE doc_id % 11 = 0
+           UNION ALL
+           SELECT doc_id + 1000000, lang, n_chars, 2, false
+           FROM snap WHERE doc_id % 17 = 0),
+         latest AS (
+           SELECT doc_id, lang, n_chars, deleted FROM (
+             SELECT *, row_number() OVER
+               (PARTITION BY doc_id ORDER BY version DESC) AS rn
+             FROM delta) WHERE rn = 1),
+         newstate AS (
+           SELECT doc_id, lang, n_chars FROM snap s
+           WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.doc_id = s.doc_id)
+           UNION ALL
+           SELECT doc_id, lang, n_chars FROM latest WHERE NOT deleted)
+         SELECT * FROM (
+           SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
+             CASE WHEN n.doc_id IS NULL THEN o.lang ELSE n.lang END AS lang,
+             CASE WHEN n.doc_id IS NULL THEN o.n_chars ELSE n.n_chars END
+               AS n_chars,
+             CASE WHEN o.doc_id IS NULL THEN 'insert'
+                  WHEN n.doc_id IS NULL THEN 'delete'
+                  WHEN o.lang <> n.lang OR o.n_chars <> n.n_chars
+                    THEN 'update' END AS change
+           FROM snap o FULL OUTER JOIN newstate n ON o.doc_id = n.doc_id)
+         WHERE change IS NOT NULL ORDER BY doc_id""",
 
     "d11_merge_upsert" ->
       """WITH snap AS (SELECT doc_id, lang, n_chars FROM documents),

@@ -193,6 +193,73 @@ object MergeLog {
               deleted: String = "deleted"): Long =
     SegmentFs.compactInto(spark, dir, read(spark, dir, key, version, deleted))
 
+  /** Row-level diff between two time-travel states: every key whose
+    * resolved value differs between [[readAsOf]] `from` and `to`, with
+    * `change` ∈ insert (absent→present), update (present, value
+    * differs), delete (present→absent); a rewrite to the SAME value is
+    * NOT a change. `from = -1` means "since init" (valid only while the
+    * log is uncompacted, base v=0); otherwise `from` obeys [[readAsOf]]'s
+    * compaction horizon. The corpus-maintenance "what changed between
+    * yesterday's corpus and today's" question, answered without reading
+    * either snapshot in full.
+    *
+    * Scale shape: only keys appearing in a delta segment in (from, to]
+    * can differ, so that key set (delta-sized, never snapshot-sized)
+    * broadcasts as a semi-join prune onto the base scan and the delta
+    * union — the snapshot itself never shuffles, and both as-of states
+    * resolve with windows over the pruned candidate rows only. Both
+    * states resolve from one tagged delta union, so precedence is
+    * exactly [[Dedup.mergeUpsert]]'s: any delta row beats base, max
+    * `version` wins within the delta.
+    */
+  def diff(spark: SparkSession, dir: String, key: String,
+           from: Long, to: Long, version: String = "version",
+           deleted: String = "deleted"): DataFrame = {
+    require(from <= to, s"from=$from must be <= to=$to")
+    val bv = SegmentFs.latestBase(spark, dir)
+    val base = spark.read.parquet(baseDir(dir, bv))
+    val all = listVersions(spark, s"$dir/delta", "d")
+    if (from == -1L && bv != 0L)
+      throw new IllegalStateException(
+        s"diff from init requires an uncompacted log; base is v=$bv")
+    if (from != -1L && all.nonEmpty && all.min > from)
+      throw new IllegalStateException(
+        s"diff from $from predates the current base — segments <= $from " +
+          s"were compacted away (earliest retained: ${all.min})")
+    val dataCols = base.columns.toIndexedSeq
+    val segs = all.filter(_ <= to)
+    if (!segs.exists(_ > from))
+      return base.limit(0).withColumn("change", lit(""))
+    val delta = segs.map { k =>
+      spark.read.parquet(deltaDir(dir, k)).withColumn("__seg", lit(k))
+    }.reduce(_ unionByName _)
+    val touched = delta.filter(col("__seg") > from).select(col(key)).distinct()
+    val deltaT = delta.join(broadcast(touched), Seq(key), "left_semi")
+      .select(dataCols.map(col) ++ Seq(col(version).as("__v"),
+        col(deleted).as("__d"), lit(1).as("__pri"), col("__seg")): _*)
+    val baseT = base.join(broadcast(touched), Seq(key), "left_semi")
+      .select(dataCols.map(col) ++ Seq(lit(0L).as("__v"),
+        lit(false).as("__d"), lit(0).as("__pri"), lit(-1L).as("__seg")): _*)
+    def resolve(cand: DataFrame) = cand
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+          .orderBy(col("__pri").desc, col("__v").desc)))
+      .filter(col("__rn") === 1 && !col("__d"))
+      .select(col(key), struct(dataCols.map(col): _*).as("__row"))
+    val o = resolve(baseT.unionByName(deltaT.filter(col("__seg") <= from)))
+      .withColumnRenamed("__row", "__o")
+    val n = resolve(baseT.unionByName(deltaT)).withColumnRenamed("__row", "__n")
+    o.join(n, Seq(key), "full_outer")
+      .withColumn("change",
+        when(col("__o").isNull, "insert")
+          .when(col("__n").isNull, "delete")
+          .when(!(col("__o") <=> col("__n")), "update"))
+      .filter(col("change").isNotNull)
+      .withColumn("__r",
+        when(col("change") === "delete", col("__o")).otherwise(col("__n")))
+      .select(dataCols.map(c => col(s"__r.$c")) :+ col("change"): _*)
+  }
+
   /** Streaming CDC sink: every micro-batch appends one delta segment
     * keyed by the batch id (idempotent on replay after a sink-side
     * commit; exactly-once against the checkpoint). Start with

@@ -144,4 +144,69 @@ class MergeLogSpec extends SparkSpec {
     assert(s.fieldNames.toSeq == Seq("id", "v", "version", "deleted"))
     assert(!s("version").nullable && !s("deleted").nullable)
   }
+
+  private def diffRows(dir: String, from: Long, to: Long) =
+    rows(MergeLog.diff(spark, dir, "id", from, to).orderBy($"id"))
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+  test("diff: insert/update/delete between as-of states; rewrites excluded") {
+    val dir = Scratch.dir("mergelog_diff")
+    MergeLog.init(snap, dir)
+    // d=0: update 2, rewrite 3 to its SAME value (must not be a change)
+    MergeLog.appendDelta(Seq(LogDelta(2, "b1", 1, false),
+      LogDelta(3, "c", 1, false)).toDF(), dir, Some(0L))
+    // d=1: insert 5, delete 4, second update of 2
+    MergeLog.appendDelta(Seq(LogDelta(5, "e", 2, false),
+      LogDelta(4, "d", 2, true), LogDelta(2, "b2", 2, false)).toDF(),
+      dir, Some(1L))
+    // d=2: late LOW-version row for 2 — loses to version 2, no change
+    MergeLog.appendDelta(Seq(LogDelta(2, "b0", 0, false)).toDF(),
+      dir, Some(2L))
+    assert(diffRows(dir, -1L, 2L) == Seq((2L, "b2", "update"),
+      (4L, "d", "delete"), (5L, "e", "insert")))
+    assert(diffRows(dir, 0L, 1L) == Seq((2L, "b2", "update"),
+      (4L, "d", "delete"), (5L, "e", "insert")))
+    assert(diffRows(dir, 1L, 2L) == Seq.empty) // the late row changed nothing
+    assert(diffRows(dir, 0L, 0L) == Seq.empty)
+    // tombstone of a key absent from the old state is not a change
+    MergeLog.appendDelta(Seq(LogDelta(9, "x", 3, true)).toDF(), dir, Some(3L))
+    assert(diffRows(dir, 2L, 3L) == Seq.empty)
+  }
+
+  test("diff equals the brute-force compare of the two as-of reads") {
+    val dir = Scratch.dir("mergelog_diff_brute")
+    MergeLog.init(snap, dir)
+    MergeLog.appendDelta(Seq(LogDelta(1, "a1", 1, false),
+      LogDelta(2, "b", 1, true)).toDF(), dir, Some(0L))
+    MergeLog.appendDelta(Seq(LogDelta(2, "b9", 2, false),
+      LogDelta(3, "c", 2, true), LogDelta(7, "g", 2, false),
+      LogDelta(1, "a2", 2, false)).toDF(), dir, Some(1L))
+    for ((f, t) <- Seq((-1L, 0L), (-1L, 1L), (0L, 1L))) {
+      def st(k: Long) =
+        if (k == -1L) rows(snap).map(r => (r.getLong(0), r.getString(1))).toMap
+        else rows(MergeLog.readAsOf(spark, dir, "id", k))
+          .map(r => (r.getLong(0), r.getString(1))).toMap
+      val (os, ns) = (st(f), st(t))
+      val want = (os.keySet ++ ns.keySet).toSeq.sorted.flatMap { k =>
+        (os.get(k), ns.get(k)) match {
+          case (None, Some(v))              => Some((k, v, "insert"))
+          case (Some(v), None)              => Some((k, v, "delete"))
+          case (Some(a), Some(b)) if a != b => Some((k, b, "update"))
+          case _                            => None
+        }
+      }
+      assert(diffRows(dir, f, t) == want, s"diff($f, $t)")
+    }
+  }
+
+  test("diff horizon: from=-1 needs an uncompacted log; compacted from throws") {
+    val dir = Scratch.dir("mergelog_diff_hz")
+    MergeLog.init(snap, dir)
+    MergeLog.appendDelta(Seq(LogDelta(2, "b1", 1, false)).toDF(), dir, Some(0L))
+    MergeLog.compact(spark, dir, "id")
+    MergeLog.appendDelta(Seq(LogDelta(3, "c1", 2, false)).toDF(), dir, Some(1L))
+    intercept[IllegalStateException](MergeLog.diff(spark, dir, "id", -1L, 1L))
+    intercept[IllegalStateException](MergeLog.diff(spark, dir, "id", 0L, 1L))
+    assert(diffRows(dir, 1L, 1L) == Seq.empty)
+  }
 }

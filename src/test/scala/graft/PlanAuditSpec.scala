@@ -221,6 +221,19 @@ class PlanAuditSpec extends SparkSpec {
     assert("regexp_extract_all".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("d19 snapshot diff: base pruned by broadcast semi joins, rank pushed down") {
+    val dir = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("d19_snapshot_diff")(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    // the snapshot's only touch is a broadcast semi join against the
+    // delta's touched-key set — on both resolve branches; the final
+    // full-outer compares two delta-sized states (SMJ there is fine)
+    assert("BroadcastHashJoin .*LeftSemi".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the rank-1 resolve windows take the bounded-heap pushdown
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("x3 curriculum: phase table broadcasts back; corpus never sort-merges") {
     val dir = "/root/testdata/sf0.001"
     val q = SparkEntry.queries("x3_curriculum")(spark, dir)
