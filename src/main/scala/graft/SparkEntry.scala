@@ -1128,6 +1128,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "t2_unicode_normalize" -> ((s, dir) => {
+      // NFC canonicalization (beyond the reference, which strips
+      // non-ASCII outright): decomposed sequences (e + U+0301 etc.)
+      // compose to single code points so visually-identical strings
+      // hash identically in every downstream dedup. Native codegen
+      // expression (UnicodeNormalize) with an isNormalized fast path;
+      // the oracle is DuckDB's nfc_normalize. norm binds at a select
+      // boundary so the normalization runs once per row.
+      val dirty = concat(lit("cafe\u0301 nai\u0308ve "),
+        substring(col("text"), 1, 40))
+      t(s, dir, "documents")
+        .select(col("doc_id"), dirty.as("orig"))
+        .select(col("doc_id"), col("orig"),
+          TF.nfcNormalize(col("orig")).as("norm"))
+        .select(col("doc_id"), col("norm"),
+          (col("norm") =!= col("orig")).as("changed"))
+        .orderBy(col("doc_id"))
+    }),
+
     "t1_text_clean" -> ((s, dir) => {
       // T1-T4 — LaTeX/HTML-entity/non-ASCII strip + whitespace collapse
       // (text_cleaning.py:20-50). The corpus is clean, so dirty input is
@@ -4918,6 +4937,17 @@ object SparkEntry {
          JOIN sizes sb ON ib = sb.doc_id
          WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.9
          ORDER BY id_a, id_b""",
+
+    "t2_unicode_normalize" ->
+      // chr(769)/chr(776) = U+0301/U+0308 combining acute/diaeresis —
+      // the same decomposed bytes the Spark literal carries
+      """WITH d AS (SELECT doc_id,
+           'cafe' || chr(769) || ' nai' || chr(776) || 've ' ||
+             substr(text, 1, 40) AS orig
+         FROM documents)
+         SELECT doc_id, nfc_normalize(orig) AS norm,
+           nfc_normalize(orig) <> orig AS changed
+         FROM d ORDER BY doc_id""",
 
     "t1_text_clean" ->
       """SELECT doc_id,

@@ -58,6 +58,21 @@ object TextFunctions {
   def cleanText(c: Column): Column =
     normalizeWhitespace(stripNonAscii(stripHtmlEntities(stripLatex(c))))
 
+  /** NFC canonical composition (beyond the reference, which strips
+    * non-ASCII outright): visually-identical code-point sequences
+    * collapse to one form, so hashes/dedup/token counts agree across
+    * sources. Native codegen expression with an isNormalized fast path.
+    */
+  def nfcNormalize(c: Column): Column =
+    graft.expressions.UnicodeNormalize(c, "NFC")
+
+  /** NFKC compatibility composition — also folds fullwidth forms,
+    * ligatures, superscripts etc. into their plain equivalents (the
+    * aggressive variant most LLM-corpus pipelines run pre-tokenization).
+    */
+  def nfkcNormalize(c: Column): Column =
+    graft.expressions.UnicodeNormalize(c, "NFKC")
+
   /** T8 — truncate to n chars, appending "..." only when truncation
     * happened. Ref: enhance_scoring.py:238-239.
     */

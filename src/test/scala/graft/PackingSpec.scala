@@ -125,4 +125,24 @@ class PackingSpec extends SparkSpec {
     // single-chunk docs: empty doc yields one empty chunk
     assert(chunks(0L).toSeq == Seq((0L, 0L, 0L, "")))
   }
+
+  test("chunkWindows composes into packedStarts: bounded docs, exact bins") {
+    // the production order: chunk over-length docs FIRST, then pack —
+    // every packed unit is <= maxTokens, so no doc ever straddles more
+    // than ceil(max/bin) bins and bin fill stays tight
+    val chunks = Packing
+      .chunkWindows(chunkCorpus, $"doc_id", $"text", maxTokens = 8, stride = 8)
+      .withColumn("unit_id", $"doc_id" * 1000 + $"chunk_idx")
+      .withColumn("lang", lit("en"))
+    val starts = Packing.packedStartsBucketed(
+      chunks, $"lang", $"unit_id", $"n_tok", bucketWidth = 16L)
+    val got = starts.orderBy($"doc_id").collect()
+    assert(got.forall(_.getLong(2) <= 8), "no packed unit exceeds maxTokens")
+    // total tokens conserved through chunk (stride == max: no overlap) + pack
+    val total = chunkCorpus.collect()
+      .map(r => graft.functions.TextAnalysis.jvmTokens(r.getString(1)).length)
+      .sum
+    assert(got.map(_.getLong(2)).sum == total)
+    assert(got.map(_.getLong(3)).max < total, "starts lie inside the stream")
+  }
 }

@@ -110,4 +110,35 @@ class TextFunctionsSpec extends SparkSpec {
     val out = col0[Boolean](in.select(TF.hostBlocked($"h", bl)))
     assert(out == Seq(true, true, false, true, false, false))
   }
+
+  test("nfcNormalize composes; nfkcNormalize also folds compatibility forms") {
+    val cases = Seq(
+      "cafe\u0301",        // e + combining acute: NFC composes to \u00e9
+      "nai\u0308ve",       // i + combining diaeresis
+      "\ufb01le",          // fi ligature (NFKC folds to "file"; NFC keeps)
+      "\uff21\uff22\uff23", // fullwidth ABC (NFKC folds to ASCII)
+      "x\u00b2",           // superscript two (NFKC folds to x2)
+      "already plain ascii",
+      "",
+      "\ud83d\ude00 emoji\u0301" // non-BMP + trailing combining mark
+    )
+    val df = cases.toDF("s")
+    val nfc = col0[String](df.select(TF.nfcNormalize($"s")))
+    val nfkc = col0[String](df.select(TF.nfkcNormalize($"s")))
+    import java.text.Normalizer
+    cases.zipWithIndex.foreach { case (s, i) =>
+      assert(nfc(i) == Normalizer.normalize(s, Normalizer.Form.NFC), s"NFC $s")
+      assert(nfkc(i) == Normalizer.normalize(s, Normalizer.Form.NFKC),
+        s"NFKC $s")
+    }
+    assert(nfc(0) == "caf\u00e9") // composed, one code point
+    assert(nfkc(2) == "file" && nfc(2) == "\ufb01le")
+    assert(nfkc(3) == "ABC" && nfkc(4) == "x2")
+    // idempotence and null passthrough
+    val twice = col0[String](df.select(TF.nfkcNormalize(TF.nfkcNormalize($"s"))))
+    assert(twice == nfkc)
+    val n = col0[String](Seq(Option.empty[String]).toDF("s")
+      .select(TF.nfcNormalize($"s")))
+    assert(n == Seq(null))
+  }
 }
