@@ -88,4 +88,36 @@ class StreamFileSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("chunk + NFC normalize are stateless: streaming rows equal the batch twin") {
+    import graft.functions.{TextFunctions => TF}
+    import graft.operators.Packing
+    val dir = "/root/testdata/sf0.001"
+    // both ops are narrow projections/generators — they must run in
+    // append mode with NO aggregation state and match batch bit-for-bit
+    def pipeline(docs: org.apache.spark.sql.DataFrame) =
+      Packing.chunkWindows(
+        docs.select(col("doc_id"), TF.nfcNormalize(col("text")).as("text")),
+        col("doc_id"), col("text"), maxTokens = 32, stride = 24)
+    val streamDir = java.nio.file.Files.createTempDirectory("chunkstream")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .parquet(streamDir.toString)
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_chunks").toString
+    val q = pipeline(stream).writeStream
+      .format("memory").queryName("chunk_stream").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = rows(spark.sql(
+      "SELECT * FROM chunk_stream ORDER BY doc_id, chunk_idx")).map(_.toSeq)
+    val batch = rows(pipeline(Tables.load(spark, dir, "documents"))
+      .orderBy(col("doc_id"), col("chunk_idx"))).map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
 }
