@@ -654,6 +654,23 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "x4_cluster_split" -> ((s, dir) => {
+      // Leakage-safe train/val/test split (beyond the reference): the
+      // cut is keyed by the d14 NEAR-DUP CLUSTER label, not the doc id,
+      // so a near-duplicate pair can never straddle the split — the
+      // train/eval contamination that doc-keyed splits silently
+      // reintroduce after dedup-aware pipelines paid to find the pairs.
+      // The split itself is a scan-fused when-chain over the labeled
+      // frame: zero exchanges beyond the labeling's own.
+      Sampling.clusterSplit(
+          Dedup.dupClusters(
+            t(s, dir, "documents").select(col("doc_id"), col("text")),
+            col("doc_id"), col("text"), threshold = 0.5),
+          col("cluster_id"), x4Cuts, x4Salt)
+        .select(col("doc_id"), col("cluster_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     "d9_incremental_dedup" -> ((s, dir) => {
       // Incremental new-batch-vs-corpus dedup (beyond the reference):
       // the corpus key set folds ONCE into a Bloom filter (treeAggregate,
@@ -2700,6 +2717,12 @@ object SparkEntry {
          FROM ${p}sig)"""
   }
 
+  /** x4 split fractions + salt — shared by the Spark query and its
+    * oracle so the cumulative thresholds are generated from one place.
+    */
+  private val x4Cuts = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  private val x4Salt = "spl"
+
   private def sqlMinhashPairCtes: String =
     s"""${sqlMinhashBandCtes("documents", "")},
        mh_cand AS (
@@ -4616,6 +4639,27 @@ object SparkEntry {
            (row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) - 1)::BIGINT
              AS pos
          FROM s ORDER BY doc_id""",
+
+    "x4_cluster_split" ->
+      // d14's recursive-CTE closure for the cluster labels, then the
+      // shared cumulative-threshold CASE over the label hash
+      s"""WITH RECURSIVE $sqlMinhashPairCtes,
+         edges AS (SELECT id_a AS ea, id_b AS eb FROM mh_pairs
+           WHERE est_jaccard >= 0.5),
+         sym AS (SELECT ea, eb FROM edges
+           UNION SELECT eb AS ea, ea AS eb FROM edges),
+         reach(id, r) AS (
+           SELECT ea, eb FROM sym
+           UNION
+           SELECT t.id, s.eb FROM reach t JOIN sym s ON t.r = s.ea),
+         comp AS (SELECT id, min(r) AS mr FROM reach GROUP BY id),
+         lab AS (SELECT d.doc_id,
+             least(coalesce(c.mr, d.doc_id), d.doc_id) AS cluster_id
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+         SELECT doc_id, cluster_id,
+           ${Sampling.sqlClusterSplit("cluster_id::VARCHAR", x4Cuts, x4Salt)}
+             AS split
+         FROM lab ORDER BY doc_id""",
 
     "x3_curriculum" -> {
       // Replays the phase census (strictly-greater cumulative count ×

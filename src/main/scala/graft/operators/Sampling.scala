@@ -45,6 +45,59 @@ object Sampling {
     df.filter(keyHash(key, salt) < thr)
   }
 
+  /** DuckDB twin of [[keyHash]] — same first-7-hex-chars-of-md5 28-bit
+    * integer. `keyExpr` must already be VARCHAR (cast the way keyHash's
+    * `.cast("string")` renders, e.g. `doc_id::VARCHAR`). Keep in
+    * lockstep with [[keyHash]].
+    */
+  def sqlKeyHash(keyExpr: String, salt: String): String =
+    s"('0x' || substr(md5('$salt:' || ($keyExpr)), 1, 7))::BIGINT"
+
+  /** Leakage-safe train/val/test split: the cut is keyed by the NEAR-DUP
+    * CLUSTER label, not the document id, so every member of a near-dup
+    * cluster lands on the same side — a doc-keyed split leaks eval
+    * content into training whenever a near-duplicate pair straddles the
+    * cut (the contamination d6/d14 exist to catch, silently
+    * reintroduced at split time). Compose: dupClusters (or any
+    * labeling) → clusterSplit on `cluster_id`.
+    *
+    * `cuts` are (name, fraction) in order, e.g. ("train", .8),
+    * ("val", .1), ("test", .1); fractions must sum to 1 (±1e-9). The
+    * assignment compares the cluster hash against cumulative integer
+    * thresholds, and the LAST cut absorbs the threshold remainder so
+    * every hash value maps to exactly one split.
+    *
+    * Scale shape: a pure scan-fused when-chain projection over the
+    * labeled frame — the split itself adds zero exchanges (the cluster
+    * labeling already paid for its own); singleton docs hash their own
+    * id (their cluster label), preserving [[hashSample]]'s stability
+    * guarantees.
+    */
+  def clusterSplit(labeled: DataFrame, clusterId: Column,
+                   cuts: Seq[(String, Double)], salt: String): DataFrame = {
+    require(cuts.nonEmpty, "cuts must be non-empty")
+    require(math.abs(cuts.map(_._2).sum - 1.0) < 1e-9,
+      s"cut fractions must sum to 1, got ${cuts.map(_._2).sum}")
+    val h = keyHash(clusterId, salt)
+    val cum = cuts.scanLeft(0.0)(_ + _._2).tail
+    val assign = cuts.init.zip(cum.init).foldRight(lit(cuts.last._1)) {
+      case (((name, _), c), acc) => when(h < threshold(c), name).otherwise(acc)
+    }
+    labeled.withColumn("split", assign)
+  }
+
+  /** DuckDB twin of [[clusterSplit]]'s when-chain (same cumulative
+    * integer thresholds from [[threshold]]). Keep in lockstep.
+    */
+  def sqlClusterSplit(clusterExpr: String, cuts: Seq[(String, Double)],
+                      salt: String): String = {
+    val cum = cuts.scanLeft(0.0)(_ + _._2).tail
+    val whens = cuts.init.zip(cum.init).map { case ((name, _), c) =>
+      s"WHEN ${sqlKeyHash(clusterExpr, salt)} < ${threshold(c)} THEN '$name'"
+    }.mkString(" ")
+    s"CASE $whens ELSE '${cuts.last._1}' END"
+  }
+
   /** Temperature-weighted corpus mixing to a token budget (the UniMax /
     * multilingual-pretraining rebalance): sample each stratum (domain,
     * language) so the kept corpus totals ~`budgetPct`% of the tokens,

@@ -204,4 +204,57 @@ class SamplingSpec extends SparkSpec {
         r.getLong(4))).sortBy(_._1)
     assert(c.toSeq == a.sortBy(_._1).toSeq)
   }
+
+  private val cuts = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  test("clusterSplit: every cluster lands whole on one side — zero leakage") {
+    // 2000 docs in 400 clusters of 5: members must never straddle a cut
+    val labeled = df.withColumn("cluster_id", $"id" % 400)
+    val out = Sampling.clusterSplit(labeled, $"cluster_id", cuts, "spl")
+    val perCluster = out.groupBy($"cluster_id")
+      .agg(countDistinct($"split").as("k"))
+    assert(col0[Long](perCluster.select($"k")).forall(_ == 1L),
+      "a cluster straddled the split")
+    // and the fractions are respected at the CLUSTER level
+    val byName = out.select($"cluster_id", $"split").distinct()
+      .groupBy($"split").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byName("train") - 320L) < 40, byName.toString)
+    assert(byName.keySet == Set("train", "val", "test"))
+  }
+
+  test("clusterSplit: total, deterministic, partitioning-stable") {
+    val labeled = df.withColumn("cluster_id", $"id" % 400)
+    val a = Sampling.clusterSplit(labeled, $"cluster_id", cuts, "spl")
+      .select($"id", $"split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a.size == 2000 && !a.values.exists(_ == null),
+      "every row must get a split")
+    val b = Sampling.clusterSplit(labeled.repartition(11), $"cluster_id",
+      cuts, "spl").select($"id", $"split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b, "split must not depend on partitioning")
+  }
+
+  test("clusterSplit: the last cut absorbs the threshold remainder") {
+    // a single full-width cut maps EVERY hash value; and with two cuts
+    // the complement of the first is exactly the second
+    val labeled = df.withColumn("cluster_id", $"id")
+    val whole = Sampling.clusterSplit(labeled, $"cluster_id",
+      Seq("all" -> 1.0), "spl")
+    assert(col0[String](whole.select($"split")).forall(_ == "all"))
+    val two = Sampling.clusterSplit(labeled, $"cluster_id",
+      Seq("a" -> 0.7, "b" -> 0.3), "spl")
+    val aSide = two.filter($"split" === "a").count()
+    val kept = Sampling.hashSample(labeled, $"cluster_id", 0.7, "spl").count()
+    assert(aSide == kept, "cut 'a' must equal the 0.7 hashSample exactly")
+  }
+
+  test("clusterSplit rejects fractions that do not sum to 1") {
+    val labeled = df.withColumn("cluster_id", $"id")
+    intercept[IllegalArgumentException] {
+      Sampling.clusterSplit(labeled, $"cluster_id",
+        Seq("a" -> 0.5, "b" -> 0.3), "spl")
+    }
+  }
 }
