@@ -1794,6 +1794,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "ta16_dup_lines" -> ((s, dir) => {
+      // Gopher A1.1 duplicate-line repetition signals (beyond the
+      // reference): occurrence fraction + character fraction of
+      // beyond-first duplicate lines, per doc — the listicle/template
+      // detector the token-level ta5 signals miss. The corpus has no
+      // newlines, so lined text synthesizes from doc_id identically on
+      // both sides (the d13 precedent): a 40-char head, one universal
+      // line, an every-3rd-doc duplicate of it, an every-5th-doc
+      // duplicate of the HEAD (long line — spikes the char fraction
+      // where the short-line dup barely moves it), and a trailing blank
+      // that must not count as a unit. Whole signal is an array
+      // expression fused into the scan: no explode, no shuffle.
+      val lined = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          substring(col("text"), 1, 40),
+          lit("all rights reserved"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("all rights reserved"))
+            .otherwise(concat(lit("unique "), col("doc_id").cast("string"))),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            substring(col("text"), 1, 40))
+            .otherwise(concat(lit("tail "), col("doc_id").cast("string"))),
+          lit("")).as("text"))
+      lined
+        .select(col("doc_id"), TA.textUnits(col("text"), "\n").as("us"))
+        .select(col("doc_id"),
+          size(col("us")).as("n_lines"),
+          fround(TA.dupUnitFraction(col("us")), 6).as("dup_line_frac"),
+          fround(TA.dupUnitCharFraction(col("us")), 6).as("dup_char_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     "ta3_fingerprint" -> ((s, dir) => {
       // Order-sensitive rolling-hash document fingerprint (md5-derived,
       // mod 1e9+7) — exact-dup detection key that any engine can
@@ -4869,6 +4900,38 @@ object SparkEntry {
                 ELSE 0.0 END""", 6)} AS dup_bigram_frac
          FROM m ORDER BY doc_id"""
     },
+
+    "ta16_dup_lines" ->
+      // same doc_id-synthesized lined text; units = trimmed non-blank
+      // lines; char sums via length() (characters — DuckDB strlen is
+      // bytes), coalesced against the empty-list-NULL quirk
+      s"""WITH lined AS (SELECT doc_id,
+           substr(text, 1, 40) || chr(10) || 'all rights reserved' ||
+           chr(10) ||
+           CASE WHEN doc_id % 3 = 0 THEN 'all rights reserved'
+             ELSE 'unique ' || doc_id::VARCHAR END || chr(10) ||
+           CASE WHEN doc_id % 5 = 0 THEN substr(text, 1, 40)
+             ELSE 'tail ' || doc_id::VARCHAR END || chr(10) || ''
+             AS text FROM documents),
+         u AS (SELECT doc_id,
+           list_filter(list_transform(string_split(text, chr(10)),
+             x -> trim(x)), x -> x != '') AS us
+           FROM lined),
+         m AS (SELECT doc_id, us, len(us) AS n,
+           len(list_distinct(us)) AS nd,
+           coalesce(list_sum(list_transform(us, x -> length(x))), 0)
+             AS tot,
+           coalesce(list_sum(list_transform(list_distinct(us),
+             x -> length(x))), 0) AS dis
+           FROM u)
+         SELECT doc_id, n AS n_lines,
+           ${sqlFround(
+             "CASE WHEN n > 0 THEN (n - nd)::DOUBLE / n ELSE 0.0 END", 6)}
+             AS dup_line_frac,
+           ${sqlFround(
+             "CASE WHEN tot > 0 THEN (tot - dis)::DOUBLE / tot ELSE 0.0 END",
+             6)} AS dup_char_frac
+         FROM m ORDER BY doc_id""",
 
     "ta3_fingerprint" ->
       s"""SELECT doc_id, ${sqlFingerprint("text")} AS fp

@@ -293,6 +293,44 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  /** Trimmed non-blank text units for the duplicate-unit signals below:
+    * split on `delim` (a Java regex — `"\n"` for lines, `"\n{2,}"` for
+    * paragraphs), trim each unit, drop blanks. Bind the result at a
+    * select boundary (the `...FromTokens` pattern) before feeding it to
+    * [[dupUnitFraction]]/[[dupUnitCharFraction]] — both reference it
+    * from HOF lambdas.
+    */
+  def textUnits(text: Column, delim: String): Column =
+    filter(transform(split(text, delim), u => trim(u)), u => u =!= "")
+
+  /** Gopher A1.1 duplicate-line/-paragraph fraction (Rae et al. 2021;
+    * the MassiveText repetition family alongside [[topTokenFraction]]
+    * and [[dupBigramFraction]], at unit granularity instead of token):
+    * the share of unit occurrences beyond the first of each distinct
+    * value — (n − n_distinct)/n. High values flag listicles, chat-log
+    * spam, and templated boilerplate that token-level signals miss.
+    *
+    * Scale shape: the units of one document ride in its own row, so the
+    * whole signal is an array expression fused into the scan — no
+    * explode, no shuffle, no state; 100 TB costs exactly one pass.
+    */
+  def dupUnitFraction(us: Column): Column =
+    when(size(us) > 0,
+      (size(us) - size(array_distinct(us))).cast("double") / size(us))
+      .otherwise(lit(0.0))
+
+  /** Character-weighted twin of [[dupUnitFraction]]: the share of
+    * CHARACTERS living in beyond-first occurrences — total chars minus
+    * chars of the distinct values, over total. Gopher gates on both
+    * (a doc can repeat one short line many times, or one huge paragraph
+    * twice; only one of the two fractions spikes in each case).
+    */
+  def dupUnitCharFraction(us: Column): Column = {
+    val tot = aggregate(us, lit(0L), (a, u) => a + length(u))
+    val dis = aggregate(array_distinct(us), lit(0L), (a, u) => a + length(u))
+    when(tot > 0, (tot - dis).cast("double") / tot).otherwise(lit(0.0))
+  }
+
   /** Rolling polynomial fingerprint of the token stream (order-sensitive):
     * h ← (h·31 + md5₍₂₈ bit₎(token)) mod 1e9+7, seeded 7. Equal token
     * streams ⇒ equal fingerprints; engine-independent (md5-derived), so

@@ -199,4 +199,28 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
     assert(native == decl)
   }
+
+  test("duplicate-unit fractions: hand-computed lines and paragraphs") {
+    def stats(text: String, delim: String) = rows(
+      Seq(text).toDF("t")
+        .select(TA.textUnits($"t", delim).as("us"))
+        .select(size($"us"), TA.dupUnitFraction($"us"),
+          TA.dupUnitCharFraction($"us")))
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).head
+    // 4 lines, "dup" twice: line frac 1/4; chars 3+6+3+4=16, dup 3
+    assert(stats("dup\nunique\ndup\ntail", "\n") == (4, 0.25, 3.0 / 16))
+    // blank + whitespace-only lines are not units
+    assert(stats("a\n\n   \na", "\n") == (2, 0.5, 0.5))
+    // no duplicates → both zero
+    assert(stats("a\nbb\nccc", "\n") == (3, 0.0, 0.0))
+    // empty text → zero units, guarded fractions
+    assert(stats("", "\n") == (0, 0.0, 0.0))
+    // one huge paragraph twice: para frac 1/2 but char frac dominates
+    val para = "long paragraph " * 10
+    val (n, uf, cf) = stats(s"$para\n\n$para\n\nx", "\n{2,}")
+    assert(n == 3 && math.abs(uf - 1.0 / 3) < 1e-12)
+    assert(cf > 0.45 && cf < 0.5, s"char frac $cf")
+    // trim before comparing: padded copies are still duplicates
+    assert(stats("  x\nx  ", "\n") == (2, 0.5, 0.5))
+  }
 }
