@@ -745,6 +745,25 @@ object SparkEntry {
         .select(col("stratum").as("lang"), col("est_distinct"))
         .orderBy(col("lang"))
     }),
+    "a15_quantile_sketch" -> ((s, dir) => {
+      // Mergeable QUANTILE sketch lifecycle — the deterministic
+      // HDR-style companion to a14's HLL: per-(event_type, day)
+      // log-linear bucket counts fold once per ingest batch, then any
+      // slice answers p50/p90/p99 by summing sketch rows and walking
+      // the cumulative counts. Unlike KLL/t-digest (randomized
+      // compaction) the bucketing is pure integer arithmetic, so this
+      // one gets a FULL DuckDB oracle. Values quantize to integer
+      // milli-units with the shared floor(x·1e3+0.5) rounding.
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          floor(col("value") * lit(1000d) + lit(0.5d)).cast("long").as("v"))
+      Sketches.mergeQuantiles(
+          Sketches.quantileSketch(ev, col("event_type"), col("day"), col("v")),
+          Seq(50, 90, 99))
+        .select(col("stratum").as("event_type"), col("p"),
+          col("q_lo"), col("q_hi"))
+        .orderBy(col("event_type"), col("p"))
+    }),
 
     "ta13_char_diversity" -> ((s, dir) => {
       // Character-diversity quality signals (beyond the reference;
@@ -3228,6 +3247,36 @@ object SparkEntry {
            sum(tok)::BIGINT AS total_tokens_used
          FROM s"""
     },
+
+    "a15_quantile_sketch" ->
+      // Replays the log-linear bucketing exactly: bit length via
+      // bin() string length (never floating log2), shifts, the
+      // BIGINT cum·100 ≥ p·total walk. subBits = 5 mirrors
+      // Sketches.logLinearLo's default.
+      """WITH ev AS (
+           SELECT event_type AS stratum, CAST(ts AS DATE) AS day,
+             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+           FROM events),
+         b AS (
+           SELECT stratum, day,
+             (v >> greatest(length(bin(v)) - 6, 0))
+               << greatest(length(bin(v)) - 6, 0) AS lo,
+             count(*) AS cnt
+           FROM ev GROUP BY 1, 2, 3),
+         m AS (SELECT stratum, lo, sum(cnt) AS cnt FROM b GROUP BY 1, 2),
+         c AS (
+           SELECT stratum, lo,
+             sum(cnt) OVER (PARTITION BY stratum ORDER BY lo) AS cum,
+             sum(cnt) OVER (PARTITION BY stratum) AS total
+           FROM m),
+         q AS (
+           SELECT c.stratum, p.p, min(c.lo) AS q_lo
+           FROM c CROSS JOIN (VALUES (50), (90), (99)) AS p(p)
+           WHERE c.cum * 100 >= p.p * c.total
+           GROUP BY 1, 2)
+         SELECT stratum AS event_type, p, q_lo,
+           q_lo + (CAST(1 AS BIGINT) << greatest(length(bin(q_lo)) - 6, 0)) AS q_hi
+         FROM q ORDER BY event_type, p""",
 
     "c2_quality_issues" ->
       """WITH d AS (

@@ -38,4 +38,79 @@ object Sketches {
     sketches.groupBy(col("stratum"))
       .agg(expr("hll_sketch_estimate(hll_union_agg(sketch, true))")
         .as("est_distinct"))
+
+  // ── Deterministic log-linear quantile sketch ───────────────────────
+  //
+  // The quantile cousin of the HLL lifecycle above, but with a crucial
+  // difference: the sketch is DETERMINISTIC (no hashing, no random
+  // compaction like KLL/t-digest), so the whole lifecycle — bucketing,
+  // merge, quantile walk — replays bit-for-bit in DuckDB and gets a
+  // full oracle, not just an accuracy spec. An HdrHistogram-style
+  // layout: keep the top `subBits`+1 significant bits of the value,
+  // zero the rest. Values below 2^(subBits+1) bucket exactly; above,
+  // the bucket width is ≤ 2^-subBits of the value (3.1% at the default
+  // subBits=5), which bounds the quantile estimate's relative error.
+  // Bucket count is capped at ~(64-subBits)·2^subBits ≈ 1.9k per
+  // stratum regardless of data volume — only the first groupBy ever
+  // touches raw rows; everything downstream is sketch-sized.
+
+  /** Lower bound of the log-linear bucket holding non-negative BIGINT
+    * `v`. Pure integer arithmetic — bit length via `bin()` string
+    * length (both engines agree exactly; no floating log2, whose
+    * rounding at power-of-2 boundaries differs cross-engine).
+    */
+  def logLinearLo(v: Column, subBits: Int = 5): Column = {
+    val sh = greatest(length(bin(v)) - lit(1 + subBits), lit(0))
+    call_function("shiftleft", call_function("shiftright", v, sh), sh)
+  }
+
+  /** Exclusive upper bound of the bucket whose lower bound is `lo`.
+    * Recoverable from `lo` alone: zeroing low bits preserves the top
+    * bit, so bit_length(lo) == bit_length(v) for every v in the bucket.
+    */
+  def logLinearHi(lo: Column, subBits: Int = 5): Column = {
+    val sh = greatest(length(bin(lo)) - lit(1 + subBits), lit(0))
+    lo + call_function("shiftleft", lit(1L), sh)
+  }
+
+  /** One bucket-count row per (stratum, day, bucket) — the mergeable
+    * unit an ingest batch appends. Map-side partial aggregation makes
+    * the shuffle carry at most ~1.9k rows per (stratum, day, task),
+    * never raw values; sketch rows land as plain parquet and any
+    * slice merges by summing counts.
+    */
+  def quantileSketch(df: DataFrame, stratum: Column, day: Column,
+                     value: Column, subBits: Int = 5): DataFrame =
+    df.select(stratum.as("stratum"), day.as("day"),
+        logLinearLo(value, subBits).as("lo"))
+      .groupBy(col("stratum"), col("day"), col("lo"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge sketch rows across days and walk the cumulative counts to
+    * the requested percentiles. Returns (stratum, p, q_lo, q_hi): the
+    * true p-th percentile lies in [q_lo, q_hi). Selection is exact
+    * integer arithmetic (`cum·100 ≥ p·total`, no float ratio), so the
+    * oracle replays it; cum·100 stays in BIGINT below ~9·10^16 rows
+    * per stratum. Runs entirely over sketch rows: the windows and the
+    * broadcast percentile cross-join see ≤ ~1.9k rows per stratum.
+    */
+  def mergeQuantiles(sketch: DataFrame, pcts: Seq[Int],
+                     subBits: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val cumW = Window.partitionBy(col("stratum")).orderBy(col("lo"))
+    val totW = Window.partitionBy(col("stratum"))
+    val cum = sketch.groupBy(col("stratum"), col("lo"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .select(col("stratum"), col("lo"),
+        sum(col("cnt")).over(cumW).as("cum"),
+        sum(col("cnt")).over(totW).as("total"))
+    cum.crossJoin(broadcast(pcts.toDF("p")))
+      .filter(col("cum") * lit(100L) >= col("p") * col("total"))
+      .groupBy(col("stratum"), col("p"))
+      .agg(min(col("lo")).as("q_lo"))
+      .select(col("stratum"), col("p"), col("q_lo"),
+        logLinearHi(col("q_lo"), subBits).as("q_hi"))
+  }
 }
