@@ -372,4 +372,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k must plan as TakeOrderedAndProject:\n$plan")
   }
+
+  test("quantile sketch: raw rows combine map-side; only sketch rows window") {
+    val d = Seq(("a", 0L, 5L), ("a", 1L, 900L), ("b", 0L, 5L))
+      .toDF("s", "d", "v")
+    val out = graft.operators.Sketches.mergeQuantiles(
+      graft.operators.Sketches.quantileSketch(d, $"s", $"d", $"v"), Seq(50, 90))
+    val plan = out.queryExecution.executedPlan.toString
+    // the bucketing groupBy must partial-count before its exchange —
+    // that first agg is the only node that ever sees raw rows
+    assert(plan.contains("partial_count"),
+      s"expected map-side combined bucket counts:\n$plan")
+    // percentile table rides a broadcast; the sketch never cartesians
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
