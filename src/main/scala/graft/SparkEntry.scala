@@ -764,6 +764,26 @@ object SparkEntry {
           col("q_lo"), col("q_hi"))
         .orderBy(col("event_type"), col("p"))
     }),
+    "a16_heavy_hitters" -> ((s, dir) => {
+      // Mergeable FREQUENCY sketch — the third sketch-family member
+      // (a14 distinct, a15 quantiles): per-(lang, day) token counts
+      // pruned at support 1/200 fold per ingest batch; merge-at-read
+      // bounds each heavy token's true corpus count in [lo, hi] with
+      // no false negatives (the stopword/boilerplate-detection signal
+      // at corpus scale). Deterministic integer arithmetic throughout
+      // ⇒ full DuckDB oracle.
+      val toks = t(s, dir, "documents")
+        .select(col("lang"), pmod(col("doc_id"), lit(7)).as("day"),
+          TA.tokens(col("text")).as("_toks"))
+        .select(col("lang"), col("day"), explode(col("_toks")).as("tok"))
+      Sketches.mergeHeavyHitters(
+          Sketches.freqSketch(toks, col("lang"), col("day"), col("tok"),
+            num = 1L, den = 200L),
+          num = 1L, den = 200L)
+        .select(col("stratum").as("lang"), col("key").as("tok"),
+          col("lo_cnt"), col("hi_cnt"))
+        .orderBy(col("lang"), col("tok"))
+    }),
 
     "ta13_char_diversity" -> ((s, dir) => {
       // Character-diversity quality signals (beyond the reference;
@@ -3277,6 +3297,40 @@ object SparkEntry {
          SELECT stratum AS event_type, p, q_lo,
            q_lo + (CAST(1 AS BIGINT) << greatest(length(bin(q_lo)) - 6, 0)) AS q_hi
          FROM q ORDER BY event_type, p""",
+
+    "a16_heavy_hitters" ->
+      // Replays the pruned-count lifecycle exactly: per-(lang, day)
+      // counts kept at cnt·200 ≥ rows_d, slack = ceil(rows_d/200) − 1,
+      // hi = lo + slack of the absent days. All BIGINT.
+      s"""WITH tok AS (
+           SELECT lang AS stratum, doc_id % 7 AS day,
+             unnest(${sqlTokens("text")}) AS k
+           FROM documents),
+         counts AS (
+           SELECT stratum, day, k, count(*) AS cnt FROM tok GROUP BY 1, 2, 3),
+         mass AS (
+           SELECT stratum, day, sum(cnt) AS rows_d FROM counts GROUP BY 1, 2),
+         slack AS (
+           SELECT stratum, day, rows_d,
+             (rows_d * 1 + 199) // 200 - 1 AS slack
+           FROM mass),
+         tot AS (
+           SELECT stratum, sum(rows_d) AS total, sum(slack) AS total_slack
+           FROM slack GROUP BY 1),
+         kept AS (
+           SELECT c.stratum, c.day, c.k, c.cnt
+           FROM counts c JOIN mass m USING (stratum, day)
+           WHERE c.cnt * 200 >= m.rows_d * 1),
+         agg AS (
+           SELECT k.stratum, k.k, sum(k.cnt) AS lo_cnt,
+             sum(s.slack) AS present_slack
+           FROM kept k JOIN slack s USING (stratum, day) GROUP BY 1, 2)
+         SELECT a.stratum AS lang, a.k AS tok,
+           CAST(a.lo_cnt AS BIGINT) AS lo_cnt,
+           CAST(a.lo_cnt + t.total_slack - a.present_slack AS BIGINT) AS hi_cnt
+         FROM agg a JOIN tot t USING (stratum)
+         WHERE (a.lo_cnt + t.total_slack - a.present_slack) * 200 >= t.total * 1
+         ORDER BY lang, tok""",
 
     "c2_quality_issues" ->
       """WITH d AS (

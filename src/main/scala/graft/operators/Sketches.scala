@@ -113,4 +113,70 @@ object Sketches {
       .select(col("stratum"), col("p"), col("q_lo"),
         logLinearHi(col("q_lo"), subBits).as("q_hi"))
   }
+
+  // ── Threshold-pruned frequency sketch (mergeable heavy hitters) ────
+  //
+  // The frequency member of the sketch family (distinct = HLL above,
+  // quantiles = the log-linear sketch): per-ingest-batch exact key
+  // counts pruned at support num/den, plus one mass row recording the
+  // batch's total. Like the quantile sketch — and unlike SpaceSaving /
+  // Misra-Gries, whose merge order changes the counters — every step
+  // is exact integer arithmetic, so the whole lifecycle replays in
+  // DuckDB and gets a full oracle.
+  //
+  // No-false-negative guarantee: a key dropped in a batch had
+  // cnt ≤ slack_d := ceil(num·rows_d/den) − 1 < (num/den)·rows_d, so a
+  // key absent from EVERY batch sketch has true count < (num/den)·total
+  // — every globally θ-heavy key surfaces, with its true count pinned
+  // inside [lo_cnt, hi_cnt].
+
+  /** One sketch row per (stratum, day, kept key) — kept iff
+    * cnt·den ≥ num·rows_d — plus a null-key mass row per (stratum,
+    * day) carrying rows_d. Raw rows are touched only by the first
+    * groupBy (map-side partial count); the threshold filter joins the
+    * counts against the broadcast-tiny per-batch mass table, never a
+    * window over the vocabulary.
+    */
+  def freqSketch(df: DataFrame, stratum: Column, day: Column, key: Column,
+                 num: Long, den: Long): DataFrame = {
+    val counts = df
+      .select(stratum.as("stratum"), day.as("day"),
+        key.cast("string").as("key"))
+      .groupBy(col("stratum"), col("day"), col("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val mass = counts.groupBy(col("stratum"), col("day"))
+      .agg(sum(col("cnt")).as("rows_d"))
+    counts.join(broadcast(mass), Seq("stratum", "day"))
+      .filter(col("cnt") * lit(den) >= col("rows_d") * lit(num))
+      .select(col("stratum"), col("day"), col("key"), col("cnt"))
+      .unionByName(mass.select(col("stratum"), col("day"),
+        lit(null).cast("string").as("key"), col("rows_d").as("cnt")))
+  }
+
+  /** Merge sketch rows and bound each surviving key's true global
+    * count: lo = sum of kept counts; hi adds each absent batch's
+    * slack (ceil(num·rows_d/den) − 1, the most a dropped key can
+    * hide). Keys whose hi clears the support threshold are reported —
+    * a superset of the true θ-heavy set, never missing one. Runs
+    * entirely over sketch rows; the mass/slack side tables are
+    * broadcast-tiny (one row per stratum-day).
+    */
+  def mergeHeavyHitters(sketch: DataFrame, num: Long, den: Long): DataFrame = {
+    val slack = sketch.filter(col("key").isNull)
+      .select(col("stratum"), col("day"), col("cnt").as("rows_d"))
+      .withColumn("slack",
+        expr(s"(rows_d * $num + ${den - 1}) div $den") - lit(1L))
+    val tot = slack.groupBy(col("stratum"))
+      .agg(sum(col("rows_d")).as("total"), sum(col("slack")).as("total_slack"))
+    sketch.filter(col("key").isNotNull)
+      .join(broadcast(slack), Seq("stratum", "day"))
+      .groupBy(col("stratum"), col("key"))
+      .agg(sum(col("cnt")).as("lo_cnt"), sum(col("slack")).as("present_slack"))
+      .join(broadcast(tot), Seq("stratum"))
+      .select(col("stratum"), col("key"), col("lo_cnt"),
+        (col("lo_cnt") + col("total_slack") - col("present_slack")).as("hi_cnt"),
+        col("total"))
+      .filter(col("hi_cnt") * lit(den) >= col("total") * lit(num))
+      .select(col("stratum"), col("key"), col("lo_cnt"), col("hi_cnt"))
+  }
 }

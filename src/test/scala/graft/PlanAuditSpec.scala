@@ -388,4 +388,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("frequency sketch: counts combine map-side; mass tables broadcast back") {
+    val d = Seq(("a", 0L, "k"), ("a", 0L, "k"), ("a", 1L, "j"))
+      .toDF("s", "d", "k")
+    val out = graft.operators.Sketches.mergeHeavyHitters(
+      graft.operators.Sketches.freqSketch(d, $"s", $"d", $"k", 1L, 50L),
+      1L, 50L)
+    val plan = out.queryExecution.executedPlan.toString
+    // the vocabulary-sized count table must partial-aggregate before
+    // its exchange, and every mass/slack/total side joins broadcast —
+    // a sort-merge here means the threshold filter shuffled the vocab
+    assert(plan.contains("partial_count"),
+      s"expected map-side combined key counts:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // and the vocabulary is never windowed
+    assert(!plan.contains("Window ["), plan)
+  }
 }

@@ -92,4 +92,75 @@ class SketchesSpec extends SparkSpec {
     val q = quantiles(small.union(small)) // duplicates don't widen buckets
     assert(q(("s", 50)) == (32L, 33L))
   }
+
+  // ── threshold-pruned frequency sketch ──────────────────────────────
+
+  // zipf-ish key stream over 2 strata and 4 days: k0 dominates, a long
+  // tail of singletons pads the mass
+  private def fdata = (0 until 8000).map { i =>
+    val stratum = if (i % 2 == 0) "x" else "y"
+    val key = if (i % 10 < 3) "k0" else if (i % 10 < 5) s"k${i % 7}"
+              else s"tail$i"
+    (stratum, (i % 4).toLong, key)
+  }.toDF("s", "d", "k")
+
+  test("heavy hitters: no false negatives, true count inside [lo, hi]") {
+    val out = rows(Sketches.mergeHeavyHitters(
+        Sketches.freqSketch(fdata, $"s", $"d", $"k", 1L, 50L), 1L, 50L))
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    val exact = fdata.collect().map(r => ((r.getString(0), r.getString(2)), 1L))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val totals = exact.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    for (((s, k), t) <- exact if t * 50L >= totals(s)) {
+      val (lo, hi) = out.getOrElse((s, k),
+        fail(s"theta-heavy key ($s,$k) t=$t missing"))
+      assert(lo <= t && t <= hi, s"($s,$k) t=$t outside [$lo,$hi]")
+    }
+    // and every reported key's bounds contain its true count too
+    for (((s, k), (lo, hi)) <- out; t = exact((s, k)))
+      assert(lo <= t && t <= hi, s"($s,$k) t=$t outside [$lo,$hi]")
+  }
+
+  test("heavy hitters merge law: batch-split sketch rows == direct") {
+    val s1 = Sketches.freqSketch(fdata.where($"d" < 2), $"s", $"d", $"k", 1L, 50L)
+    val s2 = Sketches.freqSketch(fdata.where($"d" >= 2), $"s", $"d", $"k", 1L, 50L)
+    val merged = rows(Sketches.mergeHeavyHitters(s1.unionAll(s2), 1L, 50L)
+      .orderBy($"stratum", $"key"))
+    val direct = rows(Sketches.mergeHeavyHitters(
+        Sketches.freqSketch(fdata, $"s", $"d", $"k", 1L, 50L), 1L, 50L)
+      .orderBy($"stratum", $"key"))
+    assert(merged == direct)
+  }
+
+  test("single-batch sketch is exact: hi == lo == true count") {
+    val one = fdata.where($"d" === 0)
+    val out = rows(Sketches.mergeHeavyHitters(
+        Sketches.freqSketch(one, $"s", lit(0L), $"k", 1L, 50L), 1L, 50L))
+    assert(out.nonEmpty)
+    val exact = one.collect().map(r => ((r.getString(0), r.getString(2)), 1L))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    for (r <- out) {
+      assert(r.getLong(2) == r.getLong(3), r.toString)
+      assert(r.getLong(2) == exact((r.getString(0), r.getString(1))), r.toString)
+    }
+  }
+
+  test("a key at exactly the global threshold always surfaces") {
+    // "h" hits total/den exactly but hides one under the per-day bar
+    // (9 < ceil(500/50) = 10) in three of four days — the adversarial
+    // shape for a pruned sketch: only day 0 keeps it, and the
+    // guarantee must recover t = 40 from hi = 13 + 3·slack = 40
+    val den = 50L
+    val perDay = Map(0L -> 13, 1L -> 9, 2L -> 9, 3L -> 9)
+    val df = (0L to 3L).flatMap { d => // every day exactly rows_d = 500
+      Seq.fill(perDay(d))(("s", d, "h")) ++
+        (0 until 500 - perDay(d)).map(i => ("s", d, s"t${d}_$i"))
+    }.toDF("s", "d", "k") // total 2000, h = 40 = total/den exactly
+    val out = rows(Sketches.mergeHeavyHitters(
+        Sketches.freqSketch(df, $"s", $"d", $"k", 1L, den), 1L, den))
+      .map(r => (r.getString(1), (r.getLong(2), r.getLong(3)))).toMap
+    val (lo, hi) = out.getOrElse("h", fail("threshold key h missing"))
+    assert(lo == 13L && hi == 40L, s"[$lo,$hi]") // bound exactly tight
+  }
 }
