@@ -48,9 +48,14 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // TIMESTAMP(NANOS) columns arrive as long (nanosAsLong); convert to a
-    // proper timestamp at µs precision — same floor-truncation DuckDB
-    // applies when it reads the ns column.
+    // Normalize whatever physical encoding the generator used for `ts` to
+    // one logical type: session-TZ TIMESTAMP at µs precision. Three
+    // encodings have been observed across testdata generations:
+    //   - TIMESTAMP(NANOS): Spark surfaces it as long (nanosAsLong) —
+    //     floor-divide to µs, same truncation DuckDB applies.
+    //   - TIMESTAMP_MICROS isAdjustedToUTC=0: surfaces as TIMESTAMP_NTZ —
+    //     in a UTC session the cast to TIMESTAMP is instant-identical.
+    //   - TIMESTAMP (adjusted): already the target type; passthrough.
     df.schema.fields.foldLeft(df) {
       case (acc, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
         // integer `div`, NOT `/`: float division of ~1.7e18 ns values
@@ -58,6 +63,10 @@ object Tables {
         acc.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case (acc, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        acc.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
       case (acc, _) => acc
     }
   }
