@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextAnalysis => TA, TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Align, Classify, Compliance, Decontam, Dedup, Embed, Enrich, MergeLog, Multimodal, Packing, Rag, Ruler, Sampling, Similarity, Sketches}
+import graft.operators.{Align, Classify, Compliance, Decontam, Dedup, Embed, Enrich, Health, MergeLog, Multimodal, Packing, Rag, Ruler, Sampling, Similarity, Sketches}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1363,6 +1363,34 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("bin"), col("bin_range"),
           col("n_tok"), col("start_tok"))
         .orderBy(col("doc_id"))
+    }),
+
+    "g7_corpus_health" -> ((s, dir) => {
+      // G7 — the round-8 sketch families composed into the dashboard
+      // row a corpus operator actually reads: per (lang, day) volume/
+      // quality drift (the w4 signals), log-linear token-count
+      // quantiles (the a15 lifecycle), the support-pruned top token
+      // (a16), and exact distinct tokens. Every column is
+      // deterministic integer / floored arithmetic ⇒ full DuckDB
+      // oracle replaying all four blocks AND the broadcast sketch-join
+      // assembly. g7x is the same frame on the 100 TB distinct path.
+      Health.corpusHealth(t(s, dir, "documents"),
+          col("lang"), pmod(col("doc_id"), lit(7)), col("text"))
+        .withColumnRenamed("stratum", "lang")
+        .orderBy(col("lang"), col("day"))
+    }),
+    "g7x_corpus_health_hll" -> ((s, dir) => {
+      // G7x — g7 with the distinct-token column swapped to the a14 HLL
+      // union estimate: the 100 TB path (history never rescans; the
+      // sketch is the mergeable unit). Approximate ⇒ no DuckDB oracle
+      // (the a6x/a14 precedent; HealthSpec pins every other column
+      // bit-identical to g7 and the estimate within 5% of exact);
+      // driver rows-check applies.
+      Health.corpusHealth(t(s, dir, "documents"),
+          col("lang"), pmod(col("doc_id"), lit(7)), col("text"),
+          distinctViaHll = true)
+        .withColumnRenamed("stratum", "lang")
+        .orderBy(col("lang"), col("day"))
     }),
 
     // ---- A4/A5: statistics ------------------------------------------
@@ -4612,6 +4640,80 @@ object SparkEntry {
       s"""${sqlQualityCtes()}
          SELECT floor($sqlQualityExpr * 10)::BIGINT AS decile, count(*) AS n
          FROM s GROUP BY 1 ORDER BY 1""",
+
+    "g7_corpus_health" ->
+      // Replays all four dashboard blocks: the ta2 quality CTEs feed
+      // the drift aggregates; the a15 log-linear bucketing/merge/walk
+      // runs over per-doc token counts partitioned by (lang, day); the
+      // a16 support-pruned counts yield the deterministic (cnt desc,
+      // tok desc) top token; distinct is exact count(DISTINCT).
+      s"""${sqlQualityCtes()},
+         hd AS (
+           SELECT doc.lang, doc.doc_id % 7 AS day,
+             s.n_tokens::BIGINT AS n_tok, $sqlQualityExpr AS q
+           FROM s JOIN documents doc ON s.doc_id = doc.doc_id),
+         base AS (
+           SELECT lang, day, count(*) AS n_docs,
+             ${sqlFround("avg(q)", 6)} AS avg_quality,
+             ${sqlFround("avg(CASE WHEN q < 0.5 THEN 1.0 ELSE 0.0 END)", 6)}
+               AS low_quality_share,
+             sum(n_tok)::BIGINT AS total_tokens
+           FROM hd GROUP BY 1, 2),
+         qb AS (
+           SELECT lang, day,
+             (n_tok >> greatest(length(bin(n_tok)) - 6, 0))
+               << greatest(length(bin(n_tok)) - 6, 0) AS lo,
+             count(*) AS cnt
+           FROM hd GROUP BY 1, 2, 3),
+         qc AS (
+           SELECT lang, day, lo,
+             sum(cnt) OVER (PARTITION BY lang, day ORDER BY lo) AS cum,
+             sum(cnt) OVER (PARTITION BY lang, day) AS total
+           FROM qb),
+         qq AS (
+           SELECT qc.lang, qc.day, p.p, min(qc.lo) AS q_lo
+           FROM qc CROSS JOIN (VALUES (50), (90), (99)) AS p(p)
+           WHERE qc.cum * 100 >= p.p * qc.total
+           GROUP BY 1, 2, 3),
+         qp AS (
+           SELECT lang, day,
+             max(CASE WHEN p = 50 THEN q_lo END) AS p50_tok_lo,
+             max(CASE WHEN p = 90 THEN q_lo END) AS p90_tok_lo,
+             max(CASE WHEN p = 99 THEN q_lo END) AS p99_tok_lo,
+             max(CASE WHEN p = 99 THEN q_lo
+               + (CAST(1 AS BIGINT) << greatest(length(bin(q_lo)) - 6, 0)) END)
+               AS p99_tok_hi
+           FROM qq GROUP BY 1, 2),
+         tok AS (
+           SELECT lang, doc_id % 7 AS day, unnest(${sqlTokens("text")}) AS k
+           FROM documents),
+         counts AS (
+           SELECT lang, day, k, count(*) AS cnt FROM tok GROUP BY 1, 2, 3),
+         mass AS (
+           SELECT lang, day, sum(cnt) AS rows_d FROM counts GROUP BY 1, 2),
+         kept AS (
+           SELECT c.lang, c.day, c.k, c.cnt
+           FROM counts c JOIN mass m USING (lang, day)
+           WHERE c.cnt * 200 >= m.rows_d * 1),
+         mx AS (
+           SELECT lang, day, max(cnt) AS top_tok_cnt FROM kept GROUP BY 1, 2),
+         top AS (
+           SELECT k2.lang, k2.day, m.top_tok_cnt, max(k2.k) AS top_tok
+           FROM kept k2 JOIN mx m
+             ON k2.lang = m.lang AND k2.day = m.day AND k2.cnt = m.top_tok_cnt
+           GROUP BY 1, 2, 3),
+         dist AS (
+           SELECT lang, day, count(DISTINCT k)::BIGINT AS distinct_toks
+           FROM counts GROUP BY 1, 2)
+         SELECT b.lang, b.day, b.n_docs, b.avg_quality, b.low_quality_share,
+           b.total_tokens, dist.distinct_toks,
+           qp.p50_tok_lo, qp.p90_tok_lo, qp.p99_tok_lo, qp.p99_tok_hi,
+           top.top_tok, top.top_tok_cnt
+         FROM base b
+         JOIN qp USING (lang, day)
+         JOIN dist USING (lang, day)
+         LEFT JOIN top USING (lang, day)
+         ORDER BY lang, day""",
 
     "j1_coverage_join" ->
       """WITH bl AS (
