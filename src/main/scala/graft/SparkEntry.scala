@@ -654,6 +654,26 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "x5_dsir_token_resample" -> ((s, dir) => {
+      // The published DSIR recipe end-to-end (Xie et al. 2023): fit the
+      // importance weights (tq2), resample by Efraimidis–Spirakis key
+      // (tq5) — but stop at a TOKEN budget (25% of corpus tokens), the
+      // paper's actual target, not a row count. The cut decomposes
+      // into a census over the bounded rounded-key spine plus a
+      // within-key prefix sum (never a global corpus sort); output
+      // rows carry start_tok, so the selection IS the serve schedule.
+      val w = Classify.dsirWeights(t(s, dir, "documents"), col("doc_id"),
+          col("text"), col("lang") <=> "en", 4096)
+        .select(col("doc_id"), col("n_tok"),
+          fround(col("avg_logratio"), 6).as("logratio"))
+      Sampling.weightedTokenSample(w, col("doc_id"),
+          exp(lit(2.0) * col("logratio")), col("n_tok"),
+          budgetPct = 25, salt = "dsir")
+        .select(col("doc_id"), col("n_tok"), col("logratio"),
+          col("sel_key"), col("start_tok"))
+        .orderBy(col("sel_key").desc, col("doc_id"))
+    }),
+
     "x4_cluster_split" -> ((s, dir) => {
       // Leakage-safe train/val/test split (beyond the reference): the
       // cut is keyed by the d14 NEAR-DUP CLUSTER label, not the doc id,
@@ -5413,7 +5433,21 @@ object SparkEntry {
                "doc_id", "exp(2 * logratio)", "dsir")} AS sel_key
            FROM wgt)
          SELECT doc_id, n_tok, logratio, sel_key FROM sel
-         ORDER BY sel_key DESC, doc_id LIMIT 100"""
+         ORDER BY sel_key DESC, doc_id LIMIT 100""",
+
+    "x5_dsir_token_resample" ->
+      // tq5's weights and selection key, the token-budget stopping
+      // rule: per-key token census, cumulative mass of strictly higher
+      // keys, within-key prefix sum by doc_id, keep start_tok < 25% of
+      // total tokens (start-before-budget).
+      s"""WITH wgt AS ($sqlDsirWeights FROM sc),
+         sel AS (SELECT doc_id, n_tok, logratio,
+             ${operators.Sampling.sqlSelKey(
+               "doc_id", "exp(2 * logratio)", "dsir")} AS sel_key
+           FROM wgt),
+         ${operators.Sampling.sqlTokenBudgetCut("sel", "s.doc_id", 25)}
+         SELECT doc_id, n_tok, logratio, sel_key, start_tok
+         FROM cut ORDER BY sel_key DESC, doc_id"""
   )
 
   /** The DSIR chain with CTE names prefixed `p` (so it can splice into

@@ -193,6 +193,77 @@ object Sampling {
          + 1)::DOUBLE / ${(1L << 28).toDouble},
          1.0 / ($weightExpr)) * 1e6 + 0.5) / 1e6"""
 
+  /** [[weightedSample]] to a TOKEN budget instead of a row count — the
+    * published DSIR recipe's actual stopping rule (Xie et al. 2023
+    * resample to a target token count, not a document count): rank by
+    * the same rounded Efraimidis–Spirakis key, keep each document whose
+    * serve-order token offset starts before `budgetPct`% of the corpus'
+    * total tokens (the packing start-before-budget convention, so the
+    * boundary doc is included and the cut is deterministic).
+    *
+    * Scale shape — the corpus never globally sorts: the rounded key has
+    * ≤ 10⁶+1 distinct values, so the rank decomposes into (a) a census
+    * of per-key token mass with a cumulative window over that BOUNDED
+    * key spine (the tq6 thresholdForKeepRate shape), broadcast-joined
+    * back, and (b) a within-key prefix sum partitioned by `sel_key` —
+    * parallel across keys, never one partition. Output rows carry
+    * `sel_key` and `start_tok` (the doc's global token offset in serve
+    * order), so the result doubles as the serve schedule.
+    *
+    * `weight` must be strictly positive; `nTok` non-negative BIGINT.
+    */
+  def weightedTokenSample(df: DataFrame, id: Column, weight: Column,
+                          nTok: Column, budgetPct: Int,
+                          salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = (keyHash(id, salt) + 1L).cast("double") / lit((1L << 28).toDouble)
+    val selKey = floor(pow(u, lit(1.0) / weight) * 1e6 + 0.5) / 1e6
+    val keyed = df.withColumn("sel_key", selKey)
+      .withColumn("_nt", nTok.cast("long"))
+    // Bounded key spine: tokens per distinct rounded key, cumulative
+    // mass of all STRICTLY higher keys = the key's global start offset.
+    val census = keyed.groupBy(col("sel_key"))
+      .agg(sum(col("_nt")).as("_kt"))
+      .withColumn("_key_start",
+        coalesce(sum(col("_kt")).over(
+          Window.orderBy(col("sel_key").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_kt")
+    val total = keyed.agg(sum(col("_nt")).as("_tot"))
+    val withinW = Window.partitionBy(col("sel_key")).orderBy(id)
+    keyed
+      .join(broadcast(census), Seq("sel_key"))
+      .withColumn("start_tok",
+        col("_key_start") + sum(col("_nt")).over(withinW) - col("_nt"))
+      .crossJoin(broadcast(total))
+      .filter(col("start_tok") < expr(s"_tot * $budgetPct div 100"))
+      .drop("_nt", "_key_start", "_tot")
+  }
+
+  /** DuckDB twin of [[weightedTokenSample]]'s offset-and-cut: CTE text
+    * computing `start_tok` over a `sel`(…, sel_key, n_tok) relation and
+    * the budget predicate. Keep in lockstep with the Scala shape.
+    */
+  def sqlTokenBudgetCut(selRel: String, idExpr: String,
+                        budgetPct: Int): String =
+    s"""census AS (
+           SELECT sel_key, sum(n_tok) AS kt FROM $selRel GROUP BY 1),
+         cum AS (
+           SELECT sel_key,
+             coalesce(sum(kt) OVER (ORDER BY sel_key DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS key_start
+           FROM census),
+         pos AS (
+           SELECT s.*, c.key_start
+               + sum(s.n_tok) OVER (PARTITION BY s.sel_key
+                   ORDER BY $idExpr) - s.n_tok AS start_tok
+           FROM $selRel s JOIN cum c USING (sel_key)),
+         cut AS (
+           SELECT pos.* FROM pos
+           CROSS JOIN (SELECT sum(n_tok) AS tot FROM $selRel) t
+           WHERE pos.start_tok < t.tot * $budgetPct // 100)"""
+
   /** Deterministic per-epoch corpus shuffle: the global-random training
     * order every pretraining loader needs, computed as a keyed hash
     * sort instead of an RNG so epoch E's order is bit-reproducible

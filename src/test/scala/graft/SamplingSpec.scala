@@ -128,6 +128,35 @@ class SamplingSpec extends SparkSpec {
       .count() == 10, "k beyond population returns everything")
   }
 
+  test("weightedTokenSample == naive global-sort cumsum cut (and is partitioning-stable)") {
+    import org.apache.spark.sql.expressions.Window
+    val w = df.withColumn("w", lit(1.0) + (col("id") % 5).cast("double"))
+      .withColumn("n_tok", lit(10L) + (col("id") % 37))
+    val got = rows(Sampling.weightedTokenSample(w, $"id", $"w", $"n_tok",
+        budgetPct = 30, salt = "wt").select($"id", $"start_tok"))
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // Naive twin: one global sort by (sel_key desc, id), running token
+    // offset, keep start < 30% of total. Same selection key expression.
+    val u = (Sampling.keyHash($"id", "wt") + 1L).cast("double") /
+      lit((1L << 28).toDouble)
+    val naive = w.withColumn("sel_key",
+        floor(pow(u, lit(1.0) / $"w") * 1e6 + 0.5) / 1e6)
+      .withColumn("start_tok",
+        coalesce(sum($"n_tok").over(
+          Window.orderBy($"sel_key".desc, $"id")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val tot = w.agg(sum($"n_tok")).head().getLong(0)
+    val expect = rows(naive.filter($"start_tok" < lit(tot * 30 / 100))
+        .select($"id", $"start_tok"))
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expect && got.nonEmpty)
+    val rep = rows(Sampling.weightedTokenSample(w.repartition(7), $"id",
+        $"w", $"n_tok", budgetPct = 30, salt = "wt")
+        .select($"id", $"start_tok"))
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rep == got, "cut must not depend on partitioning")
+  }
+
   test("weightedSample with equal weights ranks exactly like the raw hash") {
     val w = df.limit(200).withColumn("w", lit(1.0))
     val sampled = col0[Long](
