@@ -127,6 +127,91 @@ object Streams {
     qualityDrift(kept, ts, text, watermarkDelay, windowLen, qualityFloor)
   }
 
+  /** One micro-batch of the full production ingest path — the g4 build
+    * order as CONTINUOUS ingest: near-dup drop against everything
+    * landed so far (the d18 LSH-index probe), then the trained NB gate
+    * (stateless literal weights, the g6 serving pattern), then the
+    * batch's drift account, then the survivors land as CDC upserts.
+    * Returns (gated survivors, drift rows) for the sink to commit.
+    *
+    * Dedup runs BEFORE the gate (the g4 lesson: never pay
+    * tokenization-heavy scoring for rows a cheaper stage drops), and
+    * only GATED survivors feed the band index — a near-dup of a
+    * quality-rejected doc must be judged on its own merits later, not
+    * inherit the rejection.
+    */
+  def productionIngestBatch(spark: SparkSession, batch: DataFrame,
+                            idName: String, textName: String, ts: Column,
+                            indexPath: String,
+                            nearDupThreshold: Double,
+                            gate: graft.operators.Classify.NbWeights,
+                            gateBuckets: Int, gateMin: Double,
+                            batchId: Long,
+                            windowLen: String = "1 hour",
+                            qualityFloor: Double = 0.5,
+                            buckets: Int = 64): (DataFrame, DataFrame) = {
+    import graft.functions.{TextAnalysis => TA, TextFunctions => TF}
+    import graft.operators.{Classify, Dedup}
+    val kept = Dedup.nearDupIngest(spark, indexPath, batch,
+      col(idName), col(textName), nearDupThreshold, batchId, buckets)
+    val gated = kept.filter(
+      TF.letBound(TA.tokens(col(textName)))(toks =>
+        Classify.scoreColumnFromTokens(toks, gate, gateBuckets)) >= gateMin)
+    val drift = qualityDrift(gated, ts, col(textName),
+      windowLen = windowLen, qualityFloor = qualityFloor)
+    (gated, drift)
+  }
+
+  /** The streaming g4 twin: [[productionIngestBatch]] under
+    * `foreachBatch` — near-dup drop → trained gate → drift account →
+    * MergeLog land, one restartable pipeline. `corpusDir` must be an
+    * initialized [[graft.operators.MergeLog]] whose base schema is the
+    * batch columns + (version, deleted).
+    *
+    * Replay safety at any crash point, stage by stage: the index probe
+    * excludes band rows tagged `sb = batchId`, so a replay recomputes
+    * the same kept set; the MergeLog delta is keyed by batch id
+    * (committed ⇒ no-op, torn ⇒ rewritten); the drift partition
+    * overwrites `b=<batchId>`; and a double band-append only duplicates
+    * rows the probe is idempotent against. So every landed artifact is
+    * a pure function of (input batches, batch ids).
+    */
+  def productionIngestSink(stream: DataFrame, idName: String,
+                           textName: String, tsName: String,
+                           indexPath: String, corpusDir: String,
+                           driftDir: String,
+                           nearDupThreshold: Double,
+                           gate: graft.operators.Classify.NbWeights,
+                           gateBuckets: Int, gateMin: Double,
+                           windowLen: String = "1 hour",
+                           qualityFloor: Double = 0.5, buckets: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val (gated0, _) = productionIngestBatch(spark, batch, idName,
+          textName, col(tsName), indexPath, nearDupThreshold, gate,
+          gateBuckets, gateMin, batchId, windowLen, qualityFloor, buckets)
+        val gated = gated0.persist()
+        try {
+          // land first, index second: a crash between the two replays
+          // to the same state (see scaladoc), while the reverse order
+          // could drop a batch's rows as "dups of themselves" only if
+          // the probe did not exclude sb = batchId — it does.
+          graft.operators.MergeLog.appendDelta(
+            gated.withColumn("version", lit(batchId))
+              .withColumn("deleted", lit(false)),
+            corpusDir, Some(batchId))
+          graft.operators.Dedup.appendLshBandIndex(gated, col(idName),
+            col(textName), indexPath, buckets = buckets,
+            srcBatch = batchId)
+          qualityDrift(gated, col(tsName), col(textName),
+              windowLen = windowLen, qualityFloor = qualityFloor)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").parquet(s"$driftDir/b=$batchId")
+        } finally { gated.unpersist(): Unit }
+    }
+
   /** Streaming-ingest exact dedup: keep the first event per key, with
     * state bounded by the watermark (`dropDuplicatesWithinWatermark` —
     * a key's state is freed once the watermark passes its event time,

@@ -18,12 +18,14 @@ class StreamFileSpec extends SparkSpec {
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
-    // raw parquet has ts as TIMESTAMP(NANOS) -> long under nanosAsLong;
-    // stream with the long schema and convert exactly like Tables.load.
+    // raw parquet carries ts as TIMESTAMP_MICROS (isAdjustedToUTC=0,
+    // the 2026-08-13 regen encoding) -> TIMESTAMP_NTZ; stream with that
+    // schema and normalize exactly like Tables.load (UTC session makes
+    // the cast instant-identical).
     val stream = spark.readStream
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .schema("event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, value DOUBLE, props STRING")
       .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", col("ts").cast("timestamp"))
     val agg = Streams.windowedTypeCounts(stream, "10 minutes", "1 hour")
     val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
     val q = agg.writeStream
@@ -119,5 +121,100 @@ class StreamFileSpec extends SparkSpec {
       .orderBy(col("doc_id"), col("chunk_idx"))).map(_.toSeq)
     assert(streamed.nonEmpty)
     assert(streamed == batch)
+  }
+
+  test("productionIngestSink: dedup → gate → drift → MergeLog land, end-to-end, replay idempotent") {
+    import graft.operators.{Classify, Dedup, MergeLog}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val idx = Scratch.dir("ping_idx") + "/lsh"
+    val corpusDir = Scratch.dir("ping_corpus") + "/log"
+    val driftDir = Scratch.dir("ping_drift")
+    val origin = "TIMESTAMP '2024-01-01 00:00:00'"
+
+    // Trained gate: clearly separated vocabularies, exact NB training.
+    val labeled = Seq(
+      (1L, true, "completely novel content about adaptive query execution today"),
+      (2L, true, "rain in spain falls mainly on the plain every single year"),
+      (3L, true, "novel content about query execution rain plain mainly"),
+      (4L, false, "buy cheap pills spam offer click here discount"),
+      (5L, false, "spam offer buy pills cheap click discount here deal"),
+      (6L, false, "cheap spam deal pills discount offer click buy")
+    ).toDF("doc_id", "y", "text")
+    val gate = Classify.collectWeights(Classify.trainModel(
+      labeled, col("y"), col("text"), buckets = 4096))
+    def score(s: String): Double =
+      Seq(s).toDF("text").select(Classify.scoreColumn(col("text"), gate, 4096))
+        .head().getDouble(0)
+    // the crafted docs must separate, or the later asserts are vacuous
+    assert(score("completely novel content about adaptive query execution now") > 0)
+    assert(score("buy cheap pills spam offer click here friend") < 0)
+
+    // Bootstrap: index + MergeLog base hold one landed doc.
+    val boot = Seq((1L, "the quick brown fox jumps over the lazy dog again today ok"))
+      .toDF("doc_id", "text")
+      .withColumn("ts", expr(s"timestampadd(MINUTE, 0, $origin)"))
+    Dedup.saveLshBandIndex(boot, $"doc_id", $"text", idx, buckets = 8)
+    MergeLog.init(boot, corpusDir)
+
+    val input = MemoryStream[(Long, String, Int)]
+    val docs = input.toDF().toDF("doc_id", "text", "mins")
+      .withColumn("ts", expr(s"timestampadd(MINUTE, mins, $origin)"))
+      .select($"doc_id", $"text", $"ts")
+    val q = Streams.productionIngestSink(docs, "doc_id", "text", "ts",
+        idx, corpusDir, driftDir, nearDupThreshold = 0.4,
+        gate = gate, gateBuckets = 4096, gateMin = 0.0, buckets = 8)
+      .option("checkpointLocation", Scratch.dir("ping_ckpt"))
+      .start()
+    def landed(): Seq[Long] = col0[Long](
+      MergeLog.read(spark, corpusDir, "doc_id")
+        .select($"doc_id").orderBy($"doc_id"))
+    val b0 = Seq(
+      (10L, "completely novel content about adaptive query execution now", 10),
+      (11L, "completely novel content about adaptive query execution now indeed", 11),
+      (12L, "buy cheap pills spam offer click here friend", 12),
+      (13L, "rain in spain falls mainly on the plain every single year", 13))
+    val b1 = Seq(
+      (20L, "completely novel content about adaptive query execution ok", 70),
+      (21L, "buy cheap pills spam offer click here friend maybe", 71),
+      (22L, "rain in spain falls mainly on the plain every even month", 72))
+    try {
+      // batch 0: 10/11 collapse intra-batch (canonical 10 lands), 12
+      // fails the gate (and must NOT enter the index), 13 lands
+      input.addData(b0: _*)
+      q.processAllAvailable()
+      assert(landed() == Seq(1L, 10L, 13L))
+      // batch 1: 20 is a near-dup of LANDED 10 (dropped by the probe);
+      // 21 is a near-dup of REJECTED 12 — not in the index, so it
+      // reaches the gate and is dropped on its own merits; 22 is a
+      // near-dup of LANDED 13 (dropped)
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      assert(landed() == Seq(1L, 10L, 13L))
+    } finally q.stop()
+
+    // drift partitions: one window row per batch over the GATED rows
+    val d0 = rows(spark.read.parquet(s"$driftDir/b=0"))
+    assert(d0.map(_.getAs[Long]("n_docs")).sum == 2L)
+    assert(spark.read.parquet(s"$driftDir/b=1").isEmpty) // nothing landed
+
+    // replay the LAST batch at any crash point: same kept set (the
+    // probe excludes sb=1), and the batch-id-keyed delta append is a
+    // committed no-op — state unchanged.
+    val (gatedReplay, _) = Streams.productionIngestBatch(spark,
+      b1.toDF("doc_id", "text", "mins")
+        .withColumn("ts", expr(s"timestampadd(MINUTE, mins, $origin)"))
+        .select($"doc_id", $"text", $"ts"),
+      "doc_id", "text", $"ts", idx, nearDupThreshold = 0.4,
+      gate = gate, gateBuckets = 4096, gateMin = 0.0, batchId = 1L,
+      buckets = 8)
+    assert(col0[Long](gatedReplay.select($"doc_id")).isEmpty)
+    MergeLog.appendDelta(
+      gatedReplay.withColumn("version", lit(1L))
+        .withColumn("deleted", lit(false)),
+      corpusDir, Some(1L))
+    assert(landed() == Seq(1L, 10L, 13L))
   }
 }
