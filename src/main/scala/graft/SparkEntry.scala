@@ -654,6 +654,27 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "x6_curriculum_sketch" -> ((s, dir) => {
+      // x3's curriculum re-phased from MERGEABLE state (beyond the
+      // reference): phase boundaries from the a15 log-linear sketch of
+      // the easiness score instead of the exact distinct-score census
+      // — the ingest pipeline's sketch rows re-phase the curriculum
+      // after every batch with no history rescan. Deterministic
+      // integer arithmetic end to end ⇒ full DuckDB oracle (bucketing,
+      // bucket census, hash shard, dense rank). Easiness = brevity,
+      // kept non-negative for the sketch domain.
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TA.tokenCount(col("text")).cast("long").as("n_tok"))
+        .select(col("doc_id").as("id"),
+          expr("greatest(0L, 200L - (n_tok div 10))").as("sc"))
+      val sketch = Sketches.quantileSketch(d, lit("all"), lit(0L),
+        col("sc"))
+      Sampling.curriculumScheduleFromSketch(d, col("id"), col("sc"),
+          sketch, phases = 4, epoch = 1, numShards = 8)
+        .orderBy(col("id"))
+    }),
+
     "x5_dsir_token_resample" -> ((s, dir) => {
       // The published DSIR recipe end-to-end (Xie et al. 2023): fit the
       // importance weights (tq2), resample by Efraimidis–Spirakis key
@@ -4935,6 +4956,34 @@ object SparkEntry {
          h AS (SELECT id, d.s, phase,
            ('0x' || substr(md5('cur:1:' || id::VARCHAR), 1, 7))::BIGINT AS hh
            FROM d JOIN ph ON d.s = ph.s),
+         sh AS (SELECT id, s, phase, hh, (hh * 8) // ${1L << 28} AS shard
+           FROM h)
+         SELECT id, s AS score, phase, shard,
+           (row_number() OVER (PARTITION BY phase, shard
+             ORDER BY hh, id) - 1)::BIGINT AS pos
+         FROM sh ORDER BY id"""
+    },
+
+    "x6_curriculum_sketch" -> {
+      // x3's replay with the census moved to log-linear bucket floors
+      // (the a15 bucketing): strictly-higher-BUCKET cumulative count ×
+      // phases div total; hash/shard/rank identical to x3.
+      val toks = sqlTokens("text")
+      s"""WITH d AS (SELECT doc_id AS id,
+           greatest(0, 200 - (len($toks)::BIGINT // 10)) AS s
+           FROM documents),
+         b AS (SELECT id, s,
+           (s >> greatest(length(bin(s)) - 6, 0))
+             << greatest(length(bin(s)) - 6, 0) AS lo FROM d),
+         cen AS (SELECT lo, count(*)::BIGINT AS n FROM b GROUP BY lo),
+         cum AS (SELECT lo, coalesce(sum(n) OVER (ORDER BY lo DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+             AS cum FROM cen),
+         ph AS (SELECT lo, (cum * 4) // (SELECT count(*) FROM d) AS phase
+           FROM cum),
+         h AS (SELECT id, b.s, phase,
+           ('0x' || substr(md5('cur:1:' || id::VARCHAR), 1, 7))::BIGINT AS hh
+           FROM b JOIN ph ON b.lo = ph.lo),
          sh AS (SELECT id, s, phase, hh, (hh * 8) // ${1L << 28} AS shard
            FROM h)
          SELECT id, s AS score, phase, shard,

@@ -345,4 +345,54 @@ object Sampling {
       .select(col("id"), col("s").as("score"), col("phase"), col("shard"),
         col("pos"))
   }
+
+  /** [[curriculumSchedule]] with phase boundaries taken from an a15
+    * log-linear quantile sketch of the score column instead of an exact
+    * distinct-score census — the 100 TB path: the exact census is a
+    * corpus pass whose spine is unbounded for high-cardinality scores,
+    * while the sketch is mergeable state an ingest pipeline already
+    * maintains incrementally ([[Sketches.quantileSketch]] rows summed
+    * across batches, ≤ ~1.9k buckets per stratum), so the curriculum
+    * re-phases after every batch WITHOUT rescanning history.
+    *
+    * Semantics: rows bucket by [[Sketches.logLinearLo]]; a bucket's
+    * phase is `cum·phases div tot` over the counts of strictly-higher
+    * buckets — exactly [[curriculumSchedule]]'s rule applied at bucket
+    * granularity. For scores already bucket-aligned (score ==
+    * logLinearLo(score)) the two schedules are IDENTICAL (spec-pinned);
+    * otherwise boundaries move by at most one bucket (≤ 2^-subBits
+    * relative). Scores must be non-negative BIGINT (the sketch domain);
+    * `sketch` must cover every score present in `df` (it is built from
+    * the same distribution).
+    */
+  def curriculumScheduleFromSketch(df: DataFrame, id: Column, score: Column,
+                                   sketch: DataFrame, phases: Int,
+                                   epoch: Int, numShards: Int,
+                                   salt: String = "cur",
+                                   subBits: Int = 5): DataFrame = {
+    require(phases > 0 && phases <= 1000000,
+      s"phases must be in [1, 1e6], got $phases")
+    require(numShards > 0, s"numShards must be > 0, got $numShards")
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lo").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    // bounded bucket spine: merge sketch rows across batches/days first
+    val buckets = sketch.groupBy(col("lo")).agg(sum(col("cnt")).as("n"))
+    val phaseTab = buckets
+      .withColumn("cum", coalesce(sum(col("n")).over(wDesc), lit(0L)))
+      .crossJoin(broadcast(buckets.agg(sum(col("n")).as("tot"))))
+      .select(col("lo"), expr(s"cum * $phases div tot").as("phase"))
+    df.select(id.as("id"), score.as("s"))
+      .withColumn("lo", Sketches.logLinearLo(col("s"), subBits))
+      .join(broadcast(phaseTab), Seq("lo"))
+      .withColumn("_h", keyHash(col("id"), s"$salt:$epoch"))
+      .withColumn("shard", expr(s"_h * $numShards div ${1L << 28}"))
+      .withColumn("pos",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("phase"), col("shard"))
+          .orderBy(col("_h"), col("id"))) - 1).cast("long"))
+      .select(col("id"), col("s").as("score"), col("phase"), col("shard"),
+        col("pos"))
+  }
 }

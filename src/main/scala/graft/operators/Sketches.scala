@@ -64,6 +64,16 @@ object Sketches {
     call_function("shiftleft", call_function("shiftright", v, sh), sh)
   }
 
+  /** Driver-side twin of [[logLinearLo]] for plain Longs (spec/boundary
+    * arithmetic; keep in lockstep with the Column version).
+    */
+  def logLinearLoValue(v: Long, subBits: Int = 5): Long = {
+    require(v >= 0L, s"log-linear domain is non-negative, got $v")
+    val bitLen = if (v == 0L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(v)
+    val sh = math.max(bitLen - (1 + subBits), 0)
+    (v >> sh) << sh
+  }
+
   /** Exclusive upper bound of the bucket whose lower bound is `lo`.
     * Recoverable from `lo` alone: zeroing low bits preserves the top
     * bit, so bit_length(lo) == bit_length(v) for every v in the bucket.

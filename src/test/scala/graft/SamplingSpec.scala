@@ -236,6 +236,58 @@ class SamplingSpec extends SparkSpec {
 
   private val cuts = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
+  test("curriculumScheduleFromSketch == exact schedule on bucket-aligned scores; merged batch sketches too") {
+    import graft.operators.Sketches
+    // scores pre-quantized to their log-linear bucket floor: the sketch
+    // sees the distribution losslessly, so phases must match exactly
+    val raw = df.withColumn("s0",
+      (lit(3L) + (col("id") % 97) * (col("id") % 11)).cast("long"))
+    val d = raw.select($"id",
+      Sketches.logLinearLo($"s0").as("sc")).persist()
+    val exact = rows(Sampling.curriculumSchedule(d, $"id", $"sc",
+        phases = 4, epoch = 1, numShards = 4)).map(_.toSeq).toSet
+    val sketch = Sketches.quantileSketch(d, lit("all"), lit(0L), $"sc")
+    val viaSketch = rows(Sampling.curriculumScheduleFromSketch(d, $"id",
+        $"sc", sketch, phases = 4, epoch = 1, numShards = 4))
+      .map(_.toSeq).toSet
+    assert(viaSketch == exact && exact.nonEmpty)
+    // the incremental path: per-batch sketches merged by row union give
+    // the identical schedule — re-phasing never rescans history
+    val s1 = Sketches.quantileSketch(d.where($"id" < 1000), lit("all"),
+      lit(0L), $"sc")
+    val s2 = Sketches.quantileSketch(d.where($"id" >= 1000), lit("all"),
+      lit(1L), $"sc")
+    val viaMerged = rows(Sampling.curriculumScheduleFromSketch(d, $"id",
+        $"sc", s1.unionAll(s2), phases = 4, epoch = 1, numShards = 4))
+      .map(_.toSeq).toSet
+    assert(viaMerged == exact)
+    d.unpersist()
+  }
+
+  test("curriculumScheduleFromSketch on raw scores: total, monotone, phase sizes within bucket tolerance") {
+    import graft.operators.Sketches
+    val d = df.select($"id",
+      (lit(3L) + (col("id") % 97) * (col("id") % 11)).cast("long").as("sc"))
+    val sketch = Sketches.quantileSketch(d, lit("all"), lit(0L), $"sc")
+    val got = rows(Sampling.curriculumScheduleFromSketch(d, $"id", $"sc",
+      sketch, phases = 4, epoch = 1, numShards = 4))
+    assert(got.size == d.count(), "every row gets a phase")
+    // rows sharing a bucket share a phase; going down in bucket floor,
+    // the phase never decreases (the curriculum stays monotone at the
+    // sketch's granularity)
+    val byBucket = got
+      .map(r => (Sketches.logLinearLoValue(r.getLong(1)), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    byBucket.foreach { case (lo, ps) =>
+      assert(ps.size == 1, s"bucket $lo spans phases $ps")
+    }
+    byBucket.toSeq.sortBy(-_._1).map(_._2.head)
+      .sliding(2).foreach {
+        case Seq(p1, p2) => assert(p1 <= p2, s"phase regressed: $p1 -> $p2")
+        case _ =>
+      }
+  }
+
   test("clusterSplit: every cluster lands whole on one side — zero leakage") {
     // 2000 docs in 400 clusters of 5: members must never straddle a cut
     val labeled = df.withColumn("cluster_id", $"id" % 400)
