@@ -447,6 +447,63 @@ object Similarity {
     cents
   }
 
+  /** Outcome of one [[maintainIvfIndex]] tick: the measured probe
+    * recall, whether the floor tripped a re-center, the path serving
+    * should read from now, and the new centroids when one happened.
+    */
+  final case class IvfMaintenance(meanRecall: Double, recentered: Boolean,
+                                  servePath: String,
+                                  centroids: Option[Seq[(Long, Seq[Double])]])
+
+  /** The closed IVF maintenance loop — v13's measurement wired to
+    * v14's action as POLICY: probe the index with a query batch, score
+    * recall@k against exact brute cosine over the indexed vectors, and
+    * re-center into `outPath` iff the mean recall dips below
+    * `recallFloor`; otherwise the index is left untouched. Run it on
+    * whatever cadence appends arrive (e.g. after every
+    * [[appendIvfIndex]], or daily) with a held-out probe batch drawn
+    * from RECENT data — frozen centroids decay against the newest
+    * distribution first, so probing old data would flatter the index.
+    *
+    * Cost model, at corpus scale: the no-trigger tick costs one probe
+    * (nprobe/C of the corpus, partition-pruned) plus one exact pass
+    * over the lists for the probe batch (one scan, query-batch-sized
+    * ranking state) — the measurement IS the expensive half, which is
+    * why it gates the rebuild instead of rebuilding on a timer. The
+    * triggered path additionally pays one k-means fit over a
+    * `sampleRate` hash-sample and ONE corpus rewrite into `outPath`
+    * (the floor for changing every row's partition); the old index
+    * stays readable throughout and serving cuts over by path swap —
+    * `servePath` says which.
+    *
+    * Everything is deterministic (probe/exact tie rules, k-means,
+    * hash sample), so a tick is replayable: same index + same probe
+    * batch ⇒ same decision, bit for bit.
+    */
+  def maintainIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String, outPath: String, queries: DataFrame,
+                       queryId: Column, queryVec: Column, k: Int,
+                       nprobe: Int, recallFloor: Double, kCentroids: Int,
+                       iters: Int, sampleRate: Double = 1.0,
+                       targetRows: Long = 1L << 20,
+                       spread: Int = 8): IvfMaintenance = {
+    val approx = ivfTopKIndexed(spark, path, queries, queryId, queryVec,
+      k, nprobe)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, dv ARRAY<FLOAT>, cid LONG")
+    val docs = spark.read.schema(schema).parquet(s"$path/lists")
+    val exact = topKPerQuery(docs, col("doc_id"), col("dv"),
+      queries, queryId, queryVec, k)
+    // one scalar to the driver — the decision input, contract-tiny
+    val mean = recallAtK(approx, exact, k)
+      .agg(avg(col("recall"))).head().getDouble(0)
+    if (mean < recallFloor) {
+      val cents = recenterIvfIndex(spark, path, outPath, kCentroids,
+        iters, sampleRate, targetRows, spread)
+      IvfMaintenance(mean, recentered = true, outPath, Some(cents))
+    } else IvfMaintenance(mean, recentered = false, path, None)
+  }
+
   /** Centroid set of a saved index, in cid order. */
   def loadIvfCentroids(spark: org.apache.spark.sql.SparkSession,
                        path: String): Seq[(Long, Seq[Double])] =

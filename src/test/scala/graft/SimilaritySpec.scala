@@ -194,6 +194,52 @@ class SimilaritySpec extends SparkSpec {
     assert(recall(idx) < 1.0)
   }
 
+  test("maintainIvfIndex: the recall floor gates the re-center; ticks are replayable") {
+    def v(a: Double, b: Double) = Seq(a, b, 0.0, 0.0).map(_.toFloat)
+    // the recenterIvfIndex drift geometry: a straddling cluster appends
+    // against frozen centroids, so the nprobe=1 probe misses part of it
+    val base = Seq((1L, v(1, 0)), (2L, v(0, 1)), (4L, v(0.99, 0.01)),
+      (5L, v(0.98, 0.02)), (6L, v(0.01, 0.99))).toDF("id", "v")
+    val drift = Seq((3L, v(0.8, 0.75)), (7L, v(0.75, 0.8)),
+      (8L, v(0.78, 0.77))).toDF("id", "v")
+    val cents = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0, 0.0)))
+    val idx = Scratch.dir("ivf_pol") + "/ivf"
+    Similarity.saveIvfIndex(base, $"id", $"v", cents, idx,
+      targetRows = 100L, spread = 2)
+    Similarity.appendIvfIndex(spark, idx, drift, $"id", $"v",
+      targetRows = 100L, spread = 2)
+    val q = Seq((500L, v(0.77, 0.78))).toDF("qid", "qv")
+    def tick(path: String, out: String, floor: Double) =
+      Similarity.maintainIvfIndex(spark, path, out, q, $"qid", $"qv",
+        k = 3, nprobe = 1, recallFloor = floor, kCentroids = 3, iters = 3,
+        targetRows = 100L, spread = 2)
+
+    // recall is degraded but clears a lax floor: measure, do NOT rebuild
+    val out1 = Scratch.dir("ivf_pol_o1") + "/ivf"
+    val lazyTick = tick(idx, out1, floor = 0.1)
+    assert(!lazyTick.recentered && lazyTick.servePath == idx
+      && lazyTick.centroids.isEmpty)
+    assert(lazyTick.meanRecall < 1.0 && lazyTick.meanRecall >= 0.1)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out1)),
+      "a no-trigger tick must not write the new index")
+
+    // a strict floor trips: re-center fires, serving cuts over by path
+    val out2 = Scratch.dir("ivf_pol_o2") + "/ivf"
+    val hot = tick(idx, out2, floor = 0.99)
+    assert(hot.recentered && hot.servePath == out2
+      && hot.centroids.get.length == 3)
+    // the measurement half is deterministic: same index + same probe
+    // batch gives the same number regardless of the floor
+    assert(hot.meanRecall == lazyTick.meanRecall)
+
+    // the re-centered index isolates the drifted cluster: the next tick
+    // clears the same strict floor and leaves it alone
+    val out3 = Scratch.dir("ivf_pol_o3") + "/ivf"
+    val after = tick(out2, out3, floor = 0.99)
+    assert(!after.recentered && after.meanRecall == 1.0
+      && after.servePath == out2)
+  }
+
   test("topKPerQuery returns k ranked neighbors per query") {
     val queries = Seq((100L, b1.toSeq), (200L, b2.toSeq)).toDF("qid", "qv")
     val got = rows(Similarity.topKPerQuery(
