@@ -407,4 +407,46 @@ class PlanAuditSpec extends SparkSpec {
     // and the vocabulary is never windowed
     assert(!plan.contains("Window ["), plan)
   }
+
+  test("g7 corpus health: every sketch block joins broadcast onto the base") {
+    val dir = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("g7_corpus_health")(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    // post-aggregation sides are sketch-sized by construction: the
+    // whole assembly must broadcast — one sort-merge here means a
+    // sketch table shuffled the corpus-side aggregate
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // windows only over the bounded quantile spine (cum + total), never
+    // over raw docs or tokens
+    assert("Window \\[".r.findAllIn(plan).size <= 2, plan)
+  }
+
+  test("x5 token-budget resample: spine census broadcasts back, corpus never globally sorts") {
+    val dir = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("x5_dsir_token_resample")(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    // the budget cut must reach rows via broadcast of the bounded
+    // rounded-key census plus a sel_key-partitioned prefix sum — a
+    // sort-merge join or cartesian means the corpus co-shuffled
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the only full sort is the final deterministic ORDER BY of the
+    // (budget-bounded) result — never a corpus-wide rank
+    assert("Window \\[".r.findAllIn(plan).size <= 3, plan)
+  }
+
+  test("x6 sketch curriculum: bucket phase table broadcasts; one corpus exchange") {
+    val dir = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("x6_curriculum_sketch")(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // windows: the bounded bucket-spine cumulative and the per-(phase,
+    // shard) rank — same budget as x3
+    assert("Window \\[".r.findAllIn(plan).size == 2, plan)
+  }
 }
