@@ -212,6 +212,28 @@ object Streams {
         } finally { gated.unpersist(): Unit }
     }
 
+  /** Streaming corpus-health accounting — the g7 dashboard as
+    * mergeable state: every micro-batch folds once into the
+    * [[graft.operators.Health]] sketch store (additive base stats,
+    * quantile buckets, support-pruned token counts, HLL sketches; all
+    * batch-id-keyed, so replay at any crash point converges), and
+    * `Health.corpusHealthFromStore` assembles the dashboard from
+    * sketch rows alone — corpus-health after N batches never rescans
+    * batch 1. Init the store first ([[graft.operators.Health.initHealthStore]]).
+    */
+  def healthSketchSink(stream: DataFrame, stratumName: String,
+                       dayName: String, textName: String, dir: String,
+                       qualityFloor: Double = 0.5,
+                       hhNum: Long = 1L, hhDen: Long = 200L,
+                       subBits: Int = 5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.operators.Health.appendHealth(batch, col(stratumName),
+          col(dayName), col(textName), dir, batchId, qualityFloor,
+          hhNum, hhDen, subBits)
+    }
+
   /** Streaming-ingest exact dedup: keep the first event per key, with
     * state bounded by the watermark (`dropDuplicatesWithinWatermark` —
     * a key's state is freed once the watermark passes its event time,

@@ -41,7 +41,19 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # Queries that threw inside Verify have no parquet dir; surface them
+    # as explicit FAILs instead of letting them vanish from the report
+    # (the round-8 failure mode).
+    try:
+        failures = json.load(open(f"{outdir}/_failures.json"))
+    except Exception:
+        failures = {}
+    for name, err in sorted(failures.items()):
+        print(f"FAIL {name}: verify threw: {err}")
+        n_fail += 1
     for name, sql in sorted(oracle.items()):
+        if name in failures:
+            continue  # already reported above
         try:
             spark_rel = con.sql(
                 f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
