@@ -1420,6 +1420,43 @@ object SparkEntry {
         .withColumnRenamed("stratum", "lang")
         .orderBy(col("lang"), col("day"))
     }),
+    "g8_ingest_corpus" -> ((s, dir) => {
+      // G8 — the BATCH TWIN of the streaming production ingest path
+      // (Streams.productionIngestSink), giving that pipeline a full
+      // oracle anchor: near-dup keep-one over the corpus (the empty-
+      // index bootstrap case of the d18 probe = d14 closure), then the
+      // TRAINED NB gate as the stateless serving column (literal
+      // weights from the tq1 keyed-split model; gate on the ROUNDED
+      // log-odds so the cut is engine-independent), then the w4 drift
+      // account over survivors. Same build order as the sink: dedup
+      // before scoring, drift on what lands.
+      val d = t(s, dir, "documents")
+      val isTrain = Sampling.keyHash(col("doc_id"), "nbt") <
+        Sampling.threshold(0.6)
+      val gate = Classify.collectWeights(Classify.trainModel(
+        d.filter(isTrain), col("lang") <=> "en", col("text"), nbBuckets))
+      val kept = Dedup.dupClusters(d.select(col("doc_id"), col("text")),
+          col("doc_id"), col("text"), threshold = 0.5)
+        .where(col("kept")).select(col("doc_id"), col("text"))
+      // the g6 gate convention: keep docs with ABOVE-CORPUS-MEAN target
+      // affinity (rounded on both sides) — scale-free where a fixed
+      // log-odds cut is not (the Laplace term shifts raw scores with
+      // document length and corpus size)
+      val scored = kept.select(col("doc_id"), col("text"),
+        fround(TF.letBound(TA.tokens(col("text")))(toks =>
+          Classify.scoreColumnFromTokens(toks, gate, nbBuckets)), 6)
+          .as("_lo6"))
+      val gated = scored
+        .crossJoin(broadcast(
+          scored.agg(fround(avg(col("_lo6")), 6).as("_m6"))))
+        .filter(col("_lo6") > col("_m6"))
+        .withColumn("ts",
+          expr("timestampadd(MINUTE, doc_id, TIMESTAMP '2024-01-01 00:00:00')"))
+      graft.streaming.Streams.qualityDrift(gated, col("ts"), col("text"),
+          windowLen = "1 hour", qualityFloor = 0.5)
+        .orderBy(col("window_start"))
+    }),
+
     "g7x_corpus_health_hll" -> ((s, dir) => {
       // G7x — g7 with the distinct-token column swapped to the a14 HLL
       // union estimate: the 100 TB path (history never rescans; the
@@ -4795,6 +4832,67 @@ object SparkEntry {
            floor(avg(CASE WHEN qv < 0.5 THEN 1.0 ELSE 0.0 END) * 100.0 + 0.5)
              / 100.0 AS low_quality_share
          FROM q GROUP BY 1 ORDER BY window_start"""
+    },
+
+    "g8_ingest_corpus" -> {
+      // The streaming ingest path's batch oracle: the d14/g4 closure
+      // over ALL documents (near-dup keep-one), the tq1 model counts
+      // scoring every kept doc (train split fits, everything scores —
+      // matching the literal-weight serving gate), the w4 drift tail
+      // over rounded-log-odds survivors.
+      val prelude =
+        s"""RECURSIVE g8docs AS (SELECT doc_id, text FROM documents),
+           ${sqlMinhashBandCtes("g8docs", "g8_")},
+           g8cand AS (
+             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.sig AS sa, b.sig AS sb
+             FROM g8_bucketed a JOIN g8_bucketed b
+               ON a.bk = b.bk AND a.doc_id < b.doc_id),
+           g8edges AS (
+             SELECT id_a AS ea, id_b AS eb FROM g8cand
+             WHERE list_sum(list_transform(generate_series(1, 16),
+               i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 16.0
+               >= 0.5),
+           g8sym AS (SELECT ea, eb FROM g8edges
+             UNION SELECT eb AS ea, ea AS eb FROM g8edges),
+           g8reach(id, r) AS (
+             SELECT ea, eb FROM g8sym
+             UNION
+             SELECT t.id, s2.eb FROM g8reach t
+               JOIN g8sym s2 ON t.r = s2.ea),
+           g8comp AS (SELECT id, min(r) AS mr FROM g8reach GROUP BY id),
+           g8kept AS (
+             SELECT d.doc_id FROM g8docs d
+             LEFT JOIN g8comp c ON d.doc_id = c.id
+             WHERE least(coalesce(c.mr, d.doc_id), d.doc_id) = d.doc_id),
+           ${sqlNbModelCtes("g8m_")},
+           g8docf AS (SELECT doc_id, f, count(*)::BIGINT AS c
+             FROM g8m_f
+             WHERE doc_id IN (SELECT doc_id FROM g8kept)
+             GROUP BY 1, 2),
+           g8sc AS (SELECT doc_id,
+               ln(any_value(dpos)::DOUBLE / any_value(dneg)::DOUBLE) +
+                 sum(c * $sqlNbWeight) AS lo
+             FROM g8docf LEFT JOIN g8m_cls USING (f) CROSS JOIN g8m_st
+             GROUP BY doc_id),
+           g8sc6 AS (SELECT doc_id, ${sqlFround("lo", 6)} AS lo6
+             FROM g8sc),
+           g8m AS (SELECT ${sqlFround("avg(lo6)", 6)} AS m6 FROM g8sc6),
+           g8gated AS (SELECT doc_id FROM g8sc6, g8m WHERE lo6 > m6),
+           """
+      s"""${sqlQualityCtes(prelude)},
+         g8q AS (
+           SELECT TIMESTAMP '2024-01-01 00:00:00'
+               + s.doc_id * INTERVAL 1 MINUTE AS ts,
+             $sqlQualityExpr AS qv, s.n_tokens AS ntok
+           FROM s WHERE s.doc_id IN (SELECT doc_id FROM g8gated))
+         SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           count(*) AS n_docs,
+           floor(avg(qv) * 100.0 + 0.5) / 100.0 AS avg_quality,
+           floor(avg(ntok * 1.0) * 100.0 + 0.5) / 100.0 AS avg_tokens,
+           floor(avg(CASE WHEN qv < 0.5 THEN 1.0 ELSE 0.0 END) * 100.0 + 0.5)
+             / 100.0 AS low_quality_share
+         FROM g8q GROUP BY 1 ORDER BY window_start"""
     },
 
     "d13_line_dedup" -> {
