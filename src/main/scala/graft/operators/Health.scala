@@ -199,6 +199,36 @@ object Health {
     } finally { scored.unpersist(): Unit }
   }
 
+  /** All committed HLL rows: latest base ∪ delta segments. */
+  private def hllRows(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): DataFrame = {
+    val bv = SegmentFs.latestBase(spark, s"$dir/hll")
+    val base = spark.read.parquet(SegmentFs.baseDir(s"$dir/hll", bv))
+    val segs = SegmentFs.listVersions(spark, s"$dir/hll/delta", "d")
+      .map(k => SegmentFs.deltaDir(s"$dir/hll", k))
+    if (segs.isEmpty) base
+    else base.unionByName(spark.read.parquet(segs: _*))
+  }
+
+  /** Fold every family's segments into a new base and retire them —
+    * read amplification resets to one segment per family while the
+    * dashboard read stays invariant (keyed sums and HLL union are
+    * associative; spec-pinned). Crash-safe per family: the new base
+    * lands complete before any delta retires ([[SegmentFs.compactInto]]),
+    * and a crash between families leaves each log readable.
+    */
+  def compactHealthStore(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): Unit = {
+    CountLog.compact(spark, s"$dir/basestats", Seq("stratum", "day")): Unit
+    CountLog.compact(spark, s"$dir/qbuckets",
+      Seq("stratum", "day", "lo")): Unit
+    CountLog.compact(spark, s"$dir/toks",
+      Seq("stratum", "day", "key")): Unit
+    SegmentFs.compactInto(spark, s"$dir/hll",
+      hllRows(spark, dir).groupBy(col("stratum"), col("day"))
+        .agg(expr("hll_union_agg(sketch, true)").as("sketch"))): Unit
+  }
+
   /** Assemble the dashboard from landed sketch rows ONLY — no corpus
     * access. Same columns as [[corpusHealth]] with the HLL distinct
     * path; `top_tok_cnt` is the summed support-pruned count (a lower
@@ -237,13 +267,7 @@ object Health {
       .filter(col("cnt") === col("top_tok_cnt"))
       .groupBy(col("stratum"), col("day"), col("top_tok_cnt"))
       .agg(max(col("key")).as("top_tok"))
-    val hllSegs = SegmentFs.listVersions(spark, s"$dir/hll/delta", "d")
-      .map(k => SegmentFs.deltaDir(s"$dir/hll", k))
-    val hllRows =
-      if (hllSegs.isEmpty)
-        spark.read.parquet(SegmentFs.baseDir(s"$dir/hll", 0L))
-      else spark.read.parquet(hllSegs: _*)
-    val dist = hllRows.groupBy(col("stratum"), col("day"))
+    val dist = hllRows(spark, dir).groupBy(col("stratum"), col("day"))
       .agg(expr("cast(hll_sketch_estimate(hll_union_agg(sketch, true)) as bigint)")
         .as("distinct_toks"))
     base

@@ -100,6 +100,32 @@ class HealthSpec extends SparkSpec {
     }
   }
 
+  test("health store compaction: dashboard read invariant, segments retired, appends keep folding") {
+    val dir = Scratch.dir("health_compact") + "/store"
+    Health.initHealthStore(spark, dir)
+    Health.appendHealth(docs.filter($"doc_id" < 200), $"lang",
+      pmod($"doc_id", lit(3)), $"text", dir, 0L)
+    Health.appendHealth(docs.filter($"doc_id" >= 200 && $"doc_id" < 400),
+      $"lang", pmod($"doc_id", lit(3)), $"text", dir, 1L)
+    val before = rows(Health.corpusHealthFromStore(spark, dir)
+      .orderBy($"stratum", $"day")).map(_.toSeq)
+    Health.compactHealthStore(spark, dir)
+    val after = rows(Health.corpusHealthFromStore(spark, dir)
+      .orderBy($"stratum", $"day")).map(_.toSeq)
+    assert(after == before && before.nonEmpty)
+    // all four families retired their deltas
+    for (fam <- Seq("basestats", "qbuckets", "toks", "hll"))
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/$fam/delta")) ||
+        new java.io.File(s"$dir/$fam/delta").list().isEmpty,
+        s"family $fam kept delta segments")
+    // the log keeps absorbing batches after the fold
+    Health.appendHealth(docs.filter($"doc_id" >= 400), $"lang",
+      pmod($"doc_id", lit(3)), $"text", dir, 2L)
+    val full = rows(Health.corpusHealthFromStore(spark, dir))
+    assert(full.map(_.getAs[Long]("n_docs")).sum == docs.count())
+  }
+
   test("healthSketchSink: MemoryStream micro-batches land in the store; dashboard reads catch up") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
