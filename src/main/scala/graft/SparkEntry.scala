@@ -2331,6 +2331,60 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "m4_container_headers" -> ((s, dir) => {
+      // M4 — the still-image/video container legs beside m2/m3: BMP
+      // (BITMAPINFOHEADER, signed LE dims — every 5th row top-down
+      // negative height) and MP4/ISO-BMFF (big-endian ftyp box with a
+      // variable compatible-brand list, so the box SIZE field must be
+      // parsed, not assumed). Payloads synthesize from doc_id (every
+      // 13th truncated), the oracle recomputes ground truth from
+      // doc_id alone — only a real header parse matches every row.
+      def leHexC(v: Column, nBytes: Int): Column =
+        concat((0 until nBytes).map(k =>
+          lpad(hex(pmod(shiftright(v.cast("long"), 8 * k), lit(256))), 2, "0")): _*)
+      def beHexC(v: Column, nBytes: Int): Column =
+        concat((0 until nBytes).reverse.map(k =>
+          lpad(hex(pmod(shiftright(v.cast("long"), 8 * k), lit(256))), 2, "0")): _*)
+      val w = col("doc_id") % 640 + 16
+      val hgt = (col("doc_id") % 480 + 16) *
+        when(col("doc_id") % 5 === 0, -1L).otherwise(1L)
+      val bpp = when(col("doc_id") % 3 === 0, 8L)
+        .when(col("doc_id") % 3 === 1, 24L).otherwise(32L)
+      val brand = when(col("doc_id") % 3 === 0, "isom")
+        .when(col("doc_id") % 3 === 1, "mp42").otherwise("avc1")
+      val minor = col("doc_id") % 512
+      val nb = col("doc_id") % 3 + 1
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"))
+        .withColumn("bmp_hex", concat(
+          lit("424D"), leHexC(lit(54L), 4), lit("00000000"),
+          leHexC(lit(54L), 4), leHexC(lit(40L), 4),
+          leHexC(w, 4), leHexC(hgt, 4), lit("0100"), leHexC(bpp, 2),
+          lit("00" * 24)))
+        .withColumn("mp4_hex", concat(
+          beHexC(lit(16L) + nb * 4, 4), lit("66747970"), hex(brand),
+          beHexC(minor, 4),
+          expr("repeat('6D703431', cast(doc_id % 3 + 1 as int))")))
+        .withColumn("full_hex",
+          when(col("doc_id") % 2 === 0, col("bmp_hex"))
+            .otherwise(col("mp4_hex")))
+        .withColumn("media",
+          unhex(when(col("doc_id") % 13 === 0, substring(col("full_hex"), 1, 12))
+            .otherwise(col("full_hex"))))
+      d.withColumn("bmp", Multimodal.bmpInfo(col("media")))
+        .withColumn("mp4", Multimodal.mp4Info(col("media")))
+        .select(col("doc_id"),
+          when(col("bmp").isNotNull, lit("bmp"))
+            .when(col("mp4").isNotNull, lit("mp4")).as("fmt"),
+          col("bmp.width").as("width"),
+          col("bmp.height").as("height"),
+          col("bmp.bits_per_pixel").as("bits_per_pixel"),
+          col("mp4.major_brand").as("major_brand"),
+          col("mp4.minor_version").as("minor_version"),
+          col("mp4.n_brands").as("n_brands"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- W2: sessionization (batch twin of the streaming path) ------
     "w2_sessionization" -> ((s, dir) => {
       // Gap-based sessionization via lag + running session-break sum —
@@ -4225,6 +4279,29 @@ object SparkEntry {
               ELSE doc_id % 320 + 8 END AS width,
          CASE WHEN doc_id % 13 = 0 OR doc_id % 2 = 0 THEN NULL
               ELSE doc_id % 200 + 8 END AS height
+         FROM documents ORDER BY doc_id""",
+
+    "m4_container_headers" ->
+      // ground truth from doc_id — the Spark side must parse the BMP
+      // DIB header / walk the ftyp box size to recover the same values
+      """SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN NULL
+              WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'mp4' END AS fmt,
+         CASE WHEN doc_id % 13 = 0 OR doc_id % 2 <> 0 THEN NULL
+              ELSE doc_id % 640 + 16 END AS width,
+         CASE WHEN doc_id % 13 = 0 OR doc_id % 2 <> 0 THEN NULL
+              ELSE (doc_id % 480 + 16)
+                * (CASE WHEN doc_id % 5 = 0 THEN -1 ELSE 1 END) END AS height,
+         CASE WHEN doc_id % 13 = 0 OR doc_id % 2 <> 0 THEN NULL
+              WHEN doc_id % 3 = 0 THEN 8
+              WHEN doc_id % 3 = 1 THEN 24 ELSE 32 END AS bits_per_pixel,
+         CASE WHEN doc_id % 13 = 0 OR doc_id % 2 = 0 THEN NULL
+              WHEN doc_id % 3 = 0 THEN 'isom'
+              WHEN doc_id % 3 = 1 THEN 'mp42' ELSE 'avc1' END AS major_brand,
+         CASE WHEN doc_id % 13 = 0 OR doc_id % 2 = 0 THEN NULL
+              ELSE doc_id % 512 END AS minor_version,
+         CASE WHEN doc_id % 13 = 0 OR doc_id % 2 = 0 THEN NULL
+              ELSE doc_id % 3 + 1 END AS n_brands
          FROM documents ORDER BY doc_id""",
 
     "w2_sessionization" ->

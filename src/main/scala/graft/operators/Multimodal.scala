@@ -269,6 +269,43 @@ object Multimodal {
       struct(leU16(h, lit(6)).as("width"), leU16(h, lit(8)).as("height")))
   }
 
+  /** Big-endian u32 at byte offset `off` of hex string `h`. */
+  private def beU32(h: Column, off: Column): Column =
+    conv(substring(h, off * 2 + 1, lit(8)), 16, 10).cast("long")
+
+  /** BMP (BITMAPINFOHEADER) info as a pure expression: "BM" signature,
+    * DIB header size 40 at byte 14, SIGNED little-endian width/height
+    * at 18/22 (negative height = top-down row order, BMP spec), bits
+    * per pixel at 28. NULL for truncated or non-BMP payloads — every
+    * read is length-guarded (ANSI-safe).
+    */
+  def bmpInfo(bin: Column): Column = bind(upper(hex(bin))) { h =>
+    def s32(v: Column) =
+      when(v >= lit(1L << 31), v - lit(1L << 32)).otherwise(v)
+    when(length(bin) >= 30 && substring(h, 1, 4) === "424D" &&
+        leU32(h, lit(14)) === 40,
+      struct(s32(leU32(h, lit(18))).as("width"),
+        s32(leU32(h, lit(22))).as("height"),
+        leU16(h, lit(28)).as("bits_per_pixel")))
+  }
+
+  /** MP4/ISO-BMFF `ftyp` box as a pure expression (ISO/IEC 14496-12
+    * §4.3 — the box every .mp4/.mov-family file leads with): big-endian
+    * u32 box size, type "ftyp" at byte 4, major-brand 4cc at 8, minor
+    * version at 12, compatible-brand 4ccs filling the rest of the box.
+    * Returns struct(major_brand, minor_version, n_brands); NULL for
+    * truncated or non-BMFF payloads (box must be fully present — the
+    * brand count reads only the DECLARED, in-range box).
+    */
+  def mp4Info(bin: Column): Column = bind(upper(hex(bin))) { h =>
+    val size = beU32(h, lit(0))
+    when(length(bin) >= 16 && substring(h, 9, 8) === "66747970" &&
+        size >= 16 && pmod(size, lit(4)) === 0 && length(bin) >= size,
+      struct(decode(unhex(substring(h, 17, 8)), "UTF-8").as("major_brand"),
+        beU32(h, lit(12)).as("minor_version"),
+        floor((size - 16).cast("double") / 4.0).cast("long").as("n_brands")))
+  }
+
   /** Frame sampling: n evenly-spaced byte-range "frames" from a payload
     * (the video-decode shape: sample k frames, decode each). Returns
     * array<binary>; empty payload ⇒ empty array.

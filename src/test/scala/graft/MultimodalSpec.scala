@@ -145,6 +145,49 @@ class MultimodalSpec extends SparkSpec {
     assert(got(1).isNullAt(1))                    // budget 3 → NULL, not wrong
   }
 
+  test("bmpInfo parses signed dims; rejects truncation, wrong magic, non-BITMAPINFOHEADER") {
+    // 10x20 bottom-up 24bpp; 10x(-20) top-down; V5-header (size 124);
+    // truncated; wrong magic
+    def bmp(w: Long, h: Long, dib: Long) = "424D" + "36000000" + "00000000" +
+      "36000000" +
+      f"$dib%02X000000" +
+      (0 until 4).map(k => f"${(w >> (8 * k)) & 0xff}%02X").mkString +
+      (0 until 4).map(k => f"${(h >> (8 * k)) & 0xff}%02X").mkString +
+      "0100" + "1800" + "00" * 24
+    val df = Seq(
+      (1L, bmp(10, 20, 40)), (2L, bmp(10, -20 & 0xffffffffL, 40)),
+      (3L, bmp(10, 20, 124)), (4L, bmp(10, 20, 40).take(20)),
+      (5L, "4D42" + bmp(10, 20, 40).drop(4)))
+      .toDF("id", "hx").select($"id", unhex($"hx").as("media"))
+    val got = rows(df.orderBy($"id")
+      .select(Multimodal.bmpInfo($"media").as("b")))
+    assert(got(0).getStruct(0).getLong(0) == 10L
+      && got(0).getStruct(0).getLong(1) == 20L
+      && got(0).getStruct(0).getLong(2) == 24L)
+    assert(got(1).getStruct(0).getLong(1) == -20L, "top-down height is signed")
+    assert(got(2).isNullAt(0) && got(3).isNullAt(0) && got(4).isNullAt(0))
+  }
+
+  test("mp4Info reads the declared ftyp box; rejects truncation and short boxes") {
+    def be(v: Long) = (0 until 4).reverse
+      .map(k => f"${(v >> (8 * k)) & 0xff}%02X").mkString
+    val two = be(24) + "66747970" + "69736F6D" + be(512) +
+      "6D703431" + "69736F32" // isom, minor 512, 2 compat brands
+    val none = be(16) + "66747970" + "61766331" + be(0) // avc1, 0 brands
+    val short = be(24) + "66747970" + "69736F6D" + be(0) + "6D703431" // declared 24, 20 present
+    val notFtyp = be(16) + "6D6F6F76" + "69736F6D" + be(0)
+    val df = Seq((1L, two), (2L, none), (3L, short), (4L, notFtyp))
+      .toDF("id", "hx").select($"id", unhex($"hx").as("media"))
+    val got = rows(df.orderBy($"id")
+      .select(Multimodal.mp4Info($"media").as("m")))
+    assert(got(0).getStruct(0).getString(0) == "isom"
+      && got(0).getStruct(0).getLong(1) == 512L
+      && got(0).getStruct(0).getLong(2) == 2L)
+    assert(got(1).getStruct(0).getString(0) == "avc1"
+      && got(1).getStruct(0).getLong(2) == 0L)
+    assert(got(2).isNullAt(0) && got(3).isNullAt(0))
+  }
+
   test("readBinaryDir ingests files with glob pruning and a size cap") {
     val dir = java.nio.file.Files.createTempDirectory("graft-media")
     def put(name: String, hx: String): Unit =
