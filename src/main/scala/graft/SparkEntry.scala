@@ -826,6 +826,38 @@ object SparkEntry {
         .orderBy(col("lang"), col("tok"))
     }),
 
+    "a17_pivot" -> ((s, dir) => {
+      // Wide reshaping: per-source counts and char mass pivoted over
+      // the closed lang domain (explicit value list ⇒ one pass, no
+      // distinct-probe job; absent cells coalesce to 0 so the frame is
+      // dense). The report-matrix shape every corpus summary ends in.
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val p = t(s, dir, "documents")
+        .groupBy(col("source"))
+        .pivot("lang", langs)
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      p.select(col("source") +:
+          langs.flatMap(l => Seq(
+            coalesce(col(s"${l}_n"), lit(0L)).as(s"n_$l"),
+            coalesce(col(s"${l}_chars"), lit(0L)).as(s"chars_$l"))): _*)
+        .orderBy(col("source"))
+    }),
+    "a18_grouping_sets" -> ((s, dir) => {
+      // CUBE over (lang, source) with explicit grouping flags — the
+      // subtotal lattice (per cell, per lang, per source, grand total)
+      // in ONE aggregation pass; NULL group keys coalesce to 'ALL' so
+      // the row identity is engine-independent.
+      t(s, dir, "documents")
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+          grouping(col("lang")).cast("long").as("g_lang"),
+          grouping(col("source")).cast("long").as("g_source"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang_k"),
+          coalesce(col("source"), lit("ALL")).as("source_k"),
+          col("g_lang"), col("g_source"), col("n"), col("chars"))
+        .orderBy(col("lang_k"), col("source_k"))
+    }),
+
     "ta13_char_diversity" -> ((s, dir) => {
       // Character-diversity quality signals (beyond the reference;
       // Gopher-family heuristic — generated/boilerplate text
@@ -2383,6 +2415,27 @@ object SparkEntry {
           col("mp4.minor_version").as("minor_version"),
           col("mp4.n_brands").as("n_brands"))
         .orderBy(col("doc_id"))
+    }),
+
+    "w6_interval_join" -> ((s, dir) => {
+      // Batch twin of the watermarked stream-stream interval join
+      // (Streams.intervalJoin; StreamFileSpec pins stream == batch
+      // over the same closed input): even events pair with the same
+      // user's odd events landing within the next 10 minutes, rolled
+      // up per user with exact integer gap stats.
+      val e = t(s, dir, "events")
+      val a = e.filter(pmod(col("event_id"), lit(2)) === 0)
+        .select(col("user_id").as("a_user"), col("ts").as("a_ts"))
+      val b = e.filter(pmod(col("event_id"), lit(2)) === 1)
+        .select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+      graft.streaming.Streams.intervalJoin(a, b,
+          "a_user = b_user", "a_ts", "b_ts", "10 MINUTES")
+        .select(col("a_user").as("user_id"),
+          (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("gap")).as("sum_gap_us"),
+          min(col("gap")).as("min_gap_us"), max(col("gap")).as("max_gap_us"))
+        .orderBy(col("user_id"))
     }),
 
     // ---- W2: sessionization (batch twin of the streaming path) ------
@@ -4304,6 +4357,23 @@ object SparkEntry {
               ELSE doc_id % 3 + 1 END AS n_brands
          FROM documents ORDER BY doc_id""",
 
+    "w6_interval_join" ->
+      """WITH a AS (
+           SELECT user_id, ts AS a_ts FROM events WHERE event_id % 2 = 0),
+         b AS (
+           SELECT user_id, ts AS b_ts FROM events WHERE event_id % 2 = 1),
+         j AS (
+           SELECT a.user_id,
+             epoch_us(b.b_ts::TIMESTAMP) - epoch_us(a.a_ts::TIMESTAMP) AS gap
+           FROM a JOIN b ON a.user_id = b.user_id
+             AND b.b_ts >= a.a_ts
+             AND b.b_ts <= a.a_ts + INTERVAL 10 MINUTE)
+         SELECT user_id, count(*) AS n_pairs,
+           sum(gap)::BIGINT AS sum_gap_us,
+           min(gap)::BIGINT AS min_gap_us,
+           max(gap)::BIGINT AS max_gap_us
+         FROM j GROUP BY user_id ORDER BY user_id""",
+
     "w2_sessionization" ->
       s"""WITH m AS (
            SELECT user_id, event_id, value, epoch_us(ts::TIMESTAMP) AS m
@@ -4795,6 +4865,24 @@ object SparkEntry {
       s"""${sqlQualityCtes()}
          SELECT floor($sqlQualityExpr * 10)::BIGINT AS decile, count(*) AS n
          FROM s GROUP BY 1 ORDER BY 1""",
+
+    "a17_pivot" -> {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val cells = langs.flatMap(l => Seq(
+        s"sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END)::BIGINT AS n_$l",
+        s"sum(CASE WHEN lang = '$l' THEN n_chars ELSE 0 END)::BIGINT AS chars_$l"))
+      s"""SELECT source, ${cells.mkString(", ")}
+         FROM documents GROUP BY source ORDER BY source"""
+    },
+
+    "a18_grouping_sets" ->
+      """SELECT coalesce(lang, 'ALL') AS lang_k,
+           coalesce(source, 'ALL') AS source_k,
+           GROUPING(lang)::BIGINT AS g_lang,
+           GROUPING(source)::BIGINT AS g_source,
+           count(*) AS n, sum(n_chars)::BIGINT AS chars
+         FROM documents GROUP BY CUBE (lang, source)
+         ORDER BY lang_k, source_k""",
 
     "g7_corpus_health" ->
       // Replays all four dashboard blocks: the ta2 quality CTEs feed

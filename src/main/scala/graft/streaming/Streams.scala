@@ -212,6 +212,29 @@ object Streams {
         } finally { gated.unpersist(): Unit }
     }
 
+  /** Watermarked stream-stream INTERVAL join — the correlation shape
+    * (click↔view, request↔response, doc↔annotation) as one
+    * declarative join that runs identically in batch and streaming.
+    * Column names must already be disjoint (`aTs`/`bTs` name the two
+    * event-time columns; `cond` is the equality part, e.g.
+    * `"a_user = b_user"`); rows pair when `bTs ∈ [aTs, aTs + within]`.
+    *
+    * Streaming state is bounded BY THE JOIN CONDITION: with both sides
+    * watermarked, Spark derives each side's state retention from the
+    * time-range predicate (a row can be dropped once the other side's
+    * watermark passes its join window) — without the range condition a
+    * stream-stream inner join would buffer forever. Batch mode plans
+    * the same join with the range as an ordinary predicate.
+    */
+  def intervalJoin(a: DataFrame, b: DataFrame, cond: String,
+                   aTs: String, bTs: String, within: String,
+                   watermarkDelay: String = "10 minutes"): DataFrame = {
+    val aw = if (a.isStreaming) a.withWatermark(aTs, watermarkDelay) else a
+    val bw = if (b.isStreaming) b.withWatermark(bTs, watermarkDelay) else b
+    aw.join(bw, expr(
+      s"$cond AND $bTs >= $aTs AND $bTs <= $aTs + INTERVAL $within"))
+  }
+
   /** Streaming corpus-health accounting — the g7 dashboard as
     * mergeable state: every micro-batch folds once into the
     * [[graft.operators.Health]] sketch store (additive base stats,

@@ -123,6 +123,43 @@ class StreamFileSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join equals the batch twin on closed input") {
+    val dir = "/root/testdata/sf0.001"
+    def halves(e: org.apache.spark.sql.DataFrame) = (
+      e.filter(pmod(col("event_id"), lit(2)) === 0)
+        .select(col("user_id").as("a_user"), col("ts").as("a_ts")),
+      e.filter(pmod(col("event_id"), lit(2)) === 1)
+        .select(col("user_id").as("b_user"), col("ts").as("b_ts")))
+    def paired(e: org.apache.spark.sql.DataFrame) = {
+      val (a, b) = halves(e)
+      Streams.intervalJoin(a, b, "a_user = b_user", "a_ts", "b_ts",
+        "10 MINUTES")
+    }
+    val streamDir = java.nio.file.Files.createTempDirectory("sjstream")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(streamDir.toString)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_sj").toString
+    val q = paired(stream).writeStream
+      .format("memory").queryName("sj_stream").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = rows(spark.sql(
+      "SELECT a_user, a_ts, b_ts FROM sj_stream ORDER BY a_user, a_ts, b_ts"))
+      .map(_.toSeq)
+    val batch = rows(paired(Tables.load(spark, dir, "events"))
+      .select(col("a_user"), col("a_ts"), col("b_ts"))
+      .orderBy(col("a_user"), col("a_ts"), col("b_ts"))).map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("productionIngestSink: dedup → gate → drift → MergeLog land, end-to-end, replay idempotent") {
     import graft.operators.{Classify, Dedup, MergeLog}
     implicit val sqlCtx = spark.sqlContext
