@@ -858,6 +858,26 @@ object SparkEntry {
         .orderBy(col("lang_k"), col("source_k"))
     }),
 
+    "d20_editdist_pairs" -> ((s, dir) => {
+      // Edit-distance near-dup pairs over the title field (the
+      // metadata-typo dedup flavor beside Jaccard/MinHash/SimHash body
+      // dedup): prefix-blocked, length-prefiltered, exact levenshtein
+      // verify. Titles synthesize from doc_id with zero-padded bases
+      // (so a block is one base) and three suffix variants at edit
+      // distance 0/2/2-from-each-other and 3 from base-to-qz — the
+      // dist ≤ 2 cut excludes exactly the ''↔' qz' pairs, which the
+      // oracle replays.
+      val title = concat(lit("title "),
+        lpad(pmod(col("doc_id"), lit(40)).cast("string"), 2, "0"),
+        when(expr("(doc_id div 40) % 3") === 1, lit(" x"))
+          .when(expr("(doc_id div 40) % 3") === 2, lit(" qz"))
+          .otherwise(lit("")))
+      Dedup.editDistancePairs(
+          t(s, dir, "documents").select(col("doc_id"), title.as("title")),
+          col("doc_id"), col("title"), maxDist = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "ta13_char_diversity" -> ((s, dir) => {
       // Character-diversity quality signals (beyond the reference;
       // Gopher-family heuristic — generated/boilerplate text
@@ -4865,6 +4885,21 @@ object SparkEntry {
       s"""${sqlQualityCtes()}
          SELECT floor($sqlQualityExpr * 10)::BIGINT AS decile, count(*) AS n
          FROM s GROUP BY 1 ORDER BY 1""",
+
+    "d20_editdist_pairs" ->
+      """WITH t AS (
+           SELECT doc_id AS id,
+             lower(trim('title ' || lpad((doc_id % 40)::VARCHAR, 2, '0')
+               || CASE (doc_id // 40) % 3 WHEN 1 THEN ' x'
+                    WHEN 2 THEN ' qz' ELSE '' END)) AS tt
+           FROM documents),
+         b AS (SELECT id, tt, substr(tt, 1, 8) AS bk FROM t)
+         SELECT x.id AS id_a, y.id AS id_b,
+           levenshtein(x.tt, y.tt)::INT AS dist
+         FROM b x JOIN b y ON x.bk = y.bk AND x.id < y.id
+           AND abs(len(x.tt) - len(y.tt)) <= 2
+         WHERE levenshtein(x.tt, y.tt) <= 2
+         ORDER BY id_a, id_b""",
 
     "a17_pivot" -> {
       val langs = Seq("de", "en", "es", "fr", "zh")

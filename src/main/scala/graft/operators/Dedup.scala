@@ -691,6 +691,39 @@ object Dedup {
       .where(col("dist") <= maxDist)
   }
 
+  /** Edit-distance near-dup pairs over a SHORT string key (titles,
+    * normalized URLs, author strings — never whole documents:
+    * levenshtein is quadratic in string length, which is why the
+    * fuzzy-dedup family uses token Jaccard/MinHash/SimHash for bodies
+    * and reserves edit distance for the metadata fields where typos
+    * and suffix noise live). Candidates form only inside a
+    * lowercase-prefix block (`blockPrefix` chars), with a length
+    * prefilter (|len_a − len_b| ≤ maxDist bounds edit distance from
+    * below) ahead of the exact levenshtein verify.
+    *
+    * Recall contract, stated: a pair whose edits fall inside the first
+    * `blockPrefix` characters is missed — prefix blocking is the
+    * standard tradeoff for this operator (record-linkage practice);
+    * pairs differing only in tail/middle edits (the common typo and
+    * version-suffix cases) are found exactly. Scale shape: bare
+    * (id, short-string) rows ride the block self-join; block sizes are
+    * data-bounded like every blocking key here.
+    */
+  def editDistancePairs(df: DataFrame, id: Column, key: Column,
+                        maxDist: Int, blockPrefix: Int = 8): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(blockPrefix >= 1, s"blockPrefix must be >= 1, got $blockPrefix")
+    val t = df.select(id.cast("long").as("id"),
+        lower(trim(key)).as("_t"))
+      .withColumn("_bk", substring(col("_t"), 1, blockPrefix))
+    t.as("x").join(t.as("y"),
+        col("x._bk") === col("y._bk") && col("x.id") < col("y.id") &&
+          abs(length(col("x._t")) - length(col("y._t"))) <= maxDist)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        levenshtein(col("x._t"), col("y._t")).as("dist"))
+      .where(col("dist") <= maxDist)
+  }
+
   /** Boilerplate line detection — the C4/RefinedWeb line-level dedup
     * signal: lines ("All rights reserved.", cookie banners, nav
     * footers) that recur across at least `minDocs` documents. Counting

@@ -451,6 +451,27 @@ class DedupSpec extends SparkSpec {
     assert(inc3 == full3)
   }
 
+  test("editDistancePairs: exact within block; prefix-edit miss is the documented contract") {
+    val d = Seq(
+      (1L, "Adaptive Query Execution"),
+      (2L, "Adaptive Query Executio"),  // tail deletion, dist 1
+      (3L, "Adaptive Query Exec v2"),   // dist > 2 from every sibling
+      (4L, "adaptive query execution"), // case fold -> dist 0 from 1
+      (5L, "Bdaptive Query Execution"), // FIRST-char edit: other block
+      (6L, "Unrelated Title Entirely")
+    ).toDF("id", "t")
+    val pairs = rows(Dedup.editDistancePairs(d, $"id", $"t", maxDist = 2)
+        .orderBy($"id_a", $"id_b"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((1L, 2L, 1)))
+    assert(pairs.contains((1L, 4L, 0)))
+    assert(pairs.contains((2L, 4L, 1)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "dist > maxDist")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L),
+      "a first-char edit leaves the block — the stated recall tradeoff")
+    assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
   test("simhashPairs: only pairs within the Hamming radius; near-identical docs collide") {
     val df = Seq(
       (1L, "spark is a unified analytics engine for large scale data"),
