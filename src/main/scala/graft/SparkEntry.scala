@@ -1203,6 +1203,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "s13_bucketed_join" -> ((s, dir) => {
+      // S13 — bucketed co-located join (sources.Buckets): orders and
+      // customer land pre-hash-partitioned on the customer key into the
+      // same bucket count, then the recurring fact-to-dim join plans
+      // WITHOUT shuffling either side (PlanAuditSpec pins zero
+      // exchanges on the merge path). The oracle replays the join from
+      // the raw tables — the bucketed round trip must be lossless.
+      val base = scratchDir("graft_s13")
+      sources.Buckets.writeBucketed(
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        "s13_orders", s"$base/orders", "o_custkey", 8)
+      sources.Buckets.writeBucketed(
+        t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
+        "s13_customer", s"$base/customer", "c_custkey", 8)
+      sources.Buckets.table(s, "s13_orders")
+        .join(sources.Buckets.table(s, "s13_customer").hint("merge"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          fround(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     "s11_sized_sink" -> ((s, dir) => {
       // Size-targeted partitioned sink round-trip (beyond the
       // reference): documents land as lang=<v>/ parquet, each language
@@ -4885,6 +4910,12 @@ object SparkEntry {
       s"""${sqlQualityCtes()}
          SELECT floor($sqlQualityExpr * 10)::BIGINT AS decile, count(*) AS n
          FROM s GROUP BY 1 ORDER BY 1""",
+
+    "s13_bucketed_join" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+           ${sqlFround("sum(o_totalprice)", 2)} AS sum_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "d20_editdist_pairs" ->
       """WITH t AS (

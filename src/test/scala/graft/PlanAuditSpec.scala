@@ -408,6 +408,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window ["), plan)
   }
 
+  test("bucketed co-located join: zero shuffle exchanges on either side") {
+    val base = Scratch.dir("bucket_audit")
+    val fact = Seq.tabulate(200)(i => (i.toLong, i.toLong % 20, i * 1.5))
+      .toDF("o_id", "k", "v")
+    val dim = Seq.tabulate(20)(i => (i.toLong, s"seg${i % 4}"))
+      .toDF("k", "seg")
+    graft.sources.Buckets.writeBucketed(fact, "pa_fact", s"$base/fact", "k", 4)
+    graft.sources.Buckets.writeBucketed(dim, "pa_dim", s"$base/dim", "k", 4)
+    val joined = graft.sources.Buckets.table(spark, "pa_fact")
+      .join(graft.sources.Buckets.table(spark, "pa_dim").hint("merge"), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    // bucket metadata co-locates both sides: the merge join must plan
+    // with NO exchange — re-shuffling a bucketed table per query is
+    // exactly the cost the layout exists to eliminate
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    // and the result is the plain join
+    assert(joined.count() == 200L)
+  }
+
   test("g7 corpus health: every sketch block joins broadcast onto the base") {
     val dir = "/root/testdata/sf0.001"
     val q = SparkEntry.queries("g7_corpus_health")(spark, dir)
