@@ -95,6 +95,12 @@ object CountLog {
   def compact(spark: SparkSession, dir: String, keys: Seq[String]): Long =
     SegmentFs.compactInto(spark, dir, read(spark, dir, keys))
 
+  /** Reclaim bases older than the latest committed one
+    * ([[SegmentFs.vacuumBases]]; reads unaffected).
+    */
+  def vacuum(spark: SparkSession, dir: String): Int =
+    SegmentFs.vacuumBases(spark, dir)
+
   /** Streaming sink: every micro-batch appends one partial-count
     * segment keyed by the batch id (idempotent on replay — the
     * exactly-once contract against the checkpoint). The caller's

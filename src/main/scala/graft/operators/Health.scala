@@ -229,6 +229,15 @@ object Health {
         .agg(expr("hll_union_agg(sketch, true)").as("sketch"))): Unit
   }
 
+  /** Reclaim every family's pre-compaction bases
+    * ([[SegmentFs.vacuumBases]]); run after [[compactHealthStore]] on
+    * the operator's cadence. Returns total bases removed.
+    */
+  def vacuumHealthStore(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Int =
+    Seq("basestats", "qbuckets", "toks", "hll")
+      .map(f => SegmentFs.vacuumBases(spark, s"$dir/$f")).sum
+
   /** Assemble the dashboard from landed sketch rows ONLY — no corpus
     * access. Same columns as [[corpusHealth]] with the HLL distinct
     * path; `top_tok_cnt` is the summed support-pruned count (a lower

@@ -111,6 +111,25 @@ private[operators] object SegmentFs {
     }
     next
   }
+
+  /** Delete every base older than the latest COMMITTED one — the
+    * storage-reclaim step compaction deliberately leaves behind
+    * (the old base must survive until the new one is committed, and a
+    * reader mid-plan may still hold it; vacuum runs later, on the
+    * operator's cadence). Reads are unaffected: [[latestBase]] already
+    * serves only the newest committed base, and as-of reads reach back
+    * only to it. Returns the number of bases removed.
+    */
+  def vacuumBases(spark: SparkSession, dir: String): Int = {
+    val keep = listVersions(spark, s"$dir/base", "v").lastOption
+      .getOrElse(return 0)
+    val f = fs(spark, dir)
+    val all = f.listStatus(new org.apache.hadoop.fs.Path(s"$dir/base")).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .filter(_.getPath.getName.drop(2).toLong != keep)
+    all.foreach(s => f.delete(s.getPath, true): Unit)
+    all.size
+  }
 }
 
 object MergeLog {
@@ -192,6 +211,13 @@ object MergeLog {
               version: String = "version",
               deleted: String = "deleted"): Long =
     SegmentFs.compactInto(spark, dir, read(spark, dir, key, version, deleted))
+
+  /** Reclaim bases older than the latest committed one (see
+    * [[SegmentFs.vacuumBases]] — reads and the as-of horizon are
+    * unaffected, they already reach back only to the current base).
+    */
+  def vacuum(spark: SparkSession, dir: String): Int =
+    SegmentFs.vacuumBases(spark, dir)
 
   /** Row-level diff between two time-travel states: every key whose
     * resolved value differs between [[readAsOf]] `from` and `to`, with

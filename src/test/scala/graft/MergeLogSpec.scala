@@ -73,6 +73,26 @@ class MergeLogSpec extends SparkSpec {
     assert(state(dir) == before)
   }
 
+  test("vacuum reclaims pre-compaction bases; reads and further appends unaffected") {
+    val dir = Scratch.dir("mergelog_vacuum")
+    MergeLog.init(snap, dir)
+    MergeLog.appendDelta(
+      Seq(LogDelta(1, "a9", 7, false), LogDelta(4, "d", 8, true)).toDF(), dir)
+    MergeLog.compact(spark, dir, "id")
+    MergeLog.appendDelta(Seq(LogDelta(2, "b2", 9, false)).toDF(), dir)
+    MergeLog.compact(spark, dir, "id") // bases v=0, v=1, v=2 on disk
+    val before = state(dir)
+    assert(new java.io.File(s"$dir/base").list().sorted.toSeq ==
+      Seq("v=0", "v=1", "v=2"))
+    assert(MergeLog.vacuum(spark, dir) == 2)
+    assert(new java.io.File(s"$dir/base").list().toSeq == Seq("v=2"))
+    assert(state(dir) == before)
+    // vacuum again: nothing left to reclaim; the log keeps working
+    assert(MergeLog.vacuum(spark, dir) == 0)
+    MergeLog.appendDelta(Seq(LogDelta(5, "e", 10, false)).toDF(), dir)
+    assert(state(dir) != before)
+  }
+
   test("appendDelta with an explicit id is idempotent (streaming replay)") {
     val dir = Scratch.dir("mergelog_idem")
     MergeLog.init(snap, dir)

@@ -157,6 +157,20 @@ class SamplingSpec extends SparkSpec {
     assert(rep == got, "cut must not depend on partitioning")
   }
 
+  test("weightedTokenSample budgets nest: the 20% selection is a prefix of the 40% selection") {
+    val w = df.withColumn("w", lit(1.0) + (col("id") % 5).cast("double"))
+      .withColumn("n_tok", lit(10L) + (col("id") % 37))
+    def sel(pct: Int) = rows(Sampling.weightedTokenSample(w, $"id", $"w",
+        $"n_tok", budgetPct = pct, salt = "nest").select($"id", $"start_tok"))
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val small = sel(20)
+    val big = sel(40)
+    assert(small.nonEmpty && big.size > small.size)
+    // serve order is budget-independent, so a smaller budget is a strict
+    // prefix: same docs, same offsets
+    small.foreach { case (id, st) => assert(big.get(id).contains(st)) }
+  }
+
   test("weightedSample with equal weights ranks exactly like the raw hash") {
     val w = df.limit(200).withColumn("w", lit(1.0))
     val sampled = col0[Long](
