@@ -756,6 +756,42 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "ta17_zipf_slope" -> ((s, dir) => {
+      // Token-distribution health per lang (beyond the reference):
+      // the Zipf log-log slope estimated from a log2-FREQUENCY
+      // HISTOGRAM — count of distinct tokens per floor-log2(freq)
+      // bucket — instead of a rank-frequency regression, because rank
+      // needs a window over the full vocabulary (≥10⁸ rows at corpus
+      // scale) while the histogram is a map-side-combined aggregate
+      // into ≤64 buckets. Natural text slopes ≈ −1; a collapse toward
+      // 0 or a cliff flags boilerplate/generated corpora. Closed-form
+      // least squares over the bucket rows; log2 buckets by bin()
+      // string length (integer-exact both engines), slope at 6dp.
+      val cnts = t(s, dir, "documents")
+        .select(col("lang"), explode(TA.tokens(col("text"))).as("tok"))
+        .groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+      val hist = cnts
+        .select(col("lang"), (length(bin(col("cnt"))) - 1).cast("long").as("b"))
+        .groupBy(col("lang"), col("b"))
+        .agg(count(lit(1)).as("n_types"))
+      val pts = hist.select(col("lang"), col("b").cast("double").as("x"),
+        log(col("n_types").cast("double")).as("y"), col("n_types"))
+      pts.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(col("n_types")).as("n_distinct"),
+          count(lit(1)).cast("double").as("_n"),
+          sum(col("x")).as("_sx"), sum(col("y")).as("_sy"),
+          sum(col("x") * col("y")).as("_sxy"),
+          sum(col("x") * col("x")).as("_sxx"))
+        .select(col("lang"), col("n_buckets"), col("n_distinct"),
+          when(col("_n") * col("_sxx") - col("_sx") * col("_sx") =!= 0.0,
+            fround((col("_n") * col("_sxy") - col("_sx") * col("_sy")) /
+              (col("_n") * col("_sxx") - col("_sx") * col("_sx")), 6))
+            .as("zipf_slope"))
+        .orderBy(col("lang"))
+    }),
+
     "ta14_corpus_divergence" -> ((s, dir) => {
       // Per-language JS divergence vs the corpus mixture (beyond the
       // reference): the drift statistic that validates a mix or flags
@@ -4931,6 +4967,32 @@ object SparkEntry {
            AND abs(len(x.tt) - len(y.tt)) <= 2
          WHERE levenshtein(x.tt, y.tt) <= 2
          ORDER BY id_a, id_b""",
+
+    "ta17_zipf_slope" ->
+      // Replays bucketing (bin-length log2), the ln-space least
+      // squares, and the zero-denominator guard.
+      s"""WITH tok AS (
+           SELECT lang, unnest(${sqlTokens("text")}) AS tok FROM documents),
+         cnts AS (
+           SELECT lang, tok, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         hist AS (
+           SELECT lang, (length(bin(cnt)) - 1)::BIGINT AS b,
+             count(*) AS n_types
+           FROM cnts GROUP BY 1, 2),
+         pts AS (
+           SELECT lang, b::DOUBLE AS x, ln(n_types::DOUBLE) AS y, n_types
+           FROM hist),
+         agg AS (
+           SELECT lang, count(*) AS n_buckets,
+             sum(n_types)::BIGINT AS n_distinct,
+             count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+           FROM pts GROUP BY lang)
+         SELECT lang, n_buckets, n_distinct,
+           CASE WHEN n * sxx - sx * sx <> 0.0 THEN
+             ${sqlFround("(n * sxy - sx * sy) / (n * sxx - sx * sx)", 6)}
+           END AS zipf_slope
+         FROM agg ORDER BY lang""",
 
     "a17_pivot" -> {
       val langs = Seq("de", "en", "es", "fr", "zh")
