@@ -756,6 +756,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "a19_token_overlap" -> ((s, dir) => {
+      // Cross-strata vocabulary overlap by HLL SET ALGEBRA (beyond the
+      // reference): |A∩B| ≈ est(A) + est(B) − est(A∪B) over the same
+      // mergeable sketches a14 maintains — the "how much vocabulary do
+      // two languages/sources share" matrix WITHOUT a vocab-level
+      // join: raw tokens are touched once (one map-side-combined
+      // sketch per stratum), the pair matrix is sketch-bytes algebra
+      // over #strata² tiny rows. Approximate (errors add under
+      // inclusion–exclusion) ⇒ no DuckDB oracle, the a14 precedent;
+      // SketchesSpec pins accuracy vs exact overlap.
+      val sk = t(s, dir, "documents")
+        .select(col("lang"), explode(TA.tokens(col("text"))).as("tok"))
+        .groupBy(col("lang"))
+        .agg(expr("hll_sketch_agg(tok, 12)").as("sk"))
+      val a = sk.select(col("lang").as("lang_a"), col("sk").as("ska"))
+      val b = sk.select(col("lang").as("lang_b"), col("sk").as("skb"))
+      a.join(b, col("lang_a") < col("lang_b"))
+        .select(col("lang_a"), col("lang_b"),
+          expr("hll_sketch_estimate(ska)").as("est_a"),
+          expr("hll_sketch_estimate(skb)").as("est_b"),
+          expr("hll_sketch_estimate(hll_union(ska, skb))").as("est_union"))
+        .withColumn("est_overlap",
+          greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
+        .orderBy(col("lang_a"), col("lang_b"))
+    }),
+
     "ta17_zipf_slope" -> ((s, dir) => {
       // Token-distribution health per lang (beyond the reference):
       // the Zipf log-log slope estimated from a log2-FREQUENCY

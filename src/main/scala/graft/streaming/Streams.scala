@@ -184,7 +184,9 @@ object Streams {
                            gate: graft.operators.Classify.NbWeights,
                            gateBuckets: Int, gateMin: Double,
                            windowLen: String = "1 hour",
-                           qualityFloor: Double = 0.5, buckets: Int = 64)
+                           qualityFloor: Double = 0.5, buckets: Int = 64,
+                           healthDir: Option[String] = None,
+                           healthDay: Option[org.apache.spark.sql.Column] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
@@ -209,6 +211,17 @@ object Streams {
               windowLen = windowLen, qualityFloor = qualityFloor)
             .withColumn("batch_id", lit(batchId))
             .write.mode("overwrite").parquet(s"$driftDir/b=$batchId")
+          // optional health accounting: the LANDED rows fold into the
+          // g7 sketch store (initHealthStore first), so the dashboard
+          // tracks what actually entered the corpus — same batch-id
+          // idempotence as every other artifact here. Default day =
+          // the event-time date; pass healthDay to override.
+          healthDir.foreach { hd =>
+            graft.operators.Health.appendHealth(gated, lit("corpus"),
+              healthDay.getOrElse(
+                expr(s"datediff(to_date($tsName), DATE '1970-01-01')")),
+              col(textName), hd, batchId, qualityFloor)
+          }
         } finally { gated.unpersist(): Unit }
     }
 

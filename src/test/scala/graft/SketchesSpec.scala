@@ -22,6 +22,21 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est("b").toDouble / 2250.0 - 1) < 0.05, est)  // 3000 minus the 750 multiples of 4
   }
 
+  test("HLL inclusion-exclusion recovers the overlap of two strata within compounded error") {
+    // A = k0..k999, B = k500..k1499: exact overlap 500, union 1500
+    val d = ((0 until 1000).map(i => ("A", s"k$i")) ++
+      (500 until 1500).map(i => ("B", s"k$i"))).toDF("s", "k")
+    val sk = d.groupBy($"s").agg(expr("hll_sketch_agg(k, 12)").as("sk"))
+    val got = sk.agg(expr(
+      """hll_sketch_estimate(max(CASE WHEN s = 'A' THEN sk END))
+         + hll_sketch_estimate(max(CASE WHEN s = 'B' THEN sk END))
+         - hll_sketch_estimate(hll_union(
+             max(CASE WHEN s = 'A' THEN sk END),
+             max(CASE WHEN s = 'B' THEN sk END)))""")).head().getLong(0)
+    // three ±1.6%σ estimates compound: allow 10% of the union
+    assert(math.abs(got - 500L) <= 150L, s"overlap estimate $got")
+  }
+
   test("merge law: union of per-day sketches == one sketch over everything") {
     val daily = rows(Sketches.unionEstimates(
         Sketches.dailySketches(data, $"s", $"d", $"k")).orderBy($"stratum"))

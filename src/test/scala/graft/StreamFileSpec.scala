@@ -196,13 +196,16 @@ class StreamFileSpec extends SparkSpec {
     Dedup.saveLshBandIndex(boot, $"doc_id", $"text", idx, buckets = 8)
     MergeLog.init(boot, corpusDir)
 
+    val healthDir = Scratch.dir("ping_health") + "/store"
+    graft.operators.Health.initHealthStore(spark, healthDir)
     val input = MemoryStream[(Long, String, Int)]
     val docs = input.toDF().toDF("doc_id", "text", "mins")
       .withColumn("ts", expr(s"timestampadd(MINUTE, mins, $origin)"))
       .select($"doc_id", $"text", $"ts")
     val q = Streams.productionIngestSink(docs, "doc_id", "text", "ts",
         idx, corpusDir, driftDir, nearDupThreshold = 0.4,
-        gate = gate, gateBuckets = 4096, gateMin = 0.0, buckets = 8)
+        gate = gate, gateBuckets = 4096, gateMin = 0.0, buckets = 8,
+        healthDir = Some(healthDir))
       .option("checkpointLocation", Scratch.dir("ping_ckpt"))
       .start()
     def landed(): Seq[Long] = col0[Long](
@@ -236,6 +239,10 @@ class StreamFileSpec extends SparkSpec {
     val d0 = rows(spark.read.parquet(s"$driftDir/b=0"))
     assert(d0.map(_.getAs[Long]("n_docs")).sum == 2L)
     assert(spark.read.parquet(s"$driftDir/b=1").isEmpty) // nothing landed
+    // the health store tracked exactly what LANDED (10 and 13)
+    val health = rows(
+      graft.operators.Health.corpusHealthFromStore(spark, healthDir))
+    assert(health.map(_.getAs[Long]("n_docs")).sum == 2L)
 
     // replay the LAST batch at any crash point: same kept set (the
     // probe excludes sb=1), and the batch-id-keyed delta append is a
