@@ -41,6 +41,19 @@ object SparkEntry {
     */
   private def scratchDir(prefix: String): String = Scratch.dir(prefix)
 
+  /** v15/v16 shared lexical-retrieval constants: fixed keyword queries
+    * over the synthetic vocabulary, standard Okapi k1/b, RRF k=60
+    * (Cormack et al.). Both the Spark queries and their DuckDB oracles
+    * are generated from THESE values (CLAUDE.md shared-constant rule).
+    */
+  private val bm25K1 = 1.2
+  private val bm25B = 0.75
+  private val rrfK = 60
+  private val bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("hash", "join", "table"),
+    1 -> Seq("window", "agg", "filter"),
+    2 -> Seq("scan", "query", "fast", "slow"))
+
   /** The g2/g3 shared build: decontaminate → quality gate → token-
     * budget mix → bucketed packed starts, one lazy plan per caller
     * (g2 rolls bins up; g3 lands the per-doc layout via the sized
@@ -2654,6 +2667,56 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "v15_bm25_topk" -> ((s, dir) => {
+      // Okapi BM25 lexical top-10 per keyword query — the sparse
+      // retrieval leg (Rag.bm25; only postings matching the literal
+      // query vocabulary ever shuffle). Scores round to 6 before
+      // ranking so rank ties are cross-engine deterministic.
+      val d = t(s, dir, "documents")
+      Rag.bm25(d, col("doc_id"), col("text"), bm25Queries, bm25K1, bm25B)
+        .select(col("query_id"), col("doc_id"),
+          fround(col("score"), 6).as("score"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rank") <= 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "v16_hybrid_rrf" -> ((s, dir) => {
+      // Hybrid retrieval: the BM25 lexical leg fused with the dense
+      // cosine leg by reciprocal-rank fusion (Rag.rrfFuse, k=60).
+      // Corpus pairing is doc_id = vec_id (the synthetic store); query
+      // q's dense vector is embeddings row q, and rows 0..2 are
+      // excluded from BOTH candidate sets so neither leg retrieves a
+      // query's own vector. Each leg contributes its top-20; fusion
+      // cost is (queries × 40) rows regardless of corpus size.
+      val d = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      val nq = bm25Queries.size
+      val lex = Rag.bm25(
+          d.filter(col("doc_id") >= nq), col("doc_id"), col("text"),
+          bm25Queries, bm25K1, bm25B)
+        .select(col("query_id"), col("doc_id"),
+          fround(col("score"), 6).as("s"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("s").desc, col("doc_id"))))
+        .filter(col("rank") <= 20)
+      val dense = Similarity.topKPerQuery(
+        e.filter(col("vec_id") >= nq), col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < nq),
+        col("vec_id"), col("embedding"), k = 20)
+      Rag.rrfFuse(Seq(lex, dense), rrfK)
+        .select(col("query_id"), col("doc_id"),
+          fround(col("rrf"), 6).as("rrf"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("rrf").desc, col("doc_id"))))
+        .filter(col("rank") <= 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "v7_ivf_topk" -> ((s, dir) => {
       // IVF-partitioned ANN: 8 centroid vectors, nprobe=2 — each query
       // scans ~1/4 of the corpus instead of all of it. Deterministic
@@ -3193,6 +3256,42 @@ object SparkEntry {
     s"${sqlDot(a, b, dim)} / (sqrt(${sqlDot(a, a, dim)}) * sqrt(${sqlDot(b, b, dim)}))"
 
   private def sqlCosine64(a: String, b: String): String = sqlCosine(a, b, 64)
+
+  /** DuckDB twin of Rag.bm25 over `documents` rows matching `docFilter`
+    * — CTE chain ending in `lexsc(query_id, doc_id, score)` with the
+    * score 6-rounded (same pre-rank rounding as the Spark side). All
+    * constants (query terms, k1, b) come from the bm25Queries/bm25K1/
+    * bm25B vals; arithmetic mirrors the Scala expression tree
+    * operation-for-operation (left-assoc products, double literals that
+    * round-trip through toString).
+    */
+  private def sqlBm25(docFilter: String): String = {
+    val vocab = sqlList(bm25Queries.flatMap(_._2).distinct)
+    val qvals = bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+    s"""bmb AS (SELECT doc_id, len(${sqlTokens("text")}) AS dl,
+           ${sqlTokens("text")} AS toks
+         FROM documents WHERE $docFilter),
+       bmstats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl
+         FROM bmb),
+       bmtf AS (SELECT doc_id, term, count(*)::BIGINT AS tf,
+           max(dl)::BIGINT AS dl
+         FROM (SELECT doc_id, dl, unnest(toks) AS term FROM bmb)
+         WHERE list_contains($vocab, term) GROUP BY 1, 2),
+       bmdf AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+         FROM bmtf GROUP BY 1),
+       bmq(query_id, term) AS (VALUES $qvals),
+       bmw AS (SELECT bmq.query_id, t.doc_id,
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * t.tf * ${bm25K1 + 1.0}
+             / (t.tf + $bm25K1 * (${1.0 - bm25B}
+                 + $bm25B * t.dl / s.avgdl)) AS w
+         FROM bmtf t JOIN bmdf d USING (term)
+           JOIN bmq ON bmq.term = t.term, bmstats s),
+       lexsc AS (SELECT query_id, doc_id,
+           ${sqlFround("sum(w)", 6)} AS score
+         FROM bmw GROUP BY 1, 2)"""
+  }
 
   /** DuckDB twin of Embed.MockHashEmbeddingClient: per dimension the
     * 28-bit md5 hash of "i:text" scaled to [0,1) as double, rounded
@@ -4732,6 +4831,38 @@ object SparkEntry {
     "d7_simhash" ->
       s"""SELECT doc_id, ${sqlSimhash("text")} AS sh
          FROM documents ORDER BY doc_id""",
+
+    "v15_bm25_topk" ->
+      s"""WITH ${sqlBm25("true")}
+         SELECT query_id, doc_id, score, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+         FROM lexsc QUALIFY rank <= 10 ORDER BY query_id, rank""",
+
+    "v16_hybrid_rrf" ->
+      // Both legs replayed end to end: the BM25 chain over doc_id >= nq,
+      // the dense cosine ranked on the RAW cosine (topKPerQuery ranks
+      // unrounded), then the RRF union-sum, 6-rounded before the final
+      // deterministic rank.
+      s"""WITH ${sqlBm25(s"doc_id >= ${bm25Queries.size}")},
+         lex AS (SELECT query_id, doc_id, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+           FROM lexsc QUALIFY rank <= 20),
+         dq AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < ${bm25Queries.size}),
+         dd AS (SELECT vec_id AS doc_id, embedding AS dv
+           FROM embeddings WHERE vec_id >= ${bm25Queries.size}),
+         dsim AS (SELECT query_id, doc_id,
+             ${sqlCosine64("dv", "qv")} AS cosine FROM dd, dq),
+         dense AS (SELECT query_id, doc_id, row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rank
+           FROM dsim QUALIFY rank <= 20),
+         fused AS (SELECT query_id, doc_id,
+             ${sqlFround(s"sum(1.0 / ($rrfK + rank))", 6)} AS rrf
+           FROM (SELECT * FROM lex UNION ALL SELECT * FROM dense)
+           GROUP BY 1, 2)
+         SELECT query_id, doc_id, rrf, row_number() OVER (
+             PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+         FROM fused QUALIFY rank <= 10 ORDER BY query_id, rank""",
 
     "v2_ann_topk_batch" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv

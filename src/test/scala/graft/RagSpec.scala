@@ -49,4 +49,54 @@ class RagSpec extends SparkSpec {
     assert(empty.getAs[Int]("answer_words") == 0)
     assert(empty.getAs[Double]("auto_score") == 0.15) // only the 0.5*0.3 term
   }
+
+  test("bm25 matches the Okapi formula on a hand-computed corpus") {
+    val docs = Seq(
+      (1L, "a b a c"), // dl 4, tf(a)=2, tf(b)=1
+      (2L, "a d"),     // dl 2
+      (3L, "b b b")    // dl 3
+    ).toDF("doc_id", "text")
+    val queries = Seq(0 -> Seq("a"), 1 -> Seq("b", "d"))
+    val got = rows(
+      Rag.bm25(docs, $"doc_id", $"text", queries)
+        .orderBy($"query_id", $"doc_id"))
+      .map(r => (r.getAs[Int]("query_id"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Double]("score")).toMap
+    val (k1, b, n, avgdl) = (1.2, 0.75, 3.0, 3.0)
+    def w(tf: Long, df: Long, dl: Long): Double =
+      math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * (k1 + 1.0) /
+        (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+    // df: a→2, b→2, d→1
+    assert(math.abs(got((0, 1L)) - w(2, 2, 4)) < 1e-12)
+    assert(math.abs(got((0, 2L)) - w(1, 2, 2)) < 1e-12)
+    assert(math.abs(got((1, 3L)) - w(3, 2, 3)) < 1e-12)
+    assert(math.abs(got((1, 2L)) - w(1, 1, 2)) < 1e-12) // rare d: idf ln(8/3)
+    assert(math.abs(got((1, 1L)) - w(1, 2, 4)) < 1e-12) // b only
+    // doc 3 has no query-0 term; absent, not zero-scored
+    assert(!got.contains((0, 3L)))
+    // the rarer term outweighs the common one at equal tf/dl
+    assert(got((1, 2L)) > got((0, 2L)))
+  }
+
+  test("bm25 ignores query terms absent from the corpus") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    assert(rows(Rag.bm25(docs, $"doc_id", $"text",
+      Seq(0 -> Seq("zzz")))).isEmpty)
+    // mixed query: the present term still scores
+    val mixed = rows(Rag.bm25(docs, $"doc_id", $"text",
+      Seq(0 -> Seq("a", "zzz"))))
+    assert(mixed.size == 1 && mixed.head.getAs[Double]("score") > 0)
+  }
+
+  test("rrfFuse sums reciprocal ranks across legs; absent legs contribute nothing") {
+    val lex = Seq((0, 10L, 1), (0, 20L, 2)).toDF("query_id", "doc_id", "rank")
+    val dense = Seq((0, 20L, 1), (0, 30L, 2)).toDF("query_id", "doc_id", "rank")
+    val got = rows(Rag.rrfFuse(Seq(lex, dense), k = 60).orderBy($"doc_id"))
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("rrf")).toMap
+    assert(math.abs(got(10L) - 1.0 / 61) < 1e-15)
+    assert(math.abs(got(20L) - (1.0 / 62 + 1.0 / 61)) < 1e-15)
+    assert(math.abs(got(30L) - 1.0 / 62) < 1e-15)
+    // consensus doc (both legs) outranks either single-leg doc
+    assert(got(20L) > got(10L) && got(10L) > got(30L))
+  }
 }
