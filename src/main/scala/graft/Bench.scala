@@ -85,11 +85,15 @@ object Bench {
     // matching the contract's original `{"q1":sec,…}` shape. Full-name
     // mins plus runs/loads diagnostics go on their own earlier line.
     def short(name: String): String = name.takeWhile(_ != '_')
+    // 10 ms per-query precision keeps the 140-query map ~1.7 KB — the
+    // full line must fit the ~2000-char tail WITH its own header; full
+    // 3-decimal mins are on the bench_diag line above.
     val qsShort = mins.toSeq.sortBy(_._1).map { case (k, v) =>
-      s"\"" + short(k) + "\":" + (if (v < 0) "-1" else f"$v%.3f")
+      s"\"" + short(k) + "\":" + (if (v < 0) "-1" else f"$v%.2f")
     }.mkString("{", ",", "}")
+    val sfName = new java.io.File(sfDir).getName
     println(s"""{"metric":"bench_diag","queries_full":$qs,"runs":$runs,"loads":$loads}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cpus":"$cpus","sf":"$sfDir","queries":$qsShort}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cpus":"$cpus","sf":"$sfName","queries":$qsShort}""")
     spark.stop()
   }
 }

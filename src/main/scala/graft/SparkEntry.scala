@@ -2717,6 +2717,27 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "v17_bm25_indexed" -> ((s, dir) => {
+      // The persisted-inverted-index lifecycle for lexical retrieval:
+      // build once (postings + df hive-bucketed by term, 1-row stats),
+      // then the probe prunes BOTH reads to the query vocabulary's
+      // buckets — corpus text is never re-scanned at serve time. The
+      // scoring tail is the exact v15 expression tree, so the oracle is
+      // v15's SQL chain verbatim (the index round trip is lossless).
+      val d = t(s, dir, "documents")
+      val idx = scratchDir("graft_v17") + "/bm25"
+      Rag.saveBm25Index(d, col("doc_id"), col("text"), idx,
+        buckets = 16, targetRows = 100000L, spread = 2)
+      Rag.bm25Indexed(s, idx, bm25Queries, bm25K1, bm25B, buckets = 16)
+        .select(col("query_id"), col("doc_id"),
+          fround(col("score"), 6).as("score"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rank") <= 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "v7_ivf_topk" -> ((s, dir) => {
       // IVF-partitioned ANN: 8 centroid vectors, nprobe=2 — each query
       // scans ~1/4 of the corpus instead of all of it. Deterministic
@@ -4833,6 +4854,14 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
 
     "v15_bm25_topk" ->
+      s"""WITH ${sqlBm25("true")}
+         SELECT query_id, doc_id, score, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+         FROM lexsc QUALIFY rank <= 10 ORDER BY query_id, rank""",
+
+    "v17_bm25_indexed" ->
+      // identical to v15 by design: the persisted index must reproduce
+      // the direct scan-path scores bit-for-bit
       s"""WITH ${sqlBm25("true")}
          SELECT query_id, doc_id, score, row_number() OVER (
              PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank

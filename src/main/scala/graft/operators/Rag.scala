@@ -73,6 +73,17 @@ object Rag {
       .agg(countDistinct(col("doc_id")).as("df"))
     val q = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
       .toDF("query_id", "term")
+    scoreBm25(postings, dfreq, q, stats, k1, b)
+  }
+
+  /** The shared Okapi scoring tail: postings ⨝ broadcast df ⨝ broadcast
+    * query terms × broadcast 1-row stats → per-(query, doc) Σw. Both the
+    * direct [[bm25]] and the indexed [[bm25Indexed]] paths end here, so
+    * their scores are computed by the IDENTICAL expression tree (the
+    * index round trip must be bit-lossless).
+    */
+  private def scoreBm25(postings: DataFrame, dfreq: DataFrame, q: DataFrame,
+                        stats: DataFrame, k1: Double, b: Double): DataFrame =
     postings
       .join(broadcast(dfreq), "term")
       .join(broadcast(q), "term")
@@ -86,6 +97,87 @@ object Rag {
           .as("w"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("w")).as("score"))
+
+  /** Directory bucket of a term — the hive partition column of the
+    * persisted inverted index (Dedup.bandBucket's md5 recipe, so the
+    * probe can reconstruct it engine-side).
+    */
+  private def termBucket(term: Column, buckets: Int): Column =
+    Dedup.bandBucket(term, buckets)
+
+  private val postingsSchema = org.apache.spark.sql.types.StructType
+    .fromDDL("doc_id LONG, term STRING, tf LONG, dl LONG, tp BIGINT")
+  private val dfSchema = org.apache.spark.sql.types.StructType
+    .fromDDL("term STRING, df LONG, tp BIGINT")
+
+  /** Persist a BM25 inverted index — the lexical seat of the engine's
+    * build-once/probe-many lifecycle family (d9 bloom, v11 IVF, d15 LSH
+    * bands). Layout under `path`:
+    *   `postings/tp=N/` — (doc_id, term, tf, dl) via the sized sink
+    *     (hot term buckets still write in parallel, no small-file spray;
+    *     dl is denormalized per posting, the Lucene "norms" trade: one
+    *     long per posting buys a join-free probe);
+    *   `df/tp=N/`       — (term, df), bucketed the same way so a probe
+    *     prunes BOTH reads to the touched buckets;
+    *   `stats/`         — one (n_docs, avgdl) row.
+    * Probe IO is therefore ∝ touched-buckets/buckets of the index and
+    * the corpus text is never re-scanned. Appends would be additive
+    * (tf/df/n_docs/Σdl all sum — the CountLog law) but are not yet
+    * wired; rebuild to refresh.
+    */
+  def saveBm25Index(docs: DataFrame, id: Column, text: Column, path: String,
+                    buckets: Int = 64, targetRows: Long = 1L << 20,
+                    spread: Int = 8): Unit = {
+    val base = docs.select(id.cast("long").as("doc_id"),
+        TA.tokens(text).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+    val postings = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).cast("long").as("dl"))
+      .withColumn("tp", termBucket(col("term"), buckets))
+    graft.sources.Compaction.writeSized(
+      postings, s"$path/postings", Seq("tp"), col("doc_id"),
+      targetRows, spread)
+    val dfreq = postings.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .withColumn("tp", termBucket(col("term"), buckets))
+    graft.sources.Compaction.writeSized(
+      dfreq, s"$path/df", Seq("tp"), col("term"),
+      targetRows, spread)
+    base.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Probe a saved BM25 index: the query vocabulary's term buckets
+    * become literal partition filters on the postings AND df reads
+    * (PartitionFilters — IO ∝ touched buckets), the terms themselves a
+    * literal pushed filter inside each bucket; scoring is the exact
+    * [[bm25]] expression tree over the pruned slivers. Scores equal the
+    * direct path's bit-for-bit.
+    */
+  def bm25Indexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                  queries: Seq[(Int, Seq[String])],
+                  k1: Double = 1.2, b: Double = 0.75,
+                  buckets: Int = 64): DataFrame = {
+    import spark.implicits._
+    val vocab = queries.flatMap(_._2).distinct
+    // Reconstruct the touched buckets engine-side (tiny local job — the
+    // md5 bucket recipe stays in ONE place, Dedup.bandBucket).
+    val tps = vocab.toDF("term")
+      .select(termBucket(col("term"), buckets)).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val postings = spark.read.schema(postingsSchema)
+      .parquet(s"$path/postings")
+      .where(col("tp").isin(tps: _*)).where(col("term").isin(vocab: _*))
+    val dfreq = spark.read.schema(dfSchema).parquet(s"$path/df")
+      .where(col("tp").isin(tps: _*)).where(col("term").isin(vocab: _*))
+      .select(col("term"), col("df"))
+    val stats = spark.read.parquet(s"$path/stats")
+    val q = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    scoreBm25(postings.select(col("doc_id"), col("term"), col("tf"),
+        col("dl")), dfreq, q, stats, k1, b)
   }
 
   /** Reciprocal-rank fusion (Cormack et al.): fuse any number of ranked

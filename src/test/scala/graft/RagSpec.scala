@@ -88,6 +88,28 @@ class RagSpec extends SparkSpec {
     assert(mixed.size == 1 && mixed.head.getAs[Double]("score") > 0)
   }
 
+  test("bm25Indexed == direct bm25 after the index round trip; probe is partition-pruned") {
+    val docs = Seq(
+      (1L, "a b a c d e f"), (2L, "a d g h"), (3L, "b b b c"),
+      (4L, "x y z a"), (5L, "c c d d e")).toDF("doc_id", "text")
+    val queries = Seq(0 -> Seq("a", "c"), 1 -> Seq("b", "d", "x"))
+    val idx = Scratch.dir("bm25_idx") + "/bm25"
+    Rag.saveBm25Index(docs, $"doc_id", $"text", idx, buckets = 8,
+      targetRows = 1000L, spread = 2)
+    val direct = rows(Rag.bm25(docs, $"doc_id", $"text", queries))
+      .map(r => (r.getAs[Int]("query_id"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Double]("score")).toMap
+    val probe = Rag.bm25Indexed(spark, idx, queries, buckets = 8)
+    val indexed = rows(probe)
+      .map(r => (r.getAs[Int]("query_id"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Double]("score")).toMap
+    assert(indexed == direct) // bit-for-bit, not approx
+    // plan guard: both index reads prune to the query vocabulary's
+    // term buckets (serve-time IO ∝ touched buckets, never the corpus)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("tp"), plan)
+  }
+
   test("rrfFuse sums reciprocal ranks across legs; absent legs contribute nothing") {
     val lex = Seq((0, 10L, 1), (0, 20L, 2)).toDF("query_id", "doc_id", "rank")
     val dense = Seq((0, 20L, 1), (0, 30L, 2)).toDF("query_id", "doc_id", "rank")
