@@ -121,13 +121,41 @@ object Rag {
     *     prunes BOTH reads to the touched buckets;
     *   `stats/`         — one (n_docs, avgdl) row.
     * Probe IO is therefore ∝ touched-buckets/buckets of the index and
-    * the corpus text is never re-scanned. Appends would be additive
-    * (tf/df/n_docs/Σdl all sum — the CountLog law) but are not yet
-    * wired; rebuild to refresh.
+    * the corpus text is never re-scanned.
+    *
+    * Every stored quantity is ADDITIVE (tf and df rows sum across
+    * segments when batches carry disjoint doc ids; n_docs and Σdl sum
+    * unconditionally — the CountLog law), so [[appendBm25Index]] grows
+    * the index in O(batch): corpus-sized files never rewrite and the
+    * probe folds segments with a sum. Stats persist as (n_docs, sum_dl),
+    * not avgdl — the average is not additive, the pair is; the probe
+    * derives avgdl = sum_dl/n_docs, which equals the direct path's
+    * `avg(dl)` exactly while Σdl < 2^53 (Spark's Average accumulates
+    * integral input in a double sum — token counts reach 2^53 at ~9e15
+    * tokens, far past any real corpus).
     */
   def saveBm25Index(docs: DataFrame, id: Column, text: Column, path: String,
                     buckets: Int = 64, targetRows: Long = 1L << 20,
-                    spread: Int = 8): Unit = {
+                    spread: Int = 8): Unit =
+    writeBm25Segment(docs, id, text, path, buckets, targetRows, spread,
+      mode = "overwrite")
+
+  /** O(batch) growth of a saved BM25 index: the batch's postings/df/
+    * stats rows append as new segment rows; the probe's segment fold
+    * (sum df per term, sum the stats pair) makes the result identical
+    * to a from-scratch rebuild over the union — PROVIDED batches carry
+    * disjoint doc ids (the MergeLog batch-id discipline; a re-sent doc
+    * would double-count its tf/df/Σdl).
+    */
+  def appendBm25Index(docs: DataFrame, id: Column, text: Column,
+                      path: String, buckets: Int = 64,
+                      targetRows: Long = 1L << 20, spread: Int = 8): Unit =
+    writeBm25Segment(docs, id, text, path, buckets, targetRows, spread,
+      mode = "append")
+
+  private def writeBm25Segment(docs: DataFrame, id: Column, text: Column,
+                               path: String, buckets: Int, targetRows: Long,
+                               spread: Int, mode: String): Unit = {
     val base = docs.select(id.cast("long").as("doc_id"),
         TA.tokens(text).as("toks"))
       .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
@@ -138,15 +166,16 @@ object Rag {
       .withColumn("tp", termBucket(col("term"), buckets))
     graft.sources.Compaction.writeSized(
       postings, s"$path/postings", Seq("tp"), col("doc_id"),
-      targetRows, spread)
+      targetRows, spread, mode)
     val dfreq = postings.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .withColumn("tp", termBucket(col("term"), buckets))
     graft.sources.Compaction.writeSized(
       dfreq, s"$path/df", Seq("tp"), col("term"),
-      targetRows, spread)
-    base.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+      targetRows, spread, mode)
+    base.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).cast("long").as("sum_dl"))
+      .coalesce(1).write.mode(mode).parquet(s"$path/stats")
   }
 
   /** Probe a saved BM25 index: the query vocabulary's term buckets
@@ -170,10 +199,15 @@ object Rag {
     val postings = spark.read.schema(postingsSchema)
       .parquet(s"$path/postings")
       .where(col("tp").isin(tps: _*)).where(col("term").isin(vocab: _*))
+    // Segment folds: df rows and the (n_docs, Σdl) pair sum across
+    // appended segments (additivity is the append contract).
     val dfreq = spark.read.schema(dfSchema).parquet(s"$path/df")
       .where(col("tp").isin(tps: _*)).where(col("term").isin(vocab: _*))
-      .select(col("term"), col("df"))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
     val stats = spark.read.parquet(s"$path/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
     val q = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
       .toDF("query_id", "term")
     scoreBm25(postings.select(col("doc_id"), col("term"), col("tf"),

@@ -94,8 +94,12 @@ class RagSpec extends SparkSpec {
       (4L, "x y z a"), (5L, "c c d d e")).toDF("doc_id", "text")
     val queries = Seq(0 -> Seq("a", "c"), 1 -> Seq("b", "d", "x"))
     val idx = Scratch.dir("bm25_idx") + "/bm25"
-    Rag.saveBm25Index(docs, $"doc_id", $"text", idx, buckets = 8,
-      targetRows = 1000L, spread = 2)
+    // build from the first three docs, append the other two: the probe's
+    // segment fold must equal a from-scratch build over the union
+    Rag.saveBm25Index(docs.filter($"doc_id" <= 3), $"doc_id", $"text", idx,
+      buckets = 8, targetRows = 1000L, spread = 2)
+    Rag.appendBm25Index(docs.filter($"doc_id" > 3), $"doc_id", $"text", idx,
+      buckets = 8, targetRows = 1000L, spread = 2)
     val direct = rows(Rag.bm25(docs, $"doc_id", $"text", queries))
       .map(r => (r.getAs[Int]("query_id"), r.getAs[Long]("doc_id")) ->
         r.getAs[Double]("score")).toMap
