@@ -469,4 +469,34 @@ class PlanAuditSpec extends SparkSpec {
     // shard) rank — same budget as x3
     assert("Window \\[".r.findAllIn(plan).size == 2, plan)
   }
+
+  test("v15 BM25: df/query/stats all broadcast; no sort-merge, no cartesian") {
+    val dir = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("v15_bm25_topk")(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    // the scalar (n_docs, avgdl) row rides a broadcast nested-loop
+    // cross; df and the query-term table are broadcast hash joins —
+    // the corpus side never sort-merges and nothing is cartesian
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the query-vocabulary filter sits UNDER the tf combine: the isin
+    // prunes at the explode, so only matching postings ever shuffle
+    // (IN below the inSetConversionThreshold, INSET above it)
+    assert(plan.contains("term#") &&
+      (plan.contains(" IN (") || plan.contains(" INSET ")), plan)
+  }
+
+  test("v16 hybrid RRF: two bounded top-20 legs union into one combine") {
+    val dir = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("v16_hybrid_rrf")(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // both legs' per-query rank windows carry the WindowGroupLimit
+    // bounded-heap pushdown (top-n never materializes a full sort)
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("Union"), plan)
+  }
 }
