@@ -795,6 +795,20 @@ object SparkEntry {
         .orderBy(col("lang_a"), col("lang_b"))
     }),
 
+    "a20_ks_drift" -> ((s, dir) => {
+      // Two-sample Kolmogorov–Smirnov length-drift per lang vs the 'en'
+      // reference (Sketches.ksDistance): sup |F_lang − F_en| over the
+      // per-doc token-count distribution — the shape test ta14's JS
+      // divergence can't give (JS sees vocabulary, KS sees any scalar's
+      // whole CDF). Token count is integer ⇒ the merged value axis is
+      // bounded and the statistic is exact in both engines.
+      val d = t(s, dir, "documents")
+      Sketches.ksDistance(d, col("lang"), TA.tokenCount(col("text")), "en")
+        .select(col("stratum").as("lang"), col("n"),
+          fround(col("ks"), 6).as("ks"))
+        .orderBy(col("lang"))
+    }),
+
     "ta17_zipf_slope" -> ((s, dir) => {
       // Token-distribution health per lang (beyond the reference):
       // the Zipf log-log slope estimated from a log2-FREQUENCY
@@ -5153,6 +5167,37 @@ object SparkEntry {
            AND abs(len(x.tt) - len(y.tt)) <= 2
          WHERE levenshtein(x.tt, y.tt) <= 2
          ORDER BY id_a, id_b""",
+
+    "a20_ks_drift" ->
+      // the KS replay: same distribution table, same merged axis (each
+      // compared stratum's counts ∪ the replicated reference counts),
+      // integer cumulative sums, two double divisions at the end — the
+      // sup is attained at identical points in both engines
+      s"""WITH kt AS (SELECT lang AS stratum,
+             len(${sqlTokens("text")})::BIGINT AS v FROM documents),
+         kcounts AS (SELECT stratum, v, count(*)::BIGINT AS c
+           FROM kt GROUP BY 1, 2),
+         krefc AS (SELECT v, c AS cr FROM kcounts WHERE stratum = 'en'),
+         kothc AS (SELECT * FROM kcounts WHERE stratum <> 'en'),
+         kstrata AS (SELECT DISTINCT stratum FROM kothc),
+         kno AS (SELECT stratum, sum(c)::BIGINT AS n_o
+           FROM kothc GROUP BY 1),
+         knr AS (SELECT sum(cr)::BIGINT AS n_r FROM krefc),
+         kmerged AS (SELECT stratum, v, sum(d_o)::BIGINT AS d_o,
+             sum(d_r)::BIGINT AS d_r
+           FROM (SELECT stratum, v, c AS d_o, 0 AS d_r FROM kothc
+             UNION ALL
+             SELECT s.stratum, r.v, 0, r.cr FROM krefc r, kstrata s)
+           GROUP BY 1, 2),
+         kcums AS (SELECT stratum, v,
+             sum(d_o) OVER (PARTITION BY stratum ORDER BY v) AS cum_o,
+             sum(d_r) OVER (PARTITION BY stratum ORDER BY v) AS cum_r
+           FROM kmerged)
+         SELECT c.stratum AS lang, max(o.n_o) AS n,
+           ${sqlFround(
+             "max(abs(cum_o::DOUBLE / n_o - cum_r::DOUBLE / n_r))", 6)} AS ks
+         FROM kcums c JOIN kno o USING (stratum), knr
+         GROUP BY c.stratum ORDER BY lang""",
 
     "ta17_zipf_slope" ->
       // Replays bucketing (bin-length log2), the ln-space least

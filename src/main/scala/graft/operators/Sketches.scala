@@ -189,4 +189,59 @@ object Sketches {
       .filter(col("hi_cnt") * lit(den) >= col("total") * lit(num))
       .select(col("stratum"), col("key"), col("lo_cnt"), col("hi_cnt"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov distance of every stratum's `value`
+    * distribution against `refStratum`'s — the nonparametric
+    * distribution-drift statistic (sup |F_s − F_ref|), complementing
+    * ta14's token-level JS divergence with a shape test over any
+    * per-document scalar (length, score, …).
+    *
+    * Exact, and scale-bounded by construction: everything past the
+    * first combine operates on the (stratum, value) DISTRIBUTION table,
+    * so callers must pass a discretized value (an integer count, or a
+    * score pre-rounded to k decimals — the same bounded-axis contract
+    * as the a15 log-linear buckets). The per-stratum CDF window then
+    * ranges over that bounded merged axis, never over rows. The
+    * reference stratum's distribution replicates once per compared
+    * stratum (strata count × axis — tiny); counts stay integers until
+    * the final two divisions, so the sup is reached at identical
+    * points in any engine.
+    *
+    * Returns (stratum, n, ks) for every stratum ≠ refStratum, with the
+    * raw double ks; callers round.
+    */
+  def ksDistance(df: DataFrame, stratum: Column, value: Column,
+                 refStratum: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = df.select(stratum.cast("string").as("stratum"),
+      value.cast("long").as("v"))
+    val counts = t.groupBy(col("stratum"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val refC = counts.filter(col("stratum") === refStratum)
+      .select(col("v"), col("c").as("cr"))
+    val othC = counts.filter(col("stratum") =!= refStratum)
+    val strata = othC.select(col("stratum")).distinct()
+    val nO = othC.groupBy(col("stratum")).agg(sum(col("c")).as("n_o"))
+    val nR = refC.agg(sum(col("cr")).as("n_r"))
+    val merged = othC
+      .select(col("stratum"), col("v"), col("c").as("d_o"),
+        lit(0L).as("d_r"))
+      .unionByName(refC.crossJoin(broadcast(strata))
+        .select(col("stratum"), col("v"), lit(0L).as("d_o"),
+          col("cr").as("d_r")))
+      .groupBy(col("stratum"), col("v"))
+      .agg(sum(col("d_o")).as("d_o"), sum(col("d_r")).as("d_r"))
+    val w = Window.partitionBy(col("stratum")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged
+      .withColumn("cum_o", sum(col("d_o")).over(w))
+      .withColumn("cum_r", sum(col("d_r")).over(w))
+      .join(broadcast(nO), "stratum")
+      .crossJoin(broadcast(nR))
+      .groupBy(col("stratum"))
+      .agg(max(abs(col("cum_o").cast("double") / col("n_o") -
+          col("cum_r").cast("double") / col("n_r"))).as("ks"),
+        max(col("n_o")).as("n"))
+      .select(col("stratum"), col("n"), col("ks"))
+  }
 }

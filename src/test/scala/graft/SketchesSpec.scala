@@ -178,4 +178,41 @@ class SketchesSpec extends SparkSpec {
     val (lo, hi) = out.getOrElse("h", fail("threshold key h missing"))
     assert(lo == 13L && hi == 40L, s"[$lo,$hi]") // bound exactly tight
   }
+
+  private def ksOf(data: Seq[(String, Long)]): Map[String, Double] =
+    rows(Sketches.ksDistance(data.toDF("s", "v"), $"s", $"v", "ref"))
+      .map(r => r.getString(0) -> r.getAs[Double]("ks")).toMap
+
+  test("ksDistance: identical distributions give 0, disjoint supports give 1") {
+    val same = Seq("a", "ref").flatMap(s => Seq(1L, 2L, 3L).map(s -> _))
+    assert(ksOf(same)("a") == 0.0)
+    val disjoint = Seq("a" -> 1L, "a" -> 1L, "a" -> 2L,
+      "ref" -> 5L, "ref" -> 6L)
+    assert(ksOf(disjoint)("a") == 1.0)
+  }
+
+  test("ksDistance matches the hand-computed sup and handles many strata") {
+    // a=[1,2] vs ref=[2,3]: merged axis {1,2,3}, F_a=(.5,1,1),
+    // F_ref=(0,.5,1) → sup .5 (at v=1 or v=2);
+    // b=[3,3] vs ref: axis {2,3}, F_b=(0,1), F_ref=(.5,1) → sup .5
+    val got = ksOf(Seq("a" -> 1L, "a" -> 2L, "b" -> 3L, "b" -> 3L,
+      "ref" -> 2L, "ref" -> 3L))
+    assert(math.abs(got("a") - 0.5) < 1e-15)
+    assert(math.abs(got("b") - 0.5) < 1e-15)
+    // the reference stratum itself never appears in the output
+    assert(!got.contains("ref"))
+  }
+
+  test("ksDistance: n is the compared stratum's row count; ks within [0,1]") {
+    val out = rows(Sketches.ksDistance(
+      Seq(("a", 1L), ("a", 7L), ("a", 7L), ("ref", 2L))
+        .toDF("s", "v"), $"s", $"v", "ref"))
+    assert(out.size == 1)
+    assert(out.head.getAs[Long]("n") == 3L)
+    val ks = out.head.getAs[Double]("ks")
+    assert(ks >= 0.0 && ks <= 1.0)
+    // exact: F_a jumps to 1/3 at 1, ref jumps to 1 at 2 → sup at v=2
+    // is |1/3 − 1| = 2/3
+    assert(math.abs(ks - 2.0 / 3.0) < 1e-15)
+  }
 }
