@@ -211,12 +211,32 @@ object Sketches {
     * raw double ks; callers round.
     */
   def ksDistance(df: DataFrame, stratum: Column, value: Column,
-                 refStratum: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val t = df.select(stratum.cast("string").as("stratum"),
-      value.cast("long").as("v"))
-    val counts = t.groupBy(col("stratum"), col("v"))
+                 refStratum: String): DataFrame =
+    ksFromDistribution(
+      distributionCounts(df, stratum, value), refStratum)
+
+  /** The (stratum, v, c) distribution table [[ksFromDistribution]]
+    * consumes — and the ADDITIVE state that makes KS incrementally
+    * maintainable: counts sum across batches (fold appended tables
+    * with a `groupBy(stratum, v).sum(c)`), so an ingest pipeline keeps
+    * one bounded-axis table per stratum and answers drift questions
+    * without ever rescanning history — the same history-never-rescans
+    * law as the HLL/quantile/heavy-hitter families.
+    */
+  def distributionCounts(df: DataFrame, stratum: Column,
+                         value: Column): DataFrame =
+    df.select(stratum.cast("string").as("stratum"),
+        value.cast("long").as("v"))
+      .groupBy(col("stratum"), col("v"))
       .agg(count(lit(1)).as("c"))
+
+  /** KS over a pre-aggregated (possibly batch-folded) distribution
+    * table — identical to [[ksDistance]] on the union of the
+    * contributing batches (count additivity is exact, spec-pinned).
+    */
+  def ksFromDistribution(counts: DataFrame,
+                         refStratum: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val refC = counts.filter(col("stratum") === refStratum)
       .select(col("v"), col("c").as("cr"))
     val othC = counts.filter(col("stratum") =!= refStratum)

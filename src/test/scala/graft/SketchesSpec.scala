@@ -203,6 +203,23 @@ class SketchesSpec extends SparkSpec {
     assert(!got.contains("ref"))
   }
 
+  test("ksFromDistribution on batch-folded counts == direct ksDistance") {
+    val b1 = Seq(("a", 1L), ("a", 2L), ("ref", 2L), ("ref", 9L))
+    val b2 = Seq(("a", 2L), ("b", 5L), ("ref", 3L), ("ref", 2L))
+    val folded = Sketches
+      .distributionCounts(b1.toDF("s", "v"), $"s", $"v")
+      .unionByName(Sketches.distributionCounts(b2.toDF("s", "v"), $"s", $"v"))
+      .groupBy("stratum", "v").agg(sum($"c").as("c"))
+    val inc = rows(Sketches.ksFromDistribution(folded, "ref"))
+      .map(r => (r.getString(0), r.getAs[Long]("n"), r.getAs[Double]("ks")))
+      .toSet
+    val direct = rows(Sketches.ksDistance(
+        (b1 ++ b2).toDF("s", "v"), $"s", $"v", "ref"))
+      .map(r => (r.getString(0), r.getAs[Long]("n"), r.getAs[Double]("ks")))
+      .toSet
+    assert(inc == direct && inc.map(_._1) == Set("a", "b"))
+  }
+
   test("ksDistance: n is the compared stratum's row count; ks within [0,1]") {
     val out = rows(Sketches.ksDistance(
       Seq(("a", 1L), ("a", 7L), ("a", 7L), ("ref", 2L))
