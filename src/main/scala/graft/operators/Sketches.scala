@@ -230,6 +230,33 @@ object Sketches {
       .groupBy(col("stratum"), col("v"))
       .agg(count(lit(1)).as("c"))
 
+  /** Create a persisted distribution store (a [[CountLog]] over the
+    * (stratum, v) key): the additive state behind KS-on-ingest. Each
+    * micro-batch appends its own [[distributionCounts]] as a batch-id-
+    * keyed segment (idempotent replay); [[ksFromStore]] answers drift
+    * from folded counts alone — history never rescans.
+    */
+  def initDistributionStore(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Unit =
+    CountLog.init(spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType
+        .fromDDL("stratum STRING, v LONG, c LONG")), dir)
+
+  /** Fold one batch into the store — O(batch), batch-id idempotent. */
+  def appendDistribution(batch: DataFrame, stratum: Column, value: Column,
+                         dir: String, batchId: Option[Long] = None): Long =
+    CountLog.append(distributionCounts(batch, stratum, value), dir, batchId)
+
+  /** KS vs `refStratum` from the persisted store's folded counts —
+    * equals [[ksDistance]] over every ingested row, without reading
+    * any of them again.
+    */
+  def ksFromStore(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  refStratum: String): DataFrame =
+    ksFromDistribution(
+      CountLog.read(spark, dir, Seq("stratum", "v")), refStratum)
+
   /** KS over a pre-aggregated (possibly batch-folded) distribution
     * table — identical to [[ksDistance]] on the union of the
     * contributing batches (count additivity is exact, spec-pinned).

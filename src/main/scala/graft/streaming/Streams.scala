@@ -270,6 +270,25 @@ object Streams {
           hhNum, hhDen, subBits)
     }
 
+  /** KS-drift-on-ingest: each micro-batch folds its (stratum, value)
+    * distribution counts into the persisted store
+    * ([[graft.operators.Sketches.appendDistribution]], batch-id
+    * idempotent — replay converges), and
+    * `Sketches.ksFromStore(spark, dir, ref)` answers "which strata
+    * have drifted from the reference, and by how much" at ANY point
+    * without rescanning a single ingested row. The streaming twin of
+    * the a20 batch statistic. Init the store first
+    * ([[graft.operators.Sketches.initDistributionStore]]).
+    */
+  def ksDriftSink(stream: DataFrame, stratumName: String,
+                  valueName: String, dir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.operators.Sketches.appendDistribution(
+          batch, col(stratumName), col(valueName), dir, Some(batchId)): Unit
+    }
+
   /** Streaming-ingest exact dedup: keep the first event per key, with
     * state bounded by the watermark (`dropDuplicatesWithinWatermark` —
     * a key's state is freed once the watermark passes its event time,

@@ -220,6 +220,41 @@ class SketchesSpec extends SparkSpec {
     assert(inc == direct && inc.map(_._1) == Set("a", "b"))
   }
 
+  test("ksDriftSink: micro-batches fold into the store; ksFromStore == direct; replay no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Scratch.dir("ks_stream") + "/dist"
+    Sketches.initDistributionStore(spark, dir)
+    val input = MemoryStream[(String, Long)]
+    val q = graft.streaming.Streams.ksDriftSink(
+        input.toDF().toDF("lang", "ntok"), "lang", "ntok", dir)
+      .option("checkpointLocation", Scratch.dir("ks_stream_ckpt"))
+      .start()
+    val all = Seq("a" -> 1L, "a" -> 2L, "ref" -> 2L, "ref" -> 9L,
+      "a" -> 2L, "b" -> 5L, "ref" -> 3L)
+    try {
+      input.addData(all.take(4): _*)
+      q.processAllAvailable()
+      input.addData(all.drop(4): _*)
+      q.processAllAvailable()
+      val store = rows(Sketches.ksFromStore(spark, dir, "ref"))
+        .map(r => (r.getString(0), r.getAs[Long]("n"),
+          r.getAs[Double]("ks"))).toSet
+      val direct = rows(Sketches.ksDistance(
+          all.toDF("s", "v"), $"s", $"v", "ref"))
+        .map(r => (r.getString(0), r.getAs[Long]("n"),
+          r.getAs[Double]("ks"))).toSet
+      assert(store == direct && store.map(_._1) == Set("a", "b"))
+      // replaying an already-landed batch id is a no-op (idempotence)
+      Sketches.appendDistribution(all.drop(4).toDF("s", "v"),
+        $"s", $"v", dir, Some(1L))
+      val replayed = rows(Sketches.ksFromStore(spark, dir, "ref"))
+        .map(r => (r.getString(0), r.getAs[Long]("n"),
+          r.getAs[Double]("ks"))).toSet
+      assert(replayed == store)
+    } finally q.stop()
+  }
+
   test("ksDistance: n is the compared stratum's row count; ks within [0,1]") {
     val out = rows(Sketches.ksDistance(
       Seq(("a", 1L), ("a", 7L), ("a", 7L), ("ref", 2L))
