@@ -257,6 +257,23 @@ object Sketches {
     ksFromDistribution(
       CountLog.read(spark, dir, Seq("stratum", "v")), refStratum)
 
+  /** Smirnov asymptotic critical value: reject "same distribution" at
+    * significance `alpha` when the observed KS statistic exceeds
+    * c(α)·√((n₁+n₂)/(n₁·n₂)), c(α) = √(−ln(α/2)/2). This is the alert
+    * rule that turns [[ksFromStore]]'s number into a decision — e.g.
+    * `ks.filter(col("ks") > lit(Sketches.ksCritical(n, nRef, 0.01)))`
+    * as the re-mix/investigate trigger on an ingest dashboard. Valid
+    * for the asymptotic regime (both n over a few dozen); discretized
+    * values make the test conservative (ties can only lower the sup).
+    */
+  def ksCritical(nCompared: Long, nRef: Long, alpha: Double): Double = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha in (0,1), got $alpha")
+    require(nCompared > 0 && nRef > 0, "both sample sizes must be positive")
+    math.sqrt(-math.log(alpha / 2.0) / 2.0) *
+      math.sqrt((nCompared + nRef).toDouble /
+        (nCompared.toDouble * nRef.toDouble))
+  }
+
   /** KS over a pre-aggregated (possibly batch-folded) distribution
     * table — identical to [[ksDistance]] on the union of the
     * contributing batches (count additivity is exact, spec-pinned).

@@ -255,6 +255,23 @@ class SketchesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ksCritical: the Smirnov alert rule separates same from shifted samples") {
+    // c(0.05) = sqrt(-ln(0.025)/2) ≈ 1.3581; equal n=100 → ≈ 0.19206
+    val t = Sketches.ksCritical(100, 100, 0.05)
+    assert(math.abs(t - 1.3581015 * math.sqrt(0.02)) < 1e-6)
+    // tighter alpha → higher bar; more data → lower bar
+    assert(Sketches.ksCritical(100, 100, 0.01) > t)
+    assert(Sketches.ksCritical(1000, 1000, 0.05) < t)
+    // identical large samples never alert (ks = 0), disjoint ones do:
+    // n=200 each → threshold ≈ 0.136 < 1
+    val same = (1 to 200).flatMap(i => Seq("a" -> i.toLong, "ref" -> i.toLong))
+    assert(ksOf(same)("a") <= Sketches.ksCritical(200, 200, 0.05))
+    val far = (1 to 200).flatMap(i => Seq("a" -> i.toLong, "ref" -> (i + 500).toLong))
+    assert(ksOf(far)("a") > Sketches.ksCritical(200, 200, 0.05))
+    intercept[IllegalArgumentException](Sketches.ksCritical(0, 10, 0.05))
+    intercept[IllegalArgumentException](Sketches.ksCritical(10, 10, 1.5))
+  }
+
   test("ksDistance: n is the compared stratum's row count; ks within [0,1]") {
     val out = rows(Sketches.ksDistance(
       Seq(("a", 1L), ("a", 7L), ("a", 7L), ("ref", 2L))
