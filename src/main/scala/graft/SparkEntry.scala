@@ -701,7 +701,7 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tok"),
           fround(col("avg_logratio"), 6).as("logratio"))
       Sampling.weightedTokenSample(w, col("doc_id"),
-          exp(lit(2.0) * col("logratio")), col("n_tok"),
+          Sampling.detExp(lit(2.0) * col("logratio")), col("n_tok"),
           budgetPct = 25, salt = "dsir")
         .select(col("doc_id"), col("n_tok"), col("logratio"),
           col("sel_key"), col("start_tok"))
@@ -776,22 +776,46 @@ object SparkEntry {
       // two languages/sources share" matrix WITHOUT a vocab-level
       // join: raw tokens are touched once (one map-side-combined
       // sketch per stratum), the pair matrix is sketch-bytes algebra
-      // over #strata² tiny rows. Approximate (errors add under
-      // inclusion–exclusion) ⇒ no DuckDB oracle, the a14 precedent;
-      // SketchesSpec pins accuracy vs exact overlap.
-      val sk = t(s, dir, "documents")
+      // over #strata² tiny rows. Driver-checkable core (r9 verdict):
+      // the exact overlap runs alongside at test SF and the output is
+      // (exact_overlap, within_tol) — the sketch estimate still drives
+      // within_tol, so the gate fails if sketch accuracy regresses
+      // (tolerance = 10% of the exact union, the SketchesSpec
+      // compounded-error bound); at 100 TB only the sketch path runs.
+      val docs = t(s, dir, "documents")
+      val sk = docs
         .select(col("lang"), explode(TA.tokens(col("text"))).as("tok"))
         .groupBy(col("lang"))
         .agg(expr("hll_sketch_agg(tok, 12)").as("sk"))
       val a = sk.select(col("lang").as("lang_a"), col("sk").as("ska"))
       val b = sk.select(col("lang").as("lang_b"), col("sk").as("skb"))
-      a.join(b, col("lang_a") < col("lang_b"))
+      val est = a.join(b, col("lang_a") < col("lang_b"))
         .select(col("lang_a"), col("lang_b"),
           expr("hll_sketch_estimate(ska)").as("est_a"),
           expr("hll_sketch_estimate(skb)").as("est_b"),
           expr("hll_sketch_estimate(hll_union(ska, skb))").as("est_union"))
         .withColumn("est_overlap",
           greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
+      val vocab = docs
+        .select(col("lang"), explode(TA.tokens(col("text"))).as("tok"))
+        .distinct()
+      val nv = vocab.groupBy(col("lang")).agg(count(lit(1)).as("nv"))
+      val exact = vocab.as("x")
+        .join(vocab.as("y"),
+          col("x.tok") === col("y.tok") && col("x.lang") < col("y.lang"))
+        .groupBy(col("x.lang").as("lang_a"), col("y.lang").as("lang_b"))
+        .agg(count(lit(1)).as("exact_overlap"))
+      est
+        .join(broadcast(exact), Seq("lang_a", "lang_b"), "left")
+        .join(broadcast(nv.select(col("lang").as("lang_a"),
+          col("nv").as("_na"))), Seq("lang_a"))
+        .join(broadcast(nv.select(col("lang").as("lang_b"),
+          col("nv").as("_nb"))), Seq("lang_b"))
+        .withColumn("exact_overlap", coalesce(col("exact_overlap"), lit(0L)))
+        .select(col("lang_a"), col("lang_b"), col("exact_overlap"),
+          (abs(col("est_overlap") - col("exact_overlap")) <=
+            (col("_na") + col("_nb") - col("exact_overlap")) * lit(0.10))
+            .as("within_tol"))
         .orderBy(col("lang_a"), col("lang_b"))
     }),
 
@@ -863,16 +887,25 @@ object SparkEntry {
       // sketches of the token stream fold once per ingest batch (day
       // synthesizes from doc_id, the w4 precedent), then ANY slice
       // answers distinct-token questions by unioning sketch bytes —
-      // history never rescans. Approximate ⇒ no DuckDB oracle (the
-      // a6x precedent; SketchesSpec pins accuracy vs exact and the
-      // union-equals-direct law); driver rows-check applies.
+      // history never rescans. Driver-checkable core (r9 verdict): the
+      // exact distinct runs alongside at test SF, output =
+      // (exact, within_tol) with within_tol driven by the sketch union
+      // (lgK = 12 → rsd ≈ 1.6%, 3σ ⇒ 5%), so the gate sees a real hash
+      // verdict AND a sketch-accuracy regression flips it; at 100 TB
+      // only the sketch path runs.
       val toks = t(s, dir, "documents")
         .select(col("lang"), pmod(col("doc_id"), lit(7)).as("day"),
           TA.tokens(col("text")).as("_toks"))
         .select(col("lang"), col("day"), explode(col("_toks")).as("tok"))
-      Sketches.unionEstimates(
+      val est = Sketches.unionEstimates(
           Sketches.dailySketches(toks, col("lang"), col("day"), col("tok")))
         .select(col("stratum").as("lang"), col("est_distinct"))
+      toks.groupBy(col("lang"))
+        .agg(countDistinct(col("tok")).as("n_distinct_tokens"))
+        .join(broadcast(est), Seq("lang"))
+        .select(col("lang"), col("n_distinct_tokens"),
+          (abs(col("est_distinct") - col("n_distinct_tokens")) <=
+            col("n_distinct_tokens") * lit(0.05)).as("within_tol"))
         .orderBy(col("lang"))
     }),
     "a15_quantile_sketch" -> ((s, dir) => {
@@ -1624,16 +1657,30 @@ object SparkEntry {
     }),
 
     "g7x_corpus_health_hll" -> ((s, dir) => {
-      // G7x — g7 with the distinct-token column swapped to the a14 HLL
-      // union estimate: the 100 TB path (history never rescans; the
-      // sketch is the mergeable unit). Approximate ⇒ no DuckDB oracle
-      // (the a6x/a14 precedent; HealthSpec pins every other column
-      // bit-identical to g7 and the estimate within 5% of exact);
-      // driver rows-check applies.
-      Health.corpusHealth(t(s, dir, "documents"),
+      // G7x — g7 with the distinct-token column computed on the a14
+      // HLL union path: the 100 TB form (history never rescans; the
+      // sketch is the mergeable unit). Driver-checkable core (r9
+      // verdict): the exact per-(lang, day) distinct runs alongside at
+      // test SF; the output carries g7's exact columns plus within_tol
+      // driven by the HLL estimate (the HealthSpec 5% bound), so
+      // check.py hash-verifies the whole dashboard AND a sketch
+      // regression flips the boolean; at 100 TB only the HLL path runs.
+      val docs = t(s, dir, "documents")
+      val exact = docs
+        .select(col("lang"), pmod(col("doc_id"), lit(7)).as("day"),
+          explode(TA.tokens(col("text"))).as("tok"))
+        .groupBy(col("lang"), col("day"))
+        .agg(countDistinct(col("tok")).as("_exact"))
+      Health.corpusHealth(docs,
           col("lang"), pmod(col("doc_id"), lit(7)), col("text"),
           distinctViaHll = true)
         .withColumnRenamed("stratum", "lang")
+        .join(broadcast(exact), Seq("lang", "day"))
+        .withColumn("within_tol",
+          abs(col("distinct_toks") - col("_exact")) <=
+            col("_exact") * lit(0.05))
+        .withColumn("distinct_toks", col("_exact"))
+        .drop("_exact")
         .orderBy(col("lang"), col("day"))
     }),
 
@@ -1935,15 +1982,22 @@ object SparkEntry {
     }),
 
     "a6x_distinct_approx" -> ((s, dir) => {
-      // A6 approx twin — approx_count_distinct (HLL++) as the BENCH-ONLY
-      // measured substitute for a6's exact countDistinct (no oracle SQL:
-      // DuckDB's HLL sketch differs). Exact distinct = one extra shuffle
-      // of every (lang, tok) pair for dedup; the sketch merges per
-      // partition, so at corpus scale this is the only viable form.
+      // A6 approx twin — approx_count_distinct (HLL++) as the measured
+      // 100 TB substitute for a6's exact countDistinct. Exact distinct
+      // = one extra shuffle of every (lang, tok) pair for dedup; the
+      // sketch merges per partition, so at corpus scale this is the
+      // only viable form. Driver-checkable core (r9 verdict): the same
+      // agg computes the exact count alongside at test SF; output =
+      // (exact, within_tol), within_tol from the sketch at the default
+      // rsd 0.05 → 3σ ⇒ 15%.
       t(s, dir, "documents")
         .select(col("lang"), explode(TA.tokens(col("text"))).as("tok"))
         .groupBy(col("lang"))
-        .agg(approx_count_distinct(col("tok")).as("n_distinct_tokens"))
+        .agg(countDistinct(col("tok")).as("n_distinct_tokens"),
+          approx_count_distinct(col("tok")).as("_est"))
+        .select(col("lang"), col("n_distinct_tokens"),
+          (abs(col("_est") - col("n_distinct_tokens")) <=
+            col("n_distinct_tokens") * lit(0.15)).as("within_tol"))
         .orderBy(col("lang"))
     }),
 
@@ -1974,17 +2028,21 @@ object SparkEntry {
     }),
 
     "a7x_iqr_approx" -> ((s, dir) => {
-      // A7 approx twin — the documented 100 TB substitute for exact
-      // quartiles, shipped as a BENCH-ONLY entry (no oracle SQL: DuckDB's
-      // approx sketch differs, so the driver records a rows-only check)
-      // so its measured cost is visible next to exact a7.
-      // approx_percentile is a single-pass mergeable sketch (partial agg
-      // per partition + merge) — no per-group sorted materialization, so
-      // it scales to corpus-sized groups where exact percentile cannot.
+      // A7 approx twin — approx_percentile as the documented 100 TB
+      // substitute for exact quartiles: a single-pass mergeable sketch
+      // (partial agg per partition + merge), no per-group sorted
+      // materialization, so it scales to corpus-sized groups where
+      // exact percentile cannot. Driver-checkable core (r9 verdict):
+      // exact quartiles run alongside at test SF and drive the outlier
+      // count (hash-comparable numbers); the sketch quartiles feed
+      // within_tol — at accuracy 10000 the rank error is ≤ n/10⁴, so
+      // 1% relative value tolerance is generous and deterministic.
       val li = t(s, dir, "lineitem")
       val q = li.groupBy(col("l_returnflag")).agg(
-        expr("approx_percentile(l_extendedprice, 0.25, 10000)").as("q1"),
-        expr("approx_percentile(l_extendedprice, 0.75, 10000)").as("q3"),
+        expr("percentile(l_extendedprice, 0.25)").as("q1"),
+        expr("percentile(l_extendedprice, 0.75)").as("q3"),
+        expr("approx_percentile(l_extendedprice, 0.25, 10000)").as("aq1"),
+        expr("approx_percentile(l_extendedprice, 0.75, 10000)").as("aq3"),
         count(lit(1)).as("n_total"))
       val iqr = col("q3") - col("q1")
       val lo = col("q1") - iqr * 1.5
@@ -1997,7 +2055,10 @@ object SparkEntry {
           sum(when(col("l_extendedprice") < lo || col("l_extendedprice") > hi,
             1L).otherwise(0L)).as("n_outliers"),
           fround(sum(when(col("l_extendedprice") < lo || col("l_extendedprice") > hi,
-            1.0).otherwise(0.0)) * 100.0 / first(col("n_total")), 6).as("pct_outliers"))
+            1.0).otherwise(0.0)) * 100.0 / first(col("n_total")), 6).as("pct_outliers"),
+          (max(abs(col("aq1") - col("q1"))) <= first(col("q1")) * lit(0.01) &&
+            max(abs(col("aq3") - col("q3"))) <= first(col("q3")) * lit(0.01))
+            .as("within_tol"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -3026,7 +3087,7 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tok"),
           fround(col("avg_logratio"), 6).as("logratio"))
       Sampling.weightedSample(w, col("doc_id"),
-          exp(lit(2.0) * col("logratio")), 100, "dsir")
+          Sampling.detExp(lit(2.0) * col("logratio")), 100, "dsir")
         .select(col("doc_id"), col("n_tok"), col("logratio"),
           col("sel_key"))
         .orderBy(col("sel_key").desc, col("doc_id"))
@@ -3839,6 +3900,44 @@ object SparkEntry {
          FROM (SELECT lang, unnest(${sqlTokens("text")}) AS tok FROM documents)
          GROUP BY lang ORDER BY lang""",
 
+    "a6x_distinct_approx" ->
+      // exact core + constant within_tol: the Spark side derives the
+      // boolean from its HLL++ estimate vs the same exact count, so a
+      // sketch regression fails the hash compare (r9 verdict task 2)
+      s"""SELECT lang, count(DISTINCT tok) AS n_distinct_tokens,
+           true AS within_tol
+         FROM (SELECT lang, unnest(${sqlTokens("text")}) AS tok FROM documents)
+         GROUP BY lang ORDER BY lang""",
+
+    "a14_hll_rollup" ->
+      // same driver-checkable-core pattern: the day-sketch union path
+      // runs Spark-side and feeds within_tol; the hashed columns are
+      // the exact per-lang distinct both engines compute
+      s"""SELECT lang, count(DISTINCT tok) AS n_distinct_tokens,
+           true AS within_tol
+         FROM (SELECT lang, unnest(${sqlTokens("text")}) AS tok FROM documents)
+         GROUP BY lang ORDER BY lang""",
+
+    "a19_token_overlap" ->
+      // exact pairwise vocabulary overlap via the (lang, tok) vocab
+      // self-join; the Spark side checks its HLL inclusion–exclusion
+      // estimate against the same exact numbers (10%-of-union bound)
+      s"""WITH v AS (
+           SELECT DISTINCT lang, tok FROM
+             (SELECT lang, unnest(${sqlTokens("text")}) AS tok FROM documents)),
+         ov AS (
+           SELECT x.lang AS lang_a, y.lang AS lang_b,
+             count(*)::BIGINT AS exact_overlap
+           FROM v x JOIN v y ON x.tok = y.tok AND x.lang < y.lang
+           GROUP BY 1, 2),
+         langs AS (SELECT DISTINCT lang FROM documents)
+         SELECT a.lang AS lang_a, b.lang AS lang_b,
+           coalesce(ov.exact_overlap, 0)::BIGINT AS exact_overlap,
+           true AS within_tol
+         FROM langs a JOIN langs b ON a.lang < b.lang
+         LEFT JOIN ov ON ov.lang_a = a.lang AND ov.lang_b = b.lang
+         ORDER BY lang_a, lang_b""",
+
     "s1_jsonl_roundtrip" ->
       """SELECT doc_id, lang, n_chars + 1000 AS n_chars
          FROM documents ORDER BY doc_id""",
@@ -4089,6 +4188,29 @@ object SparkEntry {
              """sum(CASE WHEN l.l_extendedprice < q.q1 - (q.q3 - q.q1) * 1.5
              OR l.l_extendedprice > q.q3 + (q.q3 - q.q1) * 1.5
              THEN 1.0 ELSE 0.0 END) * 100.0 / max(q.n_total)""", 6)} AS pct_outliers
+         FROM lineitem l JOIN q USING (l_returnflag)
+         GROUP BY l.l_returnflag ORDER BY l.l_returnflag""",
+
+    "a7x_iqr_approx" ->
+      // a7's exact replay + constant within_tol: the Spark side drives
+      // the boolean from approx_percentile vs the same exact quartiles
+      // (1% relative), so a sketch regression fails the hash compare
+      s"""WITH q AS (
+           SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.25) AS q1,
+             quantile_cont(l_extendedprice, 0.75) AS q3,
+             count(*) AS n_total
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l.l_returnflag,
+           ${sqlFround("max(q.q1)", 6)} AS q1, ${sqlFround("max(q.q3)", 6)} AS q3,
+           sum(CASE WHEN l.l_extendedprice < q.q1 - (q.q3 - q.q1) * 1.5
+             OR l.l_extendedprice > q.q3 + (q.q3 - q.q1) * 1.5
+             THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+           ${sqlFround(
+             """sum(CASE WHEN l.l_extendedprice < q.q1 - (q.q3 - q.q1) * 1.5
+             OR l.l_extendedprice > q.q3 + (q.q3 - q.q1) * 1.5
+             THEN 1.0 ELSE 0.0 END) * 100.0 / max(q.n_total)""", 6)} AS pct_outliers,
+           true AS within_tol
          FROM lineitem l JOIN q USING (l_returnflag)
          GROUP BY l.l_returnflag ORDER BY l.l_returnflag""",
 
@@ -5174,7 +5296,8 @@ object SparkEntry {
       // integer cumulative sums, two double divisions at the end — the
       // sup is attained at identical points in both engines
       s"""WITH kt AS (SELECT lang AS stratum,
-             len(${sqlTokens("text")})::BIGINT AS v FROM documents),
+             len(${sqlTokens("text")})::BIGINT AS v FROM documents
+           WHERE text IS NOT NULL),
          kcounts AS (SELECT stratum, v, count(*)::BIGINT AS c
            FROM kt GROUP BY 1, 2),
          krefc AS (SELECT v, c AS cr FROM kcounts WHERE stratum = 'en'),
@@ -5249,73 +5372,14 @@ object SparkEntry {
       // runs over per-doc token counts partitioned by (lang, day); the
       // a16 support-pruned counts yield the deterministic (cnt desc,
       // tok desc) top token; distinct is exact count(DISTINCT).
-      s"""${sqlQualityCtes()},
-         hd AS (
-           SELECT doc.lang, doc.doc_id % 7 AS day,
-             s.n_tokens::BIGINT AS n_tok, $sqlQualityExpr AS q
-           FROM s JOIN documents doc ON s.doc_id = doc.doc_id),
-         base AS (
-           SELECT lang, day, count(*) AS n_docs,
-             ${sqlFround("avg(q)", 6)} AS avg_quality,
-             ${sqlFround("avg(CASE WHEN q < 0.5 THEN 1.0 ELSE 0.0 END)", 6)}
-               AS low_quality_share,
-             sum(n_tok)::BIGINT AS total_tokens
-           FROM hd GROUP BY 1, 2),
-         qb AS (
-           SELECT lang, day,
-             (n_tok >> greatest(length(bin(n_tok)) - 6, 0))
-               << greatest(length(bin(n_tok)) - 6, 0) AS lo,
-             count(*) AS cnt
-           FROM hd GROUP BY 1, 2, 3),
-         qc AS (
-           SELECT lang, day, lo,
-             sum(cnt) OVER (PARTITION BY lang, day ORDER BY lo) AS cum,
-             sum(cnt) OVER (PARTITION BY lang, day) AS total
-           FROM qb),
-         qq AS (
-           SELECT qc.lang, qc.day, p.p, min(qc.lo) AS q_lo
-           FROM qc CROSS JOIN (VALUES (50), (90), (99)) AS p(p)
-           WHERE qc.cum * 100 >= p.p * qc.total
-           GROUP BY 1, 2, 3),
-         qp AS (
-           SELECT lang, day,
-             max(CASE WHEN p = 50 THEN q_lo END) AS p50_tok_lo,
-             max(CASE WHEN p = 90 THEN q_lo END) AS p90_tok_lo,
-             max(CASE WHEN p = 99 THEN q_lo END) AS p99_tok_lo,
-             max(CASE WHEN p = 99 THEN q_lo
-               + (CAST(1 AS BIGINT) << greatest(length(bin(q_lo)) - 6, 0)) END)
-               AS p99_tok_hi
-           FROM qq GROUP BY 1, 2),
-         tok AS (
-           SELECT lang, doc_id % 7 AS day, unnest(${sqlTokens("text")}) AS k
-           FROM documents),
-         counts AS (
-           SELECT lang, day, k, count(*) AS cnt FROM tok GROUP BY 1, 2, 3),
-         mass AS (
-           SELECT lang, day, sum(cnt) AS rows_d FROM counts GROUP BY 1, 2),
-         kept AS (
-           SELECT c.lang, c.day, c.k, c.cnt
-           FROM counts c JOIN mass m USING (lang, day)
-           WHERE c.cnt * 200 >= m.rows_d * 1),
-         mx AS (
-           SELECT lang, day, max(cnt) AS top_tok_cnt FROM kept GROUP BY 1, 2),
-         top AS (
-           SELECT k2.lang, k2.day, m.top_tok_cnt, max(k2.k) AS top_tok
-           FROM kept k2 JOIN mx m
-             ON k2.lang = m.lang AND k2.day = m.day AND k2.cnt = m.top_tok_cnt
-           GROUP BY 1, 2, 3),
-         dist AS (
-           SELECT lang, day, count(DISTINCT k)::BIGINT AS distinct_toks
-           FROM counts GROUP BY 1, 2)
-         SELECT b.lang, b.day, b.n_docs, b.avg_quality, b.low_quality_share,
-           b.total_tokens, dist.distinct_toks,
-           qp.p50_tok_lo, qp.p90_tok_lo, qp.p99_tok_lo, qp.p99_tok_hi,
-           top.top_tok, top.top_tok_cnt
-         FROM base b
-         JOIN qp USING (lang, day)
-         JOIN dist USING (lang, day)
-         LEFT JOIN top USING (lang, day)
-         ORDER BY lang, day""",
+      sqlCorpusHealth(""),
+
+    "g7x_corpus_health_hll" ->
+      // g7's exact replay plus the constant within_tol column — the
+      // Spark side computes the boolean from the HLL estimate vs the
+      // same exact distinct, so a sketch-accuracy regression fails the
+      // hash compare (r9 verdict task 2).
+      sqlCorpusHealth(", true AS within_tol"),
 
     "j1_coverage_join" ->
       """WITH bl AS (
@@ -6096,13 +6160,17 @@ object SparkEntry {
     "tq5_dsir_resample" ->
       // The resampling step over the tq2 weights: Efraimidis–Spirakis
       // keyed top-k — u from the doc's md5 hash, selection key
-      // u^(1/w), w = exp(2·logratio); rank on the ROUNDED key with a
-      // doc_id tiebreak so the top-k boundary is engine-independent.
+      // u^(1/w) via the libm-free dyadic-power chain, w =
+      // detExp(2·logratio); rank on the ROUNDED key with a doc_id
+      // tiebreak. Every op is exact or correctly-rounded IEEE, so the
+      // key is bit-identical across engines (the r9 x5 fix).
       s"""WITH wgt AS ($sqlDsirWeights FROM sc),
+         selw AS (SELECT doc_id, n_tok, logratio,
+             ${operators.Sampling.sqlDetExp("2 * logratio")} AS _w
+           FROM wgt),
          sel AS (SELECT doc_id, n_tok, logratio,
-             ${operators.Sampling.sqlSelKey(
-               "doc_id", "exp(2 * logratio)", "dsir")} AS sel_key
-           FROM wgt)
+             ${operators.Sampling.sqlSelKeyCols("doc_id", "_w", "dsir")}
+           FROM selw)
          SELECT doc_id, n_tok, logratio, sel_key FROM sel
          ORDER BY sel_key DESC, doc_id LIMIT 100""",
 
@@ -6112,14 +6180,93 @@ object SparkEntry {
       // keys, within-key prefix sum by doc_id, keep start_tok < 25% of
       // total tokens (start-before-budget).
       s"""WITH wgt AS ($sqlDsirWeights FROM sc),
-         sel AS (SELECT doc_id, n_tok, logratio,
-             ${operators.Sampling.sqlSelKey(
-               "doc_id", "exp(2 * logratio)", "dsir")} AS sel_key
+         selw AS (SELECT doc_id, n_tok, logratio,
+             ${operators.Sampling.sqlDetExp("2 * logratio")} AS _w
            FROM wgt),
+         sel AS (SELECT doc_id, n_tok, logratio,
+             ${operators.Sampling.sqlSelKeyCols("doc_id", "_w", "dsir")}
+           FROM selw),
          ${operators.Sampling.sqlTokenBudgetCut("sel", "s.doc_id", 25)}
          SELECT doc_id, n_tok, logratio, sel_key, start_tok
          FROM cut ORDER BY sel_key DESC, doc_id"""
   )
+
+  /** The g7/g7x corpus-health replay — all four dashboard blocks; the
+    * ta2 quality CTEs feed the drift aggregates, the a15 log-linear
+    * bucketing/merge/walk runs over per-doc token counts partitioned by
+    * (lang, day), the a16 support-pruned counts yield the deterministic
+    * (cnt desc, tok desc) top token, distinct is exact count(DISTINCT).
+    * `extraCols` splices additional final-select columns (g7x adds the
+    * constant within_tol the Spark side derives from the HLL estimate).
+    */
+  private def sqlCorpusHealth(extraCols: String): String =
+    s"""${sqlQualityCtes()},
+         hd AS (
+           SELECT doc.lang, doc.doc_id % 7 AS day,
+             s.n_tokens::BIGINT AS n_tok, $sqlQualityExpr AS q
+           FROM s JOIN documents doc ON s.doc_id = doc.doc_id),
+         base AS (
+           SELECT lang, day, count(*) AS n_docs,
+             ${sqlFround("avg(q)", 6)} AS avg_quality,
+             ${sqlFround("avg(CASE WHEN q < 0.5 THEN 1.0 ELSE 0.0 END)", 6)}
+               AS low_quality_share,
+             sum(n_tok)::BIGINT AS total_tokens
+           FROM hd GROUP BY 1, 2),
+         qb AS (
+           SELECT lang, day,
+             (n_tok >> greatest(length(bin(n_tok)) - 6, 0))
+               << greatest(length(bin(n_tok)) - 6, 0) AS lo,
+             count(*) AS cnt
+           FROM hd GROUP BY 1, 2, 3),
+         qc AS (
+           SELECT lang, day, lo,
+             sum(cnt) OVER (PARTITION BY lang, day ORDER BY lo) AS cum,
+             sum(cnt) OVER (PARTITION BY lang, day) AS total
+           FROM qb),
+         qq AS (
+           SELECT qc.lang, qc.day, p.p, min(qc.lo) AS q_lo
+           FROM qc CROSS JOIN (VALUES (50), (90), (99)) AS p(p)
+           WHERE qc.cum * 100 >= p.p * qc.total
+           GROUP BY 1, 2, 3),
+         qp AS (
+           SELECT lang, day,
+             max(CASE WHEN p = 50 THEN q_lo END) AS p50_tok_lo,
+             max(CASE WHEN p = 90 THEN q_lo END) AS p90_tok_lo,
+             max(CASE WHEN p = 99 THEN q_lo END) AS p99_tok_lo,
+             max(CASE WHEN p = 99 THEN q_lo
+               + (CAST(1 AS BIGINT) << greatest(length(bin(q_lo)) - 6, 0)) END)
+               AS p99_tok_hi
+           FROM qq GROUP BY 1, 2),
+         tok AS (
+           SELECT lang, doc_id % 7 AS day, unnest(${sqlTokens("text")}) AS k
+           FROM documents),
+         counts AS (
+           SELECT lang, day, k, count(*) AS cnt FROM tok GROUP BY 1, 2, 3),
+         mass AS (
+           SELECT lang, day, sum(cnt) AS rows_d FROM counts GROUP BY 1, 2),
+         kept AS (
+           SELECT c.lang, c.day, c.k, c.cnt
+           FROM counts c JOIN mass m USING (lang, day)
+           WHERE c.cnt * 200 >= m.rows_d * 1),
+         mx AS (
+           SELECT lang, day, max(cnt) AS top_tok_cnt FROM kept GROUP BY 1, 2),
+         top AS (
+           SELECT k2.lang, k2.day, m.top_tok_cnt, max(k2.k) AS top_tok
+           FROM kept k2 JOIN mx m
+             ON k2.lang = m.lang AND k2.day = m.day AND k2.cnt = m.top_tok_cnt
+           GROUP BY 1, 2, 3),
+         dist AS (
+           SELECT lang, day, count(DISTINCT k)::BIGINT AS distinct_toks
+           FROM counts GROUP BY 1, 2)
+         SELECT b.lang, b.day, b.n_docs, b.avg_quality, b.low_quality_share,
+           b.total_tokens, dist.distinct_toks,
+           qp.p50_tok_lo, qp.p90_tok_lo, qp.p99_tok_lo, qp.p99_tok_hi,
+           top.top_tok, top.top_tok_cnt$extraCols
+         FROM base b
+         JOIN qp USING (lang, day)
+         JOIN dist USING (lang, day)
+         LEFT JOIN top USING (lang, day)
+         ORDER BY lang, day"""
 
   /** The DSIR chain with CTE names prefixed `p` (so it can splice into
     * the g2 prelude without name collisions): both hashed-unigram LMs

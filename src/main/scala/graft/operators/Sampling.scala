@@ -156,6 +156,93 @@ object Sampling {
        ELSE $maxHash END"""
   }
 
+  // ---- libm-free weighted-selection key ---------------------------
+  //
+  // The Efraimidis–Spirakis key u^(1/w) is textbook-computed with libm
+  // `pow` (and DSIR's weight with libm `exp`) — but libm results differ
+  // by a ulp across engines, and under the floor(x·10⁶ + 0.5) rounding
+  // contract a one-ulp difference at a bucket edge flips the 6-decimal
+  // key; weightedTokenSample then prefix-sums over the key spine, so one
+  // flipped key perturbs every downstream offset (the round-9 x5
+  // cross-engine hash failure). The fix is to make the WHOLE chain
+  // bit-deterministic on any IEEE-754 engine by using only exact ops
+  // (+, −, ×, ÷, floor) and correctly-rounded sqrt (IEEE-mandated):
+  //
+  //   1. the exponent e = 1/w is quantized to a dyadic rational
+  //      m/2^20 with m = ⌊2^20/w + 0.5⌋ clamped to [1, 2^26]
+  //      (exponents resolve to ~1e-6 and cap at 64 — u^64 < 5e-7
+  //      rounds to key 0 for any u ≤ 0.8, so the cap only reshuffles
+  //      hopeless tail rows);
+  //   2. u^(m/2^20) = Π over set bits j of m of u^(2^(j-20)), where
+  //      the fractional-bit factors are a 20-deep sqrt chain and the
+  //      integer-bit factors are repeated exact squarings;
+  //   3. weights that come from an exponential (DSIR's exp(logratio/T))
+  //      use [[detExp]] instead of libm exp.
+  //
+  // Every factor and the fold order are identical in the Scala plan and
+  // the generated DuckDB SQL, so the engines agree bit-for-bit — no
+  // boundary guard needed because there is no divergence to guard.
+
+  /** Deterministic exponential `p(x/32)^32` (p = degree-4 Taylor of
+    * exp) — bit-equal on any IEEE engine (see
+    * [[graft.expressions.DetExp]]); relative error vs true exp
+    * ≤ ~10⁻⁵ for |x| ≤ 4, always > 0. Use for sampling weights of the
+    * form exp(·) so the selection key stays cross-engine exact.
+    */
+  def detExp(x: Column): Column = graft.expressions.DetExp(x)
+
+  /** DuckDB twin of [[detExp]] as ONE self-contained expression: the
+    * same Horner polynomial, squared 5 times textually (2^5 base
+    * copies — bounded on purpose; a deeper chain would double the
+    * binder's tree per level). Keep in lockstep with
+    * [[graft.expressions.DetExp.compute]].
+    */
+  def sqlDetExp(xExpr: String): String = {
+    val y = s"(($xExpr) / ${graft.expressions.DetExp.Grain})"
+    val p = s"(1.0 + $y * (1.0 + $y * (0.5 + $y * (1.0 / 6.0 + $y * (1.0 / 24.0)))))"
+    (1 to 5).foldLeft(p)((acc, _) => s"($acc * $acc)")
+  }
+
+  /** Dyadic exponent numerator: m = ⌊2^20/w + 0.5⌋ ∈ [1, 2^26]. One
+    * exact divide + exact add + floor — deterministic given `weight`.
+    */
+  private def selExponent(weight: Column): Column =
+    least(lit(1L << 26), greatest(lit(1L),
+      floor(lit((1L << 20).toDouble) / weight + lit(0.5)).cast("long")))
+
+  /** u^(m/2^20) as the ordered product of per-bit factors (j = 0..26):
+    * sqrt-chain factors for fractional bits, exact squarings for
+    * integer bits; bits absent from m contribute an exact 1.0. Fold
+    * order (j ascending, seeded 1.0) matches [[sqlSelKeyCols]].
+    */
+  private def dyadicPow(u: Column, m: Column): Column = {
+    val down = Iterator.iterate(u)(sqrt(_)).take(21).toIndexedSeq // u^(2^-k)
+    val up = Iterator.iterate(u)(c => c * c).take(7).toIndexedSeq // u^(2^i)
+    (0 to 26).foldLeft(lit(1.0)) { (acc, j) =>
+      val q = if (j <= 20) down(20 - j) else up(j - 20)
+      acc * when(shiftright(m, j).bitwiseAND(lit(1L)) === lit(1L), q)
+        .otherwise(lit(1.0))
+    }
+  }
+
+  /** Adds the rounded (6 dp) Efraimidis–Spirakis `sel_key` column:
+    * u ∈ (0,1] from the keyed md5 hash, key = u^(m/2^20) via
+    * [[dyadicPow]], floor-rounded. `weight` must be strictly positive
+    * and itself cross-engine deterministic (use [[detExp]] for
+    * exponential weights). Scan-fused projection; the `_sk_*`
+    * intermediates are bound at a select boundary so the sqrt chain
+    * and bit product evaluate once per row.
+    */
+  def withSelectionKey(df: DataFrame, id: Column, weight: Column,
+                       salt: String): DataFrame = {
+    val u = (keyHash(id, salt) + 1L).cast("double") / lit((1L << 28).toDouble)
+    df.withColumn("_sk_u", u)
+      .withColumn("_sk_m", selExponent(weight))
+      .withColumn("sel_key",
+        floor(dyadicPow(col("_sk_u"), col("_sk_m")) * 1e6 + 0.5) / 1e6)
+      .drop("_sk_u", "_sk_m")
+  }
+
   /** Deterministic weighted sampling without replacement
     * (Efraimidis–Spirakis): each row draws u ∈ (0, 1] from its keyed
     * md5 hash and ranks by selection key u^(1/w) — the top-k by that
@@ -163,35 +250,49 @@ object Sampling {
     * uniform draw keyed instead of random, the sample is reproducible
     * across runs, partitionings and cluster sizes, like every sampler
     * here — this is the resampling step DSIR needs downstream of
-    * [[Classify.dsirWeights]] (weight = exp(logratio/T)).
+    * [[Classify.dsirWeights]] (weight = exp(logratio/T), computed via
+    * [[detExp]] so the key chain stays libm-free end to end).
     *
-    * Returned with `sel_key` = the ROUNDED (6 dp) selection key: ranking
-    * on the rounded value with an `idCol` tiebreak keeps the top-k
-    * boundary engine-independent (raw-double orderings can disagree at
-    * the ulp between engines; rounded values compare identically under
-    * the fround parity contract). `weight` must be strictly positive.
+    * Returned with `sel_key` = the ROUNDED (6 dp) selection key
+    * ([[withSelectionKey]]): ranking on the rounded value with an `id`
+    * tiebreak keeps the top-k boundary engine-independent. `weight`
+    * must be strictly positive.
     *
     * Scale shape: the key is a scan-fused projection; top-k plans as
     * TakeOrderedAndProject (per-partition heaps + one k-row merge),
     * never a global sort.
     */
   def weightedSample(df: DataFrame, id: Column, weight: Column, k: Int,
-                     salt: String): DataFrame = {
-    val u = (keyHash(id, salt) + 1L).cast("double") / lit((1L << 28).toDouble)
-    val selKey = floor(pow(u, lit(1.0) / weight) * 1e6 + 0.5) / 1e6
-    df.withColumn("sel_key", selKey)
+                     salt: String): DataFrame =
+    withSelectionKey(df, id, weight, salt)
       .orderBy(col("sel_key").desc, id)
       .limit(k)
-  }
 
-  /** DuckDB twin of [[weightedSample]]'s selection key (u from the same
-    * md5 hash; round-then-rank). `idExpr` must cast to VARCHAR the way
-    * [[keyHash]] does. Keep in lockstep.
+  /** DuckDB twin of [[withSelectionKey]] as SELECT-list items: lateral
+    * aliases `_sk_u` and `_sk_m` (each referencing only base columns),
+    * then `sel_key` whose factor terms reference those two aliases —
+    * substitution depth ≤ 2, so the binder's tree stays linear (a
+    * CHAIN of aliases doubles per level and explodes; learned the hard
+    * way). The sqrt-chain factors are nested sqrt text; the integer-
+    * bit factors are self-multiplied text (≤ 2^6 `_sk_u` copies, the
+    * m-clamp's purpose). `idExpr` must cast to VARCHAR the way
+    * [[keyHash]] renders; `wExpr` must be the SAME deterministic
+    * weight as the Spark side (see [[sqlDetExp]]). Keep in lockstep
+    * with [[dyadicPow]]/[[selExponent]].
     */
-  def sqlSelKey(idExpr: String, weightExpr: String, salt: String): String =
-    s"""floor(pow((('0x' || substr(md5('$salt:' || ($idExpr)::VARCHAR), 1, 7))::BIGINT
-         + 1)::DOUBLE / ${(1L << 28).toDouble},
-         1.0 / ($weightExpr)) * 1e6 + 0.5) / 1e6"""
+  def sqlSelKeyCols(idExpr: String, wExpr: String, salt: String): String = {
+    val u = s"(${sqlKeyHash(idExpr, salt)} + 1)::DOUBLE / ${(1L << 28).toDouble}"
+    val m = s"least(${1L << 26}, greatest(1, " +
+      s"floor(${(1L << 20).toDouble} / ($wExpr) + 0.5)::BIGINT))"
+    def q(j: Int): String =
+      if (j <= 20) ("sqrt(" * (20 - j)) + "_sk_u" + (")" * (20 - j))
+      else (1 to (j - 20)).foldLeft("_sk_u")((acc, _) => s"($acc * $acc)")
+    val product = (0 to 26).foldLeft("1.0") { (acc, j) =>
+      s"($acc * (CASE WHEN ((_sk_m >> $j) & 1) = 1 THEN ${q(j)} ELSE 1.0 END))"
+    }
+    Seq(s"$u AS _sk_u", s"$m AS _sk_m",
+      s"floor($product * 1e6 + 0.5) / 1e6 AS sel_key").mkString(", ")
+  }
 
   /** [[weightedSample]] to a TOKEN budget instead of a row count — the
     * published DSIR recipe's actual stopping rule (Xie et al. 2023
@@ -216,9 +317,7 @@ object Sampling {
                           nTok: Column, budgetPct: Int,
                           salt: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val u = (keyHash(id, salt) + 1L).cast("double") / lit((1L << 28).toDouble)
-    val selKey = floor(pow(u, lit(1.0) / weight) * 1e6 + 0.5) / 1e6
-    val keyed = df.withColumn("sel_key", selKey)
+    val keyed = withSelectionKey(df, id, weight, salt)
       .withColumn("_nt", nTok.cast("long"))
     // Bounded key spine: tokens per distinct rounded key, cumulative
     // mass of all STRICTLY higher keys = the key's global start offset.

@@ -211,9 +211,9 @@ object Sketches {
     * raw double ks; callers round.
     */
   def ksDistance(df: DataFrame, stratum: Column, value: Column,
-                 refStratum: String): DataFrame =
+                 refStratum: String, scale: Int = 0): DataFrame =
     ksFromDistribution(
-      distributionCounts(df, stratum, value), refStratum)
+      distributionCounts(df, stratum, value, scale), refStratum)
 
   /** The (stratum, v, c) distribution table [[ksFromDistribution]]
     * consumes — and the ADDITIVE state that makes KS incrementally
@@ -222,13 +222,27 @@ object Sketches {
     * one bounded-axis table per stratum and answers drift questions
     * without ever rescanning history — the same history-never-rescans
     * law as the HLL/quantile/heavy-hitter families.
+    *
+    * `v` is the value DISCRETIZED at `scale` decimals — ⌊x·10^scale +
+    * 0.5⌋, the fround contract integerized — so a fractional scalar
+    * (a quality score) keeps `scale` decimals of axis resolution
+    * instead of silently truncating to its integer part; integral
+    * inputs at the default scale 0 are unchanged. Callers comparing
+    * across batches must fix one scale per store. NULL values carry no
+    * distribution mass and are dropped (engines disagree on NULL
+    * ordering inside the CDF window, so keeping them would also break
+    * the cross-engine sup).
     */
-  def distributionCounts(df: DataFrame, stratum: Column,
-                         value: Column): DataFrame =
-    df.select(stratum.cast("string").as("stratum"),
-        value.cast("long").as("v"))
+  def distributionCounts(df: DataFrame, stratum: Column, value: Column,
+                         scale: Int = 0): DataFrame = {
+    require(scale >= 0 && scale <= 9, s"scale in [0,9], got $scale")
+    val v = floor(value.cast("double") * math.pow(10.0, scale) + 0.5)
+      .cast("long")
+    df.select(stratum.cast("string").as("stratum"), v.as("v"))
+      .filter(col("v").isNotNull)
       .groupBy(col("stratum"), col("v"))
       .agg(count(lit(1)).as("c"))
+  }
 
   /** Create a persisted distribution store (a [[CountLog]] over the
     * (stratum, v) key): the additive state behind KS-on-ingest. Each
@@ -243,10 +257,14 @@ object Sketches {
       org.apache.spark.sql.types.StructType
         .fromDDL("stratum STRING, v LONG, c LONG")), dir)
 
-  /** Fold one batch into the store — O(batch), batch-id idempotent. */
+  /** Fold one batch into the store — O(batch), batch-id idempotent.
+    * `scale` must match the store's (one discretization per store).
+    */
   def appendDistribution(batch: DataFrame, stratum: Column, value: Column,
-                         dir: String, batchId: Option[Long] = None): Long =
-    CountLog.append(distributionCounts(batch, stratum, value), dir, batchId)
+                         dir: String, batchId: Option[Long] = None,
+                         scale: Int = 0): Long =
+    CountLog.append(distributionCounts(batch, stratum, value, scale), dir,
+      batchId)
 
   /** KS vs `refStratum` from the persisted store's folded counts —
     * equals [[ksDistance]] over every ingested row, without reading

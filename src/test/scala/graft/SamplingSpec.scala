@@ -137,10 +137,7 @@ class SamplingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     // Naive twin: one global sort by (sel_key desc, id), running token
     // offset, keep start < 30% of total. Same selection key expression.
-    val u = (Sampling.keyHash($"id", "wt") + 1L).cast("double") /
-      lit((1L << 28).toDouble)
-    val naive = w.withColumn("sel_key",
-        floor(pow(u, lit(1.0) / $"w") * 1e6 + 0.5) / 1e6)
+    val naive = Sampling.withSelectionKey(w, $"id", $"w", "wt")
       .withColumn("start_tok",
         coalesce(sum($"n_tok").over(
           Window.orderBy($"sel_key".desc, $"id")
@@ -350,6 +347,83 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sampling.clusterSplit(labeled, $"cluster_id",
         Seq("a" -> 0.5, "b" -> 0.3), "spl")
+    }
+  }
+
+  /** Pure-Scala replay of the libm-free selection-key chain — the same
+    * op sequence as [[Sampling.withSelectionKey]] and its DuckDB twin:
+    * exact IEEE +,−,×,÷,floor and correctly-rounded Math.sqrt only.
+    */
+  private def refSelKey(hash: Long, w: Double): Double = {
+    val u = (hash + 1).toDouble / (1L << 28).toDouble
+    val m = math.min(1L << 26,
+      math.max(1L, math.floor((1L << 20).toDouble / w + 0.5).toLong))
+    var key = 1.0
+    var j = 0
+    while (j <= 26) {
+      if (((m >> j) & 1L) == 1L) {
+        var q = u
+        if (j <= 20) { var k = 0; while (k < 20 - j) { q = math.sqrt(q); k += 1 } }
+        else { var k = 0; while (k < j - 20) { q = q * q; k += 1 } }
+        key = key * q
+      }
+      j += 1
+    }
+    math.floor(key * 1e6 + 0.5) / 1e6
+  }
+
+  test("selection key is bit-identical to the pure-IEEE reference, incl. rounding-boundary weights") {
+    // Weights chosen to sit ON or NEXT TO the chain's discretization
+    // boundaries — the exact cases where the old libm-pow key could
+    // flip across engines: w = 1 (exponent lands exactly on 2^20, so
+    // u·1e6 + 0.5 can be exactly integral for dyadic u), powers of two
+    // (single-bit m), w = 2^20/(n − 0.5) (m's floor input exactly
+    // integral), the clamp edges, and detExp-derived DSIR weights.
+    val boundary = Seq(
+      1.0, 2.0, 0.5, 0.25, 64.0, 1.0 / 64.0,               // single-bit m + clamp
+      (1L << 20).toDouble / (1048576.5),                   // floor input = integer
+      (1L << 20).toDouble / (524288.5),                    //   "
+      1e-9, 1e9,                                           // far past the clamp
+      3.7, 0.315)                                          // generic
+    val dsir = Seq(-2.0, -0.75, -1e-6, 0.0, 1e-6, 0.4, 2.0)
+      .map(lr => graft.expressions.DetExp.compute(2.0 * lr))
+    val base = spark.range(0, 400).toDF("id")
+    for (wv <- boundary ++ dsir) {
+      val got = rows(Sampling.withSelectionKey(
+          base.withColumn("w", lit(wv)), $"id", $"w", "bnd")
+        .select($"id", $"sel_key", Sampling.keyHash($"id", "bnd").as("h")))
+      got.foreach { r =>
+        val exp = refSelKey(r.getLong(2), wv)
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ==
+          java.lang.Double.doubleToRawLongBits(exp),
+          s"id=${r.getLong(0)} w=$wv got=${r.getDouble(1)} want=$exp")
+      }
+    }
+  }
+
+  test("detExp matches the bound-squaring declarative twin bit-for-bit and approximates exp") {
+    // declarative twin: the Horner polynomial then 5 withColumn-bound
+    // squarings (the same op sequence the SQL twin's text replays)
+    val xs = spark.range(-300, 301).toDF("i")
+      .withColumn("x", $"i".cast("double") / 75.0)
+    val y = $"x" / lit(graft.expressions.DetExp.Grain)
+    val twin = (1 to 5).foldLeft(
+        xs.withColumn("b",
+          lit(1.0) + y * (lit(1.0) + y * (lit(0.5) +
+            y * (lit(1.0 / 6.0) + y * lit(1.0 / 24.0)))))) {
+        (d, _) => d.withColumn("b", $"b" * $"b")
+      }.withColumnRenamed("b", "want")
+    val both = rows(twin.withColumn("got", Sampling.detExp($"x"))
+      .select($"x", $"want", $"got"))
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+        s"x=${r.getDouble(0)}")
+      assert(math.abs(r.getDouble(2) - math.exp(r.getDouble(0))) <=
+        2e-5 * math.exp(r.getDouble(0)), s"x=${r.getDouble(0)} drifts from exp")
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToRawLongBits(
+          graft.expressions.DetExp.compute(r.getDouble(0))))
     }
   }
 }
