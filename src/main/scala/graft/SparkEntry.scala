@@ -49,6 +49,13 @@ object SparkEntry {
   private val bm25K1 = 1.2
   private val bm25B = 0.75
   private val rrfK = 60
+
+  /** a21 drift→re-mix shared constants: monitor sensitivity α and the
+    * mix token budget; the Smirnov coefficient c(α) is computed HERE
+    * (driver-side libm) and enters both engines as the same literal.
+    */
+  private val remixAlpha = 0.2
+  private val remixBudgetPct = 25
   private val bm25Queries: Seq[(Int, Seq[String])] = Seq(
     0 -> Seq("hash", "join", "table"),
     1 -> Seq("window", "agg", "filter"),
@@ -830,6 +837,30 @@ object SparkEntry {
       Sketches.ksDistance(d, col("lang"), TA.tokenCount(col("text")), "en")
         .select(col("stratum").as("lang"), col("n"),
           fround(col("ks"), 6).as("ks"))
+        .orderBy(col("lang"))
+    }),
+
+    "a21_drift_remix" -> ((s, dir) => {
+      // The a20 alert CLOSED into an action (r9 verdict task 3): the
+      // same persisted (stratum, v, c) distribution state both raises
+      // the Smirnov alarm and re-derives the breached stratum's
+      // token-budget mix rate (T = Σ v·c feeds the x1 rate formula);
+      // undrifted strata keep their currently-served rate. Served
+      // rates are simulated from an earlier ingest prefix
+      // (doc_id % 4 ≠ 3) of the same corpus; at this corpus/α one
+      // stratum breaches and the rest hold — both branches land in the
+      // oracle-checked output. Everything runs on the bounded
+      // distribution axis: no corpus rescan, no corpus shuffle.
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      val cur = Sketches.distributionCounts(d, col("lang"),
+        TA.tokenCount(col("text")))
+      val prev = Sampling.ratesFromDistribution(
+        Sketches.distributionCounts(
+          d.filter(pmod(col("doc_id"), lit(4)) =!= 3), col("lang"),
+          TA.tokenCount(col("text"))), remixBudgetPct)
+      Sampling.driftGatedRates(cur, prev, "en", remixBudgetPct, remixAlpha)
+        .select(col("stratum").as("lang"), col("n"),
+          fround(col("ks"), 6).as("ks"), col("breached"), col("thr"))
         .orderBy(col("lang"))
     }),
 
@@ -5300,27 +5331,64 @@ object SparkEntry {
            WHERE text IS NOT NULL),
          kcounts AS (SELECT stratum, v, count(*)::BIGINT AS c
            FROM kt GROUP BY 1, 2),
-         krefc AS (SELECT v, c AS cr FROM kcounts WHERE stratum = 'en'),
-         kothc AS (SELECT * FROM kcounts WHERE stratum <> 'en'),
-         kstrata AS (SELECT DISTINCT stratum FROM kothc),
-         kno AS (SELECT stratum, sum(c)::BIGINT AS n_o
-           FROM kothc GROUP BY 1),
-         knr AS (SELECT sum(cr)::BIGINT AS n_r FROM krefc),
-         kmerged AS (SELECT stratum, v, sum(d_o)::BIGINT AS d_o,
-             sum(d_r)::BIGINT AS d_r
-           FROM (SELECT stratum, v, c AS d_o, 0 AS d_r FROM kothc
-             UNION ALL
-             SELECT s.stratum, r.v, 0, r.cr FROM krefc r, kstrata s)
-           GROUP BY 1, 2),
-         kcums AS (SELECT stratum, v,
-             sum(d_o) OVER (PARTITION BY stratum ORDER BY v) AS cum_o,
-             sum(d_r) OVER (PARTITION BY stratum ORDER BY v) AS cum_r
-           FROM kmerged)
-         SELECT c.stratum AS lang, max(o.n_o) AS n,
-           ${sqlFround(
-             "max(abs(cum_o::DOUBLE / n_o - cum_r::DOUBLE / n_r))", 6)} AS ks
-         FROM kcums c JOIN kno o USING (stratum), knr
-         GROUP BY c.stratum ORDER BY lang""",
+         ${sqlKsCtes("k", "kcounts", "en")}
+         SELECT stratum AS lang, n, ${sqlFround("ks_raw", 6)} AS ks
+         FROM kks ORDER BY lang""",
+
+    "a21_drift_remix" ->
+      // the drift→action replay: the same distribution table feeds the
+      // KS chain AND both rate tables (prefix-simulated served rates,
+      // fresh rates); breach = raw ks vs the Smirnov bound with c(α)
+      // as a shared driver-side literal; thr switches per branch
+      s"""WITH dk AS (SELECT lang AS stratum,
+             len(${sqlTokens("text")})::BIGINT AS v FROM documents
+           WHERE text IS NOT NULL),
+         dc AS (SELECT stratum, v, count(*)::BIGINT AS c
+           FROM dk GROUP BY 1, 2),
+         pk AS (SELECT lang AS stratum,
+             len(${sqlTokens("text")})::BIGINT AS v FROM documents
+           WHERE text IS NOT NULL AND doc_id % 4 <> 3),
+         pc AS (SELECT stratum, v, count(*)::BIGINT AS c
+           FROM pk GROUP BY 1, 2),
+         pstats AS (SELECT stratum, sum(v * c)::BIGINT AS t
+           FROM pc GROUP BY 1),
+         psw AS (SELECT stratum, t,
+             floor(sqrt(t::DOUBLE) * 1e6)::BIGINT AS w FROM pstats),
+         ptot AS (SELECT sum(t)::BIGINT AS tot, sum(w)::BIGINT AS s
+           FROM psw),
+         prates AS (SELECT stratum,
+             ${operators.Sampling.sqlMixThr("t", "w", "tot", "s",
+               remixBudgetPct)} AS thr
+           FROM psw CROSS JOIN ptot),
+         fstats AS (SELECT stratum, sum(v * c)::BIGINT AS t
+           FROM dc GROUP BY 1),
+         fsw AS (SELECT stratum, t,
+             floor(sqrt(t::DOUBLE) * 1e6)::BIGINT AS w FROM fstats),
+         ftot AS (SELECT sum(t)::BIGINT AS tot, sum(w)::BIGINT AS s
+           FROM fsw),
+         frates AS (SELECT stratum,
+             ${operators.Sampling.sqlMixThr("t", "w", "tot", "s",
+               remixBudgetPct)} AS thr
+           FROM fsw CROSS JOIN ftot),
+         ${sqlKsCtes("z", "dc", "en")}
+         SELECT f.stratum AS lang,
+           coalesce(k.n, nr.n_r) AS n,
+           ${sqlFround("coalesce(k.ks_raw, 0.0)", 6)} AS ks,
+           coalesce(k.ks_raw, 0.0) >
+             ${operators.Sketches.smirnovC(remixAlpha)} * sqrt(
+               (coalesce(k.n, nr.n_r) + nr.n_r)::DOUBLE /
+               (coalesce(k.n, nr.n_r)::DOUBLE * nr.n_r::DOUBLE))
+             AS breached,
+           CASE WHEN coalesce(k.ks_raw, 0.0) >
+             ${operators.Sketches.smirnovC(remixAlpha)} * sqrt(
+               (coalesce(k.n, nr.n_r) + nr.n_r)::DOUBLE /
+               (coalesce(k.n, nr.n_r)::DOUBLE * nr.n_r::DOUBLE))
+             OR p.thr IS NULL THEN f.thr ELSE p.thr END AS thr
+         FROM frates f
+         LEFT JOIN zks k USING (stratum)
+         CROSS JOIN znr nr
+         LEFT JOIN prates p USING (stratum)
+         ORDER BY lang""",
 
     "ta17_zipf_slope" ->
       // Replays bucketing (bin-length log2), the ln-space least
@@ -6190,6 +6258,34 @@ object SparkEntry {
          SELECT doc_id, n_tok, logratio, sel_key, start_tok
          FROM cut ORDER BY sel_key DESC, doc_id"""
   )
+
+  /** The two-sample KS CTE chain over a `(stratum, v, c)` counts
+    * relation vs `ref` (the Sketches.ksFromDistribution replay, shared
+    * by a20/a21): merged axis, integer cumulative sums, two double
+    * divisions. Ends in `${p}ks(stratum, n, ks_raw)` and
+    * `${p}nr(n_r)`; callers round `ks_raw`.
+    */
+  private def sqlKsCtes(p: String, countsRel: String, ref: String): String =
+    s"""${p}refc AS (SELECT v, c AS cr FROM $countsRel WHERE stratum = '$ref'),
+       ${p}othc AS (SELECT * FROM $countsRel WHERE stratum <> '$ref'),
+       ${p}strata AS (SELECT DISTINCT stratum FROM ${p}othc),
+       ${p}no AS (SELECT stratum, sum(c)::BIGINT AS n_o
+         FROM ${p}othc GROUP BY 1),
+       ${p}nr AS (SELECT sum(cr)::BIGINT AS n_r FROM ${p}refc),
+       ${p}merged AS (SELECT stratum, v, sum(d_o)::BIGINT AS d_o,
+           sum(d_r)::BIGINT AS d_r
+         FROM (SELECT stratum, v, c AS d_o, 0 AS d_r FROM ${p}othc
+           UNION ALL
+           SELECT s.stratum, r.v, 0, r.cr FROM ${p}refc r, ${p}strata s)
+         GROUP BY 1, 2),
+       ${p}cums AS (SELECT stratum, v,
+           sum(d_o) OVER (PARTITION BY stratum ORDER BY v) AS cum_o,
+           sum(d_r) OVER (PARTITION BY stratum ORDER BY v) AS cum_r
+         FROM ${p}merged),
+       ${p}ks AS (SELECT c.stratum, max(o.n_o) AS n,
+           max(abs(cum_o::DOUBLE / n_o - cum_r::DOUBLE / n_r)) AS ks_raw
+         FROM ${p}cums c JOIN ${p}no o USING (stratum), ${p}nr
+         GROUP BY c.stratum)"""
 
   /** The g7/g7x corpus-health replay — all four dashboard blocks; the
     * ta2 quality CTEs feed the drift aggregates, the a15 log-linear

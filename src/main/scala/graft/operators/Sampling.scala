@@ -122,12 +122,25 @@ object Sampling {
   def tokenBudgetMix(df: DataFrame, stratum: Column, key: Column,
                      tokenCount: Column, budgetPct: Int,
                      salt: String): DataFrame = {
+    val rates = ratesFromStats(
+      df.groupBy(stratum.as("_stratum"))
+        .agg(sum(tokenCount.cast("long")).as("_t")), budgetPct)
+    df.join(broadcast(rates), stratum === col("_stratum"))
+      .filter(keyHash(key, salt) < col("_thr"))
+      .drop("_stratum", "_thr")
+  }
+
+  /** The tokenBudgetMix rate table from per-stratum token totals
+    * `(_stratum, _t)` — shared by the corpus pass above and the
+    * distribution-store path ([[ratesFromDistribution]]); one
+    * expression tree so both replay bit-for-bit against [[sqlMixThr]].
+    */
+  private def ratesFromStats(stats0: DataFrame, budgetPct: Int): DataFrame = {
     val maxHash = 1L << 28
-    val stats = df.groupBy(stratum.as("_stratum"))
-      .agg(sum(tokenCount.cast("long")).as("_t"))
+    val stats = stats0
       .withColumn("_w", floor(sqrt(col("_t")) * 1e6).cast("long"))
     val totals = stats.agg(sum(col("_t")).as("_tot"), sum(col("_w")).as("_s"))
-    val rates = stats.crossJoin(broadcast(totals))
+    stats.crossJoin(broadcast(totals))
       .withColumn("_b", expr(s"_tot * $budgetPct div 100"))
       .withColumn("_thr", when(col("_t") > 0,
         least(lit(maxHash),
@@ -136,9 +149,61 @@ object Sampling {
             * lit(maxHash.toDouble))))
         .otherwise(lit(maxHash)))
       .select(col("_stratum"), col("_thr"))
-    df.join(broadcast(rates), stratum === col("_stratum"))
-      .filter(keyHash(key, salt) < col("_thr"))
-      .drop("_stratum", "_thr")
+  }
+
+  /** [[tokenBudgetMix]]'s rate table derived from a persisted
+    * (stratum, v, c) DISTRIBUTION table (value = per-doc token count,
+    * the [[Sketches.distributionCounts]] state) instead of a corpus
+    * pass: stratum token mass T = Σ v·c, so the SAME additive store
+    * that answers KS drift questions re-derives the mix rates with no
+    * history rescan — the state the drift→action loop runs on.
+    */
+  def ratesFromDistribution(counts: DataFrame, budgetPct: Int): DataFrame =
+    ratesFromStats(
+      counts.groupBy(col("stratum").as("_stratum"))
+        .agg(sum(col("v") * col("c")).as("_t")), budgetPct)
+      .select(col("_stratum").as("stratum"), col("_thr").as("thr"))
+
+  /** The a20 drift ALERT wired to an ACTION (the way
+    * [[Similarity.maintainIvfIndex]] gates re-centering): a Smirnov KS
+    * breach on a stratum's ingest distribution triggers recomputing
+    * THAT stratum's token-budget mix rate from the same persisted
+    * distribution store; undrifted strata keep serving their current
+    * rate (rate churn re-shuffles the downstream sample — don't pay it
+    * without evidence). `counts` is the folded (stratum, v, c) store,
+    * `prevRates` the currently-served (stratum, thr) table. Output per
+    * stratum: n, ks (raw), breached, thr (fresh where breached or
+    * previously unserved, previous otherwise); the reference stratum
+    * reports ks = 0 / breached = false.
+    *
+    * Cross-engine: the KS statistic and rates are integer-derived +
+    * exact divides; the one libm term — the Smirnov constant c(α) —
+    * is computed driver-side and enters both engines as the same
+    * literal. Scale shape: everything runs on the bounded distribution
+    * axis and stratum-count tables; the corpus never rescans.
+    */
+  def driftGatedRates(counts: DataFrame, prevRates: DataFrame,
+                      refStratum: String, budgetPct: Int,
+                      alpha: Double): DataFrame = {
+    val cAlpha = Sketches.smirnovC(alpha)
+    val fresh = ratesFromDistribution(counts, budgetPct)
+    val ks = Sketches.ksFromDistribution(counts, refStratum)
+    val nRef = counts.filter(col("stratum") === refStratum)
+      .agg(sum(col("c")).as("_nr"))
+    fresh
+      .join(broadcast(ks), Seq("stratum"), "left")
+      .crossJoin(broadcast(nRef))
+      .join(broadcast(prevRates.select(col("stratum"),
+        col("thr").as("_prev"))), Seq("stratum"), "left")
+      .withColumn("n", coalesce(col("n"), col("_nr")))
+      .withColumn("ks", coalesce(col("ks"), lit(0.0)))
+      .withColumn("breached",
+        col("ks") > lit(cAlpha) *
+          sqrt((col("n") + col("_nr")).cast("double") /
+            (col("n").cast("double") * col("_nr").cast("double"))))
+      .select(col("stratum"), col("n"), col("ks"), col("breached"),
+        when(col("breached") || col("_prev").isNull, col("thr"))
+          .otherwise(col("_prev")).as("thr"))
   }
 
   /** DuckDB twin of the `_thr` expression above — same cast-to-double-

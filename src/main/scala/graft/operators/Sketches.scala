@@ -285,11 +285,20 @@ object Sketches {
     * values make the test conservative (ties can only lower the sup).
     */
   def ksCritical(nCompared: Long, nRef: Long, alpha: Double): Double = {
-    require(alpha > 0.0 && alpha < 1.0, s"alpha in (0,1), got $alpha")
     require(nCompared > 0 && nRef > 0, "both sample sizes must be positive")
-    math.sqrt(-math.log(alpha / 2.0) / 2.0) *
+    smirnovC(alpha) *
       math.sqrt((nCompared + nRef).toDouble /
         (nCompared.toDouble * nRef.toDouble))
+  }
+
+  /** The Smirnov coefficient c(α) = √(−ln(α/2)/2) alone — the one libm
+    * term in the drift rule, computed DRIVER-SIDE so per-row breach
+    * predicates ([[Sampling.driftGatedRates]] and its oracle) embed the
+    * identical literal in both engines.
+    */
+  def smirnovC(alpha: Double): Double = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha in (0,1), got $alpha")
+    math.sqrt(-math.log(alpha / 2.0) / 2.0)
   }
 
   /** KS over a pre-aggregated (possibly batch-folded) distribution

@@ -350,6 +350,30 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("driftGatedRates: breached stratum re-derives its rate, stable strata keep the served one") {
+    import graft.operators.Sketches
+    // ref A uniform 0..99; B same shape (no breach); C shifted +80
+    // (ks ≈ 0.8, far over the α=0.05 Smirnov bound); D stable but
+    // previously unserved.
+    def mk(st: String, vs: Seq[Int]) = vs.map(v => (st, v.toLong))
+    val data = (mk("A", 0 until 100) ++ mk("B", 0 until 100) ++
+      mk("C", (0 until 100).map(_ + 80)) ++ mk("D", 0 until 100))
+      .toDF("s", "v")
+    val counts = Sketches.distributionCounts(data, $"s", $"v")
+    val fresh = Sampling.ratesFromDistribution(counts, 25)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val prev = Seq(("A", 111L), ("B", 222L), ("C", 333L))
+      .toDF("stratum", "thr")
+    val out = Sampling.driftGatedRates(counts, prev, "A", 25, 0.05)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(3), r.getLong(4)))).toMap
+    assert(!out("A")._1 && out("A")._2 == 111L, "ref never breaches, keeps served")
+    assert(!out("B")._1 && out("B")._2 == 222L, "stable stratum keeps served")
+    assert(out("C")._1 && out("C")._2 == fresh("C"), "drifted stratum re-mixes")
+    assert(!out("D")._1 && out("D")._2 == fresh("D"), "unserved stratum gets fresh")
+    assert(out.keySet == Set("A", "B", "C", "D"))
+  }
+
   /** Pure-Scala replay of the libm-free selection-key chain — the same
     * op sequence as [[Sampling.withSelectionKey]] and its DuckDB twin:
     * exact IEEE +,−,×,÷,floor and correctly-rounded Math.sqrt only.
