@@ -2834,7 +2834,7 @@ object SparkEntry {
       val idx = scratchDir("graft_v17") + "/bm25"
       Rag.saveBm25Index(d, col("doc_id"), col("text"), idx,
         buckets = 16, targetRows = 100000L, spread = 2)
-      Rag.bm25Indexed(s, idx, bm25Queries, bm25K1, bm25B, buckets = 16)
+      Rag.bm25Indexed(s, idx, bm25Queries, bm25K1, bm25B)
         .select(col("query_id"), col("doc_id"),
           fround(col("score"), 6).as("score"))
         .withColumn("rank", row_number().over(

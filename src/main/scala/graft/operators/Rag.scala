@@ -105,21 +105,34 @@ object Rag {
   private def termBucket(term: Column, buckets: Int): Column =
     Dedup.bandBucket(term, buckets)
 
+  // read schemas carry BOTH partition columns (seg from the commit
+  // discipline, tp from the term bucketing) — reads pass basePath so
+  // the per-segment roots parse as one partitioned table
   private val postingsSchema = org.apache.spark.sql.types.StructType
-    .fromDDL("doc_id LONG, term STRING, tf LONG, dl LONG, tp BIGINT")
+    .fromDDL("doc_id LONG, term STRING, tf LONG, dl LONG, tp BIGINT, seg BIGINT")
   private val dfSchema = org.apache.spark.sql.types.StructType
-    .fromDDL("term STRING, df LONG, tp BIGINT")
+    .fromDDL("term STRING, df LONG, tp BIGINT, seg BIGINT")
 
   /** Persist a BM25 inverted index — the lexical seat of the engine's
     * build-once/probe-many lifecycle family (d9 bloom, v11 IVF, d15 LSH
     * bands). Layout under `path`:
-    *   `postings/tp=N/` — (doc_id, term, tf, dl) via the sized sink
-    *     (hot term buckets still write in parallel, no small-file spray;
-    *     dl is denormalized per posting, the Lucene "norms" trade: one
-    *     long per posting buys a join-free probe);
-    *   `df/tp=N/`       — (term, df), bucketed the same way so a probe
-    *     prunes BOTH reads to the touched buckets;
-    *   `stats/`         — one (n_docs, avgdl) row.
+    *   `meta/`                 — one (buckets) row: the index is
+    *     SELF-DESCRIBING, probes read the bucket count here (a probe
+    *     guessing a different count would silently prune to the wrong
+    *     partitions — the saveIvfIndex centroid precedent);
+    *   `postings/seg=K/tp=N/`  — (doc_id, term, tf, dl) via the sized
+    *     sink (hot term buckets still write in parallel, no small-file
+    *     spray; dl is denormalized per posting, the Lucene "norms"
+    *     trade: one long per posting buys a join-free probe);
+    *   `df/seg=K/tp=N/`        — (term, df), bucketed the same way so a
+    *     probe prunes BOTH reads to the touched buckets;
+    *   `stats/seg=K/`          — one (n_docs, sum_dl) row per segment;
+    *   `commits/k=K/`          — the segment's commit marker, written
+    *     LAST: a segment exists for readers only once its marker is
+    *     `_SUCCESS`-committed, so a crash between the three data writes
+    *     leaves an invisible torn segment (reclaimed on the next append
+    *     with the same batch id), never an inconsistent index — the
+    *     SegmentFs discipline the CountLog/MergeLog siblings use.
     * Probe IO is therefore ∝ touched-buckets/buckets of the index and
     * the corpus text is never re-scanned.
     *
@@ -136,26 +149,63 @@ object Rag {
     */
   def saveBm25Index(docs: DataFrame, id: Column, text: Column, path: String,
                     buckets: Int = 64, targetRows: Long = 1L << 20,
-                    spread: Int = 8): Unit =
+                    spread: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    spark.range(1).select(lit(buckets.toLong).as("buckets"))
+      .coalesce(1).write.mode("errorifexists").parquet(s"$path/meta")
     writeBm25Segment(docs, id, text, path, buckets, targetRows, spread,
-      mode = "overwrite")
+      seg = 0L)
+  }
 
   /** O(batch) growth of a saved BM25 index: the batch's postings/df/
-    * stats rows append as new segment rows; the probe's segment fold
-    * (sum df per term, sum the stats pair) makes the result identical
-    * to a from-scratch rebuild over the union — PROVIDED batches carry
-    * disjoint doc ids (the MergeLog batch-id discipline; a re-sent doc
-    * would double-count its tf/df/Σdl).
+    * stats rows land as segment `seg=K` (K = `batchId` or max+1) and
+    * become visible atomically via the commit marker; the probe's
+    * segment fold (sum df per term, sum the stats pair) makes the
+    * result identical to a from-scratch rebuild over the union.
+    *
+    * Replay contract: an append whose batch id is already COMMITTED is
+    * a no-op (returns K untouched), and a torn prior attempt at the
+    * same id is deleted and rewritten — so at-least-once ingest
+    * pipelines can retry blindly. Batches must carry doc ids DISJOINT
+    * from other BATCHES (a doc resent under a different batch id
+    * double-counts its tf/df/Σdl — spec-pinned); the bucket count
+    * comes from the index's own meta, never the caller.
     */
   def appendBm25Index(docs: DataFrame, id: Column, text: Column,
-                      path: String, buckets: Int = 64,
-                      targetRows: Long = 1L << 20, spread: Int = 8): Unit =
-    writeBm25Segment(docs, id, text, path, buckets, targetRows, spread,
-      mode = "append")
+                      path: String, targetRows: Long = 1L << 20,
+                      spread: Int = 8, batchId: Option[Long] = None): Long = {
+    val spark = docs.sparkSession
+    val buckets = readMetaBuckets(spark, path)
+    val committed = committedSegs(spark, path)
+    val k = batchId.getOrElse(committed.lastOption.map(_ + 1).getOrElse(1L))
+    if (committed.contains(k)) k // idempotent replay of a committed batch
+    else {
+      writeBm25Segment(docs, id, text, path, buckets, targetRows, spread,
+        seg = k)
+      k
+    }
+  }
+
+  /** Committed segment ids — the only segments a reader may see. */
+  private def committedSegs(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Seq[Long] =
+    SegmentFs.listVersions(spark, s"$path/commits", "k")
+
+  private def readMetaBuckets(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Int =
+    spark.read.parquet(s"$path/meta").head().getLong(0).toInt
 
   private def writeBm25Segment(docs: DataFrame, id: Column, text: Column,
                                path: String, buckets: Int, targetRows: Long,
-                               spread: Int, mode: String): Unit = {
+                               spread: Int, seg: Long): Unit = {
+    val spark = docs.sparkSession
+    // reclaim torn partials from a crashed prior attempt at this id
+    val f = SegmentFs.fs(spark, path)
+    Seq(s"$path/postings/seg=$seg", s"$path/df/seg=$seg",
+        s"$path/stats/seg=$seg").foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      if (f.exists(p)) f.delete(p, true): Unit
+    }
     val base = docs.select(id.cast("long").as("doc_id"),
         TA.tokens(text).as("toks"))
       .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
@@ -165,31 +215,40 @@ object Rag {
       .agg(count(lit(1)).as("tf"), max(col("dl")).cast("long").as("dl"))
       .withColumn("tp", termBucket(col("term"), buckets))
     graft.sources.Compaction.writeSized(
-      postings, s"$path/postings", Seq("tp"), col("doc_id"),
-      targetRows, spread, mode)
+      postings, s"$path/postings/seg=$seg", Seq("tp"), col("doc_id"),
+      targetRows, spread, "errorifexists")
     val dfreq = postings.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .withColumn("tp", termBucket(col("term"), buckets))
     graft.sources.Compaction.writeSized(
-      dfreq, s"$path/df", Seq("tp"), col("term"),
-      targetRows, spread, mode)
+      dfreq, s"$path/df/seg=$seg", Seq("tp"), col("term"),
+      targetRows, spread, "errorifexists")
     base.agg(count(lit(1)).as("n_docs"),
         sum(col("dl")).cast("long").as("sum_dl"))
-      .coalesce(1).write.mode(mode).parquet(s"$path/stats")
+      .coalesce(1).write.mode("errorifexists")
+      .parquet(s"$path/stats/seg=$seg")
+    // the commit point — everything above is invisible until this lands
+    // ("overwrite": a torn marker dir without _SUCCESS must not block)
+    spark.range(1).select(lit(seg).as("k"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/commits/k=$seg")
   }
 
   /** Probe a saved BM25 index: the query vocabulary's term buckets
-    * become literal partition filters on the postings AND df reads
-    * (PartitionFilters — IO ∝ touched buckets), the terms themselves a
-    * literal pushed filter inside each bucket; scoring is the exact
-    * [[bm25]] expression tree over the pruned slivers. Scores equal the
-    * direct path's bit-for-bit.
+    * (count read from the index's own meta) become literal partition
+    * filters on the postings AND df reads (PartitionFilters — IO ∝
+    * touched buckets), the terms themselves a literal pushed filter
+    * inside each bucket; scoring is the exact [[bm25]] expression tree
+    * over the pruned slivers. Only COMMITTED segments are read, so a
+    * concurrent torn append is invisible. Scores equal the direct
+    * path's bit-for-bit.
     */
   def bm25Indexed(spark: org.apache.spark.sql.SparkSession, path: String,
                   queries: Seq[(Int, Seq[String])],
-                  k1: Double = 1.2, b: Double = 0.75,
-                  buckets: Int = 64): DataFrame = {
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import spark.implicits._
+    val buckets = readMetaBuckets(spark, path)
+    val segs = committedSegs(spark, path)
+    require(segs.nonEmpty, s"no committed BM25 segments under $path")
     val vocab = queries.flatMap(_._2).distinct
     // Reconstruct the touched buckets engine-side (tiny local job — the
     // md5 bucket recipe stays in ONE place, Dedup.bandBucket).
@@ -197,14 +256,19 @@ object Rag {
       .select(termBucket(col("term"), buckets)).distinct()
       .collect().map(_.getLong(0)).sorted
     val postings = spark.read.schema(postingsSchema)
-      .parquet(s"$path/postings")
+      .option("basePath", s"$path/postings")
+      .parquet(segs.map(k => s"$path/postings/seg=$k"): _*)
       .where(col("tp").isin(tps: _*)).where(col("term").isin(vocab: _*))
     // Segment folds: df rows and the (n_docs, Σdl) pair sum across
     // appended segments (additivity is the append contract).
-    val dfreq = spark.read.schema(dfSchema).parquet(s"$path/df")
+    val dfreq = spark.read.schema(dfSchema)
+      .option("basePath", s"$path/df")
+      .parquet(segs.map(k => s"$path/df/seg=$k"): _*)
       .where(col("tp").isin(tps: _*)).where(col("term").isin(vocab: _*))
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
-    val stats = spark.read.parquet(s"$path/stats")
+    val stats = spark.read
+      .option("basePath", s"$path/stats")
+      .parquet(segs.map(k => s"$path/stats/seg=$k"): _*)
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
       .select(col("n_docs"),
         (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))

@@ -99,11 +99,13 @@ class RagSpec extends SparkSpec {
     Rag.saveBm25Index(docs.filter($"doc_id" <= 3), $"doc_id", $"text", idx,
       buckets = 8, targetRows = 1000L, spread = 2)
     Rag.appendBm25Index(docs.filter($"doc_id" > 3), $"doc_id", $"text", idx,
-      buckets = 8, targetRows = 1000L, spread = 2)
+      targetRows = 1000L, spread = 2)
     val direct = rows(Rag.bm25(docs, $"doc_id", $"text", queries))
       .map(r => (r.getAs[Int]("query_id"), r.getAs[Long]("doc_id")) ->
         r.getAs[Double]("score")).toMap
-    val probe = Rag.bm25Indexed(spark, idx, queries, buckets = 8)
+    // the probe reads the bucket count from the index's own meta —
+    // no caller-supplied value to get wrong
+    val probe = Rag.bm25Indexed(spark, idx, queries)
     val indexed = rows(probe)
       .map(r => (r.getAs[Int]("query_id"), r.getAs[Long]("doc_id")) ->
         r.getAs[Double]("score")).toMap
@@ -112,6 +114,45 @@ class RagSpec extends SparkSpec {
     // term buckets (serve-time IO ∝ touched buckets, never the corpus)
     val plan = probe.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("tp"), plan)
+  }
+
+  test("bm25 append is batch-id idempotent and torn segments stay invisible") {
+    val docs = Seq(
+      (1L, "a b a c"), (2L, "a d g"), (3L, "b b c"),
+      (4L, "x y a"), (5L, "c d e")).toDF("doc_id", "text")
+    val queries = Seq(0 -> Seq("a", "c"))
+    val idx = Scratch.dir("bm25_idem") + "/bm25"
+    Rag.saveBm25Index(docs.filter($"doc_id" <= 3), $"doc_id", $"text", idx,
+      buckets = 8, targetRows = 1000L, spread = 2)
+    val k = Rag.appendBm25Index(docs.filter($"doc_id" > 3), $"doc_id",
+      $"text", idx, targetRows = 1000L, spread = 2, batchId = Some(7L))
+    assert(k == 7L)
+    val once = rows(Rag.bm25Indexed(spark, idx, queries))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSet
+    // blind retry of the SAME batch id: a no-op, not a double count
+    val k2 = Rag.appendBm25Index(docs.filter($"doc_id" > 3), $"doc_id",
+      $"text", idx, targetRows = 1000L, spread = 2, batchId = Some(7L))
+    assert(k2 == 7L)
+    val twice = rows(Rag.bm25Indexed(spark, idx, queries))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSet
+    assert(twice == once, "replayed append must not change the index")
+    // a torn segment (data dirs written, NO commit marker — the crash
+    // window) is invisible to the probe
+    Seq((9L, "a a a")).toDF("doc_id", "text")
+      .write.parquet(s"$idx/postings/seg=9/tp=0")
+    Seq((9L, "a a a")).toDF("doc_id", "text")
+      .write.parquet(s"$idx/stats/seg=9")
+    val afterTear = rows(Rag.bm25Indexed(spark, idx, queries))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSet
+    assert(afterTear == once, "uncommitted segment must not be read")
+    // and the retried append at that id reclaims the partials cleanly
+    val k3 = Rag.appendBm25Index(Seq((9L, "a q")).toDF("doc_id", "text"),
+      $"doc_id", $"text", idx, targetRows = 1000L, spread = 2,
+      batchId = Some(9L))
+    assert(k3 == 9L)
+    val healed = rows(Rag.bm25Indexed(spark, idx, queries))
+    assert(healed.exists(_.getAs[Long]("doc_id") == 9L),
+      "recommitted batch must be visible")
   }
 
   test("rrfFuse sums reciprocal ranks across legs; absent legs contribute nothing") {
