@@ -332,6 +332,103 @@ object Similarity {
         col("approx_cosine"), col("rank"))
   }
 
+  /** Product-quantization codebooks for cosine ANN (Jégou et al. 2011,
+    * "Product Quantization for Nearest Neighbor Search" — the memory
+    * path past [[quantizedTopK]]'s int8 scalar codes: m small codes per
+    * vector instead of dim bytes, so a shard's whole candidate set
+    * stays cache-resident at corpus scale). The vector splits into `m`
+    * contiguous `subDim`-wide subspaces; each subspace trains its own
+    * deterministic k-means over the sliced sub-vectors — the same
+    * smallest-id seed, cosine-argmax assignment (pinned tie rule) and
+    * floor-stable 6-decimal centroid rounding as [[kmeansCentroids]],
+    * so a SQL oracle replays every codebook exactly. One codebook per
+    * subspace, in subspace order.
+    */
+  def pqCodebooks(df: DataFrame, id: Column, vec: Column, m: Int,
+                  subDim: Int, k: Int, iters: Int)
+      : Seq[Seq[(Long, Seq[Double])]] =
+    (0 until m).map { s =>
+      kmeansCentroids(
+        df.select(id.as("__pqid"),
+          slice(vec, s * subDim + 1, subDim).as("__pqv")),
+        col("__pqid"), col("__pqv"), k, iters)
+    }
+
+  /** The PQ code: per subspace, the id of the nearest codebook centroid
+    * ([[centroidArgmax]]'s cosine rule, ties → lowest cid), as an
+    * array of m small longs. A shuffle-free literal-fold projection,
+    * like every other centroid assignment in this file.
+    */
+  def pqCode(vec: Column, books: Seq[Seq[(Long, Seq[Double])]],
+             subDim: Int): Column =
+    array(books.zipWithIndex.map { case (cents, s) =>
+      (-centroidArgmax(slice(vec, s * subDim + 1, subDim), cents)
+        .getField("ncid")).cast("long")
+    }: _*)
+
+  /** PQ ANN with asymmetric-distance scoring + exact rerank: docs carry
+    * only their m-code (computed once at a select boundary) and the
+    * reconstruction norm ‖x̂‖ (m literal-table lookups); each query —
+    * the tiny broadcast side — precomputes its ADC LOOKUP TABLE
+    * (dot(q_sub, centroid) for every (subspace, code): m·k doubles) at
+    * a select boundary, so the per-candidate approximate score is m
+    * array lookups and a fixed-order sum, never dim multiplications —
+    * the memory-bandwidth shape that makes PQ serve at corpus scale.
+    * approx_cosine = Σ_s lut[s][code_s] / (‖x̂‖·‖q‖); the top `rerank`
+    * per query re-score with exact [[graft.expressions.CosineSim]] and
+    * the final `k` rank on the exact value (the [[quantizedTopK]]
+    * contract: approximation chooses candidates, it never orders
+    * results). Every number derives from float-exact casts, 6-decimal
+    * codebook literals, and fixed-order folds — a SQL oracle replays
+    * scores bit-for-bit.
+    */
+  def pqTopK(docs: DataFrame, docId: Column, docVec: Column,
+             queries: DataFrame, queryId: Column, queryVec: Column,
+             books: Seq[Seq[(Long, Seq[Double])]], subDim: Int,
+             k: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, "rerank depth must cover the final k")
+    val m = books.size
+    val kk = books.head.size
+    // per-subspace literal table of ‖centroid‖² (driver-side doubles
+    // over the 6dp-rounded components, in component order — the oracle
+    // sums the same list the same way)
+    val normArrs: Seq[Seq[Double]] = books.map(cents =>
+      cents.sortBy(_._1).map { case (_, cv) => cv.map(x => x * x).sum })
+    val d = docs.select(docId.as("doc_id"), docVec.as("dv"))
+      .select(col("doc_id"), col("dv"),
+        pqCode(col("dv"), books, subDim).as("__code"))
+      .select(col("doc_id"), col("dv"), col("__code"),
+        sqrt(normArrs.zipWithIndex.map { case (ns, s) =>
+          element_at(typedLit(ns),
+            element_at(col("__code"), s + 1).cast("int") + 1)
+        }.reduce(_ + _)).as("__rnorm"))
+    val lut = array(books.zipWithIndex.flatMap { case (cents, s) =>
+      cents.sortBy(_._1).map { case (_, cv) =>
+        dotLit(slice(col("qv"), s * subDim + 1, subDim), cv) }
+    }: _*)
+    val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
+      .select(col("query_id"), col("qv"), lut.as("__lut"),
+        VF.l2Norm(col("qv")).as("__qnorm"))
+    val approx = (0 until m).map { s =>
+      element_at(col("__lut"),
+        (lit(s * kk) + element_at(col("__code"), s + 1)).cast("int") + 1)
+    }.reduce(_ + _)
+    val denom = col("__rnorm") * col("__qnorm")
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cosine").desc, col("doc_id"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+    d.crossJoin(broadcast(q))
+      .withColumn("approx_cosine", when(denom > 0, approx / denom))
+      .withColumn("__arank", row_number().over(wApprox))
+      .filter(col("__arank") <= rerank)
+      .withColumn("cosine", CosineSim(col("dv"), col("qv")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("cosine"),
+        col("approx_cosine"), col("rank"))
+  }
+
   /** Persist an IVF index: build once, probe many (the bloom
     * save/load lifecycle, for ANN). Layout:
     *

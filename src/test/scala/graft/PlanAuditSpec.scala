@@ -428,6 +428,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(joined.count() == 200L)
   }
 
+  test("g9 bucketed corpus enrich: the recurring join plans with zero exchanges") {
+    // the fused-product seat of the layout: g2's packed output and the
+    // per-doc metadata table are both doc_id-bucketed, so the join a
+    // recurring serve/audit job replays must merge WITHOUT reshuffling
+    // either stored side — re-shuffling the corpus per recurring job is
+    // exactly the cost the build paid the bucketing to eliminate
+    val j = SparkEntry.g9EnrichJoin(spark, "/root/testdata/sf0.001")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(j.count() > 0L)
+  }
+
   test("g7 corpus health: every sketch block joins broadcast onto the base") {
     val dir = "/root/testdata/sf0.001"
     val q = SparkEntry.queries("g7_corpus_health")(spark, dir)

@@ -253,6 +253,61 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._3) == Seq(1, 2, 3, 1, 2, 3))
   }
 
+  // PQ spec corpus: interleaved patterns so EVERY 4-dim subspace
+  // carries nonzero, orthogonal cluster signal (a half-zero block
+  // pattern like b1/b2 leaves some subspaces pure noise, where cosine
+  // codes are meaningless by construction); the two smallest ids sit
+  // in DIFFERENT clusters, so the smallest-id k-means seed starts one
+  // centroid per cluster and every codebook converges to the cluster
+  // means.
+  private val pq1 = Array.tabulate(16)(i => if (i % 2 == 0) 1.0f else 0.0f)
+  private val pq2 = Array.tabulate(16)(i => if (i % 2 == 1) 1.0f else 0.0f)
+  private lazy val pqData = Seq(
+    (1L, noisy(pq1, 0.001f)), (2L, noisy(pq2, 0.001f)),
+    (3L, noisy(pq1, 0.001f)), (4L, noisy(pq2, 0.001f)),
+    (5L, noisy(pq1, 0.001f)), (6L, noisy(pq2, 0.001f)))
+  private def pqCorpus = pqData.toDF("id", "v")
+
+  test("pqTopK: full-depth rerank reproduces the exact ranking; codes bounded") {
+    val queries = Seq((100L, pq1.toSeq), (200L, pq2.toSeq)).toDF("qid", "qv")
+    val books = Similarity.pqCodebooks(pqCorpus, $"id", $"v",
+      m = 4, subDim = 4, k = 2, iters = 2)
+    assert(books.size == 4 && books.forall(_.size == 2))
+    val exact = rows(Similarity.topKPerQuery(
+      pqCorpus, $"id", $"v", queries, $"qid", $"qv", k = 3)
+      .orderBy($"query_id", $"rank"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    // rerank = |corpus|: whatever the ADC approximation does, the exact
+    // rerank must reproduce the brute-force ranking bit-for-bit
+    val pq = rows(Similarity.pqTopK(pqCorpus, $"id", $"v",
+      queries, $"qid", $"qv", books, subDim = 4, k = 3, rerank = 6)
+      .orderBy($"query_id", $"rank"))
+    assert(pq.map(r => (r.getLong(0), r.getLong(1), r.getInt(4))) == exact)
+    val codes = rows(pqCorpus.select(
+      Similarity.pqCode($"v", books, 4).as("c"))).map(_.getSeq[Long](0))
+    assert(codes.forall(c => c.size == 4 && c.forall(x => x >= 0 && x < 2)))
+  }
+
+  test("pqCodebooks are deterministic across runs and partitionings") {
+    val a = Similarity.pqCodebooks(pqCorpus, $"id", $"v", 4, 4, 2, 2)
+    val b = Similarity.pqCodebooks(pqCorpus.repartition(7), $"id", $"v",
+      4, 4, 2, 2)
+    assert(a == b)
+  }
+
+  test("pqTopK: truncated ADC candidate selection recalls the separable clusters") {
+    // rerank < corpus: the 4-lookup approximate score alone must
+    // surface the right cluster's members as candidates
+    val queries = Seq((100L, pq1.toSeq), (200L, pq2.toSeq)).toDF("qid", "qv")
+    val books = Similarity.pqCodebooks(pqCorpus, $"id", $"v", 4, 4, 2, 2)
+    val pq = rows(Similarity.pqTopK(pqCorpus, $"id", $"v",
+      queries, $"qid", $"qv", books, 4, k = 3, rerank = 3)
+      .orderBy($"query_id", $"rank"))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pq.filter(_._1 == 100L).map(_._2).toSet == Set(1L, 3L, 5L))
+    assert(pq.filter(_._1 == 200L).map(_._2).toSet == Set(2L, 4L, 6L))
+  }
+
   test("quantizedTopK matches exact top-k when rerank covers the corpus") {
     val queries = Seq((100L, b1.toSeq), (200L, b2.toSeq)).toDF("qid", "qv")
     val exact = rows(Similarity.topKPerQuery(
