@@ -137,6 +137,28 @@ object SparkEntry {
       .join(sources.Buckets.table(s, "g9_meta").hint("merge"), Seq("doc_id"))
   }
 
+  /** The s14 pruned join (private[graft] so PlanAuditSpec can pin the
+    * `dynamicpruning` partition filter on the fact scan): the fact
+    * table lands hive-partitioned on its dim key, the dim carries a
+    * selective NON-key filter, and Spark's dynamic partition pruning
+    * turns the broadcast build side into a runtime partition filter on
+    * the fact scan — only the partitions whose keys survive the dim
+    * filter are read AT ALL. At 100 TB a date/tenant-partitioned fact
+    * joined to a filtered dim reads 1/Nth of its files with zero code:
+    * the layout (partitionBy at land time) is the entire contract.
+    */
+  private[graft] def s14PrunedJoin(s: SparkSession, dir: String,
+                                   base: String): DataFrame = {
+    val fact = s.read.parquet(s"$base/customer")
+    val dim = t(s, dir, "nation")
+      .filter(col("n_regionkey") === 2)
+      // partition-directory read-back infers INT; cast the dim key to
+      // match so the join condition stays ON the partition attribute
+      // (a cast around it would block DPP insertion)
+      .select(col("n_nationkey").cast("int").as("nk"), col("n_name"))
+    fact.join(broadcast(dim), col("c_nationkey") === col("nk"))
+  }
+
   /** 16 common CJK ideographs (all inside TA.cjkRange) for deterministic
     * Chinese-text injection: the corpus is pure ASCII, so ta7 and its
     * oracle synthesize CJK text from doc_id IDENTICALLY on both sides
@@ -1416,6 +1438,43 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           fround(sum(col("o_totalprice")), 2).as("sum_price"))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    "s14_dpp_prune" -> ((s, dir) => {
+      // S14 — dynamic partition pruning over a hive-partitioned landing
+      // (beyond the reference): customer lands partitioned by its dim
+      // key, nation arrives filtered on a NON-key attribute, and the
+      // recurring fact-to-dim join reads ONLY the partitions the dim
+      // filter admits — the broadcast build side doubles as a runtime
+      // partition filter (PlanAuditSpec pins `dynamicpruning` in the
+      // fact scan's PartitionFilters). The oracle replays the join from
+      // the raw tables: the pruned read must be lossless.
+      val base = scratchDir("graft_s14")
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
+        .write.mode("overwrite").partitionBy("c_nationkey")
+        .parquet(s"$base/customer")
+      s14PrunedJoin(s, dir, base)
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          fround(sum(col("c_acctbal")), 2).as("sum_bal"))
+        .orderBy(col("n_name"))
+    }),
+
+    "s15_footer_stats" -> ((s, dir) => {
+      // S15 — metadata-only table stats (beyond the reference): with the
+      // DSv2 parquet reader + aggregate pushdown, COUNT/MIN/MAX compile
+      // to a footer read — zero data pages touched (the spec pins
+      // `PushedAggregation` in the scan). The 100 TB use: row-count /
+      // value-range sanity gates over a landed corpus at metadata cost.
+      // min/max surface RAW stored values (no derived floats), so no
+      // rounding is needed for oracle parity.
+      sources.FooterStats.aggregate(s, s"$dir/lineitem.parquet", Seq(
+        count(lit(1)).as("n_rows"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price")))
     }),
 
     "s11_sized_sink" -> ((s, dir) => {
@@ -5478,6 +5537,20 @@ object SparkEntry {
            ${sqlFround("sum(o_totalprice)", 2)} AS sum_price
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "s14_dpp_prune" ->
+      s"""SELECT n_name, count(*) AS n_cust,
+           ${sqlFround("sum(c_acctbal)", 2)} AS sum_bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         WHERE n_regionkey = 2
+         GROUP BY n_name ORDER BY n_name""",
+
+    "s15_footer_stats" ->
+      """SELECT count(*) AS n_rows,
+           min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price
+         FROM lineitem""",
 
     "d20_editdist_pairs" ->
       """WITH t AS (

@@ -501,6 +501,28 @@ class PlanAuditSpec extends SparkSpec {
       (plan.contains(" IN (") || plan.contains(" INSET ")), plan)
   }
 
+  test("s14 fact scan carries a dynamicpruning partition filter") {
+    val dir = "/root/testdata/sf0.001"
+    val base = Scratch.dir("graft_s14spec")
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
+      .write.mode("overwrite").partitionBy("c_nationkey")
+      .parquet(s"$base/customer")
+    val plan = SparkEntry.s14PrunedJoin(spark, dir, base)
+      .groupBy(col("n_name"))
+      .agg(sum(col("c_acctbal")).as("sum_bal"))
+      .queryExecution.executedPlan.toString
+    // the dim's non-key filter becomes a RUNTIME partition filter on the
+    // fact scan — a layout regression (losing partitionBy, or a cast
+    // slipping onto the partition attribute) silently reverts to reading
+    // every partition and fails here, not on the cluster
+    assert(plan.contains("dynamicpruning"),
+      s"fact scan lost its dynamic partition filter:\n$plan")
+    // column pruning must survive alongside DPP: the fact reads ONLY the
+    // aggregated column (keys come from directories, not pages)
+    assert(plan.contains("ReadSchema: struct<c_acctbal:double>"), plan)
+  }
+
   test("v16 hybrid RRF: two bounded top-20 legs union into one combine") {
     val dir = "/root/testdata/sf0.001"
     val q = SparkEntry.queries("v16_hybrid_rrf")(spark, dir)
