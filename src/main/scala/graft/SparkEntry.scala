@@ -1477,6 +1477,64 @@ object SparkEntry {
         max(col("l_extendedprice")).as("max_price")))
     }),
 
+    "s16_dynamic_overwrite" -> ((s, dir) => {
+      // S16 — idempotent partition restatement (beyond the reference):
+      // the daily rollup lands partitioned by day; when one day's input
+      // is corrected, ONLY that day is recomputed and re-landed with
+      // partitionOverwriteMode=dynamic — the write replaces exactly the
+      // partitions present in the restated frame and leaves every other
+      // day's files untouched. At 100 TB this is the late-data /
+      // backfill contract: restating one day never rewrites (or even
+      // reads) the other 364. The oracle composes base-minus-day plus
+      // the restated day relationally.
+      val store = s"${scratchDir("graft_s16")}/daily"
+      val ev = t(s, dir, "events").select(
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("value"), col("user_id"))
+      def rollup(df: DataFrame): DataFrame =
+        df.groupBy(col("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"), fround(sum(col("value")), 2).as("sum_v"))
+      rollup(ev).write.mode("overwrite").partitionBy("day").parquet(store)
+      // the restatement: the earliest day's feed was bad — recompute it
+      // from the corrected subset (even-user events only). The day never
+      // touches the driver: the restated frame carries exactly one day
+      // and dynamic overwrite replaces exactly that partition.
+      val d0 = ev.groupBy().agg(min(col("day")).as("day"))
+      rollup(ev.join(broadcast(d0), "day")
+          .filter(col("user_id") % 2 === 0))
+        .write.mode("overwrite").partitionBy("day")
+        .option("partitionOverwriteMode", "dynamic").parquet(store)
+      s.read.parquet(store)
+        .select(col("day").cast("string").as("day"), col("event_type"),
+          col("n"), col("sum_v"))
+        .orderBy(col("day"), col("event_type"))
+    }),
+
+    "s17_schema_evolution" -> ((s, dir) => {
+      // S17 — schema evolution on read (beyond the reference): an early
+      // batch lands WITHOUT the quality column, a later batch adds it;
+      // mergeSchema unifies the footer schemas at read time and the old
+      // files surface NULLs — no rewrite of landed data, ever. The q
+      // values are dyadic (k/128) so sums stay IEEE-exact and the
+      // cross-engine avg rounds identically. At 100 TB, adding a column
+      // to a corpus must cost zero IO on the history; this pins that
+      // contract end-to-end through an aggregate.
+      val store = s"${scratchDir("graft_s17")}/docs"
+      val d = t(s, dir, "documents")
+      d.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(store)
+      d.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), col("lang"),
+          ((col("doc_id") % 128).cast("double") / lit(128.0)).as("q"))
+        .write.mode("append").parquet(store)
+      s.read.option("mergeSchema", "true").parquet(store)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), count(col("q")).as("n_scored"),
+          fround(avg(col("q")), 6).as("avg_q"))
+        .orderBy(col("lang"))
+    }),
+
     "s11_sized_sink" -> ((s, dir) => {
       // Size-targeted partitioned sink round-trip (beyond the
       // reference): documents land as lang=<v>/ parquet, each language
@@ -5551,6 +5609,37 @@ object SparkEntry {
            min(l_extendedprice) AS min_price,
            max(l_extendedprice) AS max_price
          FROM lineitem""",
+
+    "s16_dynamic_overwrite" ->
+      s"""WITH ev AS (
+           SELECT strftime(ts::TIMESTAMP, '%Y-%m-%d') AS day,
+             event_type, value, user_id
+           FROM events),
+         d0 AS (SELECT min(day) AS day FROM ev),
+         base AS (
+           SELECT day, event_type, count(*) AS n,
+             ${sqlFround("sum(value)", 2)} AS sum_v
+           FROM ev GROUP BY day, event_type),
+         restated AS (
+           SELECT ev.day, event_type, count(*) AS n,
+             ${sqlFround("sum(value)", 2)} AS sum_v
+           FROM ev JOIN d0 ON ev.day = d0.day
+           WHERE user_id % 2 = 0
+           GROUP BY ev.day, event_type)
+         SELECT * FROM base WHERE day <> (SELECT day FROM d0)
+         UNION ALL SELECT * FROM restated
+         ORDER BY day, event_type""",
+
+    "s17_schema_evolution" ->
+      s"""WITH u AS (
+           SELECT doc_id, lang, NULL::DOUBLE AS q
+           FROM documents WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id, lang, (doc_id % 128) / 128.0 AS q
+           FROM documents WHERE doc_id % 3 <> 0)
+         SELECT lang, count(*) AS n_docs, count(q) AS n_scored,
+           ${sqlFround("avg(q)", 6)} AS avg_q
+         FROM u GROUP BY lang ORDER BY lang""",
 
     "d20_editdist_pairs" ->
       """WITH t AS (

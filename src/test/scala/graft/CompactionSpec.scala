@@ -148,4 +148,59 @@ class CompactionSpec extends SparkSpec {
       .map(ids => (ids.min.toString, ids)).toMap
     assert(buckets(out1) == expected)
   }
+
+  private def dataFiles(root: String): Map[String, Long] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(root))
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getAbsolutePath -> f.length()).toMap
+  }
+
+  test("dynamic partition overwrite replaces ONLY the restated partition's files") {
+    val store = Scratch.dir("compaction_dyn") + "/t"
+    Seq((1, "a", 10L), (2, "a", 20L), (3, "b", 30L), (4, "c", 40L))
+      .toDF("id", "p", "v")
+      .write.mode("overwrite").partitionBy("p").parquet(store)
+    val before = dataFiles(store)
+    // restate p=a only; p=b / p=c files must survive IDENTICALLY (same
+    // paths, same bytes) — static overwrite would wipe the whole store
+    Seq((9, "a", 99L)).toDF("id", "p", "v")
+      .write.mode("overwrite").partitionBy("p")
+      .option("partitionOverwriteMode", "dynamic").parquet(store)
+    val after = dataFiles(store)
+    val untouchedBefore = before.filterNot(_._1.contains("p=a"))
+    val untouchedAfter = after.filterNot(_._1.contains("p=a"))
+    assert(untouchedBefore == untouchedAfter,
+      s"non-restated partitions changed:\n$untouchedBefore\nvs\n$untouchedAfter")
+    assert(before.keys.exists(_.contains("p=a")) &&
+      after.keys.exists(_.contains("p=a")) &&
+      before.filter(_._1.contains("p=a")) != after.filter(_._1.contains("p=a")),
+      "restated partition was not replaced")
+    val got = spark.read.parquet(store).orderBy($"id")
+      .select($"id", $"p", $"v").collect().toSeq.map(r =>
+        (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got == Seq((3, "b", 30L), (4, "c", 40L), (9, "a", 99L)))
+  }
+
+  test("schema evolution on read: appending a column costs zero IO on landed files") {
+    val store = Scratch.dir("compaction_evo") + "/t"
+    Seq((1L, "en"), (2L, "fr")).toDF("id", "lang")
+      .write.mode("overwrite").parquet(store)
+    val before = dataFiles(store)
+    Seq((3L, "en", 0.5)).toDF("id", "lang", "q")
+      .write.mode("append").parquet(store)
+    val after = dataFiles(store)
+    // the v1 files are bit-identical post-append: evolution is read-side
+    assert(before.forall { case (p, len) => after.get(p).contains(len) },
+      s"v1 files rewritten:\n$before\nvs\n$after")
+    val merged = spark.read.option("mergeSchema", "true").parquet(store)
+    assert(merged.schema.fieldNames.contains("q"))
+    val rs = merged.orderBy($"id")
+      .select($"id", $"q").collect().toSeq
+      .map(r => (r.getLong(0), Option(r.get(1))))
+    // old files surface NULL for the new column
+    assert(rs == Seq((1L, None), (2L, None), (3L, Some(0.5))))
+  }
 }
