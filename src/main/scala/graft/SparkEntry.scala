@@ -754,6 +754,37 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "x7_hard_negatives" -> ((s, dir) => {
+      // Hard-negative mining for retriever training (the DPR/ANCE
+      // recipe, beyond the reference): per query the BM25 rank-1 doc is
+      // the positive and ranks 2-5 are LEXICAL hard negatives — near
+      // the decision boundary, which is what contrastive training
+      // needs; random negatives are too easy. Emits (query, pos, neg,
+      // margin) triples; the margin (score gap to the positive) orders
+      // a curriculum from hardest (smallest gap) up. Post-rank state is
+      // queries×5 rows, so the mine costs one bm25 pass regardless of
+      // corpus size; scores round BEFORE ranking and the margin
+      // subtracts bit-identical doubles on both engines.
+      val d = t(s, dir, "documents")
+      val ranked = Rag.bm25(d, col("doc_id"), col("text"), bm25Queries,
+          bm25K1, bm25B)
+        .select(col("query_id"), col("doc_id"),
+          fround(col("score"), 6).as("score"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rank") <= 5)
+      val pos = ranked.filter(col("rank") === 1)
+        .select(col("query_id"), col("doc_id").as("pos_doc"),
+          col("score").as("pos_score"))
+      ranked.filter(col("rank") > 1)
+        .join(broadcast(pos), "query_id")
+        .select(col("query_id"), col("pos_doc"),
+          col("doc_id").as("neg_doc"), col("rank").as("neg_rank"),
+          fround(col("pos_score") - col("score"), 6).as("margin"))
+        .orderBy(col("query_id"), col("neg_rank"))
+    }),
+
     "x5_dsir_token_resample" -> ((s, dir) => {
       // The published DSIR recipe end-to-end (Xie et al. 2023): fit the
       // importance weights (tq2), resample by Efraimidis–Spirakis key
@@ -5315,6 +5346,20 @@ object SparkEntry {
          SELECT query_id, doc_id, score, row_number() OVER (
              PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
          FROM lexsc QUALIFY rank <= 10 ORDER BY query_id, rank""",
+
+    "x7_hard_negatives" ->
+      s"""WITH ${sqlBm25("true")},
+         rk AS (SELECT query_id, doc_id, score, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+           FROM lexsc),
+         pos AS (SELECT query_id, doc_id AS pos_doc, score AS pos_score
+           FROM rk WHERE rank = 1)
+         SELECT n.query_id, pos_doc, n.doc_id AS neg_doc,
+           n.rank AS neg_rank,
+           ${sqlFround("pos_score - n.score", 6)} AS margin
+         FROM rk n JOIN pos p ON n.query_id = p.query_id
+         WHERE n.rank BETWEEN 2 AND 5
+         ORDER BY n.query_id, neg_rank""",
 
     "v17_bm25_indexed" ->
       // identical to v15 by design: the persisted index must reproduce
