@@ -3028,6 +3028,44 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "v19_rerank" -> ((s, dir) => {
+      // Two-stage serving stack (beyond the reference): BM25 retrieves
+      // top-10 candidates per query, an injectable cross-encoder
+      // reranks them, top-5 survive on (ce, bm25, doc_id). The scorer
+      // runs on queries×10 rows through a batched mapPartitions client
+      // — at 100 TB the cross-encoder cost is independent of corpus
+      // size, which is the entire bi-encoder→cross-encoder economics.
+      // The deterministic overlap mock stands in for the model (the
+      // Embed harness precedent); the oracle replays it from the
+      // shared tokenizer constant.
+      val d = t(s, dir, "documents")
+      val ranked = Rag.bm25(d, col("doc_id"), col("text"), bm25Queries,
+          bm25K1, bm25B)
+        .select(col("query_id"), col("doc_id"),
+          fround(col("score"), 6).as("score"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rank") <= 10)
+      val qtext = s.createDataFrame(
+          bm25Queries.map { case (q, ts) => (q, ts.mkString(" ")) })
+        .toDF("query_id", "qtext")
+      // candidate hydration: the bounded candidate list broadcasts onto
+      // the corpus scan — text is fetched for 30 rows, never shuffled
+      val cands = d.select(col("doc_id"), col("text"))
+        .join(broadcast(ranked.join(broadcast(qtext), "query_id")),
+          "doc_id")
+      Rag.rerank(cands, col("qtext"), col("text"),
+          new Rag.OverlapRerankClient, batchSize = 16)
+        .select(col("query_id"), col("doc_id"), col("score"),
+          fround(col("ce_score"), 6).as("ce"))
+        .withColumn("rr", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("ce").desc, col("score").desc, col("doc_id"))))
+        .filter(col("rr") <= 5)
+        .orderBy(col("query_id"), col("rr"))
+    }),
+
     "v17_bm25_indexed" -> ((s, dir) => {
       // The persisted-inverted-index lifecycle for lexical retrieval:
       // build once (postings + df hive-bucketed by term, 1-row stats),
@@ -5346,6 +5384,29 @@ object SparkEntry {
          SELECT query_id, doc_id, score, row_number() OVER (
              PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
          FROM lexsc QUALIFY rank <= 10 ORDER BY query_id, rank""",
+
+    "v19_rerank" -> {
+      val qvals = bm25Queries.map { case (q, ts) =>
+        s"($q, [${ts.map(t => s"'$t'").mkString(", ")}])"
+      }.mkString(", ")
+      s"""WITH ${sqlBm25("true")},
+         rk AS (SELECT query_id, doc_id, score, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+           FROM lexsc),
+         cand AS (SELECT query_id, doc_id, score FROM rk WHERE rank <= 10),
+         qt(query_id, qterms) AS (VALUES $qvals),
+         dt AS (SELECT doc_id, ${sqlTokens("text")} AS toks
+           FROM documents),
+         ce AS (SELECT c.query_id, c.doc_id, c.score,
+             ${sqlFround(
+               "len(list_filter(qterms, t -> list_contains(toks, t)))::DOUBLE" +
+                 " / len(qterms)", 6)} AS ce
+           FROM cand c JOIN qt ON c.query_id = qt.query_id
+           JOIN dt ON c.doc_id = dt.doc_id)
+         SELECT query_id, doc_id, score, ce, row_number() OVER (
+             PARTITION BY query_id ORDER BY ce DESC, score DESC, doc_id) AS rr
+         FROM ce QUALIFY rr <= 5 ORDER BY query_id, rr"""
+    },
 
     "x7_hard_negatives" ->
       s"""WITH ${sqlBm25("true")},

@@ -294,6 +294,74 @@ object Rag {
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(lit(1.0) / (lit(k) + col("rank"))).as("rrf"))
 
+  /** Two-stage retrieval: the first-stage candidate list (lexical,
+    * dense, or hybrid top-k) reranks through an injectable
+    * cross-encoder client. External model serving is orchestration, not
+    * a row expression — so the client is a trait called through
+    * `mapPartitions` with ONE call per `batchSize` pairs (the Embed /
+    * Enrich harness shape), and the economics are the point: the
+    * expensive scorer sees ONLY queries×k candidate rows, never the
+    * corpus. [[OverlapRerankClient]] is the deterministic stand-in that
+    * makes the stage oracle-checkable (and the spec fixture); a real
+    * cross-encoder endpoint drops in behind the same trait.
+    */
+  trait RerankClient extends Serializable {
+    /** One relevance score per (query, doc) text pair, batched. */
+    def score(pairs: Seq[(String, String)]): Seq[Double]
+  }
+
+  /** Deterministic mock cross-encoder: the fraction of the query's
+    * distinct terms present in the doc's token set (the T13 overlap
+    * semantic over TA.jvmTokens — same tokenizer as the engine side,
+    * so the DuckDB twin reproduces it from `sqlTokens`).
+    */
+  final class OverlapRerankClient extends RerankClient {
+    def score(pairs: Seq[(String, String)]): Seq[Double] =
+      pairs.map { case (q, d) =>
+        val qs = TA.jvmTokens(q).distinct
+        if (qs.isEmpty) 0.0
+        else {
+          val ds = TA.jvmTokens(d).toSet
+          qs.count(ds).toDouble / qs.length
+        }
+      }
+  }
+
+  /** Append `ce_score` (double) to the candidate frame by scoring
+    * (query, doc) text pairs through `client`, batched per partition.
+    * Rows where either text is null skip the client and score null.
+    */
+  def rerank(cands: DataFrame, query: Column, text: Column,
+             client: RerankClient, batchSize: Int = 32): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val withPair = cands
+      .withColumn("__rr_q", query).withColumn("__rr_d", text)
+    val outSchema = StructType(withPair.schema.fields :+
+      StructField("ce_score", DoubleType))
+    withPair.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val pairs = batch.collect {
+          case r if !r.isNullAt(r.fieldIndex("__rr_q")) &&
+                    !r.isNullAt(r.fieldIndex("__rr_d")) =>
+            (r.getAs[String]("__rr_q"), r.getAs[String]("__rr_d"))
+        }
+        val scores = if (pairs.isEmpty) Seq.empty else client.score(pairs)
+        require(scores.length == pairs.length,
+          s"client returned ${scores.length} scores for ${pairs.length} pairs")
+        val it = scores.iterator
+        batch.map { r =>
+          val s: Any =
+            if (r.isNullAt(r.fieldIndex("__rr_q")) ||
+                r.isNullAt(r.fieldIndex("__rr_d"))) null
+            else it.next()
+          Row.fromSeq(r.toSeq :+ s)
+        }
+      }
+    }(Encoders.row(outSchema)).drop("__rr_q", "__rr_d")
+  }
+
   /** V5 — automatic answer metrics as pure columns: length/word counts,
     * question-keyword overlap, citation usage, and the weighted auto
     * score (rag.ipynb:770-880). `round4`-stable across engines.

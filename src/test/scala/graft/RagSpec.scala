@@ -166,4 +166,36 @@ class RagSpec extends SparkSpec {
     // consensus doc (both legs) outranks either single-leg doc
     assert(got(20L) > got(10L) && got(10L) > got(30L))
   }
+
+  test("rerank: batched client calls, null pairs skip the client, overlap math") {
+    // the client itself enforces the harness contract — it THROWS on an
+    // oversized batch, an empty call, or a null text reaching it, so a
+    // batching/null-handling regression fails the job (closure
+    // serialization would silently defeat a driver-side counter)
+    val strict = new Rag.RerankClient {
+      private val inner = new Rag.OverlapRerankClient
+      def score(pairs: Seq[(String, String)]): Seq[Double] = {
+        require(pairs.nonEmpty && pairs.length <= 2,
+          s"batch of ${pairs.length} pairs")
+        require(pairs.forall(p => p._1 != null && p._2 != null),
+          "null text reached the client")
+        inner.score(pairs)
+      }
+    }
+    val cands = Seq(
+      (1L, "hash join", "the hash table join plan"),
+      (2L, "hash join", "window functions only"),
+      (3L, "hash join", null),
+      (4L, "scan fast slow", "a fast scan"),
+      (5L, "scan fast slow", "slow scan fast")
+    ).toDF("id", "q", "d").repartition(1)
+    val out = Rag.rerank(cands, $"q", $"d", strict, batchSize = 2)
+      .select($"id", $"ce_score").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L).contains(1.0))          // both terms present
+    assert(out(2L).contains(0.0))          // none present
+    assert(out(3L).isEmpty)                // null doc -> null score, no call
+    assert(out(4L).contains(2.0 / 3.0))    // scan+fast of three
+    assert(out(5L).contains(1.0))
+  }
 }
