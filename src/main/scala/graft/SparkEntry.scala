@@ -3295,6 +3295,40 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "v20_ivfpq_indexed" -> ((s, dir) => {
+      // IVF-PQ persisted index (beyond the reference; the FAISS IVFPQ
+      // composition): coarse centroids route docs into hive-partitioned
+      // inverted lists that store the 4-code + reconstruction norm
+      // INSTEAD of the raw vector — a probe reads nprobe/C of the
+      // corpus (partition pruning) and each row it reads is 4 longs,
+      // not 64 floats. ADC scores the pruned candidates, the top-20
+      // hydrate raw vectors via a broadcast onto the corpus scan, and
+      // the final 5 rank on exact cosine. Oracle = the v18 PQ chain
+      // with the v11 coarse-router CTEs restricting the scored pairs.
+      val e = t(s, dir, "embeddings")
+      val docs = e.filter(col("vec_id") >= 13)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("long"),
+          col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
+      val books = Similarity.pqCodebooks(docs, col("vec_id"),
+        col("embedding"), pqM, pqSubDim, pqK, pqIters)
+      val idx = scratchDir("graft_v20") + "/ivfpq"
+      Similarity.saveIvfPqIndex(docs, col("vec_id"), col("embedding"),
+        cents, books, pqSubDim, idx, targetRows = 10000L, spread = 2)
+      Similarity.ivfPqTopK(s, idx, docs, col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") >= 8 && col("vec_id") < 13),
+          col("vec_id"), col("embedding"),
+          k = 5, nprobe = 2, rerank = pqRerank)
+        .select(col("query_id"), col("doc_id"),
+          fround(col("cosine"), 6).as("cosine"),
+          fround(col("approx_cosine"), 6).as("approx_cosine"),
+          col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "v3_neardup_lsh" -> ((s, dir) => {
       // Embedding-cosine near-dup pairs via hyperplane LSH banding +
       // exact cosine confirm — the scale path for pairwise similarity
@@ -3746,6 +3780,94 @@ object SparkEntry {
                AS rn
            FROM $src e CROSS JOIN ${p}cents$iters c)
          WHERE rn = 1)"""
+  }
+
+  /** Shared v18/v20 PQ-ANN oracle chain: four per-subspace k-means
+    * chains (sliced sources, prefixed CTEs), codes via the final
+    * assignments, centroid-norm tables, per-query ADC LUTs, the
+    * fixed-order 4-lookup score, then the approx and exact rank
+    * windows — every fold written in the Spark expression's operation
+    * order. `extraCtes` (v20) prepends the coarse-router CTEs and
+    * `candRestrict` (v20) narrows the scored pairs to the probed
+    * inverted lists.
+    */
+  private def sqlPqTopK(docFilter: String, queryFilter: String, k: Int,
+                        extraCtes: String = "",
+                        candRestrict: String = ""): String = {
+    val sd = pqSubDim
+    val srcs = (0 until pqM).map { s =>
+      s"""pqsrc$s AS (SELECT vec_id,
+           list_slice(embedding, ${s * sd + 1}, ${(s + 1) * sd})
+             AS embedding
+         FROM embeddings WHERE $docFilter)"""
+    }.mkString(",\n")
+    val kms = (0 until pqM).map { s =>
+      sqlKmeansCtes(pqK, pqIters, s"pqsrc$s", s"pq${s}_", sd)
+    }.mkString(",\n")
+    val norms = (0 until pqM).map { s =>
+      s"""pqn$s AS (SELECT cid,
+           list_reduce(list_transform(cv, x -> x * x),
+             (acc, x) -> acc + x) AS nn
+         FROM pq${s}_cents$pqIters)"""
+    }.mkString(",\n")
+    val luts = (0 until pqM).map { s =>
+      s"""pql$s AS (SELECT q.query_id, c.cid,
+           list_reduce(list_transform(generate_series(1, $sd),
+             i -> CAST(q.qe[${s * sd} + i] AS DOUBLE) * c.cv[i]),
+             (acc, x) -> acc + x) AS d
+         FROM pqq q CROSS JOIN pq${s}_cents$pqIters c)"""
+    }.mkString(",\n")
+    val extra = if (extraCtes.isEmpty) "" else s"$extraCtes,\n"
+    s"""WITH $extra$srcs,
+       $kms,
+       pqcodes AS (
+         SELECT a0.vec_id, a0.cid AS c0, a1.cid AS c1,
+           a2.cid AS c2, a3.cid AS c3
+         FROM pq0_final_assign a0
+         JOIN pq1_final_assign a1 USING (vec_id)
+         JOIN pq2_final_assign a2 USING (vec_id)
+         JOIN pq3_final_assign a3 USING (vec_id)),
+       $norms,
+       pqrn AS (
+         SELECT c.vec_id, c.c0, c.c1, c.c2, c.c3,
+           sqrt(((n0.nn + n1.nn) + n2.nn) + n3.nn) AS rnorm
+         FROM pqcodes c
+         JOIN pqn0 n0 ON n0.cid = c.c0
+         JOIN pqn1 n1 ON n1.cid = c.c1
+         JOIN pqn2 n2 ON n2.cid = c.c2
+         JOIN pqn3 n3 ON n3.cid = c.c3),
+       pqq AS (SELECT vec_id AS query_id, embedding AS qe,
+           sqrt(${sqlDot64("embedding", "embedding")}) AS qnorm
+         FROM embeddings WHERE $queryFilter),
+       $luts,
+       pqsc AS (
+         SELECT q.query_id, r.vec_id AS doc_id,
+           CASE WHEN r.rnorm * q.qnorm > 0
+             THEN (((l0.d + l1.d) + l2.d) + l3.d) / (r.rnorm * q.qnorm)
+           END AS approx_cosine
+         FROM pqrn r CROSS JOIN pqq q
+         JOIN pql0 l0 ON l0.query_id = q.query_id AND l0.cid = r.c0
+         JOIN pql1 l1 ON l1.query_id = q.query_id AND l1.cid = r.c1
+         JOIN pql2 l2 ON l2.query_id = q.query_id AND l2.cid = r.c2
+         JOIN pql3 l3 ON l3.query_id = q.query_id AND l3.cid = r.c3
+         $candRestrict),
+       pqa AS (SELECT query_id, doc_id, approx_cosine,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY approx_cosine DESC, doc_id) AS arank
+         FROM pqsc),
+       pqex AS (SELECT c.query_id, c.doc_id, c.approx_cosine,
+           ${sqlCosine64("de.embedding", "qe.embedding")} AS cosine
+         FROM pqa c
+         JOIN embeddings de ON de.vec_id = c.doc_id
+         JOIN embeddings qe ON qe.vec_id = c.query_id
+         WHERE c.arank <= $pqRerank),
+       pqrk AS (SELECT query_id, doc_id, cosine, approx_cosine,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, doc_id) AS rank
+         FROM pqex)
+       SELECT query_id, doc_id, ${sqlFround("cosine", 6)} AS cosine,
+         ${sqlFround("approx_cosine", 6)} AS approx_cosine, rank
+       FROM pqrk WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
   /** v8: [[sqlKmeansCtes]] + the cluster-size/cohesion rollup. */
@@ -5083,84 +5205,40 @@ object SparkEntry {
 
     "v8_kmeans_ivf" -> sqlKmeansRollup(4, 2),
 
-    "v18_pq_topk" -> {
-      // full PQ replay: four per-subspace k-means chains (sliced
-      // sources, prefixed CTEs), codes via the final assignments,
-      // centroid-norm tables, per-query ADC LUTs, the fixed-order
-      // 4-lookup score, then the approx and exact rank windows —
-      // every fold written in the Spark expression's operation order
-      val sd = pqSubDim
-      val srcs = (0 until pqM).map { s =>
-        s"""pqsrc$s AS (SELECT vec_id,
-             list_slice(embedding, ${s * sd + 1}, ${(s + 1) * sd})
-               AS embedding
-           FROM embeddings WHERE vec_id >= 3)"""
-      }.mkString(",\n")
-      val kms = (0 until pqM).map { s =>
-        sqlKmeansCtes(pqK, pqIters, s"pqsrc$s", s"pq${s}_", sd)
-      }.mkString(",\n")
-      val norms = (0 until pqM).map { s =>
-        s"""pqn$s AS (SELECT cid,
-             list_reduce(list_transform(cv, x -> x * x),
-               (acc, x) -> acc + x) AS nn
-           FROM pq${s}_cents$pqIters)"""
-      }.mkString(",\n")
-      val luts = (0 until pqM).map { s =>
-        s"""pql$s AS (SELECT q.query_id, c.cid,
-             list_reduce(list_transform(generate_series(1, $sd),
-               i -> CAST(q.qe[${s * sd} + i] AS DOUBLE) * c.cv[i]),
-               (acc, x) -> acc + x) AS d
-           FROM pqq q CROSS JOIN pq${s}_cents$pqIters c)"""
-      }.mkString(",\n")
-      s"""WITH $srcs,
-         $kms,
-         pqcodes AS (
-           SELECT a0.vec_id, a0.cid AS c0, a1.cid AS c1,
-             a2.cid AS c2, a3.cid AS c3
-           FROM pq0_final_assign a0
-           JOIN pq1_final_assign a1 USING (vec_id)
-           JOIN pq2_final_assign a2 USING (vec_id)
-           JOIN pq3_final_assign a3 USING (vec_id)),
-         $norms,
-         pqrn AS (
-           SELECT c.vec_id, c.c0, c.c1, c.c2, c.c3,
-             sqrt(((n0.nn + n1.nn) + n2.nn) + n3.nn) AS rnorm
-           FROM pqcodes c
-           JOIN pqn0 n0 ON n0.cid = c.c0
-           JOIN pqn1 n1 ON n1.cid = c.c1
-           JOIN pqn2 n2 ON n2.cid = c.c2
-           JOIN pqn3 n3 ON n3.cid = c.c3),
-         pqq AS (SELECT vec_id AS query_id, embedding AS qe,
-             sqrt(${sqlDot64("embedding", "embedding")}) AS qnorm
-           FROM embeddings WHERE vec_id < 3),
-         $luts,
-         pqsc AS (
-           SELECT q.query_id, r.vec_id AS doc_id,
-             CASE WHEN r.rnorm * q.qnorm > 0
-               THEN (((l0.d + l1.d) + l2.d) + l3.d) / (r.rnorm * q.qnorm)
-             END AS approx_cosine
-           FROM pqrn r CROSS JOIN pqq q
-           JOIN pql0 l0 ON l0.query_id = q.query_id AND l0.cid = r.c0
-           JOIN pql1 l1 ON l1.query_id = q.query_id AND l1.cid = r.c1
-           JOIN pql2 l2 ON l2.query_id = q.query_id AND l2.cid = r.c2
-           JOIN pql3 l3 ON l3.query_id = q.query_id AND l3.cid = r.c3),
-         pqa AS (SELECT query_id, doc_id, approx_cosine,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY approx_cosine DESC, doc_id) AS arank
-           FROM pqsc),
-         pqex AS (SELECT c.query_id, c.doc_id, c.approx_cosine,
-             ${sqlCosine64("de.embedding", "qe.embedding")} AS cosine
-           FROM pqa c
-           JOIN embeddings de ON de.vec_id = c.doc_id
-           JOIN embeddings qe ON qe.vec_id = c.query_id
-           WHERE c.arank <= $pqRerank),
-         pqrk AS (SELECT query_id, doc_id, cosine, approx_cosine,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY cosine DESC, doc_id) AS rank
-           FROM pqex)
-         SELECT query_id, doc_id, ${sqlFround("cosine", 6)} AS cosine,
-           ${sqlFround("approx_cosine", 6)} AS approx_cosine, rank
-         FROM pqrk WHERE rank <= 5 ORDER BY query_id, rank"""
+    "v18_pq_topk" ->
+      // the full PQ replay lives in sqlPqTopK (shared with v20, which
+      // adds the coarse IVF router on top)
+      sqlPqTopK("vec_id >= 3", "vec_id < 3", k = 5),
+
+    "v20_ivfpq_indexed" -> {
+      // v18's PQ chain + the v11 coarse-router shape: fixed coarse
+      // centroids route docs (rn = 1) and queries (rn <= 2 = nprobe);
+      // scored pairs restrict to candidates whose list one of the
+      // query's probes reads — everything downstream is the shared
+      // PQ chain verbatim (the persisted index round trip is lossless)
+      val coarse =
+        s"""coarse AS (SELECT vec_id AS cid, embedding AS cv
+             FROM embeddings WHERE vec_id < 8),
+           cassign AS (SELECT doc_id, cid FROM (
+               SELECT d.vec_id AS doc_id, c.cid, row_number() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY ${sqlCosine64("d.embedding", "c.cv")} DESC, c.cid)
+                 AS rn
+               FROM embeddings d CROSS JOIN coarse c
+               WHERE d.vec_id >= 13) WHERE rn = 1),
+           cprobes AS (SELECT query_id, cid FROM (
+               SELECT q.vec_id AS query_id, c.cid, row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ${sqlCosine64("q.embedding", "c.cv")} DESC, c.cid)
+                 AS rn
+               FROM embeddings q CROSS JOIN coarse c
+               WHERE q.vec_id >= 8 AND q.vec_id < 13) WHERE rn <= 2)"""
+      sqlPqTopK("vec_id >= 13", "vec_id >= 8 AND vec_id < 13", k = 5,
+        extraCtes = coarse,
+        candRestrict =
+          """JOIN cassign ca ON ca.doc_id = r.vec_id
+             JOIN cprobes pb ON pb.query_id = q.query_id
+               AND pb.cid = ca.cid""")
     },
 
     "d10_semantic_dedup" ->

@@ -382,19 +382,19 @@ object Similarity {
     * codebook literals, and fixed-order folds — a SQL oracle replays
     * scores bit-for-bit.
     */
-  def pqTopK(docs: DataFrame, docId: Column, docVec: Column,
-             queries: DataFrame, queryId: Column, queryVec: Column,
-             books: Seq[Seq[(Long, Seq[Double])]], subDim: Int,
-             k: Int, rerank: Int): DataFrame = {
-    require(rerank >= k, "rerank depth must cover the final k")
-    val m = books.size
-    val kk = books.head.size
-    // per-subspace literal table of ‖centroid‖² (driver-side doubles
-    // over the 6dp-rounded components, in component order — the oracle
-    // sums the same list the same way)
+  /** The PQ doc side: (doc_id, dv, __code, __rnorm) — the m-code plus
+    * the reconstruction norm ‖x̂‖ from per-subspace literal tables of
+    * ‖centroid‖² (driver-side doubles over the 6dp-rounded components,
+    * in component order — the oracle sums the same list the same way).
+    * Shared by [[pqTopK]] (inline) and [[saveIvfPqIndex]] (persisted).
+    */
+  private[operators] def pqEncode(docs: DataFrame, docId: Column,
+                                  docVec: Column,
+                                  books: Seq[Seq[(Long, Seq[Double])]],
+                                  subDim: Int): DataFrame = {
     val normArrs: Seq[Seq[Double]] = books.map(cents =>
       cents.sortBy(_._1).map { case (_, cv) => cv.map(x => x * x).sum })
-    val d = docs.select(docId.as("doc_id"), docVec.as("dv"))
+    docs.select(docId.as("doc_id"), docVec.as("dv"))
       .select(col("doc_id"), col("dv"),
         pqCode(col("dv"), books, subDim).as("__code"))
       .select(col("doc_id"), col("dv"), col("__code"),
@@ -402,17 +402,44 @@ object Similarity {
           element_at(typedLit(ns),
             element_at(col("__code"), s + 1).cast("int") + 1)
         }.reduce(_ + _)).as("__rnorm"))
+  }
+
+  /** The PQ query side: (query_id, qv, __lut, __qnorm) — the flattened
+    * m·k ADC lookup table (dot(q_sub, centroid) per (subspace, code))
+    * computed ONCE per query at a select boundary.
+    */
+  private[operators] def pqQuery(queries: DataFrame, queryId: Column,
+                                 queryVec: Column,
+                                 books: Seq[Seq[(Long, Seq[Double])]],
+                                 subDim: Int): DataFrame = {
     val lut = array(books.zipWithIndex.flatMap { case (cents, s) =>
       cents.sortBy(_._1).map { case (_, cv) =>
         dotLit(slice(col("qv"), s * subDim + 1, subDim), cv) }
     }: _*)
-    val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
+    queries.select(queryId.as("query_id"), queryVec.as("qv"))
       .select(col("query_id"), col("qv"), lut.as("__lut"),
         VF.l2Norm(col("qv")).as("__qnorm"))
-    val approx = (0 until m).map { s =>
+  }
+
+  /** The ADC approximate dot: m array lookups in a fixed-order sum over
+    * `__lut`/`__code` (the operation order the oracle replays).
+    */
+  private[operators] def pqApproxDot(m: Int, kk: Int): Column =
+    (0 until m).map { s =>
       element_at(col("__lut"),
         (lit(s * kk) + element_at(col("__code"), s + 1)).cast("int") + 1)
     }.reduce(_ + _)
+
+  def pqTopK(docs: DataFrame, docId: Column, docVec: Column,
+             queries: DataFrame, queryId: Column, queryVec: Column,
+             books: Seq[Seq[(Long, Seq[Double])]], subDim: Int,
+             k: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, "rerank depth must cover the final k")
+    val m = books.size
+    val kk = books.head.size
+    val d = pqEncode(docs, docId, docVec, books, subDim)
+    val q = pqQuery(queries, queryId, queryVec, books, subDim)
+    val approx = pqApproxDot(m, kk)
     val denom = col("__rnorm") * col("__qnorm")
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_cosine").desc, col("doc_id"))
@@ -644,5 +671,114 @@ object Similarity {
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("cosine"), col("rank"))
+  }
+
+  /** Persist an IVF-PQ index — the FAISS IVFPQ composition (Jégou et
+    * al. 2011 §IV): coarse centroids route docs into hive-partitioned
+    * inverted lists exactly like [[saveIvfIndex]], but each list row
+    * stores the m-CODE + reconstruction norm instead of the raw vector
+    * — a probe reads nprobe/C of the corpus (partition pruning) AND
+    * each row it reads is m longs instead of dim floats (PQ), so the
+    * serve-path IO shrinks on both axes at once. Raw vectors stay in
+    * the corpus table; [[ivfPqTopK]] hydrates only the rerank
+    * survivors. Layout (all self-describing):
+    *
+    * {{{
+    *   path/centroids/   (cid, cv)       coarse router (loadIvfCentroids)
+    *   path/books/       (sub, cid, cv)  PQ codebooks   (loadPqBooks)
+    *   path/lists/cid=N/ (doc_id, code, rnorm)
+    * }}}
+    */
+  def saveIvfPqIndex(docs: DataFrame, docId: Column, docVec: Column,
+                     cents: Seq[(Long, Seq[Double])],
+                     books: Seq[Seq[(Long, Seq[Double])]], subDim: Int,
+                     path: String, targetRows: Long = 1L << 20,
+                     spread: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    require(cents.nonEmpty, "saveIvfPqIndex needs at least one centroid")
+    require(books.nonEmpty, "saveIvfPqIndex needs at least one codebook")
+    spark.createDataFrame(cents).toDF("cid", "cv")
+      .coalesce(1).write.mode("errorifexists").parquet(s"$path/centroids")
+    spark.createDataFrame(
+        books.zipWithIndex.flatMap { case (cs, s) =>
+          cs.map { case (cid, cv) => (s.toLong, cid, cv) } })
+      .toDF("sub", "cid", "cv")
+      .coalesce(1).write.mode("errorifexists").parquet(s"$path/books")
+    val enc = pqEncode(docs,
+        docId.cast("long"), docVec.cast("array<float>"), books, subDim)
+      .withColumn("cid",
+        (-centroidArgmax(col("dv"), cents).getField("ncid")).cast("long"))
+      .select(col("doc_id"), col("__code").as("code"),
+        col("__rnorm").as("rnorm"), col("cid"))
+    graft.sources.Compaction.writeSized(enc, s"$path/lists",
+      Seq("cid"), col("doc_id"), targetRows, spread)
+  }
+
+  /** Codebooks back from an IVF-PQ index, in subspace order with each
+    * book's centroids sorted by cid — the shape [[pqQuery]]/[[pqCode]]
+    * consume (probes self-describe instead of trusting the caller).
+    */
+  def loadPqBooks(spark: org.apache.spark.sql.SparkSession,
+                  path: String): Seq[Seq[(Long, Seq[Double])]] =
+    spark.read.parquet(s"$path/books").collect()
+      .map(r => (r.getAs[Long]("sub"), r.getAs[Long]("cid"),
+        r.getSeq[Double](r.fieldIndex("cv")).toSeq))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(t => (t._2, t._3)).toSeq)
+
+  /** Probe an IVF-PQ index: nprobe coarse lists read PRUNED (hive
+    * partition filter), candidates score by ADC over the stored codes
+    * (m lookups, no raw vectors touched), the top `rerank` per query
+    * hydrate their raw vectors from the corpus via a broadcast of the
+    * bounded candidate list, and the final k rank on exact cosine —
+    * approximation chooses candidates, it never orders results.
+    */
+  def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                queries: DataFrame, queryId: Column, queryVec: Column,
+                k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, "rerank depth must cover the final k")
+    val cents = loadIvfCentroids(spark, path)
+    val books = loadPqBooks(spark, path)
+    val m = books.size
+    val kk = books.head.size
+    val subDim = books.head.head._2.size
+    val q = pqQuery(queries, queryId, queryVec, books, subDim)
+    val probeStructs = cents.map { case (cid, cv) =>
+      struct((-VF.cosine(col("qv"), typedLit(cv))).as("negcos"),
+        lit(cid).as("cid"))
+    }
+    val probes = q
+      .withColumn("pc",
+        explode(slice(array_sort(array(probeStructs: _*)), 1, nprobe)))
+      .select(col("query_id"), col("qv"), col("__lut"), col("__qnorm"),
+        col("pc.cid").as("cid"))
+    val probedCids = probes.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, code ARRAY<LONG>, rnorm DOUBLE, cid LONG")
+    val lists = spark.read.schema(schema).parquet(s"$path/lists")
+      .filter(col("cid").isin(probedCids.toIndexedSeq: _*))
+      .withColumnRenamed("code", "__code")
+    val denom = col("rnorm") * col("__qnorm")
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cosine").desc, col("doc_id"))
+    val cand = probes.join(lists, "cid")
+      .withColumn("approx_cosine",
+        when(denom > 0, pqApproxDot(m, kk) / denom))
+      .withColumn("__arank", row_number().over(wApprox))
+      .filter(col("__arank") <= rerank)
+      .select(col("query_id"), col("doc_id"), col("qv"),
+        col("approx_cosine"))
+    val dv = corpus.select(corpusId.cast("long").as("doc_id"),
+      corpusVec.cast("array<float>").as("dv"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+    dv.join(broadcast(cand), "doc_id")
+      .withColumn("cosine", CosineSim(col("dv"), col("qv")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("cosine"),
+        col("approx_cosine"), col("rank"))
   }
 }

@@ -97,6 +97,39 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("cid"), plan)
   }
 
+  test("IVF-PQ index: codes-only lists, self-describing books, pruned probe, exact rerank") {
+    val cents = Seq((0L, b1.map(_.toDouble).toSeq), (1L, b2.map(_.toDouble).toSeq))
+    val books = Similarity.pqCodebooks(corpus, $"id", $"v",
+      m = 2, subDim = 8, k = 2, iters = 2)
+    val idx = Scratch.dir("ivfpq_idx") + "/ivfpq"
+    Similarity.saveIvfPqIndex(corpus, $"id", $"v", cents, books, 8, idx,
+      targetRows = 100L, spread = 2)
+    // the index self-describes: books round-trip exactly
+    assert(Similarity.loadPqBooks(spark, idx) == books)
+    // lists store the code + norm, NEVER the raw vector (the memory win)
+    assert(spark.read.parquet(s"$idx/lists").schema.fieldNames.toSet ==
+      Set("doc_id", "code", "rnorm", "cid"))
+    val queries = queryData.toDF("qid", "qv")
+    def proj(df: org.apache.spark.sql.DataFrame) =
+      rows(df.orderBy($"query_id", $"rank"))
+        .map(r => (r.getLong(0), r.getLong(1)))
+    val got = proj(Similarity.ivfPqTopK(spark, idx, corpus, $"id", $"v",
+      queries, $"qid", $"qv", k = 3, nprobe = 1, rerank = 3))
+    // nprobe=1 on separable clusters: each query sees only its cluster,
+    // and the exact rerank orders it identically to brute top-k
+    assert(got.filter(_._1 == 100L).map(_._2).toSet == Set(1L, 2L, 3L))
+    assert(got.filter(_._1 == 200L).map(_._2).toSet == Set(4L, 5L))
+    val brute = proj(Similarity.topKPerQuery(
+      corpus, $"id", $"v", queries, $"qid", $"qv", k = 3))
+    assert(got.filter(_._1 == 100L) == brute.filter(_._1 == 100L))
+    // the probe prunes at the directory level: cid PartitionFilters
+    val one = Seq((100L, noisy(b1, 0.001f))).toDF("qid", "qv")
+    val plan = Similarity.ivfPqTopK(spark, idx, corpus, $"id", $"v",
+        one, $"qid", $"qv", k = 3, nprobe = 1, rerank = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"), plan)
+  }
+
   test("appendIvfIndex: append == rebuild on the union, old files untouched") {
     val cents = Seq((0L, b1.map(_.toDouble).toSeq), (1L, b2.map(_.toDouble).toSeq))
     val queries = queryData.toDF("qid", "qv")
