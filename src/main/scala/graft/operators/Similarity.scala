@@ -726,6 +726,75 @@ object Similarity {
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(t => (t._2, t._3)).toSeq)
 
+  /** Append a batch to a saved IVF-PQ index with FROZEN coarse
+    * centroids and FROZEN codebooks: encode, route, append
+    * size-bounded list files — O(batch), existing files untouched (the
+    * [[appendIvfIndex]] discipline). ADC accuracy decays as the
+    * appended distribution drifts from the frozen books — new vectors
+    * quantize onto centroids fit to OLD data, collapsing their codes —
+    * which is exactly what [[maintainIvfPqIndex]] measures.
+    */
+  def appendIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String, docs: DataFrame, docId: Column,
+                       docVec: Column, targetRows: Long = 1L << 20,
+                       spread: Int = 8): Unit = {
+    val cents = loadIvfCentroids(spark, path)
+    val books = loadPqBooks(spark, path)
+    val subDim = books.head.head._2.size
+    val enc = pqEncode(docs,
+        docId.cast("long"), docVec.cast("array<float>"), books, subDim)
+      .withColumn("cid",
+        (-centroidArgmax(col("dv"), cents).getField("ncid")).cast("long"))
+      .select(col("doc_id"), col("__code").as("code"),
+        col("__rnorm").as("rnorm"), col("cid"))
+    graft.sources.Compaction.writeSized(enc, s"$path/lists",
+      Seq("cid"), col("doc_id"), targetRows, spread, mode = "append")
+  }
+
+  /** Outcome of one [[maintainIvfPqIndex]] tick. */
+  final case class IvfPqMaintenance(meanRecall: Double, rebuilt: Boolean,
+                                    servePath: String)
+
+  /** The closed IVF-PQ maintenance loop (the [[maintainIvfIndex]]
+    * policy, for the codebook axis): probe the index with a query
+    * batch, score recall@k against exact brute cosine over `corpus`
+    * (the raw-vector source of truth — lists store codes only), and
+    * REBUILD the codebooks + lists into `outPath` iff mean recall dips
+    * below `recallFloor`. The coarse router survives the rebuild (its
+    * drift channel is [[maintainIvfIndex]]'s); what retrains here is
+    * the quantizer, because frozen books are what collapse appended
+    * clusters onto stale codes. No-trigger ticks cost one pruned ADC
+    * probe + one query-batch-sized exact pass; the triggered path pays
+    * m k-means fits and ONE corpus re-encode (codes + norms, never raw
+    * vectors). Deterministic end to end ⇒ every tick replayable.
+    */
+  def maintainIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, outPath: String, corpus: DataFrame,
+                         corpusId: Column, corpusVec: Column,
+                         queries: DataFrame, queryId: Column,
+                         queryVec: Column, k: Int, nprobe: Int,
+                         rerank: Int, recallFloor: Double, m: Int,
+                         subDim: Int, kCodes: Int, iters: Int,
+                         targetRows: Long = 1L << 20,
+                         spread: Int = 8): IvfPqMaintenance = {
+    val approx = ivfPqTopK(spark, path, corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, k, nprobe, rerank)
+    val exact = topKPerQuery(
+      corpus.select(corpusId.cast("long").as("doc_id"),
+        corpusVec.cast("array<float>").as("dv")),
+      col("doc_id"), col("dv"), queries, queryId, queryVec, k)
+    val mean = recallAtK(approx, exact, k)
+      .agg(avg(col("recall"))).head().getDouble(0)
+    if (mean < recallFloor) {
+      val cents = loadIvfCentroids(spark, path)
+      val books = pqCodebooks(corpus, corpusId, corpusVec,
+        m, subDim, kCodes, iters)
+      saveIvfPqIndex(corpus, corpusId, corpusVec, cents, books, subDim,
+        outPath, targetRows, spread)
+      IvfPqMaintenance(mean, rebuilt = true, outPath)
+    } else IvfPqMaintenance(mean, rebuilt = false, path)
+  }
+
   /** Probe an IVF-PQ index: nprobe coarse lists read PRUNED (hive
     * partition filter), candidates score by ADC over the stored codes
     * (m lookups, no raw vectors touched), the top `rerank` per query

@@ -130,6 +130,53 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("cid"), plan)
   }
 
+  test("IVF-PQ maintenance: stale books trip the rebuild; fresh books restore recall") {
+    def v(a: Double, b: Double, c: Double, d: Double) =
+      Seq(a, b, c, d).map(_.toFloat)
+    // base: one tight cluster; kCodes=1 books are the stale-quantizer
+    // extreme — EVERY doc encodes to the same code, so ADC ties
+    // everywhere and candidate choice degenerates to lowest doc_id
+    val baseData = Seq((1L, v(0.9, 0.1, 0.8, 0.2)),
+      (2L, v(0.88, 0.12, 0.82, 0.18)), (3L, v(0.92, 0.08, 0.78, 0.22)))
+    // appended cluster, far from the books' training data; 12 is its
+    // deliberate outlier so exact top-2 = {10, 11}
+    val driftData = Seq((10L, v(0.12, 0.88, 0.18, 0.82)),
+      (11L, v(0.1, 0.9, 0.2, 0.8)), (12L, v(0.3, 0.7, 0.4, 0.6)))
+    val base = baseData.toDF("id", "v")
+    val union = (baseData ++ driftData).toDF("id", "v")
+    val cents = Seq((0L, Seq(0.9, 0.1, 0.8, 0.2)),
+      (1L, Seq(0.1, 0.9, 0.2, 0.8)))
+    val staleBooks = Similarity.pqCodebooks(base, $"id", $"v",
+      m = 2, subDim = 2, k = 1, iters = 2)
+    val idx = Scratch.dir("ivfpq_m1") + "/ivfpq"
+    Similarity.saveIvfPqIndex(base, $"id", $"v", cents, staleBooks, 2,
+      idx, targetRows = 100L, spread = 2)
+    Similarity.appendIvfPqIndex(spark, idx, driftData.toDF("id", "v"),
+      $"id", $"v", targetRows = 100L, spread = 2)
+    val q = Seq((500L, v(0.11, 0.89, 0.19, 0.81))).toDF("qid", "qv")
+    // tick 1: all-tied ADC picks doc_ids 1,2 as rerank candidates while
+    // exact wants {10, 11} -> recall 0, floor trips, books retrain
+    val out = Scratch.dir("ivfpq_m2") + "/ivfpq"
+    def tick(from: String, to: String) =
+      Similarity.maintainIvfPqIndex(spark, from, to, union, $"id", $"v",
+        q, $"qid", $"qv", k = 2, nprobe = 2, rerank = 2,
+        recallFloor = 0.9, m = 2, subDim = 2, kCodes = 2, iters = 2,
+        targetRows = 100L, spread = 2)
+    val t1 = tick(idx, out)
+    assert(t1.rebuilt && t1.servePath == out, t1.toString)
+    assert(t1.meanRecall < 0.9, t1.toString)
+    // tick 2 against the rebuilt index: kCodes=2 books separate the two
+    // clusters, ADC surfaces the drift docs, exact rerank restores
+    // recall -> no trigger, serve path unchanged
+    val out2 = Scratch.dir("ivfpq_m3") + "/ivfpq"
+    val t2 = tick(out, out2)
+    assert(!t2.rebuilt && t2.servePath == out, t2.toString)
+    assert(t2.meanRecall == 1.0, t2.toString)
+    // replayable: the same tick on the same state repeats bit-for-bit
+    val out3 = Scratch.dir("ivfpq_m4") + "/ivfpq"
+    assert(tick(out, out3) == t2.copy())
+  }
+
   test("appendIvfIndex: append == rebuild on the union, old files untouched") {
     val cents = Seq((0L, b1.map(_.toDouble).toSeq), (1L, b2.map(_.toDouble).toSeq))
     val queries = queryData.toDF("qid", "qv")
