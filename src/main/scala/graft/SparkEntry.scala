@@ -60,6 +60,11 @@ object SparkEntry {
   private val pqIters = 2
   private val pqRerank = 20
 
+  /** tq7 Platt-calibration Newton tick count, shared by the query and
+    * its unrolled oracle CTE chain.
+    */
+  private val plattIters = 8
+
   /** a21 drift→re-mix shared constants: monitor sensitivity α and the
     * mix token budget; the Smirnov coefficient c(α) is computed HERE
     * (driver-side libm) and enters both engines as the same literal.
@@ -3425,6 +3430,38 @@ object SparkEntry {
         .orderBy(col("sel_key").desc, col("doc_id"))
     }),
 
+    "tq7_platt_calibration" -> ((s, dir) => {
+      // Classifier-score calibration (Platt 1999; beyond the
+      // reference): a raw quality signal — stopword ratio, a genuine
+      // en-vs-rest discriminator on this corpus — calibrates into
+      // P(en | s) = σ(A·s + B). The fit is bounded Newton ticks, each
+      // ONE five-sum distributed aggregate (the kmeans shape: scalar
+      // state on the driver, corpus never sorts); σ runs on detexp so
+      // the whole fit is libm-free, and sums + params round 6dp per
+      // tick, so the oracle replays it bit-for-bit. Output is the
+      // reliability diagram (score-decile bins: empirical positive
+      // rate vs mean calibrated probability) + the fitted params. The
+      // scored projection stages to scratch parquet so the 8 fit
+      // passes re-scan 2 doubles, not the tokenizer.
+      val staged = scratchDir("graft_tq7") + "/scored"
+      t(s, dir, "documents")
+        .select(TA.stopwordRatio(col("text")).as("sc"),
+          (col("lang") <=> "en").as("y"))
+        .write.mode("overwrite").parquet(staged)
+      val sd = s.read.parquet(staged)
+      val (aF, bF) = Classify.plattFit(sd, col("sc"), col("y"),
+        iters = plattIters)
+      sd.select(col("sc"), col("y"),
+          Classify.plattProb(col("sc"), aF, bF).as("p"))
+        .groupBy(floor(col("sc") * 10).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          fround(avg(when(col("y"), 1.0).otherwise(0.0)), 6).as("frac_pos"),
+          fround(avg(col("p")), 6).as("mean_cal_p"))
+        .withColumn("a", lit(aF))
+        .withColumn("b", lit(bF))
+        .orderBy(col("bin"))
+    }),
+
     "tq6_score_threshold" -> ((s, dir) => {
       // The deployment knob for the trained filter: the most inclusive
       // threshold keeping ≤ 30% of the tq1 held-out docs by rounded
@@ -6707,6 +6744,60 @@ object SparkEntry {
       // one token pass; per-doc mean log ratio, Laplace-smoothed.
       s"""$sqlDsirWeights
          FROM sc ORDER BY doc_id""",
+
+    "tq7_platt_calibration" -> {
+      // the unrolled Newton chain: per tick, five 6dp-rounded sums over
+      // the scored table (σ via the libm-free detexp twin) fold into
+      // the exact 2×2 solve; a zero determinant keeps (a, b) — the
+      // Spark side's early-stop fixpoint. it8 feeds the reliability
+      // rollup.
+      def sigma(aRef: String, bRef: String) =
+        s"1.0 / (1.0 + ${Sampling.sqlDetExp(s"-($aRef * sc + $bRef)")})"
+      val iterCtes = (1 to plattIters).map { i =>
+        s"""g$i AS (SELECT
+             floor(sum(d * sc) * 1e6 + 0.5) / 1e6 AS g1,
+             floor(sum(d) * 1e6 + 0.5) / 1e6 AS g0,
+             floor(sum(w * sc * sc) * 1e6 + 0.5) / 1e6 AS h11,
+             floor(sum(w * sc) * 1e6 + 0.5) / 1e6 AS h10,
+             floor(sum(w) * 1e6 + 0.5) / 1e6 AS h00
+           FROM (SELECT sc,
+               p - (CASE WHEN y > 0.5 THEN t.tp ELSE t.tn END) AS d,
+               p * (1.0 - p) AS w
+             FROM (SELECT sc, y, ${sigma("it.a", "it.b")} AS p
+               FROM cal CROSS JOIN it${i - 1} it) CROSS JOIN tgt t)),
+         it$i AS (SELECT
+             CASE WHEN g.h11 * g.h00 - g.h10 * g.h10 = 0.0 THEN it.a
+               ELSE floor((it.a - (g.g1 * g.h00 - g.g0 * g.h10)
+                 / (g.h11 * g.h00 - g.h10 * g.h10)) * 1e6 + 0.5) / 1e6
+             END AS a,
+             CASE WHEN g.h11 * g.h00 - g.h10 * g.h10 = 0.0 THEN it.b
+               ELSE floor((it.b - (g.g0 * g.h11 - g.g1 * g.h10)
+                 / (g.h11 * g.h00 - g.h10 * g.h10)) * 1e6 + 0.5) / 1e6
+             END AS b
+           FROM it${i - 1} it CROSS JOIN g$i g)"""
+      }.mkString(",\n")
+      s"""WITH cal AS (SELECT
+             CASE WHEN len(toks) > 0 THEN hits * 1.0 / len(toks)
+               ELSE 0.0 END AS sc,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+           FROM (SELECT ${sqlTokens("text")} AS toks,
+               ${sqlHits("text", TA.enStopwords)} AS hits, lang
+             FROM documents)),
+         cns AS (SELECT sum(y) AS np, count(*) - sum(y) AS nn FROM cal),
+         tgt AS (SELECT (np + 1.0) / (np + 2.0) AS tp,
+             1.0 / (nn + 2.0) AS tn FROM cns),
+         it0 AS (SELECT 0.0 AS a, 0.0 AS b),
+         $iterCtes,
+         probs AS (SELECT sc, y, ${sigma("it.a", "it.b")} AS p,
+             it.a AS a, it.b AS b
+           FROM cal CROSS JOIN it$plattIters it)
+         SELECT CAST(floor(sc * 10) AS BIGINT) AS bin,
+           count(*) AS n,
+           ${sqlFround("avg(y)", 6)} AS frac_pos,
+           ${sqlFround("avg(p)", 6)} AS mean_cal_p,
+           max(a) AS a, max(b) AS b
+         FROM probs GROUP BY bin ORDER BY bin"""
+    },
 
     "tq6_score_threshold" ->
       // descending running census over the distinct rounded-score

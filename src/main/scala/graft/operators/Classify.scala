@@ -423,4 +423,82 @@ object Classify {
           sum(col("c")))
           .as("avg_logratio"))
   }
+
+  /** Platt scaling (Platt 1999, "Probabilistic Outputs for Support
+    * Vector Machines"): calibrate a raw classifier score s into
+    * P(y=1 | s) = σ(A·s + B) by Newton iterations on the NLL with
+    * Platt's smoothed targets t⁺ = (n⁺+1)/(n⁺+2), t⁻ = 1/(n⁻+2). A
+    * trained gate (NB evidence, DSIR log-ratio, a ruler score) emits
+    * uncalibrated numbers; thresholding a CORPUS on them needs
+    * probabilities that mean what they say — this is the standard fix,
+    * and it costs one five-sum distributed aggregate per iteration
+    * (bounded `iters`, scalar state on the driver — the kmeans shape).
+    *
+    * Cross-engine determinism, the hard part: σ computes via
+    * [[graft.expressions.DetExp]] (libm-free, bit-identical on any
+    * IEEE engine), the five sums and the updated (A, B) round to 6
+    * decimals every step (summation-order noise collapses, the kmeans
+    * discipline), and the smoothed targets derive from integer counts
+    * by one exact division — so the SQL oracle replays the whole fit
+    * bit-for-bit. Newton needs no step-size: the NLL is convex in
+    * (A, B) and the smoothed targets keep it bounded.
+    *
+    * Requires a non-constant score (the 2×2 Hessian is singular
+    * otherwise); a zero determinant stops the iteration early rather
+    * than dividing by it.
+    */
+  def plattFit(df: DataFrame, score: Column, label: Column,
+               iters: Int): (Double, Double) = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val base = df.select(score.cast("double").as("s"),
+      when(label, 1.0).otherwise(0.0).as("y"))
+    val census = base.agg(
+      sum(col("y")).as("np"),
+      (count(lit(1)).cast("double") - sum(col("y"))).as("nn")).head()
+    val nPos = census.getDouble(0)
+    val nNeg = census.getDouble(1)
+    val tPos = (nPos + 1.0) / (nPos + 2.0)
+    val tNeg = 1.0 / (nNeg + 2.0)
+    var a = 0.0
+    var b = 0.0
+    var i = 0
+    var singular = false
+    while (i < iters && !singular) {
+      val p = lit(1.0) /
+        (lit(1.0) + Sampling.detExp(-(lit(a) * col("s") + lit(b))))
+      val t = when(col("y") > 0.5, lit(tPos)).otherwise(lit(tNeg))
+      val sums = base
+        .select(col("s"), (p - t).as("d"), (p * (lit(1.0) - p)).as("w"))
+        .agg(
+          floor(sum(col("d") * col("s")) * 1e6 + 0.5).as("g1"),
+          floor(sum(col("d")) * 1e6 + 0.5).as("g0"),
+          floor(sum(col("w") * col("s") * col("s")) * 1e6 + 0.5).as("h11"),
+          floor(sum(col("w") * col("s")) * 1e6 + 0.5).as("h10"),
+          floor(sum(col("w")) * 1e6 + 0.5).as("h00"))
+        .head()
+      // floor() yields LongType; the /1e6 here mirrors the oracle's
+      // textual `floor(...)/1e6` — same integer, same one divide
+      val g1 = sums.getLong(0) / 1e6
+      val g0 = sums.getLong(1) / 1e6
+      val h11 = sums.getLong(2) / 1e6
+      val h10 = sums.getLong(3) / 1e6
+      val h00 = sums.getLong(4) / 1e6
+      val det = h11 * h00 - h10 * h10
+      if (det == 0.0) singular = true
+      else {
+        a = r6(a - (g1 * h00 - g0 * h10) / det)
+        b = r6(b - (g0 * h11 - g1 * h10) / det)
+      }
+      i += 1
+    }
+    (a, b)
+  }
+
+  /** The calibrated probability column for a fitted (A, B) — σ via the
+    * same libm-free exponential the fit used.
+    */
+  def plattProb(score: Column, a: Double, b: Double): Column =
+    lit(1.0) /
+      (lit(1.0) + Sampling.detExp(-(lit(a) * score.cast("double") + lit(b))))
 }

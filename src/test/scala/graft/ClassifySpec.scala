@@ -190,4 +190,32 @@ class ClassifySpec extends SparkSpec {
       .select($"avg_logratio").as[Double].collect()
     assert(out.forall(w => math.abs(w) < 1e-12))
   }
+
+  test("plattFit: monotone calibration, partition-invariant, singular guard") {
+    // score-correlated labels with deterministic noise: high s mostly
+    // positive, low s mostly negative, every 7th flipped
+    val data = Seq.tabulate(400) { i =>
+      val s = (i % 100) / 100.0
+      (s, ((i % 100) > 50) ^ (i % 7 == 0))
+    }
+    val df = data.toDF("s", "y")
+    val (a, b) = Classify.plattFit(df, $"s", $"y", iters = 8)
+    assert(a > 0, s"calibration slope should be positive, got a=$a b=$b")
+    // 6dp-rounded sums make the fit summation-order invariant
+    val (a2, b2) = Classify.plattFit(df.repartition(7), $"s", $"y", iters = 8)
+    assert((a, b) == ((a2, b2)))
+    val r = spark.range(1).select(
+      Classify.plattProb(lit(0.9), a, b).as("hi"),
+      Classify.plattProb(lit(0.1), a, b).as("lo")).head()
+    val (hi, lo) = (r.getDouble(0), r.getDouble(1))
+    assert(hi > lo && hi < 1.0 && lo > 0.0, s"hi=$hi lo=$lo")
+    // calibrated mean ~ base rate at the fitted params (proper scoring)
+    val meanP = df.select(Classify.plattProb($"s", a, b).as("p"))
+      .agg(org.apache.spark.sql.functions.avg($"p")).head().getDouble(0)
+    val baseRate = data.count(_._2).toDouble / data.length
+    assert(math.abs(meanP - baseRate) < 0.05, s"meanP=$meanP base=$baseRate")
+    // constant score ⇒ singular Hessian: the guard stops at the origin
+    val flat = Seq((1.0, true), (1.0, false), (1.0, true)).toDF("s", "y")
+    assert(Classify.plattFit(flat, $"s", $"y", iters = 4) == ((0.0, 0.0)))
+  }
 }
