@@ -523,6 +523,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<c_acctbal:double>"), plan)
   }
 
+  test("x7 hard negatives: one bm25 pass, bounded positives broadcast back") {
+    val dir = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("x7_hard_negatives")(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    // the positives side is queries-sized and must ride a broadcast —
+    // a sort-merge here would shuffle the (already tiny) rank table
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // both rank windows keep the bounded-heap pushdown
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("v19 rerank: candidate hydration broadcasts onto the corpus scan") {
+    val dir = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("v19_rerank")(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    // the bounded candidate list joins the corpus via broadcast — the
+    // cross-encoder stage must never shuffle corpus text
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the client harness runs as a deserialized mapPartitions stage
+    assert(plan.contains("MapPartitions"), plan)
+  }
+
+  test("tq7 calibration reads the staged 2-double projection, not the tokenizer") {
+    val dir = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("tq7_platt_calibration")(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    // the returned frame scans the scratch staging (sc, y) — the
+    // tokenizer ran exactly once at stage time, never in the fit loop
+    assert(plan.contains("ReadSchema: struct<sc:double,y:boolean>"), plan)
+    assert(!plan.contains("regexp"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("v16 hybrid RRF: two bounded top-20 legs union into one combine") {
     val dir = "/root/testdata/sf0.001"
     val q = SparkEntry.queries("v16_hybrid_rrf")(spark, dir)
