@@ -2685,6 +2685,26 @@ object SparkEntry {
     }),
 
     // ---- M: multimodal binary columns -------------------------------
+    "m5_resize_plumbing" -> ((s, dir) => {
+      // Resize plumbing (beyond the reference; completes the decode /
+      // feature / resize / frame-sample quartet): batched injectable
+      // resizer over the binary column. No codec libs exist in this
+      // container, so StrideResizer (every k-th byte, k = len div
+      // target) is the clearly-marked stand-in — the plumbing (schema,
+      // batching, null path) is real, and the output pins the md5 of
+      // the resized PAYLOAD, so the oracle checks bytes, not shapes.
+      val media = Multimodal.withFakeMedia(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        col("text"))
+      Multimodal.resizeMedia(media, "media", targetBytes = 64,
+          new Multimodal.StrideResizer, batchSize = 64)
+        .select(col("doc_id"),
+          length(col("media")).as("orig_bytes"),
+          length(col("resized")).as("out_bytes"),
+          md5(col("resized")).as("digest"))
+        .orderBy(col("doc_id"))
+    }),
+
     "m1_media_features" -> ((s, dir) => {
       // Binary media payload + typed metadata + batched mapPartitions
       // feature extraction through the (stub) decoder. Payload bytes stay
@@ -5121,6 +5141,18 @@ object SparkEntry {
          SELECT stage, n_docs, avg_chars,
            coalesce(lag(n_docs) OVER (ORDER BY stage) - n_docs, 0) AS removed
          FROM staged ORDER BY stage""",
+
+    "m5_resize_plumbing" ->
+      // the payload is the UTF-8 of `text` (pure ASCII), so the strided
+      // byte sample is a strided character sample — digest the SAME
+      // bytes the Spark side resized
+      """SELECT doc_id, len(text) AS orig_bytes,
+         CASE WHEN len(text) <= 64 THEN len(text) ELSE 64 END AS out_bytes,
+         md5(CASE WHEN len(text) <= 64 THEN text
+           ELSE array_to_string(list_transform(generate_series(0, 63),
+             i -> substr(text, (i * (len(text) // 64) + 1)::INT, 1)), '')
+           END) AS digest
+         FROM documents ORDER BY doc_id""",
 
     "m1_media_features" -> {
       // feature c = (Σ ascii(byte) at positions ≡ c mod 8) % 997 / 997

@@ -310,6 +310,57 @@ object Multimodal {
     * (the video-decode shape: sample k frames, decode each). Returns
     * array<binary>; empty payload ⇒ empty array.
     */
+  /** Resize plumbing — the remaining member of the decode /
+    * feature-extract / resize / frame-sample quartet. A real resize
+    * needs codec libraries this container doesn't ship, so the
+    * injectable trait is the boundary ([[MediaDecoder]]'s pattern): a
+    * production `MediaResizer` wraps an image library behind the same
+    * two-argument call, while [[StrideResizer]] is the clearly-marked
+    * deterministic stand-in that keeps the Spark-side plumbing —
+    * schema, batching, null path, payload locality — real and
+    * oracle-checkable.
+    */
+  trait MediaResizer extends Serializable {
+    /** Shrink `bytes` to (about) `targetBytes`; null passes through. */
+    def resize(bytes: Array[Byte], targetBytes: Int): Array[Byte]
+  }
+
+  /** Deterministic stub: identity when the payload already fits, else
+    * exactly `targetBytes` bytes sampled at stride k = len div target
+    * (positions 0, k, 2k, …) — the byte-level analogue of
+    * nearest-neighbor downsampling, trivially replayable in SQL.
+    */
+  final class StrideResizer extends MediaResizer {
+    def resize(bytes: Array[Byte], targetBytes: Int): Array[Byte] =
+      if (bytes == null || bytes.length <= targetBytes) bytes
+      else {
+        val k = bytes.length / targetBytes
+        Array.tabulate(targetBytes)(i => bytes(i * k))
+      }
+  }
+
+  /** Batched resize over the binary column: one resizer call per row,
+    * grouped `batchSize` rows per iteration step, appending `resized`
+    * (binary). Payloads never leave the executor; null binaries skip
+    * the resizer and stay null.
+    */
+  def resizeMedia(df: DataFrame, binCol: String, targetBytes: Int,
+                  resizer: MediaResizer, batchSize: Int = 64): DataFrame = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    val outSchema = StructType(df.schema.fields :+
+      StructField("resized", BinaryType))
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val bytes = r.getAs[Array[Byte]](binCol)
+          val out = if (bytes == null) null
+                    else resizer.resize(bytes, targetBytes)
+          Row.fromSeq(r.toSeq :+ out)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   def frameSample(df: DataFrame, binCol: String, n: Int,
                   outCol: String = "frames",
                   batchSize: Int = 64): DataFrame = {

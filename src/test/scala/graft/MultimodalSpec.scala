@@ -219,4 +219,20 @@ class MultimodalSpec extends SparkSpec {
     assert("hello world".startsWith(joined.take(8)))
     assert(frames.forall(_.nonEmpty))
   }
+
+  test("resizeMedia: stride sample, identity under target, null passthrough") {
+    val rows3 = Seq(
+      (1L, Array.range(0, 100).map(_.toByte)),          // strided to 10
+      (2L, Array.range(0, 7).map(_.toByte)),            // fits: identity
+      (3L, null.asInstanceOf[Array[Byte]]))             // never hits resizer
+      .toDF("id", "bin")
+    val out = Multimodal.resizeMedia(rows3, "bin", targetBytes = 10,
+        new Multimodal.StrideResizer, batchSize = 2)
+      .orderBy($"id").select($"resized").collect()
+      .map(r => Option(r.getAs[Array[Byte]](0)))
+    // k = 100 div 10 = 10 -> bytes 0,10,...,90
+    assert(out(0).get.toSeq == (0 until 100 by 10).map(_.toByte))
+    assert(out(1).get.toSeq == (0 until 7).map(_.toByte))
+    assert(out(2).isEmpty)
+  }
 }
