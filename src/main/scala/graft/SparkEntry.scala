@@ -65,6 +65,14 @@ object SparkEntry {
     */
   private val plattIters = 8
 
+  /** x8 DoReMi-style reweighting constants: hashed-unigram model width,
+    * multiplicative-update temperature η, iteration count — shared by
+    * the query and its unrolled oracle chain.
+    */
+  private val x8Buckets = 4096
+  private val x8Eta = 4.0
+  private val x8Iters = 5
+
   /** a21 drift→re-mix shared constants: monitor sensitivity α and the
     * mix token budget; the Smirnov coefficient c(α) is computed HERE
     * (driver-side libm) and enters both engines as the same literal.
@@ -788,6 +796,23 @@ object SparkEntry {
           col("doc_id").as("neg_doc"), col("rank").as("neg_rank"),
           fround(col("pos_score") - col("score"), 6).as("margin"))
         .orderBy(col("query_id"), col("neg_rank"))
+    }),
+
+    "x8_domain_reweight" -> ((s, dir) => {
+      // DoReMi-style mixture optimization (Xie et al. 2023; beyond the
+      // reference): multiplicative-weights updates on the per-language
+      // mixture, α ← normalize(α·detexp(η·TV_d)), where TV_d is the
+      // domain's total-variation distance from the CURRENT α-mixture
+      // over hashed-unigram distributions — worst-case-domain emphasis
+      // with a proxy-free deterministic signal. One corpus token pass
+      // builds the (domain, bucket) model table; all 5 iterations are
+      // arithmetic over it (corpus never rescanned). TV/α round 6dp
+      // per tick and the exponential is detexp, so the unrolled oracle
+      // replays the fit bit-for-bit.
+      Sampling.domainReweight(t(s, dir, "documents"), col("lang"),
+          col("text"), buckets = x8Buckets, eta = x8Eta, iters = x8Iters)
+        .select(col("d").as("lang"), col("n_tok"), col("tv"), col("alpha"))
+        .orderBy(col("lang"))
     }),
 
     "x5_dsir_token_resample" -> ((s, dir) => {
@@ -5555,6 +5580,46 @@ object SparkEntry {
          FROM ce QUALIFY rr <= 5 ORDER BY query_id, rr"""
     },
 
+    "x8_domain_reweight" -> {
+      // unrolled multiplicative-weights chain over the (domain, bucket)
+      // count model: per tick, the α-mixture p, 6dp-rounded TV per
+      // domain, the detexp update, 6dp-rounded renormalization
+      val iterCtes = (1 to x8Iters).map { t =>
+        s"""p$t AS MATERIALIZED (SELECT q.b, sum(a.a * q.q) AS p
+             FROM q JOIN a${t - 1} a USING (d) GROUP BY q.b),
+           tv$t AS MATERIALIZED (SELECT q.d,
+               floor((0.5 * sum(abs(q.q - p.p))) * 1e6 + 0.5) / 1e6 AS tv
+             FROM q JOIN p$t p USING (b) GROUP BY q.d),
+           r$t AS MATERIALIZED (SELECT a.d,
+               a.a * ${Sampling.sqlDetExp(s"$x8Eta * tv.tv")} AS raw,
+               tv.tv AS tv
+             FROM a${t - 1} a JOIN tv$t tv USING (d)),
+           a$t AS MATERIALIZED (SELECT d,
+               floor((raw / (SELECT sum(raw) FROM r$t)) * 1e6 + 0.5) / 1e6
+                 AS a, tv
+             FROM r$t)"""
+      }.mkString(",\n")
+      s"""WITH cnt AS MATERIALIZED (
+           SELECT lang AS d, ${Classify.sqlFeatHash("tok", x8Buckets)} AS b,
+             count(*)::BIGINT AS c
+           FROM (SELECT lang, unnest(${sqlTokens("text")}) AS tok
+             FROM documents)
+           GROUP BY 1, 2),
+         nd AS (SELECT d, sum(c)::BIGINT AS n FROM cnt GROUP BY 1),
+         bs AS (SELECT DISTINCT b FROM cnt),
+         q AS MATERIALIZED (SELECT g.d, g.b,
+             CAST(coalesce(cnt.c, 0) AS DOUBLE) / CAST(nd.n AS DOUBLE) AS q
+           FROM (SELECT nd.d, bs.b FROM nd CROSS JOIN bs) g
+           LEFT JOIN cnt ON cnt.d = g.d AND cnt.b = g.b
+           JOIN nd ON nd.d = g.d),
+         a0 AS (SELECT d,
+             floor((1.0 / (SELECT count(*) FROM nd)) * 1e6 + 0.5) / 1e6 AS a
+           FROM nd),
+         $iterCtes
+         SELECT nd.d AS lang, nd.n AS n_tok, a.tv AS tv, a.a AS alpha
+         FROM a$x8Iters a JOIN nd USING (d) ORDER BY lang"""
+    },
+
     "x7_hard_negatives" ->
       s"""WITH ${sqlBm25("true")},
          rk AS (SELECT query_id, doc_id, score, row_number() OVER (
@@ -6786,7 +6851,7 @@ object SparkEntry {
       def sigma(aRef: String, bRef: String) =
         s"1.0 / (1.0 + ${Sampling.sqlDetExp(s"-($aRef * sc + $bRef)")})"
       val iterCtes = (1 to plattIters).map { i =>
-        s"""g$i AS (SELECT
+        s"""g$i AS MATERIALIZED (SELECT
              floor(sum(d * sc) * 1e6 + 0.5) / 1e6 AS g1,
              floor(sum(d) * 1e6 + 0.5) / 1e6 AS g0,
              floor(sum(w * sc * sc) * 1e6 + 0.5) / 1e6 AS h11,
@@ -6797,7 +6862,7 @@ object SparkEntry {
                p * (1.0 - p) AS w
              FROM (SELECT sc, y, ${sigma("it.a", "it.b")} AS p
                FROM cal CROSS JOIN it${i - 1} it) CROSS JOIN tgt t)),
-         it$i AS (SELECT
+         it$i AS MATERIALIZED (SELECT
              CASE WHEN g.h11 * g.h00 - g.h10 * g.h10 = 0.0 THEN it.a
                ELSE floor((it.a - (g.g1 * g.h00 - g.g0 * g.h10)
                  / (g.h11 * g.h00 - g.h10 * g.h10)) * 1e6 + 0.5) / 1e6
@@ -6808,7 +6873,7 @@ object SparkEntry {
              END AS b
            FROM it${i - 1} it CROSS JOIN g$i g)"""
       }.mkString(",\n")
-      s"""WITH cal AS (SELECT
+      s"""WITH cal AS MATERIALIZED (SELECT
              CASE WHEN len(toks) > 0 THEN hits * 1.0 / len(toks)
                ELSE 0.0 END AS sc,
              CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y

@@ -559,4 +559,70 @@ object Sampling {
       .select(col("id"), col("s").as("score"), col("phase"), col("shard"),
         col("pos"))
   }
+
+  /** DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    * optimize the domain mixture α by multiplicative-weights updates
+    * α_d ← normalize(α_d · exp(η · excess_d)). The published recipe's
+    * excess signal is a proxy model's per-domain loss; the proxy-free
+    * deterministic seat here is each domain's total-variation distance
+    * from the CURRENT α-mixture over hashed-unigram distributions —
+    * the same worst-case-domain emphasis (distinct/underserved domains
+    * gain weight until the mixture includes them), and the fixed point
+    * is genuinely iterative: the mixture chases the weights and the
+    * distances chase the mixture.
+    *
+    * Scale shape: ONE corpus token pass builds the (domain, bucket)
+    * count table — ≤ domains × `buckets` rows of exact longs, the
+    * model, not the corpus — and every iteration is arithmetic over
+    * it; the corpus is never rescanned. Determinism: counts are exact
+    * integers, q = c/n is one IEEE divide, per-iteration TV and α
+    * round to 6 decimals (summation-order noise collapses, the kmeans
+    * discipline), and the update exponential is [[detExp]] — so the
+    * unrolled SQL oracle replays every iteration bit-for-bit. Driver
+    * state is the model table (bounded by `buckets`, the NB-model
+    * precedent) plus `domains` scalars.
+    *
+    * Returns one row per domain: (d, n_tok, tv, alpha) with `tv` from
+    * the final iteration.
+    */
+  def domainReweight(df: DataFrame, domain: Column, text: Column,
+                     buckets: Int, eta: Double, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = df.sparkSession
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val cnt = df
+      .select(domain.cast("string").as("d"),
+        explode(graft.functions.TextAnalysis.tokens(text)).as("tok"))
+      .select(col("d"), Classify.featHash(col("tok"), buckets).as("b"))
+      .groupBy(col("d"), col("b")).agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val ds = cnt.map(_._1).distinct.sorted.toSeq
+    val bs = cnt.map(_._2).distinct.sorted.toSeq
+    val n: Map[String, Long] =
+      cnt.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val c: Map[(String, Long), Long] =
+      cnt.map(t => (t._1, t._2) -> t._3).toMap
+    val q: Map[(String, Long), Double] = (for {
+      d <- ds; b <- bs
+    } yield (d, b) -> c.getOrElse((d, b), 0L).toDouble / n(d).toDouble).toMap
+    var alpha: Map[String, Double] = ds.map(_ -> r6(1.0 / ds.size)).toMap
+    var tv: Map[String, Double] = ds.map(_ -> 0.0).toMap
+    for (_ <- 0 until iters) {
+      val p: Map[Long, Double] = bs.map { b =>
+        b -> ds.map(d => alpha(d) * q((d, b))).sum
+      }.toMap
+      tv = ds.map { d =>
+        d -> r6(0.5 * bs.map(b => math.abs(q((d, b)) - p(b))).sum)
+      }.toMap
+      val raw = ds.map(d =>
+        d -> alpha(d) * graft.expressions.DetExp.compute(eta * tv(d))).toMap
+      val s = ds.map(raw).sum
+      alpha = ds.map(d => d -> r6(raw(d) / s)).toMap
+    }
+    spark.createDataFrame(
+        ds.map(d => (d, n(d), tv(d), alpha(d))))
+      .toDF("d", "n_tok", "tv", "alpha")
+  }
 }

@@ -450,4 +450,24 @@ class SamplingSpec extends SparkSpec {
           graft.expressions.DetExp.compute(r.getDouble(0))))
     }
   }
+
+  test("domainReweight: normalized weights, distinct domain gains, partition-invariant") {
+    // a and c share vocabulary (both near the mixture); b is disjoint —
+    // DoReMi's worst-case emphasis must upweight b
+    val docs = (Seq.fill(20)(("a", "alpha beta gamma")) ++
+      Seq.fill(20)(("c", "alpha beta delta")) ++
+      Seq.fill(20)(("b", "omega psi chi"))).toDF("d", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      rows(Sampling.domainReweight(df, $"d", $"text",
+          buckets = 64, eta = 4.0, iters = 5).orderBy($"d"))
+        .map(r => (r.getString(0), r.getDouble(3), r.getDouble(2)))
+    val out = run(docs)
+    val alpha = out.map(t => t._1 -> t._2).toMap
+    assert(math.abs(out.map(_._2).sum - 1.0) < 1e-5, out.toString)
+    assert(alpha("b") > alpha("a") && alpha("b") > alpha("c"), out.toString)
+    // multiplicative updates moved the mixture off uniform
+    assert(alpha("b") > 0.34, out.toString)
+    // 6dp-rounded ticks make the fit summation-order invariant
+    assert(run(docs.repartition(7)) == out)
+  }
 }
