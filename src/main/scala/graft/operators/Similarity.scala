@@ -684,9 +684,12 @@ object Similarity {
     * survivors. Layout (all self-describing):
     *
     * {{{
-    *   path/centroids/   (cid, cv)       coarse router (loadIvfCentroids)
-    *   path/books/       (sub, cid, cv)  PQ codebooks   (loadPqBooks)
-    *   path/lists/cid=N/ (doc_id, code, rnorm)
+    *   path/centroids/         (cid, cv)       coarse router
+    *   path/books/             (sub, cid, cv)  PQ codebooks (loadPqBooks)
+    *   path/lists/seg=K/cid=N/ (doc_id, code, rnorm)
+    *   path/commits/k=K/       commit markers — readers see ONLY
+    *                           committed segments, so torn appends are
+    *                           invisible and replays are no-ops
     * }}}
     */
   def saveIvfPqIndex(docs: DataFrame, docId: Column, docVec: Column,
@@ -704,14 +707,57 @@ object Similarity {
           cs.map { case (cid, cv) => (s.toLong, cid, cv) } })
       .toDF("sub", "cid", "cv")
       .coalesce(1).write.mode("errorifexists").parquet(s"$path/books")
+    writeIvfPqSegment(docs, docId, docVec, cents, books, subDim, path,
+      targetRows, spread, seg = 0L)
+  }
+
+  /** Encode + route one batch into `lists/seg=<seg>/cid=N` and commit
+    * it (the BM25-index discipline): the segment is invisible to
+    * readers until its commit marker lands, so a torn write can never
+    * serve, and reclaiming a crashed prior attempt at the same seg id
+    * makes the write replayable.
+    */
+  private def writeIvfPqSegment(docs: DataFrame, docId: Column,
+                                docVec: Column,
+                                cents: Seq[(Long, Seq[Double])],
+                                books: Seq[Seq[(Long, Seq[Double])]],
+                                subDim: Int, path: String,
+                                targetRows: Long, spread: Int,
+                                seg: Long): Unit = {
+    val spark = docs.sparkSession
+    val f = SegmentFs.fs(spark, path)
+    val segDir = new org.apache.hadoop.fs.Path(s"$path/lists/seg=$seg")
+    if (f.exists(segDir)) f.delete(segDir, true): Unit
     val enc = pqEncode(docs,
         docId.cast("long"), docVec.cast("array<float>"), books, subDim)
       .withColumn("cid",
         (-centroidArgmax(col("dv"), cents).getField("ncid")).cast("long"))
       .select(col("doc_id"), col("__code").as("code"),
         col("__rnorm").as("rnorm"), col("cid"))
-    graft.sources.Compaction.writeSized(enc, s"$path/lists",
+    graft.sources.Compaction.writeSized(enc, s"$path/lists/seg=$seg",
       Seq("cid"), col("doc_id"), targetRows, spread)
+    // the commit point — everything above is invisible until this lands
+    spark.range(1).select(lit(seg).as("k"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/commits/k=$seg")
+  }
+
+  /** Committed list segments — the only segments a reader may see. */
+  private def ivfPqCommittedSegs(
+      spark: org.apache.spark.sql.SparkSession, path: String): Seq[Long] =
+    SegmentFs.listVersions(spark, s"$path/commits", "k")
+
+  /** The committed list rows (doc_id, code, rnorm, cid): one read of
+    * the seg/cid partition tree, pruned to committed segments — torn
+    * or in-flight segments never load.
+    */
+  private def ivfPqLists(spark: org.apache.spark.sql.SparkSession,
+                         path: String): DataFrame = {
+    val segs = ivfPqCommittedSegs(spark, path)
+    require(segs.nonEmpty, s"no committed IVF-PQ segments under $path")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, code ARRAY<LONG>, rnorm DOUBLE, cid LONG, seg LONG")
+    spark.read.schema(schema).parquet(s"$path/lists")
+      .filter(col("seg").isin(segs: _*)).drop("seg")
   }
 
   /** Codebooks back from an IVF-PQ index, in subspace order with each
@@ -727,9 +773,11 @@ object Similarity {
       .map(_._2.sortBy(_._2).map(t => (t._2, t._3)).toSeq)
 
   /** Append a batch to a saved IVF-PQ index with FROZEN coarse
-    * centroids and FROZEN codebooks: encode, route, append
-    * size-bounded list files — O(batch), existing files untouched (the
-    * [[appendIvfIndex]] discipline). ADC accuracy decays as the
+    * centroids and FROZEN codebooks: encode, route, land as a NEW
+    * commit-gated list segment — O(batch), existing segments untouched,
+    * replaying a committed `batchId` is a no-op, and a torn write is
+    * invisible to readers until its commit marker lands (the BM25-index
+    * discipline; returns the segment id). ADC accuracy decays as the
     * appended distribution drifts from the frozen books — new vectors
     * quantize onto centroids fit to OLD data, collapsing their codes —
     * which is exactly what [[maintainIvfPqIndex]] measures.
@@ -737,18 +785,19 @@ object Similarity {
   def appendIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
                        path: String, docs: DataFrame, docId: Column,
                        docVec: Column, targetRows: Long = 1L << 20,
-                       spread: Int = 8): Unit = {
-    val cents = loadIvfCentroids(spark, path)
-    val books = loadPqBooks(spark, path)
-    val subDim = books.head.head._2.size
-    val enc = pqEncode(docs,
-        docId.cast("long"), docVec.cast("array<float>"), books, subDim)
-      .withColumn("cid",
-        (-centroidArgmax(col("dv"), cents).getField("ncid")).cast("long"))
-      .select(col("doc_id"), col("__code").as("code"),
-        col("__rnorm").as("rnorm"), col("cid"))
-    graft.sources.Compaction.writeSized(enc, s"$path/lists",
-      Seq("cid"), col("doc_id"), targetRows, spread, mode = "append")
+                       spread: Int = 8,
+                       batchId: Option[Long] = None): Long = {
+    val committed = ivfPqCommittedSegs(spark, path)
+    val k = batchId.getOrElse(committed.lastOption.map(_ + 1).getOrElse(1L))
+    if (committed.contains(k)) k // idempotent replay of a committed batch
+    else {
+      val cents = loadIvfCentroids(spark, path)
+      val books = loadPqBooks(spark, path)
+      val subDim = books.head.head._2.size
+      writeIvfPqSegment(docs, docId, docVec, cents, books, subDim, path,
+        targetRows, spread, seg = k)
+      k
+    }
   }
 
   /** Outcome of one [[maintainIvfPqIndex]] tick. */
@@ -789,6 +838,11 @@ object Similarity {
       val cents = loadIvfCentroids(spark, path)
       val books = pqCodebooks(corpus, corpusId, corpusVec,
         m, subDim, kCodes, iters)
+      // reclaim a crashed/replayed prior rebuild attempt at outPath so
+      // the triggered tick is as replayable as the segment writes
+      val f = SegmentFs.fs(spark, outPath)
+      val op = new org.apache.hadoop.fs.Path(outPath)
+      if (f.exists(op)) f.delete(op, true): Unit
       saveIvfPqIndex(corpus, corpusId, corpusVec, cents, books, subDim,
         outPath, targetRows, spread)
       IvfPqMaintenance(mean, rebuilt = true, outPath)
@@ -824,9 +878,7 @@ object Similarity {
         col("pc.cid").as("cid"))
     val probedCids = probes.select(col("cid")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "doc_id LONG, code ARRAY<LONG>, rnorm DOUBLE, cid LONG")
-    val lists = spark.read.schema(schema).parquet(s"$path/lists")
+    val lists = ivfPqLists(spark, path)
       .filter(col("cid").isin(probedCids.toIndexedSeq: _*))
       .withColumnRenamed("code", "__code")
     val denom = col("rnorm") * col("__qnorm")

@@ -289,6 +289,60 @@ object Streams {
           batch, col(stratumName), col(valueName), dir, Some(batchId)): Unit
     }
 
+  /** Streaming ANN-index maintenance — the vector-ingest counterpart of
+    * [[productionIngestSink]]: each micro-batch of (id, vec) rows
+    *
+    *  1. LANDS its raw vectors to `corpusDir/b=<batchId>` (overwrite ⇒
+    *     replay-idempotent; this is the source-of-truth table the exact
+    *     recall pass reads — the index stores only codes);
+    *  2. APPENDS into the persisted IVF-PQ index with frozen router +
+    *     frozen books ([[graft.operators.Similarity.appendIvfPqIndex]]
+    *     — batch-id commit-gated, so a replayed batch is a no-op and a
+    *     torn write is invisible);
+    *  3. runs ONE maintenance tick probing with the BATCH's own vectors
+    *     (frozen books decay against the newest distribution first, so
+    *     probing recent data is the honest signal): recall below the
+    *     floor rebuilds the books into `rebuildBase/b=<batchId>` (the
+    *     rebuild reclaims its own path ⇒ replayable) and the tick row —
+    *     (batch_id, mean_recall, rebuilt, serve_path) — lands at
+    *     `ticksDir/b=<batchId>` (overwrite ⇒ idempotent).
+    *
+    * Serving reads the LATEST tick's `serve_path`; this sink keeps
+    * appending to the original index either way, so cutover remains the
+    * caller's orchestration decision — the sink's job is the O(batch)
+    * grow and the measured, replayable rebuild trigger.
+    */
+  def annIngestSink(stream: DataFrame, idName: String, vecName: String,
+                    indexPath: String, corpusDir: String,
+                    ticksDir: String, rebuildBase: String, k: Int,
+                    nprobe: Int, rerank: Int, recallFloor: Double,
+                    m: Int, subDim: Int, kCodes: Int, iters: Int,
+                    targetRows: Long = 1L << 20, spread: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.Similarity
+        val b = batch.select(col(idName).cast("long").as("doc_id"),
+          col(vecName).cast("array<float>").as("dv")).persist()
+        try {
+          b.write.mode("overwrite").parquet(s"$corpusDir/b=$batchId")
+          Similarity.appendIvfPqIndex(spark, indexPath, b, col("doc_id"),
+            col("dv"), targetRows, spread, batchId = Some(batchId)): Unit
+          val corpus = spark.read.parquet(corpusDir)
+          val tick = Similarity.maintainIvfPqIndex(spark, indexPath,
+            s"$rebuildBase/b=$batchId", corpus, col("doc_id"), col("dv"),
+            b.select(col("doc_id").as("qid"), col("dv").as("qv")),
+            col("qid"), col("qv"), k, nprobe, rerank, recallFloor,
+            m, subDim, kCodes, iters, targetRows, spread)
+          spark.createDataFrame(Seq(
+              (batchId, tick.meanRecall, tick.rebuilt, tick.servePath)))
+            .toDF("batch_id", "mean_recall", "rebuilt", "serve_path")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$ticksDir/b=$batchId")
+        } finally b.unpersist(): Unit
+    }
+
   /** Streaming-ingest exact dedup: keep the first event per key, with
     * state bounded by the watermark (`dropDuplicatesWithinWatermark` —
     * a key's state is freed once the watermark passes its event time,

@@ -106,9 +106,10 @@ class SimilaritySpec extends SparkSpec {
       targetRows = 100L, spread = 2)
     // the index self-describes: books round-trip exactly
     assert(Similarity.loadPqBooks(spark, idx) == books)
-    // lists store the code + norm, NEVER the raw vector (the memory win)
+    // lists store the code + norm, NEVER the raw vector (the memory
+    // win); seg is the commit-gated append dimension
     assert(spark.read.parquet(s"$idx/lists").schema.fieldNames.toSet ==
-      Set("doc_id", "code", "rnorm", "cid"))
+      Set("doc_id", "code", "rnorm", "cid", "seg"))
     val queries = queryData.toDF("qid", "qv")
     def proj(df: org.apache.spark.sql.DataFrame) =
       rows(df.orderBy($"query_id", $"rank"))
@@ -128,6 +129,38 @@ class SimilaritySpec extends SparkSpec {
         one, $"qid", $"qv", k = 3, nprobe = 1, rerank = 3)
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("cid"), plan)
+  }
+
+  test("IVF-PQ append is batch-id idempotent and torn segments stay invisible") {
+    val cents = Seq((0L, b1.map(_.toDouble).toSeq), (1L, b2.map(_.toDouble).toSeq))
+    val books = Similarity.pqCodebooks(corpus, $"id", $"v",
+      m = 2, subDim = 8, k = 2, iters = 2)
+    val idx = Scratch.dir("ivfpq_idem") + "/ivfpq"
+    Similarity.saveIvfPqIndex(corpus.filter($"id" <= 3), $"id", $"v",
+      cents, books, 8, idx, targetRows = 100L, spread = 2)
+    val batch = corpus.filter($"id" > 3)
+    val queries = queryData.toDF("qid", "qv")
+    def probe() = rows(Similarity.ivfPqTopK(spark, idx, corpus, $"id",
+        $"v", queries, $"qid", $"qv", k = 3, nprobe = 2, rerank = 5)
+      .orderBy($"query_id", $"rank"))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(Similarity.appendIvfPqIndex(spark, idx, batch, $"id", $"v",
+      targetRows = 100L, spread = 2, batchId = Some(7L)) == 7L)
+    val after = probe()
+    def listRows() = spark.read.parquet(s"$idx/lists").count()
+    val n1 = listRows()
+    // replaying the SAME batch id is a complete no-op
+    assert(Similarity.appendIvfPqIndex(spark, idx, batch, $"id", $"v",
+      targetRows = 100L, spread = 2, batchId = Some(7L)) == 7L)
+    assert(listRows() == n1)
+    assert(probe() == after)
+    // a torn (uncommitted) segment never reaches readers
+    corpus.limit(2).select($"id".as("doc_id"),
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.lit(0L)).as("code"),
+        org.apache.spark.sql.functions.lit(1.0).as("rnorm"))
+      .write.parquet(s"$idx/lists/seg=9/cid=0")
+    assert(probe() == after)
   }
 
   test("IVF-PQ maintenance: stale books trip the rebuild; fresh books restore recall") {

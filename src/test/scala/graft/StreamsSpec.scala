@@ -138,4 +138,63 @@ class StreamsSpec extends SparkSpec {
     assert(stateful == batch)
     assert(stateful.size == 3)
   }
+
+  test("annIngestSink: lands corpus, commit-gated append, recall-gated rebuild tick") {
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    def v(a: Double, b: Double, c: Double, d: Double) =
+      Seq(a, b, c, d).map(_.toFloat)
+    // the IVF-PQ maintenance geometry: base cluster + stale k=1 books
+    // (every code collapses, ADC degenerates to lowest-doc_id picks)
+    val baseData = Seq((1L, v(0.9, 0.1, 0.8, 0.2)),
+      (2L, v(0.88, 0.12, 0.82, 0.18)), (3L, v(0.92, 0.08, 0.78, 0.22)))
+    val driftData = Seq((10L, v(0.12, 0.88, 0.18, 0.82)),
+      (11L, v(0.1, 0.9, 0.2, 0.8)), (12L, v(0.08, 0.92, 0.22, 0.78)))
+    val base = baseData.toDF("id", "vec")
+    val cents = Seq((0L, Seq(0.9, 0.1, 0.8, 0.2)),
+      (1L, Seq(0.1, 0.9, 0.2, 0.8)))
+    val staleBooks = Similarity.pqCodebooks(base, $"id", $"vec",
+      m = 2, subDim = 2, k = 1, iters = 2)
+    val root = Scratch.dir("ann_sink")
+    val idx = s"$root/ivfpq"
+    val corpusDir = s"$root/corpus"
+    val ticksDir = s"$root/ticks"
+    val rebuildBase = s"$root/rebuilds"
+    Similarity.saveIvfPqIndex(base, $"id", $"vec", cents, staleBooks, 2,
+      idx, targetRows = 100L, spread = 2)
+    // the base corpus lands BEFORE streaming starts: the exact recall
+    // pass reads corpusDir as the raw-vector source of truth
+    base.select($"id".cast("long").as("doc_id"),
+        $"vec".cast("array<float>").as("dv"))
+      .write.parquet(s"$corpusDir/b=-1")
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.annIngestSink(input.toDF().toDF("id", "vec"),
+      "id", "vec", idx, corpusDir, ticksDir, rebuildBase,
+      k = 2, nprobe = 2, rerank = 3, recallFloor = 0.9,
+      m = 2, subDim = 2, kCodes = 2, iters = 2,
+      targetRows = 100L, spread = 2).start()
+    try {
+      input.addData(driftData.map { case (i, vv) => (i, vv.toSeq) }: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the batch landed and the index appended one committed segment
+    assert(spark.read.parquet(s"$corpusDir/b=0").count() == 3L)
+    // the tick measured the stale-book collapse and rebuilt
+    val tick = rows(spark.read.parquet(s"$ticksDir/b=0")).head
+    assert(tick.getAs[Boolean]("rebuilt"), tick.toString)
+    assert(tick.getAs[Double]("mean_recall") < 0.9, tick.toString)
+    val servePath = tick.getAs[String]("serve_path")
+    assert(servePath == s"$rebuildBase/b=0", servePath)
+    // the rebuilt index restores full recall over the landed corpus
+    val corpus = spark.read.parquet(corpusDir)
+    val queries = driftData.toDF("qid", "qv")
+    val approx = Similarity.ivfPqTopK(spark, servePath, corpus,
+      $"doc_id", $"dv", queries, $"qid", $"qv",
+      k = 2, nprobe = 2, rerank = 3)
+    val exact = Similarity.topKPerQuery(corpus, $"doc_id", $"dv",
+      queries, $"qid", $"qv", k = 2)
+    val rec = rows(Similarity.recallAtK(approx, exact, 2))
+      .map(_.getDouble(3))
+    assert(rec.nonEmpty && rec.forall(_ == 1.0), rec.toString)
+  }
 }
