@@ -460,9 +460,11 @@ object Similarity {
     * save/load lifecycle, for ANN). Layout:
     *
     * {{{
-    *   path/centroids/      (cid, cv)      one tiny file
-    *   path/lists/cid=N/    (doc_id, dv)   inverted lists as hive
-    *                                       partitions, size-bounded
+    *   path/centroids/         (cid, cv)    one tiny file
+    *   path/lists/seg=K/cid=N/ (doc_id, dv) inverted lists as hive
+    *                                        partitions, size-bounded
+    *   path/commits/k=K/       commit markers — readers see ONLY
+    *                           committed segments
     * }}}
     *
     * The lists land via [[graft.sources.Compaction.writeSized]], so a
@@ -472,7 +474,9 @@ object Similarity {
     * [[ivfTopKIndexed]] reads only the nprobe lists it ranks,
     * IO ∝ nprobe/C of the corpus, with zero assignment work at query
     * time. Assignment uses the same [[centroidArgmax]] tie rule as
-    * every other centroid consumer.
+    * every other centroid consumer. Appends land as commit-gated
+    * segments (the BM25/IVF-PQ discipline), so a torn append is
+    * invisible and a replayed batch id is a no-op.
     */
   def saveIvfIndex(docs: DataFrame, docId: Column, docVec: Column,
                    cents: Seq[(Long, Seq[Double])], path: String,
@@ -481,39 +485,74 @@ object Similarity {
     require(cents.nonEmpty, "saveIvfIndex needs at least one centroid")
     spark.createDataFrame(cents).toDF("cid", "cv")
       .coalesce(1).write.mode("errorifexists").parquet(s"$path/centroids")
-    // dv stores as array<float> (CosineSim's native input; embeddings
-    // are float32 anyway) — assignment math still runs in double
-    // (VF.cosine upcasts elementwise), matching the SQL oracle.
+    writeIvfSegment(spark, docs, docId, docVec, cents, path, targetRows,
+      spread, seg = 0L)
+  }
+
+  /** Assign + land one batch as `lists/seg=<seg>/cid=N` and commit it.
+    * dv stores as array<float> (CosineSim's native input; embeddings
+    * are float32 anyway) — assignment math still runs in double
+    * (VF.cosine upcasts elementwise), matching the SQL oracle.
+    */
+  private def writeIvfSegment(spark: org.apache.spark.sql.SparkSession,
+                              docs: DataFrame, docId: Column,
+                              docVec: Column,
+                              cents: Seq[(Long, Seq[Double])],
+                              path: String, targetRows: Long, spread: Int,
+                              seg: Long): Unit = {
+    val f = SegmentFs.fs(spark, path)
+    val segDir = new org.apache.hadoop.fs.Path(s"$path/lists/seg=$seg")
+    if (f.exists(segDir)) f.delete(segDir, true): Unit
     val assigned = docs
       .select(docId.cast("long").as("doc_id"),
         docVec.cast("array<float>").as("dv"))
       .withColumn("cid",
         (-centroidArgmax(col("dv"), cents).getField("ncid")).cast("long"))
-    graft.sources.Compaction.writeSized(assigned, s"$path/lists",
+    graft.sources.Compaction.writeSized(assigned, s"$path/lists/seg=$seg",
       Seq("cid"), col("doc_id"), targetRows, spread)
+    spark.range(1).select(lit(seg).as("k"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/commits/k=$seg")
+  }
+
+  /** The committed IVF list rows (doc_id, dv, cid) — one read of the
+    * seg/cid tree pruned to committed segments; torn or in-flight
+    * appends never load.
+    */
+  private def ivfLists(spark: org.apache.spark.sql.SparkSession,
+                       path: String): DataFrame = {
+    val segs = SegmentFs.listVersions(spark, s"$path/commits", "k")
+    require(segs.nonEmpty, s"no committed IVF segments under $path")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, dv ARRAY<FLOAT>, cid LONG, seg LONG")
+    spark.read.schema(schema).parquet(s"$path/lists")
+      .filter(col("seg").isin(segs: _*)).drop("seg")
   }
 
   /** Append a new batch to a saved IVF index WITHOUT touching existing
-    * list files: assign against the saved (frozen) centroids, then
-    * append size-bounded files into the same hive partitions. O(batch)
-    * — the daily-crawl maintenance path, the ANN cousin of the d9
-    * bloom lifecycle: the corpus-sized lists never rewrite or
-    * reshuffle, and [[ivfTopKIndexed]] reads old + new files of a
-    * pruned list transparently. Recall drifts only as the data
-    * distribution drifts from the frozen centroids — re-center by
-    * re-running [[kmeansCentroids]] + [[saveIvfIndex]] when it does.
+    * list segments: assign against the saved (frozen) centroids, then
+    * land a NEW commit-gated segment. O(batch) — the daily-crawl
+    * maintenance path, the ANN cousin of the d9 bloom lifecycle: the
+    * corpus-sized lists never rewrite or reshuffle, a replayed
+    * `batchId` is a no-op, a torn write is invisible until its commit
+    * marker lands, and [[ivfTopKIndexed]] reads old + new committed
+    * segments of a pruned list transparently. Recall drifts only as
+    * the data distribution drifts from the frozen centroids —
+    * re-center by re-running [[kmeansCentroids]] + [[saveIvfIndex]]
+    * when it does. Returns the segment id.
     */
   def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                      docs: DataFrame, docId: Column, docVec: Column,
-                     targetRows: Long = 1L << 20, spread: Int = 8): Unit = {
-    val cents = loadIvfCentroids(spark, path)
-    val assigned = docs
-      .select(docId.cast("long").as("doc_id"),
-        docVec.cast("array<float>").as("dv"))
-      .withColumn("cid",
-        (-centroidArgmax(col("dv"), cents).getField("ncid")).cast("long"))
-    graft.sources.Compaction.writeSized(assigned, s"$path/lists",
-      Seq("cid"), col("doc_id"), targetRows, spread, mode = "append")
+                     targetRows: Long = 1L << 20, spread: Int = 8,
+                     batchId: Option[Long] = None): Long = {
+    val committed = SegmentFs.listVersions(spark, s"$path/commits", "k")
+    val k = batchId.getOrElse(committed.lastOption.map(_ + 1).getOrElse(1L))
+    if (committed.contains(k)) k // idempotent replay of a committed batch
+    else {
+      val cents = loadIvfCentroids(spark, path)
+      writeIvfSegment(spark, docs, docId, docVec, cents, path, targetRows,
+        spread, seg = k)
+      k
+    }
   }
 
   /** Recall@k of an approximate top-k result against the exact one —
@@ -559,9 +598,7 @@ object Similarity {
                        sampleRate: Double = 1.0,
                        targetRows: Long = 1L << 20,
                        spread: Int = 8): Seq[(Long, Seq[Double])] = {
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "doc_id LONG, dv ARRAY<FLOAT>, cid LONG")
-    val docs = spark.read.schema(schema).parquet(s"$path/lists")
+    val docs = ivfLists(spark, path)
     val trainSet =
       if (sampleRate >= 1.0) docs
       else Sampling.hashSample(docs, col("doc_id"), sampleRate, "ivf-recenter")
@@ -613,9 +650,7 @@ object Similarity {
                        spread: Int = 8): IvfMaintenance = {
     val approx = ivfTopKIndexed(spark, path, queries, queryId, queryVec,
       k, nprobe)
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "doc_id LONG, dv ARRAY<FLOAT>, cid LONG")
-    val docs = spark.read.schema(schema).parquet(s"$path/lists")
+    val docs = ivfLists(spark, path)
     val exact = topKPerQuery(docs, col("doc_id"), col("dv"),
       queries, queryId, queryVec, k)
     // one scalar to the driver — the decision input, contract-tiny
@@ -660,9 +695,7 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("pc.cid").as("cid"))
     val probedCids = probes.select(col("cid")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "doc_id LONG, dv ARRAY<FLOAT>, cid LONG")
-    val lists = spark.read.schema(schema).parquet(s"$path/lists")
+    val lists = ivfLists(spark, path)
       .filter(col("cid").isin(probedCids.toIndexedSeq: _*))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("doc_id"))
