@@ -1885,6 +1885,64 @@ object SparkEntry {
         .withColumnRenamed("stratum", "lang")
         .orderBy(col("lang"), col("day"))
     }),
+    "g10_daily_tick" -> ((s, dir) => {
+      // G10 — the production DAY TICK as one oracled product: the
+      // day's batch flows through g8's pipeline (near-dup keep-one →
+      // trained above-mean gate → land) and the SAME landed set feeds
+      // the operator dashboard — per-language in/dedup-dropped/
+      // gate-dropped/landed counts, the Smirnov KS drift verdict vs
+      // the reference stratum, and the drift-GATED remix rate (a21's
+      // action running on what actually landed, with the full-corpus
+      // rates as "yesterday's served" baseline). This is the one table
+      // an operator reads every morning; every number in it is
+      // DuckDB-replayed. Scale shape: the pipeline is g8's (pair-graph
+      // dedup, literal-weight gate, no corpus-wide windows); the
+      // dashboard tail runs entirely on stratum-count and bounded
+      // distribution tables.
+      val d = t(s, dir, "documents")
+      val isTrain = Sampling.keyHash(col("doc_id"), "nbt") <
+        Sampling.threshold(0.6)
+      val gate = Classify.collectWeights(Classify.trainModel(
+        d.filter(isTrain), col("lang") <=> "en", col("text"), nbBuckets))
+      val kept = Dedup.dupClusters(
+          d.select(col("doc_id"), col("lang"), col("text")),
+          col("doc_id"), col("text"), threshold = 0.5)
+        .where(col("kept")).select(col("doc_id"), col("lang"), col("text"))
+      val scored = kept.select(col("doc_id"), col("lang"), col("text"),
+        fround(TF.letBound(TA.tokens(col("text")))(toks =>
+          Classify.scoreColumnFromTokens(toks, gate, nbBuckets)), 6)
+          .as("_lo6"))
+      val landed = scored
+        .crossJoin(broadcast(
+          scored.agg(fround(avg(col("_lo6")), 6).as("_m6"))))
+        .filter(col("_lo6") > col("_m6"))
+        .select(col("doc_id"), col("lang"), col("text"))
+      val nIn = d.groupBy(col("lang")).agg(count(lit(1)).as("n_in"))
+      val nKept = kept.groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+      val nLand = landed.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_landed"))
+      val prev = Sampling.ratesFromDistribution(
+        Sketches.distributionCounts(d, col("lang"),
+          TA.tokenCount(col("text"))), remixBudgetPct)
+      val drift = Sampling.driftGatedRates(
+        Sketches.distributionCounts(landed, col("lang"),
+          TA.tokenCount(col("text"))),
+        prev, "en", remixBudgetPct, remixAlpha)
+      nIn
+        .join(nKept, Seq("lang"), "left")
+        .join(nLand, Seq("lang"), "left")
+        .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+        .withColumn("n_landed", coalesce(col("n_landed"), lit(0L)))
+        .select(col("lang"), col("n_in"),
+          (col("n_in") - col("n_kept")).as("n_dedup_dropped"),
+          (col("n_kept") - col("n_landed")).as("n_gate_dropped"),
+          col("n_landed"))
+        .join(broadcast(drift.select(col("stratum").as("lang"),
+          fround(col("ks"), 6).as("ks"), col("breached"), col("thr"))),
+          Seq("lang"), "left")
+        .orderBy(col("lang"))
+    }),
+
     "g8_ingest_corpus" -> ((s, dir) => {
       // G8 — the BATCH TWIN of the streaming production ingest path
       // (Streams.productionIngestSink), giving that pipeline a full
@@ -6141,6 +6199,117 @@ object SparkEntry {
            floor(avg(CASE WHEN qv < 0.5 THEN 1.0 ELSE 0.0 END) * 100.0 + 0.5)
              / 100.0 AS low_quality_share
          FROM q GROUP BY 1 ORDER BY window_start"""
+    },
+
+    "g10_daily_tick" -> {
+      // g8's pipeline prelude (closure + NB gate) feeding the operator
+      // dashboard: per-lang counts, the a21 KS/breach/remix tail with
+      // dc = the LANDED distribution and prates = the full-corpus
+      // "yesterday served" baseline
+      val smir = operators.Sketches.smirnovC(remixAlpha)
+      val breachExpr =
+        s"""coalesce(k.ks_raw, 0.0) > $smir * sqrt(
+           (coalesce(k.n, nr.n_r) + nr.n_r)::DOUBLE /
+           (coalesce(k.n, nr.n_r)::DOUBLE * nr.n_r::DOUBLE))"""
+      s"""WITH RECURSIVE gtdocs AS (SELECT doc_id, text FROM documents),
+         ${sqlMinhashBandCtes("gtdocs", "gt_")},
+         gtcand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sig AS sa, b.sig AS sb
+           FROM gt_bucketed a JOIN gt_bucketed b
+             ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         gtedges AS (
+           SELECT id_a AS ea, id_b AS eb FROM gtcand
+           WHERE list_sum(list_transform(generate_series(1, 16),
+             i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 16.0
+             >= 0.5),
+         gtsym AS (SELECT ea, eb FROM gtedges
+           UNION SELECT eb AS ea, ea AS eb FROM gtedges),
+         gtreach(id, r) AS (
+           SELECT ea, eb FROM gtsym
+           UNION
+           SELECT t.id, s2.eb FROM gtreach t
+             JOIN gtsym s2 ON t.r = s2.ea),
+         gtcomp AS (SELECT id, min(r) AS mr FROM gtreach GROUP BY id),
+         gtkept AS (
+           SELECT d.doc_id FROM gtdocs d
+           LEFT JOIN gtcomp c ON d.doc_id = c.id
+           WHERE least(coalesce(c.mr, d.doc_id), d.doc_id) = d.doc_id),
+         ${sqlNbModelCtes("gtm_")},
+         gtdocf AS (SELECT doc_id, f, count(*)::BIGINT AS c
+           FROM gtm_f
+           WHERE doc_id IN (SELECT doc_id FROM gtkept)
+           GROUP BY 1, 2),
+         gtsc AS (SELECT doc_id,
+             ln(any_value(dpos)::DOUBLE / any_value(dneg)::DOUBLE) +
+               sum(c * $sqlNbWeight) AS lo
+           FROM gtdocf LEFT JOIN gtm_cls USING (f) CROSS JOIN gtm_st
+           GROUP BY doc_id),
+         gtsc6 AS (SELECT doc_id, ${sqlFround("lo", 6)} AS lo6 FROM gtsc),
+         gtmn AS (SELECT ${sqlFround("avg(lo6)", 6)} AS m6 FROM gtsc6),
+         gtgated AS (SELECT doc_id FROM gtsc6, gtmn WHERE lo6 > m6),
+         land AS (SELECT d.doc_id, d.lang, d.text FROM documents d
+           JOIN gtgated g ON d.doc_id = g.doc_id),
+         keptl AS (SELECT d.doc_id, d.lang FROM documents d
+           JOIN gtkept g ON d.doc_id = g.doc_id),
+         nin AS (SELECT lang, count(*)::BIGINT AS n_in
+           FROM documents GROUP BY 1),
+         nk AS (SELECT lang, count(*)::BIGINT AS n_kept
+           FROM keptl GROUP BY 1),
+         nl AS (SELECT lang, count(*)::BIGINT AS n_landed
+           FROM land GROUP BY 1),
+         pk AS (SELECT lang AS stratum,
+             len(${sqlTokens("text")})::BIGINT AS v
+           FROM documents WHERE text IS NOT NULL),
+         pc AS (SELECT stratum, v, count(*)::BIGINT AS c
+           FROM pk GROUP BY 1, 2),
+         pstats AS (SELECT stratum, sum(v * c)::BIGINT AS t
+           FROM pc GROUP BY 1),
+         psw AS (SELECT stratum, t,
+             floor(sqrt(t::DOUBLE) * 1e6)::BIGINT AS w FROM pstats),
+         ptot AS (SELECT sum(t)::BIGINT AS tot, sum(w)::BIGINT AS s
+           FROM psw),
+         prates AS (SELECT stratum,
+             ${operators.Sampling.sqlMixThr("t", "w", "tot", "s",
+               remixBudgetPct)} AS thr
+           FROM psw CROSS JOIN ptot),
+         dk AS (SELECT lang AS stratum,
+             len(${sqlTokens("text")})::BIGINT AS v
+           FROM land WHERE text IS NOT NULL),
+         dc AS (SELECT stratum, v, count(*)::BIGINT AS c
+           FROM dk GROUP BY 1, 2),
+         fstats AS (SELECT stratum, sum(v * c)::BIGINT AS t
+           FROM dc GROUP BY 1),
+         fsw AS (SELECT stratum, t,
+             floor(sqrt(t::DOUBLE) * 1e6)::BIGINT AS w FROM fstats),
+         ftot AS (SELECT sum(t)::BIGINT AS tot, sum(w)::BIGINT AS s
+           FROM fsw),
+         frates AS (SELECT stratum,
+             ${operators.Sampling.sqlMixThr("t", "w", "tot", "s",
+               remixBudgetPct)} AS thr
+           FROM fsw CROSS JOIN ftot),
+         ${sqlKsCtes("z", "dc", "en")},
+         drift AS (
+           SELECT f.stratum AS lang,
+             ${sqlFround("coalesce(k.ks_raw, 0.0)", 6)} AS ks,
+             $breachExpr AS breached,
+             CASE WHEN $breachExpr OR p.thr IS NULL
+               THEN f.thr ELSE p.thr END AS thr
+           FROM frates f
+           LEFT JOIN zks k USING (stratum)
+           CROSS JOIN znr nr
+           LEFT JOIN prates p USING (stratum))
+         SELECT n.lang, n.n_in,
+           n.n_in - coalesce(k2.n_kept, 0) AS n_dedup_dropped,
+           coalesce(k2.n_kept, 0) - coalesce(l2.n_landed, 0)
+             AS n_gate_dropped,
+           coalesce(l2.n_landed, 0) AS n_landed,
+           dr.ks, dr.breached, dr.thr
+         FROM nin n
+         LEFT JOIN nk k2 USING (lang)
+         LEFT JOIN nl l2 USING (lang)
+         LEFT JOIN drift dr USING (lang)
+         ORDER BY n.lang"""
     },
 
     "g8_ingest_corpus" -> {
