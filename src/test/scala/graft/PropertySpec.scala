@@ -212,4 +212,55 @@ class PropertySpec extends SparkSpec {
       if (nt < 3) assert(ng == 0, "short texts must have no grams")
     }
   }
+
+  test("StrideResizer laws: bounded length, subsequence bytes, deterministic") {
+    import graft.operators.Multimodal
+    val r = new Multimodal.StrideResizer
+    val bytesGen = Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))
+      .map(_.toArray)
+    val targets = Gen.chooseNum(1, 50)
+    for ((bs, tgt) <- sample(bytesGen, 60).zip(sample(targets, 60, 7L))) {
+      val out = r.resize(bs, tgt)
+      // identity under target, exactly target above it
+      assert(out.length == math.min(bs.length, tgt),
+        s"len=${bs.length} tgt=$tgt out=${out.length}")
+      // every output byte is an input byte at a stride position
+      if (bs.length > tgt) {
+        val k = bs.length / tgt
+        assert(out.toSeq == (0 until tgt).map(i => bs(i * k)))
+      } else assert(out eq bs)
+      assert(r.resize(bs, tgt).toSeq == out.toSeq)
+    }
+  }
+
+  test("plattProb is a bounded monotone link for any finite inputs") {
+    import graft.operators.Classify
+    val params = sample(Gen.zip(Gen.chooseNum(0.01, 10.0),
+      Gen.chooseNum(-5.0, 5.0)), 20)
+    val scores = sample(Gen.chooseNum(-20.0, 20.0), 30).sorted
+    for ((a, b) <- params) {
+      val ps = spark.createDataFrame(scores.map(Tuple1(_))).toDF("s")
+        .select(Classify.plattProb($"s", a, b).as("p"))
+        .orderBy($"p").collect().map(_.getDouble(0)).toSeq
+      // probabilities: bounded and (for a > 0, sorted scores) monotone
+      assert(ps.forall(p => p >= 0.0 && p <= 1.0), s"a=$a b=$b ps=$ps")
+      val direct = scores.map(s => 1.0 /
+        (1.0 + graft.expressions.DetExp.compute(-(a * s + b))))
+      assert(direct.sorted == ps, "engine and JVM sigmoid must agree")
+    }
+  }
+
+  test("domainReweight invariants: weights in (0,1), sum ~ 1, uniform fixed point") {
+    import graft.operators.Sampling
+    // symmetric domains (identical text distribution) must STAY uniform
+    val sym = (Seq.fill(12)(("a", "x y z")) ++ Seq.fill(12)(("b", "x y z")) ++
+      Seq.fill(12)(("c", "x y z"))).toDF("d", "text")
+    val out = rows(Sampling.domainReweight(sym, $"d", $"text",
+        buckets = 32, eta = 4.0, iters = 4).orderBy($"d"))
+      .map(r => (r.getString(0), r.getDouble(3)))
+    assert(out.map(_._2).forall(a => a > 0.0 && a < 1.0))
+    assert(math.abs(out.map(_._2).sum - 1.0) < 1e-5)
+    // identical distributions ⇒ identical TV ⇒ the uniform point holds
+    assert(out.map(_._2).distinct.size == 1, out.toString)
+  }
 }
