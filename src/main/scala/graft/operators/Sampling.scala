@@ -599,6 +599,7 @@ object Sampling {
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val ds = cnt.map(_._1).distinct.sorted.toSeq
+    require(ds.nonEmpty, "domainReweight needs at least one domain with tokens")
     val bs = cnt.map(_._2).distinct.sorted.toSeq
     val n: Map[String, Long] =
       cnt.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap

@@ -32,8 +32,10 @@ object FooterStats {
     * caller holds the confs (see [[withPushdownConfs]]). Exposed
     * separately so plan audits can inspect the planned scan.
     */
-  def plan(spark: SparkSession, path: String, aggs: Seq[Column]): DataFrame =
+  def plan(spark: SparkSession, path: String, aggs: Seq[Column]): DataFrame = {
+    require(aggs.nonEmpty, "FooterStats needs at least one aggregate")
     spark.read.parquet(path).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Run `body` with the DSv2 parquet reader + aggregate pushdown forced
     * on, restoring both confs afterwards (they are read at planning time,
