@@ -798,6 +798,31 @@ object SparkEntry {
         .orderBy(col("query_id"), col("neg_rank"))
     }),
 
+    "x9_mixture_build" -> ((s, dir) => {
+      // The DoReMi loop CLOSED into the corpus product (the a21
+      // alert→action discipline, for x8): the optimized mixture α
+      // becomes the weight table of the token-budget mix — the budget
+      // allocates ∝ α instead of the √T temperature default — and the
+      // output is the α-built corpus's per-language doc/token tally
+      // alongside the α that drove it. The whole chain (count model →
+      // multiplicative ticks → thr → keyHash keep) is exact integers,
+      // detexp, and one divide, so the oracle replays the BUILD, not
+      // just the weights.
+      val d = t(s, dir, "documents")
+      val alpha = Sampling.domainReweight(d, col("lang"), col("text"),
+          buckets = x8Buckets, eta = x8Eta, iters = x8Iters)
+        .select(col("d").as("stratum"), col("alpha"))
+      val toks = d.select(col("doc_id"), col("lang"),
+        TA.tokenCount(col("text")).cast("long").as("n_tok"))
+      Sampling.mixByWeights(toks, col("lang"), col("doc_id"),
+          col("n_tok"), alpha, remixBudgetPct, "x9")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_toks"))
+        .join(broadcast(alpha.select(col("stratum").as("lang"),
+          col("alpha"))), Seq("lang"))
+        .orderBy(col("lang"))
+    }),
+
     "x8_domain_reweight" -> ((s, dir) => {
       // DoReMi-style mixture optimization (Xie et al. 2023; beyond the
       // reference): multiplicative-weights updates on the per-language
@@ -5638,44 +5663,37 @@ object SparkEntry {
          FROM ce QUALIFY rr <= 5 ORDER BY query_id, rr"""
     },
 
-    "x8_domain_reweight" -> {
-      // unrolled multiplicative-weights chain over the (domain, bucket)
-      // count model: per tick, the α-mixture p, 6dp-rounded TV per
-      // domain, the detexp update, 6dp-rounded renormalization
-      val iterCtes = (1 to x8Iters).map { t =>
-        s"""p$t AS MATERIALIZED (SELECT q.b, sum(a.a * q.q) AS p
-             FROM q JOIN a${t - 1} a USING (d) GROUP BY q.b),
-           tv$t AS MATERIALIZED (SELECT q.d,
-               floor((0.5 * sum(abs(q.q - p.p))) * 1e6 + 0.5) / 1e6 AS tv
-             FROM q JOIN p$t p USING (b) GROUP BY q.d),
-           r$t AS MATERIALIZED (SELECT a.d,
-               a.a * ${Sampling.sqlDetExp(s"$x8Eta * tv.tv")} AS raw,
-               tv.tv AS tv
-             FROM a${t - 1} a JOIN tv$t tv USING (d)),
-           a$t AS MATERIALIZED (SELECT d,
-               floor((raw / (SELECT sum(raw) FROM r$t)) * 1e6 + 0.5) / 1e6
-                 AS a, tv
-             FROM r$t)"""
-      }.mkString(",\n")
-      s"""WITH cnt AS MATERIALIZED (
-           SELECT lang AS d, ${Classify.sqlFeatHash("tok", x8Buckets)} AS b,
-             count(*)::BIGINT AS c
-           FROM (SELECT lang, unnest(${sqlTokens("text")}) AS tok
-             FROM documents)
-           GROUP BY 1, 2),
-         nd AS (SELECT d, sum(c)::BIGINT AS n FROM cnt GROUP BY 1),
-         bs AS (SELECT DISTINCT b FROM cnt),
-         q AS MATERIALIZED (SELECT g.d, g.b,
-             CAST(coalesce(cnt.c, 0) AS DOUBLE) / CAST(nd.n AS DOUBLE) AS q
-           FROM (SELECT nd.d, bs.b FROM nd CROSS JOIN bs) g
-           LEFT JOIN cnt ON cnt.d = g.d AND cnt.b = g.b
-           JOIN nd ON nd.d = g.d),
-         a0 AS (SELECT d,
-             floor((1.0 / (SELECT count(*) FROM nd)) * 1e6 + 0.5) / 1e6 AS a
-           FROM nd),
-         $iterCtes
+    "x8_domain_reweight" ->
+      s"""WITH $sqlDomainReweightCtes
          SELECT nd.d AS lang, nd.n AS n_tok, a.tv AS tv, a.a AS alpha
-         FROM a$x8Iters a JOIN nd USING (d) ORDER BY lang"""
+         FROM a$x8Iters a JOIN nd ON a.d = nd.d ORDER BY lang""",
+
+    "x9_mixture_build" -> {
+      // the x8 chain feeding the build: alpha -> integer weight ->
+      // sqlMixThr rate -> keyHash keep -> per-lang tally of what the
+      // optimized mixture actually selected
+      val toks = sqlTokens("text")
+      s"""WITH $sqlDomainReweightCtes,
+         x9tok AS (SELECT doc_id, lang, len($toks)::BIGINT AS ntok
+           FROM documents),
+         x9st AS (SELECT lang, sum(ntok)::BIGINT AS t
+           FROM x9tok GROUP BY lang),
+         x9w AS (SELECT st.lang, st.t,
+             floor(a.a * 1e6 + 0.5)::BIGINT AS wgt
+           FROM x9st st JOIN a$x8Iters a ON a.d = st.lang),
+         x9tot AS (SELECT sum(t)::BIGINT AS tot_t, sum(wgt)::BIGINT AS s
+           FROM x9w),
+         x9r AS (SELECT lang,
+             ${operators.Sampling.sqlMixThr("t", "wgt", "tot_t", "s",
+               remixBudgetPct)} AS thr
+           FROM x9w, x9tot),
+         x9keep AS (SELECT d.lang, d.ntok FROM x9tok d JOIN x9r r USING (lang)
+           WHERE ('0x' || substr(md5('x9:' || d.doc_id::VARCHAR), 1, 7))::BIGINT
+             < r.thr)
+         SELECT k.lang, count(*)::BIGINT AS n_docs,
+           sum(k.ntok)::BIGINT AS n_toks, a.a AS alpha
+         FROM x9keep k JOIN a$x8Iters a ON a.d = k.lang
+         GROUP BY k.lang, a.a ORDER BY k.lang"""
     },
 
     "x7_hard_negatives" ->
@@ -7141,6 +7159,46 @@ object SparkEntry {
     * divisions. Ends in `${p}ks(stratum, n, ks_raw)` and
     * `${p}nr(n_r)`; callers round `ks_raw`.
     */
+  /** The x8/x9 DoReMi chain as reusable CTEs (cnt model, grid q, a0,
+    * and the unrolled multiplicative ticks ending in `a<iters>`), all
+    * MATERIALIZED — the chained a_t references would otherwise inline
+    * exponentially in DuckDB (measured 6 min -> 0.3 s at sf0.01).
+    */
+  private def sqlDomainReweightCtes: String = {
+    val iterCtes = (1 to x8Iters).map { t =>
+      s"""p$t AS MATERIALIZED (SELECT q.b, sum(a.a * q.q) AS p
+           FROM q JOIN a${t - 1} a USING (d) GROUP BY q.b),
+         tv$t AS MATERIALIZED (SELECT q.d,
+             floor((0.5 * sum(abs(q.q - p.p))) * 1e6 + 0.5) / 1e6 AS tv
+           FROM q JOIN p$t p USING (b) GROUP BY q.d),
+         r$t AS MATERIALIZED (SELECT a.d,
+             a.a * ${operators.Sampling.sqlDetExp(s"$x8Eta * tv.tv")} AS raw,
+             tv.tv AS tv
+           FROM a${t - 1} a JOIN tv$t tv USING (d)),
+         a$t AS MATERIALIZED (SELECT d,
+             floor((raw / (SELECT sum(raw) FROM r$t)) * 1e6 + 0.5) / 1e6
+               AS a, tv
+           FROM r$t)"""
+    }.mkString(",\n")
+    s"""cnt AS MATERIALIZED (
+         SELECT lang AS d, ${operators.Classify.sqlFeatHash("tok", x8Buckets)} AS b,
+           count(*)::BIGINT AS c
+         FROM (SELECT lang, unnest(${sqlTokens("text")}) AS tok
+           FROM documents)
+         GROUP BY 1, 2),
+       nd AS (SELECT d, sum(c)::BIGINT AS n FROM cnt GROUP BY 1),
+       bs AS (SELECT DISTINCT b FROM cnt),
+       q AS MATERIALIZED (SELECT g.d, g.b,
+           CAST(coalesce(cnt.c, 0) AS DOUBLE) / CAST(nd.n AS DOUBLE) AS q
+         FROM (SELECT nd.d, bs.b FROM nd CROSS JOIN bs) g
+         LEFT JOIN cnt ON cnt.d = g.d AND cnt.b = g.b
+         JOIN nd ON nd.d = g.d),
+       a0 AS (SELECT d,
+           floor((1.0 / (SELECT count(*) FROM nd)) * 1e6 + 0.5) / 1e6 AS a
+         FROM nd),
+       $iterCtes"""
+  }
+
   private def sqlKsCtes(p: String, countsRel: String, ref: String): String =
     s"""${p}refc AS (SELECT v, c AS cr FROM $countsRel WHERE stratum = '$ref'),
        ${p}othc AS (SELECT * FROM $countsRel WHERE stratum <> '$ref'),

@@ -135,10 +135,19 @@ object Sampling {
     * distribution-store path ([[ratesFromDistribution]]); one
     * expression tree so both replay bit-for-bit against [[sqlMixThr]].
     */
-  private def ratesFromStats(stats0: DataFrame, budgetPct: Int): DataFrame = {
+  private def ratesFromStats(stats0: DataFrame, budgetPct: Int): DataFrame =
+    ratesFromWeighted(
+      stats0.withColumn("_w", floor(sqrt(col("_t")) * 1e6).cast("long")),
+      budgetPct)
+
+  /** The thr computation over `(_stratum, _t, _w)` — the √T temperature
+    * default ([[ratesFromStats]]) and the externally-weighted path
+    * ([[mixByWeights]]) share this one expression tree, so both replay
+    * bit-for-bit against [[sqlMixThr]].
+    */
+  private def ratesFromWeighted(stats: DataFrame,
+                                budgetPct: Int): DataFrame = {
     val maxHash = 1L << 28
-    val stats = stats0
-      .withColumn("_w", floor(sqrt(col("_t")) * 1e6).cast("long"))
     val totals = stats.agg(sum(col("_t")).as("_tot"), sum(col("_w")).as("_s"))
     stats.crossJoin(broadcast(totals))
       .withColumn("_b", expr(s"_tot * $budgetPct div 100"))
@@ -149,6 +158,28 @@ object Sampling {
             * lit(maxHash.toDouble))))
         .otherwise(lit(maxHash)))
       .select(col("_stratum"), col("_thr"))
+  }
+
+  /** [[tokenBudgetMix]] with the stratum weights supplied EXTERNALLY —
+    * the consumption side of [[domainReweight]]: the optimized mixture
+    * α becomes the weight table (w = ⌊α·10⁶ + ½⌋, exact integers from
+    * the 6dp-rounded α), so the token budget allocates ∝ α instead of
+    * the √T temperature default. Same keyHash keep-decision, same thr
+    * expression tree, so the α-built corpus replays bit-for-bit in
+    * SQL. `weights` is a (stratum, alpha) table; strata absent from it
+    * are dropped (an un-weighted domain has no budget).
+    */
+  def mixByWeights(df: DataFrame, stratum: Column, key: Column,
+                   tokenCount: Column, weights: DataFrame,
+                   budgetPct: Int, salt: String): DataFrame = {
+    val stats = df.groupBy(stratum.as("_stratum"))
+      .agg(sum(tokenCount.cast("long")).as("_t"))
+      .join(weights.select(col("stratum").as("_stratum"),
+        floor(col("alpha") * 1e6 + 0.5).cast("long").as("_w")), "_stratum")
+    val rates = ratesFromWeighted(stats, budgetPct)
+    df.join(broadcast(rates), stratum === col("_stratum"))
+      .filter(keyHash(key, salt) < col("_thr"))
+      .drop("_stratum", "_thr")
   }
 
   /** [[tokenBudgetMix]]'s rate table derived from a persisted

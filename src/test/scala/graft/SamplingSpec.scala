@@ -470,4 +470,23 @@ class SamplingSpec extends SparkSpec {
     // 6dp-rounded ticks make the fit summation-order invariant
     assert(run(docs.repartition(7)) == out)
   }
+
+  test("mixByWeights allocates the token budget proportional to the weights") {
+    // equal token mass per domain, α = 0.8 / 0.2: at budget 50% the
+    // kept token mass must split ~4:1 (hash noise aside)
+    val docs = Seq.tabulate(400)(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", 10L)).toDF("id", "d", "ntok")
+    val w = Seq(("a", 0.8), ("b", 0.2)).toDF("stratum", "alpha")
+    val out = rows(Sampling.mixByWeights(docs, $"d", $"id", $"ntok", w,
+        budgetPct = 50, salt = "t9")
+      .groupBy($"d").agg(sum($"ntok").as("t")))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(out("a") - 1600L) < 300, out.toString)
+    assert(math.abs(out("b") - 400L) < 200, out.toString)
+    // a domain absent from the weight table gets no budget at all
+    val w2 = Seq(("a", 1.0)).toDF("stratum", "alpha")
+    val only = rows(Sampling.mixByWeights(docs, $"d", $"id", $"ntok", w2,
+      budgetPct = 50, salt = "t9")).map(_.getString(1)).toSet
+    assert(only == Set("a"), only.toString)
+  }
 }
