@@ -485,8 +485,10 @@ object Similarity {
     require(cents.nonEmpty, "saveIvfIndex needs at least one centroid")
     spark.createDataFrame(cents).toDF("cid", "cv")
       .coalesce(1).write.mode("errorifexists").parquet(s"$path/centroids")
+    // the build segment is -1: appended batches (streaming batch ids
+    // start at 0) can never collide with it
     writeIvfSegment(spark, docs, docId, docVec, cents, path, targetRows,
-      spread, seg = 0L)
+      spread, seg = -1L)
   }
 
   /** Assign + land one batch as `lists/seg=<seg>/cid=N` and commit it.
@@ -740,8 +742,10 @@ object Similarity {
           cs.map { case (cid, cv) => (s.toLong, cid, cv) } })
       .toDF("sub", "cid", "cv")
       .coalesce(1).write.mode("errorifexists").parquet(s"$path/books")
+    // build segment -1 (the saveIvfIndex convention): streaming batch
+    // ids start at 0 and must never collide with the base build
     writeIvfPqSegment(docs, docId, docVec, cents, books, subDim, path,
-      targetRows, spread, seg = 0L)
+      targetRows, spread, seg = -1L)
   }
 
   /** Encode + route one batch into `lists/seg=<seg>/cid=N` and commit

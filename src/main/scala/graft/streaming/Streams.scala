@@ -307,10 +307,13 @@ object Streams {
     *     (batch_id, mean_recall, rebuilt, serve_path) — lands at
     *     `ticksDir/b=<batchId>` (overwrite ⇒ idempotent).
     *
-    * Serving reads the LATEST tick's `serve_path`; this sink keeps
-    * appending to the original index either way, so cutover remains the
-    * caller's orchestration decision — the sink's job is the O(batch)
-    * grow and the measured, replayable rebuild trigger.
+    * The sink FOLLOWS its own ticks: each batch resolves the live index
+    * as the `serve_path` of the latest tick with `batch_id <` the
+    * current one (strictly earlier, so a replayed batch resolves the
+    * SAME path its first attempt did), falling back to `indexPath`
+    * before any tick exists — a rebuild cuts the sink's own appends and
+    * probes over to the fresh books on the next batch. External serving
+    * reads the same tick rows.
     */
   def annIngestSink(stream: DataFrame, idName: String, vecName: String,
                     indexPath: String, corpusDir: String,
@@ -326,11 +329,28 @@ object Streams {
         val b = batch.select(col(idName).cast("long").as("doc_id"),
           col(vecName).cast("array<float>").as("dv")).persist()
         try {
+          // resolve the live index from STRICTLY EARLIER ticks only —
+          // a replayed batch then resolves the same path its first
+          // attempt did, whatever that attempt went on to write
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(ticksDir),
+            spark.sparkContext.hadoopConfiguration)
+          val tickIds =
+            if (!fs.exists(new org.apache.hadoop.fs.Path(ticksDir)))
+              Seq.empty[Long]
+            else fs.listStatus(new org.apache.hadoop.fs.Path(ticksDir))
+              .map(_.getPath.getName).collect {
+                case n if n.startsWith("b=") => n.drop(2).toLong
+              }.filter(_ < batchId).toSeq
+          val livePath =
+            if (tickIds.isEmpty) indexPath
+            else spark.read.parquet(s"$ticksDir/b=${tickIds.max}")
+              .head().getAs[String]("serve_path")
           b.write.mode("overwrite").parquet(s"$corpusDir/b=$batchId")
-          Similarity.appendIvfPqIndex(spark, indexPath, b, col("doc_id"),
+          Similarity.appendIvfPqIndex(spark, livePath, b, col("doc_id"),
             col("dv"), targetRows, spread, batchId = Some(batchId)): Unit
           val corpus = spark.read.parquet(corpusDir)
-          val tick = Similarity.maintainIvfPqIndex(spark, indexPath,
+          val tick = Similarity.maintainIvfPqIndex(spark, livePath,
             s"$rebuildBase/b=$batchId", corpus, col("doc_id"), col("dv"),
             b.select(col("doc_id").as("qid"), col("dv").as("qv")),
             col("qid"), col("qv"), k, nprobe, rerank, recallFloor,

@@ -173,8 +173,14 @@ class StreamsSpec extends SparkSpec {
       k = 2, nprobe = 2, rerank = 3, recallFloor = 0.9,
       m = 2, subDim = 2, kCodes = 2, iters = 2,
       targetRows = 100L, spread = 2).start()
+    val lateData = Seq((20L, v(0.11, 0.91, 0.21, 0.79)),
+      (21L, v(0.09, 0.89, 0.17, 0.83)))
     try {
       input.addData(driftData.map { case (i, vv) => (i, vv.toSeq) }: _*)
+      q.processAllAvailable()
+      // batch 1: the sink must FOLLOW its own tick — append and probe
+      // the REBUILT index, not the stale original
+      input.addData(lateData.map { case (i, vv) => (i, vv.toSeq) }: _*)
       q.processAllAvailable()
     } finally q.stop()
     // the batch landed and the index appended one committed segment
@@ -185,12 +191,28 @@ class StreamsSpec extends SparkSpec {
     assert(tick.getAs[Double]("mean_recall") < 0.9, tick.toString)
     val servePath = tick.getAs[String]("serve_path")
     assert(servePath == s"$rebuildBase/b=0", servePath)
-    // the rebuilt index restores full recall over the landed corpus
+    // batch 1 CUT OVER to its own tick's serve path: its segment landed
+    // in the REBUILT index — base build is seg -1, batch 0 appended
+    // seg 0 to the original, batch 1 appended seg 1 to the rebuild —
+    // and its tick probed the rebuild (its serve path continues the
+    // rebuild lineage whatever the recall verdict; ADC ties on this
+    // tiny two-cluster geometry make the verdict itself unpinned)
+    val tick1 = rows(spark.read.parquet(s"$ticksDir/b=1")).head
+    assert(Set(servePath, s"$rebuildBase/b=1")
+      .contains(tick1.getAs[String]("serve_path")), tick1.toString)
+    def segs(p: String) = Option(new java.io.File(s"$p/commits").listFiles)
+      .toSeq.flatten.map(_.getName).filter(_.startsWith("k="))
+      .map(_.drop(2).toLong).toSet
+    assert(segs(servePath) == Set(-1L, 1L), segs(servePath).toString)
+    assert(segs(idx) == Set(-1L, 0L), segs(idx).toString)
+    // the rebuilt index reaches full recall over the WHOLE landed
+    // corpus (base + both batches) once rerank covers the tied
+    // candidate lists — the ADC chooses candidates, exact orders them
     val corpus = spark.read.parquet(corpusDir)
     val queries = driftData.toDF("qid", "qv")
     val approx = Similarity.ivfPqTopK(spark, servePath, corpus,
       $"doc_id", $"dv", queries, $"qid", $"qv",
-      k = 2, nprobe = 2, rerank = 3)
+      k = 2, nprobe = 2, rerank = 8)
     val exact = Similarity.topKPerQuery(corpus, $"doc_id", $"dv",
       queries, $"qid", $"qv", k = 2)
     val rec = rows(Similarity.recallAtK(approx, exact, 2))
