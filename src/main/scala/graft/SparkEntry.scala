@@ -1929,19 +1929,29 @@ object SparkEntry {
         Sampling.threshold(0.6)
       val gate = Classify.collectWeights(Classify.trainModel(
         d.filter(isTrain), col("lang") <=> "en", col("text"), nbBuckets))
-      val kept = Dedup.dupClusters(
+      // dedup and land STAGE to scratch (the tq7 discipline): the
+      // dashboard has four consumers of the kept set and two of the
+      // landed set — at 100 TB the post-dedup and landed corpora are
+      // tables you land anyway, and re-deriving the pair-graph closure
+      // per consumer would multiply the most expensive stage
+      val base = scratchDir("graft_g10")
+      Dedup.dupClusters(
           d.select(col("doc_id"), col("lang"), col("text")),
           col("doc_id"), col("text"), threshold = 0.5)
         .where(col("kept")).select(col("doc_id"), col("lang"), col("text"))
+        .write.mode("overwrite").parquet(s"$base/kept")
+      val kept = s.read.parquet(s"$base/kept")
       val scored = kept.select(col("doc_id"), col("lang"), col("text"),
         fround(TF.letBound(TA.tokens(col("text")))(toks =>
           Classify.scoreColumnFromTokens(toks, gate, nbBuckets)), 6)
           .as("_lo6"))
-      val landed = scored
+      scored
         .crossJoin(broadcast(
           scored.agg(fround(avg(col("_lo6")), 6).as("_m6"))))
         .filter(col("_lo6") > col("_m6"))
         .select(col("doc_id"), col("lang"), col("text"))
+        .write.mode("overwrite").parquet(s"$base/landed")
+      val landed = s.read.parquet(s"$base/landed")
       val nIn = d.groupBy(col("lang")).agg(count(lit(1)).as("n_in"))
       val nKept = kept.groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
       val nLand = landed.groupBy(col("lang"))

@@ -560,6 +560,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("g10 daily tick: dashboard reads the STAGED kept/landed tables, all joins broadcast") {
+    val dir = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("g10_daily_tick")(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    // the pair-graph closure and the gate run ONCE into scratch; every
+    // dashboard consumer re-reads the staged parquet, and the count/
+    // drift tail joins are stratum-sized broadcasts — a refactor that
+    // re-derives the dedup subtree per consumer reintroduces
+    // sort-merge joins here
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("v16 hybrid RRF: two bounded top-20 legs union into one combine") {
     val dir = "/root/testdata/sf0.001"
     val q = SparkEntry.queries("v16_hybrid_rrf")(spark, dir)
