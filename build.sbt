@@ -28,3 +28,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The bench driver scrapes the LAST ~2000 chars of `sbt "runMain
+// graft.Bench"` and json-parses the final line. Forked-process stdout
+// must reach the console RAW (no "[info] " prefix) and sbt must not
+// append its "[success] Total time" trailer, or the final line is
+// never the bench JSON.
+run / outputStrategy := Some(StdoutOutput)
+showSuccess := false

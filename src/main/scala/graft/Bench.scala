@@ -85,15 +85,24 @@ object Bench {
     // matching the contract's original `{"q1":sec,…}` shape. Full-name
     // mins plus runs/loads diagnostics go on their own earlier line.
     def short(name: String): String = name.takeWhile(_ != '_')
-    // 10 ms per-query precision keeps the 140-query map ~1.7 KB — the
-    // full line must fit the ~2000-char tail WITH its own header; full
-    // 3-decimal mins are on the bench_diag line above.
+    // Per-query mins live on their OWN line (short ids, integer
+    // centiseconds — ~9 chars/query, so 180 queries ≈ 1.7 KB) directly
+    // above the final line; the FINAL line carries only totals +
+    // failures (< 250 chars at any suite size), so both always fit the
+    // driver's ~2000-char tail together and the final line stays
+    // json-parseable however many queries the suite grows to. Full
+    // 3-decimal mins/runs/loads stay on the bench_diag line above.
     val qsShort = mins.toSeq.sortBy(_._1).map { case (k, v) =>
-      s"\"" + short(k) + "\":" + (if (v < 0) "-1" else f"$v%.2f")
+      s"\"" + short(k) + "\":" + (if (v < 0) "-1" else (v * 100).round)
     }.mkString("{", ",", "}")
+    val fails = mins.toSeq.filter(_._2 < 0).map(_._1).sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failMap = mins.toSeq.filter(_._2 < 0).map(_._1).sorted
+      .map("\"" + short(_) + "\":-1").mkString("{", ",", "}")
     val sfName = new java.io.File(sfDir).getName
     println(s"""{"metric":"bench_diag","queries_full":$qs,"runs":$runs,"loads":$loads}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cpus":"$cpus","sf":"$sfName","queries":$qsShort}""")
+    println(s"""{"metric":"mins","unit":"centisec","n":${mins.size},"q":$qsShort}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cpus":"$cpus","sf":"$sfName","n_queries":${mins.size},"fails":$fails,"queries":$failMap}""")
     spark.stop()
   }
 }

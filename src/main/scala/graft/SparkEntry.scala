@@ -860,6 +860,29 @@ object SparkEntry {
         .orderBy(col("sel_key").desc, col("doc_id"))
     }),
 
+    "x5d_dsir_diag" -> ((s, dir) => {
+      // TEMPORARY round-11 diagnostic for the x5 driver-gate flake
+      // (red in CORRECTNESS_r9/r10 while green locally): every
+      // quantity the x5 chain depends on, as EXACT INTEGERS — n_tok,
+      // the per-doc weighted numerator Σ c·wi on the 2^-20 grid
+      // (recovered from the mean by one exact multiply-back), and the
+      // dyadic selection exponent m. If any engine/environment pair
+      // still disagrees, the failing CELL names the diverging stage
+      // (weight census vs key chain) and doc. Remove once the
+      // driver's x5 gate is green.
+      val w = Classify.dsirWeights(t(s, dir, "documents"), col("doc_id"),
+          col("text"), col("lang") <=> "en", 4096)
+      w.select(col("doc_id"), col("n_tok"),
+          fround(col("avg_logratio"), 6).as("logratio"),
+          floor(col("avg_logratio") * col("n_tok").cast("double") *
+            lit(Classify.WeightGrid) + lit(0.5)).as("wnum"),
+          least(lit(1L << 26), greatest(lit(1L),
+            floor(lit((1L << 20).toDouble) /
+              Sampling.detExp(lit(2.0) * fround(col("avg_logratio"), 6)) +
+              lit(0.5)))).as("sk_m"))
+        .orderBy(col("doc_id"))
+    }),
+
     "x4_cluster_split" -> ((s, dir) => {
       // Leakage-safe train/val/test split (beyond the reference): the
       // cut is keyed by the d14 NEAR-DUP CLUSTER label, not the doc id,
@@ -7160,7 +7183,19 @@ object SparkEntry {
            FROM selw),
          ${operators.Sampling.sqlTokenBudgetCut("sel", "s.doc_id", 25)}
          SELECT doc_id, n_tok, logratio, sel_key, start_tok
-         FROM cut ORDER BY sel_key DESC, doc_id"""
+         FROM cut ORDER BY sel_key DESC, doc_id""",
+
+    "x5d_dsir_diag" ->
+      // exact-integer census of the x5 chain (see the Spark twin's
+      // comment); sk_m's text mirrors sqlSelKeyCols' exponent
+      s"""$sqlDsirWeights,
+           floor(w * n_tok::DOUBLE * ${operators.Classify.WeightGrid}
+             + 0.5)::BIGINT AS wnum,
+           least(${1L << 26}, greatest(1,
+             floor(${(1L << 20).toDouble} /
+               (${operators.Sampling.sqlDetExp("2 * logratio")})
+               + 0.5)::BIGINT)) AS sk_m
+         FROM sc ORDER BY doc_id"""
   )
 
   /** The two-sample KS CTE chain over a `(stratum, v, c)` counts
@@ -7329,11 +7364,24 @@ object SparkEntry {
            FROM ${p}cnt),
          ${p}docf AS (SELECT doc_id, f, count(*)::BIGINT AS c
            FROM ${p}f GROUP BY 1, 2),
+         ${p}lw AS (SELECT ltln, lrln FROM (SELECT
+             ${operators.Classify.sqlDetLnCols("lt", s"tt + $b")},
+             ${operators.Classify.sqlDetLnCols("lr", s"tr + $b")}
+           FROM ${p}tot)),
+         ${p}dw AS (SELECT f, wi FROM (SELECT f,
+             ${operators.Classify.sqlDetLnCols("a", "nt + 1")},
+             ${operators.Classify.sqlDetLnCols("b", "nr + 1")},
+             floor(((aln - ltln) - (bln - lrln)) * ${operators.Classify.WeightGrid} + 0.5)::BIGINT
+               AS wi
+           FROM ${p}cnt CROSS JOIN ${p}lw)),
+         ${p}wd AS (SELECT
+             floor(((0.0 - ltln) - (0.0 - lrln)) * ${operators.Classify.WeightGrid} + 0.5)::BIGINT
+               AS wi0
+           FROM ${p}lw),
          ${p}sc AS (SELECT doc_id, sum(c)::BIGINT AS n_tok,
-             sum(c * (ln((coalesce(nt, 0) + 1)::DOUBLE / (tt + $b)::DOUBLE)
-               - ln((coalesce(nr, 0) + 1)::DOUBLE / (tr + $b)::DOUBLE)))
-               / sum(c) AS w
-           FROM ${p}docf LEFT JOIN ${p}cnt USING (f) CROSS JOIN ${p}tot
+             (sum(c * coalesce(wi, wi0))::DOUBLE / sum(c)::DOUBLE)
+               / ${operators.Classify.WeightGrid} AS w
+           FROM ${p}docf LEFT JOIN ${p}dw USING (f) CROSS JOIN ${p}wd
            GROUP BY doc_id)"""
   }
 

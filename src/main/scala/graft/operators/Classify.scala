@@ -39,6 +39,32 @@ object Classify {
   def sqlFeatHash(tok: String, buckets: Int): String =
     s"('0x' || substr(md5($tok), 1, 7))::BIGINT % $buckets"
 
+  /** DuckDB twin of [[graft.expressions.DetLn]] as SELECT-list items
+    * with prefixed lateral aliases (`{p}e`, `{p}m`, `{p}z`, `{p}z2`,
+    * ending in `{p}ln` — the value): exponent by binary-string length
+    * (`length(bin(n)) - 1`, exact on both engines — DuckDB `bin`
+    * renders BIGINTs unpadded like Spark's), mantissa by one exact
+    * power-of-two divide, then the shared Horner unroll over
+    * [[graft.expressions.DetLn.HornerK]]. Callers wrap the SELECT in a
+    * subquery to project away the intermediates. Alias substitution
+    * depth is bounded (each alias references only the previous one),
+    * the sqlSelKeyCols discipline. Keep in exact lockstep with
+    * [[graft.expressions.DetLn.compute]]; `nExpr` must be a positive
+    * BIGINT expression.
+    */
+  def sqlDetLnCols(p: String, nExpr: String): String = {
+    import graft.expressions.DetLn
+    val horner = DetLn.HornerK.tail.foldLeft(
+      s"(1.0 / ${DetLn.HornerK.head}.0)")(
+      (acc, k) => s"($acc * ${p}z2 + 1.0 / $k.0)")
+    s"""(length(bin(($nExpr)::BIGINT)) - 1) AS ${p}e,
+        ($nExpr)::DOUBLE / (1::BIGINT << ${p}e)::DOUBLE AS ${p}m,
+        (${p}m - 1.0) / (${p}m + 1.0) AS ${p}z,
+        ${p}z * ${p}z AS ${p}z2,
+        ${p}e::DOUBLE * ${DetLn.Ln2Literal} + (2.0 * ${p}z) * $horner
+          AS ${p}ln"""
+  }
+
   /** Per-document hashed-feature counts: (idName, f, c). One tokenize
     * pass, exploded then counted — map-side combinable, so shuffled
     * volume is the per-doc distinct-feature footprint.
@@ -252,9 +278,11 @@ object Classify {
                   threshold: Double = 0.0): DataFrame =
     df.filter(scoreColumn(text, w, buckets) > threshold)
 
-  /** Collapse DSIR's two hashed-unigram LMs to per-slot log-ratio
-    * serving weights: w(f) = ln((nt_f+1)/(tt+B)) − ln((nr_f+1)/(tr+B)),
-    * fit from `df` (raw = whole input, target = rows where `target`).
+  /** Collapse DSIR's two hashed-unigram LMs to per-slot serving
+    * weights on the SAME 2⁻²⁰ integer grid as [[dsirWeights]]:
+    * w(f) = ⌊(detln(nt_f+1) − detln(tt+B) − (detln(nr_f+1) −
+    * detln(tr+B)))·2²⁰ + ½⌋, stored as integer-valued doubles. Fit
+    * from `df` (raw = whole input, target = rows where `target`).
     * Prior is 0 — DSIR has no class prior. The counts table is ≤
     * buckets rows (contract-tiny collect), and [[dsirColumn]] then
     * scores target-likeness statelessly at ingest, like
@@ -271,20 +299,24 @@ object Classify {
     val rows = counts.collect()
     val tt = rows.map(_.getLong(1)).sum
     val tr = rows.map(_.getLong(2)).sum
+    import graft.expressions.DetLn.{compute => detln}
     def w(nt: Long, nr: Long): Double =
-      math.log((nt + 1).toDouble / (tt + buckets).toDouble) -
-        math.log((nr + 1).toDouble / (tr + buckets).toDouble)
+      math.floor(((detln(nt + 1) - detln(tt + buckets)) -
+        (detln(nr + 1) - detln(tr + buckets))) * WeightGrid + 0.5)
     val arr = Array.fill(buckets)(w(0L, 0L))
     rows.foreach(r => arr(r.getLong(0).toInt) = w(r.getLong(1), r.getLong(2)))
     NbWeights(0.0, arr)
   }
 
   /** Stateless per-row DSIR score: MEAN per-token log ratio under the
-    * collapsed weights — [[dsirWeights]]'s serving twin (agreement is
-    * reassociation-tight, not bitwise; empty docs yield NULL where the
-    * join path drops the row). Use directly in a streaming projection
-    * or threshold filter to steer ingest toward the target
-    * distribution.
+    * collapsed weights — [[dsirWeights]]'s serving twin, and since the
+    * r11 grid quantization agreement is BITWISE, not merely
+    * reassociation-tight: the fold accumulates integer-valued grid
+    * weights (every partial sum an exact integer ≪ 2⁵³, so token order
+    * cannot matter), then replays the join path's exact two-divide
+    * finale. Empty docs yield NULL where the join path drops the row.
+    * Use directly in a streaming projection or threshold filter to
+    * steer ingest toward the target distribution.
     */
   def dsirColumn(text: Column, w: NbWeights, buckets: Int): Column =
     dsirColumnFromTokens(graft.functions.TextAnalysis.tokens(text),
@@ -306,7 +338,8 @@ object Classify {
             featHash(t, buckets).cast("int") + 1)).as("s"),
         (acc.getField("n") + 1L).as("n")),
       acc => when(acc.getField("n") > 0L,
-        acc.getField("s") / acc.getField("n").cast("double"))
+        (acc.getField("s") / acc.getField("n").cast("double")) /
+          lit(WeightGrid))
         .otherwise(lit(null).cast("double")))
 
   /** Binary-classifier evaluation over a scored eval set: ROC-AUC via
@@ -399,6 +432,18 @@ object Classify {
     * rows), broadcast back onto the per-doc counts.
     *
     * Output: (idName, n_tok, avg_logratio), unrounded.
+    *
+    * Cross-engine determinism — the aggregate is ORDER-EXACT, not just
+    * rounded: the per-feature log ratio computes via
+    * [[graft.expressions.DetLn]] (libm-free, bit-identical on any IEEE
+    * engine) and quantizes onto the dyadic grid 2⁻²⁰ as an INTEGER
+    * `wi = ⌊lr·2²⁰ + ½⌋`, so the per-doc numerator `Σ c·wi` is exact
+    * BIGINT arithmetic — identical under ANY partitioning, summation
+    * order, or engine — and the mean is two IEEE divides on exact
+    * integers (< 2⁵³). The previous formulation summed libm-log
+    * doubles, whose last-ulp noise was summation-order- and
+    * engine-dependent: invisible at 6 dp almost always, but a single
+    * boundary doc flipped the driver's x5 gate twice (rounds 9–10).
     */
   def dsirWeights(df: DataFrame, id: Column, text: Column, target: Column,
                   buckets: Int, idName: String = "doc_id"): DataFrame = {
@@ -410,19 +455,38 @@ object Classify {
       .agg(sum(when(col("_tgt"), 1L).otherwise(0L)).as("nt"),
         count(lit(1)).as("nr"))
     val totals = counts.agg(sum(col("nt")).as("tt"), sum(col("nr")).as("tr"))
+    // quantized per-slot log ratio, computed ONCE per feature (≤
+    // buckets rows) and broadcast; wi0 is the absent-slot default
+    // (nt = nr = 0 — detln(1) ≡ +0.0 exactly, so the 0.0 literal in
+    // the SQL twin is bit-faithful)
+    def wi(nt: Column, nr: Column): Column =
+      floor(((graft.expressions.DetLn(nt + lit(1L)) -
+          graft.expressions.DetLn(col("tt") + lit(buckets.toLong))) -
+        (graft.expressions.DetLn(nr + lit(1L)) -
+          graft.expressions.DetLn(col("tr") + lit(buckets.toLong)))) *
+        lit(WeightGrid) + lit(0.5))
+    val wtab = counts.crossJoin(broadcast(totals))
+      .select(col("f"), wi(col("nt"), col("nr")).as("wi"))
+    val wdef = totals.select(wi(lit(0L), lit(0L)).as("wi0"))
     perDoc
-      .join(broadcast(counts), Seq("f"), "left")
-      .crossJoin(broadcast(totals))
+      .join(broadcast(wtab), Seq("f"), "left")
+      .crossJoin(broadcast(wdef))
       .groupBy(col(idName))
       .agg(sum(col("c")).as("n_tok"),
-        (sum(col("c") *
-          (log((coalesce(col("nt"), lit(0L)) + 1L).cast("double") /
-            (col("tt") + buckets).cast("double")) -
-           log((coalesce(col("nr"), lit(0L)) + 1L).cast("double") /
-             (col("tr") + buckets).cast("double")))) /
-          sum(col("c")))
-          .as("avg_logratio"))
+        sum(col("c") * coalesce(col("wi"), col("wi0"))).as("_wnum"))
+      .select(col(idName), col("n_tok"),
+        ((col("_wnum").cast("double") / col("n_tok").cast("double")) /
+          lit(WeightGrid)).as("avg_logratio"))
   }
+
+  /** The DSIR weight quantization grid, 2²⁰ — every per-feature log
+    * ratio lands on a multiple of 2⁻²⁰ (as the integer `wi`), making
+    * the per-doc weighted sum exact in any order. |wi| ≤ ln(corpus
+    * tokens)·2²⁰ ≈ 3·10⁷ and per-doc `Σ c·wi` ≤ 10¹³ ≪ 2⁵³, so the
+    * BIGINT sums cast back to double exactly. Shared by the join path,
+    * the collapsed serving weights, and both SQL twins.
+    */
+  val WeightGrid: Double = (1L << 20).toDouble
 
   /** Platt scaling (Platt 1999, "Probabilistic Outputs for Support
     * Vector Machines"): calibrate a raw classifier score s into

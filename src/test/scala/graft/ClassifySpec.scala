@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Classify
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 class ClassifySpec extends SparkSpec {
@@ -128,22 +129,81 @@ class ClassifySpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("dsirColumn serving path agrees with the join-based dsirWeights") {
+  test("dsirColumn serving path agrees BITWISE with the join-based dsirWeights") {
+    // the 2^-20 grid quantization makes both sides exact-integer
+    // arithmetic up to the same final two divides — agreement is
+    // bit-for-bit, not epsilon
     val w = Classify.collectDsirWeights(corpus, $"text", $"pos", B)
     assert(w.prior == 0.0)
+    assert(w.weights.forall(v => v == math.floor(v)),
+      "serving weights must be integer-valued grid points")
     val serving = corpus.select($"id",
         Classify.dsirColumn($"text", w, B).as("s"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val joined = Classify.dsirWeights(corpus, $"id", $"text", $"pos", B, "id")
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     joined.foreach { case (id, s) =>
-      assert(math.abs(serving(id) - s) < 1e-9,
+      assert(java.lang.Double.doubleToRawLongBits(serving(id)) ==
+        java.lang.Double.doubleToRawLongBits(s),
         s"doc $id: serving ${serving(id)} vs join $s")
     }
     // empty doc: NULL where the join path drops the row
     val empty = Seq((9L, "")).toDF("id", "text")
       .select(Classify.dsirColumn($"text", w, B)).collect().head
     assert(empty.isNullAt(0))
+  }
+
+  test("detLn: bitwise vs declarative twin, ~1e-12 of math.log, exact at powers of two") {
+    import org.apache.spark.sql.types.LongType
+    // declarative twin replaying sqlDetLnCols' op sequence in Columns
+    val ns = spark.range(1, 4000).toDF("n")
+      .union(Seq(1L << 40, (1L << 40) + 12345L, (1L << 52) + 7L)
+        .toDF("n"))
+    val e = (length(bin($"n")) - 1).cast("int")
+    val twin = ns.withColumn("e", e)
+      .withColumn("m", $"n".cast("double") /
+        expr("shiftleft(1L, e)").cast("double"))
+      .withColumn("z", ($"m" - 1.0) / ($"m" + 1.0))
+      .withColumn("z2", $"z" * $"z")
+      .withColumn("want", $"e".cast("double") * lit(expressions.DetLn.Ln2) +
+        (lit(2.0) * $"z") * expressions.DetLn.HornerK.tail.foldLeft(
+          lit(1.0 / expressions.DetLn.HornerK.head): Column)(
+          (acc, k) => acc * $"z2" + lit(1.0 / k)))
+      .withColumn("got", expressions.DetLn($"n"))
+      .select($"n", $"want", $"got").collect()
+    twin.foreach { r =>
+      val n = r.getLong(0)
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)), s"n=$n twin")
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToRawLongBits(expressions.DetLn.compute(n)),
+        s"n=$n interpreted-vs-reference")
+      assert(math.abs(r.getDouble(2) - math.log(n.toDouble)) <= 1e-11,
+        s"n=$n drifts from ln")
+    }
+    assert(expressions.DetLn.compute(1L) == 0.0 &&
+      (1.0 / expressions.DetLn.compute(1L)) > 0.0, "detln(1) must be +0.0")
+    assert(expressions.DetLn.compute(1024L) == 10.0 * expressions.DetLn.Ln2)
+    assert(expressions.DetLn.compute(0L).isNaN &&
+      expressions.DetLn.compute(-5L).isNaN)
+  }
+
+  test("dsirWeights is invariant under adversarial repartitioning") {
+    // the round-9/10 x5 failure mode: summation-order noise in the
+    // per-doc aggregate. The grid-quantized chain is exact-integer up
+    // to the final divides, so ANY partitioning must give identical
+    // bits — pin it by comparing a 1-partition run against a run
+    // scattered across 13 partitions in reversed-hash order.
+    val base = Classify.dsirWeights(corpus, $"id", $"text", $"pos", B, "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)))).sortBy(_._1)
+    for (df <- Seq(corpus.coalesce(1),
+        corpus.repartition(13, expr("id * -7")))) {
+      val got = Classify.dsirWeights(df, $"id", $"text", $"pos", B, "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(2)))).sortBy(_._1)
+      assert(got.toSeq == base.toSeq)
+    }
   }
 
   test("evalBinary: exact AUC on separable, reversed, and tied scores") {
