@@ -520,6 +520,8 @@ object Classify {
     val census = base.agg(
       sum(col("y")).as("np"),
       (count(lit(1)).cast("double") - sum(col("y"))).as("nn")).head()
+    // sum() of an empty input is NULL — fail with a message, not an NPE
+    require(!census.isNullAt(0), "plattFit requires a non-empty input")
     val nPos = census.getDouble(0)
     val nNeg = census.getDouble(1)
     val tPos = (nPos + 1.0) / (nPos + 2.0)

@@ -306,10 +306,6 @@ object Multimodal {
         floor((size - 16).cast("double") / 4.0).cast("long").as("n_brands")))
   }
 
-  /** Frame sampling: n evenly-spaced byte-range "frames" from a payload
-    * (the video-decode shape: sample k frames, decode each). Returns
-    * array<binary>; empty payload ⇒ empty array.
-    */
   /** Resize plumbing — the remaining member of the decode /
     * feature-extract / resize / frame-sample quartet. A real resize
     * needs codec libraries this container doesn't ship, so the
@@ -361,6 +357,10 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Frame sampling: n evenly-spaced byte-range "frames" from a payload
+    * (the video-decode shape: sample k frames, decode each). Returns
+    * array<binary>; empty payload ⇒ empty array.
+    */
   def frameSample(df: DataFrame, binCol: String, n: Int,
                   outCol: String = "frames",
                   batchSize: Int = 64): DataFrame = {

@@ -655,14 +655,39 @@ object Similarity {
     val docs = ivfLists(spark, path)
     val exact = topKPerQuery(docs, col("doc_id"), col("dv"),
       queries, queryId, queryVec, k)
-    // one scalar to the driver — the decision input, contract-tiny
-    val mean = recallAtK(approx, exact, k)
-      .agg(avg(col("recall"))).head().getDouble(0)
-    if (mean < recallFloor) {
-      val cents = recenterIvfIndex(spark, path, outPath, kCentroids,
-        iters, sampleRate, targetRows, spread)
-      IvfMaintenance(mean, recentered = true, outPath, Some(cents))
-    } else IvfMaintenance(mean, recentered = false, path, None)
+    meanRecallOf(approx, exact, k) match {
+      case Some(mean) if mean < recallFloor =>
+        if (SegmentFs.listVersions(spark, s"$outPath/commits", "k")
+            .contains(-1L)) {
+          // a prior triggered tick COMPLETED this rebuild (base segment
+          // committed): a replay must not rebuild over an index that
+          // external readers may already serve from — cut over again
+          IvfMaintenance(mean, recentered = true, outPath,
+            Some(loadIvfCentroids(spark, outPath)))
+        } else {
+          // reclaim a torn (uncommitted) prior attempt, then rebuild
+          val f = SegmentFs.fs(spark, outPath)
+          val op = new org.apache.hadoop.fs.Path(outPath)
+          if (f.exists(op)) f.delete(op, true): Unit
+          val cents = recenterIvfIndex(spark, path, outPath, kCentroids,
+            iters, sampleRate, targetRows, spread)
+          IvfMaintenance(mean, recentered = true, outPath, Some(cents))
+        }
+      case mean =>
+        IvfMaintenance(mean.getOrElse(1.0), recentered = false, path, None)
+    }
+  }
+
+  /** Mean recall of a probe batch as the maintenance decision input
+    * (one scalar to the driver — contract-tiny), or None for an EMPTY
+    * batch: a no-data trigger or recovery replay carries no drift
+    * evidence, so the tick must neither crash (`avg` of nothing is
+    * null) nor rebuild.
+    */
+  private def meanRecallOf(approx: DataFrame, exact: DataFrame,
+                           k: Int): Option[Double] = {
+    val r = recallAtK(approx, exact, k).agg(avg(col("recall"))).head()
+    if (r.isNullAt(0)) None else Some(r.getDouble(0))
   }
 
   /** Centroid set of a saved index, in cid order. */
@@ -869,21 +894,31 @@ object Similarity {
       corpus.select(corpusId.cast("long").as("doc_id"),
         corpusVec.cast("array<float>").as("dv")),
       col("doc_id"), col("dv"), queries, queryId, queryVec, k)
-    val mean = recallAtK(approx, exact, k)
-      .agg(avg(col("recall"))).head().getDouble(0)
-    if (mean < recallFloor) {
-      val cents = loadIvfCentroids(spark, path)
-      val books = pqCodebooks(corpus, corpusId, corpusVec,
-        m, subDim, kCodes, iters)
-      // reclaim a crashed/replayed prior rebuild attempt at outPath so
-      // the triggered tick is as replayable as the segment writes
-      val f = SegmentFs.fs(spark, outPath)
-      val op = new org.apache.hadoop.fs.Path(outPath)
-      if (f.exists(op)) f.delete(op, true): Unit
-      saveIvfPqIndex(corpus, corpusId, corpusVec, cents, books, subDim,
-        outPath, targetRows, spread)
-      IvfPqMaintenance(mean, rebuilt = true, outPath)
-    } else IvfPqMaintenance(mean, rebuilt = false, path)
+    meanRecallOf(approx, exact, k) match {
+      case Some(mean) if mean < recallFloor =>
+        if (ivfPqCommittedSegs(spark, outPath).contains(-1L)) {
+          // a prior triggered tick COMPLETED this rebuild (base
+          // segment committed): a replay must not delete an index that
+          // external readers following the tick's serve_path may
+          // already be reading — cut over to it again (the segment-
+          // level idempotence, at index granularity)
+          IvfPqMaintenance(mean, rebuilt = true, outPath)
+        } else {
+          val cents = loadIvfCentroids(spark, path)
+          val books = pqCodebooks(corpus, corpusId, corpusVec,
+            m, subDim, kCodes, iters)
+          // reclaim a torn (uncommitted) prior attempt, then rebuild
+          val f = SegmentFs.fs(spark, outPath)
+          val op = new org.apache.hadoop.fs.Path(outPath)
+          if (f.exists(op)) f.delete(op, true): Unit
+          saveIvfPqIndex(corpus, corpusId, corpusVec, cents, books,
+            subDim, outPath, targetRows, spread)
+          IvfPqMaintenance(mean, rebuilt = true, outPath)
+        }
+      // empty probe batch (None): no evidence, serve the existing index
+      case mean => IvfPqMaintenance(mean.getOrElse(1.0), rebuilt = false,
+        path)
+    }
   }
 
   /** Probe an IVF-PQ index: nprobe coarse lists read PRUNED (hive

@@ -41,6 +41,14 @@ object FooterStats {
     * on, restoring both confs afterwards (they are read at planning time,
     * so every plan the body constructs AND executes sees them; nothing
     * planned later does).
+    *
+    * SINGLE-WRITER assumption: the confs are session-wide, so a query
+    * planned CONCURRENTLY on the same SparkSession would also get the
+    * V2 reader + pushdown, and the plain save/restore is not reentrant
+    * (a nested use restores the inner previous value). Fine for the
+    * sequential bench/verify drivers this repo runs; a server-style
+    * deployment sharing one session across threads should scope the
+    * confs to a dedicated `spark.newSession()` instead.
     */
   def withPushdownConfs[A](spark: SparkSession)(body: => A): A = {
     val conf = spark.conf

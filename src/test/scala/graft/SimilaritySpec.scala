@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.Similarity
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
@@ -208,6 +209,85 @@ class SimilaritySpec extends SparkSpec {
     // replayable: the same tick on the same state repeats bit-for-bit
     val out3 = Scratch.dir("ivfpq_m4") + "/ivfpq"
     assert(tick(out, out3) == t2.copy())
+  }
+
+  test("maintenance: an empty probe batch is a no-evidence no-op, not a crash") {
+    // the annIngestSink recovery/no-data-trigger path: a tick probed
+    // with zero queries must neither NPE on avg(recall)=null nor
+    // trigger a rebuild on no evidence
+    def v(a: Double, b: Double) = Seq(a, b, 0.0, 0.0).map(_.toFloat)
+    val base = Seq((1L, v(1, 0)), (2L, v(0, 1)), (3L, v(0.9, 0.1)))
+      .toDF("id", "v")
+    val cents = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0, 0.0)))
+    val noQ = Seq.empty[(Long, Seq[Float])].toDF("qid", "qv")
+    val idx = Scratch.dir("ivf_mt_e") + "/ivf"
+    Similarity.saveIvfIndex(base, $"id", $"v", cents, idx,
+      targetRows = 100L, spread = 2)
+    val out = Scratch.dir("ivf_mt_eo") + "/ivf"
+    val t = Similarity.maintainIvfIndex(spark, idx, out, noQ, $"qid",
+      $"qv", k = 2, nprobe = 1, recallFloor = 0.99, kCentroids = 2,
+      iters = 2, targetRows = 100L, spread = 2)
+    assert(!t.recentered && t.servePath == idx && t.meanRecall == 1.0)
+    val books = Similarity.pqCodebooks(base, $"id", $"v",
+      m = 2, subDim = 2, k = 2, iters = 2)
+    val pidx = Scratch.dir("ivfpq_mt_e") + "/ivfpq"
+    Similarity.saveIvfPqIndex(base, $"id", $"v", cents, books, 2, pidx,
+      targetRows = 100L, spread = 2)
+    val pout = Scratch.dir("ivfpq_mt_eo") + "/ivfpq"
+    val tp = Similarity.maintainIvfPqIndex(spark, pidx, pout, base,
+      $"id", $"v", noQ, $"qid", $"qv", k = 2, nprobe = 1, rerank = 2,
+      recallFloor = 0.99, m = 2, subDim = 2, kCodes = 2, iters = 2,
+      targetRows = 100L, spread = 2)
+    assert(!tp.rebuilt && tp.servePath == pidx && tp.meanRecall == 1.0)
+  }
+
+  test("a replayed triggered tick serves the committed rebuild without touching its files") {
+    // streaming replay of a batch whose first attempt COMPLETED the
+    // rebuild: external readers may already follow serve_path into
+    // outPath, so the replay must cut over again, not delete+rewrite
+    def v(a: Double, b: Double, c: Double, d: Double) =
+      Seq(a, b, c, d).map(_.toFloat)
+    val baseData = Seq((1L, v(0.9, 0.1, 0.8, 0.2)),
+      (2L, v(0.88, 0.12, 0.82, 0.18)), (3L, v(0.92, 0.08, 0.78, 0.22)))
+    val driftData = Seq((10L, v(0.12, 0.88, 0.18, 0.82)),
+      (11L, v(0.1, 0.9, 0.2, 0.8)), (12L, v(0.3, 0.7, 0.4, 0.6)))
+    val base = baseData.toDF("id", "v")
+    val union = (baseData ++ driftData).toDF("id", "v")
+    val cents = Seq((0L, Seq(0.9, 0.1, 0.8, 0.2)),
+      (1L, Seq(0.1, 0.9, 0.2, 0.8)))
+    val staleBooks = Similarity.pqCodebooks(base, $"id", $"v",
+      m = 2, subDim = 2, k = 1, iters = 2)
+    val idx = Scratch.dir("ivfpq_rp1") + "/ivfpq"
+    Similarity.saveIvfPqIndex(base, $"id", $"v", cents, staleBooks, 2,
+      idx, targetRows = 100L, spread = 2)
+    Similarity.appendIvfPqIndex(spark, idx, driftData.toDF("id", "v"),
+      $"id", $"v", targetRows = 100L, spread = 2)
+    val q = Seq((500L, v(0.11, 0.89, 0.19, 0.81))).toDF("qid", "qv")
+    val out = Scratch.dir("ivfpq_rp2") + "/ivfpq"
+    def tick() =
+      Similarity.maintainIvfPqIndex(spark, idx, out, union, $"id", $"v",
+        q, $"qid", $"qv", k = 2, nprobe = 2, rerank = 2,
+        recallFloor = 0.9, m = 2, subDim = 2, kCodes = 2, iters = 2,
+        targetRows = 100L, spread = 2)
+    def snapshot(dir: String): Seq[(String, Long, Long)] = {
+      val root = java.nio.file.Paths.get(dir)
+      val s = java.nio.file.Files.walk(root)
+      try s.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => (root.relativize(p).toString,
+          java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis))
+        .toSeq.sortBy(_._1)
+      finally s.close()
+    }
+    val t1 = tick()
+    assert(t1.rebuilt && t1.servePath == out, t1.toString)
+    val before = snapshot(out)
+    val t2 = tick()
+    assert(t2 == t1, "replay must reach the same decision")
+    assert(snapshot(out) == before,
+      "replay must not rewrite the committed rebuild")
   }
 
   test("appendIvfIndex: append == rebuild on the union, old files untouched") {
