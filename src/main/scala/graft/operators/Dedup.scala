@@ -299,45 +299,90 @@ object Dedup {
   /** Persist an LSH band index: the near-dup cousin of the d9 bloom and
     * v11 IVF lifecycles — build once over the corpus, probe every
     * incoming batch for near-duplicates WITHOUT re-scanning corpus
-    * text. Layout: `path/bands/bp=N/` parquet of (id, sig, bk) rows,
-    * one row per (doc, band), landed via the sized sink (hot buckets
-    * still write in parallel; no small-file spray). `bp` is an
-    * md5-derived bucket of the band key, so a probe's `bp IN (...)`
-    * filter prunes at the directory level.
+    * text. Layout (the BM25/IVF/IVF-PQ segment discipline):
+    *
+    * {{{
+    *   path/bands/sb=K/bp=N/  (id, sig, bk) band rows of segment K,
+    *                          landed via the sized sink
+    *   path/commits/k=K/      commit markers — probes read ONLY
+    *                          committed segments
+    * }}}
+    *
+    * One row per (doc, band); hot buckets still write in parallel (no
+    * small-file spray). `bp` is an md5-derived bucket of the band key
+    * and `sb` the appending batch, both partition columns, so a
+    * probe's `bp IN (…) AND sb IN (committed…)` prunes at the
+    * directory level. The base build is segment −1 (streaming batch
+    * ids start at 0 and can never collide with it).
     */
   def saveLshBandIndex(df: DataFrame, id: Column, text: Column,
                        path: String, shingleSize: Int = 3,
                        numHashes: Int = 16, rowsPerBand: Int = 4,
                        buckets: Int = 64, targetRows: Long = 1L << 20,
                        spread: Int = 8): Unit =
-    graft.sources.Compaction.writeSized(
-      bandRows(df, id, text, shingleSize, numHashes, rowsPerBand, buckets,
-        srcBatch = -1L),
-      s"$path/bands", Seq("bp"), col("id"), targetRows, spread)
+    writeBandSegment(df, id, text, path, shingleSize, numHashes,
+      rowsPerBand, buckets, targetRows, spread, seg = -1L)
 
-  /** O(batch) growth of a saved band index: new docs' band rows append
-    * into the existing `bp=N` partitions; corpus-sized files never
-    * rewrite. Unlike IVF centroids there is nothing frozen to drift —
-    * band membership is exact, so probe quality never decays with
-    * appends. */
+  /** O(batch) growth of a saved band index as a commit-gated segment:
+    * `srcBatch` ≥ 0 names the segment (a COMMITTED id is a replay —
+    * complete no-op); negative picks max+1. A torn append (crash
+    * before the commit marker) is invisible to probes and its partial
+    * dir is reclaimed by the rewrite. Unlike IVF centroids there is
+    * nothing frozen to drift — band membership is exact, so probe
+    * quality never decays with appends. Returns the segment id.
+    */
   def appendLshBandIndex(df: DataFrame, id: Column, text: Column,
                          path: String, shingleSize: Int = 3,
                          numHashes: Int = 16, rowsPerBand: Int = 4,
                          buckets: Int = 64, targetRows: Long = 1L << 20,
-                         spread: Int = 8, srcBatch: Long = -1L): Unit =
+                         spread: Int = 8, srcBatch: Long = -1L): Long = {
+    val spark = df.sparkSession
+    val committed = lshCommittedSegs(spark, path)
+    val k =
+      if (srcBatch >= 0) srcBatch
+      else committed.lastOption.map(_ + 1).getOrElse(0L)
+    if (committed.contains(k)) k // idempotent replay of a committed batch
+    else {
+      writeBandSegment(df, id, text, path, shingleSize, numHashes,
+        rowsPerBand, buckets, targetRows, spread, seg = k)
+      k
+    }
+  }
+
+  /** Land one batch's band rows as `bands/sb=<seg>/bp=N` and commit it
+    * (marker written LAST — readers gate on it). A pre-existing
+    * uncommitted dir is a torn prior attempt: reclaimed by rewrite.
+    */
+  private def writeBandSegment(df: DataFrame, id: Column, text: Column,
+                               path: String, shingleSize: Int,
+                               numHashes: Int, rowsPerBand: Int,
+                               buckets: Int, targetRows: Long,
+                               spread: Int, seg: Long): Unit = {
+    val spark = df.sparkSession
+    val f = graft.operators.SegmentFs.fs(spark, path)
+    val segDir = new org.apache.hadoop.fs.Path(s"$path/bands/sb=$seg")
+    if (f.exists(segDir)) f.delete(segDir, true): Unit
     graft.sources.Compaction.writeSized(
-      bandRows(df, id, text, shingleSize, numHashes, rowsPerBand, buckets,
-        srcBatch),
-      s"$path/bands", Seq("bp"), col("id"), targetRows, spread,
-      mode = "append")
+      bandRows(df, id, text, shingleSize, numHashes, rowsPerBand, buckets)
+        .drop("sb"), // sb is the segment DIRECTORY, not a data column
+      s"$path/bands/sb=$seg", Seq("bp"), col("id"), targetRows, spread)
+    spark.range(1).select(lit(seg).as("k"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/commits/k=$seg")
+  }
+
+  private def lshCommittedSegs(spark: org.apache.spark.sql.SparkSession,
+                               path: String): Seq[Long] =
+    graft.operators.SegmentFs.listVersions(spark, s"$path/commits", "k")
 
   // `sb` tags each band row with the micro-batch that appended it
   // (−1 for batch builds): [[probeLshBandIndex]] can then exclude a
   // replayed batch's own earlier rows, which is what makes the
-  // [[nearDupSink]] recompute idempotent at any crash point.
+  // [[nearDupSink]] recompute idempotent at any crash point. In the
+  // persisted index sb is the segment directory; the inline column
+  // here serves the un-persisted probe side.
   private def bandRows(df: DataFrame, id: Column, text: Column,
                        shingleSize: Int, numHashes: Int, rowsPerBand: Int,
-                       buckets: Int, srcBatch: Long): DataFrame =
+                       buckets: Int, srcBatch: Long = -1L): DataFrame =
     df.select(id.cast("long").as("id"),
         graft.expressions.TokenMinHash(text, shingleSize,
           minhashCoeffs(numHashes)).as("sig"))
@@ -371,9 +416,14 @@ object Dedup {
       .withColumnRenamed("sig", "b_sig")
     val bps = bb.select(col("bp")).distinct()
       .collect().map(_.getLong(0)).sorted
+    // COMMITTED segments only (minus the replaying batch's own): a
+    // torn append never had its marker written, so its partial rows
+    // are invisible here — both filters are partition-directory prunes
+    val visible = lshCommittedSegs(spark, path)
+      .filterNot(s => excludeBatch.contains(s))
     val idx = spark.read.schema(bandIndexSchema).parquet(s"$path/bands")
       .where(col("bp").isin(bps: _*))
-      .where(excludeBatch.map(b => col("sb") =!= lit(b)).getOrElse(lit(true)))
+      .where(col("sb").isin(visible: _*))
     idx.join(broadcast(bb.select(col("id_batch"), col("b_sig"), col("bk"))),
         Seq("bk"))
       .where(col("id") =!= col("id_batch"))
@@ -439,7 +489,7 @@ object Dedup {
         try {
           kept.write.mode("overwrite").parquet(s"$outDir/b=$batchId")
           appendLshBandIndex(kept, col(idName), col(textName), path,
-            buckets = buckets, srcBatch = batchId)
+            buckets = buckets, srcBatch = batchId): Unit
         } finally { kept.unpersist(): Unit }
     }
 

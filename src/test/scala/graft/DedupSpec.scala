@@ -379,6 +379,68 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("band index appends are commit-gated: torn appends invisible, replays no-op") {
+    import java.nio.file.{Files, Paths, Path}
+    import scala.jdk.CollectionConverters._
+    def walk[A](dir: String)(f: Iterator[Path] => A): A = {
+      val s = Files.walk(Paths.get(dir))
+      try f(s.iterator().asScala) finally s.close()
+    }
+    def snapshot(dir: String): Seq[(String, Long, Long)] =
+      walk(dir)(_.filter(Files.isRegularFile(_))
+        .map(p => (Paths.get(dir).relativize(p).toString, Files.size(p),
+          Files.getLastModifiedTime(p).toMillis)).toSeq.sortBy(_._1))
+    def rmTree(dir: String): Unit =
+      walk(dir)(_.toSeq).sortBy(-_.getNameCount)
+        .foreach(Files.delete(_))
+    val idx = Scratch.dir("lsh_gate") + "/lsh"
+    Dedup.saveLshBandIndex(
+      Seq((1L, "the quick brown fox jumps over the lazy dog again today yes"))
+        .toDF("doc_id", "text"), $"doc_id", $"text", idx, buckets = 8)
+    val newDoc = Seq(
+      (4L, "nothing here resembles anything stored in the corpus at all"))
+      .toDF("doc_id", "text")
+    assert(Dedup.appendLshBandIndex(newDoc, $"doc_id", $"text", idx,
+      buckets = 8, srcBatch = 3L) == 3L)
+    val batch = Seq(
+      (11L, "nothing here resembles anything stored in the corpus at all"))
+      .toDF("doc_id", "text")
+    def probePairs() = rows(Dedup.probeLshBandIndex(spark, idx, batch,
+        $"doc_id", $"text", buckets = 8))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probePairs().contains((11L, 4L)))
+    // replaying a COMMITTED batch id is a complete no-op: same return,
+    // not one byte of the index rewritten
+    val before = snapshot(idx)
+    assert(Dedup.appendLshBandIndex(newDoc, $"doc_id", $"text", idx,
+      buckets = 8, srcBatch = 3L) == 3L)
+    assert(snapshot(idx) == before, "replay must not touch the index")
+    // a torn append (data landed, crash before the commit marker) is
+    // INVISIBLE to probes...
+    val spainDoc = Seq(
+      (7L, "rain in spain falls mainly on the plain every single year"))
+      .toDF("doc_id", "text")
+    assert(Dedup.appendLshBandIndex(spainDoc, $"doc_id", $"text", idx,
+      buckets = 8, srcBatch = 5L) == 5L)
+    val batch7 = Seq(
+      (17L, "rain in spain falls mainly on the plain every single year"))
+      .toDF("doc_id", "text")
+    def probe7() = rows(Dedup.probeLshBandIndex(spark, idx, batch7,
+        $"doc_id", $"text", buckets = 8)).map(_.getLong(1)).toSet
+    assert(probe7().contains(7L))
+    rmTree(s"$idx/commits/k=5") // simulate the crash point
+    assert(!probe7().contains(7L), "torn segment must be invisible")
+    // ...and the replayed append REWRITES the torn segment, recommits
+    assert(Dedup.appendLshBandIndex(spainDoc, $"doc_id", $"text", idx,
+      buckets = 8, srcBatch = 5L) == 5L)
+    assert(probe7().contains(7L))
+    // a negative srcBatch auto-assigns the next free segment id
+    assert(Dedup.appendLshBandIndex(
+      Seq((8L, "completely fresh words unlike all previous sentences here"))
+        .toDF("doc_id", "text"),
+      $"doc_id", $"text", idx, buckets = 8) == 6L)
+  }
+
   test("nearDupSink: streaming ingest dedups vs corpus, within batch, across batches; replay idempotent") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
