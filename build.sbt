@@ -35,3 +35,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // never the bench JSON.
 run / outputStrategy := Some(StdoutOutput)
 showSuccess := false
+Global / excludeLintKeys += showSuccess

@@ -180,6 +180,57 @@ object SparkEntry {
     fact.join(broadcast(dim), col("c_nationkey") === col("nk"))
   }
 
+  /** The g11 day-partitioned production store: land the feed + FREEZE
+    * the drift reference distribution (private[graft] so the specs can
+    * pin DPP pruning and untouched-file identity on a controlled
+    * store). `ev` must carry (day DATE, event_type, value, user_id).
+    * The reference — the whole initial feed's a20-style (stratum, v, c)
+    * value distribution under stratum `__ref` — is pinned at land time
+    * ON PURPOSE: restating a day re-scores THAT day against the same
+    * yardstick instead of moving the yardstick under every other day,
+    * which is exactly what keeps the re-derive single-partition.
+    */
+  private[graft] def g11Land(ev: DataFrame, base: String): Unit = {
+    ev.write.mode("overwrite").partitionBy("day").parquet(s"$base/store")
+    operators.Sketches.distributionCounts(ev, lit("__ref"), col("value"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/ref")
+  }
+
+  /** One g11 dashboard slice over `days` (None = every day): per
+    * (day, event_type) row counts + value sums, per-day KS drift vs
+    * the frozen `__ref` distribution and its Smirnov breach verdict
+    * (the a21 discipline — raw ks against the bound, c(α) a shared
+    * driver-side literal; ks rounds for display only). The day
+    * restriction is a BROADCAST join ON the partition column, so the
+    * store scan carries a `dynamicpruning` partition filter — a
+    * single-day re-derive reads exactly one partition's files however
+    * many days the store holds.
+    */
+  private[graft] def g11Summary(s: SparkSession, base: String,
+                                days: Option[DataFrame]): DataFrame = {
+    val store = s.read.parquet(s"$base/store")
+    val slice = days.map(dd => store.join(broadcast(dd), "day"))
+      .getOrElse(store)
+    val roll = slice.groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), fround(sum(col("value")), 2).as("sum_v"))
+    val ref = s.read.parquet(s"$base/ref")
+    val counts = operators.Sketches.distributionCounts(slice,
+        col("day").cast("string"), col("value"))
+      .unionByName(ref)
+    val smir = operators.Sketches.smirnovC(remixAlpha)
+    val drift = operators.Sketches.ksFromDistribution(counts, "__ref")
+      .crossJoin(broadcast(ref.agg(sum(col("c")).as("_nr"))))
+      .select(col("stratum"), fround(col("ks"), 6).as("ks"),
+        (col("ks") > lit(smir) *
+          sqrt((col("n") + col("_nr")).cast("double") /
+            (col("n").cast("double") * col("_nr").cast("double"))))
+          .as("breached"))
+    roll.join(broadcast(drift),
+        roll("day").cast("string") === drift("stratum"))
+      .select(col("day"), col("event_type"), col("n"), col("sum_v"),
+        col("ks"), col("breached"))
+  }
+
   /** 16 common CJK ideographs (all inside TA.cjkRange) for deterministic
     * Chinese-text injection: the corpus is pure ASCII, so ta7 and its
     * oracle synthesize CJK text from doc_id IDENTICALLY on both sides
@@ -856,13 +907,22 @@ object SparkEntry {
       // into a census over the bounded rounded-key spine plus a
       // within-key prefix sum (never a global corpus sort); output
       // rows carry start_tok, so the selection IS the serve schedule.
-      val w = Classify.dsirWeights(t(s, dir, "documents"), col("doc_id"),
-          col("text"), col("lang") <=> "en", 4096)
-        .select(col("doc_id"), col("n_tok"),
-          fround(col("avg_logratio"), 6).as("logratio"))
-      Sampling.weightedTokenSample(w, col("doc_id"),
-          Sampling.detExp(lit(2.0) * col("logratio")), col("n_tok"),
-          budgetPct = 25, salt = "dsir")
+      // The KEYED weights stage to scratch first (the g10/tq7
+      // discipline): the budget cut consumes the keyed frame three
+      // times (census, total, prefix), and staging runs the tokenize-
+      // heavy fit AND the md5+sqrt-chain key projection once — at
+      // 100 TB both are tq2-style landed artifacts anyway.
+      val staged = scratchDir("graft_x5")
+      Sampling.withSelectionKey(
+          Classify.dsirWeights(t(s, dir, "documents"), col("doc_id"),
+              col("text"), col("lang") <=> "en", 4096)
+            .select(col("doc_id"), col("n_tok"),
+              fround(col("avg_logratio"), 6).as("logratio")),
+          col("doc_id"),
+          Sampling.detExp(lit(2.0) * col("logratio")), "dsir")
+        .write.mode("overwrite").parquet(staged)
+      Sampling.tokenBudgetCut(s.read.parquet(staged), col("doc_id"),
+          col("n_tok"), budgetPct = 25)
         .select(col("doc_id"), col("n_tok"), col("logratio"),
           col("sel_key"), col("start_tok"))
         .orderBy(col("sel_key").desc, col("doc_id"))
@@ -2007,6 +2067,44 @@ object SparkEntry {
           fround(col("ks"), 6).as("ks"), col("breached"), col("thr"))),
           Seq("lang"), "left")
         .orderBy(col("lang"))
+    }),
+
+    "g11_restated_day" -> ((s, dir) => {
+      // G11 — the BACKFILL product, fusing s16's dynamic restatement,
+      // s14's DPP-pruned reads and the a20/a21 drift state into the
+      // operation a 100 TB operator actually runs: one day's feed was
+      // bad, so restate THAT day and re-derive the dashboard/drift
+      // rows for THAT day — reading and rewriting exactly one
+      // partition of each store while every other day's files stay
+      // byte-identical (spec-pinned, with the `dynamicpruning` scan
+      // guard). Flow: land the feed day-partitioned + freeze the
+      // drift reference → build the full dashboard (per-day counts /
+      // sums / KS-vs-ref / Smirnov breach) → the corrected feed
+      // (even-user rows of the earliest day, the s16 convention; the
+      // day never touches the driver) dynamic-overwrites its store
+      // partition → the summary re-derive joins the store against the
+      // broadcast day frame (DPP prunes the scan to day=d0) and
+      // dynamic-overwrites only that summary partition. Output is the
+      // read-back dashboard; the oracle replays land+restate+KS
+      // relationally.
+      val base = scratchDir("graft_g11")
+      val ev = t(s, dir, "events").select(
+        to_date(col("ts")).as("day"), col("event_type"), col("value"),
+        col("user_id"))
+      g11Land(ev, base)
+      g11Summary(s, base, None)
+        .write.mode("overwrite").partitionBy("day").parquet(s"$base/summary")
+      val d0 = ev.groupBy().agg(min(col("day")).as("day"))
+      ev.join(broadcast(d0), "day").filter(col("user_id") % 2 === 0)
+        .write.mode("overwrite").partitionBy("day")
+        .option("partitionOverwriteMode", "dynamic").parquet(s"$base/store")
+      g11Summary(s, base, Some(d0))
+        .write.mode("overwrite").partitionBy("day")
+        .option("partitionOverwriteMode", "dynamic").parquet(s"$base/summary")
+      s.read.parquet(s"$base/summary")
+        .select(col("day").cast("string").as("day"), col("event_type"),
+          col("n"), col("sum_v"), col("ks"), col("breached"))
+        .orderBy(col("day"), col("event_type"))
     }),
 
     "g8_ingest_corpus" -> ((s, dir) => {
@@ -6388,6 +6486,46 @@ object SparkEntry {
          LEFT JOIN nl l2 USING (lang)
          LEFT JOIN drift dr USING (lang)
          ORDER BY n.lang"""
+    },
+
+    "g11_restated_day" -> {
+      // land + single-day restatement replayed relationally (the s16
+      // shape), then the a20 KS chain per day vs the FROZEN whole-feed
+      // reference and the a21 breach rule with c(α) as a shared
+      // driver-side literal; v discretized exactly like
+      // Sketches.distributionCounts at scale 0
+      val smir = operators.Sketches.smirnovC(remixAlpha)
+      s"""WITH ev AS (
+           SELECT (ts::TIMESTAMP)::DATE AS day, event_type, value, user_id
+           FROM events),
+         d0 AS (SELECT min(day) AS day FROM ev),
+         store AS (
+           SELECT * FROM ev WHERE day <> (SELECT day FROM d0)
+           UNION ALL
+           SELECT * FROM ev
+           WHERE day = (SELECT day FROM d0) AND user_id % 2 = 0),
+         roll AS (
+           SELECT day, event_type, count(*)::BIGINT AS n,
+             ${sqlFround("sum(value)", 2)} AS sum_v
+           FROM store GROUP BY 1, 2),
+         dc AS (
+           SELECT day::VARCHAR AS stratum,
+             floor(value * 1.0 + 0.5)::BIGINT AS v, count(*)::BIGINT AS c
+           FROM store WHERE value IS NOT NULL GROUP BY 1, 2
+           UNION ALL
+           SELECT '__ref', floor(value * 1.0 + 0.5)::BIGINT AS v,
+             count(*)::BIGINT AS c
+           FROM ev WHERE value IS NOT NULL GROUP BY 2),
+         ${sqlKsCtes("g", "dc", "__ref")},
+         drift AS (
+           SELECT k.stratum, ${sqlFround("k.ks_raw", 6)} AS ks,
+             k.ks_raw > $smir * sqrt((k.n + nr.n_r)::DOUBLE /
+               (k.n::DOUBLE * nr.n_r::DOUBLE)) AS breached
+           FROM gks k CROSS JOIN gnr nr)
+         SELECT r.day::VARCHAR AS day, r.event_type, r.n, r.sum_v,
+           d.ks, d.breached
+         FROM roll r JOIN drift d ON r.day::VARCHAR = d.stratum
+         ORDER BY day, event_type"""
     },
 
     "g8_ingest_corpus" -> {

@@ -411,10 +411,22 @@ object Sampling {
     */
   def weightedTokenSample(df: DataFrame, id: Column, weight: Column,
                           nTok: Column, budgetPct: Int,
-                          salt: String): DataFrame = {
+                          salt: String): DataFrame =
+    tokenBudgetCut(withSelectionKey(df, id, weight, salt), id, nTok,
+      budgetPct)
+
+  /** The token-budget cut alone, over an ALREADY-KEYED frame (a
+    * `sel_key` column as [[withSelectionKey]] emits). Split out
+    * because the cut consumes the keyed frame three times (census,
+    * total, prefix): callers that stage the keyed frame first (x5's
+    * scratch landing — at corpus scale the keyed table is an artifact
+    * you land anyway) pay the md5 + sqrt-chain key projection ONCE
+    * instead of once per consumer.
+    */
+  def tokenBudgetCut(keyedIn: DataFrame, id: Column, nTok: Column,
+                     budgetPct: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val keyed = withSelectionKey(df, id, weight, salt)
-      .withColumn("_nt", nTok.cast("long"))
+    val keyed = keyedIn.withColumn("_nt", nTok.cast("long"))
     // Bounded key spine: tokens per distinct rounded key, cumulative
     // mass of all STRICTLY higher keys = the key's global start offset.
     val census = keyed.groupBy(col("sel_key"))

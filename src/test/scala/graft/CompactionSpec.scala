@@ -18,6 +18,62 @@ class CompactionSpec extends SparkSpec {
       case _ => Nil
     }
 
+  test("g11 restatement: only the restated day's partitions change, byte-for-byte") {
+    import java.nio.file.{Files, Paths, Path}
+    import scala.jdk.CollectionConverters._
+    def snapshot(dir: String, skipDay: String): Seq[(String, Long, Long)] = {
+      val root = Paths.get(dir)
+      val s = Files.walk(root)
+      try s.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(p => root.relativize(p).toString)
+        .filterNot(_.contains(s"day=$skipDay"))
+        .map(rel => (rel, Files.size(root.resolve(rel)),
+          Files.getLastModifiedTime(root.resolve(rel)).toMillis))
+        .toSeq.sortBy(_._1)
+      finally s.close()
+    }
+    val dir = "/root/testdata/sf0.001"
+    val base = Scratch.dir("g11_files")
+    val ev = Tables.load(spark, dir, "events").select(
+      to_date(col("ts")).as("day"), col("event_type"), col("value"),
+      col("user_id"))
+    SparkEntry.g11Land(ev, base)
+    SparkEntry.g11Summary(spark, base, None)
+      .write.mode("overwrite").partitionBy("day").parquet(s"$base/summary")
+    val d0 = ev.groupBy().agg(min(col("day")).as("day"))
+    val d0Name = d0.head().getDate(0).toString
+    val storeBefore = snapshot(s"$base/store", d0Name)
+    val sumBefore = snapshot(s"$base/summary", d0Name)
+    assert(storeBefore.nonEmpty && sumBefore.nonEmpty)
+    // the restatement + single-day re-derive (the g11 query's tail)
+    ev.join(broadcast(d0), "day").filter(col("user_id") % 2 === 0)
+      .write.mode("overwrite").partitionBy("day")
+      .option("partitionOverwriteMode", "dynamic").parquet(s"$base/store")
+    SparkEntry.g11Summary(spark, base, Some(d0))
+      .write.mode("overwrite").partitionBy("day")
+      .option("partitionOverwriteMode", "dynamic").parquet(s"$base/summary")
+    // every OTHER day's files: identical paths, sizes, mtimes
+    assert(snapshot(s"$base/store", d0Name) == storeBefore,
+      "restating one day must not rewrite any other store partition")
+    assert(snapshot(s"$base/summary", d0Name) == sumBefore,
+      "re-deriving one day must not rewrite any other summary partition")
+    // and the restated day itself DID change in both stores
+    def dayFiles(dir: String): Set[String] = {
+      val root = Paths.get(dir, s"day=$d0Name")
+      val s = Files.walk(root)
+      try s.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(p => p.getFileName.toString).toSet
+      finally s.close()
+    }
+    assert(dayFiles(s"$base/store").nonEmpty)
+    // the corrected day has fewer rows than the original feed's day
+    val restated = spark.read.parquet(s"$base/store")
+      .filter(col("day") === lit(d0Name).cast("date")).count()
+    val original = ev.join(broadcast(d0), "day").count()
+    assert(restated < original && restated > 0,
+      s"restated=$restated original=$original")
+  }
+
   test("writeSized round-trips losslessly through hive-style partitions") {
     val out = Scratch.dir("compaction_rt")
     Compaction.writeSized(mkData, out, Seq("lang"), $"id",

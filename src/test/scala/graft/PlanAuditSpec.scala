@@ -523,6 +523,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<c_acctbal:double>"), plan)
   }
 
+  test("g11 single-day re-derive: store scan carries a dynamicpruning partition filter") {
+    val dir = "/root/testdata/sf0.001"
+    val base = Scratch.dir("graft_g11spec")
+    val ev = Tables.load(spark, dir, "events").select(
+      to_date(col("ts")).as("day"), col("event_type"), col("value"),
+      col("user_id"))
+    SparkEntry.g11Land(ev, base)
+    val d0 = ev.groupBy().agg(min(col("day")).as("day"))
+    val plan = SparkEntry.g11Summary(spark, base, Some(d0))
+      .queryExecution.executedPlan.toString
+    // the restated-day slice joins the store on its PARTITION column
+    // against a broadcast 1-row day frame: the build side must become
+    // a runtime partition filter — losing it (a cast slipping onto the
+    // partition attribute, a lost partitionBy) silently reverts the
+    // backfill to reading all 365 days
+    assert(plan.contains("dynamicpruning"),
+      s"store scan lost its dynamic partition filter:\n$plan")
+  }
+
   test("x7 hard negatives: one bm25 pass, bounded positives broadcast back") {
     val dir = "/root/testdata/sf0.001"
     val q = SparkEntry.queries("x7_hard_negatives")(spark, dir)
