@@ -50,6 +50,21 @@ object SparkEntry {
   private val bm25B = 0.75
   private val rrfK = 60
 
+  /** v21's nDCG@10 discounts 1/log2(i+1), i = 1..10, QUANTIZED to the
+    * dyadic 2⁻²⁰ grid so the per-query rel·disc sums are IEEE-exact in
+    * any order (the s17/DSIR trick). The one libm log2 runs here,
+    * driver-side, once — both engines consume identical literals.
+    */
+  private val ndcgDiscounts: Seq[Double] = (1 to 10).map { i =>
+    math.floor(1.0 / (math.log(i + 1.0) / math.log(2.0)) * 1048576.0 +
+      0.5) / 1048576.0
+  }
+
+  /** Ideal DCG of v21's gold list (graded rel 5..1 at ranks 1..5) —
+    * an exact dyadic sum, one shared literal. */
+  private val ndcgIdcg5: Double =
+    (1 to 5).map(i => (6 - i) * ndcgDiscounts(i - 1)).sum
+
   /** v18 PQ constants shared by the query and its oracle: m subspaces
     * × subDim dims (m·subDim = the 64-dim embedding), k centroids per
     * codebook, Lloyd iterations, ADC rerank depth.
@@ -3285,6 +3300,67 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "v21_retrieval_eval" -> ((s, dir) => {
+      // V21 — the retrieval EVALUATION harness (beyond the reference):
+      // judge the engine's three retrieval legs — BM25 lexical, dense
+      // cosine, RRF hybrid — with the standard IR metrics recall@10,
+      // MRR@10, nDCG@10 against a gold ranking. Gold = the exact
+      // brute-cosine top-5 per query with graded relevance 5..1, so
+      // the dense row scores 1.0 BY CONSTRUCTION (the harness sanity
+      // row) and the bm25/rrf rows measure lexical/hybrid agreement
+      // with the semantic gold — the eval loop a retrieval stack runs
+      // after every index/codebook/weight change. Determinism: ranks
+      // come from 6dp-rounded scores with doc_id tiebreaks, the nDCG
+      // discounts are shared dyadic-grid literals (per-query DCG sums
+      // exactly in any order), and MRR/recall are exact rationals per
+      // query averaged over a bounded query set.
+      val d = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      val nq = bm25Queries.size
+      val lex20 = Rag.bm25(d.filter(col("doc_id") >= nq), col("doc_id"),
+          col("text"), bm25Queries, bm25K1, bm25B)
+        .select(col("query_id"), col("doc_id"),
+          fround(col("score"), 6).as("s"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("s").desc, col("doc_id"))))
+        .filter(col("rank") <= 20).drop("s")
+      val dense20 = Similarity.topKPerQuery(
+          e.filter(col("vec_id") >= nq), col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < nq), col("vec_id"), col("embedding"),
+          k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val hyb10 = Rag.rrfFuse(Seq(lex20, dense20), rrfK)
+        .select(col("query_id"), col("doc_id"),
+          fround(col("rrf"), 6).as("r"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("r").desc, col("doc_id"))))
+        .filter(col("rank") <= 10).drop("r")
+      val gold = dense20.filter(col("rank") <= 5)
+        .select(col("query_id"), col("doc_id"),
+          (lit(6) - col("rank")).cast("long").as("rel"))
+      def sys(name: String, df: DataFrame) =
+        df.filter(col("rank") <= 10).select(lit(name).as("method"),
+          col("query_id"), col("doc_id"), col("rank"))
+      val runs = sys("bm25", lex20)
+        .unionByName(sys("dense", dense20))
+        .unionByName(sys("rrf", hyb10))
+      runs.join(broadcast(gold), Seq("query_id", "doc_id"), "left")
+        .withColumn("rel", coalesce(col("rel"), lit(0L)))
+        .withColumn("disc", element_at(typedLit(ndcgDiscounts), col("rank")))
+        .groupBy(col("method"), col("query_id"))
+        .agg(sum(col("rel").cast("double") * col("disc")).as("dcg"),
+          sum(when(col("rel") > 0, 1.0).otherwise(0.0)).as("hits"),
+          max(when(col("rel") > 0, lit(1.0) / col("rank").cast("double"))
+            .otherwise(lit(0.0))).as("rr"))
+        .groupBy(col("method"))
+        .agg(fround(avg(col("hits") / lit(5.0)), 6).as("recall_at_10"),
+          fround(avg(col("rr")), 6).as("mrr_at_10"),
+          fround(avg(col("dcg") / lit(ndcgIdcg5)), 6).as("ndcg_at_10"))
+        .orderBy(col("method"))
+    }),
+
     "v16_hybrid_rrf" -> ((s, dir) => {
       // Hybrid retrieval: the BM25 lexical leg fused with the dense
       // cosine leg by reciprocal-rank fusion (Rag.rrfFuse, k=60).
@@ -5875,6 +5951,56 @@ object SparkEntry {
          SELECT query_id, doc_id, score, row_number() OVER (
              PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
          FROM lexsc QUALIFY rank <= 10 ORDER BY query_id, rank""",
+
+    "v21_retrieval_eval" -> {
+      // the v16 two-leg replay + RRF, then gold (dense top-5, graded),
+      // run unions, metric rollup; nDCG discounts / IDCG are the SAME
+      // driver-side dyadic literals as the Spark side
+      val discVals = (1 to 10)
+        .map(i => s"($i, ${ndcgDiscounts(i - 1)})").mkString(", ")
+      s"""WITH ${sqlBm25(s"doc_id >= ${bm25Queries.size}")},
+         lex AS (SELECT query_id, doc_id, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+           FROM lexsc QUALIFY rank <= 20),
+         dq AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < ${bm25Queries.size}),
+         dd AS (SELECT vec_id AS doc_id, embedding AS dv
+           FROM embeddings WHERE vec_id >= ${bm25Queries.size}),
+         dsim AS (SELECT query_id, doc_id,
+             ${sqlCosine64("dv", "qv")} AS cosine FROM dd, dq),
+         dense AS (SELECT query_id, doc_id, row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rank
+           FROM dsim QUALIFY rank <= 20),
+         fused AS (SELECT query_id, doc_id,
+             ${sqlFround(s"sum(1.0 / ($rrfK + rank))", 6)} AS rrf
+           FROM (SELECT * FROM lex UNION ALL SELECT * FROM dense)
+           GROUP BY 1, 2),
+         hyb AS (SELECT query_id, doc_id, row_number() OVER (
+             PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+           FROM fused QUALIFY rank <= 10),
+         gold AS (SELECT query_id, doc_id, (6 - rank)::BIGINT AS rel
+           FROM dense WHERE rank <= 5),
+         runs AS (
+           SELECT 'bm25' AS method, query_id, doc_id, rank
+           FROM lex WHERE rank <= 10
+           UNION ALL SELECT 'dense', query_id, doc_id, rank
+           FROM dense WHERE rank <= 10
+           UNION ALL SELECT 'rrf', query_id, doc_id, rank FROM hyb),
+         disc(rank, disc) AS (VALUES $discVals),
+         perq AS (SELECT method, r.query_id,
+             sum(coalesce(g.rel, 0)::DOUBLE * d.disc) AS dcg,
+             sum(CASE WHEN g.rel IS NOT NULL THEN 1.0 ELSE 0.0 END) AS hits,
+             max(CASE WHEN g.rel IS NOT NULL THEN 1.0 / r.rank
+               ELSE 0.0 END) AS rr
+           FROM runs r JOIN disc d USING (rank)
+           LEFT JOIN gold g
+             ON g.query_id = r.query_id AND g.doc_id = r.doc_id
+           GROUP BY 1, 2)
+         SELECT method, ${sqlFround("avg(hits / 5.0)", 6)} AS recall_at_10,
+           ${sqlFround("avg(rr)", 6)} AS mrr_at_10,
+           ${sqlFround(s"avg(dcg / $ndcgIdcg5)", 6)} AS ndcg_at_10
+         FROM perq GROUP BY method ORDER BY method"""
+    },
 
     "v16_hybrid_rrf" ->
       // Both legs replayed end to end: the BM25 chain over doc_id >= nq,
