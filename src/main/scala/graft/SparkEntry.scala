@@ -3471,6 +3471,39 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "v22_filtered_ann" -> ((s, dir) => {
+      // V22 — FILTERED ANN over the persisted IVF index (beyond the
+      // reference; the vector-store filtered-query shape): a metadata
+      // predicate on the doc table (lang = 'en', doc_id = vec_id
+      // pairing) becomes a doc_id allow-set that PRE-filters the
+      // pruned inverted lists via semi-join before ranking — candidate
+      // volume shrinks with predicate selectivity, where post-
+      // filtering a top-k under-fills and re-probes. Same persisted
+      // geometry as v11 (centroids = rows 0-7, corpus = rows ≥ 13,
+      // queries = rows 8-12, nprobe 3); the oracle replays assignment,
+      // probe, filter, and rank relationally.
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("long"),
+          col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
+      val idx = scratchDir("graft_v22") + "/ivf"
+      Similarity.saveIvfIndex(
+        e.filter(col("vec_id") >= 13), col("vec_id"), col("embedding"),
+        cents, idx, targetRows = 10000L, spread = 2)
+      val allowed = t(s, dir, "documents").filter(col("lang") === "en")
+        .select(col("doc_id"))
+      Similarity.ivfTopKIndexed(s, idx,
+          e.filter(col("vec_id") >= 8 && col("vec_id") < 13),
+          col("vec_id").as("query_id"), col("embedding"),
+          k = 4, nprobe = 3, allowed = Some(allowed))
+        .select(col("query_id"), col("doc_id"),
+          fround(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "v11_ivf_persisted" -> ((s, dir) => {
       // The IVF build-once/probe-many lifecycle (the bloom save/load
       // pattern, for ANN): index persists as centroids + hive-
@@ -6079,6 +6112,38 @@ object SparkEntry {
            FROM probes JOIN assign USING (cid))
          SELECT query_id, doc_id, floor((cosine) * 1e6 + 0.5) / 1e6 AS cosine, rank
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "v22_filtered_ann" ->
+      // v11's assignment/probe replay + the allow-set filter composed
+      // BEFORE the rank (pre-filter semantics)
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv
+             FROM embeddings WHERE vec_id < 8),
+         d AS (SELECT vec_id AS doc_id, embedding AS dv
+             FROM embeddings WHERE vec_id >= 13),
+         q AS (SELECT vec_id AS query_id, embedding AS qv
+             FROM embeddings WHERE vec_id >= 8 AND vec_id < 13),
+         allowed AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+         assign AS (
+           SELECT doc_id, dv, cid FROM (
+             SELECT doc_id, dv, cid, row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY ${sqlCosine64("dv", "cv")} DESC, cid) AS rn
+             FROM d, c) WHERE rn = 1),
+         probes AS (
+           SELECT query_id, qv, cid FROM (
+             SELECT query_id, qv, cid, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY ${sqlCosine64("qv", "cv")} DESC, cid) AS rn
+             FROM q, c) WHERE rn <= 3),
+         ranked AS (
+           SELECT query_id, doc_id,
+             ${sqlCosine64("dv", "qv")} AS cosine,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY ${sqlCosine64("dv", "qv")} DESC, doc_id) AS rank
+           FROM probes JOIN assign USING (cid) JOIN allowed USING (doc_id))
+         SELECT query_id, doc_id, floor((cosine) * 1e6 + 0.5) / 1e6 AS cosine,
+           rank
+         FROM ranked WHERE rank <= 4 ORDER BY query_id, rank""",
 
     "v11_ivf_persisted" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv

@@ -705,10 +705,18 @@ object Similarity {
     * collects to the driver to become a literal partition filter on the
     * list scan. Output matches [[ivfTopK]]: query_id, doc_id, cosine,
     * rank.
+    *
+    * FILTERED search (`allowed` = a one-column `doc_id` allow-set,
+    * typically a metadata predicate over the doc table): candidates
+    * PRE-filter via a semi-join on the pruned lists, the vector-store
+    * filtered-query shape — exactness is unchanged (the filter composes
+    * before the rank, so results equal brute-force top-k over the
+    * allowed subset within the probed lists).
     */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                      queries: DataFrame, queryId: Column, queryVec: Column,
-                     k: Int, nprobe: Int): DataFrame = {
+                     k: Int, nprobe: Int,
+                     allowed: Option[DataFrame] = None): DataFrame = {
     val cents = loadIvfCentroids(spark, path)
     val q = queries.select(queryId.as("query_id"),
       queryVec.cast("array<float>").as("qv"))
@@ -722,8 +730,16 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("pc.cid").as("cid"))
     val probedCids = probes.select(col("cid")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val lists = ivfLists(spark, path)
+    val lists0 = ivfLists(spark, path)
       .filter(col("cid").isin(probedCids.toIndexedSeq: _*))
+    // PRE-filter: the allow-set semi-joins the pruned lists BEFORE any
+    // ranking, so candidate volume shrinks with predicate selectivity
+    // (post-filtering a top-k instead under-fills and re-probes). The
+    // join strategy is Catalyst's call — a small allow-set broadcasts,
+    // a corpus-sized one shuffle-semi-joins; partition pruning by cid
+    // is untouched either way.
+    val lists = allowed.fold(lists0)(a =>
+      lists0.join(a.select(col("doc_id")), Seq("doc_id"), "left_semi"))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("doc_id"))
     probes.join(lists, "cid")

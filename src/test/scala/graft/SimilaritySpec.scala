@@ -98,6 +98,34 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("cid"), plan)
   }
 
+  test("filtered IVF probe: allow-set pre-filters candidates, equals filtered brute top-k") {
+    val cents = Seq((0L, b1.map(_.toDouble).toSeq),
+      (1L, b2.map(_.toDouble).toSeq))
+    val idx = Scratch.dir("ivf_filt") + "/ivf"
+    Similarity.saveIvfIndex(corpus, $"id", $"v", cents, idx,
+      targetRows = 100L, spread = 2)
+    val queries = queryData.toDF("qid", "qv")
+    val allow = Set(2L, 3L, 5L)
+    val got = rows(Similarity.ivfTopKIndexed(spark, idx, queries,
+        $"qid", $"qv", k = 3, nprobe = 2,
+        allowed = Some(allow.toSeq.toDF("doc_id")))
+      .orderBy($"query_id", $"rank")).map(r => (r.getLong(0), r.getLong(1)))
+    // nprobe = all lists ⇒ pre-filtered probe must equal brute top-k
+    // over the allowed subset exactly
+    val brute = rows(Similarity.topKPerQuery(
+        corpus.filter($"id".isin(allow.toSeq: _*)), $"id", $"v",
+        queries, $"qid", $"qv", k = 3)
+      .orderBy($"query_id", $"rank")).map(r => (r.getLong(0), r.getLong(1)))
+    assert(got == brute)
+    assert(got.map(_._2).toSet.subsetOf(allow),
+      "a disallowed doc leaked through the filter")
+    // query 100's nearest raw neighbor (doc 1) is disallowed: the
+    // filtered ranks 1-2 must be the OTHER cluster-1 members, never
+    // doc 1 (the third slot falls across to cluster 2's allowed doc)
+    assert(got.filter(_._1 == 100L).take(2).map(_._2).toSet == Set(2L, 3L))
+    assert(got.filter(_._1 == 100L).map(_._2) == Seq(2L, 3L, 5L))
+  }
+
   test("IVF-PQ index: codes-only lists, self-describing books, pruned probe, exact rerank") {
     val cents = Seq((0L, b1.map(_.toDouble).toSeq), (1L, b2.map(_.toDouble).toSeq))
     val books = Similarity.pqCodebooks(corpus, $"id", $"v",
