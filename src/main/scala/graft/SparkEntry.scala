@@ -1517,11 +1517,23 @@ object SparkEntry {
       // broadcasts its own band rows, prunes the index read to the
       // buckets it touches, and the TB-sized index streams map-side
       // through the join — no corpus shuffle, no corpus text re-scan.
+      // The full lifecycle runs under ONE oracle: base build over the
+      // even half, a committed streaming append of the odd half, a
+      // COMPACTION folding both into one merged generation, then the
+      // probe — the oracle replays index MEMBERSHIP over the union, so
+      // it verifies that append and compaction are layout-only.
       val docs = t(s, dir, "documents")
+      val corp = Sampling.hashSample(docs, col("doc_id"), 0.6, "corp")
       val idx = scratchDir("graft_d15") + "/lsh"
       Dedup.saveLshBandIndex(
-        Sampling.hashSample(docs, col("doc_id"), 0.6, "corp"),
+        corp.filter(col("doc_id") % 2 === 0),
         col("doc_id"), col("text"), idx,
+        targetRows = 100000L, spread = 2)
+      Dedup.appendLshBandIndex(
+        corp.filter(col("doc_id") % 2 =!= 0),
+        col("doc_id"), col("text"), idx,
+        targetRows = 100000L, spread = 2, srcBatch = 0L)
+      Dedup.compactLshBandIndex(s, idx, upTo = 0L,
         targetRows = 100000L, spread = 2)
       Dedup.probeLshBandIndex(s, idx,
           Sampling.hashSample(docs, col("doc_id"), 0.5, "newb"),

@@ -374,6 +374,62 @@ object Dedup {
                                path: String): Seq[Long] =
     graft.operators.SegmentFs.listVersions(spark, s"$path/commits", "k")
 
+  /** Fold every committed band segment ≤ `upTo` into ONE merged
+    * segment — the CountLog/MergeLog compaction discipline for the
+    * band index: a long-running [[nearDupSink]] otherwise accretes a
+    * directory per micro-batch, and probe-side file listing grows with
+    * batch count while the DATA is bounded by the corpus. Returns the
+    * merged segment id, or None when there is nothing to fold.
+    *
+    * Merged generations take NEGATIVE ids descending from the minimum
+    * committed segment (−2, −3, …): they can never collide with
+    * streaming batch ids (≥ 0) or the base build (−1), so a future
+    * `appendLshBandIndex(srcBatch = b)` is never silently no-opped by
+    * a compaction artifact.
+    *
+    * Crash safety, window by window: before the merged commit marker —
+    * the merged dir is torn and invisible, the folded segments intact;
+    * between the marker and the retirements — rows exist twice, which
+    * probes tolerate (candidate pairs are distinct-ed, the estimate is
+    * a pure signature function) and the next compaction folds away;
+    * mid-retirement — same. Retirement deletes each folded segment's
+    * MARKER first (rows turn invisible atomically), dir second.
+    *
+    * `upTo` is the replay watermark: fold ONLY batches the appending
+    * stream's checkpoint has passed, because a replay of a folded
+    * batch id can no longer exclude its own rows by `sb` and would
+    * drop the batch as duplicates of itself.
+    */
+  def compactLshBandIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String, upTo: Long,
+                          targetRows: Long = 1L << 20,
+                          spread: Int = 8): Option[Long] = {
+    val committed = lshCommittedSegs(spark, path)
+    val fold = committed.filter(_ <= upTo)
+    if (fold.size < 2) None
+    else {
+      val gen = math.min(committed.min, -1L) - 1L
+      val rows = spark.read.schema(bandIndexSchema).parquet(s"$path/bands")
+        .where(col("sb").isin(fold: _*))
+        .select(col("id"), col("sig"), col("bk"), col("bp"))
+      val f = graft.operators.SegmentFs.fs(spark, path)
+      val segDir = new org.apache.hadoop.fs.Path(s"$path/bands/sb=$gen")
+      if (f.exists(segDir)) f.delete(segDir, true): Unit
+      graft.sources.Compaction.writeSized(rows, s"$path/bands/sb=$gen",
+        Seq("bp"), col("id"), targetRows, spread)
+      spark.range(1).select(lit(gen).as("k"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/commits/k=$gen")
+      fold.foreach { k =>
+        f.delete(new org.apache.hadoop.fs.Path(s"$path/commits/k=$k"),
+          true): Unit
+        f.delete(new org.apache.hadoop.fs.Path(s"$path/bands/sb=$k"),
+          true): Unit
+      }
+      Some(gen)
+    }
+  }
+
   // `sb` tags each band row with the micro-batch that appended it
   // (−1 for batch builds): [[probeLshBandIndex]] can then exclude a
   // replayed batch's own earlier rows, which is what makes the

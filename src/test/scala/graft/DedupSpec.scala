@@ -441,6 +441,55 @@ class DedupSpec extends SparkSpec {
       $"doc_id", $"text", idx, buckets = 8) == 6L)
   }
 
+  test("band index compaction: probe-invariant, one negative-gen segment, append keeps working") {
+    val docsA = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today yes"),
+      (3L, "rain in spain falls mainly on the plain every single year"))
+      .toDF("doc_id", "text")
+    val docsB = Seq(
+      (4L, "nothing here resembles anything stored in the corpus at all"))
+      .toDF("doc_id", "text")
+    val docsC = Seq(
+      (6L, "an entirely different document about distributed query engines"))
+      .toDF("doc_id", "text")
+    val idx = Scratch.dir("lsh_compact") + "/lsh"
+    Dedup.saveLshBandIndex(docsA, $"doc_id", $"text", idx, buckets = 8)
+    assert(Dedup.appendLshBandIndex(docsB, $"doc_id", $"text", idx,
+      buckets = 8, srcBatch = 0L) == 0L)
+    assert(Dedup.appendLshBandIndex(docsC, $"doc_id", $"text", idx,
+      buckets = 8, srcBatch = 1L) == 1L)
+    val batch = Seq(
+      (11L, "nothing here resembles anything stored in the corpus at all"),
+      (13L, "rain in spain falls mainly on the plain every single year"),
+      (16L, "an entirely different document about distributed query engines"))
+      .toDF("doc_id", "text")
+    def probe() = rows(Dedup.probeLshBandIndex(spark, idx, batch,
+        $"doc_id", $"text", buckets = 8)
+      .select($"id_batch", $"id_corpus").orderBy($"id_batch", $"id_corpus"))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val before = probe()
+    assert(before.map(_._1).toSet == Set(11L, 13L, 16L))
+    // fold base + batch 0 (watermark 0): batch 1 stays its own segment
+    assert(Dedup.compactLshBandIndex(spark, idx, upTo = 0L) == Some(-2L))
+    assert(probe() == before, "compaction must be probe-invariant")
+    def segDirs() = new java.io.File(s"$idx/bands").listFiles()
+      .map(_.getName).toSet
+    assert(segDirs() == Set("sb=-2", "sb=1"), segDirs().toString)
+    // a second pass folds the merged gen + batch 1 into gen -3
+    assert(Dedup.compactLshBandIndex(spark, idx, upTo = 1L) == Some(-3L))
+    assert(probe() == before)
+    assert(segDirs() == Set("sb=-3"), segDirs().toString)
+    // nothing left to fold: no-op
+    assert(Dedup.compactLshBandIndex(spark, idx, upTo = 99L).isEmpty)
+    // fresh appends keep working after compaction, with unpoisoned ids
+    assert(Dedup.appendLshBandIndex(
+      Seq((7L, "completely fresh words unlike all previous sentences here"))
+        .toDF("doc_id", "text"),
+      $"doc_id", $"text", idx, buckets = 8, srcBatch = 2L) == 2L)
+    val after = probe()
+    assert(before.toSet.subsetOf(after.toSet))
+  }
+
   test("nearDupSink: streaming ingest dedups vs corpus, within batch, across batches; replay idempotent") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
