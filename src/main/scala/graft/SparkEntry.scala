@@ -3530,10 +3530,20 @@ object SparkEntry {
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
         .sortBy(_._1).toSeq
+      // full lifecycle under ONE membership oracle (the d15 pattern):
+      // base build over the even half, committed append of the odd
+      // half, compaction folding both into one merged generation, probe
       val idx = scratchDir("graft_v11") + "/ivf"
       Similarity.saveIvfIndex(
-        e.filter(col("vec_id") >= 13), col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") >= 13 && col("vec_id") % 2 === 0),
+        col("vec_id"), col("embedding"),
         cents, idx, targetRows = 10000L, spread = 2)
+      Similarity.appendIvfIndex(s, idx,
+        e.filter(col("vec_id") >= 13 && col("vec_id") % 2 =!= 0),
+        col("vec_id"), col("embedding"),
+        targetRows = 10000L, spread = 2, batchId = Some(0L))
+      Similarity.compactIvfIndex(s, idx, upTo = 0L,
+        targetRows = 10000L, spread = 2)
       Similarity.ivfTopKIndexed(s, idx,
           e.filter(col("vec_id") >= 8 && col("vec_id") < 13),
           col("vec_id").as("query_id"), col("embedding"),

@@ -338,9 +338,11 @@ object Dedup {
                          spread: Int = 8, srcBatch: Long = -1L): Long = {
     val spark = df.sparkSession
     val committed = lshCommittedSegs(spark, path)
+    // auto ids clamp to ≥ 0: after a compaction the max committed id
+    // can be a negative merged generation
     val k =
       if (srcBatch >= 0) srcBatch
-      else committed.lastOption.map(_ + 1).getOrElse(0L)
+      else committed.lastOption.map(m => math.max(m + 1, 0L)).getOrElse(0L)
     if (committed.contains(k)) k // idempotent replay of a committed batch
     else {
       writeBandSegment(df, id, text, path, shingleSize, numHashes,

@@ -547,13 +547,79 @@ object Similarity {
                      targetRows: Long = 1L << 20, spread: Int = 8,
                      batchId: Option[Long] = None): Long = {
     val committed = SegmentFs.listVersions(spark, s"$path/commits", "k")
-    val k = batchId.getOrElse(committed.lastOption.map(_ + 1).getOrElse(1L))
+    // auto ids clamp to ≥ 1: after a compaction the max committed id
+    // can be a NEGATIVE merged generation, which must never become the
+    // successor seed
+    val k = batchId.getOrElse(
+      committed.lastOption.map(m => math.max(m + 1, 1L)).getOrElse(1L))
     if (committed.contains(k)) k // idempotent replay of a committed batch
     else {
       val cents = loadIvfCentroids(spark, path)
       writeIvfSegment(spark, docs, docId, docVec, cents, path, targetRows,
         spread, seg = k)
       k
+    }
+  }
+
+  /** Fold every committed list segment ≤ `upTo` of an IVF index into
+    * ONE merged segment — the band-index compaction
+    * ([[graft.operators.Dedup.compactLshBandIndex]]) for the vector
+    * indexes: a streaming `annIngestSink` accretes a directory per
+    * micro-batch while the data stays corpus-bounded. Merged
+    * generations take NEGATIVE ids below the base build (−2, −3, …),
+    * never colliding with streaming batch ids; the fold de-duplicates
+    * by doc_id so a crash-window rerun self-heals; retirement deletes
+    * markers first (atomic invisibility), dirs second. `upTo` is the
+    * stream's replay watermark (a replayed folded batch id would
+    * re-append its rows — probe-harmless duplicates until the next
+    * compaction, but fold only checkpoint-passed batches anyway).
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String, upTo: Long,
+                      targetRows: Long = 1L << 20,
+                      spread: Int = 8): Option[Long] =
+    compactListSegments(spark, path, upTo,
+      "doc_id LONG, dv ARRAY<FLOAT>, cid LONG, seg LONG",
+      targetRows, spread)
+
+  /** [[compactIvfIndex]] for the IVF-PQ layout (codes + norms). */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String, upTo: Long,
+                        targetRows: Long = 1L << 20,
+                        spread: Int = 8): Option[Long] =
+    compactListSegments(spark, path, upTo,
+      "doc_id LONG, code ARRAY<LONG>, rnorm DOUBLE, cid LONG, seg LONG",
+      targetRows, spread)
+
+  private def compactListSegments(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, upTo: Long,
+                                  schemaDDL: String, targetRows: Long,
+                                  spread: Int): Option[Long] = {
+    val committed = SegmentFs.listVersions(spark, s"$path/commits", "k")
+    val fold = committed.filter(_ <= upTo)
+    if (fold.size < 2) None
+    else {
+      val gen = math.min(committed.min, -1L) - 1L
+      val rows = spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(schemaDDL))
+        .parquet(s"$path/lists")
+        .where(col("seg").isin(fold: _*)).drop("seg")
+        .dropDuplicates("doc_id")
+      val f = SegmentFs.fs(spark, path)
+      val segDir = new org.apache.hadoop.fs.Path(s"$path/lists/seg=$gen")
+      if (f.exists(segDir)) f.delete(segDir, true): Unit
+      graft.sources.Compaction.writeSized(rows, s"$path/lists/seg=$gen",
+        Seq("cid"), col("doc_id"), targetRows, spread)
+      spark.range(1).select(lit(gen).as("k"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/commits/k=$gen")
+      fold.foreach { k =>
+        f.delete(new org.apache.hadoop.fs.Path(s"$path/commits/k=$k"),
+          true): Unit
+        f.delete(new org.apache.hadoop.fs.Path(s"$path/lists/seg=$k"),
+          true): Unit
+      }
+      Some(gen)
     }
   }
 
@@ -866,7 +932,10 @@ object Similarity {
                        spread: Int = 8,
                        batchId: Option[Long] = None): Long = {
     val committed = ivfPqCommittedSegs(spark, path)
-    val k = batchId.getOrElse(committed.lastOption.map(_ + 1).getOrElse(1L))
+    // clamp like appendIvfIndex: a negative merged generation must
+    // never seed the successor id
+    val k = batchId.getOrElse(
+      committed.lastOption.map(m => math.max(m + 1, 1L)).getOrElse(1L))
     if (committed.contains(k)) k // idempotent replay of a committed batch
     else {
       val cents = loadIvfCentroids(spark, path)

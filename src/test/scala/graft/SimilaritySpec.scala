@@ -318,6 +318,52 @@ class SimilaritySpec extends SparkSpec {
       "replay must not rewrite the committed rebuild")
   }
 
+  test("IVF/IVF-PQ compaction: probe-invariant, one negative generation, append id unpoisoned") {
+    val cents = Seq((0L, b1.map(_.toDouble).toSeq),
+      (1L, b2.map(_.toDouble).toSeq))
+    val queries = queryData.toDF("qid", "qv")
+    // IVF flavor
+    val idx = Scratch.dir("ivf_compact") + "/ivf"
+    Similarity.saveIvfIndex(corpus.filter($"id" <= 3), $"id", $"v", cents,
+      idx, targetRows = 100L, spread = 2)
+    assert(Similarity.appendIvfIndex(spark, idx, corpus.filter($"id" > 3),
+      $"id", $"v", targetRows = 100L, spread = 2, batchId = Some(0L)) == 0L)
+    def probe() = rows(Similarity.ivfTopKIndexed(spark, idx, queries,
+        $"qid", $"qv", k = 3, nprobe = 2).orderBy($"query_id", $"rank"))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val before = probe()
+    assert(Similarity.compactIvfIndex(spark, idx, upTo = 0L,
+      targetRows = 100L, spread = 2) == Some(-2L))
+    assert(probe() == before, "IVF compaction must be probe-invariant")
+    assert(new java.io.File(s"$idx/lists").listFiles().map(_.getName)
+      .toSet == Set("seg=-2"))
+    // nothing left to fold; auto append id clamps past the negative gen
+    assert(Similarity.compactIvfIndex(spark, idx, upTo = 99L).isEmpty)
+    assert(Similarity.appendIvfIndex(spark, idx,
+      Seq((9L, noisy(b1, 0.001f))).toDF("id", "v"), $"id", $"v",
+      targetRows = 100L, spread = 2) == 1L)
+    // IVF-PQ flavor
+    val books = Similarity.pqCodebooks(corpus, $"id", $"v",
+      m = 2, subDim = 8, k = 2, iters = 2)
+    val pidx = Scratch.dir("ivfpq_compact") + "/ivfpq"
+    Similarity.saveIvfPqIndex(corpus.filter($"id" <= 3), $"id", $"v",
+      cents, books, 8, pidx, targetRows = 100L, spread = 2)
+    assert(Similarity.appendIvfPqIndex(spark, pidx,
+      corpus.filter($"id" > 3), $"id", $"v",
+      targetRows = 100L, spread = 2, batchId = Some(0L)) == 0L)
+    def pqProbe() = rows(Similarity.ivfPqTopK(spark, pidx, corpus, $"id",
+        $"v", queries, $"qid", $"qv", k = 3, nprobe = 2, rerank = 5)
+      .orderBy($"query_id", $"rank"))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pqBefore = pqProbe()
+    assert(Similarity.compactIvfPqIndex(spark, pidx, upTo = 0L,
+      targetRows = 100L, spread = 2) == Some(-2L))
+    assert(pqProbe() == pqBefore, "IVF-PQ compaction must be probe-invariant")
+    assert(Similarity.appendIvfPqIndex(spark, pidx,
+      Seq((9L, noisy(b2, 0.001f))).toDF("id", "v"), $"id", $"v",
+      targetRows = 100L, spread = 2) == 1L)
+  }
+
   test("appendIvfIndex: append == rebuild on the union, old files untouched") {
     val cents = Seq((0L, b1.map(_.toDouble).toSeq), (1L, b2.map(_.toDouble).toSeq))
     val queries = queryData.toDF("qid", "qv")
