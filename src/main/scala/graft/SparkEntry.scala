@@ -3452,10 +3452,20 @@ object SparkEntry {
       // buckets — corpus text is never re-scanned at serve time. The
       // scoring tail is the exact v15 expression tree, so the oracle is
       // v15's SQL chain verbatim (the index round trip is lossless).
+      // full lifecycle under the ONE v15 oracle (the d15/v11 pattern):
+      // base build over the even half, committed append of the odd
+      // half, compaction folding both (postings deduped, df recomputed,
+      // stats provenance-deduped), then the pruned probe
       val d = t(s, dir, "documents")
       val idx = scratchDir("graft_v17") + "/bm25"
-      Rag.saveBm25Index(d, col("doc_id"), col("text"), idx,
+      Rag.saveBm25Index(d.filter(col("doc_id") % 2 === 0),
+        col("doc_id"), col("text"), idx,
         buckets = 16, targetRows = 100000L, spread = 2)
+      Rag.appendBm25Index(d.filter(col("doc_id") % 2 =!= 0),
+        col("doc_id"), col("text"), idx,
+        targetRows = 100000L, spread = 2, batchId = Some(1L))
+      Rag.compactBm25Index(s, idx, upTo = 1L,
+        targetRows = 100000L, spread = 2)
       Rag.bm25Indexed(s, idx, bm25Queries, bm25K1, bm25B)
         .select(col("query_id"), col("doc_id"),
           fround(col("score"), 6).as("score"))

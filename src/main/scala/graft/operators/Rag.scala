@@ -112,6 +112,8 @@ object Rag {
     .fromDDL("doc_id LONG, term STRING, tf LONG, dl LONG, tp BIGINT, seg BIGINT")
   private val dfSchema = org.apache.spark.sql.types.StructType
     .fromDDL("term STRING, df LONG, tp BIGINT, seg BIGINT")
+  private val statsSchema = org.apache.spark.sql.types.StructType
+    .fromDDL("src LONG, n_docs LONG, sum_dl LONG, seg BIGINT")
 
   /** Persist a BM25 inverted index — the lexical seat of the engine's
     * build-once/probe-many lifecycle family (d9 bloom, v11 IVF, d15 LSH
@@ -177,7 +179,10 @@ object Rag {
     val spark = docs.sparkSession
     val buckets = readMetaBuckets(spark, path)
     val committed = committedSegs(spark, path)
-    val k = batchId.getOrElse(committed.lastOption.map(_ + 1).getOrElse(1L))
+    // clamp auto ids to >= 1: after a compaction the max committed id
+    // can be a negative merged generation
+    val k = batchId.getOrElse(
+      committed.lastOption.map(m => math.max(m + 1, 1L)).getOrElse(1L))
     if (committed.contains(k)) k // idempotent replay of a committed batch
     else {
       writeBm25Segment(docs, id, text, path, buckets, targetRows, spread,
@@ -190,6 +195,73 @@ object Rag {
   private def committedSegs(spark: org.apache.spark.sql.SparkSession,
                             path: String): Seq[Long] =
     SegmentFs.listVersions(spark, s"$path/commits", "k")
+
+  /** Fold every committed BM25 segment ≤ `upTo` into ONE merged
+    * segment — the IVF/band-index compaction for the lexical index.
+    * The additive quantities make the fold subtler than a row move:
+    * postings de-duplicate by (doc_id, term) (identical rows — the
+    * disjoint-batches contract; duplicates only exist after a crashed
+    * retirement), df RECOMPUTES from the deduped postings (a plain sum
+    * would double-count those), and stats rows dedup by their `src`
+    * provenance tag and carry through unchanged (n_docs/Σdl cover
+    * zero-token docs postings can't see). Merged generations take
+    * NEGATIVE ids (−1, −2, …; the base build is 0, appends ≥ 1);
+    * marker-first retirement as everywhere. A crash mid-retirement
+    * leaves a window where a reader folds a doc's rows twice — rerun
+    * the compaction to heal (each of the three folds is
+    * provenance-exact, so the rerun converges); fold only batches the
+    * appending stream's checkpoint has passed.
+    */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+                       path: String, upTo: Long,
+                       targetRows: Long = 1L << 20,
+                       spread: Int = 8): Option[Long] = {
+    val committed = committedSegs(spark, path)
+    val fold = committed.filter(_ <= upTo)
+    if (fold.size < 2) None
+    else {
+      val buckets = readMetaBuckets(spark, path)
+      val gen = math.min(committed.min, 0L) - 1L
+      val f = SegmentFs.fs(spark, path)
+      Seq(s"$path/postings/seg=$gen", s"$path/df/seg=$gen",
+          s"$path/stats/seg=$gen").foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        if (f.exists(p)) f.delete(p, true): Unit
+      }
+      val postings = spark.read.schema(postingsSchema)
+        .option("basePath", s"$path/postings")
+        .parquet(fold.map(k => s"$path/postings/seg=$k"): _*)
+        .drop("seg").dropDuplicates("doc_id", "term")
+      graft.sources.Compaction.writeSized(
+        postings, s"$path/postings/seg=$gen", Seq("tp"), col("doc_id"),
+        targetRows, spread, "errorifexists")
+      val dfreq = postings.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .withColumn("tp", termBucket(col("term"), buckets))
+      graft.sources.Compaction.writeSized(
+        dfreq, s"$path/df/seg=$gen", Seq("tp"), col("term"),
+        targetRows, spread, "errorifexists")
+      spark.read.schema(statsSchema)
+        .option("basePath", s"$path/stats")
+        .parquet(fold.map(k => s"$path/stats/seg=$k"): _*)
+        .dropDuplicates("src").select(col("src"), col("n_docs"),
+          col("sum_dl"))
+        .coalesce(1).write.mode("errorifexists")
+        .parquet(s"$path/stats/seg=$gen")
+      spark.range(1).select(lit(gen).as("k"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/commits/k=$gen")
+      fold.foreach { k =>
+        f.delete(new org.apache.hadoop.fs.Path(s"$path/commits/k=$k"),
+          true): Unit
+        Seq("postings", "df", "stats").foreach { d =>
+          f.delete(new org.apache.hadoop.fs.Path(s"$path/$d/seg=$k"),
+            true): Unit
+        }
+      }
+      Some(gen)
+    }
+  }
 
   private def readMetaBuckets(spark: org.apache.spark.sql.SparkSession,
                               path: String): Int =
@@ -225,6 +297,10 @@ object Rag {
       targetRows, spread, "errorifexists")
     base.agg(count(lit(1)).as("n_docs"),
         sum(col("dl")).cast("long").as("sum_dl"))
+      // src = the ORIGINAL segment id, carried through compactions so
+      // a re-run after a crashed retirement can dedup stats rows by
+      // provenance instead of double-counting
+      .select(lit(seg).as("src"), col("n_docs"), col("sum_dl"))
       .coalesce(1).write.mode("errorifexists")
       .parquet(s"$path/stats/seg=$seg")
     // the commit point — everything above is invisible until this lands
@@ -266,7 +342,7 @@ object Rag {
       .parquet(segs.map(k => s"$path/df/seg=$k"): _*)
       .where(col("tp").isin(tps: _*)).where(col("term").isin(vocab: _*))
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
-    val stats = spark.read
+    val stats = spark.read.schema(statsSchema)
       .option("basePath", s"$path/stats")
       .parquet(segs.map(k => s"$path/stats/seg=$k"): _*)
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))

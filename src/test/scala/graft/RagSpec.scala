@@ -155,6 +155,44 @@ class RagSpec extends SparkSpec {
       "recommitted batch must be visible")
   }
 
+  test("bm25 compaction: scores bit-identical, dirs collapse, appends keep working") {
+    val docs = Seq(
+      (1L, "a b a c d e f"), (2L, "a d g h"), (3L, "b b b c"),
+      (4L, "x y z a"), (5L, "c c d d e")).toDF("doc_id", "text")
+    val queries = Seq(0 -> Seq("a", "c"), 1 -> Seq("b", "d", "x"))
+    val idx = Scratch.dir("bm25_compact") + "/bm25"
+    Rag.saveBm25Index(docs.filter($"doc_id" <= 2), $"doc_id", $"text", idx,
+      buckets = 8, targetRows = 1000L, spread = 2)
+    assert(Rag.appendBm25Index(docs.filter($"doc_id" === 3), $"doc_id",
+      $"text", idx, targetRows = 1000L, spread = 2, batchId = Some(1L)) == 1L)
+    assert(Rag.appendBm25Index(docs.filter($"doc_id" > 3), $"doc_id",
+      $"text", idx, targetRows = 1000L, spread = 2, batchId = Some(2L)) == 2L)
+    def scores() = rows(Rag.bm25Indexed(spark, idx, queries))
+      .map(r => (r.getAs[Int]("query_id"), r.getAs[Long]("doc_id")) ->
+        java.lang.Double.doubleToRawLongBits(r.getAs[Double]("score")))
+      .toMap
+    val before = scores()
+    // fold base + batch 1 (watermark 1); batch 2 keeps its own segment
+    assert(Rag.compactBm25Index(spark, idx, upTo = 1L,
+      targetRows = 1000L, spread = 2) == Some(-1L))
+    assert(scores() == before, "compaction must be score-invariant, bitwise")
+    def segDirs(d: String) = new java.io.File(s"$idx/$d").listFiles()
+      .map(_.getName).toSet
+    assert(segDirs("postings") == Set("seg=-1", "seg=2"))
+    // a second pass folds the merged gen + batch 2 into gen -2
+    assert(Rag.compactBm25Index(spark, idx, upTo = 2L,
+      targetRows = 1000L, spread = 2) == Some(-2L))
+    assert(scores() == before)
+    assert(segDirs("postings") == Set("seg=-2") &&
+      segDirs("df") == Set("seg=-2") && segDirs("stats") == Set("seg=-2"))
+    assert(Rag.compactBm25Index(spark, idx, upTo = 99L).isEmpty)
+    // fresh appends keep working, with the auto id clamped past the gen
+    assert(Rag.appendBm25Index(Seq((9L, "a q")).toDF("doc_id", "text"),
+      $"doc_id", $"text", idx, targetRows = 1000L, spread = 2) == 1L)
+    assert(rows(Rag.bm25Indexed(spark, idx, queries))
+      .exists(_.getAs[Long]("doc_id") == 9L))
+  }
+
   test("rrfFuse sums reciprocal ranks across legs; absent legs contribute nothing") {
     val lex = Seq((0, 10L, 1), (0, 20L, 2)).toDF("query_id", "doc_id", "rank")
     val dense = Seq((0, 20L, 1), (0, 30L, 2)).toDF("query_id", "doc_id", "rank")
