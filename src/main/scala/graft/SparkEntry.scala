@@ -3888,6 +3888,54 @@ object SparkEntry {
         .orderBy(col("sel_key").desc, col("doc_id"))
     }),
 
+    "tq8_label_noise" -> ((s, dir) => {
+      // Label-noise estimation via confident learning (Northcutt et
+      // al. 2021; beyond the reference): from calibrated P(en | score)
+      // (the tq7 Platt machinery over the stopword-ratio signal), each
+      // class's confidence threshold is the mean self-confidence of
+      // rows LABELED that class; a row is confidently class-j when
+      // p_j clears t_j (argmax on double-passes, ties to the positive
+      // class), and confident rows whose class differs from their
+      // given label are the suspected mislabels — the confident-joint
+      // census you run before trusting any weakly-labeled corpus
+      // (crawl heuristics, distant supervision). Determinism: p
+      // rounds to 6dp before thresholds and comparisons; thresholds
+      // round the same way; the flag census is then integer-exact.
+      val staged = scratchDir("graft_tq8") + "/scored"
+      t(s, dir, "documents")
+        .select(TA.stopwordRatio(col("text")).as("sc"),
+          (col("lang") <=> "en").as("y"))
+        .write.mode("overwrite").parquet(staged)
+      val sd = s.read.parquet(staged)
+      val (aF, bF) = Classify.plattFit(sd, col("sc"), col("y"),
+        iters = plattIters)
+      val scored = sd.select(col("y"),
+        fround(Classify.plattProb(col("sc"), aF, bF), 6).as("p"))
+      val thr = scored.agg(
+        fround(avg(when(col("y"), col("p"))), 6).as("t1"),
+        fround(avg(when(!col("y"), lit(1.0) - col("p"))), 6).as("t0"))
+      scored.crossJoin(broadcast(thr))
+        .withColumn("p0", lit(1.0) - col("p"))
+        .withColumn("pred",
+          when(col("p") >= col("t1") &&
+            (col("p0") < col("t0") || col("p") >= col("p0")), lit(1L))
+          .when(col("p0") >= col("t0"), lit(0L))
+          .otherwise(lit(null).cast("long")))
+        .groupBy(col("y"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred").isNotNull, 1L).otherwise(0L))
+            .as("n_confident"),
+          sum(when(col("pred").isNotNull &&
+              col("pred") =!= when(col("y"), 1L).otherwise(0L), 1L)
+            .otherwise(0L)).as("n_flagged"))
+        .select(col("y").as("given_en"), col("n"), col("n_confident"),
+          col("n_flagged"),
+          when(col("n_confident") > 0,
+            fround(col("n_flagged").cast("double") /
+              col("n_confident").cast("double"), 6)).as("noise_rate"))
+        .orderBy(col("given_en"))
+    }),
+
     "tq7_platt_calibration" -> ((s, dir) => {
       // Classifier-score calibration (Platt 1999; beyond the
       // reference): a raw quality signal — stopword ratio, a genuine
@@ -7481,59 +7529,45 @@ object SparkEntry {
       s"""$sqlDsirWeights
          FROM sc ORDER BY doc_id""",
 
-    "tq7_platt_calibration" -> {
-      // the unrolled Newton chain: per tick, five 6dp-rounded sums over
-      // the scored table (σ via the libm-free detexp twin) fold into
-      // the exact 2×2 solve; a zero determinant keeps (a, b) — the
-      // Spark side's early-stop fixpoint. it8 feeds the reliability
-      // rollup.
-      def sigma(aRef: String, bRef: String) =
-        s"1.0 / (1.0 + ${Sampling.sqlDetExp(s"-($aRef * sc + $bRef)")})"
-      val iterCtes = (1 to plattIters).map { i =>
-        s"""g$i AS MATERIALIZED (SELECT
-             floor(sum(d * sc) * 1e6 + 0.5) / 1e6 AS g1,
-             floor(sum(d) * 1e6 + 0.5) / 1e6 AS g0,
-             floor(sum(w * sc * sc) * 1e6 + 0.5) / 1e6 AS h11,
-             floor(sum(w * sc) * 1e6 + 0.5) / 1e6 AS h10,
-             floor(sum(w) * 1e6 + 0.5) / 1e6 AS h00
-           FROM (SELECT sc,
-               p - (CASE WHEN y > 0.5 THEN t.tp ELSE t.tn END) AS d,
-               p * (1.0 - p) AS w
-             FROM (SELECT sc, y, ${sigma("it.a", "it.b")} AS p
-               FROM cal CROSS JOIN it${i - 1} it) CROSS JOIN tgt t)),
-         it$i AS MATERIALIZED (SELECT
-             CASE WHEN g.h11 * g.h00 - g.h10 * g.h10 = 0.0 THEN it.a
-               ELSE floor((it.a - (g.g1 * g.h00 - g.g0 * g.h10)
-                 / (g.h11 * g.h00 - g.h10 * g.h10)) * 1e6 + 0.5) / 1e6
-             END AS a,
-             CASE WHEN g.h11 * g.h00 - g.h10 * g.h10 = 0.0 THEN it.b
-               ELSE floor((it.b - (g.g0 * g.h11 - g.g1 * g.h10)
-                 / (g.h11 * g.h00 - g.h10 * g.h10)) * 1e6 + 0.5) / 1e6
-             END AS b
-           FROM it${i - 1} it CROSS JOIN g$i g)"""
-      }.mkString(",\n")
-      s"""WITH cal AS MATERIALIZED (SELECT
-             CASE WHEN len(toks) > 0 THEN hits * 1.0 / len(toks)
-               ELSE 0.0 END AS sc,
-             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
-           FROM (SELECT ${sqlTokens("text")} AS toks,
-               ${sqlHits("text", TA.enStopwords)} AS hits, lang
-             FROM documents)),
-         cns AS (SELECT sum(y) AS np, count(*) - sum(y) AS nn FROM cal),
-         tgt AS (SELECT (np + 1.0) / (np + 2.0) AS tp,
-             1.0 / (nn + 2.0) AS tn FROM cns),
-         it0 AS (SELECT 0.0 AS a, 0.0 AS b),
-         $iterCtes,
-         probs AS (SELECT sc, y, ${sigma("it.a", "it.b")} AS p,
-             it.a AS a, it.b AS b
-           FROM cal CROSS JOIN it$plattIters it)
+    "tq8_label_noise" ->
+      // the shared Platt replay, then the confident-learning census:
+      // 6dp probs, per-class mean self-confidence thresholds, argmax
+      // over passing classes (ties to positive), off-diagonal counts
+      s"""WITH $sqlPlattProbsCtes,
+         scored AS (SELECT y, ${sqlFround("p", 6)} AS p FROM probs),
+         thr AS (SELECT
+             ${sqlFround("avg(CASE WHEN y > 0.5 THEN p END)", 6)} AS t1,
+             ${sqlFround("avg(CASE WHEN y <= 0.5 THEN 1.0 - p END)", 6)}
+               AS t0
+           FROM scored),
+         pr AS (SELECT y,
+             CASE WHEN p >= t1 AND (1.0 - p < t0 OR p >= 1.0 - p) THEN 1
+                  WHEN 1.0 - p >= t0 THEN 0
+                  ELSE NULL END AS pred
+           FROM scored CROSS JOIN thr)
+         SELECT y > 0.5 AS given_en, count(*) AS n,
+           count(pred)::BIGINT AS n_confident,
+           sum(CASE WHEN pred IS NOT NULL
+               AND pred <> (CASE WHEN y > 0.5 THEN 1 ELSE 0 END)
+             THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+           CASE WHEN count(pred) > 0 THEN
+             ${sqlFround(
+               """sum(CASE WHEN pred IS NOT NULL
+               AND pred <> (CASE WHEN y > 0.5 THEN 1 ELSE 0 END)
+             THEN 1 ELSE 0 END)::DOUBLE / count(pred)::DOUBLE""", 6)}
+           END AS noise_rate
+         FROM pr GROUP BY 1 ORDER BY given_en""",
+
+    "tq7_platt_calibration" ->
+      // the unrolled Newton chain (sqlPlattProbsCtes) feeding the
+      // reliability rollup
+      s"""WITH $sqlPlattProbsCtes
          SELECT CAST(floor(sc * 10) AS BIGINT) AS bin,
            count(*) AS n,
            ${sqlFround("avg(y)", 6)} AS frac_pos,
            ${sqlFround("avg(p)", 6)} AS mean_cal_p,
            max(a) AS a, max(b) AS b
-         FROM probs GROUP BY bin ORDER BY bin"""
-    },
+         FROM probs GROUP BY bin ORDER BY bin""",
 
     "tq6_score_threshold" ->
       // descending running census over the distinct rounded-score
@@ -7661,6 +7695,55 @@ object SparkEntry {
            floor((1.0 / (SELECT count(*) FROM nd)) * 1e6 + 0.5) / 1e6 AS a
          FROM nd),
        $iterCtes"""
+  }
+
+  /** The tq7/tq8 shared Platt-fit replay: the stopword-ratio cal
+    * table, Platt's smoothed targets, the unrolled Newton chain (per
+    * tick five 6dp-rounded sums, sigma via the libm-free detexp twin,
+    * the exact 2x2 solve with the zero-determinant keep — the Spark
+    * side's early-stop fixpoint), ending in `probs(sc, y, p, a, b)`.
+    */
+  private lazy val sqlPlattProbsCtes: String = {
+    def sigma(aRef: String, bRef: String) =
+      s"1.0 / (1.0 + ${operators.Sampling.sqlDetExp(s"-($aRef * sc + $bRef)")})"
+    val iterCtes = (1 to plattIters).map { i =>
+      s"""g$i AS MATERIALIZED (SELECT
+           floor(sum(d * sc) * 1e6 + 0.5) / 1e6 AS g1,
+           floor(sum(d) * 1e6 + 0.5) / 1e6 AS g0,
+           floor(sum(w * sc * sc) * 1e6 + 0.5) / 1e6 AS h11,
+           floor(sum(w * sc) * 1e6 + 0.5) / 1e6 AS h10,
+           floor(sum(w) * 1e6 + 0.5) / 1e6 AS h00
+         FROM (SELECT sc,
+             p - (CASE WHEN y > 0.5 THEN t.tp ELSE t.tn END) AS d,
+             p * (1.0 - p) AS w
+           FROM (SELECT sc, y, ${sigma("it.a", "it.b")} AS p
+             FROM cal CROSS JOIN it${i - 1} it) CROSS JOIN tgt t)),
+       it$i AS MATERIALIZED (SELECT
+           CASE WHEN g.h11 * g.h00 - g.h10 * g.h10 = 0.0 THEN it.a
+             ELSE floor((it.a - (g.g1 * g.h00 - g.g0 * g.h10)
+               / (g.h11 * g.h00 - g.h10 * g.h10)) * 1e6 + 0.5) / 1e6
+           END AS a,
+           CASE WHEN g.h11 * g.h00 - g.h10 * g.h10 = 0.0 THEN it.b
+             ELSE floor((it.b - (g.g0 * g.h11 - g.g1 * g.h10)
+               / (g.h11 * g.h00 - g.h10 * g.h10)) * 1e6 + 0.5) / 1e6
+           END AS b
+         FROM it${i - 1} it CROSS JOIN g$i g)"""
+    }.mkString(",\n")
+    s"""cal AS MATERIALIZED (SELECT
+           CASE WHEN len(toks) > 0 THEN hits * 1.0 / len(toks)
+             ELSE 0.0 END AS sc,
+           CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+         FROM (SELECT ${sqlTokens("text")} AS toks,
+             ${sqlHits("text", TA.enStopwords)} AS hits, lang
+           FROM documents)),
+       cns AS (SELECT sum(y) AS np, count(*) - sum(y) AS nn FROM cal),
+       tgt AS (SELECT (np + 1.0) / (np + 2.0) AS tp,
+           1.0 / (nn + 2.0) AS tn FROM cns),
+       it0 AS (SELECT 0.0 AS a, 0.0 AS b),
+       $iterCtes,
+       probs AS (SELECT sc, y, ${sigma("it.a", "it.b")} AS p,
+           it.a AS a, it.b AS b
+         FROM cal CROSS JOIN it$plattIters it)"""
   }
 
   private def sqlKsCtes(p: String, countsRel: String, ref: String): String =
