@@ -144,6 +144,31 @@ class PropertySpec extends SparkSpec {
       TA.jvmTokens(doc).mkString)
   }
 
+  test("detLn tracks math.log within 1e-11 and is monotone for arbitrary positive longs") {
+    import graft.expressions.DetLn
+    val ns = sample(Gen.chooseNum(1L, 1L << 50), 400) :+ 1L :+ 2L :+
+      ((1L << 50) - 1L) :+ (1L << 50)
+    ns.foreach { n =>
+      val got = DetLn.compute(n)
+      assert(math.abs(got - math.log(n.toDouble)) <= 1e-11 *
+        math.max(1.0, math.abs(math.log(n.toDouble))), s"n=$n")
+    }
+    // monotone over arbitrary pairs (strictly, when ln separates them
+    // beyond the series error — adjacent longs can tie at huge n)
+    val pairs = ns.sorted.sliding(2).toSeq
+    pairs.foreach {
+      case Seq(a, b) if a < b =>
+        assert(DetLn.compute(a) <= DetLn.compute(b), s"$a vs $b")
+      case _ =>
+    }
+    // the DSIR weight grid: quantized log ratios are exact integers
+    sample(Gen.chooseNum(1L, 1L << 30), 100).foreach { n =>
+      val wi = math.floor((DetLn.compute(n) - DetLn.compute(n + 7)) *
+        1048576.0 + 0.5)
+      assert(wi == wi.toLong.toDouble && math.abs(wi) < (1L << 53).toDouble)
+    }
+  }
+
   test("connectedComponents equals brute union-find on arbitrary random graphs") {
     // the riskiest algorithm in the dedup suite: pin it against an
     // obviously-correct union-find over many random edge lists of
