@@ -1133,6 +1133,40 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    "ta18_boilerplate_scrub" -> ((s, dir) => {
+      // C4/jusText-style line-level boilerplate removal (Raffel et al.
+      // 2020 §2.2; beyond the reference): keep lines with ≥3 tokens
+      // AND ≥10% stopword share — prose survives, navigation/footer/
+      // menu junk drops. The corpus has no newlines, so lined text
+      // synthesizes from (text, doc_id) identically on both sides
+      // (the d13/c1 injection precedent): a real-prose head slice
+      // (data-dependent verdict), a stopword-free boilerplate line
+      // (always dropped), a stopword-rich summary line (always kept),
+      // and a short crumb (dropped by min-words/density). Output: the
+      // per-lang keep census + mean kept-character share.
+      val lined = t(s, dir, "documents").select(col("lang"),
+        concat_ws("\n",
+          substring(coalesce(col("text"), lit("")), 1, 120),
+          lit("copyright footer navigation menu links contact"),
+          concat(lit("the summary of the row "),
+            col("doc_id").cast("string")),
+          lit("nav | nav")).as("lt"))
+      val scrubbed = lined.select(col("lang"), col("lt"),
+        TA.keptLines(col("lt"), 3, 0.1).as("kl"))
+      scrubbed.select(col("lang"),
+          size(split(col("lt"), "\n")).as("nin"),
+          size(col("kl")).as("nkept"),
+          when(length(col("lt")) > 0,
+            length(array_join(col("kl"), "\n")).cast("double") /
+              length(col("lt")).cast("double")).as("ratio"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nin")).as("n_lines_in"),
+          sum(col("nkept")).as("n_lines_kept"),
+          fround(avg(col("ratio")), 6).as("avg_kept_chars"))
+        .orderBy(col("lang"))
+    }),
+
     "ta17_zipf_slope" -> ((s, dir) => {
       // Token-distribution health per lang (beyond the reference):
       // the Zipf log-log slope estimated from a log2-FREQUENCY
@@ -6578,6 +6612,34 @@ object SparkEntry {
          CROSS JOIN znr nr
          LEFT JOIN prates p USING (stratum)
          ORDER BY lang""",
+
+    "ta18_boilerplate_scrub" -> {
+      // same synthesized lined text; the keep rule replays with
+      // integer token/stopword counts and the multiplication-form
+      // density test (no division, one IEEE compare per line)
+      def toks(e: String) = sqlTokens(e)
+      val stop = sqlList(TA.enStopwords)
+      val keep = s"len(${toks("l")}) >= 3 AND " +
+        s"len(list_filter(${toks("l")}, t -> list_contains($stop, t)))::DOUBLE " +
+        s">= 0.1 * len(${toks("l")})::DOUBLE"
+      s"""WITH lined AS (SELECT lang,
+             substr(coalesce(text, ''), 1, 120) || chr(10) ||
+             'copyright footer navigation menu links contact' || chr(10) ||
+             'the summary of the row ' || doc_id::VARCHAR || chr(10) ||
+             'nav | nav' AS lt
+           FROM documents),
+         scrub AS (SELECT lang, lt,
+             list_filter(string_split(lt, chr(10)), l -> $keep) AS kl
+           FROM lined)
+         SELECT lang, count(*) AS n_docs,
+           sum(len(string_split(lt, chr(10))))::BIGINT AS n_lines_in,
+           sum(len(kl))::BIGINT AS n_lines_kept,
+           ${sqlFround(
+             """avg(CASE WHEN len(lt) > 0 THEN
+             len(array_to_string(kl, chr(10)))::DOUBLE / len(lt)::DOUBLE
+             END)""", 6)} AS avg_kept_chars
+         FROM scrub GROUP BY lang ORDER BY lang"""
+    },
 
     "ta17_zipf_slope" ->
       // Replays bucketing (bin-length log2), the ln-space least

@@ -144,6 +144,43 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  /** C4/jusText-style boilerplate LINE filter (beyond the reference;
+    * Raffel et al. 2020 §2.2's line rules, the density heuristic of
+    * jusText): keep a line iff it carries ≥ `minWords` tokens AND a
+    * stopword share ≥ `minStopRatio` — navigation bars, footers, menu
+    * crumbs and copyright lines are exactly the low-density,
+    * stopword-free text this drops while prose survives. Returns the
+    * kept lines as array<string> ([[scrubBoilerplateLines]] rejoins).
+    *
+    * One tokenize per line: token count and stopword hits come from a
+    * SINGLE aggregate fold over one `tokens(l)` evaluation (two
+    * references inside the lambda would run the regex twice per line —
+    * the ...FromTokens discipline, applied inside a HOF). The ratio
+    * test is multiplication-form (`hits ≥ r·n`), so no division guard
+    * and the comparison is one correctly-rounded IEEE op per line —
+    * integer counts make the rest engine-exact.
+    */
+  def keptLines(text: Column, minWords: Int,
+                minStopRatio: Double): Column = {
+    val set = array(enStopwords.map(lit): _*)
+    filter(split(text, "\n"), l =>
+      aggregate(tokens(l),
+        struct(lit(0L).as("n"), lit(0L).as("h")),
+        (acc, t) => struct(
+          (acc.getField("n") + 1L).as("n"),
+          (acc.getField("h") +
+            when(array_contains(set, t), 1L).otherwise(0L)).as("h")),
+        acc => acc.getField("n") >= minWords &&
+          acc.getField("h").cast("double") >=
+            lit(minStopRatio) * acc.getField("n").cast("double")))
+  }
+
+  /** [[keptLines]] rejoined with newlines — the drop-in text-cleanup
+    * stage (empty result ⇒ empty string). */
+  def scrubBoilerplateLines(text: Column, minWords: Int,
+                            minStopRatio: Double): Column =
+    array_join(keptLines(text, minWords, minStopRatio), "\n")
+
   /** Punctuation chars / total chars; 0.0 for empty text. Counts
     * matches of the punctuation class directly (single-char pattern ⇒
     * match count = char count) instead of deleting the complement.

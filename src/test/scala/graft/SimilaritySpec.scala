@@ -119,6 +119,12 @@ class SimilaritySpec extends SparkSpec {
     assert(got == brute)
     assert(got.map(_._2).toSet.subsetOf(allow),
       "a disallowed doc leaked through the filter")
+    // plan guard: cid directory pruning survives the allow-set join
+    val plan = Similarity.ivfTopKIndexed(spark, idx, queries, $"qid",
+        $"qv", k = 3, nprobe = 1, allowed = Some(allow.toSeq.toDF("doc_id")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
     // query 100's nearest raw neighbor (doc 1) is disallowed: the
     // filtered ranks 1-2 must be the OTHER cluster-1 members, never
     // doc 1 (the third slot falls across to cluster 2's allowed doc)
