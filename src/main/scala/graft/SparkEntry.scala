@@ -4536,22 +4536,44 @@ object SparkEntry {
   /** Bucket count shared by every NB/DSIR query and oracle. */
   private val nbBuckets = 4096
 
-  /** Laplace-smoothed per-slot log-odds weight, as SQL, against the
-    * `${p}cls`/`${p}st` columns (LEFT-join side: npos/nneg may be
-    * NULL).
+  /** detLn weight-table CTEs against `${p}cls`/`${p}st` (the r11
+    * order-exact NB form, mirroring Classify.score): per-slot integer
+    * grid weights `${p}nw(f, wi)` plus the absent-slot default and the
+    * quantized prior `${p}nd(wi0, pq)`. Consumers fold
+    * `(any_value(pq) + sum(c * coalesce(wi, wi0)))::DOUBLE / grid`.
     */
-  private def sqlNbWeight: String =
-    s"""(ln((coalesce(npos, 0) + 1)::DOUBLE / (tpos + $nbBuckets)::DOUBLE)
-       - ln((coalesce(nneg, 0) + 1)::DOUBLE / (tneg + $nbBuckets)::DOUBLE))"""
+  private def sqlNbWiCtes(p: String): String = {
+    val g = operators.Classify.WeightGrid
+    s"""${p}nlw AS (SELECT ltln, lrln, dpln, dnln FROM (SELECT
+           ${operators.Classify.sqlDetLnCols("lt", s"tpos + $nbBuckets")},
+           ${operators.Classify.sqlDetLnCols("lr", s"tneg + $nbBuckets")},
+           ${operators.Classify.sqlDetLnCols("dp", "dpos")},
+           ${operators.Classify.sqlDetLnCols("dn", "dneg")}
+         FROM ${p}st)),
+       ${p}nw AS (SELECT f, wi FROM (SELECT f,
+           ${operators.Classify.sqlDetLnCols("a", "npos + 1")},
+           ${operators.Classify.sqlDetLnCols("b", "nneg + 1")},
+           floor(((aln - ltln) - (bln - lrln)) * $g + 0.5)::BIGINT AS wi
+         FROM ${p}cls CROSS JOIN ${p}nlw)),
+       ${p}nd AS (SELECT
+           floor(((0.0 - ltln) - (0.0 - lrln)) * $g + 0.5)::BIGINT AS wi0,
+           floor((dpln - dnln) * $g + 0.5)::BIGINT AS pq
+         FROM ${p}nlw)"""
+  }
+
+  /** The shared NB score fold over `${p}docf` ⋈ the weight tables. */
+  private def sqlNbLo(p: String): String =
+    s"""(any_value(${p}nd.pq) + sum(c * coalesce(wi, wi0)))::DOUBLE
+       / ${operators.Classify.WeightGrid}"""
 
   private lazy val sqlNbScore: String =
     s"""WITH ${sqlNbModelCtes("")},
+         ${sqlNbWiCtes("")},
          docf AS (SELECT doc_id, f, count(*)::BIGINT AS c
            FROM f WHERE NOT tr GROUP BY 1, 2),
          sc AS (SELECT doc_id, sum(c)::BIGINT AS n_tok,
-             ln(any_value(dpos)::DOUBLE / any_value(dneg)::DOUBLE) +
-               sum(c * $sqlNbWeight) AS lo
-           FROM docf LEFT JOIN cls USING (f) CROSS JOIN st
+             ${sqlNbLo("")} AS lo
+           FROM docf LEFT JOIN nw USING (f) CROSS JOIN nd
            GROUP BY doc_id)
          SELECT doc_id, n_tok, ${sqlFround("lo", 6)} AS log_odds"""
 
@@ -6776,14 +6798,13 @@ object SparkEntry {
            LEFT JOIN gtcomp c ON d.doc_id = c.id
            WHERE least(coalesce(c.mr, d.doc_id), d.doc_id) = d.doc_id),
          ${sqlNbModelCtes("gtm_")},
+         ${sqlNbWiCtes("gtm_")},
          gtdocf AS (SELECT doc_id, f, count(*)::BIGINT AS c
            FROM gtm_f
            WHERE doc_id IN (SELECT doc_id FROM gtkept)
            GROUP BY 1, 2),
-         gtsc AS (SELECT doc_id,
-             ln(any_value(dpos)::DOUBLE / any_value(dneg)::DOUBLE) +
-               sum(c * $sqlNbWeight) AS lo
-           FROM gtdocf LEFT JOIN gtm_cls USING (f) CROSS JOIN gtm_st
+         gtsc AS (SELECT doc_id, ${sqlNbLo("gtm_")} AS lo
+           FROM gtdocf LEFT JOIN gtm_nw USING (f) CROSS JOIN gtm_nd
            GROUP BY doc_id),
          gtsc6 AS (SELECT doc_id, ${sqlFround("lo", 6)} AS lo6 FROM gtsc),
          gtmn AS (SELECT ${sqlFround("avg(lo6)", 6)} AS m6 FROM gtsc6),
@@ -6924,14 +6945,13 @@ object SparkEntry {
              LEFT JOIN g8comp c ON d.doc_id = c.id
              WHERE least(coalesce(c.mr, d.doc_id), d.doc_id) = d.doc_id),
            ${sqlNbModelCtes("g8m_")},
+           ${sqlNbWiCtes("g8m_")},
            g8docf AS (SELECT doc_id, f, count(*)::BIGINT AS c
              FROM g8m_f
              WHERE doc_id IN (SELECT doc_id FROM g8kept)
              GROUP BY 1, 2),
-           g8sc AS (SELECT doc_id,
-               ln(any_value(dpos)::DOUBLE / any_value(dneg)::DOUBLE) +
-                 sum(c * $sqlNbWeight) AS lo
-             FROM g8docf LEFT JOIN g8m_cls USING (f) CROSS JOIN g8m_st
+           g8sc AS (SELECT doc_id, ${sqlNbLo("g8m_")} AS lo
+             FROM g8docf LEFT JOIN g8m_nw USING (f) CROSS JOIN g8m_nd
              GROUP BY doc_id),
            g8sc6 AS (SELECT doc_id, ${sqlFround("lo", 6)} AS lo6
              FROM g8sc),

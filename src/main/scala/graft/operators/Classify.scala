@@ -128,7 +128,12 @@ object Classify {
     *   ln(dpos/dneg) + Σ_f c_f · [ln((npos_f+1)/(tpos+B)) −
     *                              ln((nneg_f+1)/(tneg+B))]
     *
-    * (Laplace-smoothed; B = buckets). Docs with no tokens drop (the
+    * (Laplace-smoothed; B = buckets), with every log computed by
+    * [[graft.expressions.DetLn]] and every per-slot weight quantized
+    * onto the integer 2⁻²⁰ grid before the per-doc sum — so the
+    * aggregate is exact BIGINT arithmetic and the score is identical
+    * under any partitioning, summation order, or IEEE engine (the
+    * dsirWeights discipline). Docs with no tokens drop (the
     * ta8 contract). The model LEFT-joins so slots unseen in training
     * still contribute their smoothed weight; with balanced class token
     * totals that weight is exactly 0.
@@ -141,18 +146,32 @@ object Classify {
             idName: String = "doc_id"): DataFrame = {
     val b = model.buckets
     val perDoc = docFeatures(df, id, text, b, idName)
+    // ORDER-EXACT like dsirWeights (r11): per-slot log-odds quantize
+    // to the integer 2^-20 grid via detln, the per-doc numerator and
+    // prior sum as exact BIGINTs, and ONE final divide restores the
+    // log-odds scale — identical under any partitioning or engine
+    // (the summed-libm-ln form this replaces was the x5 failure shape)
+    def wi(np: Column, nn: Column): Column =
+      floor(((graft.expressions.DetLn(np + lit(1L)) -
+          graft.expressions.DetLn(col("tpos") + lit(b.toLong))) -
+        (graft.expressions.DetLn(nn + lit(1L)) -
+          graft.expressions.DetLn(col("tneg") + lit(b.toLong)))) *
+        lit(WeightGrid) + lit(0.5))
+    val wtab = model.feat.crossJoin(broadcast(model.stats))
+      .select(col("f"), wi(col("npos"), col("nneg")).as("wi"))
+    val wdef = model.stats.select(wi(lit(0L), lit(0L)).as("wi0"),
+      floor((graft.expressions.DetLn(col("dpos")) -
+        graft.expressions.DetLn(col("dneg"))) *
+        lit(WeightGrid) + lit(0.5)).as("pq"))
     perDoc
-      .join(broadcast(model.feat), Seq("f"), "left")
-      .crossJoin(broadcast(model.stats))
+      .join(broadcast(wtab), Seq("f"), "left")
+      .crossJoin(broadcast(wdef))
       .groupBy(col(idName))
       .agg(sum(col("c")).as("n_tok"),
-        (first(log(col("dpos").cast("double") / col("dneg").cast("double"))) +
-          sum(col("c") *
-            (log((coalesce(col("npos"), lit(0L)) + 1L).cast("double") /
-              (col("tpos") + b).cast("double")) -
-             log((coalesce(col("nneg"), lit(0L)) + 1L).cast("double") /
-               (col("tneg") + b).cast("double")))))
-          .as("log_odds"))
+        (first(col("pq")) + sum(col("c") * coalesce(col("wi"), col("wi0"))))
+          .as("_lonum"))
+      .select(col(idName), col("n_tok"),
+        (col("_lonum").cast("double") / lit(WeightGrid)).as("log_odds"))
   }
 
   // ---------------------------------------------------------------
@@ -227,13 +246,20 @@ object Classify {
     val (dpos, dneg, tpos, tneg) =
       (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
     val b = model.buckets
+    import graft.expressions.DetLn.{compute => detln}
+    // the DSIR grid discipline (r11): per-slot weights are INTEGER
+    // grid points (detln is libm-free), so serving folds sum exactly
+    // in any order and agree BITWISE with the model-path [[score]];
+    // the prior pre-divides to the same 2^-20 dyadic grid
     def w(np: Long, nn: Long): Double =
-      math.log((np + 1).toDouble / (tpos + b).toDouble) -
-        math.log((nn + 1).toDouble / (tneg + b).toDouble)
+      math.floor(((detln(np + 1) - detln(tpos + b)) -
+        (detln(nn + 1) - detln(tneg + b))) * WeightGrid + 0.5)
     val arr = Array.fill(b)(w(0L, 0L))
     model.feat.select(col("f"), col("npos"), col("nneg")).collect()
       .foreach(r => arr(r.getLong(0).toInt) = w(r.getLong(1), r.getLong(2)))
-    NbWeights(math.log(dpos.toDouble / dneg.toDouble), arr)
+    NbWeights(
+      math.floor((detln(dpos) - detln(dneg)) * WeightGrid + 0.5) /
+        WeightGrid, arr)
   }
 
   /** Stateless per-row serving score — the ingest-gate form of
@@ -262,13 +288,16 @@ object Classify {
     */
   def scoreColumnFromTokens(toks: Column, w: NbWeights,
                             buckets: Int): Column =
+    // acc sums integer grid points exactly in token order; the finale
+    // divides back to log-odds scale and adds the (dyadic) prior —
+    // both exact, so the result is BITWISE equal to [[score]]
     aggregate(
       toks,
       lit(0.0),
       (acc, t) => acc +
         element_at(typedLit(w.weights.toSeq),
           featHash(t, buckets).cast("int") + 1),
-      acc => acc + lit(w.prior))
+      acc => acc / lit(WeightGrid) + lit(w.prior))
 
   /** The streaming/ingest quality gate: keep rows the serving model
     * scores above `threshold`. Stateless — composes into any

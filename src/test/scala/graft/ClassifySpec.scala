@@ -129,6 +129,31 @@ class ClassifySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scoreColumn serving path agrees BITWISE with the model-path score") {
+    // same 2^-20 grid discipline as DSIR: integer-grid weights + a
+    // dyadic prior make the serving fold and the join path exact twins
+    val model = Classify.trainModel(corpus, $"pos", $"text", B)
+    val w = Classify.collectWeights(model)
+    assert(w.weights.forall(v => v == math.floor(v)))
+    val serving = corpus.select($"id",
+        Classify.scoreColumn($"text", w, B).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val joined = Classify.score(model, corpus, $"id", $"text", "id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    joined.foreach { case (id, s) =>
+      assert(java.lang.Double.doubleToRawLongBits(serving(id)) ==
+        java.lang.Double.doubleToRawLongBits(s),
+        s"doc $id: serving ${serving(id)} vs model-path $s")
+    }
+    // and the model path is invariant under adversarial repartitioning
+    val again = Classify.score(model,
+        corpus.repartition(13, expr("id * -7")), $"id", $"text", "id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(again.forall { case (id, s) =>
+      java.lang.Double.doubleToRawLongBits(joined(id)) ==
+        java.lang.Double.doubleToRawLongBits(s) })
+  }
+
   test("dsirColumn serving path agrees BITWISE with the join-based dsirWeights") {
     // the 2^-20 grid quantization makes both sides exact-integer
     // arithmetic up to the same final two divides — agreement is
