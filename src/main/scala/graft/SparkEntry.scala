@@ -4274,27 +4274,35 @@ object SparkEntry {
     val vocab = sqlList(bm25Queries.flatMap(_._2).distinct)
     val qvals = bm25Queries
       .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+    val g = operators.Classify.WeightGrid
+    // the r11 order-exact form: idf = detln(2N+2) − detln(2df+1)
+    // (integer args — ln(1 + (N−df+½)/(df+½)) ≡ ln((N+1)/(df+½))),
+    // per-term weights on the integer 2⁻²⁰ grid, exact BIGINT sums
     s"""bmb AS (SELECT doc_id, len(${sqlTokens("text")}) AS dl,
            ${sqlTokens("text")} AS toks
          FROM documents WHERE $docFilter),
-       bmstats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl
-         FROM bmb),
+       bmstats AS (SELECT n_docs, avgdl, nnln FROM (SELECT n_docs, avgdl,
+           ${operators.Classify.sqlDetLnCols("nn", "2 * n_docs + 2")}
+         FROM (SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl
+           FROM bmb))),
        bmtf AS (SELECT doc_id, term, count(*)::BIGINT AS tf,
            max(dl)::BIGINT AS dl
          FROM (SELECT doc_id, dl, unnest(toks) AS term FROM bmb)
          WHERE list_contains($vocab, term) GROUP BY 1, 2),
-       bmdf AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
-         FROM bmtf GROUP BY 1),
+       bmdf AS (SELECT term, df, dfln FROM (SELECT term, df,
+           ${operators.Classify.sqlDetLnCols("df", "2 * df + 1")}
+         FROM (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+           FROM bmtf GROUP BY 1))),
        bmq(query_id, term) AS (VALUES $qvals),
        bmw AS (SELECT bmq.query_id, t.doc_id,
-           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           floor(((s.nnln - d.dfln)
              * t.tf * ${bm25K1 + 1.0}
              / (t.tf + $bm25K1 * (${1.0 - bm25B}
-                 + $bm25B * t.dl / s.avgdl)) AS w
+                 + $bm25B * t.dl / s.avgdl))) * $g + 0.5)::BIGINT AS wi
          FROM bmtf t JOIN bmdf d USING (term)
            JOIN bmq ON bmq.term = t.term, bmstats s),
        lexsc AS (SELECT query_id, doc_id,
-           ${sqlFround("sum(w)", 6)} AS score
+           ${sqlFround(s"sum(wi)::DOUBLE / $g", 6)} AS score
          FROM bmw GROUP BY 1, 2)"""
   }
 

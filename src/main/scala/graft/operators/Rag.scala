@@ -83,20 +83,32 @@ object Rag {
     * index round trip must be bit-lossless).
     */
   private def scoreBm25(postings: DataFrame, dfreq: DataFrame, q: DataFrame,
-                        stats: DataFrame, k1: Double, b: Double): DataFrame =
+                        stats: DataFrame, k1: Double, b: Double): DataFrame = {
+    // ORDER-EXACT scoring (the r11 x5 discipline): the idf
+    // ln(1 + (N−df+½)/(df+½)) = ln((N+1)/(df+½)) computes as
+    // detln(2N+2) − detln(2df+1) — integer arguments, libm-free,
+    // bit-identical on any IEEE engine — and each term weight
+    // quantizes onto the integer 2⁻²⁰ grid, so the per-(query, doc)
+    // sum is exact BIGINT arithmetic in any order; one final divide
+    // restores the score scale.
+    import graft.expressions.DetLn
+    val idf = DetLn(lit(2L) * col("n_docs") + lit(2L)) -
+      DetLn(lit(2L) * col("df") + lit(1L))
     postings
       .join(broadcast(dfreq), "term")
       .join(broadcast(q), "term")
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"),
-        (log(lit(1.0) +
-            (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        floor((idf *
           col("tf") * lit(k1 + 1.0) /
           (col("tf") +
-            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
-          .as("w"))
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))) *
+          lit(Classify.WeightGrid) + lit(0.5))
+          .as("wi"))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("w")).as("score"))
+      .agg((sum(col("wi")).cast("double") / lit(Classify.WeightGrid))
+        .as("score"))
+  }
 
   /** Directory bucket of a term — the hive partition column of the
     * persisted inverted index (Dedup.bandBucket's md5 recipe, so the

@@ -66,12 +66,18 @@ class RagSpec extends SparkSpec {
     def w(tf: Long, df: Long, dl: Long): Double =
       math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * (k1 + 1.0) /
         (tf + k1 * ((1.0 - b) + b * dl / avgdl))
-    // df: a→2, b→2, d→1
-    assert(math.abs(got((0, 1L)) - w(2, 2, 4)) < 1e-12)
-    assert(math.abs(got((0, 2L)) - w(1, 2, 2)) < 1e-12)
-    assert(math.abs(got((1, 3L)) - w(3, 2, 3)) < 1e-12)
-    assert(math.abs(got((1, 2L)) - w(1, 1, 2)) < 1e-12) // rare d: idf ln(8/3)
-    assert(math.abs(got((1, 1L)) - w(1, 2, 4)) < 1e-12) // b only
+    // df: a→2, b→2, d→1. Tolerance = the 2^-20 grid each term
+    // quantizes onto for order-exact sums (±2^-21 per term) plus
+    // detLn's ~1e-12 series error vs libm ln
+    val tol = 1.5e-6
+    assert(math.abs(got((0, 1L)) - w(2, 2, 4)) < tol)
+    assert(math.abs(got((0, 2L)) - w(1, 2, 2)) < tol)
+    assert(math.abs(got((1, 3L)) - w(3, 2, 3)) < tol)
+    assert(math.abs(got((1, 2L)) - w(1, 1, 2)) < tol) // rare d: idf ln(8/3)
+    assert(math.abs(got((1, 1L)) - w(1, 2, 4)) < tol) // b only
+    // every score is an exact grid point: sums were integer-exact
+    assert(got.values.forall(v =>
+      v * 1048576.0 == math.floor(v * 1048576.0)))
     // doc 3 has no query-0 term; absent, not zero-scored
     assert(!got.contains((0, 3L)))
     // the rarer term outweighs the common one at equal tf/dl
