@@ -1186,19 +1186,26 @@ object SparkEntry {
         .select(col("lang"), (length(bin(col("cnt"))) - 1).cast("long").as("b"))
         .groupBy(col("lang"), col("b"))
         .agg(count(lit(1)).as("n_types"))
-      val pts = hist.select(col("lang"), col("b").cast("double").as("x"),
-        log(col("n_types").cast("double")).as("y"), col("n_types"))
+      // ORDER-EXACT least squares (r11): y = detln(n_types) quantized
+      // to the integer 2^-20 grid, x = the integer bucket index — all
+      // five sums are exact BIGINTs in any order, the slope is one
+      // integer-ratio divide scaled back by the grid
+      val pts = hist.select(col("lang"), col("b").as("x"),
+        floor(graft.expressions.DetLn(col("n_types")) *
+          lit(Classify.WeightGrid) + lit(0.5)).as("yi"), col("n_types"))
       pts.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_buckets"),
           sum(col("n_types")).as("n_distinct"),
-          count(lit(1)).cast("double").as("_n"),
-          sum(col("x")).as("_sx"), sum(col("y")).as("_sy"),
-          sum(col("x") * col("y")).as("_sxy"),
+          count(lit(1)).as("_n"),
+          sum(col("x")).as("_sx"), sum(col("yi")).as("_sy"),
+          sum(col("x") * col("yi")).as("_sxy"),
           sum(col("x") * col("x")).as("_sxx"))
         .select(col("lang"), col("n_buckets"), col("n_distinct"),
-          when(col("_n") * col("_sxx") - col("_sx") * col("_sx") =!= 0.0,
-            fround((col("_n") * col("_sxy") - col("_sx") * col("_sy")) /
-              (col("_n") * col("_sxx") - col("_sx") * col("_sx")), 6))
+          when(col("_n") * col("_sxx") - col("_sx") * col("_sx") =!= 0L,
+            fround(((col("_n") * col("_sxy") - col("_sx") * col("_sy"))
+                .cast("double") /
+              (col("_n") * col("_sxx") - col("_sx") * col("_sx"))
+                .cast("double")) / lit(Classify.WeightGrid), 6))
             .as("zipf_slope"))
         .orderBy(col("lang"))
     }),
@@ -4971,16 +4978,26 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
 
     "ta8_unigram_logprob" ->
+      // detln + 2^-20 grid (the r11 order-exact form): wi per vocab
+      // entry, exact BIGINT per-doc sums, two divides restore scale
       s"""WITH toks AS (
            SELECT doc_id, unnest(${sqlTokens("text")}) AS tok FROM documents),
          perdoc AS (
            SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
-         vocab AS (SELECT tok, sum(c) AS cf FROM perdoc GROUP BY 1),
-         tot AS (SELECT sum(cf) AS tot FROM vocab)
+         vocab AS (SELECT tok, sum(c)::BIGINT AS cf FROM perdoc GROUP BY 1),
+         tot AS (SELECT ttln FROM (SELECT
+             ${operators.Classify.sqlDetLnCols("tt", "sum(cf)")}
+           FROM vocab)),
+         wtab AS (SELECT tok, wi FROM (SELECT tok,
+             ${operators.Classify.sqlDetLnCols("cl", "cf")},
+             floor((clln - ttln) * ${operators.Classify.WeightGrid}
+               + 0.5)::BIGINT AS wi
+           FROM vocab CROSS JOIN tot))
          SELECT doc_id, sum(c)::BIGINT AS n_tok,
-           floor((sum(c * ln(cf / tot)) / sum(c)) * 1e6 + 0.5) / 1e6
+           floor(((sum(c * wi)::DOUBLE / sum(c)::DOUBLE)
+             / ${operators.Classify.WeightGrid}) * 1e6 + 0.5) / 1e6
              AS logprob
-         FROM perdoc JOIN vocab USING (tok) CROSS JOIN tot
+         FROM perdoc JOIN wtab USING (tok)
          GROUP BY doc_id ORDER BY doc_id""",
 
     "ta9_bpe_merges" -> {
@@ -6683,17 +6700,25 @@ object SparkEntry {
              count(*) AS n_types
            FROM cnts GROUP BY 1, 2),
          pts AS (
-           SELECT lang, b::DOUBLE AS x, ln(n_types::DOUBLE) AS y, n_types
-           FROM hist),
+           SELECT lang, x, yi, n_types FROM (
+             SELECT lang, b AS x, n_types,
+               ${operators.Classify.sqlDetLnCols("nt", "n_types")},
+               floor(ntln * ${operators.Classify.WeightGrid}
+                 + 0.5)::BIGINT AS yi
+             FROM hist)),
          agg AS (
            SELECT lang, count(*) AS n_buckets,
              sum(n_types)::BIGINT AS n_distinct,
-             count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
-             sum(x * y) AS sxy, sum(x * x) AS sxx
+             count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+             sum(yi)::BIGINT AS sy,
+             sum(x * yi)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
            FROM pts GROUP BY lang)
          SELECT lang, n_buckets, n_distinct,
-           CASE WHEN n * sxx - sx * sx <> 0.0 THEN
-             ${sqlFround("(n * sxy - sx * sy) / (n * sxx - sx * sx)", 6)}
+           CASE WHEN n * sxx - sx * sx <> 0 THEN
+             ${sqlFround(
+               s"""((n * sxy - sx * sy)::DOUBLE
+               / (n * sxx - sx * sx)::DOUBLE)
+               / ${operators.Classify.WeightGrid}""", 6)}
            END AS zipf_slope
          FROM agg ORDER BY lang""",
 

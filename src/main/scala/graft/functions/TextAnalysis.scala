@@ -427,12 +427,24 @@ object TextAnalysis {
       .agg(count(lit(1)).as("c"))
     val vocab = perDoc.groupBy(col("tok")).agg(sum(col("c")).as("cf"))
     val total = vocab.agg(sum(col("cf")).as("tot"))
-    perDoc.join(vocab, "tok")
-      .crossJoin(broadcast(total))
+    // ORDER-EXACT (the r11 x5 discipline): ln(cf/tot) = detln(cf) −
+    // detln(tot) (integer args, libm-free), quantized onto the integer
+    // 2⁻²⁰ grid per vocab entry — the per-doc weighted sum is then
+    // exact BIGINT arithmetic in any order; one divide pair restores
+    // the mean-log-prob scale.
+    val grid = graft.operators.Classify.WeightGrid
+    val wtab = vocab.crossJoin(broadcast(total))
+      .select(col("tok"),
+        floor((graft.expressions.DetLn(col("cf")) -
+          graft.expressions.DetLn(col("tot"))) * lit(grid) + lit(0.5))
+          .as("wi"))
+    perDoc.join(wtab, "tok")
       .groupBy(col(idName))
       .agg(sum(col("c")).as("n_tok"),
-        (sum(col("c") * log(col("cf") / col("tot"))) /
-          sum(col("c"))).as("avg_logprob"))
+        sum(col("c") * col("wi")).as("_num"))
+      .select(col(idName), col("n_tok"),
+        ((col("_num").cast("double") / col("n_tok").cast("double")) /
+          lit(grid)).as("avg_logprob"))
   }
 
   /** Interpolated corpus-bigram LM score (the KenLM-order-2 seat,

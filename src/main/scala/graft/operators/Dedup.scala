@@ -733,14 +733,20 @@ object Dedup {
     */
   def simhash16(text: Column): Column = {
     val toks = TextFunctions.tokenSet(text)
+    // powers of two as exact literal lookups, not libm pow — every
+    // arithmetic step stays integer/exact-double (the r11 libm sweep)
+    val pow4 = typedLit(Seq(1, 2, 4, 8))
+    val pow16 = typedLit((0 until 16).map(i => 1 << i))
     val bits = transform(sequence(lit(0), lit(15)), b => {
       val vote = aggregate(toks, lit(0), (acc, t) => {
         val hx = substring(md5(t), 1, 4).substr((b / lit(4)).cast("int") + 1, lit(1))
         val shift = lit(3) - pmod(b, lit(4))
-        val bit = pmod((hexVal(hx) / pow(lit(2), shift)).cast("int"), lit(2))
+        val bit = pmod((hexVal(hx) / element_at(pow4,
+          (shift + 1).cast("int"))).cast("int"), lit(2))
         acc + (bit * 2 - 1)
       })
-      when(vote > 0, pow(lit(2), b).cast("int")).otherwise(lit(0))
+      when(vote > 0, element_at(pow16, (b + 1).cast("int")))
+        .otherwise(lit(0))
     })
     aggregate(bits, lit(0), (acc, x) => acc + x)
   }
@@ -757,7 +763,7 @@ object Dedup {
       (0 until 64).map { b =>
         val vote = aggregate(toks, lit(0), (acc, t) => {
           val hx = substring(md5(t), b / 4 + 1, 1)
-          val bit = pmod((hexVal(hx) / pow(lit(2), lit(3 - b % 4))).cast("int"),
+          val bit = pmod((hexVal(hx) / lit(1 << (3 - b % 4))).cast("int"),
             lit(2))
           acc + (bit * 2 - 1)
         })
