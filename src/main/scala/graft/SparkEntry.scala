@@ -5039,13 +5039,21 @@ object SparkEntry {
              coalesce(x.c, 0)::DOUBLE / s.ts::DOUBLE AS p,
              tot.ct::DOUBLE / g.t::DOUBLE AS q
            FROM tot CROSS JOIN st s CROSS JOIN g
-           LEFT JOIN sc x ON x.stratum = s.stratum AND x.tok = tot.tok)
+           LEFT JOIN sc x ON x.stratum = s.stratum AND x.tok = tot.tok),
+         terms AS (SELECT stratum, ts, tq FROM (SELECT stratum, ts,
+             2 * p / (p + q) AS r1, 2 * q / (p + q) AS r2, p, q,
+             ${operators.Classify.sqlDetLnDCols("u", "r1")},
+             ${operators.Classify.sqlDetLnDCols("v", "r2")},
+             floor(((CASE WHEN p > 0
+                 THEN 0.5 * p * (uln * ${graft.expressions.DetLn.InvLn2Literal})
+                 ELSE 0.0 END) +
+               0.5 * q * (vln * ${graft.expressions.DetLn.InvLn2Literal}))
+               * ${graft.expressions.DetLn.TermGrid} + 0.5)::BIGINT AS tq
+           FROM pairs))
          SELECT stratum AS lang, max(ts) AS n_tok,
-           floor((sum(
-             (CASE WHEN p > 0 THEN 0.5 * p * log2(2 * p / (p + q))
-               ELSE 0.0 END) +
-             0.5 * q * log2(2 * q / (p + q)))) * 1e6 + 0.5) / 1e6 AS js_bits
-         FROM pairs GROUP BY stratum ORDER BY lang"""
+           floor((sum(tq)::DOUBLE / ${graft.expressions.DetLn.TermGrid})
+             * 1e6 + 0.5) / 1e6 AS js_bits
+         FROM terms GROUP BY stratum ORDER BY lang"""
     },
 
     "ta13_char_diversity" ->
@@ -5062,8 +5070,11 @@ object SparkEntry {
            FROM ch)
          SELECT doc_id, n AS n_chars,
            floor((CASE WHEN n > 0
-             THEN log2(n) - list_sum(list_transform(counts,
-               q -> q * log2(q))) / n
+             THEN (${operators.Classify.sqlDetLnInline("n")}
+               * ${graft.expressions.DetLn.InvLn2Literal})
+               - list_sum(list_transform(counts,
+               q -> q * (${operators.Classify.sqlDetLnInline("q")}
+                 * ${graft.expressions.DetLn.InvLn2Literal}))) / n
              ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS entropy,
            floor((CASE WHEN n > 1
              THEN list_sum(list_transform(counts, q -> q * (q - 1)))::DOUBLE
@@ -5123,12 +5134,18 @@ object SparkEntry {
          big AS (SELECT a, b, sum(c) AS cab FROM perdoc GROUP BY 1, 2),
          ctx AS (SELECT a, sum(cab) AS ca FROM big GROUP BY 1),
          cont AS (SELECT b, sum(cab) AS cb FROM big GROUP BY 1),
-         tot AS (SELECT sum(cab) AS tot FROM big)
+         tot AS (SELECT sum(cab) AS tot FROM big),
+         wtab AS (SELECT a, b, wi FROM (SELECT a, b,
+             0.75 * (cab / ca) + 0.25 * (cb / tot) AS mix,
+             ${operators.Classify.sqlDetLnDCols("mx", "mix")},
+             floor(mxln * ${operators.Classify.WeightGrid}
+               + 0.5)::BIGINT AS wi
+           FROM big JOIN ctx USING (a) JOIN cont USING (b) CROSS JOIN tot))
          SELECT doc_id, sum(c)::BIGINT AS n_big,
-           floor((sum(c * ln(0.75 * (cab / ca) + 0.25 * (cb / tot))) / sum(c))
-             * 1e6 + 0.5) / 1e6 AS logprob
-         FROM perdoc JOIN big USING (a, b) JOIN ctx USING (a)
-           JOIN cont USING (b) CROSS JOIN tot
+           floor(((sum(c * wi)::DOUBLE / sum(c)::DOUBLE)
+             / ${operators.Classify.WeightGrid}) * 1e6 + 0.5) / 1e6
+             AS logprob
+         FROM perdoc JOIN wtab USING (a, b)
          GROUP BY doc_id ORDER BY doc_id"""
     },
 

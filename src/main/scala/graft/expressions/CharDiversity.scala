@@ -57,18 +57,20 @@ object CharDiversity {
       n += 1
     }
     // same term and accumulation order as the declarative fold:
-    // ascending char, run·log₂(run) with Spark's log2 = log(x)/log(2)
-    val log2 = Math.log(2.0)
+    // ascending char, run·log₂(run) with log₂ = detln·(1/ln2) — the
+    // r11 libm sweep: libm log differs across engines at the last ulp,
+    // detln is bit-identical everywhere
     var sTot = 0.0
     var s2 = 0L
     val it = counts.values().iterator()
     while (it.hasNext) {
       val c = it.next()
-      sTot += c.toDouble * (Math.log(c.toDouble) / log2)
+      sTot += c.toDouble * (DetLn.compute(c) * DetLn.InvLn2)
       s2 += c * (c - 1)
     }
     val entropy =
-      if (n > 0) Math.log(n.toDouble) / log2 - sTot / n.toDouble else 0.0
+      if (n > 0) DetLn.compute(n) * DetLn.InvLn2 - sTot / n.toDouble
+      else 0.0
     val simpson =
       if (n > 1) s2.toDouble / (n * (n - 1)).toDouble else 0.0
     new GenericInternalRow(Array[Any](n, entropy, simpson))

@@ -59,6 +59,18 @@ object DetLn {
   val Ln2: Double = 0.6931471805599453
   val Ln2Literal: String = "0.6931471805599453"
 
+  /** 1/ln2 as the nearest double (log2 x = detln(x)·InvLn2 — one
+    * deterministic multiply). */
+  val InvLn2: Double = 1.4426950408889634
+  val InvLn2Literal: String = "1.4426950408889634"
+
+  /** The 2⁻⁴⁰ grid for quantizing SMALL log-terms (|term| ≤ ~2)
+    * before an order-free sum: partial sums stay exact while
+    * |Σ| < 2¹³ — the fine-grained sibling of the 2⁻²⁰ weight grid
+    * (which suits integer-scaled weights up to ~2⁷ magnitude).
+    */
+  val TermGrid: Double = (1L << 40).toDouble
+
   /** Odd Horner denominators for the atanh series, highest first —
     * shared with the SQL twin so both sides unroll the SAME
     * polynomial: h = 1/23; h = h·z² + 1/21; …; h = h·z² + 1/1.

@@ -294,9 +294,11 @@ object TextAnalysis {
       .otherwise(split(text, ""))
     val zero = struct(lit("").as("prev"), lit(0L).as("run"),
       lit(0.0).as("s"), lit(0L).as("s2"))
+    import graft.expressions.DetLn
     val closed = (a: Column) =>
       when(a.getField("run") > 0,
-        a.getField("run").cast("double") * log2(a.getField("run")))
+        a.getField("run").cast("double") *
+          (DetLn(a.getField("run")) * lit(DetLn.InvLn2)))
         .otherwise(lit(0.0))
     val closed2 = (a: Column) =>
       a.getField("run") * (a.getField("run") - 1)
@@ -311,7 +313,8 @@ object TextAnalysis {
     val sTot = acc.getField("s") + closed(acc)
     val s2Tot = acc.getField("s2") + closed2(acc)
     struct(n.as("n_chars"),
-      when(n > 0, log2(n) - sTot / n.cast("double"))
+      when(n > 0,
+        DetLn(n) * lit(DetLn.InvLn2) - sTot / n.cast("double"))
         .otherwise(lit(0.0)).as("entropy"),
       when(n > 1, s2Tot.cast("double") / (n * (n - 1)).cast("double"))
         .otherwise(lit(0.0)).as("simpson"))
@@ -487,12 +490,23 @@ object TextAnalysis {
     val total = big.agg(sum(col("cab")).as("tot"))
     val interp = lit(lambda) * (col("cab") / col("ca")) +
       lit(1.0 - lambda) * (col("cb") / col("tot"))
+    // ORDER-EXACT (the r11 x5 discipline): the mix is deterministic
+    // (exact-integer ratios through correctly-rounded IEEE ops), its
+    // log computes via detlnd (libm-free), and the per-bigram weight
+    // quantizes onto the integer 2⁻²⁰ grid — the per-doc sum is exact
+    // BIGINT arithmetic in any order.
+    val grid = graft.operators.Classify.WeightGrid
+    val scored = model.crossJoin(broadcast(total))
+      .withColumn("wi",
+        floor(graft.expressions.DetLnD(interp) * lit(grid) + lit(0.5)))
     perDoc
-      .join(model, Seq("a", "b"))
-      .crossJoin(broadcast(total))
+      .join(scored, Seq("a", "b"))
       .groupBy(col(idName))
       .agg(sum(col("c")).as("n_big"),
-        (sum(col("c") * log(interp)) / sum(col("c"))).as("avg_logprob"))
+        sum(col("c") * col("wi")).as("_num"))
+      .select(col(idName), col("n_big"),
+        ((col("_num").cast("double") / col("n_big").cast("double")) /
+          lit(grid)).as("avg_logprob"))
   }
 
   /** Per-stratum corpus drift: Jensen-Shannon divergence (bits) of
@@ -526,13 +540,21 @@ object TextAnalysis {
         coalesce(col("c"), lit(0L)).cast("double") / col("ts").cast("double"))
       .withColumn("q", col("ct").cast("double") / col("t").cast("double"))
     // q > 0 for every vocab token by construction; the p-side term is
-    // zero at p = 0 (x·log x → 0)
+    // zero at p = 0 (x·log x → 0). ORDER-EXACT (r11): log2 computes as
+    // detlnd·(1/ln2) — libm-free — and each term quantizes onto the
+    // FINE 2⁻⁴⁰ grid (terms are ≤ O(1), so the 2⁻²⁰ weight grid would
+    // cost visible precision; at 2⁻⁴⁰ partial sums stay exact while
+    // |Σ| < 2¹³, far above any JS divergence).
+    import graft.expressions.{DetLn, DetLnD}
+    def dlog2(x: Column): Column = DetLnD(x) * lit(DetLn.InvLn2)
     val term =
       when(col("p") > 0,
-        lit(0.5) * col("p") * log2(lit(2) * col("p") / (col("p") + col("q"))))
+        lit(0.5) * col("p") * dlog2(lit(2) * col("p") / (col("p") + col("q"))))
         .otherwise(lit(0.0)) +
-      lit(0.5) * col("q") * log2(lit(2) * col("q") / (col("p") + col("q")))
+      lit(0.5) * col("q") * dlog2(lit(2) * col("q") / (col("p") + col("q")))
+    val termQ = floor(term * lit(DetLn.TermGrid) + lit(0.5))
     pairs.groupBy(col("stratum"))
-      .agg(max(col("ts")).as("n_tok"), sum(term).as("js_bits"))
+      .agg(max(col("ts")).as("n_tok"),
+        (sum(termQ).cast("double") / lit(DetLn.TermGrid)).as("js_bits"))
   }
 }

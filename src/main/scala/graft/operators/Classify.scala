@@ -65,6 +65,48 @@ object Classify {
           AS ${p}ln"""
   }
 
+  /** DuckDB twin of [[graft.expressions.DetLnD]] (double input on
+    * (2⁻⁵², 2¹⁰]) as SELECT-list items with prefixed lateral aliases,
+    * ending in `{p}ln`: exponent via the exact power-of-two scaling
+    * trick (⌊x·2⁵²⌋ is exact, its bit length gives ⌊log2 x⌋ — no
+    * frexp, no double→bits builtin), mantissa by one exact
+    * power-of-two divide, then the shared Horner unroll. `xExpr`
+    * should be a cheap alias (it is referenced twice). Keep in exact
+    * lockstep with [[graft.expressions.DetLnD.compute]].
+    */
+  def sqlDetLnDCols(p: String, xExpr: String): String = {
+    import graft.expressions.{DetLn, DetLnD}
+    val horner = DetLn.HornerK.tail.foldLeft(
+      s"(1.0 / ${DetLn.HornerK.head}.0)")(
+      (acc, k) => s"($acc * ${p}z2 + 1.0 / $k.0)")
+    s"""floor(($xExpr) * ${DetLnD.Scale})::BIGINT AS ${p}i,
+        (length(bin(${p}i)) - 1) - 52 AS ${p}e,
+        (1::BIGINT << (${p}e + 52))::DOUBLE / ${DetLnD.Scale} AS ${p}p2,
+        ($xExpr) / ${p}p2 AS ${p}m,
+        (${p}m - 1.0) / (${p}m + 1.0) AS ${p}z,
+        ${p}z * ${p}z AS ${p}z2,
+        ${p}e::DOUBLE * ${DetLn.Ln2Literal} + (2.0 * ${p}z) * $horner
+          AS ${p}ln"""
+  }
+
+  /** [[sqlDetLnCols]] as ONE self-contained expression (no lateral
+    * aliases) — for use INSIDE DuckDB list lambdas, where aliases
+    * can't reach. Textual substitution blows the tree up ~90 copies of
+    * `nExpr`, so pass a short reference (a lambda variable). Same op
+    * sequence as [[graft.expressions.DetLn.compute]].
+    */
+  def sqlDetLnInline(nExpr: String): String = {
+    import graft.expressions.DetLn
+    val e = s"(length(bin(($nExpr)::BIGINT)) - 1)"
+    val m = s"(($nExpr)::DOUBLE / (1::BIGINT << $e)::DOUBLE)"
+    val z = s"(($m - 1.0) / ($m + 1.0))"
+    val z2 = s"($z * $z)"
+    val horner = DetLn.HornerK.tail.foldLeft(
+      s"(1.0 / ${DetLn.HornerK.head}.0)")(
+      (acc, k) => s"($acc * $z2 + 1.0 / $k.0)")
+    s"($e::DOUBLE * ${DetLn.Ln2Literal} + (2.0 * $z) * $horner)"
+  }
+
   /** Per-document hashed-feature counts: (idName, f, c). One tokenize
     * pass, exploded then counted — map-side combinable, so shuffled
     * volume is the per-doc distinct-feature footprint.

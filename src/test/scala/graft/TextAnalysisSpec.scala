@@ -105,8 +105,10 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(x => (x._1, x._2)) == Seq((1L, 3L), (2L, 2L)))
     val exp1 = (2 * math.log(2 / 5.0) + math.log(2 / 5.0)) / 3
     val exp2 = (math.log(2 / 5.0) + math.log(1 / 5.0)) / 2
-    assert(math.abs(out(0)._3 - exp1) < 1e-12)
-    assert(math.abs(out(1)._3 - exp2) < 1e-12)
+    // tolerance = the 2^-20 per-entry quantization grid that makes the
+    // per-doc sum order-exact (r11), plus detLn's ~1e-12 series error
+    assert(math.abs(out(0)._3 - exp1) < 1.5e-6)
+    assert(math.abs(out(1)._3 - exp2) < 1.5e-6)
     // repeated rare-token soup scores strictly below common prose
     assert(exp2 < exp1)
   }
@@ -123,8 +125,9 @@ class TextAnalysisSpec extends SparkSpec {
     val pba = 0.75 * (1 / 1.0) + 0.25 * (1 / 4.0)
     val exp1 = (2 * math.log(pab) + math.log(pba)) / 3
     val exp2 = math.log(pab)
-    assert(math.abs(out(0)._3 - exp1) < 1e-12)
-    assert(math.abs(out(1)._3 - exp2) < 1e-12)
+    // 2^-20 grid tolerance (see unigramLogProb)
+    assert(math.abs(out(0)._3 - exp1) < 1.5e-6)
+    assert(math.abs(out(1)._3 - exp2) < 1.5e-6)
     // the unseen-context penalty: doc 1 carries the rarer (b,a) bigram
     assert(exp1 < exp2)
   }
