@@ -958,29 +958,39 @@ object SparkEntry {
           col("n_tok"), budgetPct = 25)
         .select(col("doc_id"), col("n_tok"), col("logratio"),
           col("sel_key"), col("start_tok"))
-        .orderBy(col("sel_key").desc, col("doc_id"))
+        .orderBy(col("sel_key"), col("doc_id"))
     }),
 
     "x5d_dsir_diag" -> ((s, dir) => {
-      // TEMPORARY round-11 diagnostic for the x5 driver-gate flake
-      // (red in CORRECTNESS_r9/r10 while green locally): every
-      // quantity the x5 chain depends on, as EXACT INTEGERS — n_tok,
-      // the per-doc weighted numerator Σ c·wi on the 2^-20 grid
-      // (recovered from the mean by one exact multiply-back), and the
-      // dyadic selection exponent m. If any engine/environment pair
-      // still disagrees, the failing CELL names the diverging stage
-      // (weight census vs key chain) and doc. Remove once the
-      // driver's x5 gate is green.
+      // Diagnostic for the x5 driver-gate flake (red in CORRECTNESS_r9
+      // through r11 while green locally): every quantity the x5 chain
+      // depends on, per doc for ALL 500 docs, as EXACT INTEGERS —
+      // n_tok, the per-doc weighted numerator Σ c·wi on the 2^-20 grid
+      // (recovered from the mean by one exact multiply-back), the
+      // dyadic selection exponent m, and — widened in round 12, after
+      // r11's version proved everything upstream equal while x5 stayed
+      // red — the full downstream tail: the integer selection key
+      // itself and the serve-order token offset start_tok for every
+      // doc (not just the kept 130). If any engine/environment pair
+      // still disagrees, the failing CELL names the exact doc and
+      // stage. Keep until x5 has been driver-green a full round.
       val w = Classify.dsirWeights(t(s, dir, "documents"), col("doc_id"),
           col("text"), col("lang") <=> "en", 4096)
-      w.select(col("doc_id"), col("n_tok"),
+        .select(col("doc_id"), col("n_tok"),
           fround(col("avg_logratio"), 6).as("logratio"),
           floor(col("avg_logratio") * col("n_tok").cast("double") *
-            lit(Classify.WeightGrid) + lit(0.5)).as("wnum"),
+            lit(Classify.WeightGrid) + lit(0.5)).as("wnum"))
+      Sampling.withTokenOffsets(
+          Sampling.withSelectionKey(w, col("doc_id"),
+            Sampling.detExp(lit(2.0) * col("logratio")), "dsir"),
+          col("doc_id"), col("n_tok"))
+        .select(col("doc_id"), col("n_tok"), col("logratio"),
+          col("wnum"),
           least(lit(1L << 26), greatest(lit(1L),
             floor(lit((1L << 20).toDouble) /
-              Sampling.detExp(lit(2.0) * fround(col("avg_logratio"), 6)) +
-              lit(0.5)))).as("sk_m"))
+              Sampling.detExp(lit(2.0) * col("logratio")) +
+              lit(0.5)))).as("sk_m"),
+          col("sel_key"), col("start_tok"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1143,7 +1153,10 @@ object SparkEntry {
       // (data-dependent verdict), a stopword-free boilerplate line
       // (always dropped), a stopword-rich summary line (always kept),
       // and a short crumb (dropped by min-words/density). Output: the
-      // per-lang keep census + mean kept-character share.
+      // per-lang keep census + mean kept-character share; the share
+      // quantizes onto the 2^-40 grid (the ta14 pattern) so the
+      // cross-doc mean is an exact integer sum + one divide — no
+      // order-dependent float accumulation.
       val lined = t(s, dir, "documents").select(col("lang"),
         concat_ws("\n",
           substring(coalesce(col("text"), lit("")), 1, 120),
@@ -1156,14 +1169,18 @@ object SparkEntry {
       scrubbed.select(col("lang"),
           size(split(col("lt"), "\n")).as("nin"),
           size(col("kl")).as("nkept"),
-          when(length(col("lt")) > 0,
+          floor(when(length(col("lt")) > 0,
             length(array_join(col("kl"), "\n")).cast("double") /
-              length(col("lt")).cast("double")).as("ratio"))
+              length(col("lt")).cast("double")) *
+            lit(graft.expressions.DetLn.TermGrid) + lit(0.5))
+            .cast("long").as("rq"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("nin")).as("n_lines_in"),
           sum(col("nkept")).as("n_lines_kept"),
-          fround(avg(col("ratio")), 6).as("avg_kept_chars"))
+          fround(sum(col("rq")).cast("double") /
+            (lit(graft.expressions.DetLn.TermGrid) *
+              count(col("rq")).cast("double")), 6).as("avg_kept_chars"))
         .orderBy(col("lang"))
     }),
 
@@ -2195,6 +2212,99 @@ object SparkEntry {
         .select(col("day").cast("string").as("day"), col("event_type"),
           col("n"), col("sum_v"), col("ks"), col("breached"))
         .orderBy(col("day"), col("event_type"))
+    }),
+
+    "g12_vector_tick" -> ((s, dir) => {
+      // G12 — the combined DOCUMENT + VECTOR day tick: the one batch
+      // that g10 lands and annIngestSink indexes, as a single oracled
+      // product (the r11 verdict's missing lifecycle). Flow: the day's
+      // batch dedups against the standing corpus (d9's bloom-prefilter
+      // shape — exactly batch ANTI JOIN corpus for any fpp), survives
+      // a minimum-substance gate, LANDS to the corpus store, EMBEDS
+      // (the v12 engine-side batch-encode path), APPENDS into the
+      // persisted IVF index as one commit-gated segment — and the
+      // append is immediately REPLAYED with the same batch id inside
+      // the query: the gate makes it a no-op, and the dashboard's
+      // n_indexed (counted from the index AS A READER SEES IT,
+      // commit-pruned) would break its oracle if replay ever
+      // double-landed. The tick then probes the index with the
+      // batch's own vectors (frozen centroids decay against the
+      // newest data first), scores recall@5 vs exact brute cosine
+      // over the full corpus, and emits the operator dashboard:
+      // per-lang in/dedup-dropped/gate-dropped/landed counts plus the
+      // index row count and mean recall. mean_recall divides exact
+      // integer sums (Σhit/Σexact) — no order-dependent float
+      // accumulation. Scale shape: bloom probe is scan-fused, the
+      // index append is O(batch), probes touch nprobe/C of the lists,
+      // and the exact-recall pass is query-batch × corpus — the v1
+      // broadcast brute shape, priced per tick, not per doc.
+      val d = t(s, dir, "documents")
+      val inCorpus = Sampling.keyHash(col("doc_id"), "g12c") <
+        Sampling.threshold(0.6)
+      val ckey = md5(lower(trim(substring(col("text"), 1, 20))))
+      val base = scratchDir("graft_g12")
+      val corpus = d.filter(inCorpus)
+        .select(col("doc_id"), col("lang"), col("text"), ckey.as("ck"))
+      val batch = d.filter(!inCorpus)
+        .select(col("doc_id"), col("lang"), col("text"), ckey.as("ck"))
+      // STAGE dedup survivors and the landed set (the g10 discipline:
+      // both have multiple dashboard consumers)
+      Dedup.incrementalDedup(batch, corpus, "ck",
+          expectedItems = 100000, fpp = 0.01)
+        .write.mode("overwrite").parquet(s"$base/deduped")
+      val deduped = s.read.parquet(s"$base/deduped")
+      deduped.filter(TA.tokenCount(col("text")) >= 10)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .write.mode("overwrite").parquet(s"$base/landed")
+      val landed = s.read.parquet(s"$base/landed")
+      def embed(df: DataFrame) = Embed.embedColumn(df, col("text"), "emb",
+        new Embed.MockHashEmbeddingClient(dim = 8), batchSize = 32)
+      val corpusEmb = embed(corpus.select(col("doc_id"), col("text")))
+      val landedEmb = embed(landed.select(col("doc_id"), col("text")))
+      val cents = corpusEmb.orderBy(col("doc_id")).limit(4)
+        .select(col("doc_id"), col("emb").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .toSeq
+      val idx = s"$base/ivf"
+      Similarity.saveIvfIndex(corpusEmb, col("doc_id"), col("emb"), cents,
+        idx, targetRows = 10000L, spread = 2)
+      Similarity.appendIvfIndex(s, idx, landedEmb, col("doc_id"),
+        col("emb"), targetRows = 10000L, spread = 2,
+        batchId = Some(1L)): Unit
+      // crash-replay of the same batch id: MUST no-op (commit-gated)
+      Similarity.appendIvfIndex(s, idx, landedEmb, col("doc_id"),
+        col("emb"), targetRows = 10000L, spread = 2,
+        batchId = Some(1L)): Unit
+      val queries = landedEmb.orderBy(col("doc_id")).limit(5)
+        .select(col("doc_id").as("query_id"), col("emb").as("qv"))
+      val approx = Similarity.ivfTopKIndexed(s, idx, queries,
+        col("query_id"), col("qv"), k = 5, nprobe = 2)
+      val exact = Similarity.topKPerQuery(
+        corpusEmb.unionByName(landedEmb), col("doc_id"), col("emb"),
+        queries, col("query_id"), col("qv"), k = 5)
+      val tick = Similarity.recallAtK(approx, exact, k = 5)
+        .agg(sum(col("n_hit")).as("_h"), sum(col("n_exact")).as("_e"))
+        .crossJoin(broadcast(Similarity.ivfIndexedRows(s, idx)
+          .agg(count(lit(1)).as("n_indexed"))))
+        .select(col("n_indexed"),
+          fround(when(col("_e") > 0,
+            col("_h").cast("double") / col("_e").cast("double"))
+            .otherwise(lit(1.0)), 6).as("mean_recall"))
+      val nIn = batch.groupBy(col("lang")).agg(count(lit(1)).as("n_in"))
+      val nDd = deduped.groupBy(col("lang")).agg(count(lit(1)).as("n_dd"))
+      val nLand = landed.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_landed"))
+      nIn
+        .join(nDd, Seq("lang"), "left")
+        .join(nLand, Seq("lang"), "left")
+        .withColumn("n_dd", coalesce(col("n_dd"), lit(0L)))
+        .withColumn("n_landed", coalesce(col("n_landed"), lit(0L)))
+        .select(col("lang"), col("n_in"),
+          (col("n_in") - col("n_dd")).as("n_dedup_dropped"),
+          (col("n_dd") - col("n_landed")).as("n_gate_dropped"),
+          col("n_landed"))
+        .crossJoin(broadcast(tick))
+        .orderBy(col("lang"))
     }),
 
     "g8_ingest_corpus" -> ((s, dir) => {
@@ -3387,8 +3497,11 @@ object SparkEntry {
       // after every index/codebook/weight change. Determinism: ranks
       // come from 6dp-rounded scores with doc_id tiebreaks, the nDCG
       // discounts are shared dyadic-grid literals (per-query DCG sums
-      // exactly in any order), and MRR/recall are exact rationals per
-      // query averaged over a bounded query set.
+      // exactly in any order), and the cross-query rollup is ORDER-
+      // EXACT: hit counts and reciprocal ranks accumulate as integers
+      // (rr scales by 2520 = lcm(1..10), so 2520/rank is exact),
+      // per-query DCGs are exact dyadics summing exactly in any
+      // order, and each metric is ONE final IEEE divide.
       val d = t(s, dir, "documents")
       val e = t(s, dir, "embeddings")
       val nq = bm25Queries.size
@@ -3426,13 +3539,18 @@ object SparkEntry {
         .withColumn("disc", element_at(typedLit(ndcgDiscounts), col("rank")))
         .groupBy(col("method"), col("query_id"))
         .agg(sum(col("rel").cast("double") * col("disc")).as("dcg"),
-          sum(when(col("rel") > 0, 1.0).otherwise(0.0)).as("hits"),
-          max(when(col("rel") > 0, lit(1.0) / col("rank").cast("double"))
-            .otherwise(lit(0.0))).as("rr"))
+          sum(when(col("rel") > 0, 1L).otherwise(0L)).as("hits"),
+          max(when(col("rel") > 0, expr("2520 div rank"))
+            .otherwise(lit(0L))).as("rr2520"))
         .groupBy(col("method"))
-        .agg(fround(avg(col("hits") / lit(5.0)), 6).as("recall_at_10"),
-          fround(avg(col("rr")), 6).as("mrr_at_10"),
-          fround(avg(col("dcg") / lit(ndcgIdcg5)), 6).as("ndcg_at_10"))
+        .agg(
+          fround(sum(col("hits")).cast("double") /
+            (lit(5L) * count(lit(1))).cast("double"), 6).as("recall_at_10"),
+          fround(sum(col("rr2520")).cast("double") /
+            (lit(2520L) * count(lit(1))).cast("double"), 6).as("mrr_at_10"),
+          fround(sum(col("dcg")) /
+            (lit(ndcgIdcg5) * count(lit(1)).cast("double")), 6)
+            .as("ndcg_at_10"))
         .orderBy(col("method"))
     }),
 
@@ -3926,7 +4044,7 @@ object SparkEntry {
           Sampling.detExp(lit(2.0) * col("logratio")), 100, "dsir")
         .select(col("doc_id"), col("n_tok"), col("logratio"),
           col("sel_key"))
-        .orderBy(col("sel_key").desc, col("doc_id"))
+        .orderBy(col("sel_key"), col("doc_id"))
     }),
 
     "tq8_label_noise" -> ((s, dir) => {
@@ -3939,9 +4057,12 @@ object SparkEntry {
       // class), and confident rows whose class differs from their
       // given label are the suspected mislabels — the confident-joint
       // census you run before trusting any weakly-labeled corpus
-      // (crawl heuristics, distant supervision). Determinism: p
-      // rounds to 6dp before thresholds and comparisons; thresholds
-      // round the same way; the flag census is then integer-exact.
+      // (crawl heuristics, distant supervision). Determinism: p lands
+      // on the 1e-6 grid as INTEGER MICRO-UNITS, thresholds are
+      // rounded means of exact BIGINT sums (one IEEE divide — the r12
+      // order-exact bar: a summation-order ulp in a float avg could
+      // shift a threshold one grid cell and flip the integer census),
+      // and every comparison below is integer-vs-integer.
       val staged = scratchDir("graft_tq8") + "/scored"
       t(s, dir, "documents")
         .select(TA.stopwordRatio(col("text")).as("sc"),
@@ -3951,16 +4072,26 @@ object SparkEntry {
       val (aF, bF) = Classify.plattFit(sd, col("sc"), col("y"),
         iters = plattIters)
       val scored = sd.select(col("y"),
-        fround(Classify.plattProb(col("sc"), aF, bF), 6).as("p"))
+        floor(Classify.plattProb(col("sc"), aF, bF) * 1e6 + lit(0.5))
+          .cast("long").as("pi"))
       val thr = scored.agg(
-        fround(avg(when(col("y"), col("p"))), 6).as("t1"),
-        fround(avg(when(!col("y"), lit(1.0) - col("p"))), 6).as("t0"))
+          sum(when(col("y"), col("pi"))).as("_s1"),
+          sum(when(col("y"), 1L)).as("_n1"),
+          sum(when(!col("y"), lit(1000000L) - col("pi"))).as("_s0"),
+          sum(when(!col("y"), 1L)).as("_n0"))
+        .select(
+          when(col("_n1") > 0,
+            floor(col("_s1").cast("double") / col("_n1").cast("double")
+              + lit(0.5)).cast("long")).as("t1i"),
+          when(col("_n0") > 0,
+            floor(col("_s0").cast("double") / col("_n0").cast("double")
+              + lit(0.5)).cast("long")).as("t0i"))
       scored.crossJoin(broadcast(thr))
-        .withColumn("p0", lit(1.0) - col("p"))
+        .withColumn("p0i", lit(1000000L) - col("pi"))
         .withColumn("pred",
-          when(col("p") >= col("t1") &&
-            (col("p0") < col("t0") || col("p") >= col("p0")), lit(1L))
-          .when(col("p0") >= col("t0"), lit(0L))
+          when(col("pi") >= col("t1i") &&
+            (col("p0i") < col("t0i") || col("pi") >= col("p0i")), lit(1L))
+          .when(col("p0i") >= col("t0i"), lit(0L))
           .otherwise(lit(null).cast("long")))
         .groupBy(col("y"))
         .agg(count(lit(1)).as("n"),
@@ -6231,16 +6362,21 @@ object SparkEntry {
          disc(rank, disc) AS (VALUES $discVals),
          perq AS (SELECT method, r.query_id,
              sum(coalesce(g.rel, 0)::DOUBLE * d.disc) AS dcg,
-             sum(CASE WHEN g.rel IS NOT NULL THEN 1.0 ELSE 0.0 END) AS hits,
-             max(CASE WHEN g.rel IS NOT NULL THEN 1.0 / r.rank
-               ELSE 0.0 END) AS rr
+             sum(CASE WHEN g.rel IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS hits,
+             max(CASE WHEN g.rel IS NOT NULL THEN 2520 // r.rank
+               ELSE 0 END)::BIGINT AS rr2520
            FROM runs r JOIN disc d USING (rank)
            LEFT JOIN gold g
              ON g.query_id = r.query_id AND g.doc_id = r.doc_id
            GROUP BY 1, 2)
-         SELECT method, ${sqlFround("avg(hits / 5.0)", 6)} AS recall_at_10,
-           ${sqlFround("avg(rr)", 6)} AS mrr_at_10,
-           ${sqlFround(s"avg(dcg / $ndcgIdcg5)", 6)} AS ndcg_at_10
+         SELECT method,
+           ${sqlFround("sum(hits)::DOUBLE / (5 * count(*))::DOUBLE", 6)}
+             AS recall_at_10,
+           ${sqlFround("sum(rr2520)::DOUBLE / (2520 * count(*))::DOUBLE", 6)}
+             AS mrr_at_10,
+           ${sqlFround(s"sum(dcg) / ($ndcgIdcg5::DOUBLE * count(*)::DOUBLE)",
+             6)} AS ndcg_at_10
          FROM perq GROUP BY method ORDER BY method"""
     },
 
@@ -6694,15 +6830,20 @@ object SparkEntry {
            FROM documents),
          scrub AS (SELECT lang, lt,
              list_filter(string_split(lt, chr(10)), l -> $keep) AS kl
-           FROM lined)
+           FROM lined),
+         rq AS (SELECT lang, lt, kl,
+             floor((CASE WHEN len(lt) > 0 THEN
+               len(array_to_string(kl, chr(10)))::DOUBLE / len(lt)::DOUBLE
+               END) * ${graft.expressions.DetLn.TermGrid} + 0.5)::BIGINT
+               AS rq
+           FROM scrub)
          SELECT lang, count(*) AS n_docs,
            sum(len(string_split(lt, chr(10))))::BIGINT AS n_lines_in,
            sum(len(kl))::BIGINT AS n_lines_kept,
            ${sqlFround(
-             """avg(CASE WHEN len(lt) > 0 THEN
-             len(array_to_string(kl, chr(10)))::DOUBLE / len(lt)::DOUBLE
-             END)""", 6)} AS avg_kept_chars
-         FROM scrub GROUP BY lang ORDER BY lang"""
+             s"""sum(rq)::DOUBLE / (${graft.expressions.DetLn.TermGrid}
+             * count(rq)::DOUBLE)""", 6)} AS avg_kept_chars
+         FROM rq GROUP BY lang ORDER BY lang"""
     },
 
     "ta17_zipf_slope" ->
@@ -7229,6 +7370,86 @@ object SparkEntry {
          ORDER BY doc_id"""
     },
 
+    "g12_vector_tick" -> {
+      // the combined doc+vector tick replayed relationally: hash-split
+      // corpus/batch, content-key anti-join (the bloom path is exactly
+      // this for any fpp), substance gate, mock-hash embeds, centroid
+      // assignment = the committed index (save + exactly-one append),
+      // frozen-centroid probe vs exact brute cosine, integer-sum mean
+      // recall
+      val keep = s"('0x' || substr(md5('g12c:' || doc_id::VARCHAR), 1, 7))" +
+        s"::BIGINT < ${Sampling.threshold(0.6)}"
+      s"""WITH corpus AS (SELECT doc_id, lang, text,
+             md5(lower(trim(substr(text, 1, 20)))) AS ck
+           FROM documents WHERE $keep),
+         batch AS (SELECT doc_id, lang, text,
+             md5(lower(trim(substr(text, 1, 20)))) AS ck
+           FROM documents WHERE NOT ($keep)),
+         dd AS (SELECT doc_id, lang, text FROM batch b
+           WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.ck = b.ck)),
+         landed AS (SELECT doc_id, lang, text FROM dd
+           WHERE len(${sqlTokens("text")}) >= 10),
+         cemb AS (SELECT doc_id, ${sqlMockEmbedding("text", 8)} AS v
+           FROM corpus),
+         lemb AS (SELECT doc_id, ${sqlMockEmbedding("text", 8)} AS v
+           FROM landed),
+         cents AS (SELECT doc_id AS cid, v AS cv FROM cemb
+           ORDER BY doc_id LIMIT 4),
+         allemb AS (SELECT doc_id, v FROM cemb
+           UNION ALL SELECT doc_id, v FROM lemb),
+         assign AS (
+           SELECT doc_id, v, cid FROM (
+             SELECT a.doc_id, a.v, c.cid, row_number() OVER (
+               PARTITION BY a.doc_id
+               ORDER BY ${sqlCosine("a.v", "c.cv", 8)} DESC, c.cid) AS rn
+             FROM allemb a, cents c) WHERE rn = 1),
+         q AS (SELECT doc_id AS query_id, v AS qv FROM lemb
+           ORDER BY doc_id LIMIT 5),
+         probes AS (
+           SELECT query_id, qv, cid FROM (
+             SELECT query_id, qv, cid, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY ${sqlCosine("qv", "cv", 8)} DESC, cid) AS rn
+             FROM q, cents) WHERE rn <= 2),
+         approx AS (
+           SELECT query_id, doc_id FROM (
+             SELECT query_id, doc_id, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY ${sqlCosine("v", "qv", 8)} DESC, doc_id) AS rank
+             FROM probes JOIN assign USING (cid)) WHERE rank <= 5),
+         exact AS (
+           SELECT query_id, doc_id FROM (
+             SELECT query_id, a.doc_id, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY ${sqlCosine("a.v", "q.qv", 8)} DESC, a.doc_id)
+                 AS rank
+             FROM allemb a, q) WHERE rank <= 5),
+         rec AS (
+           SELECT e.query_id, count(*)::BIGINT AS n_exact,
+             count(a.doc_id)::BIGINT AS n_hit
+           FROM exact e LEFT JOIN approx a USING (query_id, doc_id)
+           GROUP BY e.query_id),
+         tick AS (
+           SELECT (SELECT count(*) FROM allemb)::BIGINT AS n_indexed,
+             CASE WHEN sum(n_exact) > 0 THEN
+               ${sqlFround("sum(n_hit)::DOUBLE / sum(n_exact)::DOUBLE", 6)}
+             ELSE 1.0 END AS mean_recall
+           FROM rec),
+         nin AS (SELECT lang, count(*)::BIGINT AS n_in FROM batch
+           GROUP BY 1),
+         ndd AS (SELECT lang, count(*)::BIGINT AS n_dd FROM dd GROUP BY 1),
+         nld AS (SELECT lang, count(*)::BIGINT AS n_landed FROM landed
+           GROUP BY 1)
+         SELECT i.lang, i.n_in,
+           i.n_in - coalesce(d.n_dd, 0) AS n_dedup_dropped,
+           coalesce(d.n_dd, 0) - coalesce(l.n_landed, 0) AS n_gate_dropped,
+           coalesce(l.n_landed, 0) AS n_landed,
+           t.n_indexed, t.mean_recall
+         FROM nin i LEFT JOIN ndd d USING (lang)
+           LEFT JOIN nld l USING (lang) CROSS JOIN tick t
+         ORDER BY i.lang"""
+    },
+
     "ta6_seq_packing" -> {
       val toks = sqlTokens("text")
       s"""WITH t AS (
@@ -7662,19 +7883,27 @@ object SparkEntry {
          FROM sc ORDER BY doc_id""",
 
     "tq8_label_noise" ->
-      // the shared Platt replay, then the confident-learning census:
-      // 6dp probs, per-class mean self-confidence thresholds, argmax
-      // over passing classes (ties to positive), off-diagonal counts
+      // the shared Platt replay, then the confident-learning census in
+      // INTEGER MICRO-UNITS: probs → BIGINT µ-units, thresholds =
+      // rounded means of exact integer sums (one IEEE divide), every
+      // comparison integer-vs-integer — nothing order-dependent left
       s"""WITH $sqlPlattProbsCtes,
-         scored AS (SELECT y, ${sqlFround("p", 6)} AS p FROM probs),
+         scored AS (SELECT y,
+             floor(p * 1e6 + 0.5)::BIGINT AS pi FROM probs),
          thr AS (SELECT
-             ${sqlFround("avg(CASE WHEN y > 0.5 THEN p END)", 6)} AS t1,
-             ${sqlFround("avg(CASE WHEN y <= 0.5 THEN 1.0 - p END)", 6)}
-               AS t0
+             CASE WHEN sum(CASE WHEN y > 0.5 THEN 1 END) > 0 THEN
+               floor(sum(CASE WHEN y > 0.5 THEN pi END)::DOUBLE
+                 / sum(CASE WHEN y > 0.5 THEN 1 END)::DOUBLE + 0.5)::BIGINT
+             END AS t1i,
+             CASE WHEN sum(CASE WHEN y <= 0.5 THEN 1 END) > 0 THEN
+               floor(sum(CASE WHEN y <= 0.5 THEN 1000000 - pi END)::DOUBLE
+                 / sum(CASE WHEN y <= 0.5 THEN 1 END)::DOUBLE + 0.5)::BIGINT
+             END AS t0i
            FROM scored),
          pr AS (SELECT y,
-             CASE WHEN p >= t1 AND (1.0 - p < t0 OR p >= 1.0 - p) THEN 1
-                  WHEN 1.0 - p >= t0 THEN 0
+             CASE WHEN pi >= t1i
+                    AND (1000000 - pi < t0i OR pi >= 1000000 - pi) THEN 1
+                  WHEN 1000000 - pi >= t0i THEN 0
                   ELSE NULL END AS pred
            FROM scored CROSS JOIN thr)
          SELECT y > 0.5 AS given_en, count(*) AS n,
@@ -7739,11 +7968,9 @@ object SparkEntry {
 
     "tq5_dsir_resample" ->
       // The resampling step over the tq2 weights: Efraimidis–Spirakis
-      // keyed top-k — u from the doc's md5 hash, selection key
-      // u^(1/w) via the libm-free dyadic-power chain, w =
-      // detExp(2·logratio); rank on the ROUNDED key with a doc_id
-      // tiebreak. Every op is exact or correctly-rounded IEEE, so the
-      // key is bit-identical across engines (the r9 x5 fix).
+      // keyed top-k — the INTEGER log-domain key m·⌊−detln(u)·2²⁰+½⌋
+      // (ascending = preferred; the r12 x5 fix — no float cell left in
+      // the ranked output), w = detExp(2·logratio); doc_id tiebreak.
       s"""WITH wgt AS ($sqlDsirWeights FROM sc),
          selw AS (SELECT doc_id, n_tok, logratio,
              ${operators.Sampling.sqlDetExp("2 * logratio")} AS _w
@@ -7752,12 +7979,13 @@ object SparkEntry {
              ${operators.Sampling.sqlSelKeyCols("doc_id", "_w", "dsir")}
            FROM selw)
          SELECT doc_id, n_tok, logratio, sel_key FROM sel
-         ORDER BY sel_key DESC, doc_id LIMIT 100""",
+         ORDER BY sel_key, doc_id LIMIT 100""",
 
     "x5_dsir_token_resample" ->
-      // tq5's weights and selection key, the token-budget stopping
-      // rule: per-key token census, cumulative mass of strictly higher
-      // keys, within-key prefix sum by doc_id, keep start_tok < 25% of
+      // tq5's weights and integer selection key, the token-budget
+      // stopping rule: per-bucket token census over sel_key >> 31,
+      // cumulative mass of strictly earlier buckets, within-bucket
+      // prefix sum by (sel_key, doc_id), keep start_tok < 25% of
       // total tokens (start-before-budget).
       s"""WITH wgt AS ($sqlDsirWeights FROM sc),
          selw AS (SELECT doc_id, n_tok, logratio,
@@ -7768,19 +7996,27 @@ object SparkEntry {
            FROM selw),
          ${operators.Sampling.sqlTokenBudgetCut("sel", "s.doc_id", 25)}
          SELECT doc_id, n_tok, logratio, sel_key, start_tok
-         FROM cut ORDER BY sel_key DESC, doc_id""",
+         FROM cut ORDER BY sel_key, doc_id""",
 
     "x5d_dsir_diag" ->
-      // exact-integer census of the x5 chain (see the Spark twin's
-      // comment); sk_m's text mirrors sqlSelKeyCols' exponent
-      s"""$sqlDsirWeights,
+      // exact-integer census of the FULL x5 chain for all 500 docs
+      // (see the Spark twin's comment): weights (wnum), key inputs
+      // (sk_m), the integer selection key, and the serve offset
+      // start_tok — every stage that can diverge, named per doc.
+      s"""WITH wgt AS ($sqlDsirWeights,
            floor(w * n_tok::DOUBLE * ${operators.Classify.WeightGrid}
-             + 0.5)::BIGINT AS wnum,
-           least(${1L << 26}, greatest(1,
-             floor(${(1L << 20).toDouble} /
-               (${operators.Sampling.sqlDetExp("2 * logratio")})
-               + 0.5)::BIGINT)) AS sk_m
-         FROM sc ORDER BY doc_id"""
+             + 0.5)::BIGINT AS wnum
+           FROM sc),
+         selw AS (SELECT doc_id, n_tok, logratio, wnum,
+             ${operators.Sampling.sqlDetExp("2 * logratio")} AS _w
+           FROM wgt),
+         sel AS (SELECT doc_id, n_tok, logratio, wnum,
+             ${operators.Sampling.sqlSelKeyCols("doc_id", "_w", "dsir")}
+           FROM selw),
+         ${operators.Sampling.sqlTokenOffsets("sel", "s.doc_id")}
+         SELECT doc_id, n_tok, logratio, wnum, _sk_m AS sk_m,
+           sel_key, start_tok
+         FROM pos ORDER BY doc_id"""
   )
 
   /** The two-sample KS CTE chain over a `(stratum, v, c)` counts

@@ -256,6 +256,13 @@ object Rag {
       spark.read.schema(statsSchema)
         .option("basePath", s"$path/stats")
         .parquet(fold.map(k => s"$path/stats/seg=$k"): _*)
+        // stats rows persisted before the src column existed read back
+        // src = NULL under the forced schema; dedup-by-NULL would
+        // collapse them all into one row and silently undercount
+        // n_docs/Σdl. A src-less row can only live in the segment it
+        // was originally written to (every compaction stamps src), so
+        // its seg id IS its provenance — backfill it.
+        .withColumn("src", coalesce(col("src"), col("seg")))
         .dropDuplicates("src").select(col("src"), col("n_docs"),
           col("sum_dl"))
         .coalesce(1).write.mode("errorifexists")

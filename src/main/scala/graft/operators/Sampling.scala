@@ -260,24 +260,29 @@ object Sampling {
   // contract a one-ulp difference at a bucket edge flips the 6-decimal
   // key; weightedTokenSample then prefix-sums over the key spine, so one
   // flipped key perturbs every downstream offset (the round-9 x5
-  // cross-engine hash failure). The fix is to make the WHOLE chain
-  // bit-deterministic on any IEEE-754 engine by using only exact ops
-  // (+, −, ×, ÷, floor) and correctly-rounded sqrt (IEEE-mandated):
+  // cross-engine hash failure). The round-11 answer (a 27-factor
+  // sqrt-chain product for u^(m/2^20)) was exact-IEEE per factor yet
+  // STILL produced one driver-red round — a 27-deep float product whose
+  // 6-dp rounding sits on a bucket edge is an unbounded audit surface.
+  // The round-12 fix removes the float entirely: rank on the LOG-DOMAIN
+  // INTEGER key
   //
-  //   1. the exponent e = 1/w is quantized to a dyadic rational
-  //      m/2^20 with m = ⌊2^20/w + 0.5⌋ clamped to [1, 2^26]
-  //      (exponents resolve to ~1e-6 and cap at 64 — u^64 < 5e-7
-  //      rounds to key 0 for any u ≤ 0.8, so the cap only reshuffles
-  //      hopeless tail rows);
-  //   2. u^(m/2^20) = Π over set bits j of m of u^(2^(j-20)), where
-  //      the fractional-bit factors are a 20-deep sqrt chain and the
-  //      integer-bit factors are repeated exact squarings;
-  //   3. weights that come from an exponential (DSIR's exp(logratio/T))
-  //      use [[detExp]] instead of libm exp.
+  //   skey = m · L,   L = ⌊(28·ln2 − detln(h+1)) · 2²⁰ + ½⌋
   //
-  // Every factor and the fold order are identical in the Scala plan and
-  // the generated DuckDB SQL, so the engines agree bit-for-bit — no
-  // boundary guard needed because there is no divergence to guard.
+  // where h = keyHash(id, salt) ∈ [0, 2²⁸) and m = ⌊2²⁰/w + ½⌋ clamped
+  // to [1, 2²⁶] as before. Since u = (h+1)/2²⁸, −ln u = 28·ln2 −
+  // ln(h+1), and u^(m/2^20) is monotone decreasing in m·(−ln u):
+  // ASCENDING skey is order-equivalent to the old DESCENDING float key,
+  // up to the 2⁻²⁰ quantization of L — which changes tie structure
+  // identically on both engines because L is the same integer there.
+  // detln(2²⁸) = 28·ln2 EXACTLY (z = 0 branch), L ≥ 0 always (the
+  // series error ~9·10⁻¹³ is far below the smallest true gap ~3.7·10⁻⁹
+  // at h+1 = 2²⁸−1), and m·L ≤ 2²⁶·⌊19.41·2²⁰+½⌋ < 2⁵¹ — exact BIGINT.
+  // Weights that come from an exponential (DSIR's exp(logratio/T)) use
+  // [[detExp]] instead of libm exp, so the whole chain is integer or
+  // fixed-order exact-IEEE arithmetic with identical text on both
+  // engines: there is no float cell left in any ranked output whose
+  // bits could flake.
 
   /** Deterministic exponential `p(x/32)^32` (p = degree-4 Taylor of
     * exp) — bit-equal on any IEEE engine (see
@@ -306,38 +311,33 @@ object Sampling {
     least(lit(1L << 26), greatest(lit(1L),
       floor(lit((1L << 20).toDouble) / weight + lit(0.5)).cast("long")))
 
-  /** u^(m/2^20) as the ordered product of per-bit factors (j = 0..26):
-    * sqrt-chain factors for fractional bits, exact squarings for
-    * integer bits; bits absent from m contribute an exact 1.0. Fold
-    * order (j ascending, seeded 1.0) matches [[sqlSelKeyCols]].
-    */
-  private def dyadicPow(u: Column, m: Column): Column = {
-    val down = Iterator.iterate(u)(sqrt(_)).take(21).toIndexedSeq // u^(2^-k)
-    val up = Iterator.iterate(u)(c => c * c).take(7).toIndexedSeq // u^(2^i)
-    (0 to 26).foldLeft(lit(1.0)) { (acc, j) =>
-      val q = if (j <= 20) down(20 - j) else up(j - 20)
-      acc * when(shiftright(m, j).bitwiseAND(lit(1L)) === lit(1L), q)
-        .otherwise(lit(1.0))
-    }
-  }
+  /** 28·ln2 = detln(2²⁸) exactly: the e·Ln2 branch with z = 0. One
+    * IEEE multiply of identical doubles on both engines. */
+  val LnMaxHash: Double = 28.0 * graft.expressions.DetLn.Ln2
+  private val LnMaxHashSql =
+    s"(28.0::DOUBLE * ${graft.expressions.DetLn.Ln2Literal})"
 
-  /** Adds the rounded (6 dp) Efraimidis–Spirakis `sel_key` column:
-    * u ∈ (0,1] from the keyed md5 hash, key = u^(m/2^20) via
-    * [[dyadicPow]], floor-rounded. `weight` must be strictly positive
-    * and itself cross-engine deterministic (use [[detExp]] for
-    * exponential weights). Scan-fused projection; the `_sk_*`
-    * intermediates are bound at a select boundary so the sqrt chain
-    * and bit product evaluate once per row.
+  /** The quantized negative-log draw L = ⌊(28·ln2 − detln(h+1))·2²⁰+½⌋
+    * ∈ [0, ~2·10⁷] — exact integer on both engines given the hash. */
+  private def selLogDraw(hashPlus1: Column): Column =
+    floor((lit(LnMaxHash) - graft.expressions.DetLn(hashPlus1)) *
+      lit((1L << 20).toDouble) + lit(0.5)).cast("long")
+
+  /** Adds the INTEGER Efraimidis–Spirakis `sel_key` column (BIGINT,
+    * ASCENDING = most preferred): skey = m·L with m the dyadic weight
+    * exponent ([[selExponent]]) and L the quantized −ln u of the keyed
+    * md5 draw ([[selLogDraw]]) — order-equivalent to ranking descending
+    * by u^(1/w) (see the block comment above). `weight` must be
+    * strictly positive and itself cross-engine deterministic (use
+    * [[detExp]] for exponential weights). Scan-fused projection; no
+    * float reaches the output.
     */
   def withSelectionKey(df: DataFrame, id: Column, weight: Column,
-                       salt: String): DataFrame = {
-    val u = (keyHash(id, salt) + 1L).cast("double") / lit((1L << 28).toDouble)
-    df.withColumn("_sk_u", u)
+                       salt: String): DataFrame =
+    df.withColumn("_sk_h", keyHash(id, salt) + lit(1L))
       .withColumn("_sk_m", selExponent(weight))
-      .withColumn("sel_key",
-        floor(dyadicPow(col("_sk_u"), col("_sk_m")) * 1e6 + 0.5) / 1e6)
-      .drop("_sk_u", "_sk_m")
-  }
+      .withColumn("sel_key", col("_sk_m") * selLogDraw(col("_sk_h")))
+      .drop("_sk_h", "_sk_m")
 
   /** Deterministic weighted sampling without replacement
     * (Efraimidis–Spirakis): each row draws u ∈ (0, 1] from its keyed
@@ -349,10 +349,10 @@ object Sampling {
     * [[Classify.dsirWeights]] (weight = exp(logratio/T), computed via
     * [[detExp]] so the key chain stays libm-free end to end).
     *
-    * Returned with `sel_key` = the ROUNDED (6 dp) selection key
-    * ([[withSelectionKey]]): ranking on the rounded value with an `id`
-    * tiebreak keeps the top-k boundary engine-independent. `weight`
-    * must be strictly positive.
+    * Returned with `sel_key` = the INTEGER selection key
+    * ([[withSelectionKey]], ASCENDING = preferred): ranking on the
+    * quantized integer with an `id` tiebreak keeps the top-k boundary
+    * engine-independent. `weight` must be strictly positive.
     *
     * Scale shape: the key is a scan-fused projection; top-k plans as
     * TakeOrderedAndProject (per-partition heaps + one k-row merge),
@@ -361,51 +361,49 @@ object Sampling {
   def weightedSample(df: DataFrame, id: Column, weight: Column, k: Int,
                      salt: String): DataFrame =
     withSelectionKey(df, id, weight, salt)
-      .orderBy(col("sel_key").desc, id)
+      .orderBy(col("sel_key"), id)
       .limit(k)
 
   /** DuckDB twin of [[withSelectionKey]] as SELECT-list items: lateral
-    * aliases `_sk_u` and `_sk_m` (each referencing only base columns),
-    * then `sel_key` whose factor terms reference those two aliases —
-    * substitution depth ≤ 2, so the binder's tree stays linear (a
-    * CHAIN of aliases doubles per level and explodes; learned the hard
-    * way). The sqrt-chain factors are nested sqrt text; the integer-
-    * bit factors are self-multiplied text (≤ 2^6 `_sk_u` copies, the
-    * m-clamp's purpose). `idExpr` must cast to VARCHAR the way
-    * [[keyHash]] renders; `wExpr` must be the SAME deterministic
-    * weight as the Spark side (see [[sqlDetExp]]). Keep in lockstep
-    * with [[dyadicPow]]/[[selExponent]].
+    * aliases `_sk_h` (the md5 draw + 1) and `_sk_m` (each referencing
+    * only base columns), then the integer `sel_key` = _sk_m · L where
+    * L inlines [[graft.operators.Classify.sqlDetLnInline]] over
+    * `_sk_h` — alias substitution copies `_sk_h`'s md5 text ~90×,
+    * which is linear, not the exponential alias-CHAIN blowup (learned
+    * the hard way). `idExpr` must cast to VARCHAR the way [[keyHash]]
+    * renders; `wExpr` must be the SAME deterministic weight as the
+    * Spark side (see [[sqlDetExp]]). Keep in lockstep with
+    * [[selLogDraw]]/[[selExponent]].
     */
   def sqlSelKeyCols(idExpr: String, wExpr: String, salt: String): String = {
-    val u = s"(${sqlKeyHash(idExpr, salt)} + 1)::DOUBLE / ${(1L << 28).toDouble}"
+    val h = s"(${sqlKeyHash(idExpr, salt)} + 1)"
     val m = s"least(${1L << 26}, greatest(1, " +
       s"floor(${(1L << 20).toDouble} / ($wExpr) + 0.5)::BIGINT))"
-    def q(j: Int): String =
-      if (j <= 20) ("sqrt(" * (20 - j)) + "_sk_u" + (")" * (20 - j))
-      else (1 to (j - 20)).foldLeft("_sk_u")((acc, _) => s"($acc * $acc)")
-    val product = (0 to 26).foldLeft("1.0") { (acc, j) =>
-      s"($acc * (CASE WHEN ((_sk_m >> $j) & 1) = 1 THEN ${q(j)} ELSE 1.0 END))"
-    }
-    Seq(s"$u AS _sk_u", s"$m AS _sk_m",
-      s"floor($product * 1e6 + 0.5) / 1e6 AS sel_key").mkString(", ")
+    val l = s"floor(($LnMaxHashSql - ${Classify.sqlDetLnInline("_sk_h")})" +
+      s" * ${(1L << 20).toDouble} + 0.5)::BIGINT"
+    Seq(s"$h AS _sk_h", s"$m AS _sk_m",
+      s"(_sk_m * ($l)) AS sel_key").mkString(", ")
   }
 
   /** [[weightedSample]] to a TOKEN budget instead of a row count — the
     * published DSIR recipe's actual stopping rule (Xie et al. 2023
     * resample to a target token count, not a document count): rank by
-    * the same rounded Efraimidis–Spirakis key, keep each document whose
-    * serve-order token offset starts before `budgetPct`% of the corpus'
-    * total tokens (the packing start-before-budget convention, so the
-    * boundary doc is included and the cut is deterministic).
+    * the same integer Efraimidis–Spirakis key (ascending), keep each
+    * document whose serve-order token offset starts before
+    * `budgetPct`% of the corpus' total tokens (the packing
+    * start-before-budget convention, so the boundary doc is included
+    * and the cut is deterministic).
     *
-    * Scale shape — the corpus never globally sorts: the rounded key has
-    * ≤ 10⁶+1 distinct values, so the rank decomposes into (a) a census
-    * of per-key token mass with a cumulative window over that BOUNDED
-    * key spine (the tq6 thresholdForKeepRate shape), broadcast-joined
-    * back, and (b) a within-key prefix sum partitioned by `sel_key` —
-    * parallel across keys, never one partition. Output rows carry
-    * `sel_key` and `start_tok` (the doc's global token offset in serve
-    * order), so the result doubles as the serve schedule.
+    * Scale shape — the corpus never globally sorts: the serve rank
+    * decomposes onto the BOUNDED bucket spine `sel_key >> 31` (skey
+    * < 2⁵¹ ⇒ ≤ 2²⁰ buckets): (a) a census of per-bucket token mass
+    * with a cumulative window over that spine (the tq6
+    * thresholdForKeepRate shape), broadcast-joined back, and (b) a
+    * within-bucket prefix sum partitioned by bucket, ordered by
+    * (sel_key, id) — parallel across buckets, never one partition.
+    * Output rows carry `sel_key` and `start_tok` (the doc's global
+    * token offset in serve order), so the result doubles as the serve
+    * schedule.
     *
     * `weight` must be strictly positive; `nTok` non-negative BIGINT.
     */
@@ -415,57 +413,86 @@ object Sampling {
     tokenBudgetCut(withSelectionKey(df, id, weight, salt), id, nTok,
       budgetPct)
 
-  /** The token-budget cut alone, over an ALREADY-KEYED frame (a
-    * `sel_key` column as [[withSelectionKey]] emits). Split out
-    * because the cut consumes the keyed frame three times (census,
-    * total, prefix): callers that stage the keyed frame first (x5's
-    * scratch landing — at corpus scale the keyed table is an artifact
-    * you land anyway) pay the md5 + sqrt-chain key projection ONCE
-    * instead of once per consumer.
+  /** The bucket width of the token-offset census spine: skey < 2⁵¹, so
+    * `sel_key >> 31` has ≤ 2²⁰ distinct values — the bounded spine the
+    * cumulative window runs over. */
+  val SelBucketShift: Int = 31
+
+  /** Serve-order token offsets over an ALREADY-KEYED frame (a
+    * `sel_key` column as [[withSelectionKey]] emits): adds `start_tok`
+    * for EVERY row — the global token offset in (sel_key asc, id asc)
+    * serve order — without applying any budget. The x5d diagnostic
+    * reads this full frame so a cross-engine mismatch names the exact
+    * doc and stage. Leaves a `_nt` (long token count) column for
+    * [[tokenBudgetCut]] to reuse.
     */
-  def tokenBudgetCut(keyedIn: DataFrame, id: Column, nTok: Column,
-                     budgetPct: Int): DataFrame = {
+  def withTokenOffsets(keyedIn: DataFrame, id: Column,
+                       nTok: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keyed = keyedIn.withColumn("_nt", nTok.cast("long"))
-    // Bounded key spine: tokens per distinct rounded key, cumulative
-    // mass of all STRICTLY higher keys = the key's global start offset.
-    val census = keyed.groupBy(col("sel_key"))
+      .withColumn("_skb", shiftright(col("sel_key"), SelBucketShift))
+    // Bounded bucket spine: tokens per bucket, cumulative mass of all
+    // STRICTLY earlier (smaller-key) buckets = the bucket's global
+    // start offset.
+    val census = keyed.groupBy(col("_skb"))
       .agg(sum(col("_nt")).as("_kt"))
       .withColumn("_key_start",
         coalesce(sum(col("_kt")).over(
-          Window.orderBy(col("sel_key").desc)
+          Window.orderBy(col("_skb"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .drop("_kt")
-    val total = keyed.agg(sum(col("_nt")).as("_tot"))
-    val withinW = Window.partitionBy(col("sel_key")).orderBy(id)
+    val withinW = Window.partitionBy(col("_skb"))
+      .orderBy(col("sel_key"), id)
     keyed
-      .join(broadcast(census), Seq("sel_key"))
+      .join(broadcast(census), Seq("_skb"))
       .withColumn("start_tok",
         col("_key_start") + sum(col("_nt")).over(withinW) - col("_nt"))
-      .crossJoin(broadcast(total))
-      .filter(col("start_tok") < expr(s"_tot * $budgetPct div 100"))
-      .drop("_nt", "_key_start", "_tot")
+      .drop("_skb", "_key_start")
   }
 
-  /** DuckDB twin of [[weightedTokenSample]]'s offset-and-cut: CTE text
-    * computing `start_tok` over a `sel`(…, sel_key, n_tok) relation and
-    * the budget predicate. Keep in lockstep with the Scala shape.
+  /** The token-budget cut alone, over an ALREADY-KEYED frame. Split
+    * out because the cut consumes the keyed frame three times (census,
+    * total, prefix): callers that stage the keyed frame first (x5's
+    * scratch landing — at corpus scale the keyed table is an artifact
+    * you land anyway) pay the md5 + detln key projection ONCE instead
+    * of once per consumer.
     */
-  def sqlTokenBudgetCut(selRel: String, idExpr: String,
-                        budgetPct: Int): String =
+  def tokenBudgetCut(keyedIn: DataFrame, id: Column, nTok: Column,
+                     budgetPct: Int): DataFrame = {
+    val total = keyedIn.agg(sum(nTok.cast("long")).as("_tot"))
+    withTokenOffsets(keyedIn, id, nTok)
+      .crossJoin(broadcast(total))
+      .filter(col("start_tok") < expr(s"_tot * $budgetPct div 100"))
+      .drop("_nt", "_tot")
+  }
+
+  /** DuckDB twin of [[withTokenOffsets]]: CTE text ending in
+    * `pos`(…, start_tok) over a `sel`(…, sel_key, n_tok) relation.
+    * Keep in lockstep with the Scala shape.
+    */
+  def sqlTokenOffsets(selRel: String, idExpr: String): String =
     s"""census AS (
-           SELECT sel_key, sum(n_tok) AS kt FROM $selRel GROUP BY 1),
+           SELECT sel_key >> $SelBucketShift AS skb, sum(n_tok) AS kt
+           FROM $selRel GROUP BY 1),
          cum AS (
-           SELECT sel_key,
-             coalesce(sum(kt) OVER (ORDER BY sel_key DESC
+           SELECT skb,
+             coalesce(sum(kt) OVER (ORDER BY skb
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                AS key_start
            FROM census),
          pos AS (
            SELECT s.*, c.key_start
-               + sum(s.n_tok) OVER (PARTITION BY s.sel_key
-                   ORDER BY $idExpr) - s.n_tok AS start_tok
-           FROM $selRel s JOIN cum c USING (sel_key)),
+               + sum(s.n_tok) OVER (PARTITION BY s.sel_key >> $SelBucketShift
+                   ORDER BY s.sel_key, $idExpr) - s.n_tok AS start_tok
+           FROM $selRel s JOIN cum c
+             ON s.sel_key >> $SelBucketShift = c.skb)"""
+
+  /** DuckDB twin of [[weightedTokenSample]]'s offset-and-cut:
+    * [[sqlTokenOffsets]] plus the budget predicate, ending in `cut`.
+    */
+  def sqlTokenBudgetCut(selRel: String, idExpr: String,
+                        budgetPct: Int): String =
+    s"""${sqlTokenOffsets(selRel, idExpr)},
          cut AS (
            SELECT pos.* FROM pos
            CROSS JOIN (SELECT sum(n_tok) AS tot FROM $selRel) t

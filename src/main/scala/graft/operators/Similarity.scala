@@ -516,6 +516,15 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/commits/k=$seg")
   }
 
+  /** The committed rows of a persisted IVF index exactly as a reader
+    * sees them (commit-marker-pruned; torn or in-flight appends
+    * invisible) — index introspection for operator dashboards: g12
+    * counts these rows to prove the tick's append landed exactly once
+    * (a replayed or torn batch would break the count's oracle).
+    */
+  def ivfIndexedRows(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame = ivfLists(spark, path)
+
   /** The committed IVF list rows (doc_id, dv, cid) — one read of the
     * seg/cid tree pruned to committed segments; torn or in-flight
     * appends never load.
@@ -724,10 +733,14 @@ object Similarity {
     meanRecallOf(approx, exact, k) match {
       case Some(mean) if mean < recallFloor =>
         if (SegmentFs.listVersions(spark, s"$outPath/commits", "k")
-            .contains(-1L)) {
-          // a prior triggered tick COMPLETED this rebuild (base segment
-          // committed): a replay must not rebuild over an index that
-          // external readers may already serve from — cut over again
+            .nonEmpty) {
+          // a prior triggered tick COMPLETED this rebuild (some segment
+          // committed — the base build lands as -1, but a later
+          // compaction can retire it into a negative merged generation,
+          // so ANY committed segment means the rebuild finished): a
+          // replay must not rebuild over an index that external readers
+          // may already serve from — cut over again. A torn attempt
+          // commits nothing, so it still takes the reclaim branch.
           IvfMaintenance(mean, recentered = true, outPath,
             Some(loadIvfCentroids(spark, outPath)))
         } else {
@@ -981,12 +994,16 @@ object Similarity {
       col("doc_id"), col("dv"), queries, queryId, queryVec, k)
     meanRecallOf(approx, exact, k) match {
       case Some(mean) if mean < recallFloor =>
-        if (ivfPqCommittedSegs(spark, outPath).contains(-1L)) {
-          // a prior triggered tick COMPLETED this rebuild (base
-          // segment committed): a replay must not delete an index that
-          // external readers following the tick's serve_path may
-          // already be reading — cut over to it again (the segment-
-          // level idempotence, at index granularity)
+        if (ivfPqCommittedSegs(spark, outPath).nonEmpty) {
+          // a prior triggered tick COMPLETED this rebuild (some
+          // segment committed — the base build lands as -1, but a
+          // later compaction can retire it into a negative merged
+          // generation, so ANY committed segment means the rebuild
+          // finished): a replay must not delete an index that external
+          // readers following the tick's serve_path may already be
+          // reading — cut over to it again (the segment-level
+          // idempotence, at index granularity). A torn attempt commits
+          // nothing, so it still takes the reclaim branch.
           IvfPqMaintenance(mean, rebuilt = true, outPath)
         } else {
           val cents = loadIvfCentroids(spark, path)

@@ -135,12 +135,12 @@ class SamplingSpec extends SparkSpec {
     val got = rows(Sampling.weightedTokenSample(w, $"id", $"w", $"n_tok",
         budgetPct = 30, salt = "wt").select($"id", $"start_tok"))
       .map(r => (r.getLong(0), r.getLong(1))).toMap
-    // Naive twin: one global sort by (sel_key desc, id), running token
+    // Naive twin: one global sort by (sel_key asc, id), running token
     // offset, keep start < 30% of total. Same selection key expression.
     val naive = Sampling.withSelectionKey(w, $"id", $"w", "wt")
       .withColumn("start_tok",
         coalesce(sum($"n_tok").over(
-          Window.orderBy($"sel_key".desc, $"id")
+          Window.orderBy($"sel_key", $"id")
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
     val tot = w.agg(sum($"n_tok")).head().getLong(0)
     val expect = rows(naive.filter($"start_tok" < lit(tot * 30 / 100))
@@ -374,33 +374,23 @@ class SamplingSpec extends SparkSpec {
     assert(out.keySet == Set("A", "B", "C", "D"))
   }
 
-  /** Pure-Scala replay of the libm-free selection-key chain — the same
+  /** Pure-Scala replay of the integer selection-key chain — the same
     * op sequence as [[Sampling.withSelectionKey]] and its DuckDB twin:
-    * exact IEEE +,−,×,÷,floor and correctly-rounded Math.sqrt only.
+    * exact IEEE ×,÷,−,floor plus [[graft.expressions.DetLn.compute]]
+    * (itself fixed-order exact-IEEE arithmetic).
     */
-  private def refSelKey(hash: Long, w: Double): Double = {
-    val u = (hash + 1).toDouble / (1L << 28).toDouble
+  private def refSelKey(hash: Long, w: Double): Long = {
     val m = math.min(1L << 26,
       math.max(1L, math.floor((1L << 20).toDouble / w + 0.5).toLong))
-    var key = 1.0
-    var j = 0
-    while (j <= 26) {
-      if (((m >> j) & 1L) == 1L) {
-        var q = u
-        if (j <= 20) { var k = 0; while (k < 20 - j) { q = math.sqrt(q); k += 1 } }
-        else { var k = 0; while (k < j - 20) { q = q * q; k += 1 } }
-        key = key * q
-      }
-      j += 1
-    }
-    math.floor(key * 1e6 + 0.5) / 1e6
+    val l = math.floor(
+      (Sampling.LnMaxHash - graft.expressions.DetLn.compute(hash + 1)) *
+        (1L << 20).toDouble + 0.5).toLong
+    m * l
   }
 
-  test("selection key is bit-identical to the pure-IEEE reference, incl. rounding-boundary weights") {
-    // Weights chosen to sit ON or NEXT TO the chain's discretization
-    // boundaries — the exact cases where the old libm-pow key could
-    // flip across engines: w = 1 (exponent lands exactly on 2^20, so
-    // u·1e6 + 0.5 can be exactly integral for dyadic u), powers of two
+  test("selection key matches the pure-IEEE integer reference, incl. boundary weights") {
+    // Weights chosen to sit ON or NEXT TO the exponent's discretization
+    // boundaries: w = 1 (m lands exactly on 2^20), powers of two
     // (single-bit m), w = 2^20/(n − 0.5) (m's floor input exactly
     // integral), the clamp edges, and detExp-derived DSIR weights.
     val boundary = Seq(
@@ -418,11 +408,50 @@ class SamplingSpec extends SparkSpec {
         .select($"id", $"sel_key", Sampling.keyHash($"id", "bnd").as("h")))
       got.foreach { r =>
         val exp = refSelKey(r.getLong(2), wv)
-        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ==
-          java.lang.Double.doubleToRawLongBits(exp),
-          s"id=${r.getLong(0)} w=$wv got=${r.getDouble(1)} want=$exp")
+        assert(r.getLong(1) == exp,
+          s"id=${r.getLong(0)} w=$wv got=${r.getLong(1)} want=$exp")
+        assert(r.getLong(1) >= 0L, s"sel_key must be non-negative")
       }
     }
+  }
+
+  test("integer key ranks order-equivalently to the continuous E-S score away from quantization ties") {
+    // The r12 integer key m·⌊−ln(u)·2²⁰+½⌋ ascending is order-
+    // equivalent to ranking descending by u^(m/2^20) — i.e. ascending
+    // by the continuous score m·(−ln u)·2²⁰ — except where two rows'
+    // continuous scores sit within the quantization of L, which rounds
+    // each score by at most m/2 (plus negligible detln series error).
+    // Check pairwise over mixed weights: any inversion between integer
+    // and continuous order must sit inside that bound.
+    val base = spark.range(0, 300).toDF("id")
+      .withColumn("w", lit(0.25) + ($"id" % 7).cast("double"))
+    val got = rows(Sampling.withSelectionKey(base, $"id", $"w", "oeq")
+        .select($"id", $"w", $"sel_key",
+          Sampling.keyHash($"id", "oeq").as("h")))
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    def scoreAndM(h: Long, w: Double): (Double, Long) = {
+      val m = math.min(1L << 26,
+        math.max(1L, math.floor((1L << 20).toDouble / w + 0.5).toLong))
+      (m.toDouble * (Sampling.LnMaxHash -
+        graft.expressions.DetLn.compute(h + 1)) * (1L << 20).toDouble, m)
+    }
+    var inversions = 0
+    for (a <- got; b <- got if a._1 < b._1) {
+      val (sa, ma) = scoreAndM(a._4, a._2)
+      val (sb, mb) = scoreAndM(b._4, b._2)
+      val tol = 0.5 * (ma + mb) + 1.0
+      if (a._3 < b._3) {
+        if (sa >= sb) inversions += 1
+        assert(sa < sb + tol, s"inversion beyond quantization: $a vs $b")
+      }
+      if (b._3 < a._3) {
+        if (sb >= sa) inversions += 1
+        assert(sb < sa + tol, s"inversion beyond quantization: $a vs $b")
+      }
+    }
+    // and the orders must OVERWHELMINGLY agree (quantization flips are
+    // a vanishing fraction of the ~45k pairs)
+    assert(inversions < 50, s"$inversions pair inversions")
   }
 
   test("detExp matches the bound-squaring declarative twin bit-for-bit and approximates exp") {
