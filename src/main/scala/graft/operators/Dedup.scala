@@ -338,15 +338,15 @@ object Dedup {
                          spread: Int = 8, srcBatch: Long = -1L): Long = {
     val spark = df.sparkSession
     val committed = lshCommittedSegs(spark, path)
-    // auto ids clamp to ≥ 0: after a compaction the max committed id
-    // can be a negative merged generation
-    val k =
-      if (srcBatch >= 0) srcBatch
-      else committed.lastOption.map(m => math.max(m + 1, 0L)).getOrElse(0L)
-    if (committed.contains(k)) k // idempotent replay of a committed batch
+    // auto ids are monotone past compaction via the hwm water line;
+    // ids at-or-below it are replays of committed-then-folded batches
+    val (k, done) = graft.operators.SegmentFs.resolveAppendId(spark, path,
+      committed, if (srcBatch >= 0) Some(srcBatch) else None, minId = 0L)
+    if (done) k // idempotent replay of a committed (possibly folded) batch
     else {
       writeBandSegment(df, id, text, path, shingleSize, numHashes,
         rowsPerBand, buckets, targetRows, spread, seg = k)
+      graft.operators.SegmentFs.recordHighWater(spark, path, k)
       k
     }
   }
@@ -422,6 +422,11 @@ object Dedup {
       spark.range(1).select(lit(gen).as("k"))
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$path/commits/k=$gen")
+      // raise the water line past every folded batch id BEFORE retiring
+      // its commit marker — the folded ids must never be reused or
+      // re-appended once their markers are gone
+      fold.filter(_ >= 0).reduceOption(_ max _)
+        .foreach(graft.operators.SegmentFs.recordHighWater(spark, path, _))
       fold.foreach { k =>
         f.delete(new org.apache.hadoop.fs.Path(s"$path/commits/k=$k"),
           true): Unit

@@ -65,6 +65,57 @@ private[operators] object SegmentFs {
   def baseDir(dir: String, v: Long) = s"$dir/base/v=$v"
   def deltaDir(dir: String, k: Long) = s"$dir/delta/d=$k"
 
+  /** High-water mark of batch ids ever committed at an index root — a
+    * `hwm/k=<id>` marker that compaction NEVER retires. Compactions
+    * fold positive commit markers into negative merged generations;
+    * without the water line, a post-compaction auto id would restart
+    * at 1 and reuse folded batch ids, and an out-of-contract replay of
+    * a folded id would double-append instead of no-op. Markers below
+    * the max prune opportunistically; the max alone carries the line.
+    *
+    * Write ordering: appenders record the line AFTER their commit
+    * marker lands (a torn append must stay retryable — recording
+    * first would make the retry of that very id a data-losing no-op);
+    * compactions record the max folded id BEFORE retiring its commit
+    * marker, which closes the crash window between an append's commit
+    * and its own hwm record.
+    */
+  def highWater(spark: SparkSession, dir: String): Option[Long] =
+    listVersions(spark, s"$dir/hwm", "k").lastOption
+
+  /** Advance the water line to at least `k` (no-op if already ≥ k). */
+  def recordHighWater(spark: SparkSession, dir: String, k: Long): Unit = {
+    val existing = listVersions(spark, s"$dir/hwm", "k")
+    if (!existing.lastOption.exists(_ >= k)) {
+      spark.range(1).select(lit(k).as("k"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/hwm/k=$k")
+      val f = fs(spark, dir)
+      existing.filter(_ < k).foreach { o =>
+        f.delete(new org.apache.hadoop.fs.Path(s"$dir/hwm/k=$o"),
+          true): Unit
+      }
+    }
+  }
+
+  /** The append-side id resolution shared by every commit-gated index
+    * ([[graft.operators.Rag.appendBm25Index]], the IVF/IVF-PQ appends,
+    * the LSH band index): explicit `id` or the successor of the water
+    * line / max committed id, floored at `minId`. Returns (k, done) —
+    * `done` means the id is already committed (visible now) or below
+    * the water line (committed once and since folded; under the
+    * monotone-batch-id contract a replay, never a first append), so
+    * the caller must no-op.
+    */
+  def resolveAppendId(spark: SparkSession, dir: String,
+                      committed: Seq[Long], id: Option[Long],
+                      minId: Long): (Long, Boolean) = {
+    val hw = highWater(spark, dir)
+    val k = id.getOrElse(math.max(
+      math.max(hw.getOrElse(minId - 1L),
+        committed.lastOption.getOrElse(minId - 1L)) + 1L, minId))
+    (k, committed.contains(k) || hw.exists(k <= _))
+  }
+
   /** Append `delta` as segment `d=K` (K = `id` or max+1), idempotent on
     * COMMITTED batch ids, rewriting torn dirs. Returns K.
     */

@@ -177,10 +177,14 @@ object Rag {
     * segment fold (sum df per term, sum the stats pair) makes the
     * result identical to a from-scratch rebuild over the union.
     *
-    * Replay contract: an append whose batch id is already COMMITTED is
-    * a no-op (returns K untouched), and a torn prior attempt at the
-    * same id is deleted and rewritten — so at-least-once ingest
-    * pipelines can retry blindly. Batches must carry doc ids DISJOINT
+    * Replay contract: an append whose batch id is already COMMITTED —
+    * or at-or-below the persisted hwm water line, i.e. committed once
+    * and since folded by a compaction — is a no-op (returns K
+    * untouched), and a torn prior attempt at the same id is deleted
+    * and rewritten — so at-least-once ingest pipelines can retry
+    * blindly, unconditionally. Batch ids must be MONOTONE per index
+    * (the foreachBatch contract; an id below the line can only be a
+    * replay, never a first append). Batches must carry doc ids DISJOINT
     * from other BATCHES (a doc resent under a different batch id
     * double-counts its tf/df/Σdl — spec-pinned); the bucket count
     * comes from the index's own meta, never the caller.
@@ -191,14 +195,15 @@ object Rag {
     val spark = docs.sparkSession
     val buckets = readMetaBuckets(spark, path)
     val committed = committedSegs(spark, path)
-    // clamp auto ids to >= 1: after a compaction the max committed id
-    // can be a negative merged generation
-    val k = batchId.getOrElse(
-      committed.lastOption.map(m => math.max(m + 1, 1L)).getOrElse(1L))
-    if (committed.contains(k)) k // idempotent replay of a committed batch
+    // auto ids are monotone past compaction via the hwm water line;
+    // ids at-or-below it are replays of committed-then-folded batches
+    val (k, done) = SegmentFs.resolveAppendId(spark, path, committed,
+      batchId, minId = 1L)
+    if (done) k // idempotent replay of a committed (possibly folded) batch
     else {
       writeBm25Segment(docs, id, text, path, buckets, targetRows, spread,
         seg = k)
+      SegmentFs.recordHighWater(spark, path, k)
       k
     }
   }
@@ -270,6 +275,11 @@ object Rag {
       spark.range(1).select(lit(gen).as("k"))
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$path/commits/k=$gen")
+      // raise the water line past every folded batch id BEFORE retiring
+      // its commit marker — the folded ids must never be reused or
+      // re-appended once their markers are gone
+      fold.filter(_ >= 0).reduceOption(_ max _)
+        .foreach(SegmentFs.recordHighWater(spark, path, _))
       fold.foreach { k =>
         f.delete(new org.apache.hadoop.fs.Path(s"$path/commits/k=$k"),
           true): Unit

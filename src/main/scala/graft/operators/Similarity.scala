@@ -556,16 +556,16 @@ object Similarity {
                      targetRows: Long = 1L << 20, spread: Int = 8,
                      batchId: Option[Long] = None): Long = {
     val committed = SegmentFs.listVersions(spark, s"$path/commits", "k")
-    // auto ids clamp to ≥ 1: after a compaction the max committed id
-    // can be a NEGATIVE merged generation, which must never become the
-    // successor seed
-    val k = batchId.getOrElse(
-      committed.lastOption.map(m => math.max(m + 1, 1L)).getOrElse(1L))
-    if (committed.contains(k)) k // idempotent replay of a committed batch
+    // auto ids are monotone past compaction via the hwm water line;
+    // ids at-or-below it are replays of committed-then-folded batches
+    val (k, done) = SegmentFs.resolveAppendId(spark, path, committed,
+      batchId, minId = 1L)
+    if (done) k // idempotent replay of a committed (possibly folded) batch
     else {
       val cents = loadIvfCentroids(spark, path)
       writeIvfSegment(spark, docs, docId, docVec, cents, path, targetRows,
         spread, seg = k)
+      SegmentFs.recordHighWater(spark, path, k)
       k
     }
   }
@@ -579,9 +579,10 @@ object Similarity {
     * never colliding with streaming batch ids; the fold de-duplicates
     * by doc_id so a crash-window rerun self-heals; retirement deletes
     * markers first (atomic invisibility), dirs second. `upTo` is the
-    * stream's replay watermark (a replayed folded batch id would
-    * re-append its rows — probe-harmless duplicates until the next
-    * compaction, but fold only checkpoint-passed batches anyway).
+    * stream's replay watermark; since r12 the hwm water line
+    * ([[SegmentFs.recordHighWater]]) makes even an out-of-contract
+    * replay of a folded batch id a no-op, and keeps auto ids monotone
+    * after a full compaction.
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String, upTo: Long,
@@ -622,6 +623,11 @@ object Similarity {
       spark.range(1).select(lit(gen).as("k"))
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$path/commits/k=$gen")
+      // raise the water line past every folded batch id BEFORE retiring
+      // its commit marker — the folded ids must never be reused or
+      // re-appended once their markers are gone
+      fold.filter(_ >= 0).reduceOption(_ max _)
+        .foreach(SegmentFs.recordHighWater(spark, path, _))
       fold.foreach { k =>
         f.delete(new org.apache.hadoop.fs.Path(s"$path/commits/k=$k"),
           true): Unit
@@ -945,17 +951,18 @@ object Similarity {
                        spread: Int = 8,
                        batchId: Option[Long] = None): Long = {
     val committed = ivfPqCommittedSegs(spark, path)
-    // clamp like appendIvfIndex: a negative merged generation must
-    // never seed the successor id
-    val k = batchId.getOrElse(
-      committed.lastOption.map(m => math.max(m + 1, 1L)).getOrElse(1L))
-    if (committed.contains(k)) k // idempotent replay of a committed batch
+    // auto ids are monotone past compaction via the hwm water line;
+    // ids at-or-below it are replays of committed-then-folded batches
+    val (k, done) = SegmentFs.resolveAppendId(spark, path, committed,
+      batchId, minId = 1L)
+    if (done) k // idempotent replay of a committed (possibly folded) batch
     else {
       val cents = loadIvfCentroids(spark, path)
       val books = loadPqBooks(spark, path)
       val subDim = books.head.head._2.size
       writeIvfPqSegment(docs, docId, docVec, cents, books, subDim, path,
         targetRows, spread, seg = k)
+      SegmentFs.recordHighWater(spark, path, k)
       k
     }
   }

@@ -428,7 +428,13 @@ class DedupSpec extends SparkSpec {
     def probe7() = rows(Dedup.probeLshBandIndex(spark, idx, batch7,
         $"doc_id", $"text", buckets = 8)).map(_.getLong(1)).toSet
     assert(probe7().contains(7L))
-    rmTree(s"$idx/commits/k=5") // simulate the crash point
+    // simulate the crash point: a torn append dies BEFORE its commit
+    // marker, and the hwm water line is recorded only AFTER the commit
+    // — so the crash state has neither (deleting only the marker would
+    // fabricate a state no crash can produce: the line past an
+    // uncommitted id)
+    rmTree(s"$idx/commits/k=5")
+    rmTree(s"$idx/hwm/k=5")
     assert(!probe7().contains(7L), "torn segment must be invisible")
     // ...and the replayed append REWRITES the torn segment, recommits
     assert(Dedup.appendLshBandIndex(spainDoc, $"doc_id", $"text", idx,

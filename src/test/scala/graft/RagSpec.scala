@@ -192,9 +192,16 @@ class RagSpec extends SparkSpec {
     assert(segDirs("postings") == Set("seg=-2") &&
       segDirs("df") == Set("seg=-2") && segDirs("stats") == Set("seg=-2"))
     assert(Rag.compactBm25Index(spark, idx, upTo = 99L).isEmpty)
-    // fresh appends keep working, with the auto id clamped past the gen
+    // a blind replay of a FOLDED batch id must be a no-op (its commit
+    // marker is gone, but the hwm water line remembers it) — without
+    // the line this would double-append batch 2's rows
+    assert(Rag.appendBm25Index(docs.filter($"doc_id" > 3), $"doc_id",
+      $"text", idx, targetRows = 1000L, spread = 2, batchId = Some(2L)) == 2L)
+    assert(scores() == before, "folded-id replay must not change the index")
+    // fresh appends keep working; the auto id is MONOTONE past the
+    // compaction (successor of the water line, never a reused 1)
     assert(Rag.appendBm25Index(Seq((9L, "a q")).toDF("doc_id", "text"),
-      $"doc_id", $"text", idx, targetRows = 1000L, spread = 2) == 1L)
+      $"doc_id", $"text", idx, targetRows = 1000L, spread = 2) == 3L)
     assert(rows(Rag.bm25Indexed(spark, idx, queries))
       .exists(_.getAs[Long]("doc_id") == 9L))
   }

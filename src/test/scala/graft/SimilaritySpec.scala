@@ -370,6 +370,58 @@ class SimilaritySpec extends SparkSpec {
       targetRows = 100L, spread = 2) == 1L)
   }
 
+  test("compaction racing a same-tick append: late append fully visible, folded-id replay a no-op") {
+    // The two halves of the compact-vs-append race, emulated at their
+    // deterministic interleaving points (the r11 verdict's task 5):
+    // (a) an append whose id is ABOVE the compaction watermark lands
+    //     while the compact runs — compact only touches segments ≤
+    //     upTo, so the append's segment must survive retirement fully
+    //     visible, never silently dropped;
+    // (b) a replay of an id the compact already FOLDED arrives after
+    //     retirement deleted its commit marker — the hwm water line
+    //     must make it a no-op (fully replayed: its rows live in the
+    //     merged generation), not a double-append.
+    val cents = Seq((0L, b1.map(_.toDouble).toSeq),
+      (1L, b2.map(_.toDouble).toSeq))
+    val queries = queryData.toDF("qid", "qv")
+    val idx = Scratch.dir("ivf_race") + "/ivf"
+    Similarity.saveIvfIndex(corpus.filter($"id" <= 2), $"id", $"v", cents,
+      idx, targetRows = 100L, spread = 2)
+    assert(Similarity.appendIvfIndex(spark, idx,
+      corpus.filter($"id" === 3L || $"id" === 4L), $"id", $"v",
+      targetRows = 100L, spread = 2, batchId = Some(0L)) == 0L)
+    // the "same-tick" append: id 1 > the watermark the compact will use
+    assert(Similarity.appendIvfIndex(spark, idx,
+      corpus.filter($"id" === 5L), $"id", $"v",
+      targetRows = 100L, spread = 2, batchId = Some(1L)) == 1L)
+    def indexed() = col0[Long](Similarity.ivfIndexedRows(spark, idx)
+      .select($"doc_id").orderBy($"doc_id"))
+    val before = indexed()
+    // compact folds {-1, 0} only; batch 1 raced in and must survive
+    assert(Similarity.compactIvfIndex(spark, idx, upTo = 0L,
+      targetRows = 100L, spread = 2) == Some(-2L))
+    assert(indexed() == before,
+      "an append above the watermark must stay fully visible")
+    assert(new java.io.File(s"$idx/lists").listFiles().map(_.getName)
+      .toSet == Set("seg=-2", "seg=1"))
+    // (b) blind replay of FOLDED batch 0 — marker gone, hwm remembers
+    assert(Similarity.appendIvfIndex(spark, idx,
+      corpus.filter($"id" === 3L || $"id" === 4L), $"id", $"v",
+      targetRows = 100L, spread = 2, batchId = Some(0L)) == 0L)
+    assert(indexed() == before, "folded-id replay must not double-append")
+    // replay of the still-committed batch 1: the classic marker no-op
+    assert(Similarity.appendIvfIndex(spark, idx,
+      corpus.filter($"id" === 5L), $"id", $"v",
+      targetRows = 100L, spread = 2, batchId = Some(1L)) == 1L)
+    assert(indexed() == before)
+    // fresh auto id is the water line's successor (monotone), never a
+    // reused folded id
+    assert(Similarity.appendIvfIndex(spark, idx,
+      Seq((9L, noisy(b1, 0.001f))).toDF("id", "v"), $"id", $"v",
+      targetRows = 100L, spread = 2) == 2L)
+    assert(indexed() == before :+ 9L)
+  }
+
   test("appendIvfIndex: append == rebuild on the union, old files untouched") {
     val cents = Seq((0L, b1.map(_.toDouble).toSeq), (1L, b2.map(_.toDouble).toSeq))
     val queries = queryData.toDF("qid", "qv")
