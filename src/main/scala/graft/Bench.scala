@@ -79,30 +79,51 @@ object Bench {
     // The driver captures only the LAST ~2000 characters of output, so the
     // headline payload (per-query mins) must fit the tail: with 125+
     // queries the full-name map alone is ~3 KB (round-8's artifact lost it
-    // behind the runs/loads diagnostics for exactly this reason). Every
-    // query name's prefix before the first '_' is unique (q1, g4, tq5, …),
-    // so the FINAL line keys mins by that short id — ~1.5 KB, tail-safe —
-    // matching the contract's original `{"q1":sec,…}` shape. Full-name
-    // mins plus runs/loads diagnostics go on their own earlier line.
-    def short(name: String): String = name.takeWhile(_ != '_')
-    // Per-query mins live on their OWN line (short ids, integer
-    // centiseconds — ~9 chars/query, so 180 queries ≈ 1.7 KB) directly
-    // above the final line; the FINAL line carries only totals +
-    // failures (< 250 chars at any suite size), so both always fit the
-    // driver's ~2000-char tail together and the final line stays
-    // json-parseable however many queries the suite grows to. Full
-    // 3-decimal mins/runs/loads stay on the bench_diag line above.
-    val qsShort = mins.toSeq.sortBy(_._1).map { case (k, v) =>
-      s"\"" + short(k) + "\":" + (if (v < 0) "-1" else (v * 100).round)
-    }.mkString("{", ",", "}")
+    // behind the runs/loads diagnostics for exactly this reason). The
+    // mins line ([[minsLine]]) is SELF-BOUNDING; the FINAL line carries
+    // only totals + failures (< 250 chars at any suite size), so both
+    // always fit the driver's ~2000-char tail together and the final
+    // line stays json-parseable however many queries the suite grows
+    // to. Full 3-decimal mins/runs/loads stay on the bench_diag line.
     val fails = mins.toSeq.filter(_._2 < 0).map(_._1).sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val failMap = mins.toSeq.filter(_._2 < 0).map(_._1).sorted
       .map("\"" + short(_) + "\":-1").mkString("{", ",", "}")
     val sfName = new java.io.File(sfDir).getName
     println(s"""{"metric":"bench_diag","queries_full":$qs,"runs":$runs,"loads":$loads}""")
-    println(s"""{"metric":"mins","unit":"centisec","n":${mins.size},"q":$qsShort}""")
+    println(minsLine(mins.toSeq))
     println(s"""{"metric":"total","value":$total,"unit":"sec","cpus":"$cpus","sf":"$sfName","n_queries":${mins.size},"fails":$fails,"queries":$failMap}""")
     spark.stop()
+  }
+
+  /** Every query name's prefix before the first '_' is unique
+    * (q1, g4, tq5, …) — the bench artifact's short id. */
+  def short(name: String): String = name.takeWhile(_ != '_')
+
+  /** The per-query mins line, provably tail-safe at ANY suite size: it
+    * sits directly above the final totals line inside the driver's
+    * ~2000-char stdout tail, so its length is HARD-BOUNDED here rather
+    * than hoped about. Entries sort by short id and encode as integer
+    * centiseconds. `fmt` says how `q` is packed:
+    *  - `"packed"` — `id:centisec` pairs, comma-joined (~8 chars/query;
+    *    fits up to ~190 queries);
+    *  - `"csv"` — the centisec values alone, comma-joined in sorted-
+    *    short-id order (the ids are recoverable from the query set,
+    *    and the bench_diag line carries the full-name map) — ~4.5
+    *    chars/query, fitting past 350 queries.
+    * The switch triggers when the packed payload would exceed
+    * [[MinsBudget]] chars, keeping line length < MinsBudget + ~60
+    * header chars < 1800 at any n — spec-pinned at 220 queries.
+    */
+  val MinsBudget = 1650
+  def minsLine(mins: Seq[(String, Double)]): String = {
+    def cs(v: Double): String = if (v < 0) "-1" else (v * 100).round.toString
+    val sorted = mins.sortBy(p => short(p._1))
+    val packed = sorted.map { case (k, v) => short(k) + ":" + cs(v) }
+      .mkString(",")
+    val (fmt, payload) =
+      if (packed.length <= MinsBudget) ("packed", packed)
+      else ("csv", sorted.map(p => cs(p._2)).mkString(","))
+    s"""{"metric":"mins","unit":"centisec","fmt":"$fmt","n":${mins.size},"q":"$payload"}"""
   }
 }

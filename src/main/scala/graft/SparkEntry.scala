@@ -1819,6 +1819,62 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    "s18_paged_api_ingest" -> ((s, dir) => {
+      // S18 — the S4/S5 paged-API source driven END TO END into the
+      // oracle gate: the reference's scraper loop (fetch page →
+      // extract the record array → advance the offset → stop on a dry
+      // page, with bounded retries) runs for real through
+      // HttpJson.readPaged — pagination, JSON-pointer extraction,
+      // retry, explicit-schema parse — against a fetcher serving page
+      // bodies from LOCAL FILES the query derives from the documents
+      // table (the l1-l5 mock precedent: the record shape flows
+      // through the real code path; only the socket is stubbed, since
+      // the sandbox has no network). One page's first fetch throws an
+      // injected transient failure, so the retry path is exercised in
+      // the oracle-checked run too. The oracle replays the same
+      // records relationally — a lost page, a dropped record, or a
+      // mis-bound column is a hash red, which closes the "S4/S5 are
+      // spec-only" gap. API ingestion is driver-bound by nature
+      // (rate-limited endpoints, sequential pagination — the scraper
+      // seat); the distributed pipeline starts at the returned frame.
+      val pageSize = 50
+      val src = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("lang"),
+          TA.tokenCount(col("text")).cast("long").as("n_tok"))
+        .orderBy(col("doc_id"))
+        .collect()
+      val base = scratchDir("graft_s18")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+      def writePage(offset: Int, recs: Seq[String]): Unit =
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$base/page_at_$offset.json"),
+          recs.mkString("""{"data":[""", ",", "]}")): Unit
+      src.grouped(pageSize).zipWithIndex.foreach { case (recs, p) =>
+        writePage(p * pageSize, recs.toSeq.map(r =>
+          s"""{"id":${r.getLong(0)},"lang":"${r.getString(1)}",""" +
+            s""""n_tok":${r.getLong(2)}}"""))
+      }
+      writePage(src.length, Seq.empty) // the dry terminal page
+      val failedOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val fileFetcher = new sources.HttpJson.Fetcher {
+        def fetch(url: String): String = {
+          if (url.endsWith(s"page_at_$pageSize.json") &&
+              failedOnce.compareAndSet(false, true))
+            throw new java.io.IOException("injected transient failure")
+          java.nio.file.Files.readString(java.nio.file.Paths.get(url))
+        }
+      }
+      sources.HttpJson.readPaged(s,
+          off => s"$base/page_at_$off.json",
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "id LONG, lang STRING, n_tok LONG"),
+          fetcher = fileFetcher, sleep = _ => ())
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .orderBy(col("lang"))
+    }),
+
     "s11_sized_sink" -> ((s, dir) => {
       // Size-targeted partitioned sink round-trip (beyond the
       // reference): documents land as lang=<v>/ parquet, each language
@@ -6728,6 +6784,18 @@ object SparkEntry {
          SELECT lang, count(*) AS n_docs, count(q) AS n_scored,
            ${sqlFround("avg(q)", 6)} AS avg_q
          FROM u GROUP BY lang ORDER BY lang""",
+
+    "s18_paged_api_ingest" ->
+      // the paged-scraper records replayed relationally: same subset,
+      // same token counts — pagination/parse drift on the Spark side
+      // (lost page, dropped record, mis-bound column) breaks the hash
+      s"""WITH src AS (SELECT doc_id AS id, lang,
+             len(${sqlTokens("text")})::BIGINT AS n_tok
+           FROM documents WHERE doc_id < 200)
+         SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(n_tok)::BIGINT AS n_tokens,
+           min(id) AS min_id, max(id) AS max_id
+         FROM src GROUP BY lang ORDER BY lang""",
 
     "d20_editdist_pairs" ->
       """WITH t AS (
