@@ -501,6 +501,19 @@ class PlanAuditSpec extends SparkSpec {
       (plan.contains(" IN (") || plan.contains(" INSET ")), plan)
   }
 
+  test("g12 vector tick: dashboard tail broadcasts; no sort-merge, no cartesian") {
+    val dir = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("g12_vector_tick")(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    // the returned dashboard plan: per-lang count tables and the 1-row
+    // tick (recall + index count) all ride broadcasts — the corpus
+    // never sort-merges and nothing is cartesian; the exact-recall leg
+    // is the intended broadcast-query-batch nested loop
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("s14 fact scan carries a dynamicpruning partition filter") {
     val dir = "/root/testdata/sf0.001"
     val base = Scratch.dir("graft_s14spec")
