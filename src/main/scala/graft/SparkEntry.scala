@@ -80,6 +80,12 @@ object SparkEntry {
     */
   private val plattIters = 8
 
+  /** tq9's trusted seed slice — the fixed source set whose documents
+    * train the per-language CCNet seed LM (the "Wikipedia" seat in
+    * Wenzek et al. 2020). Shared by the query and its oracle.
+    */
+  private val ccnetSeedSources = Seq("src0", "src1", "src2", "src3")
+
   /** a7x's verification ceiling: with lineitem at or under this many
     * rows the sketch query ALSO computes the exact quartiles it is
     * checked against (the driver's sf0.01 gate, ~60k rows); above it
@@ -1639,6 +1645,46 @@ object SparkEntry {
           size(graft.expressions.BpeEncode(col("text"), merges))
             .as("n_pieces"))
         .orderBy(col("doc_id"))
+    }),
+
+    "ta19_tokenizer_fertility" -> ((s, dir) => {
+      // Tokenizer fertility / compression per language (beyond the
+      // reference): mean BPE pieces per word (fertility) and characters
+      // per piece (compression rate) — the standard multilingual
+      // tokenizer-health metrics (a fertility spike on one language
+      // says the vocabulary underserves it; the SentencePiece/BPE eval
+      // practice). Same trained merges as ta9/ta10, corpus encoded with
+      // the native BpeEncode kernel. Cross-engine determinism by
+      // construction: every accumulated quantity (words, pieces,
+      // token characters) is an exact BIGINT sum per lang and each
+      // metric is ONE final IEEE divide. Scale shape: the tokenize
+      // binds once at a select boundary; the BPE pass is the flat
+      // ta10 kernel; the aggregate is map-side combinable into
+      // lang-count rows.
+      val docs = t(s, dir, "documents")
+      val merges = operators.Bpe.trainMergesBatched(
+        operators.Bpe.wordFreqs(docs, col("text")), numMerges = 8)
+      docs.filter(col("text").isNotNull)
+        .select(col("lang"),
+          TF.letBound(TA.tokens(col("text")))(toks =>
+            struct(size(toks).cast("long").as("nw"),
+              length(array_join(toks, "")).cast("long").as("nc"))).as("t"),
+          size(graft.expressions.BpeEncode(col("text"), merges))
+            .cast("long").as("np"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("t.nw")).as("n_words"),
+          sum(col("np")).as("n_pieces"),
+          sum(col("t.nc")).as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_pieces"), col("n_chars"),
+          fround(when(col("n_words") > 0,
+            col("n_pieces").cast("double") / col("n_words").cast("double")),
+            6).as("fertility"),
+          fround(when(col("n_pieces") > 0,
+            col("n_chars").cast("double") / col("n_pieces").cast("double")),
+            6).as("chars_per_piece"))
+        .orderBy(col("lang"))
     }),
 
     "d19_snapshot_diff" -> ((s, dir) => {
@@ -4164,6 +4210,80 @@ object SparkEntry {
         .orderBy(col("given_en"))
     }),
 
+    "tq9_ccnet_ppl_buckets" -> ((s, dir) => {
+      // CCNet-style perplexity bucketing (Wenzek et al. 2020; beyond
+      // the reference): a unigram LM trains PER LANGUAGE on a fixed
+      // trusted seed slice (the Wikipedia seat — here the pinned
+      // source set ccnetSeedSources), every document scores its
+      // per-token negative log-likelihood under its language's seed
+      // model (out-of-vocabulary tokens back off to the count-1
+      // weight), and each language's corpus splits into
+      // head/middle/tail perplexity tertiles — the standard
+      // "keep head+middle, drop tail" curation gate. Determinism (the
+      // r12 order-exact bar): seed weights are detln integers on the
+      // 2^-20 grid, the per-doc sum is exact BIGINT arithmetic in any
+      // order, the per-token average is ONE integer divide (monotone
+      // in perplexity, so no exp needed anywhere), and tertile ranks
+      // break ties by doc_id.
+      // Scale shape: the corpus tokenizes ONCE — per-doc
+      // (lang, tok, c) collapses map-side, the seed model derives
+      // from the same table (filter, not a second scan); the
+      // per-lang totals/OOV floors broadcast; bucketing is one
+      // window over per-doc rows, not tokens.
+      val grid = operators.Classify.WeightGrid
+      val perDoc = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          col("source").isin(ccnetSeedSources: _*).as("is_seed"),
+          explode(TA.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("lang"), col("is_seed"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+      val seed = perDoc.filter(col("is_seed"))
+        .groupBy(col("lang"), col("tok")).agg(sum(col("c")).as("cf"))
+      val tots = seed.groupBy(col("lang")).agg(sum(col("cf")).as("tot"))
+        .select(col("lang"),
+          graft.expressions.DetLn(col("tot")).as("ttln"))
+      val wtab = seed.join(tots, "lang")
+        .select(col("lang"), col("tok"),
+          floor((graft.expressions.DetLn(col("cf")) - col("ttln")) *
+            lit(grid) + lit(0.5)).as("wi"))
+      val oov = tots.select(col("lang"),
+        floor((lit(0.0) - col("ttln")) * lit(grid) + lit(0.5))
+          .as("w_oov"))
+      val scored = perDoc
+        .join(wtab, Seq("lang", "tok"), "left")
+        .join(broadcast(oov), Seq("lang"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("c")).as("n_tok"),
+          (-sum(col("c") * coalesce(col("wi"), col("w_oov"))))
+            .as("nll_q"))
+      // Tertile assignment at scale (the x5 census discipline): the
+      // per-language rank decomposes into a census over the BOUNDED
+      // avg_q spine (grid cells, not docs — cardinality independent
+      // of corpus size) plus a within-cell doc_id prefix, so no
+      // window ever partitions by lang alone over per-doc rows (that
+      // would drag a whole language onto one task at 100 TB).
+      val scoredQ = scored.withColumn("avg_q", expr("nll_q div n_tok"))
+      val census = scoredQ.groupBy(col("lang"), col("avg_q"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rk0", sum(col("cnt")).over(
+          Window.partitionBy(col("lang")).orderBy(col("avg_q"))) -
+          col("cnt"))
+      val nl = scoredQ.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+      scoredQ
+        .withColumn("rn0", row_number().over(
+          Window.partitionBy(col("lang"), col("avg_q"))
+            .orderBy(col("doc_id"))))
+        .join(census.select(col("lang"), col("avg_q"), col("rk0")),
+          Seq("lang", "avg_q"))
+        .join(broadcast(nl), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("avg_q"),
+          when(expr("((rk0 + rn0 - 1) * 3) div nl") === 0, "head")
+            .when(expr("((rk0 + rn0 - 1) * 3) div nl") === 1, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
     "tq7_platt_calibration" -> ((s, dir) => {
       // Classifier-score calibration (Platt 1999; beyond the
       // reference): a raw quality signal — stopword ratio, a genuine
@@ -5210,6 +5330,36 @@ object SparkEntry {
            (CASE WHEN d.text IS NULL THEN NULL
              ELSE coalesce(dp.n_pieces, 0) END)::INT AS n_pieces
          FROM documents d LEFT JOIN dp USING (doc_id) ORDER BY d.doc_id"""
+    },
+
+    "ta19_tokenizer_fertility" -> {
+      // the ta10 vocab-join replay aggregated per lang: the final
+      // rewritten vocab table s8 gives pieces per word; words/pieces/
+      // token-chars sum as exact BIGINTs, one divide per metric
+      s"""WITH $sqlBpeBase,
+         ${operators.Bpe.sqlTrainChain(8, "wf")},
+         wp AS (SELECT word, len(syms) AS pieces FROM s8),
+         dt AS (SELECT lang, unnest(${sqlTokens("text")}) AS word
+                FROM documents WHERE text IS NOT NULL),
+         j AS (SELECT lang, pieces, len(word) AS wc
+               FROM dt JOIN wp USING (word)),
+         d0 AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents
+                WHERE text IS NOT NULL GROUP BY lang),
+         ag AS (SELECT lang, count(*)::BIGINT AS n_words,
+                  sum(pieces)::BIGINT AS n_pieces,
+                  sum(wc)::BIGINT AS n_chars
+                FROM j GROUP BY lang)
+         SELECT d0.lang, d0.n_docs,
+           coalesce(ag.n_words, 0) AS n_words,
+           coalesce(ag.n_pieces, 0) AS n_pieces,
+           coalesce(ag.n_chars, 0) AS n_chars,
+           CASE WHEN coalesce(ag.n_words, 0) > 0 THEN
+             ${sqlFround("ag.n_pieces::DOUBLE / ag.n_words::DOUBLE", 6)}
+           END AS fertility,
+           CASE WHEN coalesce(ag.n_pieces, 0) > 0 THEN
+             ${sqlFround("ag.n_chars::DOUBLE / ag.n_pieces::DOUBLE", 6)}
+           END AS chars_per_piece
+         FROM d0 LEFT JOIN ag USING (lang) ORDER BY d0.lang"""
     },
 
     "ta14_corpus_divergence" -> {
@@ -7986,6 +8136,50 @@ object SparkEntry {
              THEN 1 ELSE 0 END)::DOUBLE / count(pred)::DOUBLE""", 6)}
            END AS noise_rate
          FROM pr GROUP BY 1 ORDER BY given_en""",
+
+    "tq9_ccnet_ppl_buckets" -> {
+      // per-lang seed unigram LM on the detln 2^-20 grid (the ta8
+      // form, restricted to the pinned seed sources), OOV backs off
+      // to the count-1 weight, per-doc NLL as exact BIGINT sums, ONE
+      // integer divide per doc, tertiles by (avg_q, doc_id) rank
+      val seedIn = ccnetSeedSources.map(x => s"'$x'").mkString(", ")
+      val grid = operators.Classify.WeightGrid
+      s"""WITH toks AS (
+           SELECT doc_id, lang, source IN ($seedIn) AS is_seed,
+             unnest(${sqlTokens("text")}) AS tok
+           FROM documents WHERE text IS NOT NULL),
+         perdoc AS (
+           SELECT doc_id, lang, is_seed, tok, count(*)::BIGINT AS c
+           FROM toks GROUP BY 1, 2, 3, 4),
+         seed AS (SELECT lang, tok, sum(c)::BIGINT AS cf
+           FROM perdoc WHERE is_seed GROUP BY 1, 2),
+         tots AS (SELECT lang, ttln FROM (SELECT lang,
+             ${operators.Classify.sqlDetLnCols("tt", "tot")}
+           FROM (SELECT lang, sum(cf)::BIGINT AS tot
+                 FROM seed GROUP BY 1))),
+         wtab AS (SELECT lang, tok, wi FROM (SELECT s.lang, s.tok,
+             ${operators.Classify.sqlDetLnCols("cl", "cf")},
+             floor((clln - ttln) * $grid + 0.5)::BIGINT AS wi
+           FROM seed s JOIN tots USING (lang))),
+         oov AS (SELECT lang,
+             floor((0.0 - ttln) * $grid + 0.5)::BIGINT AS w_oov
+           FROM tots),
+         sc AS (SELECT p.doc_id, p.lang, sum(p.c)::BIGINT AS n_tok,
+             (-sum(p.c * coalesce(w.wi, o.w_oov)))::BIGINT AS nll_q
+           FROM perdoc p
+           LEFT JOIN wtab w ON w.lang = p.lang AND w.tok = p.tok
+           JOIN oov o ON o.lang = p.lang
+           GROUP BY 1, 2),
+         rk AS (SELECT doc_id, lang, n_tok, nll_q // n_tok AS avg_q,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY nll_q // n_tok, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS nl
+           FROM sc)
+         SELECT doc_id, lang, n_tok, avg_q,
+           CASE ((rn - 1) * 3) // nl WHEN 0 THEN 'head'
+             WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+         FROM rk ORDER BY doc_id"""
+    },
 
     "tq7_platt_calibration" ->
       // the unrolled Newton chain (sqlPlattProbsCtes) feeding the

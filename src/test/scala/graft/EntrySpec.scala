@@ -32,4 +32,26 @@ class EntrySpec extends SparkSpec {
     val shorts = SparkEntry.queries.keys.toSeq.map(Bench.short)
     assert(shorts.distinct.size == shorts.size, "short ids must be unique")
   }
+
+  test("tq9 tertile law: per-lang bucket sizes within 1, rank-monotone") {
+    val out = SparkEntry.queries("tq9_ccnet_ppl_buckets")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      val n = rows.length
+      def qs(b: String): Array[Long] =
+        rows.filter(_.getAs[String]("bucket") == b)
+          .map(_.getAs[Long]("avg_q"))
+      val sizes = Seq("head", "middle", "tail").map(qs(_).length)
+      assert(sizes.sum == n, s"$lang: buckets don't partition")
+      if (n >= 3)
+        assert(sizes.max - sizes.min <= 1, s"$lang: sizes=$sizes")
+      // perplexity ordering across the cut points (ties allowed: the
+      // rank breaks them by doc_id, so boundary avg_q may repeat)
+      if (qs("head").nonEmpty && qs("middle").nonEmpty)
+        assert(qs("head").max <= qs("middle").min, s"$lang: head>middle")
+      if (qs("middle").nonEmpty && qs("tail").nonEmpty)
+        assert(qs("middle").max <= qs("tail").min, s"$lang: middle>tail")
+    }
+  }
 }
