@@ -1364,6 +1364,39 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "d21_url_dedup" -> ((s, dir) => {
+      // URL-canonicalization dedup (beyond the reference; the literal
+      // FIRST dedup pass of RefinedWeb/CCNet crawl curation): crawls
+      // re-reach the same page through tracking params, fragments,
+      // case-variant hosts and trailing slashes — canonicalize
+      // (TF.urlNormalize, the ta12 chain) and keep the first ingest
+      // per canonical URL. The corpus has no URL column, so URLs
+      // synthesize from doc_id identically on both engines (the ta12
+      // precedent): doc_id-div-3 cohorts collide onto ONE canonical
+      // form through three different raw variants. Audit-shaped
+      // output (the d3 family, plus accounting): every doc keeps its
+      // canonical URL, first-wins kept flag, and cohort size.
+      // Scale shape: normalization is scan-fused regex; both windows
+      // partition by the fine-grained canonical key — group sizes are
+      // bounded by crawl duplication, never corpus size.
+      val v = pmod(col("doc_id"), lit(3))
+      val url = concat(
+        when(v === 0, lit("HTTPS://Example.org/a/"))
+          .when(v === 1, lit("https://EXAMPLE.ORG/a/"))
+          .otherwise(lit("https://example.org/a/")),
+        expr("doc_id div 3").cast("string"),
+        when(v === 0, lit("?utm_source=feed"))
+          .when(v === 1, lit("/"))
+          .otherwise(lit("#frag")))
+      val byUrl = Window.partitionBy(col("norm_url"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.urlNormalize(url).as("norm_url"))
+        .withColumn("kept",
+          row_number().over(byUrl.orderBy(col("doc_id"))) === 1)
+        .withColumn("n_group", count(lit(1)).over(byUrl))
+        .orderBy(col("doc_id"))
+    }),
+
     "ta13_char_diversity" -> ((s, dir) => {
       // Character-diversity quality signals (beyond the reference;
       // Gopher-family heuristic — generated/boilerplate text
@@ -4389,6 +4422,20 @@ object SparkEntry {
   private def sqlTokens(e: String): String =
     s"regexp_extract_all(lower($e), '${TA.tokenPattern}')"
 
+  /** DuckDB twin of [[TF.urlNormalize]]'s replace chain over a
+    * `rebuilt` (lower(scheme) ++ lower(host) ++ rest) expression:
+    * fragment, tracking params, empty-query leftovers, trailing
+    * slashes — shared by the ta12 and d21 oracles so the two can't
+    * drift. DuckDB replacement backrefs are \\1 and need the 'g'
+    * flag — Spark's are $1 and global by default.
+    */
+  private def sqlUrlNorm(rebuilt: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       regexp_replace(regexp_replace($rebuilt, '#.*$$', '', 'g'),
+       '([?&])(utm_[a-zA-Z]+|fbclid|gclid)=[^&#]*', '\\1', 'g'),
+       '\\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$$', '', 'g'),
+       '/+$$', '', 'g')"""
+
   /** Shared g2/g3 oracle body: decontaminate → quality gate → token-
     * budget mix → per-doc packed layout, ending in a
     * `packed(doc_id, lang, n_tok, start_tok)` CTE — g2 rolls it up per
@@ -5444,13 +5491,10 @@ object SparkEntry {
              regexp_extract(url, '$parts', 3) AS rebuilt
          FROM u),
          n AS (SELECT doc_id, host,
-           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-             regexp_replace(rebuilt, '#.*$$', '', 'g'),
-             '([?&])(utm_[a-zA-Z]+|fbclid|gclid)=[^&#]*', '\\1', 'g'),
-             '\\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$$', '', 'g') AS nt
+           ${sqlUrlNorm("rebuilt")} AS nt
          FROM p)
          SELECT doc_id, host,
-           regexp_replace(nt, '/+$$', '', 'g') AS norm_url,
+           nt AS norm_url,
            coalesce(host = 'tracker.com' OR host LIKE '%.tracker.com'
              OR host = 'spam.example.net' OR host LIKE '%.spam.example.net',
              false) AS blocked
@@ -6961,6 +7005,33 @@ object SparkEntry {
            AND abs(len(x.tt) - len(y.tt)) <= 2
          WHERE levenshtein(x.tt, y.tt) <= 2
          ORDER BY id_a, id_b""",
+
+    "d21_url_dedup" -> {
+      // the ta12 synthesis pattern with div-3 collision cohorts; the
+      // shared sqlUrlNorm chain; first-wins + cohort size per
+      // canonical URL
+      val parts = "^([a-zA-Z][a-zA-Z0-9+.-]*://)([^/?#]+)(.*)$"
+      s"""WITH u AS (SELECT doc_id,
+           (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://Example.org/a/'
+             WHEN doc_id % 3 = 1 THEN 'https://EXAMPLE.ORG/a/'
+             ELSE 'https://example.org/a/' END) ||
+           (doc_id // 3)::VARCHAR ||
+           (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed'
+             WHEN doc_id % 3 = 1 THEN '/' ELSE '#frag' END) AS url
+         FROM documents),
+         p AS (SELECT doc_id,
+           lower(regexp_extract(url, '$parts', 1)) ||
+             lower(regexp_extract(url, '$parts', 2)) ||
+             regexp_extract(url, '$parts', 3) AS rebuilt
+         FROM u),
+         n AS (SELECT doc_id, ${sqlUrlNorm("rebuilt")} AS norm_url
+         FROM p)
+         SELECT doc_id, norm_url,
+           row_number() OVER (PARTITION BY norm_url ORDER BY doc_id) = 1
+             AS kept,
+           count(*) OVER (PARTITION BY norm_url)::BIGINT AS n_group
+         FROM n ORDER BY doc_id"""
+    },
 
     "a20_ks_drift" ->
       // the KS replay: same distribution table, same merged axis (each
