@@ -3846,6 +3846,36 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "v23_mmr_rerank" -> ((s, dir) => {
+      // V23 — maximal-marginal-relevance diversified serving re-rank
+      // (Carbonell & Goldstein 1998; beyond the reference): from each
+      // query's brute-cosine top-10, greedily pick 5 maximizing
+      // 7·sim(q,d) − 3·max_{s∈picked} sim(d,s) (λ=0.7 as integer
+      // weights) — the standard redundancy-penalized final stage of a
+      // retrieval stack (RAG context assembly that doesn't quote the
+      // same near-duplicate three times). All sims quantize to 1e-6
+      // micro-units BEFORE the greedy, so every pick is an integer
+      // argmax with doc_id tie-breaks; the oracle unrolls the same 4
+      // selection steps relationally. Candidate and pair tables STAGE
+      // to scratch (the x5 discipline — the unrolled steps consume
+      // each multiple times; at 100 TB they're bounded serve-side
+      // artifacts, kCand/kCand² rows per query).
+      val e = t(s, dir, "embeddings")
+      val docs = e.filter(col("vec_id") >= 5)
+      val base = scratchDir("graft_v23")
+      Similarity.mmrCandidateSims(docs, col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+          kCand = 10)
+        .write.mode("overwrite").parquet(s"$base/cands")
+      val cands = s.read.parquet(s"$base/cands")
+      Similarity.mmrPairSims(cands, docs, col("vec_id"),
+          col("embedding"))
+        .write.mode("overwrite").parquet(s"$base/pairs")
+      Similarity.mmrTopK(cands, s.read.parquet(s"$base/pairs"),
+          kOut = 5, wRel = 7L, wDiv = 3L, stageDir = s"$base/sel")
+        .orderBy(col("query_id"), col("mmr_rank"))
+    }),
+
     "v11_ivf_persisted" -> ((s, dir) => {
       // The IVF build-once/probe-many lifecycle (the bloom save/load
       // pattern, for ANN): index persists as centroids + hive-
@@ -6739,6 +6769,73 @@ object SparkEntry {
          SELECT query_id, doc_id, floor((cosine) * 1e6 + 0.5) / 1e6 AS cosine,
            rank
          FROM ranked WHERE rank <= 4 ORDER BY query_id, rank""",
+
+    "v23_mmr_rerank" -> {
+      // the same unrolled greedy, relationally: candidates and pair
+      // sims via the v2 cosine replay (then 1e-6 micro-unit floors),
+      // then 4 argmax steps — each an anti-filter vs the selected set,
+      // a max-over-selected pair join, and one row_number pick, every
+      // comparison integer. MATERIALIZED is load-bearing on the
+      // chained CTEs (plain CTEs inline exponentially down the chain).
+      val steps = (2 to 5).map { i =>
+        val prev = s"selu${i - 1}"
+        s"""sel$i AS MATERIALIZED (
+           SELECT query_id, doc_id, squ, $i AS mmr_rank, mmr_score
+           FROM (
+             SELECT g.query_id, g.doc_id, g.squ,
+               (7 * g.squ - 3 * g.mp)::BIGINT AS mmr_score,
+               row_number() OVER (PARTITION BY g.query_id
+                 ORDER BY (7 * g.squ - 3 * g.mp) DESC, g.doc_id) AS rn
+             FROM (
+               SELECT c.query_id, c.doc_id, c.squ, max(p.pu) AS mp
+               FROM cands c
+               JOIN pairs p ON p.query_id = c.query_id
+                 AND p.ia = c.doc_id
+               JOIN $prev sp ON sp.query_id = p.query_id
+                 AND sp.doc_id = p.ib
+               WHERE NOT EXISTS (SELECT 1 FROM $prev x
+                 WHERE x.query_id = c.query_id
+                   AND x.doc_id = c.doc_id)
+               GROUP BY 1, 2, 3) g)
+           WHERE rn = 1),
+           selu$i AS MATERIALIZED (
+             SELECT query_id, doc_id FROM selu${i - 1}
+             UNION ALL SELECT query_id, doc_id FROM sel$i)"""
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+             FROM embeddings WHERE vec_id < 5),
+         d AS (SELECT vec_id AS doc_id, embedding AS dv
+             FROM embeddings WHERE vec_id >= 5),
+         r0 AS (SELECT query_id, doc_id,
+             ${sqlCosine64("dv", "qv")} AS cosine,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY ${sqlCosine64("dv", "qv")} DESC, doc_id) AS rank
+           FROM d, q),
+         cands AS MATERIALIZED (SELECT query_id, doc_id,
+             floor(cosine * 1e6 + 0.5)::BIGINT AS squ
+           FROM r0 WHERE rank <= 10),
+         ce AS (SELECT c.query_id, c.doc_id, d.dv
+           FROM cands c JOIN d USING (doc_id)),
+         pairs AS MATERIALIZED (SELECT a.query_id, a.doc_id AS ia,
+             b.doc_id AS ib,
+             floor(${sqlCosine64("a.dv", "b.dv")} * 1e6 + 0.5)::BIGINT
+               AS pu
+           FROM ce a JOIN ce b ON a.query_id = b.query_id
+             AND a.doc_id <> b.doc_id),
+         sel1 AS MATERIALIZED (SELECT query_id, doc_id, squ,
+             1 AS mmr_rank, (7 * squ)::BIGINT AS mmr_score
+           FROM (SELECT query_id, doc_id, squ, row_number() OVER (
+               PARTITION BY query_id ORDER BY squ DESC, doc_id) AS rn
+             FROM cands)
+           WHERE rn = 1),
+         selu1 AS MATERIALIZED (SELECT query_id, doc_id FROM sel1),
+         $steps
+         SELECT query_id, doc_id, squ, mmr_rank, mmr_score FROM (
+           SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+           UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4
+           UNION ALL SELECT * FROM sel5)
+         ORDER BY query_id, mmr_rank"""
+    },
 
     "v11_ivf_persisted" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv

@@ -1083,4 +1083,106 @@ object Similarity {
       .select(col("query_id"), col("doc_id"), col("cosine"),
         col("approx_cosine"), col("rank"))
   }
+
+  // ---------------------------------------------------------------------
+  // Maximal marginal relevance (Carbonell & Goldstein 1998): diversified
+  // serving re-rank over a bounded candidate set. Three composable
+  // stages so callers can stage the bounded tables between them (the
+  // x5 scratch discipline — each table is consumed more than once).
+  // ---------------------------------------------------------------------
+
+  /** Stage 1 — per-query candidates with the query similarity already
+    * quantized to 1e-6 integer micro-units (`squ`): the brute
+    * [[topKPerQuery]] broadcast scan, the ONLY corpus-sized stage of
+    * the MMR pipeline. Output: (query_id, doc_id, squ).
+    */
+  def mmrCandidateSims(docs: DataFrame, docId: Column, docVec: Column,
+                       queries: DataFrame, queryId: Column,
+                       queryVec: Column, kCand: Int): DataFrame =
+    topKPerQuery(docs, docId, docVec, queries, queryId, queryVec, kCand)
+      .select(col("query_id"), col("doc_id"),
+        floor(col("cosine") * lit(1e6) + lit(0.5)).cast("long").as("squ"))
+
+  /** Stage 2 — all directed candidate pairs within each query's set
+    * with their doc-doc cosine in micro-units (`pu`): kCand² rows per
+    * query, hydrated from the corpus by one fine-grained join and
+    * self-joined per query key. Output: (query_id, ia, ib, pu).
+    */
+  def mmrPairSims(cands: DataFrame, docs: DataFrame, docId: Column,
+                  docVec: Column): DataFrame = {
+    val ce = cands.select(col("query_id"), col("doc_id"))
+      .join(docs.select(docId.as("doc_id"), docVec.as("_dv")), "doc_id")
+    val a = ce.select(col("query_id"), col("doc_id").as("ia"),
+      col("_dv").as("_va"))
+    val b = ce.select(col("query_id"), col("doc_id").as("ib"),
+      col("_dv").as("_vb"))
+    a.join(b, Seq("query_id"))
+      .filter(col("ia") =!= col("ib"))
+      .select(col("query_id"), col("ia"), col("ib"),
+        floor(CosineSim(col("_va"), col("_vb")) * lit(1e6) + lit(0.5))
+          .cast("long").as("pu"))
+  }
+
+  /** Stage 3 — the greedy MMR selection, UNROLLED kOut steps: pick 1
+    * is the plain relevance argmax; each later pick maximizes
+    * wRel·squ − wDiv·max_{s∈selected} pu(d, s) over the not-yet-
+    * selected candidates. Every comparison is integer-vs-integer
+    * (micro-unit sims, integer weights — λ=0.7 is wRel=7/wDiv=3) with
+    * doc_id tie-breaks, so selection is deterministic on any engine,
+    * and the DuckDB oracle replays the same unrolled chain
+    * relationally. Queries with fewer than kOut candidates emit what
+    * they have.
+    *
+    * Scale shape: each step joins candidate-sized tables on the
+    * fine-grained query key (≤ kCand, ≤ kCand² rows per query) — at a
+    * billion queries the greedy is embarrassingly parallel and never
+    * touches the corpus. Pass STAGED cands/pairs (each is consumed
+    * once per step; a lazy plan would recompute its scan kOut times).
+    * The selected set itself stages to `stageDir` after every step —
+    * load-bearing, not an optimization: the step-i plan consumes the
+    * accumulated selection twice (anti-filter + pair probe) while the
+    * selection derives from `cands` itself, and Spark's self-join
+    * attribute resolution silently corrupts such plans (duplicate
+    * ranks measured without it); the parquet round trip breaks the
+    * shared lineage and keeps the unrolled plan flat.
+    *
+    * Output: (query_id, doc_id, squ, mmr_rank, mmr_score).
+    */
+  def mmrTopK(cands: DataFrame, pairs: DataFrame, kOut: Int,
+              wRel: Long, wDiv: Long, stageDir: String): DataFrame = {
+    val s = cands.sparkSession
+    def staged(df: DataFrame, i: Int): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$stageDir/sel_$i")
+      s.read.parquet(s"$stageDir/sel_$i")
+    }
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("squ").desc, col("doc_id"))
+    var sel = staged(cands.withColumn("_rn", row_number().over(w1))
+      .filter(col("_rn") === 1)
+      .select(col("query_id"), col("doc_id"), col("squ"),
+        lit(1).as("mmr_rank"), (lit(wRel) * col("squ")).as("mmr_score")),
+      1)
+    for (i <- 2 to kOut) {
+      val selIds = sel.select(col("query_id"), col("doc_id"))
+      val rem = cands.join(selIds, Seq("query_id", "doc_id"), "left_anti")
+      val wi = Window.partitionBy(col("query_id"))
+        .orderBy(col("mmr_score").desc, col("doc_id"))
+      val next = rem
+        .join(pairs.withColumnRenamed("ia", "doc_id"),
+          Seq("query_id", "doc_id"))
+        .join(selIds.withColumnRenamed("doc_id", "ib"),
+          Seq("query_id", "ib"))
+        .groupBy(col("query_id"), col("doc_id"), col("squ"))
+        .agg(max(col("pu")).as("_mp"))
+        .select(col("query_id"), col("doc_id"), col("squ"),
+          (lit(wRel) * col("squ") - lit(wDiv) * col("_mp"))
+            .as("mmr_score"))
+        .withColumn("_rn", row_number().over(wi))
+        .filter(col("_rn") === 1)
+        .select(col("query_id"), col("doc_id"), col("squ"),
+          lit(i).as("mmr_rank"), col("mmr_score"))
+      sel = staged(sel.unionByName(next), i)
+    }
+    sel
+  }
 }

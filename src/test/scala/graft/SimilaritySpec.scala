@@ -578,6 +578,37 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._3) == Seq(1, 2, 3, 1, 2, 3))
   }
 
+  test("mmrTopK: diversity weight demotes near-duplicates; zero diversity = plain ranking") {
+    val dir = java.nio.file.Files.createTempDirectory("mmr").toString
+    val queries = Seq((100L, b1.toSeq)).toDF("qid", "qv")
+    Similarity.mmrCandidateSims(corpus, $"id", $"v",
+        queries, $"qid", $"qv", kCand = 5)
+      .write.mode("overwrite").parquet(s"$dir/cands")
+    val cs = spark.read.parquet(s"$dir/cands")
+    Similarity.mmrPairSims(cs, corpus, $"id", $"v")
+      .write.mode("overwrite").parquet(s"$dir/pairs")
+    val ps = spark.read.parquet(s"$dir/pairs")
+    val mmr = rows(Similarity.mmrTopK(cs, ps, kOut = 3,
+        wRel = 1L, wDiv = 9L, s"$dir/selDiv")
+      .orderBy($"mmr_rank")).map(r => (r.getInt(3), r.getLong(1)))
+    assert(mmr.map(_._1) == Seq(1, 2, 3))
+    // rank 1 is the pure relevance argmax (a b1-cluster doc); rank 2
+    // must JUMP CLUSTERS — the remaining b1 twins are near-dups of
+    // the first pick and the 0.1-relevance mix can't save them
+    assert(Set(1L, 2L, 3L).contains(mmr(0)._2))
+    assert(Set(4L, 5L).contains(mmr(1)._2))
+    // wDiv = 0 degrades to the plain quantized-relevance ranking —
+    // stated at the 1e-6 grid MMR operates on (the b1 twins' raw
+    // cosines differ only below it, so they are squ-ties broken by
+    // doc_id, not a raw-cosine ordering)
+    val plain = rows(Similarity.mmrTopK(cs, ps, kOut = 3,
+        wRel = 1L, wDiv = 0L, s"$dir/selPlain")
+      .orderBy($"mmr_rank")).map(_.getLong(1))
+    val topk = rows(cs.orderBy($"squ".desc, $"doc_id").limit(3))
+      .map(_.getLong(1))
+    assert(plain == topk)
+  }
+
   // PQ spec corpus: interleaved patterns so EVERY 4-dim subspace
   // carries nonzero, orthogonal cluster signal (a half-zero block
   // pattern like b1/b2 leaves some subspaces pure noise, where cosine
