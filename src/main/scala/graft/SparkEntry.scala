@@ -967,6 +967,22 @@ object SparkEntry {
         .orderBy(col("sel_key"), col("doc_id"))
     }),
 
+    "x10_temperature_mix" -> ((s, dir) => {
+      // Temperature-resampled multilingual mix (XLM-R/mT5, α = 0.3;
+      // beyond the reference): per-language share ∝ n^α via
+      // detexp(α·detln(n)), quantized to BIGINT micro-weights so the
+      // normalizer is an exact integer sum; each language contributes
+      // EXACTLY (250·wq) div Σwq docs in salted-hash order — the
+      // exact-count complement of x1's rate-based √tokens mix. Every
+      // selection comparison is integer; the oracle replays detln,
+      // detexp, the dyadic quantize, and the integer allocation.
+      Sampling.temperatureMix(t(s, dir, "documents"), col("lang"),
+          col("doc_id"), alpha = 0.3, target = 250, salt = "tm12")
+        .select(col("id").as("doc_id"), col("stratum").as("lang"),
+          col("lrank"))
+        .orderBy(col("doc_id"))
+    }),
+
     "x5d_dsir_diag" -> ((s, dir) => {
       // Diagnostic for the x5 driver-gate flake (red in CORRECTNESS_r9
       // through r11 while green locally): every quantity the x5 chain
@@ -1188,6 +1204,39 @@ object SparkEntry {
             (lit(graft.expressions.DetLn.TermGrid) *
               count(col("rq")).cast("double")), 6).as("avg_kept_chars"))
         .orderBy(col("lang"))
+    }),
+
+    "ta20_readability" -> ((s, dir) => {
+      // Flesch reading ease + Flesch-Kincaid grade (Flesch 1948;
+      // Kincaid et al. 1975; beyond the reference): the classic
+      // shallow readability pair over W (\w+ words), S (sentence
+      // chunks), Y ([aeiouy]+ vowel-group syllable proxy). The three
+      // counts are integers; the scores are PER-ROW IEEE arithmetic
+      // over identical literal trees (nothing aggregates, so no
+      // summation order exists), 6dp-floored; missing denominators
+      // propagate NULL into an 'unscored' bucket, and the difficulty
+      // label compares the ROUNDED score so it is grid-stable.
+      val c = t(s, dir, "documents").select(col("doc_id"),
+        TF.wordCount(col("text")).cast("long").as("n_words"),
+        TF.sentenceCount(col("text")).cast("long").as("n_sents"),
+        TA.syllableCount(col("text")).cast("long").as("n_syll"))
+      val wps = when(col("n_sents") > 0,
+        col("n_words").cast("double") / col("n_sents").cast("double"))
+      val spw = when(col("n_words") > 0,
+        col("n_syll").cast("double") / col("n_words").cast("double"))
+      c.select(col("doc_id"), col("n_words"), col("n_sents"),
+          col("n_syll"),
+          fround(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6)
+            .as("fre"),
+          fround(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6)
+            .as("fk_grade"))
+        .withColumn("difficulty",
+          when(col("fre").isNull, lit("unscored"))
+            .when(col("fre") >= 90.0, lit("very_easy"))
+            .when(col("fre") >= 60.0, lit("standard"))
+            .when(col("fre") >= 30.0, lit("difficult"))
+            .otherwise(lit("very_difficult")))
+        .orderBy(col("doc_id"))
     }),
 
     "ta17_zipf_slope" -> ((s, dir) => {
@@ -3876,6 +3925,45 @@ object SparkEntry {
         .orderBy(col("query_id"), col("mmr_rank"))
     }),
 
+    "v24_context_assembly" -> ((s, dir) => {
+      // V4's distributed twin — the RAG context string assembled as a
+      // grouped COLUMN (rag.ipynb:720-733 builds it driver-side over
+      // one query's k rows; at serving scale you assemble millions of
+      // contexts in one query_id shuffle): the v9 store (title + T20
+      // doc_text) supplies candidates, the first five embeddings are
+      // the query batch, brute top-4 cosine ranks per query, and each
+      // query's context is the rank-sorted
+      // "[rank] (sim s.mmm) title\ndoc_text" block join. Sim digits
+      // render from integer milli-units so the string is
+      // byte-identical cross-engine; the oracle rebuilds the full
+      // context with string_agg ORDER BY rank and compares md5 +
+      // length. The store stages to scratch — top-k scan and the
+      // title/text hydration join both consume it (v9 precedent).
+      val d = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      val toks = TA.tokens(col("text"))
+      val authors = transform(slice(toks, 1, 3),
+        tk => concat(lit("dr. "), tk))
+      val out = scratchDir("graft_v24")
+      Rag.buildStore(
+          d.join(e, col("doc_id") === col("vec_id"))
+            .filter(col("doc_id") >= 5),
+          col("doc_id"), trim(substring(col("text"), 1, 40)), authors,
+          col("text"), col("embedding"))
+        .write.mode("overwrite").parquet(out)
+      val store = s.read.parquet(out)
+      val topk = Similarity.topKPerQuery(store, col("paper_id"),
+          col("embedding"), e.filter(col("vec_id") < 5),
+          col("vec_id"), col("embedding"), k = 4)
+        .join(store.select(col("paper_id").as("doc_id"), col("title"),
+          col("doc_text")), "doc_id")
+      Rag.assembleContexts(topk)
+        .select(col("query_id"), col("n_ctx"),
+          length(col("context")).cast("long").as("ctx_chars"),
+          md5(col("context")).as("ctx_md5"))
+        .orderBy(col("query_id"))
+    }),
+
     "v11_ivf_persisted" -> ((s, dir) => {
       // The IVF build-once/probe-many lifecycle (the bloom save/load
       // pattern, for ANN): index persists as centroids + hive-
@@ -6555,6 +6643,32 @@ object SparkEntry {
          SELECT nd.d AS lang, nd.n AS n_tok, a.tv AS tv, a.a AS alpha
          FROM a$x8Iters a JOIN nd ON a.d = nd.d ORDER BY lang""",
 
+    "x10_temperature_mix" -> {
+      // detln of the per-lang count, one α multiply, the detexp Horner
+      // twin, dyadic quantize to BIGINT, exact-integer allocation, then
+      // the salted 28-bit hash rank — every cell integer past the two
+      // deterministic kernels. α renders ::DOUBLE (bare 0.3 is DECIMAL
+      // in DuckDB; the cast lands on the identical double).
+      val lnCols = operators.Classify.sqlDetLnCols("tm", "nl")
+      s"""WITH n AS (SELECT lang, count(*)::BIGINT AS nl
+             FROM documents GROUP BY lang),
+         l AS (SELECT lang, tmln FROM (SELECT lang, nl, $lnCols FROM n)),
+         w AS (SELECT lang,
+             floor(${Sampling.sqlDetExp("0.3::DOUBLE * tmln")}
+               * 1048576.0 + 0.5)::BIGINT AS wq
+           FROM l),
+         tot AS (SELECT sum(wq)::BIGINT AS s FROM w),
+         c AS (SELECT lang, (250 * wq) // s AS cl FROM w, tot),
+         h AS (SELECT doc_id, lang,
+             ${Sampling.sqlKeyHash("doc_id::VARCHAR", "tm12")} AS hh
+           FROM documents),
+         r AS (SELECT doc_id, lang, row_number() OVER (
+             PARTITION BY lang ORDER BY hh, doc_id) AS lrank FROM h)
+         SELECT r.doc_id, r.lang, r.lrank::BIGINT AS lrank
+         FROM r JOIN c USING (lang)
+         WHERE lrank <= cl ORDER BY doc_id"""
+    },
+
     "x9_mixture_build" -> {
       // the x8 chain feeding the build: alpha -> integer weight ->
       // sqlMixThr rate -> keyHash keep -> per-lang tally of what the
@@ -6835,6 +6949,51 @@ object SparkEntry {
            UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4
            UNION ALL SELECT * FROM sel5)
          ORDER BY query_id, mmr_rank"""
+    },
+
+    "v24_context_assembly" -> {
+      // rebuilds the v9 store text, replays the top-4 cosine rank, and
+      // re-assembles the exact context string: sim digits from integer
+      // milli-units (sign + intpart + lpad millis — Spark renders the
+      // same from the same BIGINT), entries joined by blank lines in
+      // rank order via string_agg ORDER BY.
+      val toks = sqlTokens("text")
+      s"""WITH t AS (SELECT doc_id, text, $toks AS tk FROM documents
+             WHERE doc_id >= 5),
+         st AS (SELECT doc_id AS paper_id,
+             'Paper Title: ' || trim(substring(text, 1, 40)) || chr(10) ||
+             'Authors: ' || array_to_string(
+               list_transform(list_slice(tk, 1, 3), x -> 'dr. ' || x), ', ')
+               || chr(10) ||
+             'Abstract: ' || substring(text, 1, 500) AS doc_text,
+             trim(substring(text, 1, 40)) AS title
+           FROM t),
+         d AS (SELECT s.paper_id AS doc_id, s.title, s.doc_text,
+             e.embedding AS dv
+           FROM st s JOIN embeddings e ON e.vec_id = s.paper_id),
+         q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 5),
+         r AS (SELECT query_id, doc_id, title, doc_text,
+             ${sqlCosine64("dv", "qv")} AS cosine,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY ${sqlCosine64("dv", "qv")} DESC, doc_id) AS rank
+           FROM d, q),
+         k AS (SELECT query_id, rank, title, doc_text,
+             floor(cosine * 1e3 + 0.5)::BIGINT AS smu
+           FROM r WHERE rank <= 4),
+         f AS (SELECT query_id, rank,
+             '[' || rank::VARCHAR || '] (sim ' ||
+             (CASE WHEN smu < 0 THEN '-' ELSE '' END) ||
+             (abs(smu) // 1000)::VARCHAR || '.' ||
+             lpad((abs(smu) % 1000)::VARCHAR, 3, '0') || ') ' ||
+             title || chr(10) || doc_text AS entry
+           FROM k),
+         c AS (SELECT query_id, count(*)::BIGINT AS n_ctx,
+             string_agg(entry, chr(10) || chr(10) ORDER BY rank) AS ctx
+           FROM f GROUP BY query_id)
+         SELECT query_id, n_ctx, length(ctx)::BIGINT AS ctx_chars,
+           md5(ctx) AS ctx_md5
+         FROM c ORDER BY query_id"""
     },
 
     "v11_ivf_persisted" ->
@@ -7230,6 +7389,40 @@ object SparkEntry {
              s"""sum(rq)::DOUBLE / (${graft.expressions.DetLn.TermGrid}
              * count(rq)::DOUBLE)""", 6)} AS avg_kept_chars
          FROM rq GROUP BY lang ORDER BY lang"""
+    },
+
+    "ta20_readability" -> {
+      // the same counts, the same guarded ratios, the same literal
+      // trees (::DOUBLE on each constant — bare decimals are DECIMAL
+      // in DuckDB), the same 6dp floor, and the bucket CASE over the
+      // rounded value.
+      val fre = "floor((206.835::DOUBLE - 1.015::DOUBLE * wps" +
+        " - 84.6::DOUBLE * spw) * 1e6 + 0.5) / 1e6"
+      s"""WITH c AS (SELECT doc_id,
+           len(regexp_extract_all(text, '\\w+'))::BIGINT AS n_words,
+           len(list_filter(string_split_regex(text, '[.!?]+'),
+             x -> trim(x) <> ''))::BIGINT AS n_sents,
+           len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+             AS n_syll
+         FROM documents),
+         g AS (SELECT doc_id, n_words, n_sents, n_syll,
+           CASE WHEN n_sents > 0
+             THEN n_words::DOUBLE / n_sents::DOUBLE END AS wps,
+           CASE WHEN n_words > 0
+             THEN n_syll::DOUBLE / n_words::DOUBLE END AS spw
+         FROM c),
+         r AS (SELECT doc_id, n_words, n_sents, n_syll,
+           $fre AS fre,
+           floor((0.39::DOUBLE * wps + 11.8::DOUBLE * spw
+             - 15.59::DOUBLE) * 1e6 + 0.5) / 1e6 AS fk_grade
+         FROM g)
+         SELECT doc_id, n_words, n_sents, n_syll, fre, fk_grade,
+           CASE WHEN fre IS NULL THEN 'unscored'
+             WHEN fre >= 90.0 THEN 'very_easy'
+             WHEN fre >= 60.0 THEN 'standard'
+             WHEN fre >= 30.0 THEN 'difficult'
+             ELSE 'very_difficult' END AS difficulty
+         FROM r ORDER BY doc_id"""
     },
 
     "ta17_zipf_slope" ->

@@ -193,6 +193,15 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  /** Syllable-count proxy: `[aeiouy]+` vowel-group runs over the
+    * lowercased text — the standard cheap estimator readability
+    * formulas use (runs never span word boundaries, so the text-wide
+    * count equals the per-word sum). ASCII class ⇒ identical under
+    * Java regex and RE2, so the DuckDB twin is the same pattern.
+    */
+  def syllableCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+
   /** Type-token ratio (distinct tokens / tokens); 0.0 for empty text.
     * Degenerate repetition → low TTR.
     */

@@ -33,6 +33,43 @@ object Rag {
         s"${r.getAs[String]("title")}\n${r.getAs[String]("doc_text")}"
     }.mkString("\n\n")
 
+  /** V4 at serving scale — context assembly as a GROUPED COLUMN, the
+    * distributed twin of [[assembleContext]] (which is driver-side by
+    * contract: ONE query's k rows). Input: one row per (query,
+    * candidate) with (query_id, rank, cosine, title, doc_text).
+    *
+    * The 3-decimal similarity renders from integer milli-units
+    * (`floor(cos·10³+½)` — the fround contract), so the digits are
+    * byte-identical cross-engine and agree with [[assembleContext]]'s
+    * Java `%.3f` (HALF_UP) whenever the cosine sits on the milli grid
+    * (AssembleSpec pins the parity). Entries order by rank INSIDE the
+    * aggregate via `array_sort` over (rank, entry) structs —
+    * `collect_list` order is partition-dependent; the in-row sort
+    * restores determinism without a global sort.
+    *
+    * Scale shape: one shuffle on query_id with ≤ k rows per group — a
+    * billion queries assemble embarrassingly parallel, and the corpus
+    * is never touched (callers join titles/texts from the top-k's own
+    * bounded candidate rows).
+    *
+    * Returns (query_id, n_ctx, context).
+    */
+  def assembleContexts(topK: DataFrame): DataFrame =
+    topK
+      .withColumn("_smu",
+        floor(col("cosine") * lit(1000.0) + lit(0.5)).cast("long"))
+      .withColumn("_entry", concat(
+        lit("["), col("rank").cast("string"), lit("] (sim "),
+        when(col("_smu") < 0, lit("-")).otherwise(lit("")),
+        expr("abs(_smu) div 1000").cast("string"), lit("."),
+        lpad(expr("abs(_smu) % 1000").cast("string"), 3, "0"),
+        lit(") "), col("title"), lit("\n"), col("doc_text")))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).cast("long").as("n_ctx"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("rank"), col("_entry")))),
+          e => e.getField("_entry")), "\n\n").as("context"))
+
   /** Okapi BM25 lexical retrieval — the sparse complement to the dense
     * cosine family (§2.9 V3*). The reference retrieves by embedding
     * similarity only (RAG/rag.ipynb:488-530); production RAG almost

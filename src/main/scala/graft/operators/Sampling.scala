@@ -696,4 +696,51 @@ object Sampling {
         ds.map(d => (d, n(d), tv(d), alpha(d))))
       .toDF("d", "n_tok", "tv", "alpha")
   }
+
+  /** Temperature-resampled multilingual mix (XLM-R / mT5: Conneau et
+    * al. 2020, Xue et al. 2021): language l's mixture share is
+    * p_l ∝ n_l^α with sampling temperature α ∈ (0, 1] — α = 1 keeps the
+    * natural distribution, smaller α upweights low-resource languages —
+    * and the output takes EXACTLY (target·wq_l) div Σwq documents per
+    * language: the exact-count cousin of rate-based [[tokenBudgetMix]]
+    * (which keeps a hash-rate FRACTION, so its output size is only
+    * expected, not pinned).
+    *
+    * Cross-engine determinism (the x5 discipline): n_l^α = exp(α·ln n_l)
+    * computes as detexp(α·detln(n_l)) — both exact-IEEE-step kernels —
+    * with α an exact decimal literal and ONE multiply between them;
+    * the result quantizes onto the 2⁻²⁰ dyadic grid as BIGINT
+    * micro-weights wq_l, so the normalizing sum is an exact integer
+    * sum in any order and each allocation is pure integer arithmetic.
+    * Selection within a language is the salted 28-bit [[keyHash]]
+    * order with id tie-break (rank ≤ c_l) — reproducible under any
+    * partitioning. α·ln n_l must stay in detexp's accurate range
+    * (|x| ≲ 7 covers n_l up to 10¹⁰ at α = 0.3 — fine at 100 TB).
+    *
+    * Scale shape: the weight/allocation table is ≤ |langs| rows
+    * (broadcast back); the corpus is touched by one scan-fused hash
+    * projection plus one rank window partitioned by language — the
+    * only shuffle, and it moves ids + hashes, not documents.
+    *
+    * Returns the kept documents: (id, stratum, lrank) with the
+    * within-language hash rank. A stratum whose allocation exceeds its
+    * size emits all its rows — upsampling is the TRAINING loop's
+    * repeat-epochs job, not the mix's (no row replication here).
+    */
+  def temperatureMix(df: DataFrame, stratum: Column, id: Column,
+                     alpha: Double, target: Long, salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(stratum.as("_l")).agg(count(lit(1)).as("_n"))
+    val wq = counts.select(col("_l"),
+      floor(detExp(lit(alpha) * graft.expressions.DetLn(col("_n"))) *
+        lit((1L << 20).toDouble) + lit(0.5)).cast("long").as("_wq"))
+    val alloc = wq.crossJoin(broadcast(wq.agg(sum(col("_wq")).as("_s"))))
+      .select(col("_l"), expr(s"($target * _wq) div _s").as("_cl"))
+    val w = Window.partitionBy(col("_l")).orderBy(col("_hh"), col("_id"))
+    df.select(stratum.as("_l"), id.as("_id"), keyHash(id, salt).as("_hh"))
+      .join(broadcast(alloc), "_l")
+      .withColumn("lrank", row_number().over(w).cast("long"))
+      .filter(col("lrank") <= col("_cl"))
+      .select(col("_id").as("id"), col("_l").as("stratum"), col("lrank"))
+  }
 }

@@ -35,6 +35,26 @@ class RagSpec extends SparkSpec {
     assert(ctx.indexOf("Doc A") < ctx.indexOf("Doc B"))
   }
 
+  test("assembleContexts == driver-side assembleContext; entries rank-sorted in-row") {
+    // cosines on exact dyadic milli-grid points (no rounding ties), so
+    // the distributed integer-milli rendering and assembleContext's
+    // Java %.3f agree byte-for-byte
+    val topk = Seq(
+      (7L, 2, 0.25, "Doc B", "text b"),
+      (7L, 1, 0.875, "Doc A", "text a"),
+      (7L, 3, -0.125, "Doc C", "text c"),
+      (9L, 1, 1.0, "Doc D", "text d")
+    ).toDF("query_id", "rank", "cosine", "title", "doc_text")
+      .repartition(5)
+    val got = rows(Rag.assembleContexts(topk).orderBy($"query_id"))
+    assert(got.map(r => (r.getLong(0), r.getLong(1))) ==
+      Seq((7L, 3L), (9L, 1L)))
+    val drv7 = Rag.assembleContext(rows(
+      topk.filter($"query_id" === 7).orderBy($"rank")))
+    assert(got.head.getAs[String]("context") == drv7)
+    assert(got(1).getAs[String]("context") == "[1] (sim 1.000) Doc D\ntext d")
+  }
+
   test("autoMetrics computes counts, overlap, citations and bounded score") {
     val df = Seq(
       ("what is attention", "attention mechanisms [1] let models focus; see [2,3]"),

@@ -518,4 +518,38 @@ class SamplingSpec extends SparkSpec {
       budgetPct = 50, salt = "t9")).map(_.getString(1)).toSet
     assert(only == Set("a"), only.toString)
   }
+
+  test("temperatureMix: exact integer allocation via the detln/detexp kernels; partitioning-stable") {
+    import graft.expressions.{DetExp, DetLn}
+    // 160:40 and alpha=0.5 → weights ∝ sqrt → exact 2:1 share (and both
+    // allocations stay under their stratum size, so the exact-count
+    // contract is exercised, not the keep-all cap)
+    val docs = ((1 to 160).map(i => (i.toLong, "hi")) ++
+      (161 to 200).map(i => (i.toLong, "lo"))).toDF("id", "lang")
+    val got = rows(Sampling.temperatureMix(docs, $"lang", $"id",
+      alpha = 0.5, target = 50, salt = "tm").orderBy($"id"))
+    // expected allocation replayed through the SAME kernels driver-side
+    def wq(n: Long) =
+      math.floor(DetExp.compute(0.5 * DetLn.compute(n)) *
+        (1L << 20).toDouble + 0.5).toLong
+    val (wHi, wLo) = (wq(160L), wq(40L))
+    val expHi = 50L * wHi / (wHi + wLo)
+    val expLo = 50L * wLo / (wHi + wLo)
+    assert(expHi + expLo >= 49L) // sanity: floor allocation near target
+    val byLang = got.groupBy(_.getString(1)).view.mapValues(_.size).toMap
+    assert(byLang == Map("hi" -> expHi.toInt, "lo" -> expLo.toInt))
+    // lrank is the contiguous within-language hash-order prefix
+    got.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(2)).sorted == (1L to rs.size).toSeq)
+    }
+    // partitioning-stable
+    val got2 = rows(Sampling.temperatureMix(docs.repartition(7), $"lang",
+      $"id", alpha = 0.5, target = 50, salt = "tm").orderBy($"id"))
+    assert(got.map(_.toSeq) == got2.map(_.toSeq))
+    // temperature law: alpha → 0 flattens the mix toward uniform
+    val flat = rows(Sampling.temperatureMix(docs, $"lang", $"id",
+        alpha = 0.1, target = 50, salt = "tm"))
+      .groupBy(_.getString(1)).view.mapValues(_.size).toMap
+    assert(flat("lo") > byLang("lo"))
+  }
 }

@@ -203,6 +203,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(native == decl)
   }
 
+  test("syllableCount: vowel-group runs, case-folded; text-wide == per-word sum") {
+    val got = rows(Seq(
+      "The quick brown fox",    // e + ui + o + o = 4 runs
+      "BEAUTIFUL day",          // eau + i + u (+ ay) = 4 runs, case-folded
+      "xkcd 123",               // no vowels
+      ""
+    ).toDF("t").select(TA.syllableCount($"t"))).map(_.getInt(0))
+    assert(got == Seq(4, 4, 0, 0))
+    // per-word sum equals the text-wide count (runs can't span spaces)
+    val text = "some reasonably varied sentence with words"
+    val whole = rows(Seq(text).toDF("t")
+      .select(TA.syllableCount($"t"))).head.getInt(0)
+    val perWord = text.split(" ").map(w =>
+      "[aeiouy]+".r.findAllIn(w.toLowerCase).size).sum
+    assert(whole == perWord)
+  }
+
   test("duplicate-unit fractions: hand-computed lines and paragraphs") {
     def stats(text: String, delim: String) = rows(
       Seq(text).toDF("t")
