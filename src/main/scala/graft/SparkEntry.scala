@@ -983,6 +983,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "x11_softdedup_resample" -> ((s, dir) => {
+      // SoftDeDup-style frequency-downweighted resample (beyond the
+      // reference; the "don't delete duplicates, downweight them"
+      // alternative to d14's keep-one): every doc weighs 1/|its
+      // near-dup cluster|, so each cluster's TOTAL selection mass is
+      // one doc's worth regardless of how many crawls re-captured it —
+      // repeated pages stop dominating the training mix without the
+      // information loss of hard deletion. The weight is exact on the
+      // integer key grid: m = ⌊2²⁰/(1/c)+½⌋ = c·2²⁰ exactly for every
+      // cluster size c ≤ 64 (SamplingSpec pins this), so sel_key
+      // stays pure BIGINT arithmetic end to end. Scale shape: d14's
+      // banded clustering + one broadcast-joined size table + the
+      // scan-fused key projection; top-k plans as
+      // TakeOrderedAndProject, never a global sort.
+      Sampling.weightedSample(
+          Dedup.dupClusters(
+            t(s, dir, "documents").select(col("doc_id"), col("text")),
+            col("doc_id"), col("text"), threshold = 0.5),
+          col("doc_id"),
+          lit(1.0) / col("cluster_size").cast("double"),
+          k = 200, salt = "sd12")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          col("sel_key"))
+        .orderBy(col("doc_id"))
+    }),
+
     "x5d_dsir_diag" -> ((s, dir) => {
       // Diagnostic for the x5 driver-gate flake (red in CORRECTNESS_r9
       // through r11 while green locally): every quantity the x5 chain
@@ -1239,6 +1265,38 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "ta21_code_detect" -> ((s, dir) => {
+      // Code-vs-prose detection (beyond the reference): the standard
+      // pretraining-mix router — code that leaks into a prose corpus
+      // (or vice versa) distorts both distributions, so pipelines gate
+      // on cheap symbol/keyword densities before any model-based
+      // classifier. The corpus is prose, so every doc_id % 4 == 0 doc
+      // gets a literal code block appended on BOTH engines (the d13
+      // injection precedent). Signals: one character-class count of
+      // code-dense symbols {}();=, whole-token keyword hits, and an
+      // INTEGER density sym_micro = (n_sym·10⁶) div n_chars — every
+      // cell integer or boolean, nothing to flake. Scale shape: pure
+      // scan-fused per-row projection; zero exchanges before the
+      // verify sort.
+      val codeBlk = lit(" def main ( ) { return 0 ; } import sys ; " +
+        "class foo { var x = 1 ; if ( x ) { x = x + 1 ; } }")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(col("text"), codeBlk)).otherwise(col("text")).as("text"))
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          TA.codeSymbolCount(col("text")).cast("long").as("n_sym"),
+          TA.markerHits(col("text"), TA.codeKeywords).cast("long")
+            .as("kw_hits"))
+        .withColumn("sym_micro",
+          expr("case when n_chars > 0 then (n_sym * 1000000) div n_chars" +
+            " else 0 end"))
+        .withColumn("is_code",
+          col("sym_micro") >= 20000 || col("kw_hits") >= 5)
+        .orderBy(col("doc_id"))
+    }),
+
     "ta17_zipf_slope" -> ((s, dir) => {
       // Token-distribution health per lang (beyond the reference):
       // the Zipf log-log slope estimated from a log2-FREQUENCY
@@ -1444,6 +1502,46 @@ object SparkEntry {
           row_number().over(byUrl.orderBy(col("doc_id"))) === 1)
         .withColumn("n_group", count(lit(1)).over(byUrl))
         .orderBy(col("doc_id"))
+    }),
+
+    "d22_containment_pairs" -> ((s, dir) => {
+      // Asymmetric containment dedup (beyond the reference): partial
+      // copies — an excerpt quoted inside a much larger page — score
+      // J ≈ |A|/|B| ≈ 0 under d4's symmetric Jaccard but containment
+      // |A∩B|/|A| = 1; RefinedWeb-style curation runs this check
+      // beside the symmetric one. The corpus has no verbatim excerpts,
+      // so every doc_id % 5 == 0 doc contributes one (first 30 tokens,
+      // id + 10⁶) — built from the SAME token chain on both engines.
+      // Scale shape (Dedup.containmentPairs): prefix × full-index
+      // candidates — join keys are only the contained side's globally
+      // RAREST tokens, so common tokens never form blocks and the
+      // container side streams linearly; exact integer position filter;
+      // one merge-walk intersect per surviving candidate.
+      // Run as the BATCH-vs-corpus probe (Dedup.containmentProbe, the
+      // d15/d9 production shape): the day's suspect batch — here one
+      // 30-token excerpt per doc_id % 5 doc — asks which standing
+      // documents substantially contain it. The symmetric corpus-wide
+      // form (Dedup.containmentPairs) is the spec'd generic; on THIS
+      // synthetic corpus its pair set is adversarially dense (one
+      // shared vocabulary ⇒ ~84k pairs at sf0.01) where real crawl
+      // text is Zipf-sparse, so the probe is both the realistic and
+      // the scale-priced query. Output is the bounded audit: each
+      // batch doc's best container (max shared tokens — the integer
+      // twin of max containment — then largest, then smallest-id).
+      val d = t(s, dir, "documents")
+      val exc = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          array_join(slice(TA.tokens(col("text")), 1, 30), " ").as("text"))
+      val byA = Window.partitionBy(col("id_a")).orderBy(
+        col("inter").desc, col("size_b").desc, col("id_b"))
+      Dedup.containmentProbe(exc, d.select(col("doc_id"), col("text")),
+          col("doc_id"), col("text"), threshold = 0.9)
+        .withColumn("_rk", row_number().over(byA))
+        .filter(col("_rk") === 1)
+        .select(col("id_a"), col("id_b"), col("inter").cast("long").as("inter"),
+          col("size_a"), col("size_b"),
+          fround(col("containment"), 6).as("containment"))
+        .orderBy(col("id_a"))
     }),
 
     "ta13_char_diversity" -> ((s, dir) => {
@@ -2489,6 +2587,57 @@ object SparkEntry {
           col("n_landed"))
         .crossJoin(broadcast(tick))
         .orderBy(col("lang"))
+    }),
+
+    "g13_decontam_tick" -> ((s, dir) => {
+      // G13 — eval-set protection as a LIFECYCLE (beyond the
+      // reference): tc1 answers "is this corpus contaminated against
+      // today's benchmarks"; g13 answers the production question —
+      // a NEW benchmark arrives, only ITS grams probe the corpus, and
+      // the verdicts land in a versioned quarantine MANIFEST
+      // (MergeLog) instead of a report that goes stale. Tick 1: the
+      // standing eval split (id < 50) flags its overlap set → the log
+      // base. Tick 2: a new benchmark — verbatim 20-token excerpts of
+      // corpus docs (% 61), the realistic worst case — probes and
+      // lands as delta batch 1; a doc flagged by both attributes to
+      // the NEWEST benchmark (last-wins upsert). The tick-2 append is
+      // then REPLAYED with the same batch id but POISONED content
+      // (version-99 tombstones for every flagged doc): the commit
+      // gate must no-op it — if a replayed committed batch ever
+      // landed, the tombstones would erase every v2 row from the
+      // dashboard and break the oracle. Dashboard: per (eval_v, lang)
+      // quarantined docs + matched-gram mass. Scale shape: benchmarks
+      // are MBs vs a TB corpus, so each probe is one corpus scan with
+      // a broadcast gram set (the tc1 shape), the manifest append is
+      // O(flagged), and the corpus text never shuffles.
+      val d = t(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") >= 100)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val eval1 = d.filter(col("doc_id") < 50).select(col("text"))
+      val eval2 = d
+        .filter(col("doc_id") >= 100 && pmod(col("doc_id"), lit(61)) === 0)
+        .select(array_join(slice(TA.tokens(col("text")), 1, 20), " ")
+          .as("text"))
+      def flagged(ev: DataFrame, v: Long) =
+        Decontam.contaminationReport(corpus, ev, col("doc_id"),
+            col("text"), n = 5)
+          .filter(col("n_matched") > 0)
+          .select(col("id").as("doc_id"), col("n_matched"),
+            lit(v).as("eval_v"))
+      val log = scratchDir("graft_g13") + "/qlog"
+      MergeLog.init(flagged(eval1, 1L), log)
+      val d2 = flagged(eval2, 2L)
+        .withColumn("version", lit(2L)).withColumn("deleted", lit(false))
+      MergeLog.appendDelta(d2, log, Some(1L)): Unit
+      // crash-replay of batch 1 with poisoned tombstones: MUST no-op
+      MergeLog.appendDelta(
+        d2.withColumn("version", lit(99L)).withColumn("deleted", lit(true)),
+        log, Some(1L)): Unit
+      MergeLog.read(s, log, "doc_id")
+        .join(corpus.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("eval_v"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_matched")).as("sum_matched"))
+        .orderBy(col("eval_v"), col("lang"))
     }),
 
     "g8_ingest_corpus" -> ((s, dir) => {
@@ -7289,6 +7438,44 @@ object SparkEntry {
          FROM n ORDER BY doc_id"""
     },
 
+    "d22_containment_pairs" -> {
+      // brute-force batch-vs-corpus containment (the d4 oracle
+      // pattern, asymmetric formula): excerpt side × document side
+      // only, the integer size prune, best container by (inter desc,
+      // size desc, id); the ratio comparison is the same
+      // exact-integer IEEE divide as the Spark side
+      val toks = sqlTokens("text")
+      s"""WITH bat AS (
+           SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(list_slice($toks, 1, 30), ' ') AS text
+           FROM documents WHERE doc_id % 5 = 0),
+         btoks AS (
+           SELECT doc_id, unnest(list_distinct($toks)) AS tok FROM bat),
+         ctoks AS (
+           SELECT doc_id, unnest(list_distinct($toks)) AS tok
+           FROM documents),
+         bsizes AS (SELECT doc_id, count(*) AS n FROM btoks GROUP BY doc_id),
+         csizes AS (SELECT doc_id, count(*) AS n FROM ctoks GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+           FROM btoks a JOIN ctoks b ON a.tok = b.tok
+           GROUP BY 1, 2),
+         sel AS (
+           SELECT ia, ib, inter, sa.n AS na, sb.n AS nb
+           FROM pairs
+           JOIN bsizes sa ON ia = sa.doc_id
+           JOIN csizes sb ON ib = sb.doc_id
+           WHERE inter * 1.0 / sa.n >= 0.9),
+         best AS (
+           SELECT ia, ib, inter, na, nb, row_number() OVER (
+             PARTITION BY ia ORDER BY inter DESC, nb DESC, ib) AS rk
+           FROM sel)
+         SELECT ia AS id_a, ib AS id_b, inter::BIGINT AS inter,
+           na::BIGINT AS size_a, nb::BIGINT AS size_b,
+           floor((inter * 1.0 / na) * 1e6 + 0.5) / 1e6 AS containment
+         FROM best WHERE rk = 1 ORDER BY id_a"""
+    },
+
     "a20_ks_drift" ->
       // the KS replay: same distribution table, same merged axis (each
       // compared stratum's counts ∪ the replicated reference counts),
@@ -7423,6 +7610,31 @@ object SparkEntry {
              WHEN fre >= 30.0 THEN 'difficult'
              ELSE 'very_difficult' END AS difficulty
          FROM r ORDER BY doc_id"""
+    },
+
+    "ta21_code_detect" -> {
+      // same injected block, same character-class count, same
+      // whole-token keyword hits, same integer density — `//` is
+      // DuckDB's integer division (operands nonnegative, so flooring
+      // == Spark's truncating div)
+      val blk = " def main ( ) { return 0 ; } import sys ; " +
+        "class foo { var x = 1 ; if ( x ) { x = x + 1 ; } }"
+      s"""WITH d AS (SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0 THEN text || '$blk' ELSE text END
+             AS text
+         FROM documents),
+         m AS (SELECT doc_id, length(text)::BIGINT AS n_chars,
+           len(regexp_extract_all(text,
+             '${TA.codeSymbolPattern}'))::BIGINT AS n_sym,
+           ${sqlHits("text", TA.codeKeywords)}::BIGINT AS kw_hits
+         FROM d),
+         sm AS (SELECT doc_id, n_chars, n_sym, kw_hits,
+           CASE WHEN n_chars > 0 THEN (n_sym * 1000000) // n_chars
+             ELSE 0 END AS sym_micro
+         FROM m)
+         SELECT doc_id, n_chars, n_sym, kw_hits, sym_micro,
+           sym_micro >= 20000 OR kw_hits >= 5 AS is_code
+         FROM sm ORDER BY doc_id"""
     },
 
     "ta17_zipf_slope" ->
@@ -7884,6 +8096,38 @@ object SparkEntry {
              AS split
          FROM lab ORDER BY doc_id""",
 
+    "x11_softdedup_resample" ->
+      // d14's closure for the cluster labels + size table, then the
+      // shared integer Efraimidis–Spirakis key with weight 1/csize —
+      // 1.0::DOUBLE dodges the DuckDB decimal-literal trap, so both
+      // engines run the identical pair of IEEE divides before the
+      // floor onto the integer grid
+      s"""WITH RECURSIVE $sqlMinhashPairCtes,
+         edges AS (SELECT id_a AS ea, id_b AS eb FROM mh_pairs
+           WHERE est_jaccard >= 0.5),
+         sym AS (SELECT ea, eb FROM edges
+           UNION SELECT eb AS ea, ea AS eb FROM edges),
+         reach(id, r) AS (
+           SELECT ea, eb FROM sym
+           UNION
+           SELECT t.id, s.eb FROM reach t JOIN sym s ON t.r = s.ea),
+         comp AS (SELECT id, min(r) AS mr FROM reach GROUP BY id),
+         lab AS (SELECT d.doc_id,
+             least(coalesce(c.mr, d.doc_id), d.doc_id) AS cluster_id
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+         sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+           FROM lab GROUP BY cluster_id),
+         ls AS (SELECT lab.doc_id, lab.cluster_id, sz.cluster_size
+           FROM lab JOIN sz USING (cluster_id)),
+         sel AS (SELECT doc_id, cluster_id, cluster_size,
+             ${operators.Sampling.sqlSelKeyCols("doc_id",
+               "(1.0::DOUBLE / cluster_size::DOUBLE)", "sd12")}
+           FROM ls),
+         top AS (SELECT doc_id, cluster_id, cluster_size, sel_key
+           FROM sel ORDER BY sel_key, doc_id LIMIT 200)
+         SELECT doc_id, cluster_id, cluster_size, sel_key
+         FROM top ORDER BY doc_id""",
+
     "x3_curriculum" -> {
       // Replays the phase census (strictly-greater cumulative count ×
       // phases div total), the cur:1-salted 28-bit hash, the contiguous
@@ -8027,6 +8271,49 @@ object SparkEntry {
          FROM nin i LEFT JOIN ndd d USING (lang)
            LEFT JOIN nld l USING (lang) CROSS JOIN tick t
          ORDER BY i.lang"""
+    },
+
+    "g13_decontam_tick" -> {
+      // both contamination probes replayed relationally (the tc1
+      // string-gram twin of the Spark hash-gram join), last-wins
+      // attribution (v2 overrides v1 per doc — the upsert), then the
+      // per-(eval_v, lang) rollup; if the poisoned replay batch ever
+      // landed, every v2 row would vanish and this replay would not
+      // match
+      val toks = sqlTokens("text")
+      s"""WITH g AS (SELECT doc_id, lang, list_distinct(list_transform(
+             generate_series(1, len($toks) - 4),
+             i -> array_to_string(list_slice($toks, i, i + 4), ' ')))
+             AS grams
+           FROM documents),
+         corp AS (SELECT doc_id, lang, grams FROM g WHERE doc_id >= 100),
+         ev1 AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+           WHERE doc_id < 50),
+         e2x AS (SELECT array_to_string(list_slice($toks, 1, 20), ' ')
+             AS text
+           FROM documents WHERE doc_id >= 100 AND doc_id % 61 = 0),
+         g2 AS (SELECT list_distinct(list_transform(
+             generate_series(1, len($toks) - 4),
+             i -> array_to_string(list_slice($toks, i, i + 4), ' ')))
+             AS grams
+           FROM e2x),
+         ev2 AS (SELECT DISTINCT unnest(grams) AS gram FROM g2),
+         ct AS (SELECT doc_id, unnest(grams) AS gram FROM corp),
+         m1 AS (SELECT ct.doc_id, count(e.gram)::BIGINT AS n_matched
+           FROM ct LEFT JOIN ev1 e ON ct.gram = e.gram
+           GROUP BY ct.doc_id HAVING count(e.gram) > 0),
+         m2 AS (SELECT ct.doc_id, count(e.gram)::BIGINT AS n_matched
+           FROM ct LEFT JOIN ev2 e ON ct.gram = e.gram
+           GROUP BY ct.doc_id HAVING count(e.gram) > 0),
+         comb AS (
+           SELECT doc_id, n_matched, 2::BIGINT AS eval_v FROM m2
+           UNION ALL
+           SELECT doc_id, n_matched, 1::BIGINT AS eval_v FROM m1
+           WHERE doc_id NOT IN (SELECT doc_id FROM m2))
+         SELECT eval_v, c.lang, count(*)::BIGINT AS n_docs,
+           sum(n_matched)::BIGINT AS sum_matched
+         FROM comb JOIN corp c USING (doc_id)
+         GROUP BY 1, 2 ORDER BY 1, 2"""
     },
 
     "ta6_seq_packing" -> {

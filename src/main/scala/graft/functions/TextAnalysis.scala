@@ -78,6 +78,22 @@ object TextAnalysis {
     size(filter(tokens(text), t => array_contains(set, t)))
   }
 
+  /** ta21 — characters that are dense in source code and rare in prose:
+    * braces, parens, semicolons, equals. One character-class count,
+    * replayable verbatim in any RE2/Java regex engine (inside a class,
+    * all six chars are literal in both dialects).
+    */
+  val codeSymbolPattern: String = "[{}();=]"
+  def codeSymbolCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(codeSymbolPattern), lit(0)))
+
+  /** ta21 — language-keyword markers for the code detector (counted as
+    * whole tokens via [[markerHits]], not substrings, so "classical"
+    * doesn't hit "class").
+    */
+  val codeKeywords: Seq[String] = Seq("def", "import", "return", "class",
+    "function", "var", "void", "include")
+
   /** CJK character count — the zh/ja/ko signal no stopword list catches.
     * Counted as matches of the CJK class itself: on a non-CJK corpus the
     * regex never matches, where the delete-everything-else

@@ -91,8 +91,15 @@ object Dedup {
     * assert the cache-reuse shape; callers of the public [[jaccardPairs]]
     * never see (or leak) the persisted handles.
     */
-  private[graft] def jaccardPairsPlan(df: DataFrame, id: Column, text: Column,
-                                      threshold: Double): (DataFrame, Seq[DataFrame]) = {
+  /** Shared front half of the prefix-filtered similarity joins (d4
+    * Jaccard, d22 containment): the global-rarity token dictionary and
+    * the per-doc sorted dense-id arrays. Returns `(docs, staged)` where
+    * docs = (id, tids sorted-asc-by-rarity-rank, n) and `staged` holds
+    * the persisted handles the CALLER must unpersist after its pair set
+    * materializes.
+    */
+  private[graft] def rarityDictDocs(df: DataFrame, id: Column,
+                                    text: Column): (DataFrame, Seq[DataFrame]) = {
     val toks = tokenIndex(df, id, text)
     // global rarity rank WITHOUT a single-partition window: distributed
     // range-sort + zipWithIndex keeps the dictionary build parallel even
@@ -118,13 +125,20 @@ object Dedup {
       .groupBy(col("id"))
       .agg(sort_array(collect_list(col("tid"))).as("tids"))
       .withColumn("n", size(col("tids")))
-      .withColumn("p", (col("n") - ceil(col("n") * threshold) + 1).cast("int"))
       // four consumers (both prefix self-join sides + both array
       // re-attach joins) and no exchange reuse across them: without an
       // explicit materialization the tokenize→dict-join→collect_list
       // pipeline recomputes per consumer. One row per document, so this
       // is the natural build-once index artifact (parquet at 100 TB).
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (docs, Seq(dict, docs))
+  }
+
+  private[graft] def jaccardPairsPlan(df: DataFrame, id: Column, text: Column,
+                                      threshold: Double): (DataFrame, Seq[DataFrame]) = {
+    val (docsBase, staged) = rarityDictDocs(df, id, text)
+    val docs = docsBase
+      .withColumn("p", (col("n") - ceil(col("n") * threshold) + 1).cast("int"))
     val prefix = docs.select(col("id"), col("n"),
       posexplode(slice(col("tids"), lit(1), col("p"))).as(Seq("pos", "tid")))
     val tNum = math.round(threshold * 1000000).toInt
@@ -158,7 +172,133 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"),
         col("size_a").cast("long").as("size_a"),
         col("size_b").cast("long").as("size_b"), col("jaccard"))
-    (pairs, Seq(dict, docs))
+    (pairs, staged)
+  }
+
+  /** D22 — asymmetric CONTAINMENT pairs: every (contained, container)
+    * doc pair with |tok(A) ∩ tok(B)| / |tok(A)| ≥ `threshold` — the
+    * partial-copy/quotation signal Jaccard structurally misses (an
+    * excerpt inside a 100× larger page has J ≈ |A|/|B| ≈ 0 but
+    * containment 1.0; RefinedWeb/CCNet run exactly this asymmetric
+    * check beside the symmetric one). Columns: id_a (contained), id_b
+    * (container), inter, size_a, size_b, containment; container at
+    * least as large as contained, equal-size ties kept once (id_a <
+    * id_b).
+    *
+    * Plan shape: the [[rarityDictDocs]] front half, then PREFIX ×
+    * FULL-INDEX candidates — containment has no size-ratio prune (the
+    * container may be arbitrarily large), so the contained side
+    * explodes only its |A| − ⌈t·|A|⌉ + 1 globally-rarest tokens while
+    * the container side explodes everything. The join keys are ONLY
+    * prefix tokens — globally rare by construction — so the postings
+    * lists they probe are short and common tokens never form
+    * candidates; the full-side explode is linear in corpus tokens, the
+    * same cost as building the inverted index. A position filter
+    * tightens the candidates: a prefix token at (0-based) a.pos with
+    * container match at b.pos caps the best overlap at
+    * 1 + min(nA − a.pos − 1, nB − b.pos − 1) ≥ ⌈t·nA⌉, checked as the
+    * exact integer inequality (1 + min)·10⁶ ≥ tNum·nA. Verification is
+    * one merge-walk intersect per distinct candidate.
+    */
+  def containmentPairs(df: DataFrame, id: Column, text: Column,
+                       threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    val (docs, staged) = rarityDictDocs(df, id, text)
+    try {
+      val tNum = math.round(threshold * 1000000).toInt
+      val prefix = docs
+        .withColumn("p", (col("n") - ceil(col("n") * threshold) + 1).cast("int"))
+        .select(col("id"), col("n"),
+          posexplode(slice(col("tids"), lit(1), col("p"))).as(Seq("pos", "tid")))
+      val full = docs.select(col("id"), col("n"),
+        posexplode(col("tids")).as(Seq("pos", "tid")))
+      val bestOverlap = lit(1) +
+        least(col("a.n") - col("a.pos") - 1, col("b.n") - col("b.pos") - 1)
+      val cands = prefix.as("a")
+        .join(full.as("b"),
+          col("a.tid") === col("b.tid") &&
+            (col("b.n") > col("a.n") ||
+              (col("b.n") === col("a.n") && col("a.id") < col("b.id"))) &&
+            bestOverlap * 1000000L >= col("a.n") * tNum)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+      val pairs = cands
+        .join(docs.select(col("id").as("id_a"), col("tids").as("ta"),
+          col("n").as("size_a")), "id_a")
+        .join(docs.select(col("id").as("id_b"), col("tids").as("tb"),
+          col("n").as("size_b")), "id_b")
+        .withColumn("inter",
+          graft.expressions.SortedIntersectCount(col("ta"), col("tb")))
+        .withColumn("containment",
+          col("inter").cast("double") / col("size_a").cast("double"))
+        .filter(col("containment") >= threshold)
+        .select(col("id_a"), col("id_b"), col("inter"),
+          col("size_a").cast("long").as("size_a"),
+          col("size_b").cast("long").as("size_b"), col("containment"))
+      // materialize while the dictionary/doc blocks are pinned, then
+      // release them (the d4 discipline: library calls leave no cache)
+      val stage = graft.Scratch.dir("graft_d22_pairs")
+      pairs.write.mode("overwrite").parquet(stage)
+      spark.read.parquet(stage)
+    } finally staged.foreach(_.unpersist(blocking = false))
+  }
+
+  /** The batch-vs-corpus form of [[containmentPairs]] — "is any of
+    * today's batch a partial copy of a standing document?" (the d15/d9
+    * production shape, done for containment): contained candidates
+    * come ONLY from `batch`, containers ONLY from `corpus`. Ids must
+    * be disjoint across the two frames. Columns as
+    * [[containmentPairs]]; no size tie rule (the sides are disjoint) —
+    * instead the exact integer size prune nb·10⁶ ≥ t·na applies (a
+    * container smaller than t·|A| cannot cover t of A's tokens).
+    *
+    * Scale shape: ONE dictionary/doc-array build over the union, then
+    * the batch side explodes only its per-doc rare prefixes while the
+    * corpus explodes once into the inverted index — candidate volume
+    * is O(batch prefixes × short rare-token postings), never
+    * corpus × corpus.
+    */
+  def containmentProbe(batch: DataFrame, corpus: DataFrame, id: Column,
+                       text: Column, threshold: Double): DataFrame = {
+    val spark = batch.sparkSession
+    val union = batch.select(id.as("_cid"), text.as("_ctext"))
+      .unionByName(corpus.select(id.as("_cid"), text.as("_ctext")))
+    val (docs, staged) = rarityDictDocs(union, col("_cid"), col("_ctext"))
+    try {
+      val tNum = math.round(threshold * 1000000).toInt
+      val batchIds = batch.select(id.as("id"))
+      val prefix = docs.join(batchIds, Seq("id"), "left_semi")
+        .withColumn("p", (col("n") - ceil(col("n") * threshold) + 1).cast("int"))
+        .select(col("id"), col("n"),
+          posexplode(slice(col("tids"), lit(1), col("p"))).as(Seq("pos", "tid")))
+      val full = docs.join(batchIds, Seq("id"), "left_anti")
+        .select(col("id"), col("n"), posexplode(col("tids")).as(Seq("pos", "tid")))
+      val bestOverlap = lit(1) +
+        least(col("a.n") - col("a.pos") - 1, col("b.n") - col("b.pos") - 1)
+      val cands = prefix.as("a")
+        .join(full.as("b"),
+          col("a.tid") === col("b.tid") &&
+            col("b.n") * 1000000L >= col("a.n") * tNum &&
+            bestOverlap * 1000000L >= col("a.n") * tNum)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+      val pairs = cands
+        .join(docs.select(col("id").as("id_a"), col("tids").as("ta"),
+          col("n").as("size_a")), "id_a")
+        .join(docs.select(col("id").as("id_b"), col("tids").as("tb"),
+          col("n").as("size_b")), "id_b")
+        .withColumn("inter",
+          graft.expressions.SortedIntersectCount(col("ta"), col("tb")))
+        .withColumn("containment",
+          col("inter").cast("double") / col("size_a").cast("double"))
+        .filter(col("containment") >= threshold)
+        .select(col("id_a"), col("id_b"), col("inter"),
+          col("size_a").cast("long").as("size_a"),
+          col("size_b").cast("long").as("size_b"), col("containment"))
+      val stage = graft.Scratch.dir("graft_d22_probe")
+      pairs.write.mode("overwrite").parquet(stage)
+      spark.read.parquet(stage)
+    } finally staged.foreach(_.unpersist(blocking = false))
   }
 
   /** D4 survivors — drop every row that has a near-duplicate with a

@@ -52,6 +52,50 @@ class DedupSpec extends SparkSpec {
     assert(loose == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("containmentPairs: excerpt inside a larger doc scores 1.0; Jaccard misses it") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "alpha beta gamma"),                    // fully contained in 1
+      (3L, "alpha beta nu"),                       // 2/3 < 0.9 vs 1
+      (4L, "completely different words entirely")).toDF("id", "text")
+    val pairs = rows(
+      Dedup.containmentPairs(df, $"id", $"text", 0.9)
+        .select($"id_a", $"id_b", $"inter", $"size_a", $"size_b",
+          $"containment")
+        .orderBy($"id_a", $"id_b"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(pairs == Seq((2L, 1L, 3L, 3L, 12L, 1.0)))
+    // the symmetric Jaccard path cannot see the same pair (3/12 = 0.25)
+    assert(rows(Dedup.jaccardPairs(df, $"id", $"text", 0.9)
+      .select($"id_a")).isEmpty)
+  }
+
+  test("containmentPairs: equal-size identical sets pair once, smaller id contained") {
+    val df = Seq(
+      (7L, "one two three four five six seven eight nine ten"),
+      (9L, "ten nine eight seven six five four three two one")).toDF("id", "text")
+    val pairs = rows(
+      Dedup.containmentPairs(df, $"id", $"text", 0.9)
+        .select($"id_a", $"id_b", $"containment"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs == Seq((7L, 9L, 1.0)))
+  }
+
+  test("containmentProbe: batch excerpts find corpus containers; batch-batch pairs never form") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "completely different words entirely")).toDF("id", "text")
+    val batch = Seq(
+      (100L, "alpha beta gamma"),                 // contained in 1
+      (101L, "alpha beta gamma"),                 // identical batch twin: must not pair with 100
+      (102L, "alpha nu xi")).toDF("id", "text")   // 1/3 < 0.9
+    val got = rows(Dedup.containmentProbe(batch, corpus, $"id", $"text", 0.9)
+      .select($"id_a", $"id_b", $"containment").orderBy($"id_a"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got == Seq((100L, 1L, 1.0), (101L, 1L, 1.0)))
+  }
+
   test("fuzzyDedup keeps the smallest-id survivor of each near-dup cluster") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),

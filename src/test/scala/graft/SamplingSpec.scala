@@ -415,6 +415,22 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("soft-dedup weight 1/c yields m = c·2^20 exactly: sel_key scales integrally with cluster size") {
+    // x11's determinism claim: for every cluster size c ≤ 64 the two
+    // IEEE divides 1.0/c then 2^20/(1.0/c) land within 1/2 of the
+    // integer c·2^20, so m is exact and sel_key(1/c) = c·sel_key(1).
+    val df = (1L to 64L).map(c => (c, c)).toDF("id", "c")
+    val base = Sampling.withSelectionKey(df, $"id", lit(1.0), "sd12")
+      .select($"id", col("sel_key").as("k1"))
+    val soft = Sampling.withSelectionKey(
+        df, $"id", lit(1.0) / $"c".cast("double"), "sd12")
+      .select($"id", $"c", col("sel_key").as("kc"))
+    rows(base.join(soft, "id")).foreach { r =>
+      val (c, k1, kc) = (r.getLong(2), r.getLong(1), r.getLong(3))
+      assert(kc == c * k1, s"c=$c k1=$k1 kc=$kc")
+    }
+  }
+
   test("integer key ranks order-equivalently to the continuous E-S score away from quantization ties") {
     // The r12 integer key m·⌊−ln(u)·2²⁰+½⌋ ascending is order-
     // equivalent to ranking descending by u^(m/2^20) — i.e. ascending

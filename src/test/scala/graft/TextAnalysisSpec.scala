@@ -243,4 +243,17 @@ class TextAnalysisSpec extends SparkSpec {
     // trim before comparing: padded copies are still duplicates
     assert(stats("  x\nx  ", "\n") == (2, 0.5, 0.5))
   }
+  test("ta21 code detector: symbol class + whole-token keywords separate code from prose") {
+    val df = Seq(
+      "def main ( ) { return 0 ; } import sys ; class a { var x = 1 ; }",
+      "the quick brown fox jumps over the lazy dog",
+      "classical reasoning defies imported returns").toDF("text")
+    val out = rows(df.select(TA.codeSymbolCount($"text").as("s"),
+      TA.markerHits($"text", TA.codeKeywords).as("k")))
+      .map(r => (r.getInt(0), r.getInt(1)))
+    assert(out(0)._1 == 10 && out(0)._2 == 5)
+    assert(out(1) == ((0, 0)))
+    // keyword hits are whole tokens: classical/defies/imported do not count
+    assert(out(2) == ((0, 0)))
+  }
 }
