@@ -1544,6 +1544,38 @@ object SparkEntry {
         .orderBy(col("id_a"))
     }),
 
+    "d23_containment_est" -> ((s, dir) => {
+      // MinHash containment ESTIMATE — the sketch/scale twin of d22
+      // (the d6-to-d4 relationship, done for the asymmetric signal):
+      // banded candidates only, then pure algebra converts the
+      // signature-agreement Jaccard estimate to containment of the
+      // smaller shingle set, |A∩B| = J·(|A|+|B|)/(1+J) ⇒
+      // C = J·(na+nb)/((1+J)·min(na,nb)), clamped at 1. No token
+      // arrays ride any shuffle: the only non-integer inputs are the
+      // dyadic est_jaccard (k/16) and two exact BIGINT sizes, and both
+      // engines run the identical fixed-order IEEE chain. Scale shape:
+      // d6's banded candidate generation + one broadcast-joined
+      // shingle-count table.
+      val d = t(s, dir, "documents")
+      val sz = d.select(col("doc_id"),
+        size(Dedup.shingles(col("text"), 3)).cast("long").as("nsh"))
+      Dedup.minhashPairs(d, col("doc_id"), col("text"))
+        .join(sz.select(col("doc_id").as("id_a"), col("nsh").as("n_a")),
+          "id_a")
+        .join(sz.select(col("doc_id").as("id_b"), col("nsh").as("n_b")),
+          "id_b")
+        .filter(col("n_a") > 0 && col("n_b") > 0)
+        .withColumn("est_containment", least(lit(1.0),
+          col("est_jaccard") * (col("n_a") + col("n_b")).cast("double") /
+            ((lit(1.0) + col("est_jaccard")) *
+              least(col("n_a"), col("n_b")).cast("double"))))
+        .filter(col("est_containment") >= 0.8)
+        .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+          fround(col("est_jaccard"), 6).as("est_jaccard"),
+          fround(col("est_containment"), 6).as("est_containment"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "ta13_char_diversity" -> ((s, dir) => {
       // Character-diversity quality signals (beyond the reference;
       // Gopher-family heuristic — generated/boilerplate text
@@ -2099,6 +2131,64 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
           min(col("id")).as("min_id"), max(col("id")).as("max_id"))
         .orderBy(col("lang"))
+    }),
+
+    "s19_incremental_listing" -> ((s, dir) => {
+      // S19 — manifest-driven incremental ingest (sources.FileManifest;
+      // beyond the reference): a landing root accrues committed drops,
+      // and each tick reads ONLY the drops the manifest hasn't
+      // absorbed — the file-level watermark that keeps a daily tick
+      // O(new data) against an ever-growing landing history. The query
+      // runs three ticks: day 1 lands two drops (tick 1 absorbs both);
+      // day 2 lands one committed drop AND one TORN drop (its
+      // _SUCCESS marker deleted — a crashed writer) which must stay
+      // invisible (tick 2 absorbs exactly one — if the gate broke,
+      // n_drops and the row counts double and the oracle goes red);
+      // tick 3 finds nothing and reports an explicit empty row. The
+      // oracle replays each tick's stats from the same hash split.
+      val d = t(s, dir, "documents")
+      val base = scratchDir("graft_s19")
+      val landing = s"$base/landing"
+      val man = s"$base/manifest"
+      val inB1 = Sampling.keyHash(col("doc_id"), "s19") <
+        Sampling.threshold(0.5)
+      val b1 = d.filter(inB1).select(col("doc_id"), col("n_chars"))
+      val b2 = d.filter(!inB1).select(col("doc_id"), col("n_chars"))
+      def land(b: DataFrame, name: String): Unit =
+        b.coalesce(1).write.mode("overwrite").parquet(s"$landing/$name")
+      def tick(id: Long): DataFrame = {
+        val nd = sources.FileManifest.newDrops(s, landing, man)
+        val row =
+          if (nd.isEmpty)
+            s.range(1).select(lit(id).as("tick"), lit(0L).as("n_drops"),
+              lit(0L).as("n_rows"), lit(0L).as("sum_chars"))
+          else
+            sources.FileManifest.readDrops(s, landing, nd)
+              .agg(count(lit(1)).as("n_rows"),
+                sum(col("n_chars")).as("sum_chars"))
+              .select(lit(id).as("tick"),
+                lit(nd.size.toLong).as("n_drops"), col("n_rows"),
+                col("sum_chars"))
+        // materialize BEFORE recording: the returned plan must not
+        // re-list the landing after later ticks move the manifest
+        val stage = s"$base/tick_$id"
+        row.write.mode("overwrite").parquet(stage)
+        sources.FileManifest.record(s, man, nd, id)
+        s.read.parquet(stage)
+      }
+      land(b1.filter(col("doc_id") % 2 === 0), "d1_a")
+      land(b1.filter(col("doc_id") % 2 =!= 0), "d1_b")
+      val t1 = tick(1L)
+      land(b2, "d2_a")
+      land(b2, "d2_torn")
+      val hf = new org.apache.hadoop.fs.Path(landing)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      hf.delete(
+        new org.apache.hadoop.fs.Path(s"$landing/d2_torn/_SUCCESS"),
+        false): Unit
+      val t2 = tick(2L)
+      val t3 = tick(3L)
+      t1.unionByName(t2).unionByName(t3).orderBy(col("tick"))
     }),
 
     "s11_sized_sink" -> ((s, dir) => {
@@ -3430,6 +3520,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "l6t_rate_trace" -> ((s, dir) => {
+      // L6 driven into the ORACLE GATE (closing the last spec-only §2
+      // cell): the AdaptiveRateLimiter's full decision trace —
+      // ×1.5-on-failure capped, ×0.9-on-success floored when the
+      // last-10 window clears 90% — over a deterministic 200-step
+      // outcome sequence (keyed hash, ~80% success), jitter pinned to
+      // 0. The oracle replays the scalar delay recurrence as a
+      // recursive CTE over the same outcome table: the windowed
+      // success check is the integer succ10 > 9 (count == 10), and
+      // the delay chain is fixed-order IEEE ×1.5/×0.9 from 100.0 —
+      // bit-identical on both engines, 6dp-floored only at the
+      // output. Rate limiting is driver-side by nature (it paces the
+      // API client); 200 steps is the l1-l5 mock scale.
+      val outcomes = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          (Sampling.keyHash(col("doc_id"), "l6") <
+            Sampling.threshold(0.8)).as("ok"))
+        .orderBy(col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+      val limiter = new Enrich.AdaptiveRateLimiter(100.0, 2000.0, () => 0.0)
+      val trace = outcomes.map { case (step, ok) =>
+        val d = limiter.delayMs
+        if (ok) limiter.success() else limiter.failure()
+        (step, ok, d)
+      }
+      import s.implicits._
+      trace.toSeq.toDF("step", "ok", "_d")
+        .select(col("step"), col("ok"), fround(col("_d"), 6).as("delay_ms"))
+        .orderBy(col("step"))
+    }),
+
     "v5_auto_metrics" -> ((s, dir) => {
       // V5 — automatic answer metrics (rag.ipynb:770-880): the
       // "question" is the doc's 8-token prefix, the "answer" its full
@@ -3501,6 +3622,28 @@ object SparkEntry {
           length(col("media")).as("orig_bytes"),
           length(col("resized")).as("out_bytes"),
           md5(col("resized")).as("digest"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "m6_bmp_pixel_decode" -> ((s, dir) => {
+      // REAL pixel decode (beyond the reference; upgrades the m-family
+      // from header-parse + stubbed-codec plumbing to one genuinely
+      // decoded image path): 24bpp BMP needs no codec — raw BGR rows,
+      // bottom-up, 4-byte-padded. Each doc carries one of 16 encoder-
+      // built BMPs (w,h ∈ 1..4, pixel channels a fixed formula of
+      // (variant, x, y)); Multimodal.bmpPixelStats walks the REAL
+      // bytes while the oracle computes the sums from the FORMULA
+      // alone — encoder and decoder never share code with the oracle,
+      // and the position-weighted red sum makes row order and padding
+      // load-bearing. All output cells exact integers. Scale shape:
+      // scan-fused projection; thumbnails by contract.
+      val hexes = array((0 until 16).map(v => lit(m6BmpHex(v))): _*)
+      t(s, dir, "documents")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(16L)).as("v"))
+        .withColumn("px", Multimodal.bmpPixelStats(
+          unhex(element_at(hexes, (col("v") + 1).cast("int")))))
+        .select(col("doc_id"), col("v"), col("px.n_px"), col("px.b_sum"),
+          col("px.g_sum"), col("px.r_sum"), col("px.rw_sum"))
         .orderBy(col("doc_id"))
     }),
 
@@ -4801,6 +4944,37 @@ object SparkEntry {
            b::VARCHAR || '|' || md5(array_to_string(
              list_slice(sig, b * 4 + 1, b * 4 + 4), ',')))) AS bk
          FROM ${p}sig)"""
+  }
+
+  /** m6 fixture ENCODER: a spec-layout 24bpp BMP for variant v —
+    * w = 1+(v%4), h = 1+(v/4), pixel (x, y in logical top-down coords)
+    * channels B/G/R = (v·7+x·3+y·5, v·11+x+y·2, v·13+x·2+y) mod 256 —
+    * written bottom-up with 4-byte row padding per the BMP spec. The
+    * oracle replays only the FORMULA; the decoder reads only the
+    * BYTES; neither sees this builder's row loop, so a decode bug
+    * (row order, padding, channel order) cannot cancel out.
+    */
+  private def m6BmpHex(v: Int): String = {
+    val w = 1 + (v % 4)
+    val h = 1 + (v / 4)
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val imgSize = rowSize * h
+    val bb = java.nio.ByteBuffer.allocate(54 + imgSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + imgSize).putInt(0)
+      .putInt(54)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24).putInt(0)
+      .putInt(imgSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (yPhys <- 0 until h) {
+      val y = h - 1 - yPhys // bottom-up: first stored row is the last logical one
+      for (x <- 0 until w) {
+        bb.put(((v * 7 + x * 3 + y * 5) % 256).toByte)
+        bb.put(((v * 11 + x + y * 2) % 256).toByte)
+        bb.put(((v * 13 + x * 2 + y) % 256).toByte)
+      }
+      for (_ <- 0 until rowSize - w * 3) bb.put(0.toByte)
+    }
+    bb.array().map("%02X".format(_)).mkString
   }
 
   /** x4 split fractions + salt — shared by the Spark query and its
@@ -6327,6 +6501,38 @@ object SparkEntry {
          FROM v ORDER BY doc_id"""
     },
 
+    "l6t_rate_trace" -> {
+      // the limiter's delay recurrence as a recursive CTE over the
+      // precomputed outcome sequence: succ10 is an integer window
+      // count (> 9 ⇔ the 90% check), the delay chain is fixed-order
+      // IEEE ×1.5::DOUBLE / ×0.9::DOUBLE from 100.0, and only the
+      // emitted delay rounds
+      val ok = s"('0x' || substr(md5('l6:' || doc_id::VARCHAR), 1, 7))" +
+        s"::BIGINT < ${Sampling.threshold(0.8)}"
+      s"""WITH RECURSIVE o AS (
+           SELECT doc_id AS step, $ok AS ok FROM documents
+           WHERE doc_id < 200),
+         s10 AS MATERIALIZED (SELECT step, ok,
+             sum(CASE WHEN ok THEN 1 ELSE 0 END) OVER (ORDER BY step
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS succ10
+           FROM o),
+         rec(step, d) AS (
+           SELECT 0::BIGINT, 100.0::DOUBLE
+           UNION ALL
+           SELECT r.step + 1,
+             CASE WHEN NOT s.ok
+                 THEN least(2000.0::DOUBLE, r.d * 1.5::DOUBLE)
+               WHEN s.step >= 9 AND s.succ10 > 9 AND r.d > 100.0::DOUBLE
+                 THEN greatest(100.0::DOUBLE, r.d * 0.9::DOUBLE)
+               ELSE r.d END
+           FROM rec r JOIN s10 s ON s.step = r.step
+           WHERE r.step < 199)
+         SELECT r.step, s.ok,
+           floor(greatest(100.0::DOUBLE, r.d) * 1e6 + 0.5) / 1e6
+             AS delay_ms
+         FROM rec r JOIN s10 s USING (step) ORDER BY step"""
+    },
+
     "v5_auto_metrics" -> {
       val toks = sqlTokens("text")
       s"""WITH q AS (
@@ -6399,6 +6605,30 @@ object SparkEntry {
          coalesce(${feat(7)}, 0.0) AS f7
          FROM documents ORDER BY doc_id"""
     },
+
+    "m6_bmp_pixel_decode" ->
+      // FORMULA-only ground truth: per variant, pixel channels replay
+      // from (v, x, y) arithmetic over logical top-down coordinates;
+      // the Spark side must recover the same sums from the actual
+      // bottom-up padded bytes
+      """WITH d AS (SELECT doc_id, doc_id % 16 AS v,
+           1 + (doc_id % 16) % 4 AS w, 1 + (doc_id % 16) // 4 AS h
+         FROM documents),
+         px AS (SELECT doc_id, v, w, h,
+           flatten(list_transform(generate_series(0, h - 1), y ->
+             list_transform(generate_series(0, w - 1), x -> [
+               (v * 7 + x * 3 + y * 5) % 256,
+               (v * 11 + x + y * 2) % 256,
+               (v * 13 + x * 2 + y) % 256,
+               ((v * 13 + x * 2 + y) % 256) * (y * w + x + 1)])))
+             AS pix
+         FROM d)
+         SELECT doc_id, v, (w * h)::BIGINT AS n_px,
+           list_sum(list_transform(pix, p -> p[1]))::BIGINT AS b_sum,
+           list_sum(list_transform(pix, p -> p[2]))::BIGINT AS g_sum,
+           list_sum(list_transform(pix, p -> p[3]))::BIGINT AS r_sum,
+           list_sum(list_transform(pix, p -> p[4]))::BIGINT AS rw_sum
+         FROM px ORDER BY doc_id""",
 
     "m2_media_headers" ->
       // ground truth from doc_id — the Spark side must parse the same
@@ -7396,6 +7626,27 @@ object SparkEntry {
            min(id) AS min_id, max(id) AS max_id
          FROM src GROUP BY lang ORDER BY lang""",
 
+    "s19_incremental_listing" -> {
+      // each tick's stats replayed from the same hash split: tick 1 =
+      // both day-1 drops, tick 2 = the one COMMITTED day-2 drop (the
+      // torn drop would double n_drops/n_rows), tick 3 = the explicit
+      // empty row
+      val keep = s"('0x' || substr(md5('s19:' || doc_id::VARCHAR), 1, 7))" +
+        s"::BIGINT < ${Sampling.threshold(0.5)}"
+      s"""WITH b1 AS (SELECT doc_id, n_chars FROM documents WHERE $keep),
+         b2 AS (SELECT doc_id, n_chars FROM documents WHERE NOT ($keep))
+         SELECT 1::BIGINT AS tick, 2::BIGINT AS n_drops,
+           count(*)::BIGINT AS n_rows, sum(n_chars)::BIGINT AS sum_chars
+         FROM b1
+         UNION ALL
+         SELECT 2::BIGINT, 1::BIGINT, count(*)::BIGINT,
+           sum(n_chars)::BIGINT
+         FROM b2
+         UNION ALL
+         SELECT 3::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT
+         ORDER BY tick"""
+    },
+
     "d20_editdist_pairs" ->
       """WITH t AS (
            SELECT doc_id AS id,
@@ -7475,6 +7726,30 @@ object SparkEntry {
            floor((inter * 1.0 / na) * 1e6 + 0.5) / 1e6 AS containment
          FROM best WHERE rk = 1 ORDER BY id_a"""
     },
+
+    "d23_containment_est" ->
+      // the d6 band chain, shingle-set sizes from the same sh CTE, and
+      // the identical fixed-order IEEE algebra J(na+nb)/((1+J)·min) —
+      // 1.0::DOUBLE dodging the decimal-literal trap
+      s"""WITH $sqlMinhashPairCtes,
+         sz AS (SELECT doc_id, len(shingles)::BIGINT AS nsh FROM sh),
+         j AS (SELECT id_a, id_b, est_jaccard,
+             sa.nsh AS n_a, sb.nsh AS n_b
+           FROM mh_pairs
+           JOIN sz sa ON id_a = sa.doc_id
+           JOIN sz sb ON id_b = sb.doc_id
+           WHERE sa.nsh > 0 AND sb.nsh > 0),
+         c AS (SELECT id_a, id_b, n_a, n_b, est_jaccard,
+             least(1.0::DOUBLE,
+               est_jaccard * (n_a + n_b)::DOUBLE /
+                 ((1.0::DOUBLE + est_jaccard) *
+                   least(n_a, n_b)::DOUBLE)) AS est_containment
+           FROM j)
+         SELECT id_a, id_b, n_a, n_b,
+           floor(est_jaccard * 1e6 + 0.5) / 1e6 AS est_jaccard,
+           floor(est_containment * 1e6 + 0.5) / 1e6 AS est_containment
+         FROM c WHERE est_containment >= 0.8
+         ORDER BY id_a, id_b""",
 
     "a20_ks_drift" ->
       // the KS replay: same distribution table, same merged axis (each

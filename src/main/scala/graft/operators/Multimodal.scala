@@ -289,6 +289,71 @@ object Multimodal {
         leU16(h, lit(28)).as("bits_per_pixel")))
   }
 
+  /** m6 — 24bpp uncompressed BMP PIXEL decode as a pure expression:
+    * the one mainstream image family whose pixels need no codec (raw
+    * BGR triples, rows bottom-up unless height < 0, each row padded
+    * to a 4-byte boundary — BMP spec). Returns
+    * struct(n_px, b_sum, g_sum, r_sum, rw_sum): exact integer channel
+    * sums plus a POSITION-WEIGHTED red sum (weight = logical top-down
+    * y·w + x + 1). The weighted sum is the honesty term: plain sums
+    * are spatial-order-invariant, so only a decoder that maps byte
+    * position → (x, y) through the bottom-up row order AND the row
+    * padding correctly can match a formula-only oracle. NULL for
+    * truncated, compressed, non-24bpp, or non-BMP payloads; every
+    * branch that could walk pixels is gated so malformed headers
+    * yield an EMPTY walk, never a garbage-length sequence.
+    *
+    * Scale note: per-pixel reads are substring/conv over the ONE
+    * letBound hex string; payloads here are thumbnail-sized by
+    * contract (the resize stage bounds bytes upstream), so the
+    * per-row HOF walk is O(n_px) tiny and the expression stays a
+    * scan-fused projection.
+    */
+  def bmpPixelStats(bin: Column): Column = bind(upper(hex(bin))) { h =>
+    def s32(v: Column) =
+      when(v >= lit(1L << 31), v - lit(1L << 32)).otherwise(v)
+    def u8(off: Column) =
+      conv(substring(h, off * 2 + 1, lit(2)), 16, 10).cast("long")
+    val dataOff = leU32(h, lit(10))
+    val w = s32(leU32(h, lit(18)))
+    val hRaw = s32(leU32(h, lit(22)))
+    val habs = abs(hRaw)
+    val rowSize = w * 3 + pmod(lit(4L) - pmod(w * 3, lit(4L)), lit(4L))
+    val valid = length(bin) >= 54 && substring(h, 1, 4) === "424D" &&
+      leU32(h, lit(14)) === 40 && leU16(h, lit(28)) === 24 &&
+      leU32(h, lit(30)) === 0 && w >= 1 && habs >= 1 &&
+      length(bin) >= dataOff + rowSize * habs
+    val g0 = struct(dataOff.as("o"), w.as("w"), hRaw.as("hr"),
+      habs.as("h"), rowSize.as("rs"),
+      when(valid, w * habs).otherwise(lit(0L)).as("n"))
+    bind(g0) { g =>
+      val zero = struct(lit(0L).as("b"), lit(0L).as("g"), lit(0L).as("r"),
+        lit(0L).as("rw"))
+      val acc = aggregate(
+        sequence(lit(0L), g.getField("n") - 1),
+        zero,
+        (a, i) => {
+          val x = pmod(i, g.getField("w"))
+          // exact: (i − x) is divisible by w, so the double divide is
+          // integral and the cast truncates nothing
+          val yLog = ((i - x) / g.getField("w")).cast("long")
+          val yPhys = when(g.getField("hr") < 0, yLog)
+            .otherwise(g.getField("h") - 1 - yLog)
+          val off = g.getField("o") + yPhys * g.getField("rs") + x * 3
+          struct(
+            (a.getField("b") + u8(off)).as("b"),
+            (a.getField("g") + u8(off + 1)).as("g"),
+            (a.getField("r") + u8(off + 2)).as("r"),
+            (a.getField("rw") + u8(off + 2) *
+              (yLog * g.getField("w") + x + 1)).as("rw"))
+        })
+      when(g.getField("n") > 0,
+        bind(acc)(a => struct(g.getField("n").as("n_px"),
+          a.getField("b").as("b_sum"), a.getField("g").as("g_sum"),
+          a.getField("r").as("r_sum"), a.getField("rw").as("rw_sum"))))
+    }
+  }
+
   /** MP4/ISO-BMFF `ftyp` box as a pure expression (ISO/IEC 14496-12
     * §4.3 — the box every .mp4/.mov-family file leads with): big-endian
     * u32 box size, type "ftyp" at byte 4, major-brand 4cc at 8, minor

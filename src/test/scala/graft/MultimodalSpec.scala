@@ -235,4 +235,67 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).get.toSeq == (0 until 7).map(_.toByte))
     assert(out(2).isEmpty)
   }
+  test("bmpPixelStats: bottom-up padded pixels decode; top-down twin agrees; malformed nulls") {
+    def bmp(w: Int, h: Int, topDown: Boolean): Array[Byte] = {
+      val rowSize = (w * 3 + 3) / 4 * 4
+      val bb = java.nio.ByteBuffer.allocate(54 + rowSize * h)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * h)
+        .putInt(0).putInt(54)
+      bb.putInt(40).putInt(w).putInt(if (topDown) -h else h).putShort(1)
+        .putShort(24).putInt(0).putInt(rowSize * h).putInt(0).putInt(0)
+        .putInt(0).putInt(0)
+      val ys = if (topDown) 0 until h else (h - 1) to 0 by -1
+      for (y <- ys) {
+        for (x <- 0 until w) {
+          bb.put((10 + x + 2 * y).toByte)
+          bb.put((20 + x + 2 * y).toByte)
+          bb.put((30 + x + 2 * y).toByte)
+        }
+        for (_ <- 0 until rowSize - w * 3) bb.put(0.toByte)
+      }
+      bb.array()
+    }
+    val up = bmp(2, 2, topDown = false)
+    val down = bmp(2, 2, topDown = true)
+    val df = Seq(
+      ("up", up), ("down", down),
+      ("trunc", up.dropRight(1)),
+      ("notbmp", Array[Byte](1, 2, 3))).toDF("k", "b")
+    val got = rows(df.select($"k", Multimodal.bmpPixelStats($"b").as("p"))
+      .select($"k", $"p.n_px", $"p.b_sum", $"p.g_sum", $"p.r_sum",
+        $"p.rw_sum").orderBy($"k"))
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) None
+        else Some((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))))
+    // hand-computed: B 10+11+12+13=46, G 86, R 126,
+    // weighted R 30*1 + 31*2 + 32*3 + 33*4 = 320 (weights are LOGICAL
+    // top-down positions, so both row orders must agree)
+    val want = Some((4L, 46L, 86L, 126L, 320L))
+    assert(got == Seq(("down", want), ("notbmp", None), ("trunc", None),
+      ("up", want)))
+  }
+
+  test("bmpPixelStats: w=1 row padding (3 data + 1 pad byte per row) is stepped over") {
+    // 1x2 bottom-up: logical y=0 (10,20,30), y=1 (12,22,32); stored
+    // bottom-up with one pad byte per 3-byte row — a decoder that
+    // ignores rowSize reads the pad as pixel data and fails
+    val rowSize = 4
+    val bb = java.nio.ByteBuffer.allocate(54 + rowSize * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * 2)
+      .putInt(0).putInt(54)
+    bb.putInt(40).putInt(1).putInt(2).putShort(1).putShort(24).putInt(0)
+      .putInt(rowSize * 2).putInt(0).putInt(0).putInt(0).putInt(0)
+    bb.put(12.toByte).put(22.toByte).put(32.toByte).put(0.toByte)
+    bb.put(10.toByte).put(20.toByte).put(30.toByte).put(0.toByte)
+    val got = rows(Seq(Tuple1(bb.array())).toDF("b")
+      .select(Multimodal.bmpPixelStats($"b").as("p"))
+      .select($"p.n_px", $"p.b_sum", $"p.g_sum", $"p.r_sum", $"p.rw_sum"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // weights: y0 -> 1, y1 -> 2; rw = 30*1 + 32*2 = 94
+    assert(got == Seq((2L, 22L, 42L, 62L, 94L)))
+  }
 }
