@@ -3647,6 +3647,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "m7_wav_sample_decode" -> ((s, dir) => {
+      // REAL audio decode (the m6 move for the audio leg): 16-bit PCM
+      // needs no codec — raw s16le samples after the canonical 44-byte
+      // WAV layout. Each doc carries one of 16 encoder-built clips
+      // (8..23 samples, amplitudes a fixed formula of (variant, i));
+      // Multimodal.wavSampleStats walks the REAL bytes — sign decode,
+      // endianness, adjacency all load-bearing via the zero-crossing
+      // count — while the oracle computes the stats from the FORMULA
+      // alone. All output cells exact integers.
+      val hexes = array((0 until 16).map(v => lit(m7WavHex(v))): _*)
+      t(s, dir, "documents")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(16L)).as("v"))
+        .withColumn("sm", Multimodal.wavSampleStats(
+          unhex(element_at(hexes, (col("v") + 1).cast("int")))))
+        .select(col("doc_id"), col("v"), col("sm.n_samples"),
+          col("sm.sum_abs"), col("sm.max_abs"), col("sm.n_zero_cross"))
+        .orderBy(col("doc_id"))
+    }),
+
     "m1_media_features" -> ((s, dir) => {
       // Binary media payload + typed metadata + batched mapPartitions
       // feature extraction through the (stub) decoder. Payload bytes stay
@@ -4974,6 +4993,25 @@ object SparkEntry {
       }
       for (_ <- 0 until rowSize - w * 3) bb.put(0.toByte)
     }
+    bb.array().map("%02X".format(_)).mkString
+  }
+
+  /** m7 fixture ENCODER: a canonical-layout 16-bit PCM mono WAV for
+    * variant v — n = 8+v samples, s_i = ((v·37 + i·29) mod 401) − 200.
+    * The oracle replays only the FORMULA; the decoder reads only the
+    * BYTES (see [[m6BmpHex]]'s independence argument).
+    */
+  private def m7WavHex(v: Int): String = {
+    val n = 8 + v
+    val dlen = 2 * n
+    val bb = java.nio.ByteBuffer.allocate(44 + dlen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + dlen).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+    bb.put("data".getBytes).putInt(dlen)
+    for (i <- 0 until n)
+      bb.putShort((((v * 37 + i * 29) % 401) - 200).toShort)
     bb.array().map("%02X".format(_)).mkString
   }
 
@@ -6629,6 +6667,24 @@ object SparkEntry {
            list_sum(list_transform(pix, p -> p[3]))::BIGINT AS r_sum,
            list_sum(list_transform(pix, p -> p[4]))::BIGINT AS rw_sum
          FROM px ORDER BY doc_id""",
+
+    "m7_wav_sample_decode" ->
+      // FORMULA-only ground truth: amplitudes replay from (v, i)
+      // arithmetic; the Spark side must recover sign, magnitude, and
+      // adjacency from the actual little-endian bytes
+      """WITH d AS (SELECT doc_id, doc_id % 16 AS v, 8 + doc_id % 16 AS n
+         FROM documents),
+         ss AS (SELECT doc_id, v, n,
+           list_transform(generate_series(0, n - 1),
+             i -> ((v * 37 + i * 29) % 401) - 200) AS s
+         FROM d)
+         SELECT doc_id, v, n::BIGINT AS n_samples,
+           list_sum(list_transform(s, x -> abs(x)))::BIGINT AS sum_abs,
+           list_max(list_transform(s, x -> abs(x)))::BIGINT AS max_abs,
+           coalesce(list_sum(list_transform(generate_series(2, n), i ->
+             CASE WHEN (s[i] < 0) <> (s[i - 1] < 0) THEN 1 ELSE 0 END)),
+             0)::BIGINT AS n_zero_cross
+         FROM ss ORDER BY doc_id""",
 
     "m2_media_headers" ->
       // ground truth from doc_id — the Spark side must parse the same

@@ -354,6 +354,54 @@ object Multimodal {
     }
   }
 
+  /** m7 — 16-bit PCM WAV SAMPLE decode as a pure expression: the audio
+    * twin of [[bmpPixelStats]] — PCM needs no codec either (raw s16le
+    * samples after the canonical 44-byte RIFF/fmt/data layout this
+    * decoder requires; chunk-walking containers stay [[wavInfo]]'s
+    * job). Returns struct(n_samples, sum_abs, max_abs, n_zero_cross):
+    * exact integer amplitude stats plus the zero-crossing count — the
+    * positional honesty term (crossings compare ADJACENT samples, so
+    * endianness, sign decoding, and sample order must all be right for
+    * a formula-only oracle to match). NULL for truncated, compressed,
+    * multi-channel, or non-16-bit payloads; malformed headers yield an
+    * EMPTY walk, never a garbage-length sequence.
+    */
+  def wavSampleStats(bin: Column): Column = bind(upper(hex(bin))) { h =>
+    val dlen = leU32(h, lit(40))
+    val valid = length(bin) >= 44 && substring(h, 1, 8) === "52494646" &&
+      substring(h, 17, 8) === "57415645" &&
+      substring(h, 25, 8) === "666D7420" &&
+      leU32(h, lit(16)) === 16 && leU16(h, lit(20)) === 1 &&
+      leU16(h, lit(22)) === 1 && leU16(h, lit(34)) === 16 &&
+      substring(h, 73, 8) === "64617461" &&
+      pmod(dlen, lit(2L)) === 0 && length(bin) >= dlen + 44
+    val g0 = struct(
+      when(valid, (dlen / lit(2L)).cast("long")).otherwise(lit(0L)).as("n"))
+    bind(g0) { g =>
+      val zero = struct(lit(0L).as("sa"), lit(0L).as("ma"),
+        lit(0L).as("zc"), lit(0L).as("prev"))
+      val acc = aggregate(
+        sequence(lit(0L), g.getField("n") - 1),
+        zero,
+        (a, i) => {
+          val raw = conv(concat(substring(h, i * 4 + 91, lit(2)),
+            substring(h, i * 4 + 89, lit(2))), 16, 10).cast("long")
+          val s = when(raw >= 32768L, raw - 65536L).otherwise(raw)
+          struct(
+            (a.getField("sa") + abs(s)).as("sa"),
+            greatest(a.getField("ma"), abs(s)).as("ma"),
+            (a.getField("zc") + when(i > 0 &&
+              (s < 0) =!= (a.getField("prev") < 0), 1L).otherwise(0L))
+              .as("zc"),
+            s.as("prev"))
+        })
+      when(g.getField("n") > 0,
+        bind(acc)(a => struct(g.getField("n").as("n_samples"),
+          a.getField("sa").as("sum_abs"), a.getField("ma").as("max_abs"),
+          a.getField("zc").as("n_zero_cross"))))
+    }
+  }
+
   /** MP4/ISO-BMFF `ftyp` box as a pure expression (ISO/IEC 14496-12
     * §4.3 — the box every .mp4/.mov-family file leads with): big-endian
     * u32 box size, type "ftyp" at byte 4, major-brand 4cc at 8, minor

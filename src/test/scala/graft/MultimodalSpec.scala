@@ -298,4 +298,32 @@ class MultimodalSpec extends SparkSpec {
     // weights: y0 -> 1, y1 -> 2; rw = 30*1 + 32*2 = 94
     assert(got == Seq((2L, 22L, 42L, 62L, 94L)))
   }
+  test("wavSampleStats: s16le sign and adjacency decode; stereo/truncated payloads null") {
+    def wav(samples: Seq[Int], channels: Int = 1): Array[Byte] = {
+      val dlen = 2 * samples.size
+      val bb = java.nio.ByteBuffer.allocate(44 + dlen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + dlen).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(1)
+        .putShort(channels.toShort).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+      bb.put("data".getBytes).putInt(dlen)
+      samples.foreach(x => bb.putShort(x.toShort))
+      bb.array()
+    }
+    val good = wav(Seq(100, -50, 0, -1, 3))
+    val df = Seq(
+      ("good", good),
+      ("stereo", wav(Seq(1, 2), channels = 2)),
+      ("trunc", good.dropRight(1))).toDF("k", "b")
+    val got = rows(df.select($"k", Multimodal.wavSampleStats($"b").as("p"))
+      .select($"k", $"p.n_samples", $"p.sum_abs", $"p.max_abs",
+        $"p.n_zero_cross").orderBy($"k"))
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) None
+        else Some((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))))
+    // zero is nonnegative: crossings at (100,-50), (-50,0), (0,-1), (-1,3)
+    assert(got == Seq(("good", Some((5L, 154L, 100L, 4L))),
+      ("stereo", None), ("trunc", None)))
+  }
 }
