@@ -3666,6 +3666,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "m8_bmp_dhash_pairs" -> ((s, dir) => {
+      // Perceptual near-dup IMAGE dedup over REAL decoded pixels: dHash
+      // (9×8 nearest-neighbor luma lattice → 64 adjacent-comparison
+      // bits, packed 32/word) per distinct variant, then all-pairs
+      // Hamming over the 16-row broadcast table (the v1 bounded-batch
+      // cross pattern — at corpus scale the pair generation rides the
+      // d17 band discipline; this query pins the HASH semantics).
+      // Same-base pairs differ only by a uniform brightness shift the
+      // dHash comparisons cancel up to channel wraps (small Hamming);
+      // cross-base pairs are ~random. The oracle recomputes bits and
+      // words from the pixel FORMULA alone — packing, byte walk, and
+      // popcount all checked against unpacked ground truth.
+      val hexes = array((0 until 16).map(v => lit(m8BmpHex(v))): _*)
+      val vs = t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(16L)).as("v")).distinct()
+        .withColumn("hash", Multimodal.bmpDHash(
+          unhex(element_at(hexes, (col("v") + 1).cast("int")))))
+      val a = vs.select(col("v").as("va"), col("hash").as("ha"))
+      val b = vs.select(col("v").as("vb"), col("hash").as("hb"))
+      a.join(broadcast(b), col("va") < col("vb"))
+        .withColumn("hamming",
+          VF.hammingDistance(col("ha"), col("hb")))
+        .select(col("va"), col("vb"),
+          element_at(col("ha"), 1).as("wa0"),
+          element_at(col("ha"), 2).as("wa1"),
+          col("hamming"), (col("hamming") <= 8).as("near_dup"))
+        .orderBy(col("va"), col("vb"))
+    }),
+
     "m1_media_features" -> ((s, dir) => {
       // Binary media payload + typed metadata + batched mapPartitions
       // feature extraction through the (stub) decoder. Payload bytes stay
@@ -4457,6 +4486,25 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "v25_binary_ann" -> ((s, dir) => {
+      // Binary (1-bit sign) quantized ANN + exact rerank (beyond the
+      // reference; the 32×-compression memory path): candidates rank by
+      // Hamming distance over packed sign-bit words (xor + popcount),
+      // top-20 per query rerank with exact float cosine, final top-5.
+      // The oracle recomputes Hamming per-DIMENSION from the raw floats
+      // ((a>0) <> (b>0) counts), so the word packing and popcount walk
+      // are checked against an unpacked independent ground truth.
+      val e = t(s, dir, "embeddings")
+      Similarity.binaryTopK(
+          e.filter(col("vec_id") >= 3), col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < 3), col("vec_id"), col("embedding"),
+          k = 5, rerank = 20)
+        .select(col("query_id"), col("doc_id"),
+          fround(col("cosine"), 6).as("cosine"),
+          col("hamming"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "v18_pq_topk" -> ((s, dir) => {
       // Product-quantization ANN + exact rerank (beyond the reference;
       // the cache-resident memory path past v10's int8 codes): 4×16-dim
@@ -5012,6 +5060,36 @@ object SparkEntry {
     bb.put("data".getBytes).putInt(dlen)
     for (i <- 0 until n)
       bb.putShort((((v * 37 + i * 29) % 401) - 200).toShort)
+    bb.array().map("%02X".format(_)).mkString
+  }
+
+  /** m8 fixture ENCODER: an 8×8 24bpp BMP for variant v — base pattern
+    * b = v mod 4 picks the image, d = (v div 4)·9 is a UNIFORM
+    * brightness shift on every channel (logical top-down x, y):
+    * B/G/R = (b·37+x·13+y·29+d, b·53+x·17+y·7+d, b·71+x·5+y·23+d)
+    * mod 256. Same-base variants differ only by the shift, which the
+    * dHash comparisons cancel except where a channel WRAPS past 255 —
+    * so same-base Hamming stays small and cross-base is ~random. The
+    * oracle replays only the FORMULA (see [[m6BmpHex]]'s independence
+    * argument).
+    */
+  private def m8BmpHex(v: Int): String = {
+    val b = v % 4
+    val d = (v / 4) * 9
+    val bb = java.nio.ByteBuffer.allocate(54 + 192)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + 192).putInt(0)
+      .putInt(54)
+    bb.putInt(40).putInt(8).putInt(8).putShort(1).putShort(24).putInt(0)
+      .putInt(192).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (yPhys <- 0 until 8) {
+      val y = 7 - yPhys // bottom-up storage
+      for (x <- 0 until 8) {
+        bb.put(((b * 37 + x * 13 + y * 29 + d) % 256).toByte)
+        bb.put(((b * 53 + x * 17 + y * 7 + d) % 256).toByte)
+        bb.put(((b * 71 + x * 5 + y * 23 + d) % 256).toByte)
+      }
+    }
     bb.array().map("%02X".format(_)).mkString
   }
 
@@ -6685,6 +6763,43 @@ object SparkEntry {
              CASE WHEN (s[i] < 0) <> (s[i - 1] < 0) THEN 1 ELSE 0 END)),
              0)::BIGINT AS n_zero_cross
          FROM ss ORDER BY doc_id""",
+
+    "m8_bmp_dhash_pairs" -> {
+      // FORMULA-only ground truth: the dHash lattice lumas replay from
+      // (v, gx, gy) arithmetic (w = h = 8 so y = gy and x = gx·8 // 9);
+      // words rebuild as unpacked bit·2ʲ BIGINT sums — the Spark side
+      // must reproduce them through real bytes, packing, and popcount
+      def lum(gx: String, gy: String) =
+        s"""((((v % 4) * 37 + (($gx) * 8 // 9) * 13 + ($gy) * 29
+              + (v // 4) * 9) % 256) * 114
+           + (((v % 4) * 53 + (($gx) * 8 // 9) * 17 + ($gy) * 7
+              + (v // 4) * 9) % 256) * 587
+           + (((v % 4) * 71 + (($gx) * 8 // 9) * 5 + ($gy) * 23
+              + (v // 4) * 9) % 256) * 299)"""
+      s"""WITH vs AS (SELECT DISTINCT doc_id % 16 AS v FROM documents),
+         bt AS (
+           SELECT v, list_transform(generate_series(0, 63), i ->
+             CASE WHEN ${lum("i % 8", "i // 8")}
+               > ${lum("i % 8 + 1", "i // 8")} THEN 1 ELSE 0 END) AS bits
+           FROM vs),
+         wd AS (
+           SELECT v, bits,
+             list_reduce(list_transform(generate_series(1, 32),
+               j -> (bits[j]::BIGINT * (1::BIGINT << (j - 1)))),
+               (x, y) -> x + y) AS w0,
+             list_reduce(list_transform(generate_series(33, 64),
+               j -> (bits[j]::BIGINT * (1::BIGINT << (j - 33)))),
+               (x, y) -> x + y) AS w1
+           FROM bt),
+         pr AS (
+           SELECT a.v AS va, b.v AS vb, a.w0 AS wa0, a.w1 AS wa1,
+             list_reduce(list_transform(generate_series(1, 64), i ->
+               CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END),
+               (x, y) -> x + y)::BIGINT AS hamming
+           FROM wd a JOIN wd b ON a.v < b.v)
+         SELECT va, vb, wa0, wa1, hamming, (hamming <= 8) AS near_dup
+         FROM pr ORDER BY va, vb"""
+    },
 
     "m2_media_headers" ->
       // ground truth from doc_id — the Spark side must parse the same
@@ -8730,6 +8845,38 @@ object SparkEntry {
            ${sqlFround("approx_cosine", 6)} AS approx_cosine, rank
          FROM rk WHERE rank <= 5 ORDER BY query_id, rank"""
     },
+
+    "v25_binary_ann" ->
+      // Hamming ground truth is UNPACKED: count dims whose sign class
+      // (>0 vs not) differs — the Spark side must reproduce it through
+      // the 32-bit word packing + xor + popcount walk
+      s"""WITH d AS (
+           SELECT vec_id AS doc_id, embedding AS dv
+           FROM embeddings WHERE vec_id >= 3),
+         q AS (
+           SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 3),
+         hp AS (
+           SELECT q.query_id, d.doc_id, d.dv, q.qv,
+             list_reduce(list_transform(generate_series(1, 64),
+               i -> CASE WHEN (d.dv[i] > 0) <> (q.qv[i] > 0)
+                 THEN 1 ELSE 0 END), (x, y) -> x + y)::BIGINT AS hamming
+           FROM d CROSS JOIN q),
+         cand AS (
+           SELECT * FROM (
+             SELECT query_id, doc_id, dv, qv, hamming,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY hamming, doc_id) AS arank
+             FROM hp) WHERE arank <= 20),
+         rk AS (
+           SELECT query_id, doc_id,
+             ${sqlCosine64("dv", "qv")} AS cosine, hamming,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY ${sqlCosine64("dv", "qv")} DESC, doc_id) AS rank
+           FROM cand)
+         SELECT query_id, doc_id, ${sqlFround("cosine", 6)} AS cosine,
+           hamming, rank
+         FROM rk WHERE rank <= 5 ORDER BY query_id, rank""",
 
     "j2_asof_join" ->
       """WITH clicks AS (

@@ -71,4 +71,40 @@ object VectorFunctions {
   /** Integer dot product of two code arrays (exact, order-independent). */
   def intDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  // ---------------------------------------------------------------------
+  // Binary (1-bit) sign quantization — the step past int8: one bit per
+  // dimension, Hamming distance by xor+popcount. 32× smaller than
+  // float32, and the candidate scan is pure integer bit ops.
+  // ---------------------------------------------------------------------
+
+  /** 2⁰..2³¹ as a literal lookup — shiftleft needs a constant shift, so
+    * packing under a lambda-bound bit index goes through element_at.
+    */
+  private val pow2 = array((0 until 32).map(i => lit(1L << i)): _*)
+
+  /** Pack sign bits into BIGINT words, 32 dims per word: bit `i` of
+    * word `w` is set iff v[32w+i] > 0 (zeros and negatives clear — the
+    * deterministic sign rule, no epsilon). Out-of-range tail dims of
+    * the last word stay clear (`get` yields NULL past the end, never an
+    * ANSI index error). Each word is a sum of distinct powers of two,
+    * so the same arithmetic replays as plain BIGINT sums in DuckDB —
+    * no 2⁶³ sign-bit overflow because words hold 32 bits.
+    */
+  def signBits(v: Column): Column =
+    transform(
+      sequence(lit(0),
+        ceil(size(v).cast("double") / 32.0).cast("int") - 1),
+      w => aggregate(sequence(lit(0), lit(31)), lit(0L),
+        (acc, i) => acc +
+          when(get(v, w * 32 + i) > 0, element_at(pow2, i + 1))
+            .otherwise(lit(0L))))
+
+  /** Hamming distance between two packed sign-bit arrays: Σ
+    * popcount(aᵢ xor bᵢ). Exact, order-independent integer math.
+    */
+  def hammingDistance(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
 }

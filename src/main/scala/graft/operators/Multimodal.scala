@@ -402,6 +402,70 @@ object Multimodal {
     }
   }
 
+  /** 2⁰..2³¹ for lambda-indexed bit packing (shiftleft needs a constant
+    * shift amount) — the [[graft.functions.VectorFunctions.signBits]]
+    * convention: 32 bits per BIGINT word, so words replay as plain
+    * BIGINT sums in DuckDB with no 2⁶³ sign-bit hazard.
+    */
+  private val pow2 = array((0 until 32).map(i => lit(1L << i)): _*)
+
+  /** m8 — perceptual difference-hash (dHash) over REAL decoded 24bpp
+    * BMP pixels as a pure expression: nearest-neighbor downsample onto
+    * a 9×8 luma lattice (integer sample positions x = ⌊gx·w/9⌋,
+    * y = ⌊gy·h/8⌋ over the decoded pixel grid — any source size maps
+    * to the same 64-bit signature), luma as the INTEGER BT.601 weights
+    * 299R + 587G + 114B (comparisons only, never divided), bit
+    * gy·8+gx set iff luma(gx,gy) > luma(gx+1,gy). Returns two BIGINT
+    * words of 32 bits ([[graft.functions.VectorFunctions
+    * .hammingDistance]] scores pairs). Row order, padding, and channel
+    * order are all load-bearing through the same offset walk as
+    * [[bmpPixelStats]]; a uniform brightness shift cancels in the
+    * adjacent-luma comparisons — the dHash robustness property the m8
+    * query exercises. NULL for malformed/truncated/non-24bpp payloads.
+    */
+  def bmpDHash(bin: Column): Column = bind(upper(hex(bin))) { h =>
+    def s32(v: Column) =
+      when(v >= lit(1L << 31), v - lit(1L << 32)).otherwise(v)
+    def u8(off: Column) =
+      conv(substring(h, off * 2 + 1, lit(2)), 16, 10).cast("long")
+    val dataOff = leU32(h, lit(10))
+    val w = s32(leU32(h, lit(18)))
+    val hRaw = s32(leU32(h, lit(22)))
+    val habs = abs(hRaw)
+    val rowSize = w * 3 + pmod(lit(4L) - pmod(w * 3, lit(4L)), lit(4L))
+    val valid = length(bin) >= 54 && substring(h, 1, 4) === "424D" &&
+      leU32(h, lit(14)) === 40 && leU16(h, lit(28)) === 24 &&
+      leU32(h, lit(30)) === 0 && w >= 1 && habs >= 1 &&
+      length(bin) >= dataOff + rowSize * habs
+    val g0 = struct(dataOff.as("o"), w.as("w"), hRaw.as("hr"),
+      habs.as("h"), rowSize.as("rs"), valid.as("ok"))
+    bind(g0) { g =>
+      // exact: gx·w ≤ 8·2³¹ and gy·h ≤ 7·2³¹ sit far inside double's
+      // 2⁵³ integer range, so the float divide + floor is the integer
+      // quotient
+      def lumaAt(gx: Column, gy: Column): Column = {
+        val x = floor((gx * g.getField("w")).cast("double") / 9.0)
+          .cast("long")
+        val yLog = floor((gy * g.getField("h")).cast("double") / 8.0)
+          .cast("long")
+        val yPhys = when(g.getField("hr") < 0, yLog)
+          .otherwise(g.getField("h") - 1 - yLog)
+        val off = g.getField("o") + yPhys * g.getField("rs") + x * 3
+        u8(off) * 114L + u8(off + 1) * 587L + u8(off + 2) * 299L
+      }
+      when(g.getField("ok"),
+        transform(sequence(lit(0L), lit(1L)), wd =>
+          aggregate(sequence(lit(0L), lit(31L)), lit(0L), (acc, j) => {
+            val i = wd * 32 + j
+            val gx = pmod(i, lit(8L))
+            // (i − gx) divisible by 8: the divide is integral
+            val gy = ((i - gx) / lit(8L)).cast("long")
+            acc + when(lumaAt(gx, gy) > lumaAt(gx + 1, gy),
+              element_at(pow2, (j + 1).cast("int"))).otherwise(lit(0L))
+          })))
+    }
+  }
+
   /** MP4/ISO-BMFF `ftyp` box as a pure expression (ISO/IEC 14496-12
     * §4.3 — the box every .mp4/.mov-family file leads with): big-endian
     * u32 box size, type "ftyp" at byte 4, major-brand 4cc at 8, minor

@@ -332,6 +332,47 @@ object Similarity {
         col("approx_cosine"), col("rank"))
   }
 
+  /** Binary (1-bit sign) quantized top-k with exact rerank — the step
+    * past [[quantizedTopK]]'s int8 codes on the memory axis: one BIT
+    * per dimension (32× smaller than float32), candidate ranking by
+    * Hamming distance over packed words (xor + popcount — pure integer
+    * bit ops, the cheapest candidate scan there is). For vectors in
+    * general position the sign pattern preserves angular order in
+    * expectation (the SimHash/hyperplane-LSH identity: P[sign differs]
+    * = θ/π per random direction; here the directions are the coordinate
+    * axes), so a `rerank`-deep Hamming cut recalls the true top-k and
+    * the exact cosine pass orders the final `k`. At 100 TB the packed
+    * codes live as their own dim/32-long column built once at ingest;
+    * candidate generation streams 1/32nd of the vector bytes and the
+    * float path touches only `rerank` rows per query.
+    *
+    * Output: query_id, doc_id, cosine (exact), hamming, rank —
+    * deterministic (Hamming ties and cosine ties both break by doc id).
+    */
+  def binaryTopK(docs: DataFrame, docId: Column, docVec: Column,
+                 queries: DataFrame, queryId: Column, queryVec: Column,
+                 k: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, "rerank depth must cover the final k")
+    val d = docs.select(docId.as("doc_id"), docVec.as("dv"))
+      .select(col("doc_id"), col("dv"), VF.signBits(col("dv")).as("__bits"))
+    val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
+      .select(col("query_id"), col("qv"),
+        VF.signBits(col("qv")).as("__qbits"))
+    val wHam = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("doc_id"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+    d.crossJoin(broadcast(q))
+      .withColumn("hamming", VF.hammingDistance(col("__bits"), col("__qbits")))
+      .withColumn("__arank", row_number().over(wHam))
+      .filter(col("__arank") <= rerank)
+      .withColumn("cosine", CosineSim(col("dv"), col("qv")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("cosine"),
+        col("hamming"), col("rank"))
+  }
+
   /** Product-quantization codebooks for cosine ANN (Jégou et al. 2011,
     * "Product Quantization for Nearest Neighbor Search" — the memory
     * path past [[quantizedTopK]]'s int8 scalar codes: m small codes per

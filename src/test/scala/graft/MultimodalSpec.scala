@@ -326,4 +326,42 @@ class MultimodalSpec extends SparkSpec {
     assert(got == Seq(("good", Some((5L, 154L, 100L, 4L))),
       ("stereo", None), ("trunc", None)))
   }
+
+  test("bmpDHash: lattice bits, brightness-shift invariance, row-order agreement") {
+    def bmp(w: Int, h: Int, topDown: Boolean,
+            f: (Int, Int) => Int): Array[Byte] = {
+      val rowSize = (w * 3 + 3) / 4 * 4
+      val bb = java.nio.ByteBuffer.allocate(54 + rowSize * h)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * h)
+        .putInt(0).putInt(54)
+      bb.putInt(40).putInt(w).putInt(if (topDown) -h else h).putShort(1)
+        .putShort(24).putInt(0).putInt(rowSize * h).putInt(0).putInt(0)
+        .putInt(0).putInt(0)
+      val ys = if (topDown) 0 until h else (h - 1) to 0 by -1
+      for (y <- ys) {
+        for (x <- 0 until w; _ <- 0 until 3) bb.put(f(x, y).toByte)
+        for (_ <- 0 until rowSize - w * 3) bb.put(0.toByte)
+      }
+      bb.array()
+    }
+    // gray strictly decreasing in x: on the 9-wide lattice x = gx·4 // 9
+    // steps at gx = 3, 5, 7, so comparisons at gx = 2, 4, 6 fire and
+    // equal-sample comparisons stay clear — every row identical
+    val grad = bmp(4, 4, topDown = false, (x, _) => 200 - 40 * x)
+    val lit20 = bmp(4, 4, topDown = false, (x, _) => 220 - 40 * x)
+    val down = bmp(4, 4, topDown = true, (x, _) => 200 - 40 * x)
+    val df = Seq(
+      ("grad", grad), ("lit20", lit20), ("down", down),
+      ("trunc", grad.dropRight(1))).toDF("k", "b")
+    val got = rows(df.select($"k", Multimodal.bmpDHash($"b").as("h"))
+      .orderBy($"k"))
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getSeq[Long](1))))
+    val half = Seq(2, 4, 6, 10, 12, 14, 18, 20, 22, 26, 28, 30)
+      .map(1L << _).sum
+    val want = Some(Seq(half, half))
+    assert(got == Seq(("down", want), ("grad", want), ("lit20", want),
+      ("trunc", None)))
+  }
 }

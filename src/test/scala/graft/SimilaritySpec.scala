@@ -692,6 +692,65 @@ class SimilaritySpec extends SparkSpec {
     assert(zeroRow.isNullAt(2) && zeroRow.isNullAt(3))
   }
 
+  test("signBits packs 32 dims per word; hammingDistance counts sign flips") {
+    import graft.functions.{VectorFunctions => VF}
+    // 40-dim: positives at 0, 5, 31 (word 0) and 32, 39 (word 1);
+    // zeros and negatives both clear
+    val a = Array.tabulate(40)(i =>
+      if (Set(0, 5, 31, 32, 39)(i)) 1.0f else if (i % 2 == 0) -1.0f else 0.0f)
+    // flip the sign class at dims 5, 31, and 39 relative to a
+    val b = a.clone(); b(5) = -1.0f; b(31) = 0.0f; b(39) = -2.0f
+    val df = Seq((a.toSeq, b.toSeq)).toDF("a", "b")
+    val got = rows(df.select(
+      VF.signBits($"a").as("wa"), VF.signBits($"b").as("wb"),
+      VF.hammingDistance(VF.signBits($"a"), VF.signBits($"b")).as("h")))
+    assert(got.head.getSeq[Long](0) ==
+      Seq((1L << 0) + (1L << 5) + (1L << 31), (1L << 0) + (1L << 7)))
+    assert(got.head.getSeq[Long](1) == Seq(1L << 0, 1L << 0))
+    assert(got.head.getLong(2) == 3L)
+  }
+
+  // ±1 antipodal clusters for the sign-quantized path (the all-positive
+  // noisy() fixtures share one sign pattern, which is exactly what
+  // binary codes cannot distinguish)
+  private val s1 = Array.tabulate(16)(i => if (i < 8) 1.0f else -1.0f)
+  private val s2 = s1.map(x => -x)
+  private lazy val signCorpus = Seq(
+    (1L, noisy(s1, 0.001f)), (2L, noisy(s1, 0.001f)),
+    (3L, noisy(s1, 0.001f)), (4L, noisy(s2, 0.001f)),
+    (5L, noisy(s2, 0.001f))).toDF("id", "v")
+
+  test("binaryTopK matches exact top-k when rerank covers the corpus") {
+    val queries = Seq((100L, s1.toSeq), (200L, s2.toSeq)).toDF("qid", "qv")
+    val exact = rows(Similarity.topKPerQuery(
+      signCorpus, $"id", $"v", queries, $"qid", $"qv", k = 3)
+      .orderBy($"query_id", $"rank"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val bin = rows(Similarity.binaryTopK(
+      signCorpus, $"id", $"v", queries, $"qid", $"qv", k = 3, rerank = 5)
+      .orderBy($"query_id", $"rank"))
+    assert(bin.map(r => (r.getLong(0), r.getLong(1), r.getInt(4))) == exact,
+      "full-depth rerank must reproduce the exact ranking")
+    // sign patterns separate the antipodal clusters: intra-cluster
+    // Hamming 0, cross-cluster all 16 dims flip
+    bin.foreach { r =>
+      val sameCluster = (r.getLong(0) == 100L) == (r.getLong(1) <= 3L)
+      assert(r.getLong(3) == (if (sameCluster) 0L else 16L), s"hamming: $r")
+    }
+  }
+
+  test("binaryTopK: Hamming-truncated candidates recall the separable clusters") {
+    val queries = Seq((100L, s1.toSeq), (200L, s2.toSeq)).toDF("qid", "qv")
+    val got = rows(Similarity.binaryTopK(
+      signCorpus, $"id", $"v", queries, $"qid", $"qv", k = 3, rerank = 3)
+      .orderBy($"query_id", $"rank"))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.filter(_._1 == 100L).map(_._2).toSet == Set(1L, 2L, 3L))
+    // query 200's 3-deep candidate cut keeps both cluster-2 docs at the
+    // top; the third slot is Hamming-16 filler ranked below them
+    assert(got.filter(_._1 == 200L).map(_._2).take(2).toSet == Set(4L, 5L))
+  }
+
   test("kmeansCentroids separates clusters and is bit-deterministic") {
     // ids ordered so the smallest-id init seeds one vector per cluster
     val data = Seq(
