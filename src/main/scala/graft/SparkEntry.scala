@@ -500,6 +500,33 @@ object SparkEntry {
         .orderBy(col("user_id"), col("click_id"), col("win_id"))
     }),
 
+    "n1_pagerank" -> ((s, dir) => {
+      // Weighted link rank (beyond the reference): damped random walk
+      // (PageRank, d = 17/20) over the customer↔supplier interaction
+      // graph, 3 fixed iterations. Graph.linkRank keeps every rank a
+      // BIGINT in micro-units — floor-divided per-edge contributions
+      // summed as integers — so the iteration chain is order-exact
+      // on both engines (no float cell anywhere). One iteration = one
+      // hash join + one hash agg on the edge list: the standard
+      // distributed PageRank step, linear in |E| at any scale.
+      val raw = t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"),
+          (col("l_suppkey") + 1000000L).as("p"))
+      val edges = raw.select(col("c").as("src"), col("p").as("dst"))
+        .unionAll(raw.select(col("p").as("src"), col("c").as("dst")))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+      graft.operators.Graph.linkRank(edges, iters = 3)
+        .filter(col("node") >= 1000000L)
+        .select((col("node") - 1000000L).as("s_suppkey"),
+          col("rank_micro"))
+        .orderBy(col("rank_micro").desc, col("s_suppkey"))
+        .limit(25)
+    }),
+
     "s1_jsonl_roundtrip" -> ((s, dir) => {
       // S1/S2/S3 — canonical JSONL sink → strict schema-on-read scan →
       // keyed last-wins merge (the reference's dict-overwrite ingest,
@@ -2996,6 +3023,76 @@ object SparkEntry {
         when(Compliance.mentionsJournal(comments), "found")
           .otherwise("not_found").as("journal_reference"))
         .orderBy(col("doc_id"))
+    }),
+
+    "c7_k_anonymity" -> ((s, dir) => {
+      // C7 — k-anonymity census + one generalization step (beyond the
+      // reference; the privacy gate a training corpus passes before
+      // release): customers whose quasi-identifier class
+      // (nation, segment, 1000-unit balance band) has fewer than k=5
+      // members are re-identifiable; generalizing the band to NULL for
+      // exactly those rows coarsens them onto (nation, segment) and the
+      // census re-measures. Both stages are plain groupBy counts —
+      // linear, shuffle-on-QI, no row blowup at any scale. Determinism:
+      // the band comes from exact integer cents (floor(x·100+½), then a
+      // +100000 shift so `div` and DuckDB `//` agree — both args
+      // non-negative).
+      val c = t(s, dir, "customer").select(
+        col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        expr("(cast(floor(c_acctbal * 100 + 0.5) as bigint) + 100000)" +
+          " div 100000").as("band"))
+      val cls = c.groupBy(col("c_nationkey"), col("c_mktsegment"),
+          col("band"))
+        .agg(count(lit(1)).as("class_n"))
+      def census(classes: DataFrame, stage: String) =
+        classes.agg(
+          lit(stage).as("stage"),
+          count(lit(1)).as("n_classes"),
+          sum(when(col("class_n") < 5, 1L).otherwise(0L))
+            .as("n_small_classes"),
+          sum(when(col("class_n") < 5, col("class_n")).otherwise(0L))
+            .as("n_rows_at_risk"),
+          min(col("class_n")).as("min_class"))
+      val gen = c.join(cls, Seq("c_nationkey", "c_mktsegment", "band"))
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          when(col("class_n") < 5, lit(null).cast("long"))
+            .otherwise(col("band")).as("band"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("band"))
+        .agg(count(lit(1)).as("class_n"))
+      census(cls, "raw").unionAll(census(gen, "generalized"))
+        .select(col("stage"), col("n_classes"), col("n_small_classes"),
+          col("n_rows_at_risk"), col("min_class"))
+        .orderBy(col("stage"))
+    }),
+
+    "w7_late_census" -> ((s, dir) => {
+      // W7 — watermark sizing census (beyond the reference): before
+      // picking a streaming watermark delay δ, measure what δ WOULD
+      // drop — per hourly window and event type, how many events
+      // arrive after window_end + δ and how late the stragglers run.
+      // Arrival lag synthesizes deterministically from md5(event_id)
+      // (0..1799 s), so both engines score identical arrivals. All
+      // output cells are BIGINT sums/maxes — order-exact — and the
+      // census is one groupBy over the raw stream: embarrassingly
+      // parallel at any scale, the batch probe you run over yesterday's
+      // data before committing δ to `withWatermark`.
+      val deltaUs = 600L * 1000000L
+      val ev = t(s, dir, "events").select(
+        col("event_type"),
+        unix_micros(col("ts")).as("tus"),
+        unix_micros(date_trunc("hour", col("ts"))).as("win_us"),
+        (pmod(conv(substring(md5(concat(lit("arr:"),
+            col("event_id").cast("string"))), 1, 7), 16, 10)
+          .cast("long"), lit(1800L)) * 1000000L).as("lag_us"))
+      ev.groupBy(col("win_us"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("tus") + col("lag_us") >
+              col("win_us") + 3600000000L + deltaUs, 1L).otherwise(0L))
+            .as("n_late"),
+          max(col("lag_us")).as("max_lag_us"),
+          sum(col("lag_us")).as("sum_lag_us"))
+        .orderBy(col("win_us"), col("event_type"))
     }),
 
     "a13_rag_report" -> ((s, dir) => {
@@ -5648,6 +5745,60 @@ object SparkEntry {
            CASE WHEN contains(lower(comments), 'journal')
              THEN 'found' ELSE 'not_found' END AS journal_reference
          FROM t ORDER BY doc_id""",
+
+    "c7_k_anonymity" ->
+      """WITH c AS (
+           SELECT c_custkey, c_nationkey, c_mktsegment,
+             (floor(c_acctbal * 100 + 0.5)::BIGINT + 100000) // 100000
+               AS band
+           FROM customer),
+         cls AS (
+           SELECT c_nationkey, c_mktsegment, band,
+             count(*)::BIGINT AS class_n
+           FROM c GROUP BY 1, 2, 3),
+         gen AS (
+           SELECT x.c_nationkey, x.c_mktsegment,
+             CASE WHEN l.class_n < 5 THEN NULL ELSE x.band END AS band
+           FROM c x JOIN cls l
+             ON x.c_nationkey = l.c_nationkey
+             AND x.c_mktsegment = l.c_mktsegment AND x.band = l.band),
+         gcls AS (
+           SELECT c_nationkey, c_mktsegment, band,
+             count(*)::BIGINT AS class_n
+           FROM gen GROUP BY 1, 2, 3),
+         cen AS (
+           SELECT 'raw' AS stage, count(*)::BIGINT AS n_classes,
+             sum(CASE WHEN class_n < 5 THEN 1 ELSE 0 END)::BIGINT
+               AS n_small_classes,
+             sum(CASE WHEN class_n < 5 THEN class_n ELSE 0 END)::BIGINT
+               AS n_rows_at_risk,
+             min(class_n)::BIGINT AS min_class
+           FROM cls
+           UNION ALL
+           SELECT 'generalized' AS stage, count(*)::BIGINT,
+             sum(CASE WHEN class_n < 5 THEN 1 ELSE 0 END)::BIGINT,
+             sum(CASE WHEN class_n < 5 THEN class_n ELSE 0 END)::BIGINT,
+             min(class_n)::BIGINT
+           FROM gcls)
+         SELECT stage, n_classes, n_small_classes, n_rows_at_risk,
+           min_class
+         FROM cen ORDER BY stage""",
+
+    "w7_late_census" ->
+      """WITH e AS (
+           SELECT event_type,
+             epoch_us(ts::TIMESTAMP) AS tus,
+             epoch_us(date_trunc('hour', ts::TIMESTAMP)) AS win_us,
+             (('0x' || substr(md5('arr:' || event_id::VARCHAR), 1, 7))
+               ::BIGINT % 1800) * 1000000 AS lag_us
+           FROM events)
+         SELECT win_us, event_type, count(*)::BIGINT AS n_total,
+           sum(CASE WHEN tus + lag_us > win_us + 3600000000 + 600000000
+             THEN 1 ELSE 0 END)::BIGINT AS n_late,
+           max(lag_us)::BIGINT AS max_lag_us,
+           sum(lag_us)::BIGINT AS sum_lag_us
+         FROM e GROUP BY win_us, event_type
+         ORDER BY win_us, event_type""",
 
     "s9_json_report_roundtrip" ->
       s"""SELECT lang, count(*) AS n_docs,
@@ -8916,6 +9067,43 @@ object SparkEntry {
            ON c.user_id = w.user_id
            AND c.tus >= w.start_us AND c.tus <= w.end_us
          ORDER BY c.user_id, c.click_id, w.win_id""",
+
+    "n1_pagerank" ->
+      // the same integer-micro-unit walk, iterations unrolled; `//` on
+      // non-negative BIGINTs floors exactly like Spark's `div`
+      """WITH raw AS (
+           SELECT o.o_custkey AS c, l.l_suppkey + 1000000 AS p
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         edges AS (
+           SELECT src, dst, count(*)::BIGINT AS cnt FROM (
+             SELECT c AS src, p AS dst FROM raw
+             UNION ALL SELECT p AS src, c AS dst FROM raw)
+           GROUP BY src, dst),
+         deg AS (SELECT src, sum(cnt)::BIGINT AS outdeg
+           FROM edges GROUP BY src),
+         ew AS (SELECT e.src, e.dst, e.cnt, d.outdeg
+           FROM edges e JOIN deg d USING (src)),
+         nodes AS (SELECT src AS node FROM edges
+           UNION SELECT dst AS node FROM edges),
+         r0 AS (SELECT node, 1000000::BIGINT AS r FROM nodes),
+         c1 AS (SELECT ew.dst AS node,
+             sum(ew.cnt * ((17 * p.r) // (20 * ew.outdeg)))::BIGINT AS m
+           FROM ew JOIN r0 p ON p.node = ew.src GROUP BY ew.dst),
+         r1 AS (SELECT n.node, (150000 + coalesce(c1.m, 0))::BIGINT AS r
+           FROM nodes n LEFT JOIN c1 USING (node)),
+         c2 AS (SELECT ew.dst AS node,
+             sum(ew.cnt * ((17 * p.r) // (20 * ew.outdeg)))::BIGINT AS m
+           FROM ew JOIN r1 p ON p.node = ew.src GROUP BY ew.dst),
+         r2 AS (SELECT n.node, (150000 + coalesce(c2.m, 0))::BIGINT AS r
+           FROM nodes n LEFT JOIN c2 USING (node)),
+         c3 AS (SELECT ew.dst AS node,
+             sum(ew.cnt * ((17 * p.r) // (20 * ew.outdeg)))::BIGINT AS m
+           FROM ew JOIN r2 p ON p.node = ew.src GROUP BY ew.dst),
+         r3 AS (SELECT n.node, (150000 + coalesce(c3.m, 0))::BIGINT AS r
+           FROM nodes n LEFT JOIN c3 USING (node))
+         SELECT (node - 1000000)::BIGINT AS s_suppkey, r AS rank_micro
+         FROM r3 WHERE node >= 1000000
+         ORDER BY rank_micro DESC, s_suppkey LIMIT 25""",
 
     "s7_inverted_index_roundtrip" ->
       s"""SELECT doc_id,

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges(es: (Long, Long, Long)*) =
+    es.toDF("src", "dst", "cnt")
+
+  test("linkRank: symmetric 2-cycle is the uniform fixed point") {
+    // 1⇄2, unit weights: every iteration returns exactly 10⁶ per node
+    // (teleport 150000 + (17·10⁶) div 20 = 850000).
+    val e = edges((1L, 2L, 1L), (2L, 1L, 1L))
+    for (k <- 1 to 3) {
+      val r = Graph.linkRank(e, iters = k)
+        .orderBy("node").as[(Long, Long)].collect()
+      assert(r.toSeq == Seq((1L, 1000000L), (2L, 1000000L)))
+    }
+  }
+
+  test("linkRank: hand-computed star graph, iterations 1 and 2") {
+    // 1→{2,3}, {2,3}→1, unit weights. outdeg(1)=2, outdeg(2)=outdeg(3)=1.
+    val e = edges((1L, 2L, 1L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+    val r1 = Graph.linkRank(e, iters = 1)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    // to 2,3: (17·10⁶) div 40 = 425000; to 1: 850000 from each leaf
+    assert(r1 == Seq((1L, 1850000L), (2L, 575000L), (3L, 575000L)))
+    val r2 = Graph.linkRank(e, iters = 2)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    // from 1: (17·1850000) div 40 = 786250; from each leaf:
+    // (17·575000) div 20 = 488750
+    assert(r2 == Seq((1L, 1127500L), (2L, 936250L), (3L, 936250L)))
+  }
+
+  test("linkRank: multi-edge weight equals per-unit floor times count") {
+    // contract: contribution of a cnt-weighted edge is
+    // cnt · ((17·r) div (20·outdeg)) — the floor is taken once per
+    // (src,dst) pair and multiplied, with outdeg the SUM of counts.
+    // Here outdeg(1) = 4: per-unit share (17·10⁶) div 80 = 212500.
+    val e = edges((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+    val r = Graph.linkRank(e, iters = 1)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (1L, 150000L + 850000L + 850000L),
+      (2L, 150000L + 3L * 212500L),
+      (3L, 150000L + 212500L)))
+  }
+
+  test("linkRank: rank mass is bounded by the uniform start mass") {
+    // floor losses only shed mass; teleport restores exactly 15% of the
+    // uniform total — so Σ rank ≤ |V|·10⁶ at every iteration depth.
+    val e = edges((1L, 2L, 2L), (2L, 3L, 1L), (3L, 1L, 5L), (2L, 1L, 1L))
+    for (k <- 1 to 4) {
+      val total = Graph.linkRank(e, iters = k)
+        .agg(sum("rank_micro")).as[Long].head()
+      assert(total <= 3L * 1000000L)
+      assert(total > 3L * 150000L)
+    }
+  }
+}
