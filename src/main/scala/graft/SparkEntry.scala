@@ -3960,6 +3960,55 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "m9_frame_schedule" -> ((s, dir) => {
+      // M9 — video frame-sample scheduling (beyond the reference; the
+      // frame-sample member of the decode/extract/resize/frame-sample
+      // quartet): parse moov/mvhd timescale + duration ticks from the
+      // container bytes (Multimodal.mvhdInfo — a real ISO-BMFF box
+      // walk), derive duration and a capped stride schedule of ≤8
+      // frame indices per video, explode to one row per planned frame.
+      // The actual pixel decode stays behind the MediaDecoder trait
+      // (no codecs in this container); THIS is the Spark-side plumbing
+      // that feeds it — pure integer arithmetic end to end (`div`
+      // everywhere), payloads synthesized from doc_id so the oracle
+      // recomputes ground truth independently (every 13th truncated →
+      // parse must return NULL, not garbage).
+      def beHexC(v: Column, nBytes: Int): Column =
+        concat((0 until nBytes).reverse.map(k =>
+          lpad(hex(pmod(shiftright(v.cast("long"), 8 * k), lit(256))), 2, "0")): _*)
+      val timescale = when(col("doc_id") % 2 === 0, 600L).otherwise(1000L)
+      val ticks = col("doc_id") % 100000 + 600
+      val fps = when(col("doc_id") % 3 === 0, 24L)
+        .when(col("doc_id") % 3 === 1, 25L).otherwise(30L)
+      val mvhdHex = concat(
+        beHexC(lit(108L), 4), lit("6D766864"), lit("00000000"),
+        lit("00000000"), lit("00000000"),
+        beHexC(timescale, 4), beHexC(ticks, 4), lit("00" * 80))
+      val fullHex = concat(
+        beHexC(lit(16L), 4), lit("66747970"), lit("69736F6D"),
+        lit("00000000"),
+        beHexC(lit(116L), 4), lit("6D6F6F76"), mvhdHex)
+      t(s, dir, "documents").select(col("doc_id"), fps.as("fps"))
+        .withColumn("media", unhex(
+          when(col("doc_id") % 13 === 0, substring(fullHex, 1, 24))
+            .otherwise(fullHex)))
+        .withColumn("mv", Multimodal.mvhdInfo(col("media")))
+        .filter(col("mv").isNotNull)
+        .select(col("doc_id"), col("fps"),
+          col("mv.timescale").as("timescale"),
+          col("mv.duration_ticks").as("ticks"))
+        .withColumn("duration_ms", expr("(ticks * 1000) div timescale"))
+        .withColumn("n_frames", expr("(duration_ms * fps) div 1000"))
+        .filter(col("n_frames") > 0)
+        .withColumn("frame_idx", explode(slice(sequence(lit(0L),
+          col("n_frames") - 1,
+          greatest(lit(1L), expr("n_frames div 8"))), 1, 8)))
+        .select(col("doc_id"), col("timescale"), col("duration_ms"),
+          col("fps"), col("n_frames"), col("frame_idx"),
+          expr("(frame_idx * 1000) div fps").as("t_ms"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     "w6_interval_join" -> ((s, dir) => {
       // Batch twin of the watermarked stream-stream interval join
       // (Streams.intervalJoin; StreamFileSpec pins stream == batch
@@ -7004,6 +7053,29 @@ object SparkEntry {
          CASE WHEN doc_id % 13 = 0 OR doc_id % 2 = 0 THEN NULL
               ELSE doc_id % 3 + 1 END AS n_brands
          FROM documents ORDER BY doc_id""",
+
+    "m9_frame_schedule" ->
+      // ground truth recomputed from doc_id; the Spark side must walk
+      // ftyp → moov → mvhd to recover timescale/ticks for every row
+      """WITH t AS (
+           SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 600 ELSE 1000 END)::BIGINT
+               AS timescale,
+             (doc_id % 100000 + 600)::BIGINT AS ticks,
+             (CASE WHEN doc_id % 3 = 0 THEN 24
+                   WHEN doc_id % 3 = 1 THEN 25 ELSE 30 END)::BIGINT AS fps
+           FROM documents WHERE doc_id % 13 <> 0),
+         d AS (SELECT *, (ticks * 1000) // timescale AS duration_ms FROM t),
+         f AS (SELECT *, (duration_ms * fps) // 1000 AS n_frames FROM d),
+         g AS (SELECT *, greatest(1, n_frames // 8) AS stride
+           FROM f WHERE n_frames > 0),
+         x AS (SELECT doc_id, timescale, duration_ms, fps, n_frames,
+             unnest(list_slice(
+               generate_series(0, n_frames - 1, stride), 1, 8)) AS frame_idx
+           FROM g)
+         SELECT doc_id, timescale, duration_ms, fps, n_frames, frame_idx,
+           (frame_idx * 1000) // fps AS t_ms
+         FROM x ORDER BY doc_id, frame_idx""",
 
     "w6_interval_join" ->
       """WITH a AS (

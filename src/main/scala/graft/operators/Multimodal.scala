@@ -483,6 +483,56 @@ object Multimodal {
         floor((size - 16).cast("double") / 4.0).cast("long").as("n_brands")))
   }
 
+  /** MP4/ISO-BMFF movie header (`moov`/`mvhd`, ISO/IEC 14496-12 §8.2.2)
+    * as a pure expression — the duration leg the frame-sample scheduler
+    * needs. Box walk in [[wavInfo]]'s bounded-fold shape: hop top-level
+    * boxes by their declared big-endian u32 size, DESCEND into `moov`
+    * (+8, its children are boxes too), capture version-0 `mvhd`'s
+    * timescale (box+20) and duration ticks (box+24). Returns
+    * struct(timescale, duration_ticks) — derive milliseconds as
+    * `(duration_ticks · 1000) div timescale`, exact integer arithmetic,
+    * at the call site. NULL for truncated/non-BMFF payloads, version-1
+    * (64-bit) headers, and zero timescales (every read is
+    * length-guarded — ANSI-safe).
+    */
+  def mvhdInfo(bin: Column, maxBoxes: Int = 8): Column =
+    bind(upper(hex(bin))) { h =>
+      val n = length(h)
+      val nullL = lit(null).cast("long")
+      val dead = struct(nullL.as("off"), nullL.as("ts"), nullL.as("dur"))
+      val start = struct(lit(0L).as("off"), nullL.as("ts"), nullL.as("dur"))
+      val walk = aggregate(
+        sequence(lit(1), lit(maxBoxes)), start,
+        (a, _) => {
+          val off = a.getField("off")
+          val done = a.getField("ts").isNotNull
+          // box size (4) + type (4) must be in range, size sane
+          val canRead = off.isNotNull && (off * 2 + 16) <= n
+          val size = beU32(h, off)
+          val id = substring(h, off * 2 + 9, lit(8))
+          val skip = struct((off + size).as("off"),
+            a.getField("ts").as("ts"), a.getField("dur").as("dur"))
+          when(done, a)
+            .when(!canRead || size < 8, dead)
+            // "moov": descend — children start right after the header
+            .when(id === "6D6F6F76",
+              struct((off + 8).as("off"), a.getField("ts").as("ts"),
+                a.getField("dur").as("dur")))
+            // version-0 "mvhd" with timescale+duration readable
+            .when(id === "6D766864" && (off * 2 + 56) <= n &&
+                substring(h, off * 2 + 17, lit(2)) === "00",
+              struct(off.as("off"), beU32(h, off + 20).as("ts"),
+                beU32(h, off + 24).as("dur")))
+            .otherwise(skip)
+        })
+      bind(walk) { w =>
+        when(length(bin) >= 16 && w.getField("ts").isNotNull &&
+            w.getField("ts") > 0,
+          struct(w.getField("ts").as("timescale"),
+            w.getField("dur").as("duration_ticks")))
+      }
+    }
+
   /** Resize plumbing — the remaining member of the decode /
     * feature-extract / resize / frame-sample quartet. A real resize
     * needs codec libraries this container doesn't ship, so the

@@ -188,6 +188,34 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2).isNullAt(0) && got(3).isNullAt(0))
   }
 
+  test("mvhdInfo walks ftyp→moov→mvhd; rejects v1, truncation, missing mvhd") {
+    def be(v: Long) = (0 until 4).reverse
+      .map(k => f"${(v >> (8 * k)) & 0xff}%02X").mkString
+    def mvhd(version: String, timescale: Long, ticks: Long) =
+      be(108) + "6D766864" + version + "000000" + be(0) + be(0) +
+        mvhd0Tail(timescale, ticks)
+    def mvhd0Tail(timescale: Long, ticks: Long) =
+      be(timescale) + be(ticks) + "00" * 80
+    val ftyp = be(16) + "66747970" + "69736F6D" + be(0)
+    // free box between ftyp and moov: the walker must SKIP by size
+    val free = be(12) + "66726565" + "00000000"
+    val ok = ftyp + free + be(116) + "6D6F6F76" + mvhd("00", 1000, 2500)
+    val v1 = ftyp + be(116) + "6D6F6F76" + mvhd("01", 1000, 2500)
+    val trunc = (ftyp + be(116) + "6D6F6F76" + mvhd("00", 1000, 2500))
+      .take(2 * 40) // cut inside mvhd, before duration is readable
+    val noMoov = ftyp + free
+    val zeroTs = ftyp + be(116) + "6D6F6F76" + mvhd("00", 0, 2500)
+    val df = Seq((1L, ok), (2L, v1), (3L, trunc), (4L, noMoov),
+        (5L, zeroTs))
+      .toDF("id", "hx").select($"id", unhex($"hx").as("media"))
+    val got = rows(df.orderBy($"id")
+      .select(Multimodal.mvhdInfo($"media").as("m")))
+    assert(got(0).getStruct(0).getLong(0) == 1000L
+      && got(0).getStruct(0).getLong(1) == 2500L)
+    assert(got(1).isNullAt(0) && got(2).isNullAt(0)
+      && got(3).isNullAt(0) && got(4).isNullAt(0))
+  }
+
   test("readBinaryDir ingests files with glob pruning and a size cap") {
     val dir = java.nio.file.Files.createTempDirectory("graft-media")
     def put(name: String, hx: String): Unit =
