@@ -1581,11 +1581,13 @@ object SparkEntry {
       // arrays ride any shuffle: the only non-integer inputs are the
       // dyadic est_jaccard (k/16) and two exact BIGINT sizes, and both
       // engines run the identical fixed-order IEEE chain. Scale shape:
-      // d6's banded candidate generation + one broadcast-joined
-      // shingle-count table.
+      // d6's banded candidate generation + one (doc_id, count) side
+      // table joined twice — LAZILY CHECKPOINTED so the shingle pass
+      // over the corpus runs once, not once per join side.
       val d = t(s, dir, "documents")
       val sz = d.select(col("doc_id"),
-        size(Dedup.shingles(col("text"), 3)).cast("long").as("nsh"))
+          size(Dedup.shingles(col("text"), 3)).cast("long").as("nsh"))
+        .localCheckpoint(eager = false)
       Dedup.minhashPairs(d, col("doc_id"), col("text"))
         .join(sz.select(col("doc_id").as("id_a"), col("nsh").as("n_a")),
           "id_a")
@@ -5023,6 +5025,65 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tok"),
           fround(col("avg_logratio"), 6).as("logratio"))
         .orderBy(col("doc_id"))
+    }),
+
+    "tq10_uncertainty_sample" -> ((s, dir) => {
+      // TQ10 — active-learning batch selection (beyond the reference):
+      // the 15 held-out docs per language whose trained-filter score
+      // sits closest to the decision boundary — the rows a labeling
+      // budget buys the most from (uncertainty sampling). Ranks compare
+      // INTEGER micro-units of the 6dp-pinned log-odds (the tq1 chain
+      // is already order-exact), tiebroken on doc_id, so the per-lang
+      // row_number is engine-independent; the window partitions by
+      // lang — bounded groups, no global sort.
+      val d = t(s, dir, "documents")
+      val isTrain = Sampling.keyHash(col("doc_id"), "nbt") <
+        Sampling.threshold(0.6)
+      val model = Classify.trainModel(d.filter(isTrain),
+        col("lang") <=> "en", col("text"), 4096)
+      val scored = Classify.score(model, d.filter(!isTrain),
+          col("doc_id"), col("text"))
+        .select(col("doc_id"),
+          floor(fround(col("log_odds"), 6) * 1e6 + 0.5).cast("long")
+            .as("lo_micro"))
+        .join(d.select(col("doc_id"), col("lang")), "doc_id")
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(abs(col("lo_micro")), col("doc_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 15)
+        .select(col("lang"), col("doc_id"), col("lo_micro"), col("rank"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
+    "w8_session_funnel" -> ((s, dir) => {
+      // W8 — ordered conversion funnel (beyond the reference): per day,
+      // how many users complete view → click → purchase IN ORDER —
+      // step k's timestamp must strictly follow step k−1's first
+      // completion. Three conditional min-aggregations stitched by
+      // user-keyed joins (each shuffles (user, µs-timestamp) pairs
+      // only); counts are BIGINT. The standard product-analytics
+      // funnel, linear at any scale — no per-user event sorting, no
+      // window over the whole stream.
+      val ev = t(s, dir, "events").select(col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("tus"),
+        unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+      // day_us is monotone in tus, so min(day_us) IS the first view's day
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("tus")).as("t1"),
+          min(col("day_us")).as("day_us"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, "user_id").filter(col("tus") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("tus")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, "user_id").filter(col("tus") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("tus")).as("t3"))
+      s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+        .groupBy(col("day_us")).agg(
+          count(lit(1)).as("n_view"),
+          sum(when(col("t2").isNotNull, 1L).otherwise(0L)).as("n_click"),
+          sum(when(col("t3").isNotNull, 1L).otherwise(0L))
+            .as("n_purchase"))
+        .orderBy(col("day_us"))
     })
   )
 
@@ -9485,6 +9546,42 @@ object SparkEntry {
       // one token pass; per-doc mean log ratio, Laplace-smoothed.
       s"""$sqlDsirWeights
          FROM sc ORDER BY doc_id""",
+
+    "tq10_uncertainty_sample" ->
+      // the tq1 score chain → integer µ-units of the 6dp-pinned
+      // log-odds; per-lang rank by |distance to the boundary|
+      s"""WITH scored AS ($sqlNbScore FROM sc),
+         lab AS (SELECT s.doc_id, d.lang,
+             floor(s.log_odds * 1e6 + 0.5)::BIGINT AS lo_micro
+           FROM scored s JOIN documents d USING (doc_id)),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY lang
+             ORDER BY abs(lo_micro), doc_id) AS rank FROM lab)
+         SELECT lang, doc_id, lo_micro, rank FROM rk WHERE rank <= 15
+         ORDER BY lang, rank""",
+
+    "w8_session_funnel" ->
+      """WITH e AS (
+           SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS tus,
+             epoch_us(date_trunc('day', ts::TIMESTAMP)) AS day_us
+           FROM events),
+         s1 AS (SELECT user_id, min(tus) AS t1, min(day_us) AS day_us
+           FROM e WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.tus) AS t2
+           FROM e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.tus > s1.t1
+           GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.tus) AS t3
+           FROM e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.tus > s2.t2
+           GROUP BY e.user_id)
+         SELECT s1.day_us, count(*)::BIGINT AS n_view,
+           sum(CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_click,
+           sum(CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_purchase
+         FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+         LEFT JOIN s3 ON s1.user_id = s3.user_id
+         GROUP BY s1.day_us ORDER BY s1.day_us""",
 
     "tq8_label_noise" ->
       // the shared Platt replay, then the confident-learning census in

@@ -25,11 +25,12 @@ import org.apache.spark.sql.DataFrame
   * Scale shape: one iteration = one shuffle join (edges ⋈ ranks on src,
   * both sides hash-partitioned on the join key) + one hash aggregate on
   * dst — the standard distributed PageRank step, linear in |E| per
-  * iteration with no driver-side state. The edge+outdeg frame is built
-  * once and reused across iterations (ReusedExchange collapses the
-  * repeated subtree within one action; at production iteration counts —
-  * tens, not this query's 3 — persist `withOutdeg` and checkpoint ranks
-  * every few rounds to truncate lineage).
+  * iteration with no driver-side state. The edge+outdeg frame and each
+  * iteration's ranks are LAZY localCheckpoints (the
+  * [[Dedup.connectedComponents]] discipline): the final action
+  * materializes each stage exactly once, so iteration t never recomputes
+  * the edge build or iterations 1..t−1, and lineage stays flat at any
+  * iteration count.
   *
   * Overflow headroom: Σr ≈ |V|·10⁶ is (approximately) conserved, so a
   * single node's rank is bounded by total mass; 17·r stays far inside
@@ -47,8 +48,10 @@ object Graph {
     val deg = edges.groupBy(col("src"))
       .agg(sum(col("cnt")).as("outdeg"))
     val withOutdeg = edges.join(deg, "src")
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(eager = false)
+    val nodes = withOutdeg.select(col("src").as("node"))
+      .union(withOutdeg.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(eager = false)
     var ranks = nodes.withColumn("rank_micro", lit(1000000L))
     for (_ <- 1 to iters) {
       val contrib = withOutdeg
@@ -62,6 +65,7 @@ object Graph {
         .select(col("node"),
           (lit(150000L) + coalesce(col("inmass"), lit(0L)))
             .as("rank_micro"))
+        .localCheckpoint(eager = false)
     }
     ranks
   }
