@@ -1585,8 +1585,10 @@ object SparkEntry {
       // table joined twice — LAZILY CHECKPOINTED so the shingle pass
       // over the corpus runs once, not once per join side.
       val d = t(s, dir, "documents")
-      val sz = d.select(col("doc_id"),
-          size(Dedup.shingles(col("text"), 3)).cast("long").as("nsh"))
+      val sz = d.select(col("doc_id"), TA.tokens(col("text")).as("_toks"))
+        .select(col("doc_id"),
+          size(Dedup.shinglesFromTokens(col("_toks"), 3)).cast("long")
+            .as("nsh"))
         .localCheckpoint(eager = false)
       Dedup.minhashPairs(d, col("doc_id"), col("text"))
         .join(sz.select(col("doc_id").as("id_a"), col("nsh").as("n_a")),

@@ -323,13 +323,21 @@ object Dedup {
     * Chinese document shingles into char n-grams instead of collapsing
     * to one whole-document shingle.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = graft.functions.TextAnalysis.tokens(text)
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(graft.functions.TextAnalysis.tokens(text), n)
+
+  /** [[shingles]] over an ALREADY-BOUND token column — callers that
+    * evaluate shingles per row at any volume must bind the tokenizer at
+    * a select boundary first and pass the attribute here: `toks` is
+    * referenced from inside the `transform` lambda, so an inline
+    * tokenizer expression would re-run once PER SHINGLE INDEX (the HOF
+    * re-evaluation trap; binding it made d23 3.6 s cheaper at sf0.1).
+    */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     when(size(toks) < n, array(array_join(toks, " "))).otherwise(
       array_distinct(transform(
         sequence(lit(1), size(toks) - (n - 1)),
         i => array_join(slice(toks, i, lit(n)), " "))))
-  }
 
   /** Affine MinHash family constants, derived deterministically from md5
     * driver-side (engine-independent; the oracle embeds the same
