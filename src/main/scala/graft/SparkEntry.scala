@@ -527,6 +527,49 @@ object SparkEntry {
         .limit(25)
     }),
 
+    "n2_pagerank_tick" -> ((s, dir) => {
+      // N2 — the INCREMENTAL graph-rank tick (the index-lifecycle
+      // discipline applied to n1): ranks are served from the history
+      // graph; a delta day of orders lands; the refresh WARM-STARTS
+      // from the served table (new nodes at the uniform 10⁶) and runs
+      // only the couple of iterations the new mass needs to propagate
+      // — O(iters·|E|) per tick, never a cold-start over history. All
+      // arithmetic stays on the n1 integer grid, so served, refreshed
+      // and their delta are engine-exact BIGINTs.
+      // both edge sets from ONE orders⋈lineitem pass + ONE (src,dst)
+      // aggregation: the full count and the history-only count ride the
+      // same grouped row, so the tick pays the join exactly once
+      val raw = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"),
+          (col("l_suppkey") + 1000000L).as("p"),
+          (col("o_orderkey") % 17 =!= 0).as("hist"))
+      val both = raw.select(col("c").as("src"), col("p").as("dst"),
+          col("hist"))
+        .unionAll(raw.select(col("p").as("src"), col("c").as("dst"),
+          col("hist")))
+        .groupBy(col("src"), col("dst")).agg(
+          count(lit(1)).as("cnt"),
+          sum(when(col("hist"), 1L).otherwise(0L)).as("cnt_h"))
+        .localCheckpoint(eager = false)
+      val bedges = both.filter(col("cnt_h") > 0)
+        .select(col("src"), col("dst"), col("cnt_h").as("cnt"))
+      val fedges = both.select(col("src"), col("dst"), col("cnt"))
+      val served = graft.operators.Graph.linkRank(bedges, iters = 2)
+        .localCheckpoint(eager = false)
+      graft.operators.Graph.linkRankFrom(fedges, Some(served), iters = 2)
+        .join(served.select(col("node"),
+          col("rank_micro").as("prev_micro")), Seq("node"), "left")
+        .filter(col("node") >= 1000000L)
+        .select((col("node") - 1000000L).as("s_suppkey"),
+          col("rank_micro"), col("prev_micro"))
+        .orderBy(col("rank_micro").desc, col("s_suppkey"))
+        .limit(25)
+    }),
+
     "s1_jsonl_roundtrip" -> ((s, dir) => {
       // S1/S2/S3 — canonical JSONL sink → strict schema-on-read scan →
       // keyed last-wins merge (the reference's dict-overwrite ingest,
@@ -5096,6 +5139,40 @@ object SparkEntry {
   // drift.
   // =====================================================================
 
+  /** DuckDB CTE chain replaying [[graft.operators.Graph.linkRank]] over
+    * a caller-provided `<p>edges`(src, dst, cnt BIGINT) CTE: emits
+    * `<p>deg/<p>ew/<p>nodes/<p>r0..<p>r{iters}` with `<p>r0` uniform
+    * (10⁶) or warm-started from `start` (SQL selecting (node, r)).
+    * MATERIALIZED throughout — the iterative chain references each
+    * stage more than once and plain CTEs inline exponentially.
+    */
+  private def sqlLinkRankCtes(p: String, iters: Int,
+                              start: Option[String] = None): String = {
+    val r0 = start match {
+      case None => s"SELECT node, 1000000::BIGINT AS r FROM ${p}nodes"
+      case Some(sel) =>
+        s"""SELECT n.node, coalesce(s.r, 1000000)::BIGINT AS r
+           FROM ${p}nodes n LEFT JOIN ($sel) s USING (node)"""
+    }
+    val iterCtes = (1 to iters).map { t =>
+      s"""${p}c$t AS MATERIALIZED (SELECT ew.dst AS node,
+             sum(ew.cnt * ((17 * pr.r) // (20 * ew.outdeg)))::BIGINT AS m
+           FROM ${p}ew ew JOIN ${p}r${t - 1} pr ON pr.node = ew.src
+           GROUP BY ew.dst),
+         ${p}r$t AS MATERIALIZED (SELECT n.node,
+             (150000 + coalesce(c.m, 0))::BIGINT AS r
+           FROM ${p}nodes n LEFT JOIN ${p}c$t c USING (node))"""
+    }.mkString(",\n")
+    s"""${p}deg AS MATERIALIZED (SELECT src, sum(cnt)::BIGINT AS outdeg
+           FROM ${p}edges GROUP BY src),
+       ${p}ew AS MATERIALIZED (SELECT e.src, e.dst, e.cnt, d.outdeg
+           FROM ${p}edges e JOIN ${p}deg d USING (src)),
+       ${p}nodes AS MATERIALIZED (SELECT src AS node FROM ${p}edges
+           UNION SELECT dst AS node FROM ${p}edges),
+       ${p}r0 AS MATERIALIZED ($r0),
+       $iterCtes"""
+  }
+
   /** DuckDB list literal from a Scala string list. */
   private def sqlList(xs: Seq[String]): String =
     xs.map(s => s"'$s'").mkString("[", ", ", "]")
@@ -9206,7 +9283,7 @@ object SparkEntry {
     "n1_pagerank" ->
       // the same integer-micro-unit walk, iterations unrolled; `//` on
       // non-negative BIGINTs floors exactly like Spark's `div`
-      """WITH raw AS (
+      s"""WITH raw AS (
            SELECT o.o_custkey AS c, l.l_suppkey + 1000000 AS p
            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
          edges AS (
@@ -9214,30 +9291,36 @@ object SparkEntry {
              SELECT c AS src, p AS dst FROM raw
              UNION ALL SELECT p AS src, c AS dst FROM raw)
            GROUP BY src, dst),
-         deg AS (SELECT src, sum(cnt)::BIGINT AS outdeg
-           FROM edges GROUP BY src),
-         ew AS (SELECT e.src, e.dst, e.cnt, d.outdeg
-           FROM edges e JOIN deg d USING (src)),
-         nodes AS (SELECT src AS node FROM edges
-           UNION SELECT dst AS node FROM edges),
-         r0 AS (SELECT node, 1000000::BIGINT AS r FROM nodes),
-         c1 AS (SELECT ew.dst AS node,
-             sum(ew.cnt * ((17 * p.r) // (20 * ew.outdeg)))::BIGINT AS m
-           FROM ew JOIN r0 p ON p.node = ew.src GROUP BY ew.dst),
-         r1 AS (SELECT n.node, (150000 + coalesce(c1.m, 0))::BIGINT AS r
-           FROM nodes n LEFT JOIN c1 USING (node)),
-         c2 AS (SELECT ew.dst AS node,
-             sum(ew.cnt * ((17 * p.r) // (20 * ew.outdeg)))::BIGINT AS m
-           FROM ew JOIN r1 p ON p.node = ew.src GROUP BY ew.dst),
-         r2 AS (SELECT n.node, (150000 + coalesce(c2.m, 0))::BIGINT AS r
-           FROM nodes n LEFT JOIN c2 USING (node)),
-         c3 AS (SELECT ew.dst AS node,
-             sum(ew.cnt * ((17 * p.r) // (20 * ew.outdeg)))::BIGINT AS m
-           FROM ew JOIN r2 p ON p.node = ew.src GROUP BY ew.dst),
-         r3 AS (SELECT n.node, (150000 + coalesce(c3.m, 0))::BIGINT AS r
-           FROM nodes n LEFT JOIN c3 USING (node))
+         ${sqlLinkRankCtes("", 3)}
          SELECT (node - 1000000)::BIGINT AS s_suppkey, r AS rank_micro
          FROM r3 WHERE node >= 1000000
+         ORDER BY rank_micro DESC, s_suppkey LIMIT 25""",
+
+    "n2_pagerank_tick" ->
+      // serve ranks from the history graph (2 iterations), then the
+      // delta-day orders arrive: warm-start 2 refresh iterations over
+      // the full edge set from the served table (absent nodes at 10⁶)
+      s"""WITH raw AS (
+           SELECT o.o_orderkey AS ok, o.o_custkey AS c,
+             l.l_suppkey + 1000000 AS p
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         bedges AS (
+           SELECT src, dst, count(*)::BIGINT AS cnt FROM (
+             SELECT c AS src, p AS dst FROM raw WHERE ok % 17 <> 0
+             UNION ALL SELECT p AS src, c AS dst FROM raw
+             WHERE ok % 17 <> 0)
+           GROUP BY src, dst),
+         fedges AS (
+           SELECT src, dst, count(*)::BIGINT AS cnt FROM (
+             SELECT c AS src, p AS dst FROM raw
+             UNION ALL SELECT p AS src, c AS dst FROM raw)
+           GROUP BY src, dst),
+         ${sqlLinkRankCtes("b", 2)},
+         ${sqlLinkRankCtes("f", 2, Some("SELECT node, r FROM br2"))}
+         SELECT (f.node - 1000000)::BIGINT AS s_suppkey,
+           f.r AS rank_micro, b.r AS prev_micro
+         FROM fr2 f LEFT JOIN br2 b ON f.node = b.node
+         WHERE f.node >= 1000000
          ORDER BY rank_micro DESC, s_suppkey LIMIT 25""",
 
     "s7_inverted_index_roundtrip" ->

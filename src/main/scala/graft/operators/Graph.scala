@@ -43,7 +43,19 @@ object Graph {
     * `(node, rank_micro)` for every node appearing as src or dst, after
     * `iters` full iterations from the uniform start r₀ = 10⁶.
     */
-  def linkRank(edges: DataFrame, iters: Int): DataFrame = {
+  def linkRank(edges: DataFrame, iters: Int): DataFrame =
+    linkRankFrom(edges, None, iters)
+
+  /** [[linkRank]] with a WARM START — the incremental tick: `start` is
+    * a served `(node, rank_micro)` table (a previous linkRank output,
+    * possibly over fewer edges); nodes absent from it begin at the
+    * uniform 10⁶. A delta batch of edges then needs only the couple of
+    * refresh iterations it takes to propagate the new mass locally,
+    * not a cold-start run — the served store stays O(|V|), the tick
+    * O(iters · |E|), no recompute of history.
+    */
+  def linkRankFrom(edges: DataFrame, start: Option[DataFrame],
+                   iters: Int): DataFrame = {
     require(iters >= 1, "linkRank needs at least one iteration")
     val deg = edges.groupBy(col("src"))
       .agg(sum(col("cnt")).as("outdeg"))
@@ -52,7 +64,14 @@ object Graph {
     val nodes = withOutdeg.select(col("src").as("node"))
       .union(withOutdeg.select(col("dst").as("node"))).distinct()
       .localCheckpoint(eager = false)
-    var ranks = nodes.withColumn("rank_micro", lit(1000000L))
+    var ranks = start match {
+      case None => nodes.withColumn("rank_micro", lit(1000000L))
+      case Some(s0) => nodes
+        .join(s0.select(col("node"), col("rank_micro").as("_r0")),
+          Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("_r0"), lit(1000000L)).as("rank_micro"))
+    }
     for (_ <- 1 to iters) {
       val contrib = withOutdeg
         .join(ranks.withColumnRenamed("node", "src"), "src")

@@ -48,6 +48,27 @@ class GraphSpec extends SparkSpec {
       (3L, 150000L + 212500L)))
   }
 
+  test("linkRankFrom: warm start composes — from(r_t, 1 iter) == r_{t+1}") {
+    val e = edges((1L, 2L, 1L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+    val r1 = Graph.linkRank(e, iters = 1)
+    val cold2 = Graph.linkRank(e, iters = 2)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    val warm = Graph.linkRankFrom(e, Some(r1), iters = 1)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(warm == cold2)
+  }
+
+  test("linkRankFrom: nodes absent from the served table start uniform") {
+    // served covers only node 1; 2 and 3 must begin at 10⁶ — one
+    // iteration over the symmetric pair {2,3} then leaves them at the
+    // fixed point while 1 (isolated in these edges) is absent entirely.
+    val served = Seq((1L, 777L)).toDF("node", "rank_micro")
+    val e = edges((2L, 3L, 1L), (3L, 2L, 1L))
+    val r = Graph.linkRankFrom(e, Some(served), iters = 1)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(r == Seq((2L, 1000000L), (3L, 1000000L)))
+  }
+
   test("linkRank: rank mass is bounded by the uniform start mass") {
     // floor losses only shed mass; teleport restores exactly 15% of the
     // uniform total — so Σ rank ≤ |V|·10⁶ at every iteration depth.
