@@ -3112,6 +3112,34 @@ object SparkEntry {
         .orderBy(col("stage"))
     }),
 
+    "c8_license_rollup" -> ((s, dir) => {
+      // C8 — license propagation through sequence packing (beyond the
+      // reference): a packed training sequence inherits the MOST
+      // RESTRICTIVE license among the documents that start in it
+      // (max over the shared Compliance.licenseLadder ranks), and
+      // bins touching cc-by-nc or proprietary get flagged — the
+      // release gate between g2's packed corpus and a commercial
+      // training run. Same bucketed two-pass packing as ta6 (no
+      // per-language whole-corpus sorts); per-doc licenses derive
+      // from doc_id so the oracle replays ground truth.
+      val ladder = Compliance.licenseLadder
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TA.tokenCount(col("text")).cast("long").as("n_tok"))
+      Packing.packedStartsBucketed(d, col("lang"), col("doc_id"),
+          col("n_tok"), bucketWidth = 4096L)
+        .withColumn("bin", expr("start_tok div 2048"))
+        .withColumn("lrank", (col("doc_id") % ladder.size).cast("int"))
+        .groupBy(col("lang"), col("bin")).agg(
+          count(lit(1)).as("n_docs"),
+          max(col("lrank")).as("_eff"))
+        .select(col("lang"), col("bin"), col("n_docs"),
+          col("_eff").cast("long").as("eff_rank"),
+          element_at(array(ladder.map(lit): _*), col("_eff") + 1)
+            .as("effective_license"),
+          (col("_eff") >= 5).as("restricted"))
+        .orderBy(col("lang"), col("bin"))
+    }),
+
     "w7_late_census" -> ((s, dir) => {
       // W7 — watermark sizing census (beyond the reference): before
       // picking a streaming watermark delay δ, measure what δ WOULD
@@ -5972,6 +6000,26 @@ object SparkEntry {
          SELECT stage, n_classes, n_small_classes, n_rows_at_risk,
            min_class
          FROM cen ORDER BY stage""",
+
+    "c8_license_rollup" -> {
+      val toks = sqlTokens("text")
+      val lad = operators.Compliance.licenseLadder
+      s"""WITH t AS (
+           SELECT doc_id, lang, len($toks)::BIGINT AS n_tok FROM documents),
+         s AS (
+           SELECT doc_id, lang, n_tok,
+             (sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+               - n_tok AS start_tok
+           FROM t),
+         b AS (SELECT lang, start_tok // 2048 AS bin,
+             doc_id % ${lad.size} AS lrank FROM s)
+         SELECT lang, bin, count(*)::BIGINT AS n_docs,
+           max(lrank)::BIGINT AS eff_rank,
+           ${sqlList(lad)}[max(lrank)::INT + 1] AS effective_license,
+           max(lrank) >= 5 AS restricted
+         FROM b GROUP BY lang, bin ORDER BY lang, bin"""
+    },
 
     "w7_late_census" ->
       """WITH e AS (

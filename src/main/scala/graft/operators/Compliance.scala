@@ -75,6 +75,15 @@ object Compliance {
       struct(lit("JSONL").as("format"), lit("UTF-8").as("encoding"),
         lit("1.0").as("schema_version")).as("metadata"))
 
+  /** License restrictiveness ladder, least → most restrictive — the
+    * lattice the c8 rollup maxes over (a packed training sequence
+    * inherits its most restrictive member's license; index ≥ 5 ⇒
+    * restricted for commercial training). Shared by the Spark query
+    * and the DuckDB oracle so the two cannot drift.
+    */
+  val licenseLadder: Seq[String] = Seq("public-domain", "mit",
+    "apache-2.0", "cc-by", "cc-by-sa", "cc-by-nc", "proprietary")
+
   /** C2 — licensing struct append. Ref: provenance_compliance.py:148-185. */
   def licensing(paperId: Column): Column =
     struct(
