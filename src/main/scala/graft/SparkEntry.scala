@@ -500,6 +500,28 @@ object SparkEntry {
         .orderBy(col("user_id"), col("click_id"), col("win_id"))
     }),
 
+    "j5_salted_join" -> ((s, dir) => {
+      // J5 — hot-key salted join, oracle-exercised (JoinsSpec pins
+      // equality with the plain join; this runs the REAL operator over
+      // the parquet tables): every third event collapses onto key 1 —
+      // the one-customer-dominates skew that strands a plain shuffle
+      // join's hot partition on a single task. saltedJoin spreads the
+      // hot key across 8 (key, salt) buckets; the dim side replicates
+      // 8×. The rollup checksum is an integer sum — order-exact.
+      val ev = t(s, dir, "events").select(
+        when(col("event_id") % 3 === 0, lit(1L))
+          .otherwise(col("user_id")).as("key"),
+        col("event_id"))
+      val dim = t(s, dir, "customer").select(
+        col("c_custkey").as("key"), col("c_mktsegment"))
+      graft.operators.Joins.saltedJoin(ev, dim, "key", salts = 8,
+          col("event_id"))
+        .groupBy(col("c_mktsegment")).agg(
+          count(lit(1)).as("n"),
+          sum(col("event_id") % 97).as("chk"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     "n1_pagerank" -> ((s, dir) => {
       // Weighted link rank (beyond the reference): damped random walk
       // (PageRank, d = 17/20) over the customer↔supplier interaction
@@ -9327,6 +9349,18 @@ object SparkEntry {
            ON c.user_id = w.user_id
            AND c.tus >= w.start_us AND c.tus <= w.end_us
          ORDER BY c.user_id, c.click_id, w.win_id""",
+
+    "j5_salted_join" ->
+      // the salt is pure mechanics — the oracle replays the JOIN
+      """WITH e AS (
+           SELECT CASE WHEN event_id % 3 = 0 THEN 1
+                       ELSE user_id END AS key, event_id
+           FROM events),
+         d AS (SELECT c_custkey AS key, c_mktsegment FROM customer)
+         SELECT c_mktsegment, count(*)::BIGINT AS n,
+           sum(event_id % 97)::BIGINT AS chk
+         FROM e JOIN d USING (key)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "n1_pagerank" ->
       // the same integer-micro-unit walk, iterations unrolled; `//` on
