@@ -86,6 +86,13 @@ object SparkEntry {
     */
   private val ccnetSeedSources = Seq("src0", "src1", "src2", "src3")
 
+  /** n3's trusted seed nations: customers of these nations are the
+    * hand-trusted whitelist whose teleport mass ranks the rest of the
+    * interaction graph (the TrustRank seed set). Shared by the query
+    * and its oracle.
+    */
+  private val trustedNations = Seq("NATION_3", "NATION_7", "NATION_11")
+
   /** a7x's verification ceiling: with lineitem at or under this many
     * rows the sketch query ALSO computes the exact quartiles it is
     * checked against (the driver's sf0.01 gate, ~60k rows); above it
@@ -589,6 +596,41 @@ object SparkEntry {
         .select((col("node") - 1000000L).as("s_suppkey"),
           col("rank_micro"), col("prev_micro"))
         .orderBy(col("rank_micro").desc, col("s_suppkey"))
+        .limit(25)
+    }),
+
+    "n3_trustrank" -> ((s, dir) => {
+      // N3 — SEEDED trust propagation (TrustRank; beyond the
+      // reference): the n1 damped walk with ALL teleport mass
+      // concentrated on a hand-trusted seed set — customers of the
+      // pinned trustedNations — so a supplier's score measures how
+      // reachable it is FROM trust, not raw link popularity. This is
+      // the whitelist-extension move of source curation: a small
+      // trusted-domain list ranks the whole source graph. Same
+      // integer micro-unit contract as n1 (Graph.trustRank: seed
+      // teleport (150000·|V|) div |S|, floor-divided per-edge shares,
+      // BIGINT sums ⇒ order-exact on both engines); one iteration is
+      // one edge-list join + one hash agg, linear in |E| at any scale.
+      val raw = t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"),
+          (col("l_suppkey") + 1000000L).as("p"))
+      val edges = raw.select(col("c").as("src"), col("p").as("dst"))
+        .unionAll(raw.select(col("p").as("src"), col("c").as("dst")))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+      val seeds = t(s, dir, "customer")
+        .join(t(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .filter(col("n_name").isin(trustedNations: _*))
+        .select(col("c_custkey").as("node"))
+      graft.operators.Graph.trustRank(edges, seeds, iters = 3)
+        .filter(col("node") >= 1000000L)
+        .select((col("node") - 1000000L).as("s_suppkey"),
+          col("rank_micro").as("trust_micro"))
+        .orderBy(col("trust_micro").desc, col("s_suppkey"))
         .limit(25)
     }),
 
@@ -5223,6 +5265,41 @@ object SparkEntry {
        $iterCtes"""
   }
 
+  /** n3's DuckDB twin of [[graft.operators.Graph.trustRank]]: the
+    * [[sqlLinkRankCtes]] walk with the teleport mass concentrated on a
+    * `seeds(node)` CTE. |V| and |S| fold in as scalar-subquery BIGINTs
+    * (the literals Spark computes driver-side), and `//` on
+    * non-negative BIGINTs floors exactly like Spark's `div`, so every
+    * rank cell is the identical integer on both engines.
+    */
+  private def sqlTrustRankCtes(iters: Int): String = {
+    val iterCtes = (1 to iters).map { t =>
+      s"""c$t AS MATERIALIZED (SELECT ew.dst AS node,
+             sum(ew.cnt * ((17 * pr.r) // (20 * ew.outdeg)))::BIGINT AS m
+           FROM ew JOIN r${t - 1} pr ON pr.node = ew.src
+           GROUP BY ew.dst),
+         r$t AS MATERIALIZED (SELECT n.node,
+             (CASE WHEN n.seed THEN (150000 * k.nn) // k.ns ELSE 0 END
+              + coalesce(c.m, 0))::BIGINT AS r
+           FROM nodes n CROSS JOIN k LEFT JOIN c$t c USING (node))"""
+    }.mkString(",\n")
+    s"""deg AS MATERIALIZED (SELECT src, sum(cnt)::BIGINT AS outdeg
+           FROM edges GROUP BY src),
+       ew AS MATERIALIZED (SELECT e.src, e.dst, e.cnt, d.outdeg
+           FROM edges e JOIN deg d USING (src)),
+       nodes AS MATERIALIZED (SELECT node,
+             node IN (SELECT node FROM seeds) AS seed
+           FROM (SELECT src AS node FROM edges
+                 UNION SELECT dst AS node FROM edges)),
+       k AS MATERIALIZED (SELECT (SELECT count(*) FROM nodes) AS nn,
+           (SELECT count(*) FROM nodes WHERE seed) AS ns),
+       r0 AS MATERIALIZED (SELECT n.node,
+           (CASE WHEN n.seed THEN (1000000 * k.nn) // k.ns
+            ELSE 0 END)::BIGINT AS r
+           FROM nodes n CROSS JOIN k),
+       $iterCtes"""
+  }
+
   /** DuckDB list literal from a Scala string list. */
   private def sqlList(xs: Seq[String]): String =
     xs.map(s => s"'$s'").mkString("[", ", ", "]")
@@ -9404,6 +9481,27 @@ object SparkEntry {
          FROM fr2 f LEFT JOIN br2 b ON f.node = b.node
          WHERE f.node >= 1000000
          ORDER BY rank_micro DESC, s_suppkey LIMIT 25""",
+
+    "n3_trustrank" ->
+      // the n1 walk with teleport concentrated on the trusted-nation
+      // customer seeds; |V|, |S| as scalar subqueries, all-BIGINT
+      s"""WITH raw AS (
+           SELECT o.o_custkey AS c, l.l_suppkey + 1000000 AS p
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         edges AS (
+           SELECT src, dst, count(*)::BIGINT AS cnt FROM (
+             SELECT c AS src, p AS dst FROM raw
+             UNION ALL SELECT p AS src, c AS dst FROM raw)
+           GROUP BY src, dst),
+         seeds AS (
+           SELECT c.c_custkey AS node FROM customer c
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           WHERE n.n_name IN (${trustedNations.map(n => s"'$n'")
+             .mkString(", ")})),
+         ${sqlTrustRankCtes(3)}
+         SELECT (node - 1000000)::BIGINT AS s_suppkey, r AS trust_micro
+         FROM r3 WHERE node >= 1000000
+         ORDER BY trust_micro DESC, s_suppkey LIMIT 25""",
 
     "s7_inverted_index_roundtrip" ->
       s"""SELECT doc_id,

@@ -88,4 +88,62 @@ object Graph {
     }
     ranks
   }
+
+  /** SEEDED trust propagation (TrustRank, Gyöngyi et al. 2004): the
+    * [[linkRank]] walk with the teleport mass concentrated on a trusted
+    * seed set instead of spread uniformly — the whitelist-extension
+    * move of corpus curation (a small set of hand-trusted domains ranks
+    * the whole source graph by how reachable each node is from trust).
+    *
+    * Same integer contract as [[linkRank]], rescaled so total teleport
+    * mass matches: with |V| nodes and |S| seeds present in the graph,
+    * every seed teleports `(150000·|V|) div |S|` micro-units per
+    * iteration and starts at `(10⁶·|V|) div |S|`; non-seeds get 0 of
+    * both and earn trust only through in-edges. With S = V both
+    * divisions collapse to the uniform 150000 / 10⁶, so
+    * `trustRank(e, allNodes, k) == linkRank(e, k)` exactly — the
+    * equivalence GraphSpec pins.
+    *
+    * Scale shape: identical per-iteration join+agg as [[linkRank]];
+    * the seed membership rides the node table as a boolean (one
+    * broadcast-sized join at build), and |V|,|S| are two bounded
+    * driver-side counts (the fixpoint-probe discipline) folded into
+    * literals so every rank cell stays a plan-side BIGINT.
+    */
+  def trustRank(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "trustRank needs at least one iteration")
+    val deg = edges.groupBy(col("src"))
+      .agg(sum(col("cnt")).as("outdeg"))
+    val withOutdeg = edges.join(deg, "src")
+      .localCheckpoint(eager = false)
+    val nodes = withOutdeg.select(col("src").as("node"))
+      .union(withOutdeg.select(col("dst").as("node"))).distinct()
+      .join(seeds.select(col("node")).distinct()
+          .withColumn("_s", lit(true)),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("_s"), lit(false)).as("seed"))
+      .localCheckpoint(eager = false)
+    val nn = nodes.count()
+    val ns = nodes.filter(col("seed")).count()
+    require(ns > 0, "trustRank needs at least one seed present in the graph")
+    val tele = (150000L * nn) / ns // floor div, both operands positive
+    val start0 = (1000000L * nn) / ns
+    var ranks = nodes.select(col("node"),
+      when(col("seed"), lit(start0)).otherwise(lit(0L)).as("rank_micro"))
+    for (_ <- 1 to iters) {
+      val contrib = withOutdeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"),
+          (col("cnt") *
+            expr("(17 * rank_micro) div (20 * outdeg)")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inmass"))
+      ranks = nodes
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (when(col("seed"), lit(tele)).otherwise(lit(0L)) +
+            coalesce(col("inmass"), lit(0L))).as("rank_micro"))
+        .localCheckpoint(eager = false)
+    }
+    ranks
+  }
 }

@@ -69,6 +69,57 @@ class GraphSpec extends SparkSpec {
     assert(r == Seq((2L, 1000000L), (3L, 1000000L)))
   }
 
+  test("trustRank: all-nodes seed set degenerates to linkRank exactly") {
+    // |S| = |V| collapses the seed teleport (150000·|V|) div |S| and the
+    // seed start (10⁶·|V|) div |S| to the uniform 150000 / 10⁶ — the
+    // two walks must agree bit-for-bit at every depth.
+    val e = edges((1L, 2L, 2L), (2L, 3L, 1L), (3L, 1L, 5L), (2L, 1L, 1L))
+    val all = Seq(1L, 2L, 3L).toDF("node")
+    for (k <- 1 to 3) {
+      val tr = Graph.trustRank(e, all, iters = k)
+        .orderBy("node").as[(Long, Long)].collect().toSeq
+      val lr = Graph.linkRank(e, iters = k)
+        .orderBy("node").as[(Long, Long)].collect().toSeq
+      assert(tr == lr)
+    }
+  }
+
+  test("trustRank: hand-computed star graph with a single seed") {
+    // 1→{2,3}, {2,3}→1, unit weights, seed = {1}: nn = 3, ns = 1, so
+    // node 1 starts at 3·10⁶ and teleports 450000; non-seeds get 0.
+    val e = edges((1L, 2L, 1L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+    val seeds = Seq(1L).toDF("node")
+    val r1 = Graph.trustRank(e, seeds, iters = 1)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    // to each of 2,3: (17·3·10⁶) div 40 = 1275000; to 1: only teleport
+    // (leaves start at 0 ⇒ contribute 0)
+    assert(r1 == Seq((1L, 450000L), (2L, 1275000L), (3L, 1275000L)))
+    val r2 = Graph.trustRank(e, seeds, iters = 2)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    // to 1: 450000 + (17·1275000) div 20 from each leaf = 1083750 each;
+    // to each leaf: (17·450000) div 40 = 191250
+    assert(r2 == Seq((1L, 450000L + 2L * 1083750L),
+      (2L, 191250L), (3L, 191250L)))
+  }
+
+  test("trustRank: seeds absent from the graph don't count toward |S|") {
+    // seed table mentions 1 and 99; only 1 is a graph node, so ns = 1
+    // and the walk must equal the single-seed run exactly.
+    val e = edges((1L, 2L, 1L), (2L, 1L, 1L))
+    val one = Graph.trustRank(e, Seq(1L).toDF("node"), iters = 2)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    val extra = Graph.trustRank(e, Seq(1L, 99L).toDF("node"), iters = 2)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(one == extra)
+  }
+
+  test("trustRank: no seed in the graph is rejected") {
+    val e = edges((1L, 2L, 1L), (2L, 1L, 1L))
+    intercept[IllegalArgumentException] {
+      Graph.trustRank(e, Seq(99L).toDF("node"), iters = 1)
+    }
+  }
+
   test("linkRank: rank mass is bounded by the uniform start mass") {
     // floor losses only shed mass; teleport restores exactly 15% of the
     // uniform total — so Σ rank ≤ |V|·10⁶ at every iteration depth.
