@@ -3204,6 +3204,36 @@ object SparkEntry {
         .orderBy(col("lang"), col("bin"))
     }),
 
+    "c9_takedown_closure" -> ((s, dir) => {
+      // C9 — takedown propagation through near-dup clusters (beyond
+      // the reference): a DMCA/opt-out notice names ONE copy, but
+      // removing only that row leaves its near-duplicates serving the
+      // same content — so the removal unit is the d14 CLUSTER, not the
+      // doc. Every cluster containing ≥1 noticed doc is removed whole:
+      // status 'direct' (named in a notice), 'closure' (removed as a
+      // near-copy of a noticed doc), 'kept'. Notices sample
+      // deterministically by keyHash (the salt-split discipline) so
+      // both engines see the identical notice list. Scale shape: the
+      // closure is the banded d6 pair graph + large-star/small-star
+      // rounds (no all-pairs, no chain-length iteration); the hit
+      // bit is one max over cluster_id — a fine-grained key whose
+      // group size is cluster size, never corpus size.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val labeled = Dedup.dupClusters(docs, col("doc_id"), col("text"),
+          threshold = 0.5)
+        .withColumn("direct",
+          Sampling.keyHash(col("doc_id"), "dmca") <
+            Sampling.threshold(0.1))
+      labeled
+        .withColumn("hit", max(when(col("direct"), 1L).otherwise(0L))
+          .over(Window.partitionBy(col("cluster_id"))))
+        .select(col("doc_id"), col("cluster_id"),
+          when(col("direct"), "direct")
+            .when(col("hit") === 1L, "closure")
+            .otherwise("kept").as("status"))
+        .orderBy(col("doc_id"))
+    }),
+
     "w7_late_census" -> ((s, dir) => {
       // W7 — watermark sizing census (beyond the reference): before
       // picking a streaming watermark delay δ, measure what δ WOULD
@@ -6119,6 +6149,34 @@ object SparkEntry {
            max(lrank) >= 5 AS restricted
          FROM b GROUP BY lang, bin ORDER BY lang, bin"""
     },
+
+    "c9_takedown_closure" ->
+      // the d14 closure chain + the deterministic notice sample; a
+      // cluster with any noticed member is removed whole
+      s"""WITH RECURSIVE $sqlMinhashPairCtes,
+         edges AS (SELECT id_a AS ea, id_b AS eb FROM mh_pairs
+           WHERE est_jaccard >= 0.5),
+         sym AS (SELECT ea, eb FROM edges
+           UNION SELECT eb AS ea, ea AS eb FROM edges),
+         reach(id, r) AS (
+           SELECT ea, eb FROM sym
+           UNION
+           SELECT t.id, s.eb FROM reach t JOIN sym s ON t.r = s.ea),
+         comp AS (SELECT id, min(r) AS mr FROM reach GROUP BY id),
+         lab AS (SELECT d.doc_id,
+             least(coalesce(c.mr, d.doc_id), d.doc_id) AS cluster_id,
+             ${Sampling.sqlKeyHash("d.doc_id::VARCHAR", "dmca")} <
+               ${Sampling.threshold(0.1)} AS direct
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+         hit AS (SELECT cluster_id,
+             max(CASE WHEN direct THEN 1 ELSE 0 END) AS h
+           FROM lab GROUP BY cluster_id)
+         SELECT l.doc_id, l.cluster_id,
+           CASE WHEN l.direct THEN 'direct'
+                WHEN h.h = 1 THEN 'closure'
+                ELSE 'kept' END AS status
+         FROM lab l JOIN hit h USING (cluster_id)
+         ORDER BY doc_id""",
 
     "w7_late_census" ->
       """WITH e AS (

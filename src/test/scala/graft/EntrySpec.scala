@@ -54,4 +54,21 @@ class EntrySpec extends SparkSpec {
         assert(qs("middle").max <= qs("tail").min, s"$lang: middle>tail")
     }
   }
+
+  test("c9 takedown law: removal is cluster-atomic") {
+    val out = SparkEntry.queries("c9_takedown_closure")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    assert(out.exists(_.getAs[String]("status") == "direct"),
+      "notice sample came up empty — raise the rate or check keyHash")
+    out.groupBy(_.getAs[Long]("cluster_id")).foreach { case (cid, rows) =>
+      val st = rows.map(_.getAs[String]("status")).toSet
+      if (st.contains("direct"))
+        assert(!st.contains("kept"),
+          s"cluster $cid kept a member despite a direct notice")
+      else
+        assert(st == Set("kept"),
+          s"cluster $cid removed members without any notice")
+    }
+  }
 }
