@@ -4178,6 +4178,31 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    "m10_audio_energy" -> ((s, dir) => {
+      // M10 — frame-level audio energy over the REAL m7 PCM decode
+      // (beyond the reference; the voice-activity-detection work list):
+      // each clip's s16le samples frame into 6-sample windows, per
+      // frame energy = Σ s² and peak = max |s| as exact BIGINTs, and a
+      // frame is 'active' when its mean square clears 100² — the pure
+      // integer compare energy ≥ n·10000. This is the Spark seat of
+      // VAD-gated audio curation: the census of active frames decides
+      // which clips (and which spans) a codec-backed pipeline keeps.
+      // The oracle replays energies from the amplitude FORMULA alone,
+      // so framing, byte walk, and the partial last frame are all
+      // checked against independent ground truth.
+      val hexes = array((0 until 16).map(v => lit(m7WavHex(v))): _*)
+      t(s, dir, "documents")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(16L)).as("v"))
+        .withColumn("fr", explode(Multimodal.wavFrameEnergies(
+          unhex(element_at(hexes, (col("v") + 1).cast("int"))), 6)))
+        .select(col("doc_id"), col("v"),
+          col("fr.frame").as("frame"), col("fr.n").as("n"),
+          col("fr.energy").as("energy"), col("fr.peak").as("peak"),
+          (col("fr.energy") >= col("fr.n").cast("long") * lit(10000L))
+            .as("active"))
+        .orderBy(col("doc_id"), col("frame"))
+    }),
+
     "w6_interval_join" -> ((s, dir) => {
       // Batch twin of the watermarked stream-stream interval join
       // (Streams.intervalJoin; StreamFileSpec pins stream == batch
@@ -7421,6 +7446,27 @@ object SparkEntry {
          SELECT doc_id, timescale, duration_ms, fps, n_frames, frame_idx,
            (frame_idx * 1000) // fps AS t_ms
          FROM x ORDER BY doc_id, frame_idx""",
+
+    "m10_audio_energy" ->
+      // FORMULA-only ground truth (the m7 amplitudes): framing,
+      // energies, peaks, and the partial last frame replay from (v, i)
+      // arithmetic; the Spark side must recover them from real bytes
+      """WITH d AS (SELECT doc_id, doc_id % 16 AS v, 8 + doc_id % 16 AS n
+           FROM documents),
+         fr AS (SELECT doc_id, v, n,
+             unnest(generate_series(0, (n - 1) // 6)) AS frame
+           FROM d),
+         w AS (SELECT doc_id, v, frame,
+             (least((frame + 1) * 6, n) - frame * 6) AS fn,
+             list_transform(
+               generate_series(frame * 6, least((frame + 1) * 6, n) - 1),
+               i -> ((v * 37 + i * 29) % 401) - 200) AS s
+           FROM fr)
+         SELECT doc_id, v, frame::INT AS frame, fn::INT AS n,
+           list_sum(list_transform(s, x -> x * x))::BIGINT AS energy,
+           list_max(list_transform(s, x -> abs(x)))::BIGINT AS peak,
+           list_sum(list_transform(s, x -> x * x)) >= fn * 10000 AS active
+         FROM w ORDER BY doc_id, frame""",
 
     "w6_interval_join" ->
       """WITH a AS (

@@ -402,6 +402,59 @@ object Multimodal {
     }
   }
 
+  /** m10 — frame-level PCM ENERGY (the voice-activity work list): the
+    * [[wavSampleStats]] byte walk framed into fixed windows of
+    * `frameLen` samples (last frame partial, its true length reported).
+    * Returns array<struct(frame, n, energy, peak)> — energy = Σ s²,
+    * peak = max |s|, both exact BIGINTs, so the downstream activity
+    * census (energy ≥ n·threshold²) is pure integer arithmetic. Same
+    * validity mask as wavSampleStats: invalid or empty payloads → NULL
+    * (an explode then drops them). Frame starts come from a STEPPED
+    * sequence (no long division anywhere); the hex string is letBound
+    * once per row, not per sample.
+    */
+  def wavFrameEnergies(bin: Column, frameLen: Int): Column = {
+    require(frameLen >= 1, "wavFrameEnergies needs frameLen >= 1")
+    bind(upper(hex(bin))) { h =>
+      val dlen = leU32(h, lit(40))
+      val valid = length(bin) >= 44 && substring(h, 1, 8) === "52494646" &&
+        substring(h, 17, 8) === "57415645" &&
+        substring(h, 25, 8) === "666D7420" &&
+        leU32(h, lit(16)) === 16 && leU16(h, lit(20)) === 1 &&
+        leU16(h, lit(22)) === 1 && leU16(h, lit(34)) === 16 &&
+        substring(h, 73, 8) === "64617461" &&
+        pmod(dlen, lit(2L)) === 0 && length(bin) >= dlen + 44
+      val g0 = struct(
+        when(valid, (dlen / lit(2L)).cast("long")).otherwise(lit(0L)).as("n"))
+      bind(g0) { g =>
+        val n = g.getField("n")
+        when(n > 0,
+          transform(
+            sequence(lit(0L), n - 1, lit(frameLen.toLong)),
+            (lo, fi) => {
+              val hi = least(lo + frameLen, n) - 1
+              val zero = struct(lit(0L).as("e"), lit(0L).as("p"))
+              val acc = aggregate(
+                sequence(lo, hi),
+                zero,
+                (a, i) => {
+                  val raw = conv(concat(substring(h, i * 4 + 91, lit(2)),
+                    substring(h, i * 4 + 89, lit(2))), 16, 10).cast("long")
+                  val s = when(raw >= 32768L, raw - 65536L).otherwise(raw)
+                  struct(
+                    (a.getField("e") + s * s).as("e"),
+                    greatest(a.getField("p"), abs(s)).as("p"))
+                })
+              bind(acc)(a => struct(
+                fi.cast("int").as("frame"),
+                (hi - lo + 1).cast("int").as("n"),
+                a.getField("e").as("energy"),
+                a.getField("p").as("peak")))
+            }))
+      }
+    }
+  }
+
   /** 2⁰..2³¹ for lambda-indexed bit packing (shiftleft needs a constant
     * shift amount) — the [[graft.functions.VectorFunctions.signBits]]
     * convention: 32 bits per BIGINT word, so words replay as plain

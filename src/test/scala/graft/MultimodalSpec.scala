@@ -355,6 +355,47 @@ class MultimodalSpec extends SparkSpec {
       ("stereo", None), ("trunc", None)))
   }
 
+  test("wavFrameEnergies: framing, partial last frame, integer energies") {
+    def wav(samples: Seq[Int], channels: Int = 1): Array[Byte] = {
+      val dlen = 2 * samples.size
+      val bb = java.nio.ByteBuffer.allocate(44 + dlen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + dlen).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(1)
+        .putShort(channels.toShort).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+      bb.put("data".getBytes).putInt(dlen)
+      samples.foreach(x => bb.putShort(x.toShort))
+      bb.array()
+    }
+    // 5 samples at frameLen=2 → frames [100,-50], [0,-1], [3]
+    val good = wav(Seq(100, -50, 0, -1, 3))
+    val df = Seq(
+      ("good", good),
+      ("stereo", wav(Seq(1, 2), channels = 2)),
+      ("trunc", good.dropRight(1))).toDF("k", "b")
+    val got = rows(df.select($"k",
+        Multimodal.wavFrameEnergies($"b", 2).as("fr")).orderBy($"k"))
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) None
+        else Some(r.getSeq[org.apache.spark.sql.Row](1).map(f =>
+          (f.getInt(0), f.getInt(1), f.getLong(2), f.getLong(3))))))
+    assert(got == Seq(
+      ("good", Some(Seq((0, 2, 12500L, 100L), (1, 2, 1L, 1L),
+        (2, 1, 9L, 3L)))),
+      ("stereo", None), ("trunc", None)))
+    // frame energies must sum to the whole-clip energy, frame peaks
+    // max to the clip peak — the decomposition law at any frameLen
+    for (fl <- 1 to 6) {
+      val fr = rows(Seq(("x", good)).toDF("k", "b").select(
+        Multimodal.wavFrameEnergies($"b", fl).as("fr")))
+        .head.getSeq[org.apache.spark.sql.Row](0)
+      assert(fr.map(_.getLong(2)).sum == 100L * 100 + 50 * 50 + 1 + 9)
+      assert(fr.map(_.getLong(3)).max == 100L)
+      assert(fr.map(_.getInt(1)).sum == 5)
+    }
+  }
+
   test("bmpDHash: lattice bits, brightness-shift invariance, row-order agreement") {
     def bmp(w: Int, h: Int, topDown: Boolean,
             f: (Int, Int) => Int): Array[Byte] = {
