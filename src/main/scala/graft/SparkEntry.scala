@@ -4845,6 +4845,26 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "v26_matryoshka_ann" -> ((s, dir) => {
+      // Matryoshka two-stage ANN (beyond the reference; Kusupati et
+      // al. 2022): candidate generation scores cosine over only the
+      // FIRST 16 of 64 dimensions (MRL embeddings front-load meaning),
+      // top-20 per query rerank with the full vector, final top-5 —
+      // the dimension-sliced member of the v10/v25 quantized-candidate
+      // family. At 100 TB the prefix is its own stored column, so
+      // candidate scoring streams a quarter of the bytes.
+      val e = t(s, dir, "embeddings")
+      Similarity.matryoshkaTopK(
+          e.filter(col("vec_id") >= 3), col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < 3), col("vec_id"), col("embedding"),
+          k = 5, rerank = 20, prefixDim = 16)
+        .select(col("query_id"), col("doc_id"),
+          fround(col("cosine"), 6).as("cosine"),
+          fround(col("approx_cosine"), 6).as("approx_cosine"),
+          col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "v18_pq_topk" -> ((s, dir) => {
       // Product-quantization ANN + exact rerank (beyond the reference;
       // the cache-resident memory path past v10's int8 codes): 4×16-dim
@@ -9490,6 +9510,36 @@ object SparkEntry {
            FROM cand)
          SELECT query_id, doc_id, ${sqlFround("cosine", 6)} AS cosine,
            hamming, rank
+         FROM rk WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "v26_matryoshka_ann" ->
+      // prefix cosine over dims 1..16 (sqlCosine's fixed-order fold —
+      // the same op order as CosineSim on the sliced array), full-dim
+      // rerank; both rank windows replayed
+      s"""WITH d AS (
+           SELECT vec_id AS doc_id, embedding AS dv
+           FROM embeddings WHERE vec_id >= 3),
+         q AS (
+           SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 3),
+         ap AS (
+           SELECT q.query_id, d.doc_id, d.dv, q.qv,
+             ${sqlCosine("d.dv", "q.qv", 16)} AS approx_cosine
+           FROM d CROSS JOIN q),
+         cand AS (
+           SELECT * FROM (
+             SELECT query_id, doc_id, dv, qv, approx_cosine,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY approx_cosine DESC, doc_id) AS arank
+             FROM ap) WHERE arank <= 20),
+         rk AS (
+           SELECT query_id, doc_id,
+             ${sqlCosine64("dv", "qv")} AS cosine, approx_cosine,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY ${sqlCosine64("dv", "qv")} DESC, doc_id) AS rank
+           FROM cand)
+         SELECT query_id, doc_id, ${sqlFround("cosine", 6)} AS cosine,
+           ${sqlFround("approx_cosine", 6)} AS approx_cosine, rank
          FROM rk WHERE rank <= 5 ORDER BY query_id, rank""",
 
     "j2_asof_join" ->

@@ -373,6 +373,46 @@ object Similarity {
         col("hamming"), col("rank"))
   }
 
+  /** Matryoshka two-stage ANN (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning"): MRL-trained embeddings concentrate
+    * meaning in their leading coordinates, so candidate generation
+    * scores cosine over only the first `prefixDim` dimensions and the
+    * top `rerank` per query re-score with the full vector. The
+    * dimension-sliced cousin of [[quantizedTopK]] (bit-depth) and
+    * [[binaryTopK]] (sign bits): at 100 TB the prefix lives as its own
+    * column (built once at ingest, as here at a select boundary), so
+    * candidate scoring streams prefixDim/dim of the bytes and the full
+    * vectors hydrate for only `rerank` rows per query.
+    *
+    * Output: query_id, doc_id, cosine (exact full-dim), approx_cosine
+    * (prefix), rank — deterministic (both ranks tie-break by doc id).
+    */
+  def matryoshkaTopK(docs: DataFrame, docId: Column, docVec: Column,
+                     queries: DataFrame, queryId: Column, queryVec: Column,
+                     k: Int, rerank: Int, prefixDim: Int): DataFrame = {
+    require(rerank >= k, "rerank depth must cover the final k")
+    require(prefixDim >= 1, "matryoshkaTopK needs a non-empty prefix")
+    val d = docs.select(docId.as("doc_id"), docVec.as("dv"))
+      .select(col("doc_id"), col("dv"),
+        slice(col("dv"), 1, prefixDim).as("__dp"))
+    val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
+      .select(col("query_id"), col("qv"),
+        slice(col("qv"), 1, prefixDim).as("__qp"))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cosine").desc, col("doc_id"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+    d.crossJoin(broadcast(q))
+      .withColumn("approx_cosine", CosineSim(col("__dp"), col("__qp")))
+      .withColumn("__arank", row_number().over(wApprox))
+      .filter(col("__arank") <= rerank)
+      .withColumn("cosine", CosineSim(col("dv"), col("qv")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("cosine"),
+        col("approx_cosine"), col("rank"))
+  }
+
   /** Product-quantization codebooks for cosine ANN (Jégou et al. 2011,
     * "Product Quantization for Nearest Neighbor Search" — the memory
     * path past [[quantizedTopK]]'s int8 scalar codes: m small codes per

@@ -578,6 +578,39 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._3) == Seq(1, 2, 3, 1, 2, 3))
   }
 
+  test("matryoshkaTopK: full-prefix and full-depth degenerate to exact; prefix routes clusters") {
+    val queries = Seq((100L, b1.toSeq), (200L, b2.toSeq)).toDF("qid", "qv")
+    val exact = rows(Similarity.topKPerQuery(
+      corpus, $"id", $"v", queries, $"qid", $"qv", k = 3)
+      .select($"query_id", $"doc_id", $"rank")
+      .orderBy($"query_id", $"rank"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // prefixDim = dim: approx == exact cosine, so any rerank depth works
+    val fullPrefix = rows(Similarity.matryoshkaTopK(
+      corpus, $"id", $"v", queries, $"qid", $"qv",
+      k = 3, rerank = 3, prefixDim = 16)
+      .select($"query_id", $"doc_id", $"rank")
+      .orderBy($"query_id", $"rank"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(fullPrefix == exact)
+    // rerank = corpus: the candidate stage cannot lose the true top-k
+    val fullDepth = rows(Similarity.matryoshkaTopK(
+      corpus, $"id", $"v", queries, $"qid", $"qv",
+      k = 3, rerank = 5, prefixDim = 4)
+      .select($"query_id", $"doc_id", $"rank")
+      .orderBy($"query_id", $"rank"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(fullDepth == exact)
+    // b1 lives entirely in dims 0..7: a 8-dim prefix still routes
+    // query 100 to the b1 cluster with a shallow rerank
+    val routed = rows(Similarity.matryoshkaTopK(
+      corpus, $"id", $"v", queries, $"qid", $"qv",
+      k = 3, rerank = 3, prefixDim = 8)
+      .filter($"query_id" === 100L))
+      .map(_.getLong(1)).toSet
+    assert(routed == Set(1L, 2L, 3L))
+  }
+
   test("mmrTopK: diversity weight demotes near-duplicates; zero diversity = plain ranking") {
     val dir = java.nio.file.Files.createTempDirectory("mmr").toString
     val queries = Seq((100L, b1.toSeq)).toDF("qid", "qv")
