@@ -1431,6 +1431,70 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "ta22_gopher_rules" -> ((s, dir) => {
+      // TA22 — the Gopher quality-rule bundle (Rae et al. 2021,
+      // Appendix A1.1; beyond the reference): word-count bounds, mean
+      // word length, symbol-to-word ratio, alpha-word share, required
+      // stopwords, bullet-start and ellipsis-end line shares — the
+      // canonical heuristic pre-filter every LLM corpus runs before
+      // model-based gates. Every flag is a multiplication-form INTEGER
+      // compare over TA.gopherCounts/gopherLineCounts (no division, no
+      // float — order-exact on both engines). Docs are synthesized
+      // into lined text so every rule has live positives: doc_id % 11
+      // docs become all-bullet stubs (bullet/ellipsis/word-count rules
+      // fire), the rest carry prose plus doc-varied bullet/ellipsis/
+      // symbol lines.
+      val raw = t(s, dir, "documents")
+      val lined = when(col("doc_id") % 11 === 0,
+          lit("- only\n- bullets...\n- here"))
+        .otherwise(concat_ws("\n",
+          substring(coalesce(col("text"), lit("")), 1, 200),
+          when(col("doc_id") % 4 === 0, lit("- a bullet item"))
+            .otherwise(lit("a plain prose line")),
+          when(col("doc_id") % 5 === 0, lit("to be continued..."))
+            .otherwise(concat(lit("line "), col("doc_id").cast("string"))),
+          when(col("doc_id") % 7 === 0, lit("# header ###"))
+            .otherwise(lit("the closing line"))))
+      raw.select(col("doc_id"), lined.as("lt"))
+        // bind the tokenizer BEFORE gopherCounts: its required-stop
+        // filter references the token array inside a lambda, which
+        // would otherwise re-run the regex once per stopword
+        .select(col("doc_id"), col("lt"), TA.tokens(col("lt")).as("toks"))
+        .select(col("doc_id"), col("lt"),
+          TA.gopherCounts(col("lt"), col("toks")).as("g"),
+          TA.gopherLineCounts(col("lt")).as("l"))
+        .select(col("doc_id"),
+          col("g.n_words").as("n_words"),
+          col("g.sum_word_len").as("sum_word_len"),
+          col("g.n_alpha").as("n_alpha"),
+          col("g.n_req_stops").as("n_req_stops"),
+          col("g.n_symbols").as("n_symbols"),
+          col("l.n_lines").as("n_lines"),
+          col("l.n_bullet").as("n_bullet"),
+          col("l.n_ellipsis_end").as("n_ellipsis_end"))
+        .withColumn("bad_word_count",
+          col("n_words") < 30L || col("n_words") > 100000L)
+        .withColumn("bad_mean_word_len",
+          col("n_words") === 0L ||
+            col("sum_word_len") < lit(3L) * col("n_words") ||
+            col("sum_word_len") > lit(10L) * col("n_words"))
+        .withColumn("high_symbol_ratio",
+          lit(10L) * col("n_symbols") > col("n_words"))
+        .withColumn("low_alpha_ratio",
+          lit(5L) * col("n_alpha") < lit(4L) * col("n_words"))
+        .withColumn("few_required_stops", col("n_req_stops") < 2L)
+        .withColumn("bullet_heavy",
+          lit(10L) * col("n_bullet") > lit(9L) * col("n_lines"))
+        .withColumn("ellipsis_heavy",
+          lit(10L) * col("n_ellipsis_end") > lit(3L) * col("n_lines"))
+        .withColumn("keep",
+          !col("bad_word_count") && !col("bad_mean_word_len") &&
+          !col("high_symbol_ratio") && !col("low_alpha_ratio") &&
+          !col("few_required_stops") && !col("bullet_heavy") &&
+          !col("ellipsis_heavy"))
+        .orderBy(col("doc_id"))
+    }),
+
     "ta17_zipf_slope" -> ((s, dir) => {
       // Token-distribution health per lang (beyond the reference):
       // the Zipf log-log slope estimated from a log2-FREQUENCY
@@ -8715,6 +8779,61 @@ object SparkEntry {
          SELECT doc_id, n_chars, n_sym, kw_hits, sym_micro,
            sym_micro >= 20000 OR kw_hits >= 5 AS is_code
          FROM sm ORDER BY doc_id"""
+    },
+
+    "ta22_gopher_rules" -> {
+      val toks = sqlTokens("lt")
+      val req = sqlList(TA.gopherRequiredStops)
+      s"""WITH lined AS (SELECT doc_id,
+           CASE WHEN doc_id % 11 = 0
+             THEN '- only' || chr(10) || '- bullets...' || chr(10) ||
+               '- here'
+             ELSE substr(coalesce(text, ''), 1, 200) || chr(10) ||
+               CASE WHEN doc_id % 4 = 0 THEN '- a bullet item'
+                 ELSE 'a plain prose line' END || chr(10) ||
+               CASE WHEN doc_id % 5 = 0 THEN 'to be continued...'
+                 ELSE 'line ' || doc_id::VARCHAR END || chr(10) ||
+               CASE WHEN doc_id % 7 = 0 THEN '# header ###'
+                 ELSE 'the closing line' END
+           END AS lt FROM documents),
+         c AS (SELECT doc_id,
+           len($toks)::BIGINT AS n_words,
+           coalesce(list_sum(list_transform($toks,
+             t -> length(t))), 0)::BIGINT AS sum_word_len,
+           len(list_filter($toks,
+             t -> regexp_matches(t, '[a-z]')))::BIGINT AS n_alpha,
+           len(list_filter($req,
+             w -> list_contains($toks, w)))::BIGINT AS n_req_stops,
+           len(regexp_extract_all(lt,
+             '#|\\.\\.\\.|…'))::BIGINT AS n_symbols,
+           len(string_split(lt, chr(10)))::BIGINT AS n_lines,
+           len(list_filter(string_split(lt, chr(10)), l ->
+             substr(l, 1, 2) = '- ' OR substr(l, 1, 1) = '•'))::BIGINT
+             AS n_bullet,
+           len(list_filter(string_split(lt, chr(10)), l ->
+             regexp_matches(l, '(\\.\\.\\.|…)$$')))::BIGINT
+             AS n_ellipsis_end
+         FROM lined),
+         f AS (SELECT *,
+           n_words < 30 OR n_words > 100000 AS bad_word_count,
+           n_words = 0 OR sum_word_len < 3 * n_words
+             OR sum_word_len > 10 * n_words AS bad_mean_word_len,
+           10 * n_symbols > n_words AS high_symbol_ratio,
+           5 * n_alpha < 4 * n_words AS low_alpha_ratio,
+           n_req_stops < 2 AS few_required_stops,
+           10 * n_bullet > 9 * n_lines AS bullet_heavy,
+           10 * n_ellipsis_end > 3 * n_lines AS ellipsis_heavy
+         FROM c)
+         SELECT doc_id, n_words, sum_word_len, n_alpha, n_req_stops,
+           n_symbols, n_lines, n_bullet, n_ellipsis_end,
+           bad_word_count, bad_mean_word_len, high_symbol_ratio,
+           low_alpha_ratio, few_required_stops, bullet_heavy,
+           ellipsis_heavy,
+           NOT (bad_word_count OR bad_mean_word_len OR
+             high_symbol_ratio OR low_alpha_ratio OR
+             few_required_stops OR bullet_heavy OR ellipsis_heavy)
+             AS keep
+         FROM f ORDER BY doc_id"""
     },
 
     "ta17_zipf_slope" ->

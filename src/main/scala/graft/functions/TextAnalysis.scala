@@ -197,6 +197,66 @@ object TextAnalysis {
                             minStopRatio: Double): Column =
     array_join(keptLines(text, minWords, minStopRatio), "\n")
 
+  /** The 8 stopwords Gopher requires ≥2 of (Rae et al. 2021, A1.1) —
+    * the "is this even running English prose" tripwire. Shared with
+    * the ta22 oracle.
+    */
+  val gopherRequiredStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher word-level quality rules (Rae et al. 2021, Appendix A1.1 —
+    * the canonical pre-filter bundle every LLM corpus runs before the
+    * model-based gates). Returns struct(n_words, sum_word_len, n_alpha,
+    * n_req_stops, n_symbols) — the exact INTEGER counts each rule
+    * compares (the flags are multiplication-form downstream:
+    * `sum_word_len < 3·n`, `10·n_symbols > n`, `5·n_alpha < 4·n`,
+    * `n_req_stops < 2` — no division, no float, order-exact on any
+    * engine). `toks` is the pre-bound [[tokens]] column (the
+    * ...FromTokens discipline); ONE aggregate fold computes word count,
+    * length sum and alpha count; symbols ('#' chars plus '...'/'…'
+    * ellipses, the two Gopher symbol classes) count off the raw text
+    * as non-overlapping regex matches.
+    */
+  def gopherCounts(text: Column, toks: Column): Column = {
+    val req = array(gopherRequiredStops.map(lit): _*)
+    val acc = aggregate(toks,
+      struct(lit(0L).as("n"), lit(0L).as("sl"), lit(0L).as("na")),
+      (a, t) => struct(
+        (a.getField("n") + 1L).as("n"),
+        (a.getField("sl") + length(t)).as("sl"),
+        (a.getField("na") +
+          when(t.rlike("[a-z]"), 1L).otherwise(0L)).as("na")))
+    // non-overlapping match counts — the same left-to-right semantics
+    // regexp_extract_all has in DuckDB, so '....' counts one '...'
+    val nSym = size(regexp_extract_all(text,
+      lit("#|\\.\\.\\.|…"), lit(0))).cast("long")
+    graft.functions.TextFunctions.letBound(acc) { a =>
+      struct(
+        a.getField("n").as("n_words"),
+        a.getField("sl").as("sum_word_len"),
+        a.getField("na").as("n_alpha"),
+        size(filter(req, w => array_contains(toks, w)))
+          .cast("long").as("n_req_stops"),
+        nSym.as("n_symbols"))
+    }
+  }
+
+  /** Gopher line-level counts (bullet-start and ellipsis-end shares):
+    * struct(n_lines, n_bullet, n_ellipsis_end) over the newline-split
+    * text — the flags downstream are `10·n_bullet > 9·n_lines` (>90%
+    * bullets) and `10·n_ellipsis_end > 3·n_lines` (>30% ellipsis ends).
+    */
+  def gopherLineCounts(text: Column): Column = {
+    val lines = split(text, "\n")
+    struct(
+      size(lines).cast("long").as("n_lines"),
+      size(filter(lines, l =>
+        substring(l, 1, 2) === "- " || substring(l, 1, 1) === "•"))
+        .cast("long").as("n_bullet"),
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$")))
+        .cast("long").as("n_ellipsis_end"))
+  }
+
   /** Punctuation chars / total chars; 0.0 for empty text. Counts
     * matches of the punctuation class directly (single-char pattern ⇒
     * match count = char count) instead of deleting the complement.

@@ -256,4 +256,30 @@ class TextAnalysisSpec extends SparkSpec {
     // keyword hits are whole tokens: classical/defies/imported do not count
     assert(out(2) == ((0, 0)))
   }
+
+  test("gopherCounts/gopherLineCounts: hand-computed integer counts") {
+    val text = "the cat... sat # on be mats\n- bullet one\nplain..."
+    val df = Seq(text).toDF("t")
+      .select($"t", TA.tokens($"t").as("toks"))
+    val g = rows(df.select(TA.gopherCounts($"t", $"toks").as("g"))
+      .select($"g.n_words", $"g.sum_word_len", $"g.n_alpha",
+        $"g.n_req_stops", $"g.n_symbols")).head
+    // tokens: the cat... sat # on be mats - bullet one plain...
+    assert(g.getLong(0) == 11L)
+    assert(g.getLong(1) == 3 + 6 + 3 + 1 + 2 + 2 + 4 + 1 + 6 + 3 + 8)
+    assert(g.getLong(2) == 9L) // all but '#' and '-'
+    assert(g.getLong(3) == 2L)  // the, be; none of the other six
+    assert(g.getLong(4) == 3L)  // one '#', two '...'
+    val l = rows(df.select(TA.gopherLineCounts($"t").as("l"))
+      .select($"l.n_lines", $"l.n_bullet", $"l.n_ellipsis_end")).head
+    assert((l.getLong(0), l.getLong(1), l.getLong(2)) == ((3L, 1L, 1L)))
+    // '....' counts ONE ellipsis (non-overlapping); '…' counts too;
+    // '•' bullets and '…'-ended lines count
+    val g2 = rows(Seq("w.... x… y\n• z…").toDF("t")
+      .select($"t", TA.tokens($"t").as("toks"))
+      .select(TA.gopherCounts($"t", $"toks").as("g"),
+        TA.gopherLineCounts($"t").as("l"))
+      .select($"g.n_symbols", $"l.n_bullet", $"l.n_ellipsis_end")).head
+    assert((g2.getLong(0), g2.getLong(1), g2.getLong(2)) == ((3L, 1L, 1L)))
+  }
 }
