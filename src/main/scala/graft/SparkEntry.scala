@@ -1143,6 +1143,51 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "x13_span_corruption" -> ((s, dir) => {
+      // X13 — T5/UL2-style denoising-span corruption (Raffel et al.
+      // 2020 §3.1.4; beyond the reference): each doc's token stream is
+      // rewritten into the (corrupted, targets) sentinel pair a
+      // span-corruption pretraining objective consumes — 2-token spans
+      // at a deterministic stride-13 phase keyed by doc_id (≈15% mask
+      // rate), sentinels <extra_id_k> in span order. Pure positional
+      // integer arithmetic (span starts = positions with
+      // (i+doc_id) % 13 == 0; k via array_position on the bound span
+      // list) — no hash, no float, both strings byte-identical on any
+      // engine. Scale shape: one tokenize + one scan-fused projection
+      // per row; nothing shuffles but the final sort.
+      t(s, dir, "documents")
+        .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .filter(col("n") >= 1L)
+        .withColumn("ss", filter(sequence(lit(0L), col("n") - 1),
+          i => pmod(i + col("doc_id"), lit(13L)) === 0L))
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          size(col("ss")).cast("long").as("n_spans"),
+          size(filter(sequence(lit(0L), col("n") - 1), i =>
+            array_contains(col("ss"), i) ||
+              array_contains(col("ss"), i - 1)))
+            .cast("long").as("n_masked"),
+          array_join(filter(transform(sequence(lit(0L), col("n") - 1),
+            i => when(array_contains(col("ss"), i),
+                concat(lit("<extra_id_"),
+                  (array_position(col("ss"), i) - 1).cast("string"),
+                  lit(">")))
+              .when(array_contains(col("ss"), i - 1),
+                lit(null).cast("string"))
+              .otherwise(element_at(col("toks"), (i + 1).cast("int")))),
+            x => x.isNotNull), " ").as("corrupted"),
+          array_join(transform(col("ss"), i =>
+            concat_ws(" ",
+              concat(lit("<extra_id_"),
+                (array_position(col("ss"), i) - 1).cast("string"),
+                lit(">")),
+              element_at(col("toks"), (i + 1).cast("int")),
+              when(i + 1 < col("n"),
+                element_at(col("toks"), (i + 2).cast("int"))))),
+            " ").as("targets"))
+        .orderBy(col("doc_id"))
+    }),
+
     "x5d_dsir_diag" -> ((s, dir) => {
       // Diagnostic for the x5 driver-gate flake (red in CORRECTNESS_r9
       // through r11 while green locally): every quantity the x5 chain
@@ -1493,6 +1538,50 @@ object SparkEntry {
           !col("few_required_stops") && !col("bullet_heavy") &&
           !col("ellipsis_heavy"))
         .orderBy(col("doc_id"))
+    }),
+
+    "ta24_collocations" -> ((s, dir) => {
+      // TA24 — PMI collocation mining (Church & Hanks 1990; beyond the
+      // reference): the corpus-level top-k of adjacent-token pairs by
+      // pointwise mutual information — the phrase-mining pass that
+      // feeds tokenizer merge candidates, stopphrase lists and entity
+      // lexicons. pmi = ln(c_ab·N/(c_a·c_b)) computed as
+      // detln(c_ab)+detln(N)−detln(c_a)−detln(c_b): every log is the
+      // bit-reproducible DetLn (no libm), the combination is a
+      // per-row fixed-order chain, and the output/rank key quantizes
+      // to the 2⁻²⁰ integer grid — order-exact on both engines.
+      // Scale shape: the corpus tokenizes ONCE; bigrams and unigrams
+      // each collapse map-side; the c_ab ≥ 5 support filter shrinks
+      // the pair table before the two vocab-keyed joins; the 1-row N
+      // and the final top-50 (TakeOrderedAndProject) are the only
+      // global pieces.
+      val toks = t(s, dir, "documents")
+        .select(TA.tokens(col("text")).as("toks"))
+        .localCheckpoint(eager = false) // tokenize once, two consumers
+      val big = toks.filter(size(col("toks")) >= 2)
+        .select(explode(arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 1).as("a"),
+          slice(col("toks"), lit(2), size(col("toks")) - 1).as("b")))
+          .as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val uni = toks.select(explode(col("toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val bc = big.groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 5L)
+      val nb = big.agg(count(lit(1)).as("nb"))
+      import graft.expressions.DetLn
+      bc.join(uni.select(col("w").as("a"), col("cw").as("ca")), Seq("a"))
+        .join(uni.select(col("w").as("b"), col("cw").as("cb")), Seq("b"))
+        .crossJoin(broadcast(nb))
+        .withColumn("pmi_q20", floor(
+          (DetLn(col("cab")) + DetLn(col("nb")) -
+            DetLn(col("ca")) - DetLn(col("cb"))) *
+            lit((1L << 20).toDouble) + lit(0.5)).cast("long"))
+        .select(col("a"), col("b"), col("cab"), col("ca"), col("cb"),
+          col("pmi_q20"))
+        .orderBy(col("pmi_q20").desc, col("a"), col("b"))
+        .limit(50)
     }),
 
     "ta17_zipf_slope" -> ((s, dir) => {
@@ -8836,6 +8925,36 @@ object SparkEntry {
          FROM f ORDER BY doc_id"""
     },
 
+    "ta24_collocations" -> {
+      val toks = sqlTokens("text")
+      // pmi replayed with the shared detln unroll; the combination
+      // parenthesizes exactly like Spark's left-assoc column chain
+      s"""WITH tok AS (SELECT $toks AS toks FROM documents),
+         uni AS (SELECT unnest(toks) AS w FROM tok),
+         uc AS (SELECT w, count(*)::BIGINT AS cw FROM uni GROUP BY w),
+         bigx AS (SELECT toks, unnest(generate_series(1,
+             len(toks) - 1)) AS i FROM tok WHERE len(toks) >= 2),
+         big AS (SELECT toks[i] AS a, toks[i + 1] AS b FROM bigx),
+         bc AS (SELECT a, b, count(*)::BIGINT AS cab FROM big
+           GROUP BY a, b HAVING count(*) >= 5),
+         nn AS (SELECT count(*)::BIGINT AS nb FROM big),
+         j AS (SELECT bc.a, bc.b, bc.cab, ua.cw AS ca, ub.cw AS cb,
+             nn.nb
+           FROM bc JOIN uc ua ON bc.a = ua.w
+           JOIN uc ub ON bc.b = ub.w CROSS JOIN nn),
+         p AS (SELECT a, b, cab, ca, cb,
+             floor(((paln + pnln) - pcln - pbln) * 1048576.0 + 0.5)
+               ::BIGINT AS pmi_q20
+           FROM (SELECT a, b, cab, ca, cb,
+             ${operators.Classify.sqlDetLnCols("pa", "cab")},
+             ${operators.Classify.sqlDetLnCols("pn", "nb")},
+             ${operators.Classify.sqlDetLnCols("pc", "ca")},
+             ${operators.Classify.sqlDetLnCols("pb", "cb")}
+           FROM j))
+         SELECT a, b, cab, ca, cb, pmi_q20 FROM p
+         ORDER BY pmi_q20 DESC, a, b LIMIT 50"""
+    },
+
     "ta17_zipf_slope" ->
       // Replays bucketing (bin-length log2), the ln-space least
       // squares, and the zero-denominator guard.
@@ -9326,6 +9445,39 @@ object SparkEntry {
            FROM sel ORDER BY sel_key, doc_id LIMIT 200)
          SELECT doc_id, cluster_id, cluster_size, sel_key
          FROM top ORDER BY doc_id""",
+
+    "x13_span_corruption" -> {
+      // the same positional span rule, sentinel numbering via
+      // list_position, concat_ws NULL-skipping for the truncated last
+      // span — strings must match byte-for-byte
+      val toks = sqlTokens("text")
+      s"""WITH tok AS (SELECT doc_id, $toks AS toks,
+           len($toks)::BIGINT AS n FROM documents),
+         f AS (SELECT doc_id, toks, n,
+             list_filter(generate_series(0, n - 1),
+               i -> (i + doc_id) % 13 = 0) AS ss
+           FROM tok WHERE n >= 1)
+         SELECT doc_id, n AS n_tokens, len(ss)::BIGINT AS n_spans,
+           len(list_filter(generate_series(0, n - 1), i ->
+             list_contains(ss, i) OR list_contains(ss, i - 1)))::BIGINT
+             AS n_masked,
+           coalesce(array_to_string(list_filter(
+             list_transform(generate_series(0, n - 1), i ->
+               CASE WHEN list_contains(ss, i)
+                 THEN '<extra_id_' ||
+                   (list_position(ss, i) - 1)::VARCHAR || '>'
+               WHEN list_contains(ss, i - 1) THEN NULL
+               ELSE toks[i + 1] END),
+             x -> x IS NOT NULL), ' '), '') AS corrupted,
+           coalesce(array_to_string(list_transform(ss, i ->
+             concat_ws(' ',
+               '<extra_id_' || (list_position(ss, i) - 1)::VARCHAR
+                 || '>',
+               toks[i + 1],
+               CASE WHEN i + 1 < n THEN toks[i + 2] END)), ' '), '')
+             AS targets
+         FROM f ORDER BY doc_id"""
+    },
 
     "x3_curriculum" -> {
       // Replays the phase census (strictly-greater cumulative count ×

@@ -55,6 +55,49 @@ class EntrySpec extends SparkSpec {
     }
   }
 
+  test("x13 span-corruption law: pair reconstructs the token stream") {
+    val out = SparkEntry.queries("x13_span_corruption")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    def toks(s: String): Seq[String] =
+      if (s.isEmpty) Nil else s.split(" ").toSeq
+    var sawSpan = false
+    out.foreach { r =>
+      val (n, spans, masked) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_spans"), r.getAs[Long]("n_masked"))
+      val corr = toks(r.getAs[String]("corrupted"))
+      val tgt = toks(r.getAs[String]("targets"))
+      val sent = "<extra_id_\\d+>".r
+      val corrSent = corr.filter(sent.matches(_))
+      val tgtSent = tgt.filter(sent.matches(_))
+      // one sentinel per span on each side, numbered 0..spans-1 in order
+      assert(corrSent.size == spans && tgtSent.size == spans)
+      assert(corrSent == (0L until spans).map(k => s"<extra_id_$k>"))
+      assert(corrSent == tgtSent)
+      // non-sentinel tokens split exactly: kept + masked == n
+      assert((corr.size - spans) + (tgt.size - spans) == n)
+      assert(tgt.size - spans == masked)
+      assert(masked >= spans && masked <= 2 * spans)
+      if (spans > 0) sawSpan = true
+    }
+    assert(sawSpan, "no doc produced a span — stride too wide?")
+  }
+
+  test("ta24 collocation law: support floor, containment, sorted keys") {
+    val out = SparkEntry.queries("ta24_collocations")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val keys = out.map(_.getAs[Long]("pmi_q20")).toSeq
+    assert(keys == keys.sorted.reverse, "not pmi-descending")
+    out.foreach { r =>
+      val (cab, ca, cb) = (r.getAs[Long]("cab"), r.getAs[Long]("ca"),
+        r.getAs[Long]("cb"))
+      assert(cab >= 5L)
+      assert(cab <= ca && cab <= cb,
+        "a bigram cannot outnumber its unigrams")
+    }
+  }
+
   test("c9 takedown law: removal is cluster-atomic") {
     val out = SparkEntry.queries("c9_takedown_closure")(
       spark, "/root/testdata/sf0.001").collect()
