@@ -1566,6 +1566,7 @@ object SparkEntry {
         .select(col("p.a").as("a"), col("p.b").as("b"))
       val uni = toks.select(explode(col("toks")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+        .localCheckpoint(eager = false) // one vocab agg, two join sides
       val bc = big.groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("cab"))
         .filter(col("cab") >= 5L)
