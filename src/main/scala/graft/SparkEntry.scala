@@ -3022,6 +3022,63 @@ object SparkEntry {
         .orderBy(col("eval_v"), col("lang"))
     }),
 
+    "g14_takedown_tick" -> ((s, dir) => {
+      // G14 — the TAKEDOWN day tick as one replay-idempotent product
+      // (beyond the reference; the compliance-lifecycle sibling of
+      // g10-g13, composing c9 + MergeLog): the corpus serves from a
+      // CDC store; a notice batch names individual doc_ids; the c9
+      // closure widens each notice to its whole near-dup cluster
+      // (removing one copy leaves its near-copies serving the same
+      // content); the removals land as ONE batch-keyed tombstone
+      // delta (O(batch)); a crash-replay of the same batch id with
+      // POISONED all-docs tombstones must no-op at the commit gate —
+      // if it ever landed, n_after would collapse to 0 and break the
+      // oracle. The dashboard row re-reads the STORE, so the oracle
+      // checks land → closure → CDC apply → replay gate → read-back
+      // end to end. Scale shape: the closure is banded (d6 pairs +
+      // star rounds), the tombstone delta is notice-sized, the store
+      // read is base ⊕ delta with the snapshot never shuffling.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val store = scratchDir("graft_g14") + "/store"
+      MergeLog.init(docs, store)
+      val removed = Dedup.dupClusters(
+          docs.select(col("doc_id"), col("text")),
+          col("doc_id"), col("text"), threshold = 0.5)
+        .withColumn("direct",
+          Sampling.keyHash(col("doc_id"), "g14") <
+            Sampling.threshold(0.08))
+        .withColumn("hit", max(when(col("direct"), 1L).otherwise(0L))
+          .over(Window.partitionBy(col("cluster_id"))))
+        .filter(col("hit") === 1L)
+        .select(col("doc_id"), col("direct"))
+        .localCheckpoint(eager = false)
+      val tomb = removed.join(docs, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("text"),
+          lit(1L).as("version"), lit(true).as("deleted"))
+      MergeLog.appendDelta(tomb, store, Some(1L)): Unit
+      // crash-replay of batch 1, poisoned: the commit gate must no-op
+      MergeLog.appendDelta(
+        docs.select(col("doc_id"), col("lang"), col("text"),
+          lit(9L).as("version"), lit(true).as("deleted")),
+        store, Some(1L)): Unit
+      val after = MergeLog.read(s, store, "doc_id")
+      val byLang = removed
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang")).agg(
+          sum(when(col("direct"), 1L).otherwise(0L)).as("n_direct"),
+          sum(when(!col("direct"), 1L).otherwise(0L)).as("n_closure"))
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_before"))
+        .join(byLang, Seq("lang"), "left")
+        .join(after.groupBy(col("lang")).agg(count(lit(1)).as("n_after")),
+          Seq("lang"), "left")
+        .select(col("lang"), col("n_before"),
+          coalesce(col("n_direct"), lit(0L)).as("n_direct"),
+          coalesce(col("n_closure"), lit(0L)).as("n_closure"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"))
+        .orderBy(col("lang"))
+    }),
+
     "g8_ingest_corpus" -> ((s, dir) => {
       // G8 — the BATCH TWIN of the streaming production ingest path
       // (Streams.productionIngestSink), giving that pipeline a full
@@ -9667,6 +9724,47 @@ object SparkEntry {
          FROM comb JOIN corp c USING (doc_id)
          GROUP BY 1, 2 ORDER BY 1, 2"""
     },
+
+    "g14_takedown_tick" ->
+      // the c9 closure chain with the g14 notice sample; n_after is
+      // the independent relational ground truth n_before − removed —
+      // equality proves the CDC apply, the poisoned-replay no-op and
+      // the store read-back all land exactly there
+      s"""WITH RECURSIVE $sqlMinhashPairCtes,
+         edges AS (SELECT id_a AS ea, id_b AS eb FROM mh_pairs
+           WHERE est_jaccard >= 0.5),
+         sym AS (SELECT ea, eb FROM edges
+           UNION SELECT eb AS ea, ea AS eb FROM edges),
+         reach(id, r) AS (
+           SELECT ea, eb FROM sym
+           UNION
+           SELECT t.id, s.eb FROM reach t JOIN sym s ON t.r = s.ea),
+         comp AS (SELECT id, min(r) AS mr FROM reach GROUP BY id),
+         lab AS (SELECT d.doc_id,
+             least(coalesce(c.mr, d.doc_id), d.doc_id) AS cluster_id,
+             ${Sampling.sqlKeyHash("d.doc_id::VARCHAR", "g14")} <
+               ${Sampling.threshold(0.08)} AS direct
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+         hit AS (SELECT cluster_id,
+             max(CASE WHEN direct THEN 1 ELSE 0 END) AS h
+           FROM lab GROUP BY cluster_id),
+         rm AS (SELECT l.doc_id, l.direct
+           FROM lab l JOIN hit h USING (cluster_id) WHERE h.h = 1),
+         bf AS (SELECT lang, count(*)::BIGINT AS n_before
+           FROM documents GROUP BY lang),
+         rl AS (SELECT d.lang,
+             sum(CASE WHEN rm.direct THEN 1 ELSE 0 END)::BIGINT
+               AS n_direct,
+             sum(CASE WHEN rm.direct THEN 0 ELSE 1 END)::BIGINT
+               AS n_closure
+           FROM rm JOIN documents d USING (doc_id) GROUP BY d.lang)
+         SELECT bf.lang, bf.n_before,
+           coalesce(rl.n_direct, 0)::BIGINT AS n_direct,
+           coalesce(rl.n_closure, 0)::BIGINT AS n_closure,
+           (bf.n_before - coalesce(rl.n_direct, 0)
+             - coalesce(rl.n_closure, 0))::BIGINT AS n_after
+         FROM bf LEFT JOIN rl USING (lang)
+         ORDER BY lang""",
 
     "ta6_seq_packing" -> {
       val toks = sqlTokens("text")
