@@ -531,6 +531,14 @@ class DedupSpec extends SparkSpec {
     assert(segDirs() == Set("sb=-3"), segDirs().toString)
     // nothing left to fold: no-op
     assert(Dedup.compactLshBandIndex(spark, idx, upTo = 99L).isEmpty)
+    // the other half of the compact-vs-append race (the IVF spec's
+    // twin): a blind replay of FOLDED batch 0 arrives after retirement
+    // deleted its commit marker — the hwm water line must no-op it
+    // (its rows live in gen -3), never double-append
+    assert(Dedup.appendLshBandIndex(docsB, $"doc_id", $"text", idx,
+      buckets = 8, srcBatch = 0L) == 0L)
+    assert(probe() == before, "folded-id replay must not double-append")
+    assert(segDirs() == Set("sb=-3"), segDirs().toString)
     // fresh appends keep working after compaction, with unpoisoned ids
     assert(Dedup.appendLshBandIndex(
       Seq((7L, "completely fresh words unlike all previous sentences here"))
