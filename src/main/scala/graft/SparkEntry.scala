@@ -5507,6 +5507,81 @@ object SparkEntry {
           sum(when(col("t3").isNotNull, 1L).otherwise(0L))
             .as("n_purchase"))
         .orderBy(col("day_us"))
+    }),
+
+    "w10_trailing_range" -> ((s, dir) => {
+      // W10 — event-time RANGE frame (beyond the reference): per
+      // event, the trailing-1-hour count and integer payload sum for
+      // the same user — `rangeBetween` on the µs axis, the
+      // time-decayed feature shape behind rate limits and per-user
+      // rolling quotas. Frames are defined by VALUE (peer rows get
+      // identical frames on both engines), every aggregate is an
+      // order-free integer, and the window partitions by user — group
+      // size is one user's events, never the stream.
+      val ev = t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tus"),
+        pmod(col("event_id"), lit(97L)).as("pay"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+        .rangeBetween(-3600000000L, 0L)
+      ev.select(col("user_id"), col("event_id"), col("tus"),
+          count(lit(1)).over(w).as("n_trail"),
+          sum(col("pay")).over(w).as("sum_trail"))
+        .orderBy(col("user_id"), col("tus"), col("event_id"))
+    }),
+
+    "d24_est_calibration" -> ((s, dir) => {
+      // D24 — MinHash estimator CALIBRATION harness (the v21 eval move
+      // applied to dedup; beyond the reference): every banded
+      // candidate pair gets the EXACT shingle-set Jaccard next to its
+      // k/16 signature estimate, and the census buckets pairs by the
+      // estimate's integer grid value — the measured
+      // false-positive/false-negative account you run before
+      // committing band parameters at 100 TB. Determinism: exact
+      // Jaccard is an integer rational ((ni·10⁶) div nu), the bucket
+      // key est16 = k exactly (est_jaccard is dyadic k/16), and the
+      // per-bucket mean is one integer divide of exact BIGINT sums.
+      // Scale shape: shingle hashes explode ONCE (staged), pairs are
+      // banded candidates only, intersections count as bare
+      // (id, id, hash) longs — no arrays on any shuffle (2⁻²⁸ hash
+      // collisions are the d16-documented bound, identical on both
+      // engines by construction).
+      val d = t(s, dir, "documents")
+      val exa = d.select(col("doc_id"), TA.tokens(col("text")).as("_tk"))
+        .select(col("doc_id"),
+          Dedup.shinglesFromTokens(col("_tk"), 3).as("_sh"))
+        .select(col("doc_id"),
+          explode(Dedup.shingleValues(col("_sh"))).as("h"))
+        .distinct()
+        .localCheckpoint(eager = false)
+      val sz = exa.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+      val cand = Dedup.minhashPairs(d, col("doc_id"), col("text"))
+        .select(col("id_a"), col("id_b"), col("est_jaccard"))
+        .localCheckpoint(eager = false)
+      val ni = cand.select(col("id_a"), col("id_b"))
+        .join(exa.select(col("doc_id").as("id_a"), col("h")), Seq("id_a"))
+        .join(exa.select(col("doc_id").as("id_b"), col("h")),
+          Seq("id_b", "h"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni"))
+      cand.join(ni, Seq("id_a", "id_b"), "left")
+        .join(sz.select(col("doc_id").as("id_a"), col("nsh").as("n_a")),
+          Seq("id_a"))
+        .join(sz.select(col("doc_id").as("id_b"), col("nsh").as("n_b")),
+          Seq("id_b"))
+        .withColumn("ni", coalesce(col("ni"), lit(0L)))
+        .withColumn("jac_micro",
+          expr("(ni * 1000000) div (n_a + n_b - ni)"))
+        .withColumn("est16",
+          floor(col("est_jaccard") * lit(16.0) + lit(0.5)).cast("long"))
+        .groupBy(col("est16"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("jac_micro")).as("_sj"),
+          sum(when(col("jac_micro") >= 500000L, 1L).otherwise(0L))
+            .as("n_exact_pass"))
+        .select(col("est16"), col("n_pairs"),
+          expr("_sj div n_pairs").as("mean_exact_micro"),
+          col("n_exact_pass"), (col("est16") >= 8L).as("est_pass"))
+        .orderBy(col("est16"))
     })
   )
 
@@ -10371,6 +10446,50 @@ object SparkEntry {
          FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
          LEFT JOIN s3 ON s1.user_id = s3.user_id
          GROUP BY s1.day_us ORDER BY s1.day_us""",
+
+    "w10_trailing_range" ->
+      // same VALUE-defined frame: peers (equal tus) share frames on
+      // both engines, and every aggregate is an order-free integer
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS tus,
+             event_id % 97 AS pay
+           FROM events)
+         SELECT user_id, event_id, tus,
+           (count(*) OVER w)::BIGINT AS n_trail,
+           (sum(pay) OVER w)::BIGINT AS sum_trail
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, tus, event_id""",
+
+    "d24_est_calibration" ->
+      // exact shingle-set Jaccard from the SAME vs chain (hash sets,
+      // 2⁻²⁸ collision bound identical by construction), bucketed on
+      // the integer estimate grid; means are integer divides
+      s"""WITH $sqlMinhashPairCtes,
+         ex AS (SELECT DISTINCT doc_id, h FROM
+           (SELECT doc_id, unnest(vs) AS h FROM vs)),
+         szc AS (SELECT doc_id, count(*)::BIGINT AS nsh FROM ex
+           GROUP BY doc_id),
+         nic AS (SELECT p.id_a, p.id_b, count(*)::BIGINT AS ni
+           FROM mh_pairs p
+           JOIN ex ea ON ea.doc_id = p.id_a
+           JOIN ex eb ON eb.doc_id = p.id_b AND eb.h = ea.h
+           GROUP BY p.id_a, p.id_b),
+         rw AS (SELECT p.id_a, p.id_b, coalesce(n.ni, 0) AS ni,
+             sa.nsh AS n_a, sb.nsh AS n_b,
+             floor(p.est_jaccard * 16.0 + 0.5)::BIGINT AS est16
+           FROM mh_pairs p
+           LEFT JOIN nic n ON n.id_a = p.id_a AND n.id_b = p.id_b
+           JOIN szc sa ON sa.doc_id = p.id_a
+           JOIN szc sb ON sb.doc_id = p.id_b),
+         jm AS (SELECT est16,
+             (ni * 1000000) // (n_a + n_b - ni) AS jac_micro FROM rw)
+         SELECT est16, count(*)::BIGINT AS n_pairs,
+           (sum(jac_micro) // count(*))::BIGINT AS mean_exact_micro,
+           sum(CASE WHEN jac_micro >= 500000 THEN 1 ELSE 0 END)::BIGINT
+             AS n_exact_pass,
+           est16 >= 8 AS est_pass
+         FROM jm GROUP BY est16 ORDER BY est16""",
 
     "tq8_label_noise" ->
       // the shared Platt replay, then the confident-learning census in
