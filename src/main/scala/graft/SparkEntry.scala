@@ -4414,6 +4414,28 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame"))
     }),
 
+    "m11_png_pixel_decode" -> ((s, dir) => {
+      // REAL PNG decode (beyond the reference; refutes "no codec
+      // libraries in this container" — DEFLATE ships in the JDK):
+      // expressions.PngPixelStats walks the chunk stream, validates
+      // every CRC32, inflates the scanline bytes, and reverses all
+      // FIVE PNG scanline filters (row y of variant v uses filter
+      // (y+v) mod 5, so None/Sub/Up/Average/Paeth are all
+      // load-bearing). The oracle computes the channel sums from the
+      // pixel FORMULA alone — entropy coding, defiltering, and the
+      // position-weighted red sum are all checked against independent
+      // ground truth. All output cells exact integers.
+      val hexes = array((0 until 16).map(v => lit(m11PngHex(v))): _*)
+      t(s, dir, "documents")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(16L)).as("v"))
+        .withColumn("px", graft.expressions.PngPixelStats(
+          unhex(element_at(hexes, (col("v") + 1).cast("int")))))
+        .select(col("doc_id"), col("v"), col("px.w"), col("px.h"),
+          col("px.n_px"), col("px.r_sum"), col("px.g_sum"),
+          col("px.b_sum"), col("px.rw_sum"))
+        .orderBy(col("doc_id"))
+    }),
+
     "w6_interval_join" -> ((s, dir) => {
       // Batch twin of the watermarked stream-stream interval join
       // (Streams.intervalJoin; StreamFileSpec pins stream == batch
@@ -5816,6 +5838,76 @@ object SparkEntry {
       for (_ <- 0 until rowSize - w * 3) bb.put(0.toByte)
     }
     bb.array().map("%02X".format(_)).mkString
+  }
+
+  /** m11 fixture ENCODER: an 8-bit truecolor PNG for variant v —
+    * w = 1+(v%4), h = 1+(v/4), pixel (x, y) channels
+    * R/G/B = (v·7+x·3+y·5, v·11+x+y·2, v·13+x·2+y) mod 256; row y
+    * filters with PNG filter type (y+v) mod 5, so ALL FIVE defilter
+    * paths are load-bearing across the 16 variants, at varying row
+    * positions. The IDAT stream deflates with the JDK Deflater and
+    * splits into two chunks whenever it can (the chunk-concatenation
+    * path), every chunk CRC32-stamped. The oracle replays only the
+    * FORMULA (see [[m6BmpHex]]'s independence argument).
+    */
+  private def m11PngHex(v: Int): String = {
+    val w = 1 + (v % 4); val h = 1 + (v / 4)
+    def px(x: Int, y: Int): Array[Int] = Array(
+      (v * 7 + x * 3 + y * 5) % 256,
+      (v * 11 + x + y * 2) % 256,
+      (v * 13 + x * 2 + y) % 256)
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b)
+      val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val stride = 3 * w
+    val rows = Array.tabulate(h, stride)((y, i) => px(i / 3, y)(i % 3))
+    val filtered = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      val f = (y + v) % 5
+      filtered.write(f)
+      for (i <- 0 until stride) {
+        val left = if (i >= 3) rows(y)(i - 3) else 0
+        val up = if (y > 0) rows(y - 1)(i) else 0
+        val ul = if (y > 0 && i >= 3) rows(y - 1)(i - 3) else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        filtered.write((rows(y)(i) - pred) & 0xff)
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filtered.toByteArray); defl.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](256)
+    while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(tag.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tag.getBytes("US-ASCII")); crc.update(data)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val cb = comp.toByteArray
+    val (c1, c2) = cb.splitAt(cb.length / 2)
+    val idat =
+      if (c1.nonEmpty && c2.nonEmpty) chunk("IDAT", c1) ++ chunk("IDAT", c2)
+      else chunk("IDAT", cb)
+    val all = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte) ++ chunk("IHDR", ihdr) ++ idat ++
+      chunk("IEND", Array.emptyByteArray)
+    all.map("%02X".format(_)).mkString
   }
 
   /** m7 fixture ENCODER: a canonical-layout 16-bit PCM mono WAV for
@@ -7773,6 +7865,29 @@ object SparkEntry {
            list_max(list_transform(s, x -> abs(x)))::BIGINT AS peak,
            list_sum(list_transform(s, x -> x * x)) >= fn * 10000 AS active
          FROM w ORDER BY doc_id, frame""",
+
+    "m11_png_pixel_decode" ->
+      // FORMULA-only ground truth: the Spark side must recover these
+      // sums through zlib inflation + all five defilter paths
+      """WITH d AS (SELECT doc_id, doc_id % 16 AS v,
+           1 + (doc_id % 16) % 4 AS w, 1 + (doc_id % 16) // 4 AS h
+         FROM documents),
+         px AS (SELECT doc_id, v, w, h,
+           flatten(list_transform(generate_series(0, h - 1), y ->
+             list_transform(generate_series(0, w - 1), x -> [
+               (v * 7 + x * 3 + y * 5) % 256,
+               (v * 11 + x + y * 2) % 256,
+               (v * 13 + x * 2 + y) % 256,
+               ((v * 7 + x * 3 + y * 5) % 256) * (y * w + x + 1)])))
+             AS pix
+         FROM d)
+         SELECT doc_id, v, w::BIGINT AS w, h::BIGINT AS h,
+           (w * h)::BIGINT AS n_px,
+           list_sum(list_transform(pix, p -> p[1]))::BIGINT AS r_sum,
+           list_sum(list_transform(pix, p -> p[2]))::BIGINT AS g_sum,
+           list_sum(list_transform(pix, p -> p[3]))::BIGINT AS b_sum,
+           list_sum(list_transform(pix, p -> p[4]))::BIGINT AS rw_sum
+         FROM px ORDER BY doc_id""",
 
     "w6_interval_join" ->
       """WITH a AS (

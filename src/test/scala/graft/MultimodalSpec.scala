@@ -355,6 +355,91 @@ class MultimodalSpec extends SparkSpec {
       ("stereo", None), ("trunc", None)))
   }
 
+  test("PngPixelStats: real inflate + all five defilter paths; malformed rejected") {
+    // local encoder, independent of the SparkEntry fixture builder
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(tag.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tag.getBytes("US-ASCII")); crc.update(data)
+      bb.putInt(crc.getValue.toInt).array()
+    }
+    def png(w: Int, h: Int, filter: Int, pxf: (Int, Int, Int) => Int,
+            colorType: Int = 2, interlace: Int = 0): Array[Byte] = {
+      val stride = 3 * w
+      val rows = Array.tabulate(h, stride)((y, i) => pxf(i / 3, y, i % 3))
+      val flt = new java.io.ByteArrayOutputStream()
+      for (y <- 0 until h) {
+        flt.write(filter)
+        for (i <- 0 until stride) {
+          val left = if (i >= 3) rows(y)(i - 3) else 0
+          val up = if (y > 0) rows(y - 1)(i) else 0
+          val ul = if (y > 0 && i >= 3) rows(y - 1)(i - 3) else 0
+          val pred = filter match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 => paeth(left, up, ul)
+          }
+          flt.write((rows(y)(i) - pred) & 0xff)
+        }
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(flt.toByteArray); defl.finish()
+      val comp = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
+      defl.end()
+      val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+        .put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte)
+        .put(interlace.toByte).array()
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+        chunk("IHDR", ihdr) ++ chunk("IDAT", comp.toByteArray) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+    val f = (x: Int, y: Int, c: Int) => (37 * x + 53 * y + 11 * c + 7) % 256
+    def expected(w: Int, h: Int): (Long, Long, Long, Long) = {
+      var (r, g, b, rw) = (0L, 0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        r += f(x, y, 0); g += f(x, y, 1); b += f(x, y, 2)
+        rw += f(x, y, 0).toLong * (y * w + x + 1)
+      }
+      (r, g, b, rw)
+    }
+    // every filter type reconstructs the identical pixels
+    for (filt <- 0 to 4) {
+      val got = rows(Seq(png(4, 3, filt, f)).toDF("b")
+        .select(graft.expressions.PngPixelStats($"b").as("p"))
+        .select($"p.w", $"p.h", $"p.n_px", $"p.r_sum", $"p.g_sum",
+          $"p.b_sum", $"p.rw_sum")).head
+      val (r, g, b, rw) = expected(4, 3)
+      assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((4L, 3L, 12L)),
+        s"filter $filt dims")
+      assert((got.getLong(3), got.getLong(4), got.getLong(5), got.getLong(6))
+        == ((r, g, b, rw)), s"filter $filt sums")
+    }
+    // malformed payloads → NULL: flipped CRC bit, truncation, grayscale
+    // color type, interlaced, bad magic
+    val good = png(3, 2, 4, f)
+    val badCrc = good.clone(); badCrc(badCrc.length - 5) =
+      (badCrc(badCrc.length - 5) ^ 1).toByte
+    val cases = Seq(
+      ("badcrc", badCrc), ("trunc", good.dropRight(7)),
+      ("gray", png(3, 2, 0, f, colorType = 0)),
+      ("interlaced", png(3, 2, 0, f, interlace = 1)),
+      ("nomagic", good.drop(1)))
+    val nulls = rows(cases.toDF("k", "b")
+      .select($"k", graft.expressions.PngPixelStats($"b").as("p"))
+      .orderBy($"k")).map(r => (r.getString(0), r.isNullAt(1)))
+    assert(nulls.forall(_._2), s"expected all NULL, got $nulls")
+  }
+
   test("wavFrameEnergies: framing, partial last frame, integer energies") {
     def wav(samples: Seq[Int], channels: Int = 1): Array[Byte] = {
       val dlen = 2 * samples.size
