@@ -2483,6 +2483,30 @@ object SparkEntry {
       t1.unionByName(t2).unionByName(t3).orderBy(col("tick"))
     }),
 
+    "s20_gzip_roundtrip" -> ((s, dir) => {
+      // S20 — compressed-payload ingest (beyond the reference; the
+      // WARC/WET shape — Common Crawl text ships as gzip members):
+      // every doc's text compresses through the REAL JDK zlib
+      // (expressions.GzipBytes) and decodes back
+      // (expressions.GunzipText), and all downstream stats derive
+      // from the DECODED text — so the oracle, which computes the
+      // same stats from the raw column, proves the full
+      // deflate→inflate→UTF-8 hop byte-exactly for every row. The
+      // compressed size itself is never shipped to the oracle (zlib
+      // output bytes are a JVM implementation detail; what decodes
+      // from them is not). Scale shape: one scan-fused projection per
+      // row, executor-local bytes, codegen'd static calls.
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.expressions.GunzipText(
+            graft.expressions.GzipBytes(col("text"))).as("dt"))
+        .select(col("doc_id"),
+          length(col("dt")).cast("long").as("n_chars"),
+          size(TA.tokens(col("dt"))).cast("long").as("n_tokens"),
+          md5(col("dt")).as("h"))
+        .orderBy(col("doc_id"))
+    }),
+
     "s11_sized_sink" -> ((s, dir) => {
       // Size-targeted partitioned sink round-trip (beyond the
       // reference): documents land as lang=<v>/ parquet, each language
@@ -8852,6 +8876,14 @@ object SparkEntry {
          SELECT 3::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT
          ORDER BY tick"""
     },
+
+    "s20_gzip_roundtrip" ->
+      // stats straight off the raw column: equality proves the Spark
+      // side's deflate→inflate→UTF-8 hop reproduced every byte
+      s"""SELECT doc_id, length(text)::BIGINT AS n_chars,
+           len(${sqlTokens("text")})::BIGINT AS n_tokens,
+           md5(text) AS h
+         FROM documents ORDER BY doc_id""",
 
     "d20_editdist_pairs" ->
       """WITH t AS (

@@ -355,6 +355,40 @@ class MultimodalSpec extends SparkSpec {
       ("stereo", None), ("trunc", None)))
   }
 
+  test("GzipBytes/GunzipText: round trip, hand-built member, malformed rejected") {
+    import graft.expressions.{GzipBytes, GunzipText}
+    val texts = Seq("", "hello world", "a" * 10000,
+      "unicode: café 中文 😀", "line1\nline2\t tab")
+    val rt = rows(texts.toDF("t")
+      .select($"t", GunzipText(GzipBytes($"t")).as("d")))
+      .map(r => (r.getString(0), r.getString(1)))
+    rt.foreach { case (a, b) => assert(a == b, "round trip must be identity") }
+    // a HAND-BUILT gzip member (stored deflate block, CRC32("abc") =
+    // 0x352441c2) — bytes the JDK encoder never produced, so the
+    // decoder is checked against the FORMAT, not its own mirror
+    val hand = Array(
+      0x1f, 0x8b, 0x08, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, // header
+      0x01, 0x03, 0x00, 0xfc, 0xff, 0x61, 0x62, 0x63, // stored "abc"
+      0xc2, 0x41, 0x24, 0x35, // crc32 LE
+      0x03, 0x00, 0x00, 0x00 // isize LE
+    ).map(_.toByte)
+    val good = GzipBytes.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("xy"))
+    val badCrc = good.clone()
+    badCrc(badCrc.length - 5) = (badCrc(badCrc.length - 5) ^ 1).toByte
+    val cases = Seq(
+      ("hand", hand, Some("abc")),
+      ("trunc", good.dropRight(3), None),
+      ("badcrc", badCrc, None),
+      ("notgzip", "definitely not gzip bytes".getBytes("UTF-8"), None))
+    val got = rows(cases.map(c => (c._1, c._2)).toDF("k", "b")
+      .select($"k", GunzipText($"b").as("d")).orderBy($"k"))
+      .map(r => (r.getString(0), Option(r.getString(1)))).toMap
+    cases.foreach { case (k, _, want) =>
+      assert(got(k) == want, s"$k: got ${got(k)}")
+    }
+  }
+
   test("PngPixelStats: real inflate + all five defilter paths; malformed rejected") {
     // local encoder, independent of the SparkEntry fixture builder
     def paeth(a: Int, b: Int, c: Int): Int = {
