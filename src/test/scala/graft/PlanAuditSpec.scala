@@ -617,4 +617,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
     assert(plan.contains("Union"), plan)
   }
+
+  test("scan-fused per-row transforms plan zero joins and zero windows") {
+    // the r12 per-row codec/transform family: one projection over the
+    // scan, the ONLY exchange is the final presentation ORDER BY — a
+    // refactor that sneaks in a join, window, or extra shuffle turns a
+    // linear 100 TB pass into something else and fails here
+    val dir = "/root/testdata/sf0.001"
+    for (q <- Seq("m10_audio_energy", "m11_png_pixel_decode",
+        "s20_gzip_roundtrip", "x13_span_corruption")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"$q plans a join:\n$plan")
+      assert("Window \\[".r.findAllIn(plan).isEmpty,
+        s"$q plans a window:\n$plan")
+      assert("Exchange ".r.findAllIn(plan).size <= 1,
+        s"$q plans more than the final sort exchange:\n$plan")
+    }
+  }
+
+  test("w10 trailing range: one user-partitioned window, no join") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("w10_trailing_range")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Window \\[".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("partitionBy") || plan.contains("user_id"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
 }
