@@ -5524,6 +5524,51 @@ object SparkEntry {
         .orderBy(col("lang"), col("rank"))
     }),
 
+
+    "tq11_decile_lift" -> ((s, dir) => {
+      // TQ11 — decile gains/lift table for the trained NB gate (beyond
+      // the reference; the eval sibling of tq4's AUC): held-out docs
+      // bucket into 10 score deciles and each reports positives,
+      // cumulative capture and lift as integer micro-ratios — the
+      // curation question "how much of the good stuff do the top k%
+      // keep" answered before committing a gate threshold. Scale
+      // shape + determinism: deciles assign on the DISTINCT-rounded-
+      // score table (bounded by the 6dp grid — the tq4 cumulative
+      // trick; tie groups land whole in the decile where they start,
+      // so no doc-level global sort exists anywhere), every count is
+      // BIGINT, every ratio one integer div.
+      val d = t(s, dir, "documents")
+      val isTrain = Sampling.keyHash(col("doc_id"), "nbt") <
+        Sampling.threshold(0.6)
+      val model = Classify.trainModel(d.filter(isTrain),
+        col("lang") <=> "en", col("text"), 4096)
+      val scored = Classify.score(model, d.filter(!isTrain),
+          col("doc_id"), col("text"))
+        .join(d.select(col("doc_id"), (col("lang") <=> "en").as("y")),
+          Seq("doc_id"))
+        .select(fround(col("log_odds"), 6).as("lo6"), col("y"))
+      val g = scored.groupBy(col("lo6")).agg(
+        count(lit(1)).as("ng"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("pg"))
+      val tot = g.agg(sum(col("ng")).as("nt"), sum(col("pg")).as("pt"))
+      val wcum = Window.orderBy(col("lo6").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("cumb", coalesce(sum(col("ng")).over(wcum), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .withColumn("decile", expr("(cumb * 10) div nt"))
+        .groupBy(col("decile")).agg(
+          sum(col("ng")).as("n_docs"), sum(col("pg")).as("n_pos"),
+          max(col("nt")).as("nt"), max(col("pt")).as("pt"))
+        .withColumn("cum_pos", sum(col("n_pos")).over(
+          Window.orderBy(col("decile"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("decile"), col("n_docs"), col("n_pos"),
+          expr("case when pt > 0 then (cum_pos * 1000000) div pt end")
+            .as("capture_micro"),
+          expr("case when pt > 0 then (n_pos * nt * 1000000)" +
+            " div (n_docs * pt) end").as("lift_micro"))
+        .orderBy(col("decile"))
+    }),
     "w8_session_funnel" -> ((s, dir) => {
       // W8 — ordered conversion funnel (beyond the reference): per day,
       // how many users complete view → click → purchase IN ORDER —
@@ -10557,6 +10602,37 @@ object SparkEntry {
       // one token pass; per-doc mean log ratio, Laplace-smoothed.
       s"""$sqlDsirWeights
          FROM sc ORDER BY doc_id""",
+
+    "tq11_decile_lift" ->
+      // the tq4 distinct-score cumulative trick: tie groups land whole
+      // in the decile where they start; every ratio an integer divide
+      s"""WITH scored AS ($sqlNbScore FROM sc),
+         lab AS (SELECT s.doc_id, s.log_odds AS lo6,
+             coalesce(d.lang = 'en', false) AS y
+           FROM scored s JOIN documents d USING (doc_id)),
+         g AS (SELECT lo6, count(*)::BIGINT AS ng,
+             sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS pg
+           FROM lab GROUP BY lo6),
+         tot AS (SELECT sum(ng)::BIGINT AS nt, sum(pg)::BIGINT AS pt
+           FROM g),
+         cumg AS (SELECT *, coalesce(sum(ng) OVER (ORDER BY lo6 DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0)::BIGINT AS cumb
+           FROM g),
+         dec AS (SELECT (cumb * 10) // nt AS decile, ng, pg
+           FROM cumg CROSS JOIN tot),
+         agg AS (SELECT decile, sum(ng)::BIGINT AS n_docs,
+             sum(pg)::BIGINT AS n_pos FROM dec GROUP BY decile),
+         cum2 AS (SELECT *, (sum(n_pos) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+             AS cum_pos
+           FROM agg)
+         SELECT decile, n_docs, n_pos,
+           CASE WHEN pt > 0 THEN (cum_pos * 1000000) // pt END
+             AS capture_micro,
+           CASE WHEN pt > 0 THEN (n_pos * nt * 1000000)
+             // (n_docs * pt) END AS lift_micro
+         FROM cum2 CROSS JOIN tot ORDER BY decile""",
 
     "tq10_uncertainty_sample" ->
       // the tq1 score chain → integer µ-units of the 6dp-pinned

@@ -98,6 +98,21 @@ class EntrySpec extends SparkSpec {
     }
   }
 
+  test("tq11 gains law: deciles partition, capture monotone to 100%") {
+    val out = SparkEntry.queries("tq11_decile_lift")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty && out.length <= 10)
+    val caps = out.map(_.getAs[Long]("capture_micro")).toSeq
+    assert(caps == caps.sorted, "capture must be non-decreasing")
+    assert(caps.last == 1000000L, "last decile must capture everything")
+    val nPos = out.map(_.getAs[Long]("n_pos")).sum
+    val nDocs = out.map(_.getAs[Long]("n_docs")).sum
+    assert(nPos > 0 && nDocs > nPos, "degenerate label split")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_pos") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("c9 takedown law: removal is cluster-atomic") {
     val out = SparkEntry.queries("c9_takedown_closure")(
       spark, "/root/testdata/sf0.001").collect()
