@@ -634,6 +634,43 @@ object SparkEntry {
         .limit(25)
     }),
 
+    "n4_hits" -> ((s, dir) => {
+      // N4 — HITS hubs & authorities (Kleinberg 1999; beyond the
+      // reference): on the DIRECTED customer→supplier interaction
+      // graph, hub score ranks customers by "buys from good
+      // suppliers" and authority ranks suppliers by "bought by good
+      // customers" — the two sides n1's single PageRank score
+      // conflates, and exactly the source-vs-content split a corpus
+      // curator wants on a crawler→domain graph. Graph.hits keeps
+      // every score a BIGINT micro-unit: exact integer half-step
+      // sums, then the integer power-of-sum rescale (a single
+      // engine-exact scalar divisor riding a 1-row broadcast) —
+      // order-exact on both engines, magnitudes bounded at any
+      // iteration count. Two iterations; both top-25s in one output.
+      val raw = t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"),
+          (col("l_suppkey") + 1000000L).as("p"))
+      val edges = raw.groupBy(col("c").as("src"), col("p").as("dst"))
+        .agg(count(lit(1)).as("cnt"))
+      val hs = graft.operators.Graph.hits(edges, iters = 2)
+        .localCheckpoint(eager = false)
+      val authTop = hs.filter(col("node") >= 1000000L)
+        .select(lit("auth").as("side"),
+          (col("node") - 1000000L).as("node_key"),
+          col("auth_micro").as("score_micro"))
+        .orderBy(col("score_micro").desc, col("node_key")).limit(25)
+      val hubTop = hs.filter(col("node") < 1000000L)
+        .select(lit("hub").as("side"), col("node").as("node_key"),
+          col("hub_micro").as("score_micro"))
+        .orderBy(col("score_micro").desc, col("node_key")).limit(25)
+      authTop.unionByName(hubTop)
+        .orderBy(col("side"), col("score_micro").desc, col("node_key"))
+    }),
+
     "s1_jsonl_roundtrip" -> ((s, dir) => {
       // S1/S2/S3 — canonical JSONL sink → strict schema-on-read scan →
       // keyed last-wins merge (the reference's dict-overwrite ingest,
@@ -5752,6 +5789,38 @@ object SparkEntry {
        $iterCtes"""
   }
 
+  /** n4's DuckDB twin of [[graft.operators.Graph.hits]] over a
+    * caller-provided `edges(src, dst, cnt)` CTE: per iteration the two
+    * integer half-steps plus the power-of-sum rescale, ending in
+    * `a{iters}(node, a)` / `h{iters}(node, h)`. `//` on non-negative
+    * BIGINTs floors exactly like Spark's `div`.
+    */
+  private def sqlHitsCtes(iters: Int): String = {
+    def half(outCte: String, outCol: String, joinSide: String,
+             groupSide: String, prevCte: String, prevCol: String) =
+      s"""${outCte}r AS MATERIALIZED (SELECT e.$groupSide AS node,
+             sum(e.cnt * p.$prevCol)::BIGINT AS raw
+           FROM edges e JOIN $prevCte p ON p.node = e.$joinSide
+           GROUP BY e.$groupSide),
+         ${outCte}s AS MATERIALIZED (SELECT
+             coalesce(sum(raw), 1)::BIGINT AS sr FROM ${outCte}r),
+         $outCte AS MATERIALIZED (SELECT n.node,
+             (coalesce(r.raw, 0) //
+               greatest(1, s.sr // (k.nv * 1000000)))::BIGINT AS $outCol
+           FROM nodes n CROSS JOIN ${outCte}s s CROSS JOIN k
+           LEFT JOIN ${outCte}r r USING (node))"""
+    val iterCtes = (1 to iters).map { t =>
+      val prevH = if (t == 1) "h0" else s"h${t - 1}"
+      half(s"a$t", "a", "src", "dst", prevH, "h") + ",\n" +
+        half(s"h$t", "h", "dst", "src", s"a$t", "a")
+    }.mkString(",\n")
+    s"""nodes AS MATERIALIZED (SELECT src AS node FROM edges
+           UNION SELECT dst AS node FROM edges),
+       k AS MATERIALIZED (SELECT count(*)::BIGINT AS nv FROM nodes),
+       h0 AS MATERIALIZED (SELECT node, 1000000::BIGINT AS h FROM nodes),
+       $iterCtes"""
+  }
+
   /** DuckDB list literal from a Scala string list. */
   private def sqlList(xs: Seq[String]): String =
     xs.map(s => s"'$s'").mkString("[", ", ", "]")
@@ -10293,6 +10362,28 @@ object SparkEntry {
          SELECT (node - 1000000)::BIGINT AS s_suppkey, r AS trust_micro
          FROM r3 WHERE node >= 1000000
          ORDER BY trust_micro DESC, s_suppkey LIMIT 25""",
+
+    "n4_hits" ->
+      // both integer half-steps + the power-of-sum rescale, iterations
+      // unrolled; tops taken per side then stitched
+      s"""WITH raw AS (
+           SELECT o.o_custkey AS c, l.l_suppkey + 1000000 AS p
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         edges AS (
+           SELECT c AS src, p AS dst, count(*)::BIGINT AS cnt
+           FROM raw GROUP BY 1, 2),
+         ${sqlHitsCtes(2)},
+         at AS (SELECT (node - 1000000)::BIGINT AS node_key,
+             a AS score_micro
+           FROM a2 WHERE node >= 1000000
+           ORDER BY score_micro DESC, node_key LIMIT 25),
+         ht AS (SELECT node AS node_key, h AS score_micro
+           FROM h2 WHERE node < 1000000
+           ORDER BY score_micro DESC, node_key LIMIT 25)
+         SELECT 'auth' AS side, node_key, score_micro FROM at
+         UNION ALL
+         SELECT 'hub' AS side, node_key, score_micro FROM ht
+         ORDER BY side, score_micro DESC, node_key""",
 
     "s7_inverted_index_roundtrip" ->
       s"""SELECT doc_id,

@@ -146,4 +146,56 @@ object Graph {
     }
     ranks
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999) over the DIRECTED edge
+    * list — the bipartite companion to [[linkRank]]: on a
+    * consumer→producer interaction graph, hub score measures "links to
+    * good producers" and authority "linked by good consumers", the two
+    * sides PageRank's single score conflates.
+    *
+    * Integer contract: scores are BIGINT micro-units from the uniform
+    * 10⁶ start; one half-step is a_raw(v) = Σ cnt(u,v)·h(u) (exact
+    * BIGINT sums), then the INTEGER power-of-sum rescale
+    * `a = a_raw div max(1, Σa_raw div (10⁶·|V|))` caps total mass near
+    * 10⁶·|V| — rankings are scale-invariant, the divisor is a single
+    * engine-exact scalar, and magnitudes stay bounded at any iteration
+    * count (unnormalized HITS grows like degreeᵏ and overflows). Both
+    * scalar reductions ride 1-row broadcasts, never the driver.
+    *
+    * Scale shape: per half-step one shuffle join + one map-side-
+    * combined aggregate, linear in |E| — the linkRank plan, twice per
+    * iteration; lazy localCheckpoints keep lineage flat.
+    *
+    * Returns `(node, hub_micro, auth_micro)` for every node.
+    */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "hits needs at least one iteration")
+    val e = edges.localCheckpoint(eager = false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(eager = false)
+    val tot = nodes.agg(count(lit(1)).as("nv"))
+    def rescale(raw: DataFrame, key: String, out: String): DataFrame =
+      nodes
+        .join(raw.withColumnRenamed(key, "node"), Seq("node"), "left")
+        .crossJoin(broadcast(raw.agg(sum(col("raw")).as("sr"))))
+        .crossJoin(broadcast(tot))
+        .select(col("node"),
+          expr("coalesce(raw, 0) div " +
+            "greatest(1, coalesce(sr, 1) div (nv * 1000000))").as(out))
+        .localCheckpoint(eager = false)
+    var hubs = nodes.withColumn("hub_micro", lit(1000000L))
+    var auth = nodes.withColumn("auth_micro", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val araw = e.join(hubs.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), (col("cnt") * col("hub_micro")).as("x"))
+        .groupBy(col("dst")).agg(sum(col("x")).as("raw"))
+      auth = rescale(araw, "dst", "auth_micro")
+      val hraw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src"), (col("cnt") * col("auth_micro")).as("x"))
+        .groupBy(col("src")).agg(sum(col("x")).as("raw"))
+      hubs = rescale(hraw, "src", "hub_micro")
+    }
+    nodes.join(hubs, Seq("node")).join(auth, Seq("node"))
+  }
 }

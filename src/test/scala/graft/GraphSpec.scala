@@ -120,6 +120,33 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("hits: hand-computed bipartite graph, both half-steps and the rescale") {
+    // 1→10, 2→10, 2→11 (unit weights), |V| = 4, target mass 4·10⁶.
+    val e = edges((1L, 10L, 1L), (2L, 10L, 1L), (2L, 11L, 1L))
+    def run(k: Int) = Graph.hits(e, iters = k)
+      .orderBy("node").as[(Long, Long, Long)].collect().toSeq
+    // iter 1: a_raw = (10:2e6, 11:1e6), Σ=3e6 < 4e6 ⇒ scale 1;
+    // h_raw = (1:2e6, 2:3e6), Σ=5e6 ⇒ 5e6 div 4e6 = 1 ⇒ scale 1
+    assert(run(1) == Seq(
+      (1L, 2000000L, 0L), (2L, 3000000L, 0L),
+      (10L, 0L, 2000000L), (11L, 0L, 1000000L)))
+    // iter 2: a_raw = (10:5e6, 11:3e6), Σ=8e6 ⇒ scale 2 ⇒ (2.5e6, 1.5e6);
+    // h_raw = (1:2.5e6, 2:4e6), Σ=6.5e6 ⇒ scale 1
+    assert(run(2) == Seq(
+      (1L, 2500000L, 0L), (2L, 4000000L, 0L),
+      (10L, 0L, 2500000L), (11L, 0L, 1500000L)))
+  }
+
+  test("hits: edge weights multiply the half-step contributions") {
+    // 1→10 with weight 3 vs 2→11 with weight 1: authority follows cnt·h
+    val e = edges((1L, 10L, 3L), (2L, 11L, 1L))
+    val r = Graph.hits(e, iters = 1)
+      .orderBy("node").as[(Long, Long, Long)].collect().toSeq
+    // a_raw = (10:3e6, 11:1e6), Σ=4e6 = target ⇒ scale 1
+    assert(r.collect { case (10L, _, a) => a }.head == 3000000L)
+    assert(r.collect { case (11L, _, a) => a }.head == 1000000L)
+  }
+
   test("linkRank: rank mass is bounded by the uniform start mass") {
     // floor losses only shed mass; teleport restores exactly 15% of the
     // uniform total — so Σ rank ≤ |V|·10⁶ at every iteration depth.
