@@ -3506,6 +3506,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "d25_keep_best" -> ((s, dir) => {
+      // D25 — QUALITY-AWARE survivorship over the near-dup closure
+      // (beyond the reference; the SlimPajama longest-wins rule): d14
+      // keeps the min-id member per cluster — arbitrary; production
+      // dedup keeps the BEST copy. Survivor = argmax by
+      // (n_chars desc, doc_id asc) inside each cluster — one
+      // row_number window partitioned by cluster_id (group size =
+      // cluster size, never corpus size), pure integer ordering, both
+      // tie levels pinned. This closes the survivorship-policy seam
+      // the streaming cluster-label registry deliberately leaves to
+      // downstream.
+      val d = t(s, dir, "documents")
+      Dedup.dupClusters(d.select(col("doc_id"), col("text")),
+          col("doc_id"), col("text"), threshold = 0.5)
+        .select(col("doc_id"), col("cluster_id"))
+        .join(d.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .withColumn("kept", row_number().over(
+          Window.partitionBy(col("cluster_id"))
+            .orderBy(col("n_chars").desc, col("doc_id"))) === 1)
+        .select(col("doc_id"), col("cluster_id"), col("n_chars"),
+          col("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     "w7_late_census" -> ((s, dir) => {
       // W7 — watermark sizing census (beyond the reference): before
       // picking a streaming watermark delay δ, measure what δ WOULD
@@ -6738,6 +6762,28 @@ object SparkEntry {
                 ELSE 'kept' END AS status
          FROM lab l JOIN hit h USING (cluster_id)
          ORDER BY doc_id""",
+
+    "d25_keep_best" ->
+      // the d14 closure + the longest-wins survivor window, both tie
+      // levels (n_chars desc, doc_id asc) replayed
+      s"""WITH RECURSIVE $sqlMinhashPairCtes,
+         edges AS (SELECT id_a AS ea, id_b AS eb FROM mh_pairs
+           WHERE est_jaccard >= 0.5),
+         sym AS (SELECT ea, eb FROM edges
+           UNION SELECT eb AS ea, ea AS eb FROM edges),
+         reach(id, r) AS (
+           SELECT ea, eb FROM sym
+           UNION
+           SELECT t.id, s.eb FROM reach t JOIN sym s ON t.r = s.ea),
+         comp AS (SELECT id, min(r) AS mr FROM reach GROUP BY id),
+         lab AS (SELECT d.doc_id,
+             least(coalesce(c.mr, d.doc_id), d.doc_id) AS cluster_id,
+             d.n_chars
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+         SELECT doc_id, cluster_id, n_chars,
+           row_number() OVER (PARTITION BY cluster_id
+             ORDER BY n_chars DESC, doc_id) = 1 AS kept
+         FROM lab ORDER BY doc_id""",
 
     "w7_late_census" ->
       """WITH e AS (
