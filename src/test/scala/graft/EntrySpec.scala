@@ -21,6 +21,9 @@ class EntrySpec extends SparkSpec {
     val at220 = Bench.minsLine(fake(220))
     assert(at220.length < 1800, s"len=${at220.length}")
     assert(at220.contains("\"fmt\":\"csv\""), at220.take(80))
+    // suite is 207 at r12 end and grows ~15/round — pin two rounds out
+    val at280 = Bench.minsLine(fake(280))
+    assert(at280.length < 1800, s"len=${at280.length}")
     // small suites keep the self-describing packed pairs
     val at100 = Bench.minsLine(fake(100))
     assert(at100.contains("\"fmt\":\"packed\"") && at100.length < 1750)
