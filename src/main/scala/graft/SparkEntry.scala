@@ -1225,6 +1225,44 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "x14_fim_split" -> ((s, dir) => {
+      // X14 — fill-in-the-middle transform (Bavarian et al. 2022;
+      // beyond the reference; x13's sibling for the code-pretraining
+      // objective): each doc's token stream splits into
+      // prefix/middle/suffix at deterministic doc-keyed positions and
+      // re-emits in PSM order with sentinels — the rearrangement that
+      // teaches infilling without architecture changes. Pure integer
+      // positional arithmetic (`div`/pmod on BIGINTs); docs under 4
+      // tokens pass through unchanged with is_fim = false. One
+      // tokenize + one scan-fused projection; nothing shuffles but
+      // the final sort.
+      t(s, dir, "documents")
+        .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("is_fim", col("n") >= 4L)
+        .withColumn("ms",
+          when(col("is_fim"), expr("(n div 4) + pmod(doc_id, 3)"))
+            .otherwise(lit(0L)))
+        .withColumn("ml",
+          when(col("is_fim"), expr("greatest(1L, n div 5)"))
+            .otherwise(lit(0L)))
+        .select(col("doc_id"), col("n").as("n_tokens"), col("is_fim"),
+          col("ms").as("m_start"), col("ml").as("m_len"),
+          when(col("is_fim"), concat(
+              lit("<PRE> "),
+              array_join(slice(col("toks"), lit(1),
+                col("ms").cast("int")), " "),
+              lit(" <SUF> "),
+              array_join(slice(col("toks"),
+                (col("ms") + col("ml") + 1L).cast("int"),
+                (col("n") - col("ms") - col("ml")).cast("int")), " "),
+              lit(" <MID> "),
+              array_join(slice(col("toks"), (col("ms") + 1L).cast("int"),
+                col("ml").cast("int")), " ")))
+            .otherwise(array_join(col("toks"), " ")).as("psm"))
+        .orderBy(col("doc_id"))
+    }),
+
     "x5d_dsir_diag" -> ((s, dir) => {
       // Diagnostic for the x5 driver-gate flake (red in CORRECTNESS_r9
       // through r11 while green locally): every quantity the x5 chain
@@ -9885,6 +9923,32 @@ object SparkEntry {
            FROM sel ORDER BY sel_key, doc_id LIMIT 200)
          SELECT doc_id, cluster_id, cluster_size, sel_key
          FROM top ORDER BY doc_id""",
+
+    "x14_fim_split" -> {
+      // list_slice is INCLUSIVE-end (vs Spark's slice(start, LENGTH)) —
+      // bounds mapped accordingly; `//`/% on non-negative BIGINTs
+      // match div/pmod
+      val toks = sqlTokens("text")
+      s"""WITH t AS (SELECT doc_id, $toks AS toks,
+           len($toks)::BIGINT AS n FROM documents),
+         f AS (SELECT doc_id, toks, n, n >= 4 AS is_fim,
+             CASE WHEN n >= 4 THEN (n // 4) + doc_id % 3
+               ELSE 0 END AS ms,
+             CASE WHEN n >= 4 THEN greatest(1, n // 5)
+               ELSE 0 END AS ml
+           FROM t)
+         SELECT doc_id, n AS n_tokens, is_fim,
+           ms AS m_start, ml AS m_len,
+           CASE WHEN is_fim THEN
+             '<PRE> ' ||
+             array_to_string(list_slice(toks, 1, ms), ' ') ||
+             ' <SUF> ' ||
+             array_to_string(list_slice(toks, ms + ml + 1, n), ' ') ||
+             ' <MID> ' ||
+             array_to_string(list_slice(toks, ms + 1, ms + ml), ' ')
+           ELSE array_to_string(toks, ' ') END AS psm
+         FROM f ORDER BY doc_id"""
+    },
 
     "x13_span_corruption" -> {
       // the same positional span rule, sentinel numbering via

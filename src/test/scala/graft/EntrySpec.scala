@@ -101,6 +101,28 @@ class EntrySpec extends SparkSpec {
     }
   }
 
+  test("x14 FIM law: PSM reorder reconstructs the original stream") {
+    val out = SparkEntry.queries("x14_fim_split")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    assert(out.exists(_.getAs[Boolean]("is_fim")), "no FIM rows")
+    out.filter(_.getAs[Boolean]("is_fim")).foreach { r =>
+      val psm = r.getAs[String]("psm")
+      val (n, ms, ml) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("m_start"), r.getAs[Long]("m_len"))
+      assert(psm.startsWith("<PRE> "), psm.take(20))
+      val body = psm.stripPrefix("<PRE> ")
+      val Array(pre, rest) = body.split(" <SUF> ", 2)
+      val Array(suf, mid) = rest.split(" <MID> ", 2)
+      def tk(s: String) = if (s.isEmpty) Nil else s.split(" ").toSeq
+      assert(tk(pre).size == ms, s"prefix len: $psm")
+      assert(tk(mid).size == ml, s"middle len: $psm")
+      assert(tk(pre).size + tk(mid).size + tk(suf).size == n,
+        "P+M+S must partition the stream")
+      assert(ms + ml <= n, "middle must fit")
+    }
+  }
+
   test("tq11 gains law: deciles partition, capture monotone to 100%") {
     val out = SparkEntry.queries("tq11_decile_lift")(
       spark, "/root/testdata/sf0.001").collect()
