@@ -41,6 +41,26 @@ object SparkEntry {
     */
   private def scratchDir(prefix: String): String = Scratch.dir(prefix)
 
+  /** Shared head of the x5 DSIR chain (r13): the fitted weights with
+    * the 6dp logratio as an exact BIGINT (micro units) — the only form
+    * the ranked chain consumes now, so no red query carries any float
+    * cell. The inner floor(x·10⁶+0.5) is the [[fround]] contract
+    * without the divide-back.
+    */
+  private def dsirMicroFrame(s: SparkSession, dir: String): DataFrame =
+    Classify.dsirWeights(t(s, dir, "documents"), col("doc_id"),
+        col("text"), col("lang") <=> "en", 4096)
+      .select(col("doc_id"), col("n_tok"),
+        floor(col("avg_logratio") * 1000000.0 + 0.5).as("logratio_micro"))
+
+  /** [[dsirMicroFrame]] + the pure-integer selection-key stages kept
+    * as columns (sk_m, ln_draw, sel_key) — the x5db/x5dc/x5dd bisect
+    * diagnostics each expose one of them.
+    */
+  private def dsirKeyedParts(s: SparkSession, dir: String): DataFrame =
+    Sampling.withSelKeyPartsLogW(dsirMicroFrame(s, dir), col("doc_id"),
+      lit(2L) * col("logratio_micro"), "dsir")
+
   /** v15/v16 shared lexical-retrieval constants: fixed keyword queries
     * over the synthetic vocabulary, standard Okapi k1/b, RRF k=60
     * (Cormack et al.). Both the Spark queries and their DuckDB oracles
@@ -1122,18 +1142,17 @@ object SparkEntry {
       // times (census, total, prefix), and staging runs the tokenize-
       // heavy fit AND the md5+sqrt-chain key projection once — at
       // 100 TB both are tq2-style landed artifacts anyway.
+      // r13: the whole ranked chain is BIGINT — logratio rides as
+      // micro units and the key computes via the SelKeyFixed integer
+      // kernels, so no float cell (or engine float behavior) is left
+      // anywhere in this query's lineage past the 6dp quantization.
       val staged = scratchDir("graft_x5")
-      Sampling.withSelectionKey(
-          Classify.dsirWeights(t(s, dir, "documents"), col("doc_id"),
-              col("text"), col("lang") <=> "en", 4096)
-            .select(col("doc_id"), col("n_tok"),
-              fround(col("avg_logratio"), 6).as("logratio")),
-          col("doc_id"),
-          Sampling.detExp(lit(2.0) * col("logratio")), "dsir")
+      Sampling.withSelectionKeyLogW(dsirMicroFrame(s, dir),
+          col("doc_id"), lit(2L) * col("logratio_micro"), "dsir")
         .write.mode("overwrite").parquet(staged)
       Sampling.tokenBudgetCut(s.read.parquet(staged), col("doc_id"),
           col("n_tok"), budgetPct = 25)
-        .select(col("doc_id"), col("n_tok"), col("logratio"),
+        .select(col("doc_id"), col("n_tok"), col("logratio_micro"),
           col("sel_key"), col("start_tok"))
         .orderBy(col("sel_key"), col("doc_id"))
     }),
@@ -1263,36 +1282,52 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    "x5d_dsir_diag" -> ((s, dir) => {
-      // Diagnostic for the x5 driver-gate flake (red in CORRECTNESS_r9
-      // through r11 while green locally): every quantity the x5 chain
-      // depends on, per doc for ALL 500 docs, as EXACT INTEGERS —
-      // n_tok, the per-doc weighted numerator Σ c·wi on the 2^-20 grid
-      // (recovered from the mean by one exact multiply-back), the
-      // dyadic selection exponent m, and — widened in round 12, after
-      // r11's version proved everything upstream equal while x5 stayed
-      // red — the full downstream tail: the integer selection key
-      // itself and the serve-order token offset start_tok for every
-      // doc (not just the kept 130). If any engine/environment pair
-      // still disagrees, the failing CELL names the exact doc and
-      // stage. Keep until x5 has been driver-green a full round.
-      val w = Classify.dsirWeights(t(s, dir, "documents"), col("doc_id"),
-          col("text"), col("lang") <=> "en", 4096)
-        .select(col("doc_id"), col("n_tok"),
-          fround(col("avg_logratio"), 6).as("logratio"),
-          floor(col("avg_logratio") * col("n_tok").cast("double") *
-            lit(Classify.WeightGrid) + lit(0.5)).as("wnum"))
-      Sampling.withTokenOffsets(
-          Sampling.withSelectionKey(w, col("doc_id"),
-            Sampling.detExp(lit(2.0) * col("logratio")), "dsir"),
+    // ---- x5 bisect diagnostics (r13) -------------------------------
+    // The driver gate reports ONE boolean per query; x5's r12
+    // diagnostic hashed 7 columns × 500 rows into that single bit, so
+    // a red told the builder nothing. These five each expose exactly
+    // ONE stage of the chain, per doc, for ALL 500 docs, all BIGINT —
+    // CORRECTNESS_r13's five bits therefore name the diverging stage
+    // outright (tq2/tq5 stay the driver-green upstream controls).
+    // Remove after x5 has been driver-green a full round.
+
+    "x5da_dsir_lr" -> ((s, dir) => {
+      // stage 1/5: the 6dp logratio in micro units (the only lossy
+      // quantization in the chain; everything downstream is integer).
+      dsirMicroFrame(s, dir)
+        .select(col("doc_id"), col("logratio_micro"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "x5db_dsir_m" -> ((s, dir) => {
+      // stage 2/5: the dyadic weight exponent m = expQ20(2·lr_micro).
+      dsirKeyedParts(s, dir)
+        .select(col("doc_id"), col("sk_m"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "x5dc_dsir_l" -> ((s, dir) => {
+      // stage 3/5: the quantized −ln of the keyed md5 draw.
+      dsirKeyedParts(s, dir)
+        .select(col("doc_id"), col("ln_draw"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "x5dd_dsir_key" -> ((s, dir) => {
+      // stage 4/5: the selection key m·L itself.
+      dsirKeyedParts(s, dir)
+        .select(col("doc_id"), col("sel_key"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "x5de_dsir_off" -> ((s, dir) => {
+      // stage 5/5: the serve-order token offset for EVERY doc — the
+      // census-amplified stage where one mid-rank key flip shifts
+      // start_tok for every later doc while preserving row counts
+      // (exactly x5's red-with-matching-rows signature).
+      Sampling.withTokenOffsets(dsirKeyedParts(s, dir),
           col("doc_id"), col("n_tok"))
-        .select(col("doc_id"), col("n_tok"), col("logratio"),
-          col("wnum"),
-          least(lit(1L << 26), greatest(lit(1L),
-            floor(lit((1L << 20).toDouble) /
-              Sampling.detExp(lit(2.0) * col("logratio")) +
-              lit(0.5)))).as("sk_m"),
-          col("sel_key"), col("start_tok"))
+        .select(col("doc_id"), col("start_tok"))
         .orderBy(col("doc_id"))
     }),
 
@@ -5364,12 +5399,19 @@ object SparkEntry {
       // w = exp(2·logratio)). Deterministic like every sampler here —
       // same corpus in, same sample out, on any cluster. Top-k plans
       // as TakeOrderedAndProject, never a global sort.
+      // r13: same pure-integer key chain as x5 (tq5 is x5's driver-side
+      // CONTROL — it must rank by the identical key to keep bounding
+      // any divergence); the float logratio column itself stays, as the
+      // proven-green 6dp canary.
       val w = Classify.dsirWeights(t(s, dir, "documents"), col("doc_id"),
           col("text"), col("lang") <=> "en", 4096)
         .select(col("doc_id"), col("n_tok"),
-          fround(col("avg_logratio"), 6).as("logratio"))
-      Sampling.weightedSample(w, col("doc_id"),
-          Sampling.detExp(lit(2.0) * col("logratio")), 100, "dsir")
+          fround(col("avg_logratio"), 6).as("logratio"),
+          floor(col("avg_logratio") * 1000000.0 + 0.5).as("logratio_micro"))
+      Sampling.withSelectionKeyLogW(w, col("doc_id"),
+          lit(2L) * col("logratio_micro"), "dsir")
+        .orderBy(col("sel_key"), col("doc_id"))
+        .limit(100)
         .select(col("doc_id"), col("n_tok"), col("logratio"),
           col("sel_key"))
         .orderBy(col("sel_key"), col("doc_id"))
@@ -11045,55 +11087,71 @@ object SparkEntry {
 
     "tq5_dsir_resample" ->
       // The resampling step over the tq2 weights: Efraimidis–Spirakis
-      // keyed top-k — the INTEGER log-domain key m·⌊−detln(u)·2²⁰+½⌋
-      // (ascending = preferred; the r12 x5 fix — no float cell left in
-      // the ranked output), w = detExp(2·logratio); doc_id tiebreak.
-      s"""WITH wgt AS ($sqlDsirWeights FROM sc),
-         selw AS (SELECT doc_id, n_tok, logratio,
-             ${operators.Sampling.sqlDetExp("2 * logratio")} AS _w
-           FROM wgt),
+      // keyed top-k, ranked by the r13 PURE-INTEGER key (SelKeyFixed
+      // BIGINT kernels replayed below — no double anywhere between the
+      // md5 draw and the key); doc_id tiebreak. The 6dp float logratio
+      // column stays as the proven-green upstream canary.
+      s"""WITH wgt AS ($sqlDsirWeightsMicro FROM sc),
          sel AS (SELECT doc_id, n_tok, logratio,
-             ${operators.Sampling.sqlSelKeyCols("doc_id", "_w", "dsir")}
-           FROM selw)
+             ${operators.Sampling.sqlSelKeyColsLogW("doc_id",
+                "2 * logratio_micro", "dsir")}
+           FROM wgt)
          SELECT doc_id, n_tok, logratio, sel_key FROM sel
          ORDER BY sel_key, doc_id LIMIT 100""",
 
     "x5_dsir_token_resample" ->
-      // tq5's weights and integer selection key, the token-budget
+      // tq5's weights and pure-integer selection key, the token-budget
       // stopping rule: per-bucket token census over sel_key >> 31,
       // cumulative mass of strictly earlier buckets, within-bucket
       // prefix sum by (sel_key, doc_id), keep start_tok < 25% of
-      // total tokens (start-before-budget).
-      s"""WITH wgt AS ($sqlDsirWeights FROM sc),
-         selw AS (SELECT doc_id, n_tok, logratio,
-             ${operators.Sampling.sqlDetExp("2 * logratio")} AS _w
+      // total tokens (start-before-budget). All output cells BIGINT.
+      s"""WITH wgt AS ($sqlDsirWeightsMicro FROM sc),
+         sel AS (SELECT doc_id, n_tok, logratio_micro,
+             ${operators.Sampling.sqlSelKeyColsLogW("doc_id",
+                "2 * logratio_micro", "dsir")}
            FROM wgt),
-         sel AS (SELECT doc_id, n_tok, logratio,
-             ${operators.Sampling.sqlSelKeyCols("doc_id", "_w", "dsir")}
-           FROM selw),
          ${operators.Sampling.sqlTokenBudgetCut("sel", "s.doc_id", 25)}
-         SELECT doc_id, n_tok, logratio, sel_key, start_tok
+         SELECT doc_id, n_tok, logratio_micro, sel_key, start_tok
          FROM cut ORDER BY sel_key, doc_id""",
 
-    "x5d_dsir_diag" ->
-      // exact-integer census of the FULL x5 chain for all 500 docs
-      // (see the Spark twin's comment): weights (wnum), key inputs
-      // (sk_m), the integer selection key, and the serve offset
-      // start_tok — every stage that can diverge, named per doc.
-      s"""WITH wgt AS ($sqlDsirWeights,
-           floor(w * n_tok::DOUBLE * ${operators.Classify.WeightGrid}
-             + 0.5)::BIGINT AS wnum
-           FROM sc),
-         selw AS (SELECT doc_id, n_tok, logratio, wnum,
-             ${operators.Sampling.sqlDetExp("2 * logratio")} AS _w
+    // x5 bisect diagnostics — one stage per query, all 500 docs, all
+    // BIGINT (see the Spark twins' comment).
+    "x5da_dsir_lr" ->
+      s"""WITH wgt AS ($sqlDsirWeightsMicro FROM sc)
+         SELECT doc_id, logratio_micro FROM wgt ORDER BY doc_id""",
+
+    "x5db_dsir_m" ->
+      s"""WITH wgt AS ($sqlDsirWeightsMicro FROM sc),
+         sel AS (SELECT doc_id,
+             ${operators.Sampling.sqlSelKeyColsLogW("doc_id",
+                "2 * logratio_micro", "dsir")}
+           FROM wgt)
+         SELECT doc_id, _sk_m AS sk_m FROM sel ORDER BY doc_id""",
+
+    "x5dc_dsir_l" ->
+      s"""WITH wgt AS ($sqlDsirWeightsMicro FROM sc),
+         sel AS (SELECT doc_id,
+             ${operators.Sampling.sqlSelKeyColsLogW("doc_id",
+                "2 * logratio_micro", "dsir")}
+           FROM wgt)
+         SELECT doc_id, _sk_l AS ln_draw FROM sel ORDER BY doc_id""",
+
+    "x5dd_dsir_key" ->
+      s"""WITH wgt AS ($sqlDsirWeightsMicro FROM sc),
+         sel AS (SELECT doc_id,
+             ${operators.Sampling.sqlSelKeyColsLogW("doc_id",
+                "2 * logratio_micro", "dsir")}
+           FROM wgt)
+         SELECT doc_id, sel_key FROM sel ORDER BY doc_id""",
+
+    "x5de_dsir_off" ->
+      s"""WITH wgt AS ($sqlDsirWeightsMicro FROM sc),
+         sel AS (SELECT doc_id, n_tok,
+             ${operators.Sampling.sqlSelKeyColsLogW("doc_id",
+                "2 * logratio_micro", "dsir")}
            FROM wgt),
-         sel AS (SELECT doc_id, n_tok, logratio, wnum,
-             ${operators.Sampling.sqlSelKeyCols("doc_id", "_w", "dsir")}
-           FROM selw),
          ${operators.Sampling.sqlTokenOffsets("sel", "s.doc_id")}
-         SELECT doc_id, n_tok, logratio, wnum, _sk_m AS sk_m,
-           sel_key, start_tok
-         FROM pos ORDER BY doc_id"""
+         SELECT doc_id, start_tok FROM pos ORDER BY doc_id"""
   )
 
   /** The two-sample KS CTE chain over a `(stratum, v, c)` counts
@@ -11338,4 +11396,13 @@ object SparkEntry {
   private lazy val sqlDsirWeights: String =
     s"""WITH ${sqlDsirCtes("")}
          SELECT doc_id, n_tok, ${sqlFround("w", 6)} AS logratio"""
+
+  /** [[sqlDsirWeights]] plus the 6dp logratio as exact BIGINT micro
+    * units — the r13 ranked chain's input (same inner floor as
+    * [[sqlFround]], without the divide-back). Callers append FROM sc.
+    */
+  private lazy val sqlDsirWeightsMicro: String =
+    s"""WITH ${sqlDsirCtes("")}
+         SELECT doc_id, n_tok, ${sqlFround("w", 6)} AS logratio,
+           floor((w) * 1e6 + 0.5)::BIGINT AS logratio_micro"""
 }

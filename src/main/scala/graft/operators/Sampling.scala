@@ -339,6 +339,70 @@ object Sampling {
       .withColumn("sel_key", col("_sk_m") * selLogDraw(col("_sk_h")))
       .drop("_sk_h", "_sk_m")
 
+  // ---- round-13 PURE-INTEGER key chain ----------------------------
+  //
+  // The r12 integer key still computed m and L THROUGH double Horner
+  // chains (DetExp/DetLn) before the final floor — exact-IEEE in op
+  // order, but a DuckDB build may contract a·b+c to FMA inside those
+  // chains, which is exactly the locally-bit-exact-yet-driver-red
+  // signature x5 showed for four rounds. The LogW path below has no
+  // double anywhere between the md5 hash and the key: both stages are
+  // [[graft.expressions.SelKeyFixed]] BIGINT kernels, and the oracle
+  // replays the same integer algorithm ([[sqlSelKeyColsLogW]]), so
+  // reproducibility no longer depends on any engine's float behavior.
+
+  /** The dyadic weight exponent m from a LOG-domain micro-unit weight:
+    * callers pass lwMicro = ⌊ln(w)·10⁶⌉ (for DSIR: 2·logratio_micro,
+    * an exact integer multiply) and m = ⌊2²⁰/w⌉ computes as
+    * [[graft.expressions.SelKeyFixed.expQ20]] — pure BIGINT.
+    */
+  def selExponentLogW(lwMicro: Column): Column =
+    graft.expressions.SelExpQ20(lwMicro)
+
+  /** The quantized negative-log draw L of the md5 draw — pure BIGINT
+    * ([[graft.expressions.SelKeyFixed.lnDraw]]).
+    */
+  def selLnDraw(hashPlus1: Column): Column =
+    graft.expressions.SelLnDraw(hashPlus1)
+
+  /** [[withSelectionKey]] with the pure-integer kernels, KEEPING the
+    * per-stage columns `sk_m` and `ln_draw` alongside `sel_key` — the
+    * x5db/x5dc/x5dd bisect diagnostics read these so a cross-engine
+    * mismatch names the exact stage, not just the query.
+    */
+  def withSelKeyPartsLogW(df: DataFrame, id: Column, lwMicro: Column,
+                          salt: String): DataFrame =
+    df.withColumn("_sk_h", keyHash(id, salt) + lit(1L))
+      .withColumn("sk_m", selExponentLogW(lwMicro))
+      .withColumn("ln_draw", selLnDraw(col("_sk_h")))
+      .withColumn("sel_key", col("sk_m") * col("ln_draw"))
+      .drop("_sk_h")
+
+  /** [[withSelectionKey]]'s integer-weight twin: adds only `sel_key`.
+    * Same bound as the double-weight path (key < 2⁵¹), so the
+    * [[SelBucketShift]] census spine contract is unchanged.
+    */
+  def withSelectionKeyLogW(df: DataFrame, id: Column, lwMicro: Column,
+                           salt: String): DataFrame =
+    withSelKeyPartsLogW(df, id, lwMicro, salt).drop("sk_m", "ln_draw")
+
+  /** DuckDB twin of [[withSelKeyPartsLogW]] as SELECT-list items:
+    * lateral aliases `_sk_h`, the [[graft.expressions.SelKeyFixed]]
+    * integer steps (`_sk_m`, `_sk_l` among them — diagnostics read
+    * them as sk_m/ln_draw), then `sel_key = _sk_m · _sk_l`. Every
+    * divide is truncating with non-negative operands, so `//` here and
+    * `div` on the Spark side agree unconditionally.
+    */
+  def sqlSelKeyColsLogW(idExpr: String, lwMicroExpr: String,
+                        salt: String): String = {
+    import graft.expressions.SelKeyFixed
+    val h = s"(${sqlKeyHash(idExpr, salt)} + 1)"
+    val steps = SelKeyFixed.expSteps(lwMicroExpr, SelKeyFixed.Duck) ++
+      SelKeyFixed.lnDrawSteps("_sk_h", SelKeyFixed.Duck)
+    (Seq(s"$h AS _sk_h") ++ steps.map { case (a, e) => s"$e AS $a" } :+
+      "(_sk_m * _sk_l) AS sel_key").mkString(", ")
+  }
+
   /** Deterministic weighted sampling without replacement
     * (Efraimidis–Spirakis): each row draws u ∈ (0, 1] from its keyed
     * md5 hash and ranks by selection key u^(1/w) — the top-k by that
@@ -421,7 +485,7 @@ object Sampling {
   /** Serve-order token offsets over an ALREADY-KEYED frame (a
     * `sel_key` column as [[withSelectionKey]] emits): adds `start_tok`
     * for EVERY row — the global token offset in (sel_key asc, id asc)
-    * serve order — without applying any budget. The x5d diagnostic
+    * serve order — without applying any budget. The x5de diagnostic
     * reads this full frame so a cross-engine mismatch names the exact
     * doc and stage. Leaves a `_nt` (long token count) column for
     * [[tokenBudgetCut]] to reuse.
