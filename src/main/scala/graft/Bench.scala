@@ -42,6 +42,22 @@ object Bench {
           -1.0
       }
     }
+    // Between queries, restore isolation (r13): drop every cached
+    // Dataset and persistent RDD (superseded localCheckpoint frames
+    // included — Dataset.unpersist misses those) and let the context
+    // cleaner reclaim dead shuffle/broadcast state via an explicit GC.
+    // BENCH_r12 measured the alternative: 208×2 queries in one JVM
+    // accumulated enough leaked storage that queries sitting after the
+    // checkpoint-heavy block in suite order read 6–29× slower than the
+    // same code isolated — the artifact was measuring leaked state,
+    // not code. The scrub runs OUTSIDE every timer, so per-query
+    // numbers are unaffected except by the isolation it restores.
+    def scrub(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
     // min of two runs: single-shot timings swing ±2-8× with machine
     // load, making round-over-round comparison meaningless; the min is
     // the stable "code speed" estimate and stays comparable. The two
@@ -51,7 +67,9 @@ object Bench {
     // spike, indistinguishable from a real regression.
     def pass() = ordered.map { case (name, fn) =>
       val l = sysLoad
-      (name, timeOne(name, fn), l)
+      val t = timeOne(name, fn)
+      scrub()
+      (name, t, l)
     }
     val pass1 = pass()
     val pass2 = pass()

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Storage hygiene for iterative operators.
+  *
+  * `Dataset.unpersist` only uncaches CacheManager entries — but a
+  * `localCheckpoint`ed frame's plan is a [[LogicalRDD]] whose
+  * persisted RDD the CacheManager never saw, so calling `unpersist`
+  * on it is a silent no-op. Superseded per-iteration frames
+  * (connected-components rounds, PageRank ticks, BPE merge steps)
+  * therefore accumulated executor storage for the life of the
+  * session: harmless inside one query, but measured in round 12 as
+  * 6–29× timing inflation on whatever queries happened to run after
+  * the checkpoint-heavy ones in a long bench session — and the same
+  * leak would bite any long-lived production session.
+  */
+object Frames {
+
+  /** Actually free the storage behind a frame: unpersists the
+    * [[LogicalRDD]]'s underlying RDD for localCheckpointed frames,
+    * falling back to `Dataset.unpersist` for cached ones.
+    *
+    * Only call on frames that are SUPERSEDED — a local checkpoint
+    * truncates lineage, so once its blocks are dropped the frame
+    * cannot be recomputed. The caller must guarantee the successor
+    * frame is already materialized (an eager checkpoint, or a
+    * completed action over it).
+    */
+  def free(df: DataFrame): Unit = df.queryExecution.analyzed match {
+    case lr: LogicalRDD => lr.rdd.unpersist(blocking = false): Unit
+    case _              => df.unpersist(blocking = false): Unit
+  }
+}

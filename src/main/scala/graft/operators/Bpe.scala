@@ -97,10 +97,10 @@ object Bpe {
           words = words
             .select(mergePair(col("syms"), a, b).as("syms"), col("freq"))
             .localCheckpoint()
-          prev.unpersist(): Unit
+          graft.Frames.free(prev)
       }
     }
-    words.unpersist(): Unit
+    graft.Frames.free(words)
     merges.toSeq
   }
 
@@ -190,10 +190,10 @@ object Bpe {
             case (s, (a, b)) => mergePair(s, a, b)
           }.as("syms"), col("freq"))
           .localCheckpoint()
-        prev.unpersist(): Unit
+        graft.Frames.free(prev)
       }
     }
-    words.unpersist(): Unit
+    graft.Frames.free(words)
     (merges.toSeq, rounds)
   }
 

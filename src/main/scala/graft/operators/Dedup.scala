@@ -726,13 +726,17 @@ object Dedup {
                             indexPath: String, labelDir: String,
                             batch: DataFrame, id: Column, text: Column,
                             threshold: Double, batchId: Long,
-                            buckets: Int = 64): DataFrame = {
+                            buckets: Int = 64, shingleSize: Int = 3,
+                            numHashes: Int = 16,
+                            rowsPerBand: Int = 4): DataFrame = {
     val vsCorpus = probeLshBandIndex(spark, indexPath, batch, id, text,
-        buckets = buckets,
+        shingleSize = shingleSize, numHashes = numHashes,
+        rowsPerBand = rowsPerBand, buckets = buckets,
         excludeBatch = if (batchId >= 0) Some(batchId) else None)
       .where(col("est_jaccard") >= threshold)
       .select(col("id_batch").as("ea"), col("id_corpus").as("eb"))
-    val intra = minhashPairs(batch, id, text)
+    val intra = minhashPairs(batch, id, text, shingleSize = shingleSize,
+        numHashes = numHashes, rowsPerBand = rowsPerBand)
       .where(col("est_jaccard") >= threshold)
       .select(col("id_a").as("ea"), col("id_b").as("eb"))
     val old = MergeLog.read(spark, labelDir, "id")
@@ -1249,6 +1253,11 @@ object Dedup {
       val cur = sig(small)
       converged = cur == prev
       prev = cur
+      // sig() materialized `small`'s checkpoint, so the previous
+      // round's frame is now unreachable — free its blocks instead of
+      // letting every round's edge set sit in executor storage for the
+      // life of the session (the r12 bench-contamination leak).
+      graft.Frames.free(e)
       e = small
       round += 1
     }

@@ -25,12 +25,13 @@ import org.apache.spark.sql.DataFrame
   * Scale shape: one iteration = one shuffle join (edges ⋈ ranks on src,
   * both sides hash-partitioned on the join key) + one hash aggregate on
   * dst — the standard distributed PageRank step, linear in |E| per
-  * iteration with no driver-side state. The edge+outdeg frame and each
-  * iteration's ranks are LAZY localCheckpoints (the
-  * [[Dedup.connectedComponents]] discipline): the final action
-  * materializes each stage exactly once, so iteration t never recomputes
-  * the edge build or iterations 1..t−1, and lineage stays flat at any
-  * iteration count.
+  * iteration with no driver-side state. The edge+outdeg and node
+  * frames are LAZY localCheckpoints (materialized once by the first
+  * tick's job); each ITERATION's ranks checkpoint EAGERLY and the
+  * superseded tick is freed on the spot ([[graft.Frames.free]] — r13),
+  * so no stage ever recomputes, lineage stays flat, and executor
+  * storage holds O(1) rank frames at any iteration count instead of
+  * leaking one per tick for the life of the session.
   *
   * Overflow headroom: Σr ≈ |V|·10⁶ is (approximately) conserved, so a
   * single node's rank is bounded by total mass; 17·r stays far inside
@@ -72,6 +73,15 @@ object Graph {
         .select(col("node"),
           coalesce(col("_r0"), lit(1000000L)).as("rank_micro"))
     }
+    // Per-iteration checkpoints are EAGER (r13): each tick's job
+    // materializes exactly the new stage (prior ticks read from their
+    // persisted blocks, so total work is unchanged — only job count
+    // grows by one per iteration), and the SUPERSEDED tick's frame is
+    // freed immediately. Storage stays O(2 rank frames) at any
+    // iteration count instead of O(iters) — the r12 leak that
+    // contaminated every query running after a graph tick in the same
+    // session. `ranks₀` is not checkpointed (it folds into tick 1).
+    var prevCk: Option[DataFrame] = None
     for (_ <- 1 to iters) {
       val contrib = withOutdeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -84,7 +94,9 @@ object Graph {
         .select(col("node"),
           (lit(150000L) + coalesce(col("inmass"), lit(0L)))
             .as("rank_micro"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = true)
+      prevCk.foreach(graft.Frames.free)
+      prevCk = Some(ranks)
     }
     ranks
   }
@@ -130,6 +142,8 @@ object Graph {
     val start0 = (1000000L * nn) / ns
     var ranks = nodes.select(col("node"),
       when(col("seed"), lit(start0)).otherwise(lit(0L)).as("rank_micro"))
+    // eager ticks + superseded-frame freeing — see [[linkRankFrom]].
+    var prevCk: Option[DataFrame] = None
     for (_ <- 1 to iters) {
       val contrib = withOutdeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -142,7 +156,9 @@ object Graph {
         .select(col("node"),
           (when(col("seed"), lit(tele)).otherwise(lit(0L)) +
             coalesce(col("inmass"), lit(0L))).as("rank_micro"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = true)
+      prevCk.foreach(graft.Frames.free)
+      prevCk = Some(ranks)
     }
     ranks
   }
@@ -164,7 +180,8 @@ object Graph {
     *
     * Scale shape: per half-step one shuffle join + one map-side-
     * combined aggregate, linear in |E| — the linkRank plan, twice per
-    * iteration; lazy localCheckpoints keep lineage flat.
+    * iteration; eager half-step checkpoints with superseded-frame
+    * freeing keep lineage flat and storage O(1).
     *
     * Returns `(node, hub_micro, auth_micro)` for every node.
     */
@@ -183,18 +200,26 @@ object Graph {
         .select(col("node"),
           expr("coalesce(raw, 0) div " +
             "greatest(1, coalesce(sr, 1) div (nv * 1000000))").as(out))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = true)
     var hubs = nodes.withColumn("hub_micro", lit(1000000L))
     var auth = nodes.withColumn("auth_micro", lit(1000000L))
+    // eager half-step checkpoints + superseded-frame freeing — see
+    // [[linkRankFrom]]; storage stays O(1 hub + 1 auth frame).
+    var prevH: Option[DataFrame] = None
+    var prevA: Option[DataFrame] = None
     for (_ <- 1 to iters) {
       val araw = e.join(hubs.withColumnRenamed("node", "src"), "src")
         .select(col("dst"), (col("cnt") * col("hub_micro")).as("x"))
         .groupBy(col("dst")).agg(sum(col("x")).as("raw"))
       auth = rescale(araw, "dst", "auth_micro")
+      prevA.foreach(graft.Frames.free)
+      prevA = Some(auth)
       val hraw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
         .select(col("src"), (col("cnt") * col("auth_micro")).as("x"))
         .groupBy(col("src")).agg(sum(col("x")).as("raw"))
       hubs = rescale(hraw, "src", "hub_micro")
+      prevH.foreach(graft.Frames.free)
+      prevH = Some(hubs)
     }
     nodes.join(hubs, Seq("node")).join(auth, Seq("node"))
   }
