@@ -558,19 +558,23 @@ object SparkEntry {
       // on both engines (no float cell anywhere). One iteration = one
       // hash join + one hash agg on the edge list: the standard
       // distributed PageRank step, linear in |E| at any scale.
+      // Supplier nodes are NEGATED suppkeys (customers keep their
+      // positive custkeys): sign-disjoint key spaces at any scale
+      // factor, unlike an additive offset a big-enough custkey could
+      // collide with (the n-family convention; oracles replay it).
       val raw = t(s, dir, "orders").select(
           col("o_orderkey"), col("o_custkey"))
         .join(t(s, dir, "lineitem").select(
           col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"),
-          (col("l_suppkey") + 1000000L).as("p"))
+          (-col("l_suppkey")).as("p"))
       val edges = raw.select(col("c").as("src"), col("p").as("dst"))
         .unionAll(raw.select(col("p").as("src"), col("c").as("dst")))
         .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
       graft.operators.Graph.linkRank(edges, iters = 3)
-        .filter(col("node") >= 1000000L)
-        .select((col("node") - 1000000L).as("s_suppkey"),
+        .filter(col("node") < 0L)
+        .select((-col("node")).as("s_suppkey"),
           col("rank_micro"))
         .orderBy(col("rank_micro").desc, col("s_suppkey"))
         .limit(25)
@@ -594,7 +598,7 @@ object SparkEntry {
           col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"),
-          (col("l_suppkey") + 1000000L).as("p"),
+          (-col("l_suppkey")).as("p"),
           (col("o_orderkey") % 17 =!= 0).as("hist"))
       val both = raw.select(col("c").as("src"), col("p").as("dst"),
           col("hist"))
@@ -612,8 +616,8 @@ object SparkEntry {
       graft.operators.Graph.linkRankFrom(fedges, Some(served), iters = 2)
         .join(served.select(col("node"),
           col("rank_micro").as("prev_micro")), Seq("node"), "left")
-        .filter(col("node") >= 1000000L)
-        .select((col("node") - 1000000L).as("s_suppkey"),
+        .filter(col("node") < 0L)
+        .select((-col("node")).as("s_suppkey"),
           col("rank_micro"), col("prev_micro"))
         .orderBy(col("rank_micro").desc, col("s_suppkey"))
         .limit(25)
@@ -637,7 +641,7 @@ object SparkEntry {
           col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"),
-          (col("l_suppkey") + 1000000L).as("p"))
+          (-col("l_suppkey")).as("p"))
       val edges = raw.select(col("c").as("src"), col("p").as("dst"))
         .unionAll(raw.select(col("p").as("src"), col("c").as("dst")))
         .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
@@ -647,8 +651,8 @@ object SparkEntry {
         .filter(col("n_name").isin(trustedNations: _*))
         .select(col("c_custkey").as("node"))
       graft.operators.Graph.trustRank(edges, seeds, iters = 3)
-        .filter(col("node") >= 1000000L)
-        .select((col("node") - 1000000L).as("s_suppkey"),
+        .filter(col("node") < 0L)
+        .select((-col("node")).as("s_suppkey"),
           col("rank_micro").as("trust_micro"))
         .orderBy(col("trust_micro").desc, col("s_suppkey"))
         .limit(25)
@@ -673,17 +677,17 @@ object SparkEntry {
           col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"),
-          (col("l_suppkey") + 1000000L).as("p"))
+          (-col("l_suppkey")).as("p"))
       val edges = raw.groupBy(col("c").as("src"), col("p").as("dst"))
         .agg(count(lit(1)).as("cnt"))
       val hs = graft.operators.Graph.hits(edges, iters = 2)
         .localCheckpoint(eager = false)
-      val authTop = hs.filter(col("node") >= 1000000L)
+      val authTop = hs.filter(col("node") < 0L)
         .select(lit("auth").as("side"),
-          (col("node") - 1000000L).as("node_key"),
+          (-col("node")).as("node_key"),
           col("auth_micro").as("score_micro"))
         .orderBy(col("score_micro").desc, col("node_key")).limit(25)
-      val hubTop = hs.filter(col("node") < 1000000L)
+      val hubTop = hs.filter(col("node") > 0L)
         .select(lit("hub").as("side"), col("node").as("node_key"),
           col("hub_micro").as("score_micro"))
         .orderBy(col("score_micro").desc, col("node_key")).limit(25)
@@ -1207,35 +1211,45 @@ object SparkEntry {
       // at a deterministic stride-13 phase keyed by doc_id (≈15% mask
       // rate), sentinels <extra_id_k> in span order. Pure positional
       // integer arithmetic (span starts = positions with
-      // (i+doc_id) % 13 == 0; k via array_position on the bound span
-      // list) — no hash, no float, both strings byte-identical on any
-      // engine. Scale shape: one tokenize + one scan-fused projection
-      // per row; nothing shuffles but the final sort.
+      // (i+doc_id) % 13 == 0), so BOTH membership and the sentinel
+      // index k are O(1) stride arithmetic per position — k(i) =
+      // (i − f0)/13 with f0 = pmod(−doc_id, 13) the first start (the
+      // quotient is an exact non-negative integer ≪ 2⁵³, so the
+      // double divide is bit-exact) — never an array_contains /
+      // array_position scan of the span list, which would cost
+      // O(n·|spans|) ≈ O(n²/13) per doc and let a few long docs
+      // dominate. No hash, no float cell, both strings byte-identical
+      // on any engine. Scale shape: one tokenize + one scan-fused
+      // projection per row; nothing shuffles but the final sort.
       t(s, dir, "documents")
         .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
         .withColumn("n", size(col("toks")).cast("long"))
         .filter(col("n") >= 1L)
+        .withColumn("f0", pmod(lit(0L) - col("doc_id"), lit(13L)))
         .withColumn("ss", filter(sequence(lit(0L), col("n") - 1),
           i => pmod(i + col("doc_id"), lit(13L)) === 0L))
         .select(col("doc_id"), col("n").as("n_tokens"),
           size(col("ss")).cast("long").as("n_spans"),
           size(filter(sequence(lit(0L), col("n") - 1), i =>
-            array_contains(col("ss"), i) ||
-              array_contains(col("ss"), i - 1)))
+            (pmod(i + col("doc_id"), lit(13L)) === 0L) ||
+              (i > 0L && pmod(i - 1 + col("doc_id"), lit(13L)) === 0L)))
             .cast("long").as("n_masked"),
           array_join(filter(transform(sequence(lit(0L), col("n") - 1),
-            i => when(array_contains(col("ss"), i),
+            i => when(pmod(i + col("doc_id"), lit(13L)) === 0L,
                 concat(lit("<extra_id_"),
-                  (array_position(col("ss"), i) - 1).cast("string"),
+                  ((i - col("f0")) / lit(13.0)).cast("long")
+                    .cast("string"),
                   lit(">")))
-              .when(array_contains(col("ss"), i - 1),
+              .when(i > 0L &&
+                  pmod(i - 1 + col("doc_id"), lit(13L)) === 0L,
                 lit(null).cast("string"))
               .otherwise(element_at(col("toks"), (i + 1).cast("int")))),
             x => x.isNotNull), " ").as("corrupted"),
           array_join(transform(col("ss"), i =>
             concat_ws(" ",
               concat(lit("<extra_id_"),
-                (array_position(col("ss"), i) - 1).cast("string"),
+                ((i - col("f0")) / lit(13.0)).cast("long")
+                  .cast("string"),
                 lit(">")),
               element_at(col("toks"), (i + 1).cast("int")),
               when(i + 1 < col("n"),
@@ -10453,9 +10467,11 @@ object SparkEntry {
 
     "n1_pagerank" ->
       // the same integer-micro-unit walk, iterations unrolled; `//` on
-      // non-negative BIGINTs floors exactly like Spark's `div`
+      // non-negative BIGINTs floors exactly like Spark's `div` (ranks
+      // stay non-negative; supplier NODES are negated custkey-disjoint
+      // keys used only as join/filter keys, never divided)
       s"""WITH raw AS (
-           SELECT o.o_custkey AS c, l.l_suppkey + 1000000 AS p
+           SELECT o.o_custkey AS c, -l.l_suppkey AS p
            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
          edges AS (
            SELECT src, dst, count(*)::BIGINT AS cnt FROM (
@@ -10463,8 +10479,8 @@ object SparkEntry {
              UNION ALL SELECT p AS src, c AS dst FROM raw)
            GROUP BY src, dst),
          ${sqlLinkRankCtes("", 3)}
-         SELECT (node - 1000000)::BIGINT AS s_suppkey, r AS rank_micro
-         FROM r3 WHERE node >= 1000000
+         SELECT (-node)::BIGINT AS s_suppkey, r AS rank_micro
+         FROM r3 WHERE node < 0
          ORDER BY rank_micro DESC, s_suppkey LIMIT 25""",
 
     "n2_pagerank_tick" ->
@@ -10473,7 +10489,7 @@ object SparkEntry {
       // the full edge set from the served table (absent nodes at 10⁶)
       s"""WITH raw AS (
            SELECT o.o_orderkey AS ok, o.o_custkey AS c,
-             l.l_suppkey + 1000000 AS p
+             -l.l_suppkey AS p
            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
          bedges AS (
            SELECT src, dst, count(*)::BIGINT AS cnt FROM (
@@ -10488,17 +10504,17 @@ object SparkEntry {
            GROUP BY src, dst),
          ${sqlLinkRankCtes("b", 2)},
          ${sqlLinkRankCtes("f", 2, Some("SELECT node, r FROM br2"))}
-         SELECT (f.node - 1000000)::BIGINT AS s_suppkey,
+         SELECT (-f.node)::BIGINT AS s_suppkey,
            f.r AS rank_micro, b.r AS prev_micro
          FROM fr2 f LEFT JOIN br2 b ON f.node = b.node
-         WHERE f.node >= 1000000
+         WHERE f.node < 0
          ORDER BY rank_micro DESC, s_suppkey LIMIT 25""",
 
     "n3_trustrank" ->
       // the n1 walk with teleport concentrated on the trusted-nation
       // customer seeds; |V|, |S| as scalar subqueries, all-BIGINT
       s"""WITH raw AS (
-           SELECT o.o_custkey AS c, l.l_suppkey + 1000000 AS p
+           SELECT o.o_custkey AS c, -l.l_suppkey AS p
            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
          edges AS (
            SELECT src, dst, count(*)::BIGINT AS cnt FROM (
@@ -10511,26 +10527,26 @@ object SparkEntry {
            WHERE n.n_name IN (${trustedNations.map(n => s"'$n'")
              .mkString(", ")})),
          ${sqlTrustRankCtes(3)}
-         SELECT (node - 1000000)::BIGINT AS s_suppkey, r AS trust_micro
-         FROM r3 WHERE node >= 1000000
+         SELECT (-node)::BIGINT AS s_suppkey, r AS trust_micro
+         FROM r3 WHERE node < 0
          ORDER BY trust_micro DESC, s_suppkey LIMIT 25""",
 
     "n4_hits" ->
       // both integer half-steps + the power-of-sum rescale, iterations
       // unrolled; tops taken per side then stitched
       s"""WITH raw AS (
-           SELECT o.o_custkey AS c, l.l_suppkey + 1000000 AS p
+           SELECT o.o_custkey AS c, -l.l_suppkey AS p
            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
          edges AS (
            SELECT c AS src, p AS dst, count(*)::BIGINT AS cnt
            FROM raw GROUP BY 1, 2),
          ${sqlHitsCtes(2)},
-         at AS (SELECT (node - 1000000)::BIGINT AS node_key,
+         at AS (SELECT (-node)::BIGINT AS node_key,
              a AS score_micro
-           FROM a2 WHERE node >= 1000000
+           FROM a2 WHERE node < 0
            ORDER BY score_micro DESC, node_key LIMIT 25),
          ht AS (SELECT node AS node_key, h AS score_micro
-           FROM h2 WHERE node < 1000000
+           FROM h2 WHERE node > 0
            ORDER BY score_micro DESC, node_key LIMIT 25)
          SELECT 'auth' AS side, node_key, score_micro FROM at
          UNION ALL

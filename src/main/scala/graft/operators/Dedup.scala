@@ -748,7 +748,8 @@ object Dedup {
       .withColumn("deleted", lit(false))
     MergeLog.appendDelta(delta, labelDir, Some(batchId)): Unit
     appendLshBandIndex(batch, id, text, indexPath,
-      buckets = buckets, srcBatch = batchId)
+      shingleSize = shingleSize, numHashes = numHashes,
+      rowsPerBand = rowsPerBand, buckets = buckets, srcBatch = batchId)
     merged
   }
 
@@ -758,13 +759,15 @@ object Dedup {
     */
   def clusterLabelSink(stream: DataFrame, idName: String, textName: String,
                        indexPath: String, labelDir: String,
-                       threshold: Double, buckets: Int = 64)
+                       threshold: Double, buckets: Int = 64,
+                       shingleSize: Int = 3, numHashes: Int = 16,
+                       rowsPerBand: Int = 4)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         maintainClusterLabels(batch.sparkSession, indexPath, labelDir,
           batch, col(idName), col(textName), threshold, batchId,
-          buckets): Unit
+          buckets, shingleSize, numHashes, rowsPerBand): Unit
     }
 
   // ---------------------------------------------------------------------

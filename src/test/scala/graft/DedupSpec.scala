@@ -731,6 +731,74 @@ class DedupSpec extends SparkSpec {
     assert(snapshot() == Map(10L -> 10L, 11L -> 10L, 20L -> 10L))
   }
 
+  test("cluster bridge re-elects keep-best survivor deterministically; replay stable") {
+    // The registry leaves survivorship to downstream (d25's longest-wins
+    // policy); this pins what happens when a LATER batch bridges two
+    // existing clusters: the merged cluster RE-ELECTS a single survivor
+    // (the prior per-cluster survivors deterministically lose), and a
+    // crash-replay of the bridge batch reproduces labels and survivor
+    // byte-identically. Texts share one contiguous 8-token run, so the
+    // two clusters sit at shingle-Jaccard 1/3 (below the 0.5 threshold)
+    // while the bridge doc (the concatenation) sits at 2/3 with each
+    // side; numHashes = 64 / rowsPerBand = 1 makes candidate recall and
+    // the estimate deterministic for these fixed texts.
+    val idx = Scratch.dir("br_idx") + "/lsh"
+    val labels = Scratch.dir("br_log")
+    val ta = "alpha bravo charlie delta echo foxtrot " +
+      "common ground shared words run here stays put"
+    val tb = "common ground shared words run here stays put " +
+      "zulu yankee xray whiskey victor uniform"
+    val bridge = "alpha bravo charlie delta echo foxtrot " +
+      "common ground shared words run here stays put " +
+      "zulu yankee xray whiskey victor uniform"
+    def maintain(batch: Seq[(Long, String)], batchId: Long) =
+      Dedup.maintainClusterLabels(spark, idx, labels,
+        batch.toDF("doc_id", "text"), $"doc_id", $"text",
+        threshold = 0.5, batchId = batchId, buckets = 8,
+        numHashes = 64, rowsPerBand = 1)
+    Dedup.saveLshBandIndex(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      $"doc_id", $"text", idx, numHashes = 64, rowsPerBand = 1, buckets = 8)
+    MergeLog.init(Seq.empty[(Long, Long)].toDF("id", "comp"), labels)
+    def snapshot(): Map[Long, Long] =
+      rows(MergeLog.read(spark, labels, "id"))
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // keep-best = d25's (n_chars desc, doc_id asc) window over the
+    // registry's current labels: comp -> surviving doc
+    def survivors(docs: Seq[(Long, String)]): Map[Long, Long] = {
+      val lbl = MergeLog.read(spark, labels, "id")
+        .select($"id".as("doc_id"), $"comp")
+      rows(docs.toDF("doc_id", "text").join(lbl, "doc_id")
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"comp")
+              .orderBy(length($"text").desc, $"doc_id")))
+          .where($"rn" === 1).select($"comp", $"doc_id"))
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // batch 0: two disjoint clusters; the longer member survives each
+    val b0 = Seq((10L, ta), (11L, ta + " extra"),
+      (50L, tb), (51L, tb + " bonus"))
+    maintain(b0, 0L)
+    assert(snapshot() ==
+      Map(10L -> 10L, 11L -> 10L, 50L -> 50L, 51L -> 50L))
+    assert(survivors(b0) == Map(10L -> 11L, 50L -> 51L))
+    // batch 1 bridges them: labels merge to the global min id, and the
+    // merged cluster re-elects ONE survivor (the longest = the bridge);
+    // batch 0's survivors 11 and 51 lose survivorship — RE-ELECTION is
+    // the documented semantics, not per-batch survivor stability
+    val b1 = Seq((60L, bridge))
+    maintain(b1, 1L)
+    val bridged = Map(10L -> 10L, 11L -> 10L, 50L -> 10L, 51L -> 10L,
+      60L -> 10L)
+    assert(snapshot() == bridged)
+    assert(survivors(b0 ++ b1) == Map(10L -> 60L))
+    // crash-replay of the bridge batch: closure idempotent, delta
+    // recomputes empty, appendDelta skips by batch id — labels and the
+    // re-elected survivor are stable
+    maintain(b1, 1L)
+    assert(snapshot() == bridged)
+    assert(survivors(b0 ++ b1) == Map(10L -> 60L))
+  }
+
   test("scrubRepeatedSpans: cross-doc spans removed, canonical copy kept, within-doc repeats untouched") {
     val df = Seq(
       (1L, "alpha beta gamma shared span here delta"),    // keeper (min id)

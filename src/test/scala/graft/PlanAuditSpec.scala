@@ -641,7 +641,12 @@ class PlanAuditSpec extends SparkSpec {
     val plan = SparkEntry.queries("w10_trailing_range")(spark, dir)
       .queryExecution.executedPlan.toString
     assert("Window \\[".r.findAllIn(plan).size == 1, plan)
-    assert(plan.contains("partitionBy") || plan.contains("user_id"), plan)
+    // the Window operator renders `Window [fns], [partSpec], [ordSpec]`
+    // — assert the PARTITION SPEC is user_id, not merely that the
+    // column name appears somewhere in the plan (vacuously true)
+    assert("Window \\[[^\\]]*\\], \\[user_id#".r
+      .findFirstIn(plan).isDefined,
+      s"w10 window is not partitioned by user_id:\n$plan")
     assert(!plan.contains("Join"), plan)
   }
 }
