@@ -131,7 +131,7 @@ object Bench {
     *    chars/query, fitting past 350 queries.
     * The switch triggers when the packed payload would exceed
     * [[MinsBudget]] chars, keeping line length < MinsBudget + ~60
-    * header chars < 1800 at any n — spec-pinned at 220 queries.
+    * header chars < 1800 at any n — spec-pinned at 280 queries.
     */
   val MinsBudget = 1650
   def minsLine(mins: Seq[(String, Double)]): String = {

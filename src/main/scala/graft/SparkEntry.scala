@@ -2951,15 +2951,24 @@ object SparkEntry {
         .where(col("kept")).select(col("doc_id"), col("lang"), col("text"))
         .write.mode("overwrite").parquet(s"$base/kept")
       val kept = s.read.parquet(s"$base/kept")
-      val scored = kept.select(col("doc_id"), col("lang"), col("text"),
-        fround(TF.letBound(TA.tokens(col("text")))(toks =>
-          Classify.scoreColumnFromTokens(toks, gate, nbBuckets)), 6)
-          .as("_lo6"))
+      // ONE bound tokenize per kept row feeds BOTH the gate score and
+      // n_tok (CollapseProject keeps the multi-use alias materialized);
+      // n_tok rides the landed write, so the drift stage below never
+      // re-tokenizes the landed corpus (r13 — the g10 stage audit's
+      // one recoverable pass; the full-corpus baseline tokenize for
+      // `prev` is intrinsic to the r12 dashboard product).
+      val scored = kept
+        .select(col("doc_id"), col("lang"), col("text"),
+          TA.tokens(col("text")).as("_toks"))
+        .select(col("doc_id"), col("lang"), col("text"),
+          fround(Classify.scoreColumnFromTokens(col("_toks"), gate,
+            nbBuckets), 6).as("_lo6"),
+          size(col("_toks")).cast("long").as("n_tok"))
       scored
         .crossJoin(broadcast(
           scored.agg(fround(avg(col("_lo6")), 6).as("_m6"))))
         .filter(col("_lo6") > col("_m6"))
-        .select(col("doc_id"), col("lang"), col("text"))
+        .select(col("doc_id"), col("lang"), col("text"), col("n_tok"))
         .write.mode("overwrite").parquet(s"$base/landed")
       val landed = s.read.parquet(s"$base/landed")
       val nIn = d.groupBy(col("lang")).agg(count(lit(1)).as("n_in"))
@@ -2970,8 +2979,7 @@ object SparkEntry {
         Sketches.distributionCounts(d, col("lang"),
           TA.tokenCount(col("text"))), remixBudgetPct)
       val drift = Sampling.driftGatedRates(
-        Sketches.distributionCounts(landed, col("lang"),
-          TA.tokenCount(col("text"))),
+        Sketches.distributionCounts(landed, col("lang"), col("n_tok")),
         prev, "en", remixBudgetPct, remixAlpha)
       nIn
         .join(nKept, Seq("lang"), "left")

@@ -26,12 +26,14 @@ import org.apache.spark.sql.DataFrame
   * both sides hash-partitioned on the join key) + one hash aggregate on
   * dst — the standard distributed PageRank step, linear in |E| per
   * iteration with no driver-side state. The edge+outdeg and node
-  * frames are LAZY localCheckpoints (materialized once by the first
-  * tick's job); each ITERATION's ranks checkpoint EAGERLY and the
-  * superseded tick is freed on the spot ([[graft.Frames.free]] — r13),
-  * so no stage ever recomputes, lineage stays flat, and executor
-  * storage holds O(1) rank frames at any iteration count instead of
-  * leaking one per tick for the life of the session.
+  * frames are LAZY localCheckpoints (multi-referenced across ticks —
+  * materialized once, read every iteration); rank frames are each
+  * referenced exactly once by the next tick, so the loop stays a
+  * single fused job and only checkpoints EAGERLY on a [[CkEvery]]
+  * cadence, freeing the superseded cadence frame on the spot
+  * ([[graft.Frames.free]] — r13): flat lineage and O(1) executor
+  * storage at any iteration count, zero checkpoint overhead for the
+  * short fixed-iteration queries.
   *
   * Overflow headroom: Σr ≈ |V|·10⁶ is (approximately) conserved, so a
   * single node's rank is bounded by total mass; 17·r stays far inside
@@ -73,16 +75,18 @@ object Graph {
         .select(col("node"),
           coalesce(col("_r0"), lit(1000000L)).as("rank_micro"))
     }
-    // Per-iteration checkpoints are EAGER (r13): each tick's job
-    // materializes exactly the new stage (prior ticks read from their
-    // persisted blocks, so total work is unchanged — only job count
-    // grows by one per iteration), and the SUPERSEDED tick's frame is
-    // freed immediately. Storage stays O(2 rank frames) at any
-    // iteration count instead of O(iters) — the r12 leak that
-    // contaminated every query running after a graph tick in the same
-    // session. `ranks₀` is not checkpointed (it folds into tick 1).
+    // Checkpoint CADENCE (r13): each rank frame is referenced exactly
+    // once by the next tick, so short loops plan as ONE fused job with
+    // no per-tick materialization at all — per-iteration checkpoints
+    // (lazy OR eager) only added persist overhead and, unfreed, were
+    // the r12 storage leak. Every [[CkEvery]]-th tick checkpoints
+    // EAGERLY (flat lineage + bounded failure-recompute at any
+    // iteration count) and the superseded cadence frame is freed on
+    // the spot: executor storage is O(1) frames however long the loop
+    // runs. Callers that consume the result more than once checkpoint
+    // it themselves (the n2 serve table does).
     var prevCk: Option[DataFrame] = None
-    for (_ <- 1 to iters) {
+    for (t <- 1 to iters) {
       val contrib = withOutdeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst"),
@@ -94,12 +98,21 @@ object Graph {
         .select(col("node"),
           (lit(150000L) + coalesce(col("inmass"), lit(0L)))
             .as("rank_micro"))
-        .localCheckpoint(eager = true)
-      prevCk.foreach(graft.Frames.free)
-      prevCk = Some(ranks)
+      if (t % CkEvery == 0 && t < iters) {
+        ranks = ranks.localCheckpoint(eager = true)
+        prevCk.foreach(graft.Frames.free)
+        prevCk = Some(ranks)
+      }
     }
     ranks
   }
+
+  /** Iterations between eager lineage checkpoints in the rank loops —
+    * deep enough that short fixed-iteration queries fuse into a single
+    * job, shallow enough that lineage depth and failure-recompute stay
+    * bounded on long-running fixpoint loops.
+    */
+  private val CkEvery = 8
 
   /** SEEDED trust propagation (TrustRank, Gyöngyi et al. 2004): the
     * [[linkRank]] walk with the teleport mass concentrated on a trusted
@@ -142,9 +155,10 @@ object Graph {
     val start0 = (1000000L * nn) / ns
     var ranks = nodes.select(col("node"),
       when(col("seed"), lit(start0)).otherwise(lit(0L)).as("rank_micro"))
-    // eager ticks + superseded-frame freeing — see [[linkRankFrom]].
+    // checkpoint cadence + superseded-frame freeing — see
+    // [[linkRankFrom]].
     var prevCk: Option[DataFrame] = None
-    for (_ <- 1 to iters) {
+    for (t <- 1 to iters) {
       val contrib = withOutdeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst"),
@@ -156,9 +170,11 @@ object Graph {
         .select(col("node"),
           (when(col("seed"), lit(tele)).otherwise(lit(0L)) +
             coalesce(col("inmass"), lit(0L))).as("rank_micro"))
-        .localCheckpoint(eager = true)
-      prevCk.foreach(graft.Frames.free)
-      prevCk = Some(ranks)
+      if (t % CkEvery == 0 && t < iters) {
+        ranks = ranks.localCheckpoint(eager = true)
+        prevCk.foreach(graft.Frames.free)
+        prevCk = Some(ranks)
+      }
     }
     ranks
   }
