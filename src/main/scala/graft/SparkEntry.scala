@@ -1296,6 +1296,52 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "x15_sequence_pack" -> ((s, dir) => {
+      // X15 — GPT-style concat-and-chunk sequence packing (Brown et
+      // al. 2020 §2.1; beyond the reference): the corpus concatenates
+      // in doc_id order into ONE token stream chunked into 512-token
+      // training sequences; each doc's placement — global start_tok,
+      // the sequences it intersects (a doc may CROSS a boundary,
+      // unlike g2/x1's starts-in-bin rollup), in-sequence offset —
+      // is exactly what a causal-LM loader consumes. All cells
+      // BIGINT/boolean. Zero-token docs place nothing and are
+      // filtered (both engines). Scale shape: packedStartsBucketed's
+      // two-pass summary-carry prefix sum (never a corpus-wide
+      // single-partition window) + the packedSpans pure projection.
+      Packing.packedSpans(
+          Packing.packedStartsBucketed(
+            t(s, dir, "documents")
+              .select(col("doc_id"),
+                TA.tokenCount(col("text")).as("n_tok"))
+              .filter(col("n_tok") >= 1),
+            lit("all"), col("doc_id"), col("n_tok"),
+            bucketWidth = 4096L),
+          seqLen = 512L)
+        .select(col("doc_id"), col("n_tok"), col("start_tok"),
+          col("seq_first"), col("seq_last"), col("off_in_seq"),
+          col("crosses"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "x16_pack_fragmentation" -> ((s, dir) => {
+      // X16 — attention-fragmentation census over x15's packing: how
+      // many documents each 512-token training sequence mixes (every
+      // boundary crossing puts unrelated text in one attention window
+      // — the stat behind boundary-aware attention masking). Bounded
+      // (n_docs, n_seqs) histogram; the per-doc explode is linear in
+      // corpus_tokens/512.
+      Packing.packFragmentation(Packing.packedSpans(
+          Packing.packedStartsBucketed(
+            t(s, dir, "documents")
+              .select(col("doc_id"),
+                TA.tokenCount(col("text")).as("n_tok"))
+              .filter(col("n_tok") >= 1),
+            lit("all"), col("doc_id"), col("n_tok"),
+            bucketWidth = 4096L),
+          seqLen = 512L))
+        .orderBy(col("n_docs"))
+    }),
+
     // ---- x5 bisect diagnostics (r13) -------------------------------
     // The driver gate reports ONE boolean per query; x5's r12
     // diagnostic hashed 7 columns × 500 rows into that single bit, so
@@ -10012,6 +10058,48 @@ object SparkEntry {
              array_to_string(list_slice(toks, ms + 1, ms + ml), ' ')
            ELSE array_to_string(toks, ' ') END AS psm
          FROM f ORDER BY doc_id"""
+    },
+
+    "x15_sequence_pack" -> {
+      // the ta6 packed-starts prefix sum over ONE global stream, plus
+      // the span columns; `//`/% on non-negative BIGINTs match
+      // div/pmod; zero-token docs place nothing (filtered both sides)
+      val toks = sqlTokens("text")
+      s"""WITH t AS (
+           SELECT doc_id, len($toks)::BIGINT AS n_tok FROM documents),
+         p AS (
+           SELECT doc_id, n_tok,
+             (sum(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+               - n_tok AS start_tok
+           FROM t WHERE n_tok >= 1)
+         SELECT doc_id, n_tok, start_tok,
+           start_tok // 512 AS seq_first,
+           (start_tok + n_tok - 1) // 512 AS seq_last,
+           start_tok % 512 AS off_in_seq,
+           (start_tok + n_tok - 1) // 512 > start_tok // 512 AS crosses
+         FROM p ORDER BY doc_id"""
+    },
+
+    "x16_pack_fragmentation" -> {
+      // per-sequence doc counts via generate_series over each doc's
+      // intersected sequence ids, rolled to the bounded histogram
+      val toks = sqlTokens("text")
+      s"""WITH t AS (
+           SELECT doc_id, len($toks)::BIGINT AS n_tok FROM documents),
+         p AS (
+           SELECT doc_id, n_tok,
+             (sum(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+               - n_tok AS start_tok
+           FROM t WHERE n_tok >= 1),
+         e AS (
+           SELECT unnest(generate_series(start_tok // 512,
+             (start_tok + n_tok - 1) // 512))::BIGINT AS seq_id FROM p),
+         s AS (SELECT seq_id, count(*)::BIGINT AS n_docs
+           FROM e GROUP BY seq_id)
+         SELECT n_docs, count(*)::BIGINT AS n_seqs
+         FROM s GROUP BY n_docs ORDER BY n_docs"""
     },
 
     "x13_span_corruption" -> {

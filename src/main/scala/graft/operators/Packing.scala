@@ -119,4 +119,37 @@ object Packing {
         size(col("__ct")).cast("long").as("n_tok"),
         concat_ws(" ", col("__ct")).as("chunk_text"))
   }
+
+  /** Concat-and-chunk SPAN semantics over a packed-starts frame (Brown
+    * et al. 2020 §2.1 — the causal-LM loader's view, where a document
+    * may CROSS a sequence boundary rather than belonging only to the
+    * bin it starts in, [[packBins]]'s convention): adds `seq_first`/
+    * `seq_last` (the `seqLen`-token training sequences the doc
+    * intersects), `off_in_seq` (offset inside seq_first) and `crosses`.
+    * Pure BIGINT projection over `(n_tok, start_tok)` — zero exchanges.
+    */
+  def packedSpans(starts: DataFrame, seqLen: Long): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    starts
+      .withColumn("seq_first", expr(s"start_tok div $seqLen"))
+      .withColumn("seq_last",
+        expr(s"(start_tok + n_tok - 1) div $seqLen"))
+      .withColumn("off_in_seq", pmod(col("start_tok"), lit(seqLen)))
+      .withColumn("crosses", col("seq_last") > col("seq_first"))
+  }
+
+  /** Attention-fragmentation census over a [[packedSpans]] frame: how
+    * many documents each training sequence mixes (every boundary
+    * crossing puts unrelated text in one attention window — the stat
+    * behind boundary-aware attention masking). Output is the bounded
+    * histogram `(n_docs, n_seqs)`. Scale shape: each doc explodes to
+    * its ≤ `n_tok/seqLen + 1` intersected sequence ids — linear in
+    * corpus_tokens/seqLen — then two hash aggregates.
+    */
+  def packFragmentation(spans: DataFrame): DataFrame =
+    spans
+      .select(explode(sequence(col("seq_first"), col("seq_last")))
+        .as("seq_id"))
+      .groupBy(col("seq_id")).agg(count(lit(1)).as("n_docs"))
+      .groupBy(col("n_docs")).agg(count(lit(1)).as("n_seqs"))
 }

@@ -145,4 +145,46 @@ class PackingSpec extends SparkSpec {
     assert(got.map(_.getLong(2)).sum == total)
     assert(got.map(_.getLong(3)).max < total, "starts lie inside the stream")
   }
+
+  test("packedSpans: span columns match hand math; fragmentation histogram conserves") {
+    // 7 docs over one global stream, seqLen = 10: crafted so the stream
+    // has in-sequence continuations, exact boundary landings and a
+    // multi-sequence straddler
+    val docs = Seq(
+      (1L, 4L),  // [0,4)    seq 0, off 0
+      (2L, 6L),  // [4,10)   seq 0, off 4, ends ON boundary (no cross)
+      (3L, 15L), // [10,25)  seqs 1-2, off 0, crosses
+      (4L, 3L),  // [25,28)  seq 2, off 5
+      (5L, 25L), // [28,53)  seqs 2-5, off 8, crosses 3 boundaries
+      (6L, 7L),  // [53,60)  seq 5, off 3, ends on boundary
+      (7L, 1L)   // [60,61)  seq 6, off 0
+    ).toDF("doc_id", "n_tok").withColumn("lang", lit("all"))
+    val spans = Packing.packedSpans(
+      Packing.packedStartsBucketed(docs, $"lang", $"doc_id", $"n_tok",
+        bucketWidth = 2L), seqLen = 10L)
+    val got = rows(spans.orderBy($"doc_id")
+        .select($"doc_id", $"start_tok", $"seq_first", $"seq_last",
+          $"off_in_seq", $"crosses"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(got == Seq(
+      (1L, 0L, 0L, 0L, 0L, false),
+      (2L, 4L, 0L, 0L, 4L, false),
+      (3L, 10L, 1L, 2L, 0L, true),
+      (4L, 25L, 2L, 2L, 5L, false),
+      (5L, 28L, 2L, 5L, 8L, true),
+      (6L, 53L, 5L, 5L, 3L, false),
+      (7L, 60L, 6L, 6L, 0L, false)))
+    // fragmentation histogram: seq0={1,2}, seq1={3}, seq2={3,4,5},
+    // seq3=seq4={5}, seq5={5,6}, seq6={7} → four 1-doc seqs, two
+    // 2-doc seqs, one 3-doc seq
+    val hist = rows(Packing.packFragmentation(spans).orderBy($"n_docs"))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(hist == Seq((1L, 4L), (2L, 2L), (3L, 1L)))
+    // conservation: sum(n_docs * n_seqs) == sum of per-doc span widths,
+    // and sum(n_seqs) == number of occupied sequences
+    assert(hist.map(h => h._1 * h._2).sum ==
+      got.map(g => g._4 - g._3 + 1).sum)
+    assert(hist.map(_._2).sum == 7L)
+  }
 }

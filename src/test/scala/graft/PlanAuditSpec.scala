@@ -176,6 +176,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("x15 sequence pack: two packing windows, broadcast carry, no sort-merge") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("x15_sequence_pack")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // same bucketed-packing budget as g2: the in-bucket running sum
+    // (partitioned by bucket — parallel) + the carry prefix over the
+    // per-bucket summary spine; the span columns are a pure projection
+    // and the carry side joins as a BROADCAST, never a sort-merge
+    assert("Window \\[".r.findAllIn(plan).size == 2,
+      s"expected exactly two Windows (bucketed packing):\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("g6 steered build adds zero exchanges and zero joins over g2") {
     val dir = "/root/testdata/sf0.001"
     def shape(name: String): (Int, Int, Int) = {
