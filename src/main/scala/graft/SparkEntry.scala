@@ -3224,6 +3224,41 @@ object SparkEntry {
         .orderBy(col("eval_v"), col("lang"))
     }),
 
+    "g15_pack_tick" -> ((s, dir) => {
+      // G15 — the PACKED-STREAM day tick (beyond the reference; the
+      // index-lifecycle discipline applied to x15's packing): the
+      // packed corpus is a SERVED artifact — training shards address
+      // tokens by global offset — so the day's batch must APPEND at
+      // the stream's high-water token offset and never restate an
+      // earlier placement. History (doc_id % 17 != 0) lands as
+      // segment 0; the delta day appends as segment 1 from the stored
+      // per-segment token totals (one bounded 1-row read per segment,
+      // never a store rescan); a crash-replay of the delta batch id
+      // must no-op at the commit gate — if it double-appended, every
+      // delta row would appear twice and the oracle's row count would
+      // break. Output = the read-back store with x15's span columns;
+      // the oracle replays the two-phase prefix sum relationally, so
+      // equality proves land → high-water append → replay gate →
+      // read-back end to end.
+      val store = scratchDir("graft_g15") + "/packed"
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        TA.tokenCount(col("text")).cast("long").as("n_tok"))
+      Packing.appendPacked(s, store,
+        d.filter(pmod(col("doc_id"), lit(17)) =!= 0),
+        col("doc_id"), col("n_tok"), batchId = 0L)
+      Packing.appendPacked(s, store,
+        d.filter(pmod(col("doc_id"), lit(17)) === 0),
+        col("doc_id"), col("n_tok"), batchId = 1L)
+      // replay of the committed delta: complete no-op
+      Packing.appendPacked(s, store,
+        d.filter(pmod(col("doc_id"), lit(17)) === 0),
+        col("doc_id"), col("n_tok"), batchId = 1L)
+      Packing.packedSpans(Packing.packedStore(s, store), seqLen = 512L)
+        .select(col("seg"), col("doc_id"), col("n_tok"),
+          col("start_tok"), col("seq_first"), col("off_in_seq"))
+        .orderBy(col("doc_id"))
+    }),
+
     "g14_takedown_tick" -> ((s, dir) => {
       // G14 — the TAKEDOWN day tick as one replay-idempotent product
       // (beyond the reference; the compliance-lifecycle sibling of
@@ -10100,6 +10135,36 @@ object SparkEntry {
            FROM e GROUP BY seq_id)
          SELECT n_docs, count(*)::BIGINT AS n_seqs
          FROM s GROUP BY n_docs ORDER BY n_docs"""
+    },
+
+    "g15_pack_tick" -> {
+      // the two-phase packed stream: history prefix sum, then the
+      // delta day packs from the history total — the relational twin
+      // of land -> high-water append -> read-back
+      val toks = sqlTokens("text")
+      s"""WITH t AS (
+           SELECT doc_id, len($toks)::BIGINT AS n_tok FROM documents),
+         h AS (
+           SELECT doc_id, n_tok,
+             (sum(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+               - n_tok AS start_tok
+           FROM t WHERE doc_id % 17 <> 0 AND n_tok >= 1),
+         ht AS (SELECT coalesce(sum(n_tok), 0)::BIGINT AS tot FROM h),
+         dl AS (
+           SELECT doc_id, n_tok,
+             (SELECT tot FROM ht)
+               + (sum(n_tok) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+               - n_tok AS start_tok
+           FROM t WHERE doc_id % 17 = 0 AND n_tok >= 1),
+         u AS (
+           SELECT 0::BIGINT AS seg, * FROM h
+           UNION ALL SELECT 1::BIGINT AS seg, * FROM dl)
+         SELECT seg, doc_id, n_tok, start_tok,
+           start_tok // 512 AS seq_first,
+           start_tok % 512 AS off_in_seq
+         FROM u ORDER BY doc_id"""
     },
 
     "x13_span_corruption" -> {

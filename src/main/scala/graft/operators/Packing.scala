@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Sequence packing for training-data assembly (beyond the reference;
   * standard LLM-pretraining need): per group (language), documents
@@ -152,4 +152,72 @@ object Packing {
         .as("seq_id"))
       .groupBy(col("seq_id")).agg(count(lit(1)).as("n_docs"))
       .groupBy(col("n_docs")).agg(count(lit(1)).as("n_seqs"))
+
+  // -------------------------------------------------------------------
+  // Persisted packed-stream store — the commit-gated index-lifecycle
+  // discipline applied to packing: the packed corpus is a SERVED
+  // artifact (training shards address tokens by global offset), so a
+  // day's batch must APPEND at the stream's high-water token offset
+  // and never restate an earlier placement.
+  //
+  //   dir/tot/d=K     1-row (tokens): K's token mass, written FIRST —
+  //                   a tot without committed data is a torn attempt,
+  //                   invisible to readers and rewritten by the retry
+  //   dir/delta/d=K   packed rows (seg, doc_id, n_tok, start_tok);
+  //                   the parquet _SUCCESS marker is the commit gate
+  //
+  // Replay of a committed batch id is a complete no-op; the append
+  // stability law (PackingSpec) pins that one-shot packing of the
+  // whole corpus equals the composition of ticks, byte for byte.
+  // Single-writer, monotone batch ids, no compaction: segments are
+  // immutable serve shards, never folded.
+  // -------------------------------------------------------------------
+
+  /** Append one batch to the packed store at `dir` (created on first
+    * call). Within the batch, docs pack in ascending `id` order (rows
+    * with `nTok` < 1 place nothing); across batches, order is append
+    * order. Returns the committed segment id (= `batchId`).
+    */
+  def appendPacked(spark: SparkSession, dir: String, batch: DataFrame,
+                   id: Column, nTok: Column, batchId: Long,
+                   bucketWidth: Long = 4096L): Long = {
+    val committed = SegmentFs.listVersions(spark, s"$dir/delta", "d")
+    if (committed.contains(batchId)) batchId // replay — complete no-op
+    else {
+      require(committed.forall(_ < batchId),
+        s"packed appends are monotone: batch $batchId after $committed")
+      val base = packedHighWater(spark, dir, committed)
+      // stage once: the tot agg and the segment write both consume the
+      // packed frame — don't pay the pack window twice
+      val packed = packedStartsBucketed(
+          batch.filter(nTok.cast("long") >= 1L)
+            .withColumn("__all", lit("all")),
+          col("__all"), id, nTok, bucketWidth)
+        .select(lit(batchId).as("seg"), col("doc_id"), col("n_tok"),
+          (col("start_tok") + lit(base)).as("start_tok"))
+        .localCheckpoint(eager = true)
+      try {
+        packed.agg(coalesce(sum(col("n_tok")), lit(0L)).as("tokens"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/tot/d=$batchId")
+        SegmentFs.appendSegment(packed, dir, Some(batchId))
+      } finally graft.Frames.free(packed)
+    }
+  }
+
+  /** The stream's high-water token offset: Σ token mass of the
+    * data-committed segments — one bounded 1-row read per segment,
+    * never a store scan.
+    */
+  private def packedHighWater(spark: SparkSession, dir: String,
+                              committed: Seq[Long]): Long =
+    committed.map(k =>
+      spark.read.parquet(s"$dir/tot/d=$k").head().getLong(0)).sum
+
+  /** All committed packed rows — the serve view. */
+  def packedStore(spark: SparkSession, dir: String): DataFrame = {
+    val committed = SegmentFs.listVersions(spark, s"$dir/delta", "d")
+    require(committed.nonEmpty, s"no committed packed segments at $dir")
+    spark.read.parquet(committed.map(SegmentFs.deltaDir(dir, _)): _*)
+  }
 }

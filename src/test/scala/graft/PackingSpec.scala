@@ -187,4 +187,46 @@ class PackingSpec extends SparkSpec {
       got.map(g => g._4 - g._3 + 1).sum)
     assert(hist.map(_._2).sum == 7L)
   }
+
+  test("appendPacked: high-water append, poisoned replay no-op, composition == one-shot") {
+    val store = Scratch.dir("pk_store") + "/packed"
+    val docs = Seq((1L, 4L), (2L, 6L), (3L, 15L), (4L, 3L), (5L, 25L),
+      (6L, 0L)).toDF("doc_id", "n_tok") // doc 6 places nothing
+    def read() = rows(Packing.packedStore(spark, store)
+        .orderBy($"doc_id")
+        .select($"seg", $"doc_id", $"n_tok", $"start_tok"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    Packing.appendPacked(spark, store, docs.filter($"doc_id" <= 3),
+      $"doc_id", $"n_tok", batchId = 0L, bucketWidth = 2L)
+    val before = read()
+    assert(before == Seq((0L, 1L, 4L, 0L), (0L, 2L, 6L, 4L),
+      (0L, 3L, 15L, 10L)))
+    Packing.appendPacked(spark, store, docs.filter($"doc_id" > 3),
+      $"doc_id", $"n_tok", batchId = 1L, bucketWidth = 2L)
+    val after = read()
+    // the delta packs AT the high-water offset (25); history rows are
+    // byte-stable; the zero-token doc placed nothing
+    assert(after == before ++ Seq((1L, 4L, 3L, 25L), (1L, 5L, 25L, 28L)))
+    // composition == one-shot packing of the full corpus
+    val oneShot = rows(Packing.packedStartsBucketed(
+        docs.filter($"n_tok" >= 1).withColumn("lang", lit("all")),
+        $"lang", $"doc_id", $"n_tok", bucketWidth = 2L)
+        .orderBy($"doc_id").select($"doc_id", $"start_tok"))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(after.map(a => (a._2, a._4)) == oneShot)
+    // POISONED replay of a committed id (wrong content, even an OLD
+    // id) is a complete no-op at the commit gate
+    Packing.appendPacked(spark, store,
+      docs.withColumn("n_tok", lit(999L)), $"doc_id", $"n_tok",
+      batchId = 1L, bucketWidth = 2L)
+    Packing.appendPacked(spark, store,
+      docs.withColumn("n_tok", lit(999L)), $"doc_id", $"n_tok",
+      batchId = 0L, bucketWidth = 2L)
+    assert(read() == after)
+    // a NEW non-monotone id is a contract violation, loudly
+    intercept[IllegalArgumentException] {
+      Packing.appendPacked(spark, store, docs, $"doc_id", $"n_tok",
+        batchId = -5L, bucketWidth = 2L)
+    }
+  }
 }
