@@ -220,4 +220,20 @@ object Packing {
     require(committed.nonEmpty, s"no committed packed segments at $dir")
     spark.read.parquet(committed.map(SegmentFs.deltaDir(dir, _)): _*)
   }
+
+  /** Streaming wrapper over [[appendPacked]]: each micro-batch appends
+    * at the stream's high-water token offset, keyed by its batch id —
+    * Structured Streaming replays the last uncommitted batch on
+    * restart and the commit gate no-ops it, so the packed stream is
+    * exactly-once without coordination.
+    */
+  def packedStreamSink(stream: DataFrame, idName: String,
+                       nTokName: String, dir: String,
+                       bucketWidth: Long = 4096L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        appendPacked(batch.sparkSession, dir, batch, col(idName),
+          col(nTokName), batchId, bucketWidth): Unit
+    }
 }

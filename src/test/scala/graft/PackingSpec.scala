@@ -229,4 +229,27 @@ class PackingSpec extends SparkSpec {
         batchId = -5L, bucketWidth = 2L)
     }
   }
+
+  test("packedStreamSink: micro-batches append at the high water, exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val store = Scratch.dir("pk_stream") + "/packed"
+    val input = MemoryStream[(Long, Long)]
+    val q = Packing.packedStreamSink(
+        input.toDF().toDF("doc_id", "n_tok"), "doc_id", "n_tok", store,
+        bucketWidth = 2L)
+      .option("checkpointLocation", Scratch.dir("pk_ckpt"))
+      .start()
+    try {
+      input.addData((1L, 4L), (2L, 6L))
+      q.processAllAvailable()
+      input.addData((3L, 15L), (4L, 3L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = rows(Packing.packedStore(spark, store).orderBy($"doc_id")
+        .select($"seg", $"doc_id", $"start_tok"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got == Seq((0L, 1L, 0L), (0L, 2L, 4L),
+      (1L, 3L, 10L), (1L, 4L, 25L)))
+  }
 }
