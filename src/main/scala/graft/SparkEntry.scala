@@ -4697,6 +4697,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "m12_gif_pixel_decode" -> ((s, dir) => {
+      // REAL GIF decode (beyond the reference; m11's LZW companion —
+      // GIF-LZW is pure integer bookkeeping, zero dependencies):
+      // expressions.GifPixelStats walks header/LSD/global color
+      // table, skips a graphic-control extension by its sub-block
+      // chain, reassembles the image sub-blocks, and runs the full
+      // variable-width LZW decode (LSB-first bit reader, clear/end
+      // codes, prefix-linked dictionary, width bumps at 2^width,
+      // KwKwK) before mapping indices through the palette. The oracle
+      // computes the channel sums from the palette+index FORMULA
+      // alone, so the entropy decode is checked against independent
+      // ground truth. All output cells exact integers.
+      val hexes = array((0 until 16).map(v => lit(m12GifHex(v))): _*)
+      t(s, dir, "documents")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(16L)).as("v"))
+        .withColumn("px", graft.expressions.GifPixelStats(
+          unhex(element_at(hexes, (col("v") + 1).cast("int")))))
+        .select(col("doc_id"), col("v"), col("px.w"), col("px.h"),
+          col("px.n_px"), col("px.r_sum"), col("px.g_sum"),
+          col("px.b_sum"), col("px.rw_sum"))
+        .orderBy(col("doc_id"))
+    }),
+
     "w6_interval_join" -> ((s, dir) => {
       // Batch twin of the watermarked stream-stream interval join
       // (Streams.intervalJoin; StreamFileSpec pins stream == batch
@@ -6253,6 +6276,90 @@ object SparkEntry {
       .map(_.toByte) ++ chunk("IHDR", ihdr) ++ idat ++
       chunk("IEND", Array.emptyByteArray)
     all.map("%02X".format(_)).mkString
+  }
+
+  /** m12 fixture ENCODER: a single-frame GIF89a for variant v —
+    * w = 1+(v%4), h = 1+(v/4), a 4-color global color table with
+    * entry j = (R,G,B) = ((v·7+j·31)%256, (v·11+j·17)%256,
+    * (v·13+j·23)%256) and pixel index(x,y) = (x + 2y + v) % 4 —
+    * compressed by a REAL greedy GIF-LZW encoder ([[m12LzwEncode]])
+    * and preceded by a graphic-control extension so the decoder's
+    * sub-block skip path is load-bearing. The oracle replays only the
+    * FORMULA; the decoder reads only the BYTES (see [[m6BmpHex]]'s
+    * independence argument).
+    */
+  private def m12GifHex(v: Int): String = {
+    val w = 1 + (v % 4); val h = 1 + (v / 4)
+    val idx = Array.tabulate(w * h)(i => ((i % w) + 2 * (i / w) + v) % 4)
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(x: Int): Unit = { out.write(x & 0xff); out.write((x >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(w); le16(h)
+    out.write(0x80 | 0x01) // GCT present, size bits 1 => 4 entries
+    out.write(0); out.write(0) // background index, aspect
+    for (j <- 0 until 4) {
+      out.write((v * 7 + j * 31) % 256)
+      out.write((v * 11 + j * 17) % 256)
+      out.write((v * 13 + j * 23) % 256)
+    }
+    // graphic-control extension — skipped by sub-block walking
+    out.write(0x21); out.write(0xf9); out.write(4)
+    out.write(0); le16(0); out.write(0); out.write(0)
+    // image descriptor: full frame, no local table, no interlace
+    out.write(0x2c); le16(0); le16(0); le16(w); le16(h); out.write(0)
+    val minCode = 2
+    out.write(minCode)
+    val packed = m12LzwEncode(idx, minCode)
+    var off = 0
+    while (off < packed.length) {
+      val n = math.min(255, packed.length - off)
+      out.write(n); out.write(packed, off, n); off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray.map("%02X".format(_)).mkString
+  }
+
+  /** Greedy GIF-LZW compress with the DECODER-aligned width cadence:
+    * codes pack LSB-first; the write width bumps exactly when the
+    * decoder's dictionary (which adds one entry per data code from the
+    * second on) reaches 2^width — the one-step encoder/decoder count
+    * skew that buries most LZW bugs.
+    */
+  private def m12LzwEncode(idx: Array[Int], minCode: Int): Array[Byte] = {
+    val clear = 1 << minCode; val end = clear + 1
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0; var nbits = 0
+    var width = minCode + 1
+    var decNext = end + 1; var dataCodes = 0
+    def put(code: Int, isData: Boolean): Unit = {
+      acc |= code << nbits; nbits += width
+      while (nbits >= 8) { bits.write(acc & 0xff); acc >>= 8; nbits -= 8 }
+      if (isData) {
+        dataCodes += 1
+        if (dataCodes >= 2) {
+          decNext += 1
+          if (decNext == (1 << width) && width < 12) width += 1
+        }
+      }
+    }
+    put(clear, isData = false)
+    val dict = scala.collection.mutable.HashMap[Seq[Int], Int]()
+    (0 until clear).foreach(j => dict(Seq(j)) = j)
+    var encNext = end + 1
+    var run = Seq(idx(0)) // every frame has >= 1 pixel
+    idx.iterator.drop(1).foreach { s =>
+      if (dict.contains(run :+ s)) run = run :+ s
+      else {
+        put(dict(run), isData = true)
+        dict(run :+ s) = encNext; encNext += 1
+        run = Seq(s)
+      }
+    }
+    put(dict(run), isData = true)
+    put(end, isData = false)
+    if (nbits > 0) bits.write(acc & 0xff)
+    bits.toByteArray
   }
 
   /** m7 fixture ENCODER: a canonical-layout 16-bit PCM mono WAV for
@@ -8246,6 +8353,30 @@ object SparkEntry {
                (v * 11 + x + y * 2) % 256,
                (v * 13 + x * 2 + y) % 256,
                ((v * 7 + x * 3 + y * 5) % 256) * (y * w + x + 1)])))
+             AS pix
+         FROM d)
+         SELECT doc_id, v, w::BIGINT AS w, h::BIGINT AS h,
+           (w * h)::BIGINT AS n_px,
+           list_sum(list_transform(pix, p -> p[1]))::BIGINT AS r_sum,
+           list_sum(list_transform(pix, p -> p[2]))::BIGINT AS g_sum,
+           list_sum(list_transform(pix, p -> p[3]))::BIGINT AS b_sum,
+           list_sum(list_transform(pix, p -> p[4]))::BIGINT AS rw_sum
+         FROM px ORDER BY doc_id""",
+
+    "m12_gif_pixel_decode" ->
+      // FORMULA-only ground truth: the Spark side must recover these
+      // sums through the full variable-width LZW decode + palette map
+      """WITH d AS (SELECT doc_id, doc_id % 16 AS v,
+           1 + (doc_id % 16) % 4 AS w, 1 + (doc_id % 16) // 4 AS h
+         FROM documents),
+         px AS (SELECT doc_id, v, w, h,
+           flatten(list_transform(generate_series(0, h - 1), y ->
+             list_transform(generate_series(0, w - 1), x -> [
+               (v * 7 + ((x + 2 * y + v) % 4) * 31) % 256,
+               (v * 11 + ((x + 2 * y + v) % 4) * 17) % 256,
+               (v * 13 + ((x + 2 * y + v) % 4) * 23) % 256,
+               ((v * 7 + ((x + 2 * y + v) % 4) * 31) % 256)
+                 * (y * w + x + 1)])))
              AS pix
          FROM d)
          SELECT doc_id, v, w::BIGINT AS w, h::BIGINT AS h,

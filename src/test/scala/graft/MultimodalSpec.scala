@@ -474,6 +474,100 @@ class MultimodalSpec extends SparkSpec {
     assert(nulls.forall(_._2), s"expected all NULL, got $nulls")
   }
 
+  test("GifPixelStats: hand-packed LZW streams (KwKwK, width bump), literal encoder, malformed rejected") {
+    // independent fixtures: LZW code streams packed BY HAND (not by the
+    // SparkEntry greedy encoder), so the decoder's dictionary and width
+    // bookkeeping are checked against the GIF spec, not a mirror
+    def packLsb(codes: Seq[(Int, Int)]): Array[Byte] = { // (code, width)
+      val out = new java.io.ByteArrayOutputStream()
+      var acc = 0; var n = 0
+      codes.foreach { case (c, w) =>
+        acc |= c << n; n += w
+        while (n >= 8) { out.write(acc & 0xff); acc >>= 8; n -= 8 }
+      }
+      if (n > 0) out.write(acc & 0xff)
+      out.toByteArray
+    }
+    // palette j -> (R,G,B) = (10j+1, 20j+2, 30j+3); 4 colors
+    def gif(w: Int, h: Int, lzw: Array[Byte], ipacked: Int = 0,
+            sig: String = "GIF89a"): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def le16(x: Int): Unit = { out.write(x & 0xff); out.write(x >> 8) }
+      out.write(sig.getBytes("US-ASCII")); le16(w); le16(h)
+      out.write(0x81); out.write(0); out.write(0)
+      for (j <- 0 until 4) {
+        out.write(10 * j + 1); out.write(20 * j + 2); out.write(30 * j + 3)
+      }
+      out.write(0x21); out.write(0xfe); out.write(3) // comment ext
+      out.write('h'); out.write('i'); out.write('!'); out.write(0)
+      out.write(0x2c); le16(0); le16(0); le16(w); le16(h); out.write(ipacked)
+      out.write(2) // LZW min code size
+      out.write(lzw.length); out.write(lzw, 0, lzw.length)
+      out.write(0); out.write(0x3b)
+      out.toByteArray
+    }
+    def stats(b: Array[Byte]) = rows(Seq(b).toDF("b")
+      .select(graft.expressions.GifPixelStats($"b").as("p"))
+      .select($"p.w", $"p.h", $"p.n_px", $"p.r_sum", $"p.g_sum",
+        $"p.b_sum", $"p.rw_sum")).head
+    def sums(idx: Seq[Int]) = (
+      idx.map(j => 10L * j + 1).sum, idx.map(j => 20L * j + 2).sum,
+      idx.map(j => 30L * j + 3).sum,
+      idx.zipWithIndex.map { case (j, i) => (10L * j + 1) * (i + 1) }.sum)
+    // KwKwK: codes [clear, 0, 6, end] — 6 IS the entry being defined
+    // (seq(0) + first(seq(0)) = [0,0]) → pixels [0, 0, 0]
+    val kwkwk = gif(3, 1, packLsb(Seq((4, 3), (0, 3), (6, 3), (5, 3))))
+    val k = stats(kwkwk)
+    val (kr, kg, kb, krw) = sums(Seq(0, 0, 0))
+    assert((k.getLong(0), k.getLong(1), k.getLong(2)) == ((3L, 1L, 3L)))
+    assert((k.getLong(3), k.getLong(4), k.getLong(5), k.getLong(6))
+      == ((kr, kg, kb, krw)))
+    // width bump: after the 3rd data code the decoder dict hits
+    // 2^3 = 8, so the 4th data code and END read at width 4
+    val bump = gif(5, 1, packLsb(Seq((4, 3), (0, 3), (1, 3), (2, 3),
+      (3, 4), (0, 4), (5, 4))))
+    val bm = stats(bump)
+    val (br, bg, bb2, brw) = sums(Seq(0, 1, 2, 3, 0))
+    assert((bm.getLong(0), bm.getLong(2)) == ((5L, 5L)))
+    assert((bm.getLong(3), bm.getLong(4), bm.getLong(5), bm.getLong(6))
+      == ((br, bg, bb2, brw)))
+    // literal-only encoder (valid LZW; no dictionary hits) over a
+    // larger frame — the decoder still grows its dict and must bump
+    // widths at 8/16/32 in lockstep
+    val idx = Seq.tabulate(30)(i => (i * 3 + 1) % 4) // 6x5
+    val lits = {
+      val codes = scala.collection.mutable.ArrayBuffer[(Int, Int)]((4, 3))
+      var width = 3; var decNext = 6; var n = 0
+      idx.foreach { j =>
+        codes += ((j, width)); n += 1
+        if (n >= 2) {
+          decNext += 1
+          if (decNext == (1 << width) && width < 12) width += 1
+        }
+      }
+      codes += ((5, width))
+      packLsb(codes.toSeq)
+    }
+    val lm = stats(gif(6, 5, lits))
+    val (lr, lg, lb, lrw) = sums(idx)
+    assert((lm.getLong(0), lm.getLong(1), lm.getLong(2)) == ((6L, 5L, 30L)))
+    assert((lm.getLong(3), lm.getLong(4), lm.getLong(5), lm.getLong(6))
+      == ((lr, lg, lb, lrw)))
+    // malformed → NULL: bad magic, truncation, interlace flag, local
+    // color table flag, pixel count mismatch (descriptor says 4)
+    val short3 = packLsb(Seq((4, 3), (0, 3), (6, 3), (5, 3))) // 3 px
+    val cases = Seq(
+      ("nomagic", gif(3, 1, short3, sig = "GIX89a")),
+      ("trunc", kwkwk.dropRight(6)),
+      ("interlaced", gif(3, 1, short3, ipacked = 0x40)),
+      ("lct", gif(3, 1, short3, ipacked = 0x80)),
+      ("pxcount", gif(4, 1, short3)))
+    val nulls = rows(cases.toDF("k", "b")
+      .select($"k", graft.expressions.GifPixelStats($"b").as("p"))
+      .orderBy($"k")).map(r => (r.getString(0), r.isNullAt(1)))
+    assert(nulls.forall(_._2), s"expected all NULL, got $nulls")
+  }
+
   test("wavFrameEnergies: framing, partial last frame, integer energies") {
     def wav(samples: Seq[Int], channels: Int = 1): Array[Byte] = {
       val dlen = 2 * samples.size

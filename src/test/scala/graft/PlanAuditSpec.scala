@@ -639,7 +639,8 @@ class PlanAuditSpec extends SparkSpec {
     // linear 100 TB pass into something else and fails here
     val dir = "/root/testdata/sf0.001"
     for (q <- Seq("m10_audio_energy", "m11_png_pixel_decode",
-        "s20_gzip_roundtrip", "x13_span_corruption", "x14_fim_split")) {
+        "m12_gif_pixel_decode", "s20_gzip_roundtrip",
+        "x13_span_corruption", "x14_fim_split")) {
       val plan = SparkEntry.queries(q)(spark, dir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("Join"), s"$q plans a join:\n$plan")
