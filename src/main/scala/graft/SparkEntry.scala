@@ -6326,7 +6326,7 @@ object SparkEntry {
     * second on) reaches 2^width — the one-step encoder/decoder count
     * skew that buries most LZW bugs.
     */
-  private def m12LzwEncode(idx: Array[Int], minCode: Int): Array[Byte] = {
+  private[graft] def m12LzwEncode(idx: Array[Int], minCode: Int): Array[Byte] = {
     val clear = 1 << minCode; val end = clear + 1
     val bits = new java.io.ByteArrayOutputStream()
     var acc = 0; var nbits = 0

@@ -566,6 +566,42 @@ class MultimodalSpec extends SparkSpec {
       .select($"k", graft.expressions.GifPixelStats($"b").as("p"))
       .orderBy($"k")).map(r => (r.getString(0), r.isNullAt(1)))
     assert(nulls.forall(_._2), s"expected all NULL, got $nulls")
+    // round-trip fuzz through the GREEDY encoder on large streams:
+    // dictionary hits on arbitrary data, deep width growth (past 8/16/
+    // 32/...), and — at n > ~400 — MULTI-sub-block reassembly (every
+    // other path above is single-block)
+    def gifMulti(w: Int, h: Int, lzw: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def le16(x: Int): Unit = { out.write(x & 0xff); out.write(x >> 8) }
+      out.write("GIF89a".getBytes("US-ASCII")); le16(w); le16(h)
+      out.write(0x81); out.write(0); out.write(0)
+      for (j <- 0 until 4) {
+        out.write(10 * j + 1); out.write(20 * j + 2); out.write(30 * j + 3)
+      }
+      out.write(0x2c); le16(0); le16(0); le16(w); le16(h); out.write(0)
+      out.write(2)
+      var off = 0
+      while (off < lzw.length) {
+        val n = math.min(255, lzw.length - off)
+        out.write(n); out.write(lzw, off, n); off += n
+      }
+      out.write(0); out.write(0x3b)
+      out.toByteArray
+    }
+    for (seed <- 0 to 2; n <- Seq(50, 400, 3000)) {
+      var st = seed * 2654435761L + 1
+      val fuzz = Array.fill(n) {
+        st = st * 6364136223846793005L + 1442695040888963407L
+        ((st >>> 33) % 4).toInt
+      }
+      val g = gifMulti(n, 1, SparkEntry.m12LzwEncode(fuzz, 2))
+      val got = stats(g)
+      val (fr, fg, fb, frw) = sums(fuzz.toSeq)
+      assert((got.getLong(0), got.getLong(2)) == ((n.toLong, n.toLong)),
+        s"seed=$seed n=$n dims")
+      assert((got.getLong(3), got.getLong(4), got.getLong(5),
+        got.getLong(6)) == ((fr, fg, fb, frw)), s"seed=$seed n=$n sums")
+    }
   }
 
   test("wavFrameEnergies: framing, partial last frame, integer energies") {
