@@ -1391,6 +1391,38 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "tc2_split_leakage" -> ((s, dir) => {
+      // TC2 — split-leakage census (beyond the reference; the
+      // DIAGNOSTIC x4's cluster-keyed split exists to prevent): under
+      // a naive doc-keyed 90/10 train/val cut, how many val docs share
+      // a near-dup cluster with at least one train doc — eval content
+      // a model effectively trains on, the contamination that survives
+      // dedup-aware pipelines when the SPLIT ignores the clusters they
+      // paid to find. Per-language: val docs, leaky val docs, leaky
+      // clusters. Scale shape: d14's banded clustering + one
+      // cluster-spine aggregate + one equi-join back — no new
+      // corpus-scale shuffles beyond the labeling's own.
+      val labeled = Dedup.dupClusters(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("text")),
+          col("doc_id"), col("text"), threshold = 0.5)
+        .withColumn("split",
+          when(Sampling.keyHash(col("doc_id"), "sl13") <
+            Sampling.threshold(0.9), "train").otherwise("val"))
+      val trainPerCluster = labeled.groupBy(col("cluster_id")).agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L))
+          .as("n_train"))
+      labeled.filter(col("split") === "val")
+        .join(trainPerCluster, "cluster_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_val"),
+          sum(when(col("n_train") > 0, 1L).otherwise(0L))
+            .as("n_val_leaky"),
+          countDistinct(when(col("n_train") > 0, col("cluster_id")))
+            .as("n_leaky_clusters"))
+        .orderBy(col("lang"))
+    }),
+
     "x4_cluster_split" -> ((s, dir) => {
       // Leakage-safe train/val/test split (beyond the reference): the
       // cut is keyed by the d14 NEAR-DUP CLUSTER label, not the doc id,
@@ -8539,6 +8571,39 @@ object SparkEntry {
          SELECT id_a, id_b,
            floor((est_jaccard) * 1e6 + 0.5) / 1e6 AS est_jaccard
          FROM mh_pairs ORDER BY id_a, id_b""",
+
+    "tc2_split_leakage" ->
+      // the d14 closure + the doc-keyed 90/10 cut + the per-cluster
+      // train census, rolled per language over the val side
+      s"""WITH RECURSIVE $sqlMinhashPairCtes,
+         edges AS (SELECT id_a AS ea, id_b AS eb FROM mh_pairs
+           WHERE est_jaccard >= 0.5),
+         sym AS (SELECT ea, eb FROM edges
+           UNION SELECT eb AS ea, ea AS eb FROM edges),
+         reach(id, r) AS (
+           SELECT ea, eb FROM sym
+           UNION
+           SELECT t.id, s.eb FROM reach t JOIN sym s ON t.r = s.ea),
+         comp AS (SELECT id, min(r) AS mr FROM reach GROUP BY id),
+         lab AS (SELECT d.doc_id, d.lang,
+             least(coalesce(c.mr, d.doc_id), d.doc_id) AS cluster_id
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+         sp AS (SELECT doc_id, lang, cluster_id,
+             CASE WHEN ${operators.Sampling.sqlKeyHash("doc_id::VARCHAR",
+               "sl13")} < ${operators.Sampling.threshold(0.9)}
+               THEN 'train' ELSE 'val' END AS split
+           FROM lab),
+         fl AS (SELECT cluster_id,
+             sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)::BIGINT
+               AS n_train
+           FROM sp GROUP BY cluster_id)
+         SELECT s.lang, count(*)::BIGINT AS n_val,
+           sum(CASE WHEN f.n_train > 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_val_leaky,
+           count(DISTINCT CASE WHEN f.n_train > 0 THEN s.cluster_id
+             END)::BIGINT AS n_leaky_clusters
+         FROM sp s JOIN fl f USING (cluster_id) WHERE s.split = 'val'
+         GROUP BY s.lang ORDER BY s.lang""",
 
     "d14_dup_clusters" ->
       // closure of the d6 pair graph: transitive reachability via a
