@@ -54,8 +54,12 @@ object Bench {
     // numbers are unaffected except by the isolation it restores.
     def scrub(): Unit = {
       spark.catalog.clearCache()
+      // blocking: scrub runs outside the timers, so waiting is free —
+      // an async unpersist could still be dropping blocks when the
+      // next query's timer starts, re-introducing (reduced) cross-
+      // query interference
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       System.gc()
     }
     // min of two runs: single-shot timings swing ±2-8× with machine

@@ -41,17 +41,30 @@ object SparkEntry {
     */
   private def scratchDir(prefix: String): String = Scratch.dir(prefix)
 
+  /** 6dp micro-unit quantization ⌊x·10⁶ + 0.5⌋ as BIGINT (the
+    * [[fround]] contract without the divide-back) — the ONE expression
+    * the whole x5/tq5 ranked chain's cross-engine determinism rests
+    * on. [[sqlMicroFloor]] is its DuckDB twin; NEVER inline a copy of
+    * either (a drifted copy re-creates the locally-green/driver-red
+    * signature that burned rounds 9–12).
+    */
+  private def microFloor(c: Column): Column = floor(c * 1000000.0 + 0.5)
+
+  /** DuckDB twin of [[microFloor]] (1e6 and 1000000.0 are the same
+    * binary64; DuckDB floor returns DOUBLE, hence the BIGINT cast). */
+  private def sqlMicroFloor(e: String): String =
+    s"floor(($e) * 1e6 + 0.5)::BIGINT"
+
   /** Shared head of the x5 DSIR chain (r13): the fitted weights with
     * the 6dp logratio as an exact BIGINT (micro units) — the only form
     * the ranked chain consumes now, so no red query carries any float
-    * cell. The inner floor(x·10⁶+0.5) is the [[fround]] contract
-    * without the divide-back.
+    * cell.
     */
   private def dsirMicroFrame(s: SparkSession, dir: String): DataFrame =
     Classify.dsirWeights(t(s, dir, "documents"), col("doc_id"),
         col("text"), col("lang") <=> "en", 4096)
       .select(col("doc_id"), col("n_tok"),
-        floor(col("avg_logratio") * 1000000.0 + 0.5).as("logratio_micro"))
+        microFloor(col("avg_logratio")).as("logratio_micro"))
 
   /** [[dsirMicroFrame]] + the pure-integer selection-key stages kept
     * as columns (sk_m, ln_draw, sel_key) — the x5db/x5dc/x5dd bisect
@@ -5565,7 +5578,7 @@ object SparkEntry {
           col("text"), col("lang") <=> "en", 4096)
         .select(col("doc_id"), col("n_tok"),
           fround(col("avg_logratio"), 6).as("logratio"),
-          floor(col("avg_logratio") * 1000000.0 + 0.5).as("logratio_micro"))
+          microFloor(col("avg_logratio")).as("logratio_micro"))
       Sampling.withSelectionKeyLogW(w, col("doc_id"),
           lit(2L) * col("logratio_micro"), "dsir")
         .orderBy(col("sel_key"), col("doc_id"))
@@ -6081,6 +6094,25 @@ object SparkEntry {
        k AS MATERIALIZED (SELECT count(*)::BIGINT AS nv FROM nodes),
        h0 AS MATERIALIZED (SELECT node, 1000000::BIGINT AS h FROM nodes),
        $iterCtes"""
+  }
+
+  /** DuckDB packed-starts prefix sum over `documents` (the
+    * Packing.packedStartsBucketed twin on one global doc_id-ordered
+    * stream): emits CTEs `${p}src` and `$p(doc_id, n_tok, start_tok)`,
+    * zero-token docs dropped. Shared by the x15/x16/g15 oracles so the
+    * packing semantics (doc_id order, n_tok >= 1) live in ONE place.
+    */
+  private def sqlPackedStarts(p: String,
+                              extraWhere: String = "TRUE"): String = {
+    val toks = sqlTokens("text")
+    s"""${p}src AS (
+         SELECT doc_id, len($toks)::BIGINT AS n_tok FROM documents),
+       $p AS (
+         SELECT doc_id, n_tok,
+           (sum(n_tok) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+             - n_tok AS start_tok
+         FROM ${p}src WHERE n_tok >= 1 AND ($extraWhere))"""
   }
 
   /** DuckDB list literal from a Scala string list. */
@@ -10291,77 +10323,48 @@ object SparkEntry {
          FROM f ORDER BY doc_id"""
     },
 
-    "x15_sequence_pack" -> {
-      // the ta6 packed-starts prefix sum over ONE global stream, plus
-      // the span columns; `//`/% on non-negative BIGINTs match
+    "x15_sequence_pack" ->
+      // the shared packed-starts prefix sum over ONE global stream,
+      // plus the span columns; `//`/% on non-negative BIGINTs match
       // div/pmod; zero-token docs place nothing (filtered both sides)
-      val toks = sqlTokens("text")
-      s"""WITH t AS (
-           SELECT doc_id, len($toks)::BIGINT AS n_tok FROM documents),
-         p AS (
-           SELECT doc_id, n_tok,
-             (sum(n_tok) OVER (ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
-               - n_tok AS start_tok
-           FROM t WHERE n_tok >= 1)
+      s"""WITH ${sqlPackedStarts("p")}
          SELECT doc_id, n_tok, start_tok,
            start_tok // 512 AS seq_first,
            (start_tok + n_tok - 1) // 512 AS seq_last,
            start_tok % 512 AS off_in_seq,
            (start_tok + n_tok - 1) // 512 > start_tok // 512 AS crosses
-         FROM p ORDER BY doc_id"""
-    },
+         FROM p ORDER BY doc_id""",
 
-    "x16_pack_fragmentation" -> {
+    "x16_pack_fragmentation" ->
       // per-sequence doc counts via generate_series over each doc's
       // intersected sequence ids, rolled to the bounded histogram
-      val toks = sqlTokens("text")
-      s"""WITH t AS (
-           SELECT doc_id, len($toks)::BIGINT AS n_tok FROM documents),
-         p AS (
-           SELECT doc_id, n_tok,
-             (sum(n_tok) OVER (ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
-               - n_tok AS start_tok
-           FROM t WHERE n_tok >= 1),
+      s"""WITH ${sqlPackedStarts("p")},
          e AS (
            SELECT unnest(generate_series(start_tok // 512,
              (start_tok + n_tok - 1) // 512))::BIGINT AS seq_id FROM p),
          s AS (SELECT seq_id, count(*)::BIGINT AS n_docs
            FROM e GROUP BY seq_id)
          SELECT n_docs, count(*)::BIGINT AS n_seqs
-         FROM s GROUP BY n_docs ORDER BY n_docs"""
-    },
+         FROM s GROUP BY n_docs ORDER BY n_docs""",
 
-    "g15_pack_tick" -> {
-      // the two-phase packed stream: history prefix sum, then the
-      // delta day packs from the history total — the relational twin
-      // of land -> high-water append -> read-back
-      val toks = sqlTokens("text")
-      s"""WITH t AS (
-           SELECT doc_id, len($toks)::BIGINT AS n_tok FROM documents),
-         h AS (
-           SELECT doc_id, n_tok,
-             (sum(n_tok) OVER (ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
-               - n_tok AS start_tok
-           FROM t WHERE doc_id % 17 <> 0 AND n_tok >= 1),
+    "g15_pack_tick" ->
+      // two shared packed-starts prefix sums: history, then the delta
+      // day offset by the history total — the relational twin of
+      // land -> high-water append -> read-back
+      s"""WITH ${sqlPackedStarts("h", "doc_id % 17 <> 0")},
+         ${sqlPackedStarts("dl0", "doc_id % 17 = 0")},
          ht AS (SELECT coalesce(sum(n_tok), 0)::BIGINT AS tot FROM h),
          dl AS (
            SELECT doc_id, n_tok,
-             (SELECT tot FROM ht)
-               + (sum(n_tok) OVER (ORDER BY doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
-               - n_tok AS start_tok
-           FROM t WHERE doc_id % 17 = 0 AND n_tok >= 1),
+             (SELECT tot FROM ht) + start_tok AS start_tok
+           FROM dl0),
          u AS (
            SELECT 0::BIGINT AS seg, * FROM h
            UNION ALL SELECT 1::BIGINT AS seg, * FROM dl)
          SELECT seg, doc_id, n_tok, start_tok,
            start_tok // 512 AS seq_first,
            start_tok % 512 AS off_in_seq
-         FROM u ORDER BY doc_id"""
-    },
+         FROM u ORDER BY doc_id""",
 
     "x13_span_corruption" -> {
       // the same positional span rule, sentinel numbering via
@@ -11777,5 +11780,5 @@ object SparkEntry {
   private lazy val sqlDsirWeightsMicro: String =
     s"""WITH ${sqlDsirCtes("")}
          SELECT doc_id, n_tok, ${sqlFround("w", 6)} AS logratio,
-           floor((w) * 1e6 + 0.5)::BIGINT AS logratio_micro"""
+           ${sqlMicroFloor("w")} AS logratio_micro"""
 }

@@ -131,6 +131,12 @@ object Packing {
   def packedSpans(starts: DataFrame, seqLen: Long): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     starts
+      // a zero-token row placed exactly on a boundary would compute
+      // seq_last < seq_first — and Spark's sequence() then generates a
+      // DESCENDING range, silently double-counting the phantom doc in
+      // packFragmentation. Zero-token rows place nothing: drop them
+      // here so the operator is total, not precondition-dependent.
+      .filter(col("n_tok") >= 1L)
       .withColumn("seq_first", expr(s"start_tok div $seqLen"))
       .withColumn("seq_last",
         expr(s"(start_tok + n_tok - 1) div $seqLen"))
