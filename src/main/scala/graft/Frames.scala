@@ -28,8 +28,17 @@ object Frames {
     * frame is already materialized (an eager checkpoint, or a
     * completed action over it).
     */
-  def free(df: DataFrame): Unit = df.queryExecution.analyzed match {
-    case lr: LogicalRDD => lr.rdd.unpersist(blocking = false): Unit
-    case _              => df.unpersist(blocking = false): Unit
+  def free(df: DataFrame): Unit = {
+    // Walk the whole analyzed plan, not just its root: a frame that
+    // wraps a localCheckpoint in even a trivial projection would
+    // otherwise silently fall back to the no-op Dataset.unpersist —
+    // the exact failure class this helper exists to eliminate.
+    val rdds = df.queryExecution.analyzed.collect {
+      case lr: LogicalRDD => lr.rdd
+    }
+    val persisted = rdds.filter(
+      _.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    if (persisted.nonEmpty) persisted.foreach(_.unpersist(blocking = false))
+    else df.unpersist(blocking = false): Unit
   }
 }

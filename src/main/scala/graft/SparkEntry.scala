@@ -7962,7 +7962,7 @@ object SparkEntry {
          SELECT doc_id, novelty, technical_depth, clarity, impact_potential,
            floor((novelty + technical_depth + clarity + impact_potential)
              / 4.0 * 10.0 + 0.5) / 10.0 AS overall_score,
-           0.5 AS confidence
+           0.5::DOUBLE AS confidence
          FROM sc ORDER BY doc_id""",
 
     "s6_nested_projection" -> {

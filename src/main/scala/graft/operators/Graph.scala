@@ -104,7 +104,22 @@ object Graph {
         prevCk = Some(ranks)
       }
     }
-    ranks
+    sealResult(ranks, prevCk.toSeq :+ withOutdeg :+ nodes)
+  }
+
+  /** Materialize a loop's final frame and free every internal persisted
+    * frame (trailing cadence checkpoints, the lazy edge/node tables) —
+    * without this the result is a projection OVER those frames, so they
+    * outlive the call for the session lifetime (r13 ADVICE). The
+    * residual is exactly ONE self-contained checkpoint per call; a
+    * caller that lands the result frees it with [[graft.Frames.free]]
+    * (which walks the plan, so even a projection over it frees).
+    */
+  private def sealResult(result: DataFrame,
+                         internal: Seq[DataFrame]): DataFrame = {
+    val out = result.localCheckpoint(eager = true)
+    internal.foreach(graft.Frames.free)
+    out
   }
 
   /** Iterations between eager lineage checkpoints in the rank loops —
@@ -176,7 +191,7 @@ object Graph {
         prevCk = Some(ranks)
       }
     }
-    ranks
+    sealResult(ranks, prevCk.toSeq :+ withOutdeg :+ nodes)
   }
 
   /** HITS hubs & authorities (Kleinberg 1999) over the DIRECTED edge
@@ -237,6 +252,7 @@ object Graph {
       prevH.foreach(graft.Frames.free)
       prevH = Some(hubs)
     }
-    nodes.join(hubs, Seq("node")).join(auth, Seq("node"))
+    sealResult(nodes.join(hubs, Seq("node")).join(auth, Seq("node")),
+      Seq(hubs, auth, nodes, e))
   }
 }

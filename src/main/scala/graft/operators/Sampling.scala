@@ -536,18 +536,19 @@ object Sampling {
     */
   def sqlTokenOffsets(selRel: String, idExpr: String): String =
     s"""census AS (
-           SELECT sel_key >> $SelBucketShift AS skb, sum(n_tok) AS kt
+           SELECT sel_key >> $SelBucketShift AS skb,
+                  sum(n_tok)::BIGINT AS kt
            FROM $selRel GROUP BY 1),
          cum AS (
            SELECT skb,
              coalesce(sum(kt) OVER (ORDER BY skb
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
                AS key_start
            FROM census),
          pos AS (
-           SELECT s.*, c.key_start
+           SELECT s.*, (c.key_start
                + sum(s.n_tok) OVER (PARTITION BY s.sel_key >> $SelBucketShift
-                   ORDER BY s.sel_key, $idExpr) - s.n_tok AS start_tok
+                   ORDER BY s.sel_key, $idExpr) - s.n_tok)::BIGINT AS start_tok
            FROM $selRel s JOIN cum c
              ON s.sel_key >> $SelBucketShift = c.skb)"""
 
@@ -559,7 +560,7 @@ object Sampling {
     s"""${sqlTokenOffsets(selRel, idExpr)},
          cut AS (
            SELECT pos.* FROM pos
-           CROSS JOIN (SELECT sum(n_tok) AS tot FROM $selRel) t
+           CROSS JOIN (SELECT sum(n_tok)::BIGINT AS tot FROM $selRel) t
            WHERE pos.start_tok < t.tot * $budgetPct // 100)"""
 
   /** Deterministic per-epoch corpus shuffle: the global-random training

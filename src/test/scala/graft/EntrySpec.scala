@@ -138,6 +138,27 @@ class EntrySpec extends SparkSpec {
     }
   }
 
+  test("type-pin law: every query output column is a driver-safe scalar") {
+    // The driver's result hash is dtype-sensitive: an output column the
+    // oracle types HUGEINT (uncast windowed SUM) or DECIMAL (bare
+    // decimal-literal arithmetic) hash-mismatches a value-identical
+    // Spark column — the 5-round x5 flake class (r13 verdict). Pin the
+    // Spark side here to the scalar set the driver serializes stably;
+    // tools/check.py pins the DuckDB side (type_class FAIL on
+    // HUGEINT/DECIMAL) every gate run. Schema resolution only — no jobs.
+    import org.apache.spark.sql.types._
+    val ok: Set[DataType] = Set(LongType, IntegerType, DoubleType,
+      StringType, BooleanType, DateType, TimestampType)
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        q(spark, "/root/testdata/sf0.001").schema.fields.collect {
+          case f if !ok.contains(f.dataType) =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+    }
+    assert(bad.isEmpty, s"non-scalar/driver-unsafe output columns: $bad")
+  }
+
   test("c9 takedown law: removal is cluster-atomic") {
     val out = SparkEntry.queries("c9_takedown_closure")(
       spark, "/root/testdata/sf0.001").collect()
