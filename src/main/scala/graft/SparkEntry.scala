@@ -2717,7 +2717,7 @@ object SparkEntry {
             graft.expressions.GzipBytes(col("text"))).as("dt"))
         .select(col("doc_id"),
           length(col("dt")).cast("long").as("n_chars"),
-          size(TA.tokens(col("dt"))).cast("long").as("n_tokens"),
+          TA.tokenCount(col("dt")).cast("long").as("n_tokens"),
           md5(col("dt")).as("h"))
         .orderBy(col("doc_id"))
     }),
@@ -3048,13 +3048,21 @@ object SparkEntry {
       // re-tokenizes the landed corpus (r13 — the g10 stage audit's
       // one recoverable pass; the full-corpus baseline tokenize for
       // `prev` is intrinsic to the r12 dashboard product).
-      val scored = kept
+      kept
         .select(col("doc_id"), col("lang"), col("text"),
           TA.tokens(col("text")).as("_toks"))
         .select(col("doc_id"), col("lang"), col("text"),
           fround(Classify.scoreColumnFromTokens(col("_toks"), gate,
             nbBuckets), 6).as("_lo6"),
           size(col("_toks")).cast("long").as("n_tok"))
+        // STAGE the scored frame (r14): the gate consumes it twice —
+        // the broadcast mean AND the filter — and each consumer would
+        // re-run the tokenize+NB-score pipeline over the kept corpus
+        // from parquet; one columnar write is cheaper than a second
+        // full scoring pass, and at 100 TB the scored table is the
+        // audit artifact you land anyway (why did this doc gate out?).
+        .write.mode("overwrite").parquet(s"$base/scored")
+      val scored = s.read.parquet(s"$base/scored")
       scored
         .crossJoin(broadcast(
           scored.agg(fround(avg(col("_lo6")), 6).as("_m6"))))

@@ -61,6 +61,16 @@ object TextAnalysis {
     buf.toArray
   }
 
+  /** Count-only [[jvmTokens]] — same matcher over the same lowered
+    * string, no token materialization (the TokenCount kernel).
+    */
+  def jvmTokenCount(s: String): Int = {
+    val m = jvmTokenPattern.matcher(s.toLowerCase(java.util.Locale.ROOT))
+    var n = 0
+    while (m.find()) n += 1
+    n
+  }
+
   /** Non-empty lowercase tokens (whitespace-delimited, CJK per-char —
     * [[tokenPattern]]).
     */
@@ -69,8 +79,19 @@ object TextAnalysis {
 
   /** Whitespace token count (the reference's word-count basis,
     * RAG/rag.ipynb:783 uses `\w+`; this is the whitespace variant).
+    * Native count-only kernel (r14) — `size(tokens(text))` pays one
+    * UTF8String per token plus the ArrayData just to discard them;
+    * [[graft.expressions.TokenCount]] runs the same compiled pattern
+    * over the same lowered string and counts matches. Parity with the
+    * declarative twin [[tokenCountDecl]] is pinned in
+    * TextAnalysisSpec; the DuckDB oracles replay the count from the
+    * SQL tokenizer as before.
     */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  def tokenCount(text: Column): Column =
+    graft.expressions.TokenCount(text)
+
+  /** The declarative twin of [[tokenCount]] (parity-spec anchor). */
+  def tokenCountDecl(text: Column): Column = size(tokens(text))
 
   /** Number of tokens that appear in `markers` (occurrences, not distinct). */
   def markerHits(text: Column, markers: Seq[String]): Column = {

@@ -271,8 +271,19 @@ object Dedup {
         .withColumn("p", (col("n") - ceil(col("n") * threshold) + 1).cast("int"))
         .select(col("id"), col("n"),
           posexplode(slice(col("tids"), lit(1), col("p"))).as(Seq("pos", "tid")))
+      // Corpus-side prune (r14): only tids that are some BATCH doc's
+      // prefix token can ever be a join key, so semi-join the corpus
+      // explode against the batch's distinct prefix tids BEFORE the
+      // candidate join. The prune set is O(batch · prefix) — tiny next
+      // to the corpus — so AQE broadcasts it and the corpus posting
+      // stream thins map-side: the candidate join then shuffles only
+      // the postings of the batch's rare tokens, not every corpus
+      // token. At 100 TB this is the difference between shuffling the
+      // whole inverted index and shuffling a few short postings lists.
+      val prefTids = prefix.select(col("tid")).distinct()
       val full = docs.join(batchIds, Seq("id"), "left_anti")
         .select(col("id"), col("n"), posexplode(col("tids")).as(Seq("pos", "tid")))
+        .join(prefTids, Seq("tid"), "left_semi")
       val bestOverlap = lit(1) +
         least(col("a.n") - col("a.pos") - 1, col("b.n") - col("b.pos") - 1)
       val cands = prefix.as("a")

@@ -203,6 +203,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(native == decl)
   }
 
+  test("TokenCount native == declarative size(tokens) incl. nulls") {
+    val texts = Seq("the quick brown fox", "", "   \t\n ", "x",
+      "机器学习是机器智能的分支 机器 learning",
+      "İstanbul STRASSE ß İİ", // case-fold length changes (İ → i̇)
+      "a-b c_d e.f 1,2", null)
+    val df = texts.toDF("t")
+    val native = rows(df.select(TA.tokenCount($"t").as("n")))
+      .map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    val decl = rows(df.select(TA.tokenCountDecl($"t").as("n")))
+      .map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(native == decl)
+    assert(native.contains(None), "null text must stay null")
+    // and on real corpus text, row-for-row
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cmp = d.select(
+      TA.tokenCount($"text").as("a"), TA.tokenCountDecl($"text").as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(cmp == 0L)
+  }
+
   test("syllableCount: vowel-group runs, case-folded; text-wide == per-word sum") {
     val got = rows(Seq(
       "The quick brown fox",    // e + ui + o + o = 4 runs
