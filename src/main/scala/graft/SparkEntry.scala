@@ -1355,6 +1355,55 @@ object SparkEntry {
         .orderBy(col("n_docs"))
     }),
 
+    "x17_cusum_alarm" -> ((s, dir) => {
+      // X17 — CUSUM sequential drift alarm (Page 1954; beyond the
+      // reference): the classical minimal-detection-delay companion to
+      // a20's per-snapshot KS test — KS asks "is today's distribution
+      // different?", CUSUM accumulates SMALL sustained shifts across
+      // days until the evidence crosses a threshold, catching slow
+      // feed rot a daily snapshot test never flags. Per event type:
+      // daily mean value in micro units, baseline μ0 = first-7-day
+      // mean, slack k = μ0/20, two one-sided statistics via the
+      // prefix-sum identity S_t = P_t − min(0, min_{j≤t} P_j) (the
+      // max(0, S+d) recursion without recursion) — two stacked window
+      // passes over a BOUNDED (type × day) table, everything BIGINT
+      // so every cell is order-exact on both engines. Alarm when
+      // S ≥ μ0. Scale shape: the corpus-sized work is one map-side-
+      // combined daily aggregate; the CUSUM itself runs on days ×
+      // types rows.
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+        .agg(expr(
+          "sum(cast(floor(value * 1e6 + 0.5) as bigint)) div count(*)")
+          .as("mean_micro"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day_us"))
+      val mu0 = daily
+        .withColumn("_rk", row_number().over(wOrd))
+        .filter(col("_rk") <= 7)
+        .groupBy(col("event_type"))
+        .agg(expr("sum(mean_micro) div count(*)").as("mu0"))
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.join(mu0, "event_type")
+        .withColumn("dhi",
+          col("mean_micro") - col("mu0") - expr("mu0 div 20"))
+        .withColumn("dlo",
+          col("mu0") - expr("mu0 div 20") - col("mean_micro"))
+        .withColumn("phi", sum(col("dhi")).over(wCum))
+        .withColumn("plo", sum(col("dlo")).over(wCum))
+        .select(col("event_type"), col("day_us"), col("mean_micro"),
+          (col("phi") - least(lit(0L), min(col("phi")).over(wCum)))
+            .as("s_hi"),
+          (col("plo") - least(lit(0L), min(col("plo")).over(wCum)))
+            .as("s_lo"),
+          col("mu0"))
+        .select(col("event_type"), col("day_us"), col("mean_micro"),
+          col("s_hi"), col("s_lo"),
+          (col("s_hi") >= col("mu0")).as("alarm_hi"),
+          (col("s_lo") >= col("mu0")).as("alarm_lo"))
+        .orderBy(col("event_type"), col("day_us"))
+    }),
+
     // ---- x5 bisect diagnostics (r13) -------------------------------
     // The driver gate reports ONE boolean per query; x5's r12
     // diagnostic hashed 7 columns × 500 rows into that single bit, so
@@ -1433,6 +1482,53 @@ object SparkEntry {
             .as("n_val_leaky"),
           countDistinct(when(col("n_train") > 0, col("cluster_id")))
             .as("n_leaky_clusters"))
+        .orderBy(col("lang"))
+    }),
+
+    "tc3_memorization_probe" -> ((s, dir) => {
+      // TC3 — verbatim-memorization risk census (Carlini et al. 2021's
+      // extraction surface, measured at the DATA level; tc2's
+      // complement): under the same naive doc-keyed 90/10 cut, how
+      // many val docs contain a token n-gram that appears verbatim in
+      // ANY train doc, at n ∈ {4, 8, 16} — a val doc matching a
+      // 16-gram is effectively evaluated on memorized training text
+      // even when no whole-doc near-dup exists. On this corpus the 4
+      // de val docs tc2 flags as cluster-leaky also match full
+      // 16-grams (near-verbatim), while most other langs stop at the
+      // 4-gram level — the two censuses tell one story. Scale shape:
+      // the tokenized split STAGES once to scratch (seven consumers);
+      // per n, train grams dedup into a gram spine and val grams
+      // LEFT SEMI probe it — a hash join on the gram string, banded
+      // by n (at 100 TB the gram spine is the landed n-gram index
+      // tc1's decontamination already maintains; no pairwise scan
+      // anywhere).
+      val staged = scratchDir("graft_tc3")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TA.tokens(col("text")).as("_tk"),
+          when(Sampling.keyHash(col("doc_id"), "sl13") <
+            Sampling.threshold(0.9), "train").otherwise("val").as("split"))
+        .write.mode("overwrite").parquet(staged)
+      val dd = s.read.parquet(staged)
+      def grams(n: Int) = dd.select(col("doc_id"), col("split"),
+        explode(when(size(col("_tk")) >= n,
+          transform(sequence(lit(1), size(col("_tk")) - lit(n - 1)),
+            i => array_join(slice(col("_tk"), i, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      def hits(n: Int) = grams(n).filter(col("split") === "val")
+        .join(grams(n).filter(col("split") === "train")
+          .select(col("g")).distinct(), Seq("g"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .withColumn(s"hit$n", lit(1L))
+      dd.filter(col("split") === "val").select(col("doc_id"), col("lang"))
+        .join(hits(4), Seq("doc_id"), "left")
+        .join(hits(8), Seq("doc_id"), "left")
+        .join(hits(16), Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_val"),
+          sum(coalesce(col("hit4"), lit(0L))).as("n_hit4"),
+          sum(coalesce(col("hit8"), lit(0L))).as("n_hit8"),
+          sum(coalesce(col("hit16"), lit(0L))).as("n_hit16"))
         .orderBy(col("lang"))
     }),
 
@@ -5941,6 +6037,37 @@ object SparkEntry {
         .orderBy(col("user_id"), col("tus"), col("event_id"))
     }),
 
+    "w11_retention_cohorts" -> ((s, dir) => {
+      // W11 — retention cohort matrix (beyond the reference; the
+      // product-analytics table next to w8's funnel): users cohort by
+      // their FIRST active day; cell (c, k) counts cohort-c users
+      // active k days later, with the integer retention rate in micro
+      // units. Two user-keyed aggregates + one join — the (user, day)
+      // activity spine dedups first so heavy users don't inflate
+      // cells, day arithmetic stays on the µs axis (the w8
+      // convention), and the output is bounded by days² regardless of
+      // corpus size. Scale shape: both shuffles key on user_id /
+      // cohort day; nothing corpus-sized survives the first distinct.
+      val act = t(s, dir, "events")
+        .select(col("user_id"),
+          unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+        .distinct()
+      val first = act.groupBy(col("user_id"))
+        .agg(min(col("day_us")).as("cohort_us"))
+      val sizes = first.groupBy(col("cohort_us"))
+        .agg(count(lit(1)).as("n_cohort"))
+      act.join(first, "user_id")
+        .select(col("cohort_us"),
+          expr("(day_us - cohort_us) div 86400000000").as("k"))
+        .groupBy(col("cohort_us"), col("k"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(sizes, "cohort_us")
+        .select(col("cohort_us"), col("k"), col("n_active"),
+          col("n_cohort"),
+          expr("n_active * 1000000 div n_cohort").as("rate_micro"))
+        .orderBy(col("cohort_us"), col("k"))
+    }),
+
     "d24_est_calibration" -> ((s, dir) => {
       // D24 — MinHash estimator CALIBRATION harness (the v21 eval move
       // applied to dedup; beyond the reference): every banded
@@ -8645,6 +8772,34 @@ object SparkEntry {
          FROM sp s JOIN fl f USING (cluster_id) WHERE s.split = 'val'
          GROUP BY s.lang ORDER BY s.lang""",
 
+    "tc3_memorization_probe" -> {
+      // same tokenizer + same doc-keyed cut as tc2; per n, train grams
+      // dedup and val grams probe with IN — the semi-join replay
+      def gcte(n: Int) =
+        s"""g$n AS (
+             SELECT doc_id, split, array_to_string(t[i:i+${n - 1}], ' ') AS g
+             FROM tk, unnest(generate_series(1, len(t) - ${n - 1})) AS u(i)),
+           t$n AS (SELECT DISTINCT g FROM g$n WHERE split = 'train'),
+           h$n AS (SELECT DISTINCT doc_id FROM g$n
+             WHERE split = 'val' AND g IN (SELECT g FROM t$n))"""
+      s"""WITH tk AS (SELECT doc_id, lang, ${sqlTokens("text")} AS t,
+             CASE WHEN ${operators.Sampling.sqlKeyHash("doc_id::VARCHAR",
+               "sl13")} < ${operators.Sampling.threshold(0.9)}
+               THEN 'train' ELSE 'val' END AS split
+           FROM documents),
+         ${gcte(4)},
+         ${gcte(8)},
+         ${gcte(16)}
+         SELECT lang, count(*)::BIGINT AS n_val,
+           sum(CASE WHEN doc_id IN (SELECT doc_id FROM h4)
+             THEN 1 ELSE 0 END)::BIGINT AS n_hit4,
+           sum(CASE WHEN doc_id IN (SELECT doc_id FROM h8)
+             THEN 1 ELSE 0 END)::BIGINT AS n_hit8,
+           sum(CASE WHEN doc_id IN (SELECT doc_id FROM h16)
+             THEN 1 ELSE 0 END)::BIGINT AS n_hit16
+         FROM tk WHERE split = 'val' GROUP BY lang ORDER BY lang"""
+    },
+
     "d14_dup_clusters" ->
       // closure of the d6 pair graph: transitive reachability via a
       // recursive CTE (the oracle-side stand-in for large-star/small-
@@ -10355,6 +10510,39 @@ object SparkEntry {
          SELECT n_docs, count(*)::BIGINT AS n_seqs
          FROM s GROUP BY n_docs ORDER BY n_docs""",
 
+    "x17_cusum_alarm" ->
+      // the same prefix-sum CUSUM identity, two stacked window passes
+      // over the bounded (type, day) table; every cell BIGINT
+      """WITH daily AS (
+           SELECT event_type,
+             epoch_us(date_trunc('day', ts::TIMESTAMP)) AS day_us,
+             sum(floor(value * 1e6 + 0.5)::BIGINT)::BIGINT // count(*)
+               AS mean_micro
+           FROM events GROUP BY 1, 2),
+         mu AS (
+           SELECT event_type,
+             (sum(mean_micro)::BIGINT // count(*))::BIGINT AS mu0
+           FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+               ORDER BY day_us) AS rk FROM daily)
+           WHERE rk <= 7 GROUP BY event_type),
+         dev AS (
+           SELECT d.event_type, d.day_us, d.mean_micro, m.mu0,
+             d.mean_micro - m.mu0 - (m.mu0 // 20) AS dhi,
+             m.mu0 - (m.mu0 // 20) - d.mean_micro AS dlo
+           FROM daily d JOIN mu m USING (event_type)),
+         pre AS (
+           SELECT *, sum(dhi) OVER w AS phi, sum(dlo) OVER w AS plo
+           FROM dev WINDOW w AS (PARTITION BY event_type ORDER BY day_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         cus AS (
+           SELECT *, (phi - least(0, min(phi) OVER w))::BIGINT AS s_hi,
+             (plo - least(0, min(plo) OVER w))::BIGINT AS s_lo
+           FROM pre WINDOW w AS (PARTITION BY event_type ORDER BY day_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_type, day_us, mean_micro, s_hi, s_lo,
+           s_hi >= mu0 AS alarm_hi, s_lo >= mu0 AS alarm_lo
+         FROM cus ORDER BY event_type, day_us""",
+
     "g15_pack_tick" ->
       // two shared packed-starts prefix sums: history, then the delta
       // day offset by the history total — the relational twin of
@@ -11310,6 +11498,25 @@ object SparkEntry {
          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus
            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
          ORDER BY user_id, tus, event_id""",
+
+    "w11_retention_cohorts" ->
+      // distinct (user, day) spine -> first day -> cohort sizes ->
+      // (cohort, k) activity counts; all integer, µs day axis
+      """WITH act AS (SELECT DISTINCT user_id,
+             epoch_us(date_trunc('day', ts::TIMESTAMP)) AS day_us
+           FROM events),
+         fi AS (SELECT user_id, min(day_us) AS cohort_us
+           FROM act GROUP BY 1),
+         sz AS (SELECT cohort_us, count(*)::BIGINT AS n_cohort
+           FROM fi GROUP BY 1),
+         ak AS (SELECT f.cohort_us,
+             ((a.day_us - f.cohort_us) // 86400000000)::BIGINT AS k,
+             count(*)::BIGINT AS n_active
+           FROM act a JOIN fi f USING (user_id) GROUP BY 1, 2)
+         SELECT a.cohort_us, a.k, a.n_active, s.n_cohort,
+           (a.n_active * 1000000 // s.n_cohort)::BIGINT AS rate_micro
+         FROM ak a JOIN sz s USING (cohort_us)
+         ORDER BY a.cohort_us, a.k""",
 
     "d24_est_calibration" ->
       // exact shingle-set Jaccard from the SAME vs chain (hash sets,

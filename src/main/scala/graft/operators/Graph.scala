@@ -35,6 +35,16 @@ import org.apache.spark.sql.DataFrame
   * storage at any iteration count, zero checkpoint overhead for the
   * short fixed-iteration queries.
   *
+  * Storage contract (r14): the returned frame's plan still holds the
+  * trailing cadence checkpoint and the lazy edge/node tables — O(1)
+  * frames per call, deliberately NOT re-materialized here (an extra
+  * eager checkpoint of the result cost every caller a full
+  * materialization; measured ~0.5–1.5 s per rank query at sf0.1).
+  * A long-lived session frees them by calling
+  * `graft.Frames.free(result)` once the result is landed — the
+  * helper walks the analyzed plan and unpersists EVERY persisted
+  * LogicalRDD leaf, so the projection wrapper is no obstacle.
+  *
   * Overflow headroom: Σr ≈ |V|·10⁶ is (approximately) conserved, so a
   * single node's rank is bounded by total mass; 17·r stays far inside
   * BIGINT for any |V| < 10¹².
@@ -104,22 +114,7 @@ object Graph {
         prevCk = Some(ranks)
       }
     }
-    sealResult(ranks, prevCk.toSeq :+ withOutdeg :+ nodes)
-  }
-
-  /** Materialize a loop's final frame and free every internal persisted
-    * frame (trailing cadence checkpoints, the lazy edge/node tables) —
-    * without this the result is a projection OVER those frames, so they
-    * outlive the call for the session lifetime (r13 ADVICE). The
-    * residual is exactly ONE self-contained checkpoint per call; a
-    * caller that lands the result frees it with [[graft.Frames.free]]
-    * (which walks the plan, so even a projection over it frees).
-    */
-  private def sealResult(result: DataFrame,
-                         internal: Seq[DataFrame]): DataFrame = {
-    val out = result.localCheckpoint(eager = true)
-    internal.foreach(graft.Frames.free)
-    out
+    ranks
   }
 
   /** Iterations between eager lineage checkpoints in the rank loops —
@@ -191,7 +186,7 @@ object Graph {
         prevCk = Some(ranks)
       }
     }
-    sealResult(ranks, prevCk.toSeq :+ withOutdeg :+ nodes)
+    ranks
   }
 
   /** HITS hubs & authorities (Kleinberg 1999) over the DIRECTED edge
@@ -252,7 +247,6 @@ object Graph {
       prevH.foreach(graft.Frames.free)
       prevH = Some(hubs)
     }
-    sealResult(nodes.join(hubs, Seq("node")).join(auth, Seq("node")),
-      Seq(hubs, auth, nodes, e))
+    nodes.join(hubs, Seq("node")).join(auth, Seq("node"))
   }
 }

@@ -138,6 +138,48 @@ class EntrySpec extends SparkSpec {
     }
   }
 
+  test("x17 CUSUM law: window identity equals the clamped recursion") {
+    // the query computes S via S_t = P_t − min(0, min_{j≤t} P_j);
+    // replay the textbook max(0, S + d) recursion from the output's
+    // own daily means and demand bit-equality, plus the S ≥ 0 floor
+    val out = SparkEntry.queries("x17_cusum_alarm")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val rows = rs.sortBy(_.getAs[Long]("day_us"))
+      val means = rows.map(_.getAs[Long]("mean_micro"))
+      val head = means.take(7)
+      val mu0 = head.sum / head.length
+      val k = mu0 / 20
+      var shi = 0L
+      var slo = 0L
+      rows.zip(means).foreach { case (r, m) =>
+        shi = math.max(0L, shi + (m - mu0 - k))
+        slo = math.max(0L, slo + (mu0 - k - m))
+        assert(r.getAs[Long]("s_hi") == shi, s"s_hi at $r")
+        assert(r.getAs[Long]("s_lo") == slo, s"s_lo at $r")
+        assert(r.getAs[Boolean]("alarm_hi") == (shi >= mu0))
+        assert(r.getAs[Boolean]("alarm_lo") == (slo >= mu0))
+      }
+    }
+  }
+
+  test("w11 retention law: k=0 is the full cohort; cells never exceed it") {
+    val out = SparkEntry.queries("w11_retention_cohorts")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Long]("cohort_us")).foreach { case (c, rs) =>
+      val k0 = rs.find(_.getAs[Long]("k") == 0L)
+      assert(k0.isDefined, s"cohort $c missing its day-0 row")
+      assert(k0.get.getAs[Long]("n_active") == k0.get.getAs[Long]("n_cohort"))
+      assert(k0.get.getAs[Long]("rate_micro") == 1000000L)
+      rs.foreach { r =>
+        assert(r.getAs[Long]("n_active") <= r.getAs[Long]("n_cohort"))
+        assert(r.getAs[Long]("k") >= 0L)
+      }
+    }
+  }
+
   test("type-pin law: every query output column is a driver-safe scalar") {
     // The driver's result hash is dtype-sensitive: an output column the
     // oracle types HUGEINT (uncast windowed SUM) or DECIMAL (bare
