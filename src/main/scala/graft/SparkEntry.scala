@@ -3145,9 +3145,9 @@ object SparkEntry {
       // one recoverable pass; the full-corpus baseline tokenize for
       // `prev` is intrinsic to the r12 dashboard product).
       kept
-        .select(col("doc_id"), col("lang"), col("text"),
+        .select(col("doc_id"), col("lang"),
           TA.tokens(col("text")).as("_toks"))
-        .select(col("doc_id"), col("lang"), col("text"),
+        .select(col("doc_id"), col("lang"),
           fround(Classify.scoreColumnFromTokens(col("_toks"), gate,
             nbBuckets), 6).as("_lo6"),
           size(col("_toks")).cast("long").as("n_tok"))
@@ -3157,13 +3157,18 @@ object SparkEntry {
         // from parquet; one columnar write is cheaper than a second
         // full scoring pass, and at 100 TB the scored table is the
         // audit artifact you land anyway (why did this doc gate out?).
+        // Both the scored and landed stages are NARROW (ids + scores +
+        // n_tok, no text): every dashboard consumer below reads counts
+        // and n_tok only, and the kept store already holds the text —
+        // the landed corpus at 100 TB is kept ⋈ landed ids, a
+        // re-write-free projection.
         .write.mode("overwrite").parquet(s"$base/scored")
       val scored = s.read.parquet(s"$base/scored")
       scored
         .crossJoin(broadcast(
           scored.agg(fround(avg(col("_lo6")), 6).as("_m6"))))
         .filter(col("_lo6") > col("_m6"))
-        .select(col("doc_id"), col("lang"), col("text"), col("n_tok"))
+        .select(col("doc_id"), col("lang"), col("n_tok"))
         .write.mode("overwrite").parquet(s"$base/landed")
       val landed = s.read.parquet(s"$base/landed")
       val nIn = d.groupBy(col("lang")).agg(count(lit(1)).as("n_in"))
