@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextAnalysis => TA, TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Align, Classify, Compliance, Decontam, Dedup, Embed, Enrich, Health, MergeLog, Multimodal, Packing, Rag, Ruler, Sampling, Similarity, Sketches}
+import graft.operators.{Align, Classify, Compliance, CountLog, Decontam, Dedup, Embed, Enrich, Health, MergeLog, Multimodal, Packing, Rag, Ruler, Sampling, Similarity, Sketches}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -73,6 +73,76 @@ object SparkEntry {
   private def dsirKeyedParts(s: SparkSession, dir: String): DataFrame =
     Sampling.withSelKeyPartsLogW(dsirMicroFrame(s, dir), col("doc_id"),
       lit(2L) * col("logratio_micro"), "dsir")
+
+  /** The x17/g16 CUSUM chain over a `(event_type, day_us, mean_micro)`
+    * daily table: baseline μ0 = first-7-day mean, slack μ0/20, both
+    * one-sided statistics via the prefix-sum identity
+    * S_t = P_t − min(0, min_{j≤t} P_j), alarm at S ≥ μ0 — all BIGINT.
+    * Shared so the batch query and the incremental tick cannot drift;
+    * [[sqlCusumAlarm]] is the DuckDB twin of the whole chain.
+    */
+  private def cusumFromDaily(daily: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day_us"))
+    val mu0 = daily
+      .withColumn("_rk", row_number().over(wOrd))
+      .filter(col("_rk") <= 7)
+      .groupBy(col("event_type"))
+      .agg(expr("sum(mean_micro) div count(*)").as("mu0"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(mu0, "event_type")
+      .withColumn("dhi",
+        col("mean_micro") - col("mu0") - expr("mu0 div 20"))
+      .withColumn("dlo",
+        col("mu0") - expr("mu0 div 20") - col("mean_micro"))
+      .withColumn("phi", sum(col("dhi")).over(wCum))
+      .withColumn("plo", sum(col("dlo")).over(wCum))
+      .select(col("event_type"), col("day_us"), col("mean_micro"),
+        (col("phi") - least(lit(0L), min(col("phi")).over(wCum)))
+          .as("s_hi"),
+        (col("plo") - least(lit(0L), min(col("plo")).over(wCum)))
+          .as("s_lo"),
+        col("mu0"))
+      .select(col("event_type"), col("day_us"), col("mean_micro"),
+        col("s_hi"), col("s_lo"),
+        (col("s_hi") >= col("mu0")).as("alarm_hi"),
+        (col("s_lo") >= col("mu0")).as("alarm_lo"))
+      .orderBy(col("event_type"), col("day_us"))
+  }
+
+  /** DuckDB twin of the whole [[cusumFromDaily]] chain computed from
+    * raw events — shared verbatim by the x17 batch oracle and the g16
+    * lifecycle oracle (the tick must equal the from-scratch chain).
+    */
+  private val sqlCusumAlarm: String =
+    """WITH daily AS (
+           SELECT event_type,
+             epoch_us(date_trunc('day', ts::TIMESTAMP)) AS day_us,
+             sum(floor(value * 1e6 + 0.5)::BIGINT)::BIGINT // count(*)
+               AS mean_micro
+           FROM events GROUP BY 1, 2),
+         mu AS (
+           SELECT event_type,
+             (sum(mean_micro)::BIGINT // count(*))::BIGINT AS mu0
+           FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+               ORDER BY day_us) AS rk FROM daily)
+           WHERE rk <= 7 GROUP BY event_type),
+         dev AS (
+           SELECT d.event_type, d.day_us, d.mean_micro, m.mu0,
+             d.mean_micro - m.mu0 - (m.mu0 // 20) AS dhi,
+             m.mu0 - (m.mu0 // 20) - d.mean_micro AS dlo
+           FROM daily d JOIN mu m USING (event_type)),
+         pre AS (
+           SELECT *, sum(dhi) OVER w AS phi, sum(dlo) OVER w AS plo
+           FROM dev WINDOW w AS (PARTITION BY event_type ORDER BY day_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         cus AS (
+           SELECT *, (phi - least(0, min(phi) OVER w))::BIGINT AS s_hi,
+             (plo - least(0, min(plo) OVER w))::BIGINT AS s_lo
+           FROM pre WINDOW w AS (PARTITION BY event_type ORDER BY day_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_type, day_us, mean_micro, s_hi, s_lo,
+           s_hi >= mu0 AS alarm_hi, s_lo >= mu0 AS alarm_lo
+         FROM cus ORDER BY event_type, day_us"""
 
   /** v15/v16 shared lexical-retrieval constants: fixed keyword queries
     * over the synthetic vocabulary, standard Okapi k1/b, RRF k=60
@@ -1371,37 +1441,12 @@ object SparkEntry {
       // S ≥ μ0. Scale shape: the corpus-sized work is one map-side-
       // combined daily aggregate; the CUSUM itself runs on days ×
       // types rows.
-      val daily = t(s, dir, "events")
+      cusumFromDaily(t(s, dir, "events")
         .groupBy(col("event_type"),
           unix_micros(date_trunc("day", col("ts"))).as("day_us"))
         .agg(expr(
           "sum(cast(floor(value * 1e6 + 0.5) as bigint)) div count(*)")
-          .as("mean_micro"))
-      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day_us"))
-      val mu0 = daily
-        .withColumn("_rk", row_number().over(wOrd))
-        .filter(col("_rk") <= 7)
-        .groupBy(col("event_type"))
-        .agg(expr("sum(mean_micro) div count(*)").as("mu0"))
-      val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      daily.join(mu0, "event_type")
-        .withColumn("dhi",
-          col("mean_micro") - col("mu0") - expr("mu0 div 20"))
-        .withColumn("dlo",
-          col("mu0") - expr("mu0 div 20") - col("mean_micro"))
-        .withColumn("phi", sum(col("dhi")).over(wCum))
-        .withColumn("plo", sum(col("dlo")).over(wCum))
-        .select(col("event_type"), col("day_us"), col("mean_micro"),
-          (col("phi") - least(lit(0L), min(col("phi")).over(wCum)))
-            .as("s_hi"),
-          (col("plo") - least(lit(0L), min(col("plo")).over(wCum)))
-            .as("s_lo"),
-          col("mu0"))
-        .select(col("event_type"), col("day_us"), col("mean_micro"),
-          col("s_hi"), col("s_lo"),
-          (col("s_hi") >= col("mu0")).as("alarm_hi"),
-          (col("s_lo") >= col("mu0")).as("alarm_lo"))
-        .orderBy(col("event_type"), col("day_us"))
+          .as("mean_micro")))
     }),
 
     // ---- x5 bisect diagnostics (r13) -------------------------------
@@ -3411,6 +3456,50 @@ object SparkEntry {
         .select(col("seg"), col("doc_id"), col("n_tok"),
           col("start_tok"), col("seq_first"), col("off_in_seq"))
         .orderBy(col("doc_id"))
+    }),
+
+    "g16_cusum_tick" -> ((s, dir) => {
+      // G16 — the CUSUM monitor as a LIFECYCLE (x17's g-discipline
+      // twin): the per-(type, day) value census lives in a CountLog —
+      // history is the base, each day's tick appends ONE O(batch)
+      // partial-count delta, one day arrives SPLIT across two partial
+      // appends (integer sums are associative, so split batches fold
+      // exactly), and a crash-replay of a committed day with POISONED
+      // ×1000 counts must no-op at the commit gate or the means break
+      // the oracle. The alarm re-derives from the folded daily table —
+      // bounded at types × days rows — so monitoring absorbs a day
+      // without ever rescanning raw event history. The oracle is the
+      // SAME from-scratch x17 SQL over raw events: incremental ==
+      // batch, checked end to end.
+      val log = scratchDir("graft_g16") + "/log"
+      val ev = t(s, dir, "events").select(col("event_type"),
+        unix_micros(date_trunc("day", col("ts"))).as("day_us"),
+        col("user_id"),
+        expr("cast(floor(value * 1e6 + 0.5) as bigint)").as("vm"))
+      def counts(df: DataFrame) = df
+        .groupBy(col("event_type"), col("day_us"))
+        .agg(sum(col("vm")).as("vsum"), count(lit(1)).as("n"))
+      // bounded driver read (the fixpoint-probe discipline): one max
+      val lastDay = ev.agg(max(col("day_us"))).head().getLong(0)
+      val cut = lastDay - 4L * 86400000000L
+      CountLog.init(counts(ev.filter(col("day_us") < cut)), log)
+      for (i <- 0 until 5) {
+        val day = ev.filter(col("day_us") === cut + i * 86400000000L)
+        if (i == 2) { // split-day: two disjoint partial-count appends
+          CountLog.append(counts(day.filter(pmod(col("user_id"),
+            lit(2L)) === 0L)), log, Some(20L + i))
+          CountLog.append(counts(day.filter(pmod(col("user_id"),
+            lit(2L)) === 1L)), log, Some(100L + i))
+        } else CountLog.append(counts(day), log, Some(20L + i))
+      }
+      // poisoned replay of committed day 0 — the gate must no-op
+      CountLog.append(
+        counts(ev.filter(col("day_us") === cut))
+          .withColumn("vsum", col("vsum") * 1000L), log, Some(20L))
+      cusumFromDaily(
+        CountLog.read(s, log, Seq("event_type", "day_us"))
+          .select(col("event_type"), col("day_us"),
+            expr("vsum div n").as("mean_micro")))
     }),
 
     "g14_takedown_tick" -> ((s, dir) => {
@@ -10515,38 +10604,11 @@ object SparkEntry {
          SELECT n_docs, count(*)::BIGINT AS n_seqs
          FROM s GROUP BY n_docs ORDER BY n_docs""",
 
-    "x17_cusum_alarm" ->
-      // the same prefix-sum CUSUM identity, two stacked window passes
-      // over the bounded (type, day) table; every cell BIGINT
-      """WITH daily AS (
-           SELECT event_type,
-             epoch_us(date_trunc('day', ts::TIMESTAMP)) AS day_us,
-             sum(floor(value * 1e6 + 0.5)::BIGINT)::BIGINT // count(*)
-               AS mean_micro
-           FROM events GROUP BY 1, 2),
-         mu AS (
-           SELECT event_type,
-             (sum(mean_micro)::BIGINT // count(*))::BIGINT AS mu0
-           FROM (SELECT *, row_number() OVER (PARTITION BY event_type
-               ORDER BY day_us) AS rk FROM daily)
-           WHERE rk <= 7 GROUP BY event_type),
-         dev AS (
-           SELECT d.event_type, d.day_us, d.mean_micro, m.mu0,
-             d.mean_micro - m.mu0 - (m.mu0 // 20) AS dhi,
-             m.mu0 - (m.mu0 // 20) - d.mean_micro AS dlo
-           FROM daily d JOIN mu m USING (event_type)),
-         pre AS (
-           SELECT *, sum(dhi) OVER w AS phi, sum(dlo) OVER w AS plo
-           FROM dev WINDOW w AS (PARTITION BY event_type ORDER BY day_us
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         cus AS (
-           SELECT *, (phi - least(0, min(phi) OVER w))::BIGINT AS s_hi,
-             (plo - least(0, min(plo) OVER w))::BIGINT AS s_lo
-           FROM pre WINDOW w AS (PARTITION BY event_type ORDER BY day_us
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-         SELECT event_type, day_us, mean_micro, s_hi, s_lo,
-           s_hi >= mu0 AS alarm_hi, s_lo >= mu0 AS alarm_lo
-         FROM cus ORDER BY event_type, day_us""",
+    "x17_cusum_alarm" -> sqlCusumAlarm,
+
+    // incremental == batch: the tick's CountLog fold must reproduce
+    // the from-scratch chain over raw events bit-for-bit
+    "g16_cusum_tick" -> sqlCusumAlarm,
 
     "g15_pack_tick" ->
       // two shared packed-starts prefix sums: history, then the delta
