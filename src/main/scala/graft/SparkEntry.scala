@@ -1726,6 +1726,22 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    "a22_psi_drift" -> ((s, dir) => {
+      // A22 — Population Stability Index per language vs 'en' (the
+      // model-monitoring industry standard next to a20's KS and ta14's
+      // JS): Σ (p−q)·ln(p/q) over integer log₂ length buckets, add-1
+      // smoothed on the corpus-wide axis, PSI ≥ 0.2 = the conventional
+      // "significant shift" flag. Order-exact by the ta14 discipline
+      // (DetLnD terms on the 2⁻⁴⁰ grid); everything past one
+      // map-side-combined bucket count runs on strata × ~60 rows.
+      Sketches.psiDrift(t(s, dir, "documents"), col("lang"),
+          TA.tokenCount(col("text")), "en")
+        .select(col("stratum").as("lang"), col("n_rows").as("n_docs"),
+          fround(col("psi"), 6).as("psi"))
+        .withColumn("drifted", col("psi") > lit(0.2))
+        .orderBy(col("lang"))
+    }),
+
     "ta18_boilerplate_scrub" -> ((s, dir) => {
       // C4/jusText-style line-level boilerplate removal (Raffel et al.
       // 2020 §2.2; beyond the reference): keep lines with ≥3 tokens
@@ -9885,6 +9901,44 @@ object SparkEntry {
          CROSS JOIN znr nr
          LEFT JOIN prates p USING (stratum)
          ORDER BY lang""",
+
+    "a22_psi_drift" -> {
+      // log2 buckets via bin-string length (exact on both engines),
+      // add-1 smoothing on the shared axis, detlnd terms on the 2^-40
+      // grid — integral-double sums are exact, so psi is order-free
+      val toks = sqlTokens("text")
+      s"""WITH tk AS (SELECT lang AS stratum,
+             len($toks)::BIGINT AS v FROM documents),
+         vb AS (SELECT stratum, length(bin(v)) - 1 AS b
+           FROM tk WHERE v >= 1),
+         sc AS (SELECT stratum, b, count(*)::BIGINT AS c
+           FROM vb GROUP BY 1, 2),
+         st AS (SELECT stratum, sum(c)::BIGINT AS n FROM sc GROUP BY 1),
+         ax AS (SELECT DISTINCT b FROM sc),
+         nb AS (SELECT count(*)::BIGINT AS nb FROM ax),
+         rc AS (SELECT b, c AS cr FROM sc WHERE stratum = 'en'),
+         rn AS (SELECT n AS nr FROM st WHERE stratum = 'en'),
+         pairs AS (SELECT s.stratum, s.n,
+             (coalesce(x.c, 0) + 1)::DOUBLE / (s.n + nb.nb)::DOUBLE AS p,
+             (coalesce(r.cr, 0) + 1)::DOUBLE / (rn.nr + nb.nb)::DOUBLE AS q
+           FROM st s CROSS JOIN ax a
+           LEFT JOIN sc x ON x.stratum = s.stratum AND x.b = a.b
+           LEFT JOIN rc r ON r.b = a.b
+           CROSS JOIN nb CROSS JOIN rn),
+         terms AS (SELECT stratum, n,
+             floor((p - q) * (uln - wln)
+               * ${graft.expressions.DetLn.TermGrid} + 0.5) AS tq
+           FROM (SELECT stratum, n, p, q,
+             ${operators.Classify.sqlDetLnDCols("u", "p")},
+             ${operators.Classify.sqlDetLnDCols("w", "q")}
+           FROM pairs)),
+         psis AS (SELECT stratum, max(n) AS n_docs,
+             floor((sum(tq) / ${graft.expressions.DetLn.TermGrid})
+               * 1e6 + 0.5) / 1e6 AS psi
+           FROM terms GROUP BY stratum)
+         SELECT stratum AS lang, n_docs, psi, psi > 0.2 AS drifted
+         FROM psis ORDER BY lang"""
+    },
 
     "ta18_boilerplate_scrub" -> {
       // same synthesized lined text; the keep rule replays with

@@ -190,6 +190,53 @@ object Sketches {
       .select(col("stratum"), col("key"), col("lo_cnt"), col("hi_cnt"))
   }
 
+  /** Population Stability Index of every stratum's `value` distribution
+    * against `refStratum`'s (the model-monitoring industry standard
+    * next to [[ksDistance]]'s shape test: Σ (p_i − q_i)·ln(p_i/q_i)
+    * over bins, with the conventional ≥ 0.2 "significant shift"
+    * reading). Bins are integer log₂ buckets of the positive BIGINT
+    * `value` (`length(bin(v)) − 1` — exact and identical on both
+    * engines, no libm), add-1 smoothed over the corpus-wide bucket
+    * axis so empty bins stay finite. Each term computes ln via
+    * [[graft.expressions.DetLnD]] (libm-free) and quantizes onto the
+    * fine 2⁻⁴⁰ grid — terms are non-negative (p−q and ln p−ln q share
+    * sign), integral-double partial sums are exact, so the PSI is
+    * ORDER-EXACT (the ta14 discipline). Scale: one map-side-combined
+    * (stratum, bucket) count; everything after runs on strata ×
+    * ~60 bucket rows.
+    * Returns (stratum, n_rows, psi).
+    */
+  def psiDrift(df: DataFrame, stratum: Column, value: Column,
+               refStratum: String): DataFrame = {
+    val v = df.select(stratum.as("stratum"), value.cast("long").as("v"))
+      .filter(col("v") >= 1L)
+      .select(col("stratum"), expr("length(bin(v)) - 1").as("b"))
+    val sc = v.groupBy(col("stratum"), col("b")).agg(count(lit(1)).as("c"))
+    val st = sc.groupBy(col("stratum")).agg(sum(col("c")).as("n"))
+    val axis = sc.select(col("b")).distinct()
+    val nb = axis.agg(count(lit(1)).as("nb"))
+    val refc = sc.filter(col("stratum") === refStratum)
+      .select(col("b"), col("c").as("cr"))
+    val refn = st.filter(col("stratum") === refStratum)
+      .select(col("n").as("nr"))
+    import graft.expressions.{DetLn, DetLnD}
+    val pairs = st.crossJoin(broadcast(axis))
+      .join(sc, Seq("stratum", "b"), "left")
+      .join(broadcast(refc), Seq("b"), "left")
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(refn))
+      .withColumn("p",
+        (coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+          (col("n") + col("nb")).cast("double"))
+      .withColumn("q",
+        (coalesce(col("cr"), lit(0L)) + lit(1L)).cast("double") /
+          (col("nr") + col("nb")).cast("double"))
+    val term = (col("p") - col("q")) * (DetLnD(col("p")) - DetLnD(col("q")))
+    val termQ = floor(term * lit(DetLn.TermGrid) + lit(0.5))
+    pairs.groupBy(col("stratum"))
+      .agg(max(col("n")).as("n_rows"),
+        (sum(termQ).cast("double") / lit(DetLn.TermGrid)).as("psi"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov distance of every stratum's `value`
     * distribution against `refStratum`'s — the nonparametric
     * distribution-drift statistic (sup |F_s − F_ref|), complementing
