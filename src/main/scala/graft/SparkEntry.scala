@@ -3941,6 +3941,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "c10_k_anonymity" -> ((s, dir) => {
+      // C10 — k-anonymity equivalence-class audit (Sweeney 2002;
+      // beyond the reference): before releasing a per-user activity
+      // extract, census the quasi-identifier classes — here the
+      // generalized tuple (first-active day, most-frequent event type)
+      // — and flag every class smaller than k = 5, whose members a
+      // linker could re-identify. The dominant type breaks ties by
+      // (count desc, type asc) so class assignment is deterministic on
+      // both engines. Scale shape: two user-keyed aggregates + one
+      // per-user top-1 window (partition = one user's ≤5 type rows),
+      // then a bounded (days × types) class census — user rows never
+      // shuffle more than twice, output bounded regardless of corpus.
+      val ev = t(s, dir, "events").select(col("user_id"),
+        unix_micros(date_trunc("day", col("ts"))).as("day_us"),
+        col("event_type"))
+      val first = ev.groupBy(col("user_id"))
+        .agg(min(col("day_us")).as("cohort_us"))
+      val top = ev.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("_rk", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("c").desc, col("event_type"))))
+        .filter(col("_rk") === 1)
+        .select(col("user_id"), col("event_type").as("top_type"))
+      first.join(top, "user_id")
+        .groupBy(col("cohort_us"), col("top_type"))
+        .agg(count(lit(1)).as("n_users"))
+        .withColumn("at_risk", col("n_users") < lit(5L))
+        .orderBy(col("cohort_us"), col("top_type"))
+    }),
+
     "d25_keep_best" -> ((s, dir) => {
       // D25 — QUALITY-AWARE survivorship over the near-dup closure
       // (beyond the reference; the SlimPajama longest-wins rule): d14
@@ -7361,6 +7392,25 @@ object SparkEntry {
                 ELSE 'kept' END AS status
          FROM lab l JOIN hit h USING (cluster_id)
          ORDER BY doc_id""",
+
+    "c10_k_anonymity" ->
+      // same deterministic top-1 tie rule; bounded class census
+      """WITH ev AS (SELECT user_id,
+             epoch_us(date_trunc('day', ts::TIMESTAMP)) AS day_us,
+             event_type
+           FROM events),
+         fi AS (SELECT user_id, min(day_us) AS cohort_us
+           FROM ev GROUP BY 1),
+         ct AS (SELECT user_id, event_type, count(*)::BIGINT AS c
+           FROM ev GROUP BY 1, 2),
+         tp AS (SELECT user_id, event_type AS top_type FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id
+               ORDER BY c DESC, event_type) AS rk FROM ct)
+           WHERE rk = 1)
+         SELECT f.cohort_us, t.top_type, count(*)::BIGINT AS n_users,
+           count(*) < 5 AS at_risk
+         FROM fi f JOIN tp t USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "d25_keep_best" ->
       // the d14 closure + the longest-wins survivor window, both tie
