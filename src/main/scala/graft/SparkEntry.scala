@@ -3488,10 +3488,15 @@ object SparkEntry {
       // SAME from-scratch x17 SQL over raw events: incremental ==
       // batch, checked end to end.
       val log = scratchDir("graft_g16") + "/log"
+      // one materialized scan feeds the base build + six day appends
+      // (seven consumers otherwise re-read and re-project the events
+      // parquet per append); freed before returning — the result
+      // reads only the CountLog.
       val ev = t(s, dir, "events").select(col("event_type"),
         unix_micros(date_trunc("day", col("ts"))).as("day_us"),
         col("user_id"),
         expr("cast(floor(value * 1e6 + 0.5) as bigint)").as("vm"))
+        .localCheckpoint(eager = true)
       def counts(df: DataFrame) = df
         .groupBy(col("event_type"), col("day_us"))
         .agg(sum(col("vm")).as("vsum"), count(lit(1)).as("n"))
@@ -3512,6 +3517,7 @@ object SparkEntry {
       CountLog.append(
         counts(ev.filter(col("day_us") === cut))
           .withColumn("vsum", col("vsum") * 1000L), log, Some(20L))
+      graft.Frames.free(ev)
       cusumFromDaily(
         CountLog.read(s, log, Seq("event_type", "day_us"))
           .select(col("event_type"), col("day_us"),
