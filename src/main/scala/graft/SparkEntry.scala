@@ -3596,17 +3596,24 @@ object SparkEntry {
         Sampling.threshold(0.6)
       val gate = Classify.collectWeights(Classify.trainModel(
         d.filter(isTrain), col("lang") <=> "en", col("text"), nbBuckets))
-      val kept = Dedup.dupClusters(d.select(col("doc_id"), col("text")),
-          col("doc_id"), col("text"), threshold = 0.5)
-        .where(col("kept")).select(col("doc_id"), col("text"))
       // the g6 gate convention: keep docs with ABOVE-CORPUS-MEAN target
       // affinity (rounded on both sides) — scale-free where a fixed
       // log-odds cut is not (the Laplace term shifts raw scores with
-      // document length and corpus size)
-      val scored = kept.select(col("doc_id"), col("text"),
-        fround(TF.letBound(TA.tokens(col("text")))(toks =>
-          Classify.scoreColumnFromTokens(toks, gate, nbBuckets)), 6)
-          .as("_lo6"))
+      // document length and corpus size). Dedup + scoring STAGE once
+      // (the g10/tq7 discipline, r14): the mean and the filter each
+      // consume the scored frame, and the drift account consumes the
+      // gated frame again — unstaged, every consumer re-ran the
+      // pair-graph closure AND the tokenize+NB score.
+      val staged = scratchDir("graft_g8")
+      Dedup.dupClusters(d.select(col("doc_id"), col("text")),
+          col("doc_id"), col("text"), threshold = 0.5)
+        .where(col("kept"))
+        .select(col("doc_id"), col("text"),
+          fround(TF.letBound(TA.tokens(col("text")))(toks =>
+            Classify.scoreColumnFromTokens(toks, gate, nbBuckets)), 6)
+            .as("_lo6"))
+        .write.mode("overwrite").parquet(staged)
+      val scored = s.read.parquet(staged)
       val gated = scored
         .crossJoin(broadcast(
           scored.agg(fround(avg(col("_lo6")), 6).as("_m6"))))
