@@ -218,8 +218,13 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(eager = false)
     val tot = nodes.agg(count(lit(1)).as("nv"))
-    def rescale(raw: DataFrame, key: String, out: String): DataFrame =
-      nodes
+    // raw is consumed twice (the node re-attach AND the mass scalar);
+    // unmaterialized, each consumer re-runs the half-step's shuffle
+    // join + aggregate — materialize the O(|V|) frame once and free it
+    // as soon as the rescaled (checkpointed) result exists.
+    def rescale(raw0: DataFrame, key: String, out: String): DataFrame = {
+      val raw = raw0.localCheckpoint(eager = true)
+      val res = nodes
         .join(raw.withColumnRenamed(key, "node"), Seq("node"), "left")
         .crossJoin(broadcast(raw.agg(sum(col("raw")).as("sr"))))
         .crossJoin(broadcast(tot))
@@ -227,6 +232,9 @@ object Graph {
           expr("coalesce(raw, 0) div " +
             "greatest(1, coalesce(sr, 1) div (nv * 1000000))").as(out))
         .localCheckpoint(eager = true)
+      graft.Frames.free(raw)
+      res
+    }
     var hubs = nodes.withColumn("hub_micro", lit(1000000L))
     var auth = nodes.withColumn("auth_micro", lit(1000000L))
     // eager half-step checkpoints + superseded-frame freeing — see
