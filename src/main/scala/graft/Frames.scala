@@ -27,6 +27,17 @@ object Frames {
     * cannot be recomputed. The caller must guarantee the successor
     * frame is already materialized (an eager checkpoint, or a
     * completed action over it).
+    *
+    * SHARED-LEAF HAZARD: this frees EVERY persisted [[LogicalRDD]]
+    * leaf anywhere in the plan, not just the root. The caller must
+    * own every persisted leaf of the plan it frees — passing a frame
+    * whose plan shares a localCheckpoint leaf with a still-live
+    * sibling would drop that sibling's blocks too, and (lineage being
+    * truncated) a later action on the sibling fails with a missing-
+    * checkpoint-block error rather than recomputing. Every current
+    * caller passes either a checkpoint-root frame or a plan whose
+    * checkpoints are exclusively its own (the per-iteration frames of
+    * connectedComponents / linkRank / BPE).
     */
   def free(df: DataFrame): Unit = {
     // Walk the whole analyzed plan, not just its root: a frame that

@@ -66,14 +66,6 @@ object SparkEntry {
       .select(col("doc_id"), col("n_tok"),
         microFloor(col("avg_logratio")).as("logratio_micro"))
 
-  /** [[dsirMicroFrame]] + the pure-integer selection-key stages kept
-    * as columns (sk_m, ln_draw, sel_key) — the x5db/x5dc/x5dd bisect
-    * diagnostics each expose one of them.
-    */
-  private def dsirKeyedParts(s: SparkSession, dir: String): DataFrame =
-    Sampling.withSelKeyPartsLogW(dsirMicroFrame(s, dir), col("doc_id"),
-      lit(2L) * col("logratio_micro"), "dsir")
-
   /** The x17/g16 CUSUM chain over a `(event_type, day_us, mean_micro)`
     * daily table: baseline μ0 = first-7-day mean, slack μ0/20, both
     * one-sided statistics via the prefix-sum identity
@@ -1449,54 +1441,10 @@ object SparkEntry {
           .as("mean_micro")))
     }),
 
-    // ---- x5 bisect diagnostics (r13) -------------------------------
-    // The driver gate reports ONE boolean per query; x5's r12
-    // diagnostic hashed 7 columns × 500 rows into that single bit, so
-    // a red told the builder nothing. These five each expose exactly
-    // ONE stage of the chain, per doc, for ALL 500 docs, all BIGINT —
-    // CORRECTNESS_r13's five bits therefore name the diverging stage
-    // outright (tq2/tq5 stay the driver-green upstream controls).
-    // Remove after x5 has been driver-green a full round.
-
-    "x5da_dsir_lr" -> ((s, dir) => {
-      // stage 1/5: the 6dp logratio in micro units (the only lossy
-      // quantization in the chain; everything downstream is integer).
-      dsirMicroFrame(s, dir)
-        .select(col("doc_id"), col("logratio_micro"))
-        .orderBy(col("doc_id"))
-    }),
-
-    "x5db_dsir_m" -> ((s, dir) => {
-      // stage 2/5: the dyadic weight exponent m = expQ20(2·lr_micro).
-      dsirKeyedParts(s, dir)
-        .select(col("doc_id"), col("sk_m"))
-        .orderBy(col("doc_id"))
-    }),
-
-    "x5dc_dsir_l" -> ((s, dir) => {
-      // stage 3/5: the quantized −ln of the keyed md5 draw.
-      dsirKeyedParts(s, dir)
-        .select(col("doc_id"), col("ln_draw"))
-        .orderBy(col("doc_id"))
-    }),
-
-    "x5dd_dsir_key" -> ((s, dir) => {
-      // stage 4/5: the selection key m·L itself.
-      dsirKeyedParts(s, dir)
-        .select(col("doc_id"), col("sel_key"))
-        .orderBy(col("doc_id"))
-    }),
-
-    "x5de_dsir_off" -> ((s, dir) => {
-      // stage 5/5: the serve-order token offset for EVERY doc — the
-      // census-amplified stage where one mid-rank key flip shifts
-      // start_tok for every later doc while preserving row counts
-      // (exactly x5's red-with-matching-rows signature).
-      Sampling.withTokenOffsets(dsirKeyedParts(s, dir),
-          col("doc_id"), col("n_tok"))
-        .select(col("doc_id"), col("start_tok"))
-        .orderBy(col("doc_id"))
-    }),
+    // The r13 x5 bisect diagnostics (x5da–x5de) lived here until x5
+    // was driver-green a full round (CORRECTNESS_r14); removed per
+    // their own retirement clause. tq2/tq5 remain x5's standing
+    // upstream controls.
 
     "tc2_split_leakage" -> ((s, dir) => {
       // TC2 — split-leakage census (beyond the reference; the
@@ -1543,10 +1491,16 @@ object SparkEntry {
       // 4-gram level — the two censuses tell one story. Scale shape:
       // the tokenized split STAGES once to scratch (seven consumers);
       // per n, train grams dedup into a gram spine and val grams
-      // LEFT SEMI probe it — a hash join on the gram string, banded
-      // by n (at 100 TB the gram spine is the landed n-gram index
-      // tc1's decontamination already maintains; no pairwise scan
-      // anywhere).
+      // LEFT SEMI probe it — a hash join banded by n (at 100 TB the
+      // gram spine is the landed n-gram index tc1's decontamination
+      // already maintains; no pairwise scan anywhere). Grams travel
+      // as xxhash64 LONGS, never strings (the d12/d16 precedent,
+      // Decontam.tokenNgramHashesFromTokens): a string 16-gram spine
+      // is ~16× corpus token bytes on the wire, the hashed spine is
+      // 8 bytes/key. Hash-membership equals string-membership up to
+      // the documented 2⁻⁶⁴ collision bound; the oracle joins the
+      // gram STRINGS, so the bound is independently checked end to
+      // end, exactly as d16 does.
       val staged = scratchDir("graft_tc3")
       t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
@@ -1556,10 +1510,8 @@ object SparkEntry {
         .write.mode("overwrite").parquet(staged)
       val dd = s.read.parquet(staged)
       def grams(n: Int) = dd.select(col("doc_id"), col("split"),
-        explode(when(size(col("_tk")) >= n,
-          transform(sequence(lit(1), size(col("_tk")) - lit(n - 1)),
-            i => array_join(slice(col("_tk"), i, lit(n)), " ")))
-          .otherwise(array().cast("array<string>"))).as("g"))
+        explode(operators.Decontam.tokenNgramHashesFromTokens(
+          col("_tk"), n)).as("g"))
       def hits(n: Int) = grams(n).filter(col("split") === "val")
         .join(grams(n).filter(col("split") === "train")
           .select(col("g")).distinct(), Seq("g"), "left_semi")
@@ -3191,20 +3143,32 @@ object SparkEntry {
       // dashboard has four consumers of the kept set and two of the
       // landed set — at 100 TB the post-dedup and landed corpora are
       // tables you land anyway, and re-deriving the pair-graph closure
-      // per consumer would multiply the most expensive stage
+      // per consumer would multiply the most expensive stage.
+      // r15: the labeling stage carries a TokenCount column computed
+      // in the SAME corpus scan and lands ALL rows (kept flag +
+      // n_tok_in, text alongside) — so the per-lang input counts and
+      // prev's full-corpus token census below read the staged table
+      // instead of rescanning + re-tokenizing the source corpus. That
+      // was the last full-corpus rescan in any lifecycle query (r14
+      // verdict #4); the labeled table is the dedup audit artifact a
+      // production tick lands anyway.
       val base = scratchDir("graft_g10")
       Dedup.dupClusters(
-          d.select(col("doc_id"), col("lang"), col("text")),
+          d.select(col("doc_id"), col("lang"), col("text"),
+            TA.tokenCount(col("text")).cast("long").as("n_tok_in")),
           col("doc_id"), col("text"), threshold = 0.5)
-        .where(col("kept")).select(col("doc_id"), col("lang"), col("text"))
-        .write.mode("overwrite").parquet(s"$base/kept")
-      val kept = s.read.parquet(s"$base/kept")
+        .select(col("doc_id"), col("lang"), col("text"),
+          col("n_tok_in"), col("kept"))
+        .write.mode("overwrite").parquet(s"$base/labeled")
+      val labeled = s.read.parquet(s"$base/labeled")
+      val kept = labeled.where(col("kept"))
+        .select(col("doc_id"), col("lang"), col("text"))
       // ONE bound tokenize per kept row feeds BOTH the gate score and
       // n_tok (CollapseProject keeps the multi-use alias materialized);
       // n_tok rides the landed write, so the drift stage below never
-      // re-tokenizes the landed corpus (r13 — the g10 stage audit's
-      // one recoverable pass; the full-corpus baseline tokenize for
-      // `prev` is intrinsic to the r12 dashboard product).
+      // re-tokenizes the landed corpus (r13; r15 folded prev's
+      // baseline census into the labeled stage above, so NO stage
+      // tokenizes the corpus more than once).
       kept
         .select(col("doc_id"), col("lang"),
           TA.tokens(col("text")).as("_toks"))
@@ -3232,13 +3196,16 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_tok"))
         .write.mode("overwrite").parquet(s"$base/landed")
       val landed = s.read.parquet(s"$base/landed")
-      val nIn = d.groupBy(col("lang")).agg(count(lit(1)).as("n_in"))
+      // every full-corpus dashboard input reads the staged labeled
+      // table (labels cover EVERY input row, so per-lang counts over
+      // it equal counts over the source)
+      val nIn = labeled.groupBy(col("lang")).agg(count(lit(1)).as("n_in"))
       val nKept = kept.groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
       val nLand = landed.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_landed"))
       val prev = Sampling.ratesFromDistribution(
-        Sketches.distributionCounts(d, col("lang"),
-          TA.tokenCount(col("text"))), remixBudgetPct)
+        Sketches.distributionCounts(labeled, col("lang"),
+          col("n_tok_in")), remixBudgetPct)
       val drift = Sampling.driftGatedRates(
         Sketches.distributionCounts(landed, col("lang"), col("n_tok")),
         prev, "en", remixBudgetPct, remixAlpha)
@@ -3500,7 +3467,12 @@ object SparkEntry {
       def counts(df: DataFrame) = df
         .groupBy(col("event_type"), col("day_us"))
         .agg(sum(col("vm")).as("vsum"), count(lit(1)).as("n"))
-      // bounded driver read (the fixpoint-probe discipline): one max
+      // bounded driver read (the fixpoint-probe discipline): one max.
+      // The five tick days synthesize arithmetically as cut + i·86400s,
+      // which assumes every civil day is exactly 86400 s — true ONLY
+      // under GraftSession's UTC session-TZ pin (date_trunc in a DST
+      // zone yields 23/25 h days and the synthesized ticks would miss
+      // them). The oracle's date_trunc chain shares the same pin.
       val lastDay = ev.agg(max(col("day_us"))).head().getLong(0)
       val cut = lastDay - 4L * 86400000000L
       CountLog.init(counts(ev.filter(col("day_us") < cut)), log)
@@ -3961,8 +3933,11 @@ object SparkEntry {
       // generalized tuple (first-active day, most-frequent event type)
       // — and flag every class smaller than k = 5, whose members a
       // linker could re-identify. The dominant type breaks ties by
-      // (count desc, type asc) so class assignment is deterministic on
-      // both engines. Scale shape: two user-keyed aggregates + one
+      // (count desc, type asc NULLS LAST — pinned explicitly on both
+      // engines: Spark's asc default is nulls-first, DuckDB's is
+      // nulls-last, so a null event_type tied on count would silently
+      // diverge under engine defaults). Scale shape: two user-keyed
+      // aggregates + one
       // per-user top-1 window (partition = one user's ≤5 type rows),
       // then a bounded (days × types) class census — user rows never
       // shuffle more than twice, output bounded regardless of corpus.
@@ -3975,14 +3950,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("c"))
         .withColumn("_rk", row_number().over(
           Window.partitionBy(col("user_id"))
-            .orderBy(col("c").desc, col("event_type"))))
+            .orderBy(col("c").desc, col("event_type").asc_nulls_last)))
         .filter(col("_rk") === 1)
         .select(col("user_id"), col("event_type").as("top_type"))
       first.join(top, "user_id")
         .groupBy(col("cohort_us"), col("top_type"))
         .agg(count(lit(1)).as("n_users"))
         .withColumn("at_risk", col("n_users") < lit(5L))
-        .orderBy(col("cohort_us"), col("top_type"))
+        .orderBy(col("cohort_us"), col("top_type").asc_nulls_last)
     }),
 
     "d25_keep_best" -> ((s, dir) => {
@@ -7407,7 +7382,8 @@ object SparkEntry {
          ORDER BY doc_id""",
 
     "c10_k_anonymity" ->
-      // same deterministic top-1 tie rule; bounded class census
+      // same deterministic top-1 tie rule (NULLS LAST pinned — DuckDB's
+      // asc default, Spark's is not); bounded class census
       """WITH ev AS (SELECT user_id,
              epoch_us(date_trunc('day', ts::TIMESTAMP)) AS day_us,
              event_type
@@ -7418,12 +7394,12 @@ object SparkEntry {
            FROM ev GROUP BY 1, 2),
          tp AS (SELECT user_id, event_type AS top_type FROM (
              SELECT *, row_number() OVER (PARTITION BY user_id
-               ORDER BY c DESC, event_type) AS rk FROM ct)
+               ORDER BY c DESC, event_type NULLS LAST) AS rk FROM ct)
            WHERE rk = 1)
          SELECT f.cohort_us, t.top_type, count(*)::BIGINT AS n_users,
            count(*) < 5 AS at_risk
          FROM fi f JOIN tp t USING (user_id)
-         GROUP BY 1, 2 ORDER BY 1, 2""",
+         GROUP BY 1, 2 ORDER BY 1, 2 NULLS LAST""",
 
     "d25_keep_best" ->
       // the d14 closure + the longest-wins survivor window, both tie
@@ -8947,7 +8923,10 @@ object SparkEntry {
 
     "tc3_memorization_probe" -> {
       // same tokenizer + same doc-keyed cut as tc2; per n, train grams
-      // dedup and val grams probe with IN — the semi-join replay
+      // dedup and val grams probe with IN — the semi-join replay.
+      // Joins the gram STRINGS where Spark joins xxhash64 longs: equal
+      // up to the 2⁻⁶⁴ collision bound (the d16 contract), so this
+      // oracle independently checks the hashed spine's membership.
       def gcte(n: Int) =
         s"""g$n AS (
              SELECT doc_id, split, array_to_string(t[i:i+${n - 1}], ' ') AS g
@@ -11887,46 +11866,7 @@ object SparkEntry {
            FROM wgt),
          ${operators.Sampling.sqlTokenBudgetCut("sel", "s.doc_id", 25)}
          SELECT doc_id, n_tok, logratio_micro, sel_key, start_tok
-         FROM cut ORDER BY sel_key, doc_id""",
-
-    // x5 bisect diagnostics — one stage per query, all 500 docs, all
-    // BIGINT (see the Spark twins' comment).
-    "x5da_dsir_lr" ->
-      s"""WITH wgt AS ($sqlDsirWeightsMicro FROM sc)
-         SELECT doc_id, logratio_micro FROM wgt ORDER BY doc_id""",
-
-    "x5db_dsir_m" ->
-      s"""WITH wgt AS ($sqlDsirWeightsMicro FROM sc),
-         sel AS (SELECT doc_id,
-             ${operators.Sampling.sqlSelKeyColsLogW("doc_id",
-                "2 * logratio_micro", "dsir")}
-           FROM wgt)
-         SELECT doc_id, _sk_m AS sk_m FROM sel ORDER BY doc_id""",
-
-    "x5dc_dsir_l" ->
-      s"""WITH wgt AS ($sqlDsirWeightsMicro FROM sc),
-         sel AS (SELECT doc_id,
-             ${operators.Sampling.sqlSelKeyColsLogW("doc_id",
-                "2 * logratio_micro", "dsir")}
-           FROM wgt)
-         SELECT doc_id, _sk_l AS ln_draw FROM sel ORDER BY doc_id""",
-
-    "x5dd_dsir_key" ->
-      s"""WITH wgt AS ($sqlDsirWeightsMicro FROM sc),
-         sel AS (SELECT doc_id,
-             ${operators.Sampling.sqlSelKeyColsLogW("doc_id",
-                "2 * logratio_micro", "dsir")}
-           FROM wgt)
-         SELECT doc_id, sel_key FROM sel ORDER BY doc_id""",
-
-    "x5de_dsir_off" ->
-      s"""WITH wgt AS ($sqlDsirWeightsMicro FROM sc),
-         sel AS (SELECT doc_id, n_tok,
-             ${operators.Sampling.sqlSelKeyColsLogW("doc_id",
-                "2 * logratio_micro", "dsir")}
-           FROM wgt),
-         ${operators.Sampling.sqlTokenOffsets("sel", "s.doc_id")}
-         SELECT doc_id, start_tok FROM pos ORDER BY doc_id"""
+         FROM cut ORDER BY sel_key, doc_id"""
   )
 
   /** The two-sample KS CTE chain over a `(stratum, v, c)` counts

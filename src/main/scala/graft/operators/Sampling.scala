@@ -366,9 +366,9 @@ object Sampling {
     graft.expressions.SelLnDraw(hashPlus1)
 
   /** [[withSelectionKey]] with the pure-integer kernels, KEEPING the
-    * per-stage columns `sk_m` and `ln_draw` alongside `sel_key` — the
-    * x5db/x5dc/x5dd bisect diagnostics read these so a cross-engine
-    * mismatch names the exact stage, not just the query.
+    * per-stage columns `sk_m` and `ln_draw` alongside `sel_key` — a
+    * cross-engine mismatch can be bisected to the exact stage by
+    * selecting one of them (the retired r13 x5 diagnostics did).
     */
   def withSelKeyPartsLogW(df: DataFrame, id: Column, lwMicro: Column,
                           salt: String): DataFrame =
@@ -485,10 +485,10 @@ object Sampling {
   /** Serve-order token offsets over an ALREADY-KEYED frame (a
     * `sel_key` column as [[withSelectionKey]] emits): adds `start_tok`
     * for EVERY row — the global token offset in (sel_key asc, id asc)
-    * serve order — without applying any budget. The x5de diagnostic
-    * reads this full frame so a cross-engine mismatch names the exact
-    * doc and stage. Leaves a `_nt` (long token count) column for
-    * [[tokenBudgetCut]] to reuse.
+    * serve order — without applying any budget (the census-amplified
+    * stage: one mid-rank key flip shifts every later doc's start_tok).
+    * Leaves a `_nt` (long token count) column for [[tokenBudgetCut]]
+    * to reuse.
     */
   def withTokenOffsets(keyedIn: DataFrame, id: Column,
                        nTok: Column): DataFrame = {

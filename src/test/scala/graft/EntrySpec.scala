@@ -187,7 +187,15 @@ class EntrySpec extends SparkSpec {
     // Spark column — the 5-round x5 flake class (r13 verdict). Pin the
     // Spark side here to the scalar set the driver serializes stably;
     // tools/check.py pins the DuckDB side (type_class FAIL on
-    // HUGEINT/DECIMAL) every gate run. Schema resolution only — no jobs.
+    // HUGEINT/DECIMAL) every gate run. Nested types (array/struct/map)
+    // are deliberately OUTSIDE `ok`: the driver hash's behavior on them
+    // is unpinned, so any future query emitting one fails here until a
+    // driver-safe element-type policy is added alongside this law.
+    // NOTE: "constructing" a query is not free — lifecycle queries
+    // (g8/g10/g11/g16/tc3…) stage scratch parquet or run init/append
+    // sequences eagerly inside their builder, so this test executes a
+    // real fraction of the suite at sf0.001. Accepted cost: it is the
+    // only all-queries schema sweep, and sf0.001 keeps it bounded.
     import org.apache.spark.sql.types._
     val ok: Set[DataType] = Set(LongType, IntegerType, DoubleType,
       StringType, BooleanType, DateType, TimestampType)
