@@ -3247,13 +3247,21 @@ object SparkEntry {
         to_date(col("ts")).as("day"), col("event_type"), col("value"),
         col("user_id"))
       g11Land(ev, base)
-      g11Summary(s, base, None)
+      // the summary table is BOUNDED (days × types rows): land it one
+      // file per day, not one per (day × shuffle partition) — a
+      // partitionBy write straight off the roll/drift join would spray
+      // ~32 tiny files into every day directory, and the read-back plus
+      // the dynamic-overwrite re-derive pay the opens (r15; paired A/B
+      // measured parity locally at sf0.1, the file count is the 100 TB
+      // argument). The raw STORE keeps its parallel fan-out — at scale
+      // a day is bigger than one writer.
+      g11Summary(s, base, None).repartition(col("day"))
         .write.mode("overwrite").partitionBy("day").parquet(s"$base/summary")
       val d0 = ev.groupBy().agg(min(col("day")).as("day"))
       ev.join(broadcast(d0), "day").filter(col("user_id") % 2 === 0)
         .write.mode("overwrite").partitionBy("day")
         .option("partitionOverwriteMode", "dynamic").parquet(s"$base/store")
-      g11Summary(s, base, Some(d0))
+      g11Summary(s, base, Some(d0)).repartition(col("day"))
         .write.mode("overwrite").partitionBy("day")
         .option("partitionOverwriteMode", "dynamic").parquet(s"$base/summary")
       s.read.parquet(s"$base/summary")
@@ -5766,6 +5774,47 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "tq12_logreg_gate" -> ((s, dir) => {
+      // TQ12 — logistic-regression quality filter TRAINED IN THE
+      // ENGINE (beyond the reference; the fastText-style seat next to
+      // tq1's counting fit): two full-batch GD ticks from w₀ = 0 over
+      // the SAME 60% keyed split, labels and hashed features as tq1,
+      // scoring the same held-out 40% — NB's closed-form fit and the
+      // gradient fit become directly comparable on one contract.
+      // Determinism (the x8 DoReMi discipline applied to a model fit):
+      // weights/residuals live on the integer 2⁻²⁰ grid, logits and
+      // gradients are ORDER-EXACT BIGINT sums, σ runs through the
+      // libm-free DetExp chain, and the weight update divides
+      // truncating-toward-zero on both engines — the DuckDB oracle
+      // replays the entire descent tick by tick, bit for bit. Scale
+      // shape: text tokenizes ONCE into the staged (doc, y, tr, f, c)
+      // table; each tick is one broadcast-weights aggregate + one
+      // doc-keyed residual join + one ≤4096-row gradient collect (the
+      // weights contract); holdout scoring is one more pass of the
+      // same staged table.
+      val d = t(s, dir, "documents")
+      val isTrain = Sampling.keyHash(col("doc_id"), "nbt") <
+        Sampling.threshold(0.6)
+      val staged = scratchDir("graft_tq12")
+      d.select(col("doc_id"), (col("lang") <=> "en").as("y"),
+          isTrain.as("tr"),
+          explode(TA.tokens(col("text"))).as("_tok"))
+        .select(col("doc_id"), col("y"), col("tr"),
+          Classify.featHash(col("_tok"), nbBuckets).as("f"))
+        .groupBy(col("doc_id"), col("y"), col("tr"), col("f"))
+        .agg(count(lit(1)).as("c"))
+        .write.mode("overwrite").parquet(staged)
+      val fc = s.read.parquet(staged)
+      val w = Classify.trainLogReg(
+        fc.filter(col("tr")).select("doc_id", "y", "f", "c"),
+        ticks = 2, etaDen = 1L)
+      Classify.logRegZ(
+          fc.filter(!col("tr")).select("doc_id", "y", "f", "c"), w)
+        .select(col("doc_id"), col("n_tok"), col("z_num"),
+          (col("z_num") > 0).as("pred_en"), col("y").as("is_en"))
+        .orderBy(col("doc_id"))
+    }),
+
     "tq3_incremental_model" -> ((s, dir) => {
       // Persisted-model lifecycle under the oracle gate: the tq1
       // training split arrives as THREE ingest batches, each trained
@@ -6024,6 +6073,54 @@ object SparkEntry {
         .select(col("n_pos"), col("n_neg"), col("tp"), col("fp"),
           col("tn"), col("fn"), fround(col("auc"), 6).as("auc"),
           fround(col("accuracy"), 6).as("accuracy"))
+    }),
+
+    "tq13_model_compare" -> ((s, dir) => {
+      // TQ13 — model selection closes the trained-filter loop: the NB
+      // counting fit (tq1) and the LR gradient fit (tq12) score the
+      // SAME held-out 40% and one exact-AUC harness ranks them — the
+      // "which filter do I deploy" row. Both models train in-engine;
+      // the Mann-Whitney fold is an integer u2 over each model's
+      // distinct-score table (NB: 6dp-rounded log-odds; LR: the exact
+      // BIGINT logit — tie groups align across engines by
+      // construction), one IEEE divide per metric. Scale shape: two
+      // bounded model fits + two holdout passes; the eval fold runs on
+      // distinct scores, never a doc-level global sort.
+      val d = t(s, dir, "documents")
+      val isTrain = Sampling.keyHash(col("doc_id"), "nbt") <
+        Sampling.threshold(0.6)
+      val label = col("lang") <=> "en"
+      // NB leg (the tq4 chain)
+      val model = Classify.trainModel(d.filter(isTrain), label,
+        col("text"), nbBuckets)
+      val nbScored = Classify.score(model, d.filter(!isTrain),
+          col("doc_id"), col("text"))
+        .select(col("doc_id"), fround(col("log_odds"), 6).as("sc"))
+        .join(d.select(col("doc_id"), label.as("y")), "doc_id")
+      // LR leg (the tq12 chain, staged once)
+      val staged = scratchDir("graft_tq13")
+      d.select(col("doc_id"), label.as("y"), isTrain.as("tr"),
+          explode(TA.tokens(col("text"))).as("_tok"))
+        .select(col("doc_id"), col("y"), col("tr"),
+          Classify.featHash(col("_tok"), nbBuckets).as("f"))
+        .groupBy(col("doc_id"), col("y"), col("tr"), col("f"))
+        .agg(count(lit(1)).as("c"))
+        .write.mode("overwrite").parquet(staged)
+      val fc = s.read.parquet(staged)
+      val w = Classify.trainLogReg(
+        fc.filter(col("tr")).select("doc_id", "y", "f", "c"),
+        ticks = 2, etaDen = 1L)
+      val lrScored = Classify.logRegZ(
+        fc.filter(!col("tr")).select("doc_id", "y", "f", "c"), w)
+      def shape(ev: DataFrame, name: String) = ev
+        .select(lit(name).as("model"), col("n_pos"), col("n_neg"),
+          col("tp"), col("fp"), col("tn"), col("fn"),
+          fround(col("auc"), 6).as("auc"),
+          fround(col("accuracy"), 6).as("accuracy"))
+      shape(Classify.evalBinary(lrScored, col("z_num"), col("y")), "lr")
+        .unionByName(
+          shape(Classify.evalBinary(nbScored, col("sc"), col("y")), "nb"))
+        .orderBy(col("model"))
     }),
 
     "tq2_dsir_weights" -> ((s, dir) => {
@@ -11544,6 +11641,35 @@ object SparkEntry {
       s"""$sqlNbScore
          FROM sc ORDER BY doc_id""",
 
+    "tq12_logreg_gate" -> {
+      // the full 2-tick gradient descent replayed: same split/label/
+      // feature constants as tq1, tick CTEs from the shared generator
+      // (z → detexp-σ → 2⁻²⁰ residual → BIGINT gradient → trunc-divide
+      // update), then the holdout logit fold over the final weights
+      val thr = operators.Sampling.threshold(0.6)
+      val toks = sqlTokens("text")
+      s"""WITH lrtk AS MATERIALIZED (SELECT doc_id,
+             coalesce(lang = 'en', false) AS y,
+             ${operators.Sampling.sqlKeyHash("doc_id::VARCHAR", "nbt")}
+               < $thr AS tr,
+             unnest($toks) AS tok
+           FROM documents),
+         lrfc AS MATERIALIZED (SELECT doc_id, any_value(y) AS y,
+             any_value(tr) AS tr, f, count(*)::BIGINT AS c
+           FROM (SELECT doc_id, y, tr,
+               ${operators.Classify.sqlFeatHash("tok", nbBuckets)} AS f
+             FROM lrtk)
+           GROUP BY doc_id, f),
+         ${operators.Classify.sqlLogRegTickCtes("lr", 2, 1L)},
+         lrsc AS (SELECT c.doc_id, any_value(c.y) AS y,
+             sum(c.c)::BIGINT AS n_tok,
+             coalesce(sum(c.c * w.w), 0)::BIGINT AS z_num
+           FROM lrfc c LEFT JOIN lrw2 w USING (f)
+           WHERE NOT c.tr GROUP BY c.doc_id)
+         SELECT doc_id, n_tok, z_num, z_num > 0 AS pred_en, y AS is_en
+         FROM lrsc ORDER BY doc_id"""
+    },
+
     "tq4_classifier_eval" ->
       // Exact Mann-Whitney AUC over the tq1 held-out scores: integer
       // u2 = Σ np·(2·cum_neg_below + nn) over the distinct-ROUNDED-
@@ -11574,6 +11700,67 @@ object SparkEntry {
            ${sqlFround("(tp + tn)::DOUBLE / (n_pos + n_neg)::DOUBLE", 6)}
              AS accuracy
          FROM agg""",
+
+    "tq13_model_compare" -> {
+      // both fits replayed (NB via the tq1 CTEs, LR via the shared
+      // tick generator), then ONE Mann-Whitney chain per model over
+      // its distinct-score table — the tq4 integer fold, twice
+      def aucCtes(p: String, rel: String, sCol: String) =
+        s"""${p}bys AS (SELECT $sCol AS s,
+               sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS np,
+               sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS nn
+             FROM $rel GROUP BY 1),
+           ${p}cum AS (SELECT *,
+               coalesce(sum(nn) OVER (ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0)::BIGINT AS cumneg
+             FROM ${p}bys),
+           ${p}agg AS (SELECT sum(np)::BIGINT AS n_pos,
+               sum(nn)::BIGINT AS n_neg,
+               sum(CASE WHEN s > 0 THEN np ELSE 0 END)::BIGINT AS tp,
+               sum(CASE WHEN s > 0 THEN nn ELSE 0 END)::BIGINT AS fp,
+               sum(CASE WHEN s <= 0 THEN nn ELSE 0 END)::BIGINT AS tn,
+               sum(CASE WHEN s <= 0 THEN np ELSE 0 END)::BIGINT AS fn,
+               sum(np * (2 * cumneg + nn))::BIGINT AS u2
+             FROM ${p}cum)"""
+      def aucRow(p: String, name: String) =
+        s"""SELECT '$name' AS model, n_pos, n_neg, tp, fp, tn, fn,
+             ${sqlFround("u2::DOUBLE / (2 * n_pos * n_neg)::DOUBLE", 6)}
+               AS auc,
+             ${sqlFround(
+               "(tp + tn)::DOUBLE / (n_pos + n_neg)::DOUBLE", 6)}
+               AS accuracy
+           FROM ${p}agg"""
+      val thr = operators.Sampling.threshold(0.6)
+      val toks = sqlTokens("text")
+      s"""WITH nbsc AS ($sqlNbScore FROM sc),
+         nlab AS (SELECT s.doc_id, ${sqlFround("s.log_odds", 6)} AS sc,
+             coalesce(d.lang = 'en', false) AS y
+           FROM nbsc s JOIN documents d USING (doc_id)),
+         lrtk AS MATERIALIZED (SELECT doc_id,
+             coalesce(lang = 'en', false) AS y,
+             ${operators.Sampling.sqlKeyHash("doc_id::VARCHAR", "nbt")}
+               < $thr AS tr,
+             unnest($toks) AS tok
+           FROM documents),
+         lrfc AS MATERIALIZED (SELECT doc_id, any_value(y) AS y,
+             any_value(tr) AS tr, f, count(*)::BIGINT AS c
+           FROM (SELECT doc_id, y, tr,
+               ${operators.Classify.sqlFeatHash("tok", nbBuckets)} AS f
+             FROM lrtk)
+           GROUP BY doc_id, f),
+         ${operators.Classify.sqlLogRegTickCtes("lr", 2, 1L)},
+         llab AS (SELECT c.doc_id, any_value(c.y) AS y,
+             coalesce(sum(c.c * w.w), 0)::BIGINT AS sc
+           FROM lrfc c LEFT JOIN lrw2 w USING (f)
+           WHERE NOT c.tr GROUP BY c.doc_id),
+         ${aucCtes("l", "llab", "sc")},
+         ${aucCtes("n", "nlab", "sc")}
+         ${aucRow("l", "lr")}
+         UNION ALL
+         ${aucRow("n", "nb")}
+         ORDER BY model"""
+    },
 
     "tq2_dsir_weights" ->
       // Both hashed-unigram LMs (target stratum + whole corpus) from

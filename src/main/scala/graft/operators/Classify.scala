@@ -647,4 +647,152 @@ object Classify {
   def plattProb(score: Column, a: Double, b: Double): Column =
     lit(1.0) /
       (lit(1.0) + Sampling.detExp(-(lit(a) * score.cast("double") + lit(b))))
+
+  // =====================================================================
+  // Logistic regression by batch gradient descent (the fastText-style
+  // TRAINED filter next to NB's counting fit): T full-batch ticks of
+  //   w_f ← w_f + η/N · Σ_d c_{d,f} · (y_d − σ(z_d)),
+  //   z_d = (Σ_f c_{d,f}·w_f) / (n_tok_d · 2²⁰),
+  // run entirely on the cluster with an exactly-replayable arithmetic
+  // contract: weights and residuals live on the integer 2⁻²⁰ grid, every
+  // per-feature gradient and per-doc logit is an ORDER-EXACT BIGINT sum,
+  // σ computes through the libm-free DetExp chain, and the one float
+  // hop per tick (logit → σ → quantized residual) is a fixed sequence
+  // of exact IEEE ops — so a DuckDB CTE chain replays the whole descent
+  // bit-for-bit (the x8 DoReMi discipline applied to a model fit).
+  //
+  // Scale shape per tick: one map-side-combined per-doc aggregate over
+  // the STAGED (doc, y, f, c) feature table (weights broadcast onto it),
+  // one doc-keyed equi-join attaching residuals back to features, one
+  // ≤`buckets`-row gradient aggregate collected to the driver (the
+  // centroids/weights contract — never corpus rows). Text tokenizes
+  // exactly once, at staging. At 100 TB the feature table is the
+  // artifact you'd land bucketed by doc id, making the residual join
+  // shuffle-free; gradient BIGINT headroom is ~2³³ docs per feature
+  // slot (c·r ≤ 2³⁰).
+  // =====================================================================
+
+  /** The shared residual/weight grid (2²⁰) — keep in lockstep with
+    * [[sqlLogRegTickCtes]]. */
+  val LrGrid: Long = 1L << 20
+
+  /** Per-doc hashed features with the carried boolean label:
+    * `(idName, y, f, c)` — one tokenize, map-side-combined counts.
+    */
+  def docFeaturesLabeled(df: DataFrame, id: Column, label: Column,
+                         text: Column, buckets: Int,
+                         idName: String = "doc_id"): DataFrame =
+    df.select(id.as(idName), label.as("y"),
+        explode(graft.functions.TextAnalysis.tokens(text)).as("_tok"))
+      .select(col(idName), col("y"), featHash(col("_tok"), buckets).as("f"))
+      .groupBy(col(idName), col("y"), col("f"))
+      .agg(count(lit(1)).as("c"))
+
+  /** One exact-IEEE sigmoid→quantized-residual column over `(y, zn,
+    * nt)`: r = ⌊(y − σ(zn/(nt·2²⁰)))·2²⁰ + ½⌋. Keep in exact lockstep
+    * with the SQL twin inside [[sqlLogRegTickCtes]].
+    */
+  private def residual(y: Column, zn: Column, nt: Column): Column =
+    floor((when(y, lit(1.0)).otherwise(lit(0.0)) -
+        lit(1.0) / (lit(1.0) + Sampling.detExp(
+          -(zn.cast("double") / (nt.cast("double") * lit(LrGrid.toDouble)))))) *
+      lit(LrGrid.toDouble) + lit(0.5)).cast("long")
+
+  /** Fit by `ticks` full-batch GD steps from w₀ = 0 over the 2⁻²⁰ grid;
+    * η = 1/etaDen. Returns the ≤`buckets`-row weight seq (f → w on the
+    * grid) — the serving-gate contract shape ([[collectWeights]]).
+    * `feat` must be a MATERIALIZED `(idName, y, f, c)` table (stage
+    * [[docFeaturesLabeled]] to scratch first — every tick scans it
+    * twice). The weight update divides TRUNCATING-TOWARD-ZERO on both
+    * engines (Scala `/` here, the sign-split `//` CASE in the oracle);
+    * plain `div`/`//` disagree on negative gradients.
+    */
+  def trainLogReg(feat: DataFrame, ticks: Int, etaDen: Long,
+                  idName: String = "doc_id"): Seq[(Long, Long)] = {
+    require(ticks >= 1 && etaDen >= 1)
+    val spark = feat.sparkSession
+    import spark.implicits._
+    // bounded driver read (one scalar): the gradient normalizer N
+    val n = feat.select(col(idName)).distinct().count()
+    require(n > 0, "trainLogReg: empty training set")
+    val denom = etaDen * n
+    var w = Map.empty[Long, Long]
+    for (_ <- 1 to ticks) {
+      val wdf = broadcast(w.toSeq.toDF("f", "w"))
+      val z = feat.join(wdf, Seq("f"), "left")
+        .groupBy(col(idName), col("y"))
+        .agg(sum(col("c") * coalesce(col("w"), lit(0L))).as("zn"),
+          sum(col("c")).as("nt"))
+      val r = z.select(col(idName),
+        residual(col("y"), col("zn"), col("nt")).as("r"))
+      // ≤ buckets rows back to the driver (the weights contract)
+      val grads = feat.join(r, idName)
+        .groupBy(col("f")).agg(sum(col("c") * col("r")).as("g"))
+        .collect().map(row => (row.getLong(0), row.getLong(1)))
+      w = grads.foldLeft(w) { case (acc, (f, g)) =>
+        // Long `/` truncates toward zero — the oracle's sign-split `//`
+        acc.updated(f, acc.getOrElse(f, 0L) + g / denom)
+      }
+    }
+    w.toSeq.sortBy(_._1)
+  }
+
+  /** Order-exact BIGINT logit per doc over a `(idName, y, f, c)` table
+    * and a fitted weight seq: `(idName, y, n_tok, z_num)` with
+    * z_num = Σ c·w (grid units ·n_tok; compare to 0 for the gate, or
+    * divide by n_tok·2²⁰ for the calibrated σ).
+    */
+  def logRegZ(feat: DataFrame, weights: Seq[(Long, Long)],
+              idName: String = "doc_id"): DataFrame = {
+    val spark = feat.sparkSession
+    import spark.implicits._
+    feat.join(broadcast(weights.toDF("f", "w")), Seq("f"), "left")
+      .groupBy(col(idName), col("y"))
+      .agg(sum(col("c")).as("n_tok"),
+        sum(col("c") * coalesce(col("w"), lit(0L))).as("z_num"))
+  }
+
+  /** DuckDB twin of the whole descent as tick CTEs over a caller-built
+    * `${p}fc(doc_id, y, tr, f, c)` feature table: emits `${p}n` and
+    * `${p}z{t}/${p}r{t}/${p}g{t}/${p}w{t}` for t ∈ [1, ticks], with
+    * `${p}w{ticks}` the final weight table. Keep the z/r float chain in
+    * exact lockstep with [[residual]] and the update with
+    * [[trainLogReg]]'s driver fold.
+    */
+  def sqlLogRegTickCtes(p: String, ticks: Int, etaDen: Long): String = {
+    val grid = s"$LrGrid.0::DOUBLE"
+    def zCte(t: Int): String =
+      if (t == 1)
+        s"""${p}z1 AS MATERIALIZED (SELECT doc_id, any_value(y) AS y,
+             sum(c)::BIGINT AS nt, 0::BIGINT AS zn
+           FROM ${p}fc WHERE tr GROUP BY doc_id)"""
+      else
+        s"""${p}z$t AS MATERIALIZED (SELECT c.doc_id, any_value(c.y) AS y,
+             sum(c.c)::BIGINT AS nt,
+             coalesce(sum(c.c * w.w), 0)::BIGINT AS zn
+           FROM ${p}fc c LEFT JOIN ${p}w${t - 1} w USING (f)
+           WHERE c.tr GROUP BY c.doc_id)"""
+    val tickCtes = (1 to ticks).map { t =>
+      s"""${zCte(t)},
+         ${p}r$t AS MATERIALIZED (SELECT doc_id,
+             floor(((CASE WHEN y THEN 1.0 ELSE 0.0 END) -
+               (1.0 / (1.0 + ${Sampling.sqlDetExp(
+                 s"-(zn::DOUBLE / (nt::DOUBLE * $grid))")}))) *
+               $grid + 0.5)::BIGINT AS r
+           FROM ${p}z$t),
+         ${p}g$t AS MATERIALIZED (SELECT f, sum(c * r)::BIGINT AS g
+           FROM ${p}fc JOIN ${p}r$t USING (doc_id)
+           WHERE tr GROUP BY f),
+         ${p}w$t AS MATERIALIZED (SELECT f,
+             ${if (t == 1) "" else s"coalesce(pw.w, 0) + "}(CASE
+               WHEN g >= 0 THEN g // ${p}n.d
+               ELSE -((-g) // ${p}n.d) END)::BIGINT AS w
+           FROM ${p}g$t ${
+             if (t == 1) "" else s"LEFT JOIN ${p}w${t - 1} pw USING (f)"
+           } CROSS JOIN ${p}n)"""
+    }.mkString(",\n")
+    s"""${p}n AS (SELECT ($etaDen * count(DISTINCT doc_id))::BIGINT AS d
+         FROM ${p}fc WHERE tr),
+       $tickCtes"""
+  }
 }

@@ -303,4 +303,70 @@ class ClassifySpec extends SparkSpec {
     val flat = Seq((1.0, true), (1.0, false), (1.0, true)).toDF("s", "y")
     assert(Classify.plattFit(flat, $"s", $"y", iters = 4) == ((0.0, 0.0)))
   }
+
+  private def lrFeat(df: org.apache.spark.sql.DataFrame) =
+    Classify.docFeaturesLabeled(df, $"id", $"pos", $"text", B, "id")
+
+  test("logreg separates token-disjoint classes on held-out docs after 2 ticks") {
+    val w = Classify.trainLogReg(lrFeat(corpus), ticks = 2, etaDen = 1L,
+      idName = "id")
+    assert(w.nonEmpty && w.forall { case (f, _) => f >= 0 && f < B })
+    val held = Seq(
+      (10L, true, "apple banana mango"),
+      (11L, false, "rock sand gravel"),
+      (12L, true, "apple rock apple")) // majority positive
+      .toDF("id", "pos", "text")
+    val z = Classify.logRegZ(lrFeat(held), w, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(z(10L) > 0, s"positive-dialect doc z=${z(10L)}")
+    assert(z(11L) < 0, s"negative-dialect doc z=${z(11L)}")
+    assert(z(12L) > 0, s"majority-positive doc z=${z(12L)}")
+  }
+
+  test("logreg tick 1 from w0=0: residuals are exactly ±2^19 and the fit is deterministic") {
+    // at w = 0 every logit is 0, σ = 1/(1+detexp(0)) = 0.5 EXACTLY, so
+    // the tick-1 gradient is the pure class-count signal: g_f =
+    // 2^19·(pos occurrences − neg occurrences); with η=1/N the tick-1
+    // weight is that signal div N — checked here against hand counts
+    val feat = lrFeat(corpus)
+    val w1 = Classify.trainLogReg(feat, ticks = 1, etaDen = 1L,
+      idName = "id").toMap
+    val half = (Classify.LrGrid / 2).toDouble
+    val counts = corpus
+      .select($"pos", explode(split($"text", " ")).as("tok"))
+      .select($"pos", Classify.featHash($"tok", B).as("f"))
+      .groupBy($"f")
+      .agg(sum(when($"pos", 1L).otherwise(-1L)).as("net"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    counts.foreach { case (f, net) =>
+      val expected = (net * half).toLong / 6L // N = 6 docs, trunc toward 0
+      assert(w1(f) == expected, s"slot $f: got ${w1(f)}, want $expected")
+    }
+    // order-exact: a re-run (fresh plan, fresh partitioning) is bit-equal
+    val w1b = Classify.trainLogReg(feat, ticks = 1, etaDen = 1L,
+      idName = "id").toMap
+    assert(w1 == w1b)
+    val w2 = Classify.trainLogReg(feat, ticks = 2, etaDen = 1L, idName = "id")
+    val w2b = Classify.trainLogReg(feat, ticks = 2, etaDen = 1L, idName = "id")
+    assert(w2 == w2b, "2-tick fit not deterministic")
+  }
+
+  test("logreg tick 2 moves weights toward the margin (training loss direction)") {
+    // after tick 1 the separable fixture's positive-dialect slots hold
+    // positive weights; tick 2's residuals shrink (|y − σ| < 0.5) but
+    // keep sign, so every tick-1-positive slot stays positive and no
+    // weight flips sign — the descent is monotone on separable data
+    val feat = lrFeat(corpus)
+    val w1 = Classify.trainLogReg(feat, ticks = 1, etaDen = 1L,
+      idName = "id").toMap
+    val w2 = Classify.trainLogReg(feat, ticks = 2, etaDen = 1L,
+      idName = "id").toMap
+    w1.foreach { case (f, v1) =>
+      val v2 = w2(f)
+      assert(v1 == 0 || v1.sign == v2.sign || v2 == 0,
+        s"slot $f flipped sign: tick1=$v1 tick2=$v2")
+      assert(math.abs(v2) >= math.abs(v1) - 1,
+        s"slot $f moved away from the margin: tick1=$v1 tick2=$v2")
+    }
+  }
 }
