@@ -708,7 +708,22 @@ object Classify {
     * plain `div`/`//` disagree on negative gradients.
     */
   def trainLogReg(feat: DataFrame, ticks: Int, etaDen: Long,
-                  idName: String = "doc_id"): Seq[(Long, Long)] = {
+                  idName: String = "doc_id"): Seq[(Long, Long)] =
+    trainLogRegFrom(feat, Seq.empty, ticks, etaDen, idName)
+
+  /** WARM-START [[trainLogReg]]: continue the descent from a served
+    * weight table instead of w₀ = 0 — the index-lifecycle discipline
+    * (n2's warm graph tick, the IVF append) applied to the model fit.
+    * A day tick refreshes the filter with a few ticks over the grown
+    * corpus rather than a cold re-descent; by construction
+    * `trainLogRegFrom(feat, trainLogRegFrom(feat, w, a), b) ==
+    * trainLogRegFrom(feat, w, a + b)` on the SAME feature table (the
+    * composition law ClassifySpec pins), so a warm tick is exactly the
+    * tail of the full fit — not an approximation of it.
+    */
+  def trainLogRegFrom(feat: DataFrame, start: Seq[(Long, Long)],
+                      ticks: Int, etaDen: Long,
+                      idName: String = "doc_id"): Seq[(Long, Long)] = {
     require(ticks >= 1 && etaDen >= 1)
     val spark = feat.sparkSession
     import spark.implicits._
@@ -716,7 +731,7 @@ object Classify {
     val n = feat.select(col(idName)).distinct().count()
     require(n > 0, "trainLogReg: empty training set")
     val denom = etaDen * n
-    var w = Map.empty[Long, Long]
+    var w = start.toMap
     for (_ <- 1 to ticks) {
       val wdf = broadcast(w.toSeq.toDF("f", "w"))
       val z = feat.join(wdf, Seq("f"), "left")

@@ -351,6 +351,19 @@ class ClassifySpec extends SparkSpec {
     assert(w2 == w2b, "2-tick fit not deterministic")
   }
 
+  test("logreg warm-start composition law: from(from(0, a), b) == from(0, a+b)") {
+    // the lifecycle contract: a warm refresh tick over the same corpus
+    // IS the tail of the cold descent, bit for bit — so a daily model
+    // tick never needs a cold re-fit to stay exactly reproducible
+    val feat = lrFeat(corpus)
+    val w1 = Classify.trainLogReg(feat, ticks = 1, etaDen = 1L, idName = "id")
+    val warm = Classify.trainLogRegFrom(feat, w1, ticks = 1, etaDen = 1L,
+      idName = "id")
+    val cold = Classify.trainLogReg(feat, ticks = 2, etaDen = 1L, idName = "id")
+    assert(warm.toMap == cold.toMap,
+      s"warm-start tick diverged from the cold descent:\n$warm\nvs\n$cold")
+  }
+
   test("logreg tick 2 moves weights toward the margin (training loss direction)") {
     // after tick 1 the separable fixture's positive-dialect slots hold
     // positive weights; tick 2's residuals shrink (|y − σ| < 0.5) but
