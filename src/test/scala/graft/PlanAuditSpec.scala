@@ -664,4 +664,36 @@ class PlanAuditSpec extends SparkSpec {
       s"w10 window is not partitioned by user_id:\n$plan")
     assert(!plan.contains("Join"), plan)
   }
+
+  test("tc3 memorization probe: only 8-byte hashed grams ride any shuffle") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("tc3_memorization_probe")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // grams travel as xxhash64 longs (the d12/d16 precedent) — a
+    // refactor back to array_join string grams puts ~16x corpus token
+    // bytes on the wire for the 16-gram spine at 100 TB
+    assert(plan.contains("xxhash64"),
+      s"gram spine no longer hashed:\n$plan")
+    assert(!plan.contains("array_join"),
+      s"string grams reintroduced on the probe spine:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("tq12 logreg holdout fold: weights broadcast, no window, no cartesian") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("tq12_logreg_gate")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the returned frame is the holdout logit fold over the staged
+    // feature table: the <=4096-row weight table must come in as a
+    // BROADCAST join (never a shuffled side), the logit aggregate is a
+    // map-side-combined HashAggregate pair, and nothing windows or
+    // sorts at doc scale except the final presentation ORDER BY
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"weight join is not a broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Window ["), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
 }
