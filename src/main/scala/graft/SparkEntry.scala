@@ -66,12 +66,26 @@ object SparkEntry {
       .select(col("doc_id"), col("n_tok"),
         microFloor(col("avg_logratio")).as("logratio_micro"))
 
+  /** Integer FLOOR division matching DuckDB's `//` for ANY dividend
+    * sign (positive divisor): Spark's `div` truncates toward zero, so
+    * a bare `a div b` silently disagrees with the oracle's `a // b` on
+    * negative dividends — green today only because the current feed is
+    * non-negative, and the testdata generator HAS changed contracts
+    * between rounds. `(a − pmod(a, b))` is exactly divisible by `b`
+    * and pmod is non-negative, so the div below is exact and equals
+    * the floor on both engines.
+    */
+  private def floorDiv(a: String, b: String): String =
+    s"((($a) - pmod(($a), ($b))) div ($b))"
+
   /** The x17/g16 CUSUM chain over a `(event_type, day_us, mean_micro)`
     * daily table: baseline μ0 = first-7-day mean, slack μ0/20, both
     * one-sided statistics via the prefix-sum identity
-    * S_t = P_t − min(0, min_{j≤t} P_j), alarm at S ≥ μ0 — all BIGINT.
-    * Shared so the batch query and the incremental tick cannot drift;
-    * [[sqlCusumAlarm]] is the DuckDB twin of the whole chain.
+    * S_t = P_t − min(0, min_{j≤t} P_j), alarm at S ≥ μ0 — all BIGINT
+    * with [[floorDiv]] divisions, so the chain matches the oracle's
+    * `//` even on a negative-valued feed. Shared so the batch query
+    * and the incremental tick cannot drift; [[sqlCusumAlarm]] is the
+    * DuckDB twin of the whole chain.
     */
   private def cusumFromDaily(daily: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day_us"))
@@ -79,13 +93,13 @@ object SparkEntry {
       .withColumn("_rk", row_number().over(wOrd))
       .filter(col("_rk") <= 7)
       .groupBy(col("event_type"))
-      .agg(expr("sum(mean_micro) div count(*)").as("mu0"))
+      .agg(expr(floorDiv("sum(mean_micro)", "count(*)")).as("mu0"))
     val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     daily.join(mu0, "event_type")
       .withColumn("dhi",
-        col("mean_micro") - col("mu0") - expr("mu0 div 20"))
+        col("mean_micro") - col("mu0") - expr(floorDiv("mu0", "20")))
       .withColumn("dlo",
-        col("mu0") - expr("mu0 div 20") - col("mean_micro"))
+        col("mu0") - expr(floorDiv("mu0", "20")) - col("mean_micro"))
       .withColumn("phi", sum(col("dhi")).over(wCum))
       .withColumn("plo", sum(col("dlo")).over(wCum))
       .select(col("event_type"), col("day_us"), col("mean_micro"),
@@ -1436,8 +1450,8 @@ object SparkEntry {
       cusumFromDaily(t(s, dir, "events")
         .groupBy(col("event_type"),
           unix_micros(date_trunc("day", col("ts"))).as("day_us"))
-        .agg(expr(
-          "sum(cast(floor(value * 1e6 + 0.5) as bigint)) div count(*)")
+        .agg(expr(floorDiv(
+          "sum(cast(floor(value * 1e6 + 0.5) as bigint))", "count(*)"))
           .as("mean_micro")))
     }),
 
@@ -3501,7 +3515,7 @@ object SparkEntry {
       cusumFromDaily(
         CountLog.read(s, log, Seq("event_type", "day_us"))
           .select(col("event_type"), col("day_us"),
-            expr("vsum div n").as("mean_micro")))
+            expr(floorDiv("vsum", "n")).as("mean_micro")))
     }),
 
     "g14_takedown_tick" -> ((s, dir) => {
