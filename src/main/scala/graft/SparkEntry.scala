@@ -66,6 +66,27 @@ object SparkEntry {
       .select(col("doc_id"), col("n_tok"),
         microFloor(col("avg_logratio")).as("logratio_micro"))
 
+  /** The tq12/tq13 staged LR feature table: ONE tokenize over
+    * documents into scratch `(doc_id, y, tr, f, c)` — same split,
+    * label and bucket constants as tq1, so the NB and LR fits stay
+    * directly comparable on one contract.
+    */
+  private def lrStagedFeatures(s: SparkSession, dir: String,
+                               prefix: String): DataFrame = {
+    val staged = scratchDir(prefix)
+    t(s, dir, "documents")
+      .select(col("doc_id"), (col("lang") <=> "en").as("y"),
+        (Sampling.keyHash(col("doc_id"), "nbt") <
+          Sampling.threshold(0.6)).as("tr"),
+        explode(TA.tokens(col("text"))).as("_tok"))
+      .select(col("doc_id"), col("y"), col("tr"),
+        Classify.featHash(col("_tok"), nbBuckets).as("f"))
+      .groupBy(col("doc_id"), col("y"), col("tr"), col("f"))
+      .agg(count(lit(1)).as("c"))
+      .write.mode("overwrite").parquet(staged)
+    s.read.parquet(staged)
+  }
+
   /** Integer FLOOR division matching DuckDB's `//` for ANY dividend
     * sign (positive divisor): Spark's `div` truncates toward zero, so
     * a bare `a div b` silently disagrees with the oracle's `a // b` on
@@ -5806,19 +5827,7 @@ object SparkEntry {
       // doc-keyed residual join + one ≤4096-row gradient collect (the
       // weights contract); holdout scoring is one more pass of the
       // same staged table.
-      val d = t(s, dir, "documents")
-      val isTrain = Sampling.keyHash(col("doc_id"), "nbt") <
-        Sampling.threshold(0.6)
-      val staged = scratchDir("graft_tq12")
-      d.select(col("doc_id"), (col("lang") <=> "en").as("y"),
-          isTrain.as("tr"),
-          explode(TA.tokens(col("text"))).as("_tok"))
-        .select(col("doc_id"), col("y"), col("tr"),
-          Classify.featHash(col("_tok"), nbBuckets).as("f"))
-        .groupBy(col("doc_id"), col("y"), col("tr"), col("f"))
-        .agg(count(lit(1)).as("c"))
-        .write.mode("overwrite").parquet(staged)
-      val fc = s.read.parquet(staged)
+      val fc = lrStagedFeatures(s, dir, "graft_tq12")
       val w = Classify.trainLogReg(
         fc.filter(col("tr")).select("doc_id", "y", "f", "c"),
         ticks = 2, etaDen = 1L)
@@ -6089,6 +6098,43 @@ object SparkEntry {
           fround(col("accuracy"), 6).as("accuracy"))
     }),
 
+    "tq14_lr_model_log" -> ((s, dir) => {
+      // TQ14 — the LR fit as a PERSISTED MODEL LIFECYCLE (tq3's
+      // discipline for the gradient path): the corpus arrives as three
+      // ingest "days" (doc_id mod 3); day 0 initializes the log (cold
+      // 1-tick fit, weight segment d=−1), each later day appends its
+      // features to the CountLog (O(batch); no raw-text rescan ever)
+      // and warm-ticks the weights over the grown folded table,
+      // landing them as a commit-gated segment keyed by the batch id.
+      // A POISONED replay of committed day 1 (wrong docs, flipped
+      // labels) runs inside the query and must no-op at BOTH stores —
+      // if it ever landed, the served weights would break the oracle.
+      // The oracle replays the whole TRAJECTORY from scratch: the
+      // shared tick generator with cumulative per-tick filters
+      // (b = 0, b ≤ 1, b ≤ 2) — each warm tick proven equal to the
+      // corresponding tick of the from-scratch descent, end to end.
+      // Scale shape: per day one batch tokenize + `ticks` passes over
+      // the compact folded feature store; serving reads the latest
+      // committed ≤4096-row segment.
+      val d = t(s, dir, "documents")
+      val label = col("lang") <=> "en"
+      val logDir = scratchDir("graft_tq14")
+      def day(k: Int) = d.filter(pmod(col("doc_id"), lit(3)) === k)
+      Classify.initLrLog(
+        Classify.docFeaturesLabeled(day(0), col("doc_id"), label,
+          col("text"), nbBuckets),
+        logDir, ticks = 1, etaDen = 1L)
+      Classify.appendLrBatch(day(1), col("doc_id"), label, col("text"),
+        nbBuckets, ticks = 1, etaDen = 1L, logDir, Some(1L))
+      Classify.appendLrBatch(day(2), col("doc_id"), label, col("text"),
+        nbBuckets, ticks = 1, etaDen = 1L, logDir, Some(2L))
+      // poisoned replay of committed day 1: wrong docs, inverted labels
+      Classify.appendLrBatch(day(0), col("doc_id"), !label, col("text"),
+        nbBuckets, ticks = 1, etaDen = 1L, logDir, Some(1L))
+      s.createDataFrame(Classify.loadLrWeights(s, logDir)).toDF("f", "w")
+        .orderBy(col("f"))
+    }),
+
     "tq13_model_compare" -> ((s, dir) => {
       // TQ13 — model selection closes the trained-filter loop: the NB
       // counting fit (tq1) and the LR gradient fit (tq12) score the
@@ -6112,15 +6158,7 @@ object SparkEntry {
         .select(col("doc_id"), fround(col("log_odds"), 6).as("sc"))
         .join(d.select(col("doc_id"), label.as("y")), "doc_id")
       // LR leg (the tq12 chain, staged once)
-      val staged = scratchDir("graft_tq13")
-      d.select(col("doc_id"), label.as("y"), isTrain.as("tr"),
-          explode(TA.tokens(col("text"))).as("_tok"))
-        .select(col("doc_id"), col("y"), col("tr"),
-          Classify.featHash(col("_tok"), nbBuckets).as("f"))
-        .groupBy(col("doc_id"), col("y"), col("tr"), col("f"))
-        .agg(count(lit(1)).as("c"))
-        .write.mode("overwrite").parquet(staged)
-      val fc = s.read.parquet(staged)
+      val fc = lrStagedFeatures(s, dir, "graft_tq13")
       val w = Classify.trainLogReg(
         fc.filter(col("tr")).select("doc_id", "y", "f", "c"),
         ticks = 2, etaDen = 1L)
@@ -11714,6 +11752,30 @@ object SparkEntry {
            ${sqlFround("(tp + tn)::DOUBLE / (n_pos + n_neg)::DOUBLE", 6)}
              AS accuracy
          FROM agg""",
+
+    "tq14_lr_model_log" -> {
+      // the from-scratch TRAJECTORY replay: the shared tick generator
+      // with cumulative per-tick doc filters (day 0, days ≤ 1,
+      // days ≤ 2) — tick t of this cold descent must equal the
+      // lifecycle's warm tick after absorbing day t−1, so the served
+      // weight segment is checked end to end (and the in-query
+      // poisoned replay would break this if the commit gate leaked)
+      val toks = sqlTokens("text")
+      s"""WITH lmtk AS MATERIALIZED (SELECT doc_id,
+             coalesce(lang = 'en', false) AS y,
+             doc_id % 3 AS b,
+             unnest($toks) AS tok
+           FROM documents),
+         lmfc AS MATERIALIZED (SELECT doc_id, any_value(y) AS y,
+             any_value(b) AS b, f, count(*)::BIGINT AS c
+           FROM (SELECT doc_id, y, b,
+               ${operators.Classify.sqlFeatHash("tok", nbBuckets)} AS f
+             FROM lmtk)
+           GROUP BY doc_id, f),
+         ${operators.Classify.sqlLogRegTickCtes("lm", 3, 1L,
+            t => s"b <= ${t - 1}")}
+         SELECT f, w FROM lmw3 ORDER BY f"""
+    },
 
     "tq13_model_compare" -> {
       // both fits replayed (NB via the tq1 CTEs, LR via the shared

@@ -768,27 +768,36 @@ object Classify {
   }
 
   /** DuckDB twin of the whole descent as tick CTEs over a caller-built
-    * `${p}fc(doc_id, y, tr, f, c)` feature table: emits `${p}n` and
-    * `${p}z{t}/${p}r{t}/${p}g{t}/${p}w{t}` for t ∈ [1, ticks], with
-    * `${p}w{ticks}` the final weight table. Keep the z/r float chain in
-    * exact lockstep with [[residual]] and the update with
-    * [[trainLogReg]]'s driver fold.
+    * `${p}fc(doc_id, y, …, f, c)` feature table: emits, per tick
+    * t ∈ [1, ticks], `${p}n{t}/${p}z{t}/${p}r{t}/${p}g{t}/${p}w{t}`,
+    * with `${p}w{ticks}` the final weight table. `tickFilter(t)` is
+    * the doc predicate of tick t over fc's columns — the default
+    * (`tr`, every tick) replays [[trainLogReg]]; a CUMULATIVE filter
+    * sequence (batch ≤ 0, ≤ 1, …) replays the [[appendLrBatch]]
+    * lifecycle trajectory, each tick warm-starting on the grown
+    * corpus exactly as [[trainLogRegFrom]] does. Keep the z/r float
+    * chain in exact lockstep with [[residual]] and the update with
+    * the driver fold.
     */
-  def sqlLogRegTickCtes(p: String, ticks: Int, etaDen: Long): String = {
+  def sqlLogRegTickCtes(p: String, ticks: Int, etaDen: Long,
+                        tickFilter: Int => String = _ => "tr"): String = {
     val grid = s"$LrGrid.0::DOUBLE"
     def zCte(t: Int): String =
       if (t == 1)
         s"""${p}z1 AS MATERIALIZED (SELECT doc_id, any_value(y) AS y,
              sum(c)::BIGINT AS nt, 0::BIGINT AS zn
-           FROM ${p}fc WHERE tr GROUP BY doc_id)"""
+           FROM ${p}fc WHERE ${tickFilter(1)} GROUP BY doc_id)"""
       else
         s"""${p}z$t AS MATERIALIZED (SELECT c.doc_id, any_value(c.y) AS y,
              sum(c.c)::BIGINT AS nt,
              coalesce(sum(c.c * w.w), 0)::BIGINT AS zn
            FROM ${p}fc c LEFT JOIN ${p}w${t - 1} w USING (f)
-           WHERE c.tr GROUP BY c.doc_id)"""
+           WHERE ${tickFilter(t)} GROUP BY c.doc_id)"""
     val tickCtes = (1 to ticks).map { t =>
-      s"""${zCte(t)},
+      s"""${p}n$t AS (SELECT
+             ($etaDen * count(DISTINCT doc_id))::BIGINT AS d
+           FROM ${p}fc WHERE ${tickFilter(t)}),
+         ${zCte(t)},
          ${p}r$t AS MATERIALIZED (SELECT doc_id,
              floor(((CASE WHEN y THEN 1.0 ELSE 0.0 END) -
                (1.0 / (1.0 + ${Sampling.sqlDetExp(
@@ -797,17 +806,107 @@ object Classify {
            FROM ${p}z$t),
          ${p}g$t AS MATERIALIZED (SELECT f, sum(c * r)::BIGINT AS g
            FROM ${p}fc JOIN ${p}r$t USING (doc_id)
-           WHERE tr GROUP BY f),
+           WHERE ${tickFilter(t)} GROUP BY f),
          ${p}w$t AS MATERIALIZED (SELECT f,
              ${if (t == 1) "" else s"coalesce(pw.w, 0) + "}(CASE
-               WHEN g >= 0 THEN g // ${p}n.d
-               ELSE -((-g) // ${p}n.d) END)::BIGINT AS w
+               WHEN g >= 0 THEN g // ${p}n$t.d
+               ELSE -((-g) // ${p}n$t.d) END)::BIGINT AS w
            FROM ${p}g$t ${
              if (t == 1) "" else s"LEFT JOIN ${p}w${t - 1} pw USING (f)"
-           } CROSS JOIN ${p}n)"""
+           } CROSS JOIN ${p}n$t)"""
     }.mkString(",\n")
-    s"""${p}n AS (SELECT ($etaDen * count(DISTINCT doc_id))::BIGINT AS d
-         FROM ${p}fc WHERE tr),
-       $tickCtes"""
+    tickCtes
   }
+
+  // ---------------------------------------------------------------
+  // Persisted LR lifecycle (the tq3/modelSink discipline for the
+  // gradient fit): the FEATURE table is additive — it lives in a
+  // CountLog keyed (doc_id, y, f), and ingest batches carry disjoint
+  // doc ids (the ingest contract every index lifecycle here shares) —
+  // but the WEIGHT table is a descent trajectory, not a sum. So
+  // weights land as whole per-batch SEGMENTS (`w/delta/d=K` = the
+  // weights AFTER absorbing batch K), commit-gated exactly like the
+  // BM25/IVF/LSH appends: the tick is deterministic given (previous
+  // weights, folded features), so a crash-replay recomputes the same
+  // segment and the commit gate makes the rewrite a no-op — even a
+  // POISONED replay of a committed batch id cannot move the served
+  // model. The per-batch cost: tokenize the batch (O(batch)), then
+  // `ticks` passes over the FOLDED feature store (compact (doc, f)
+  // rows — never a raw-text rescan). Serving reads the LATEST
+  // committed weight segment, never a fold.
+  // ---------------------------------------------------------------
+
+  private def featKeys(idName: String) = Seq(idName, "y", "f")
+
+  /** Create the LR model log: batch-0 features as the CountLog base,
+    * the cold `ticks`-tick fit as weight segment d = −1 (the LSH band
+    * index's base-segment convention — streaming batch ids start at 0
+    * and can never collide). Returns the base weights.
+    */
+  def initLrLog(feat: DataFrame, dir: String, ticks: Int,
+                etaDen: Long, idName: String = "doc_id"): Seq[(Long, Long)] = {
+    val spark = feat.sparkSession
+    import spark.implicits._
+    CountLog.init(feat, s"$dir/feat")
+    val folded = CountLog.read(spark, s"$dir/feat", featKeys(idName))
+      .localCheckpoint(eager = true)
+    val w =
+      try trainLogReg(folded, ticks, etaDen, idName)
+      finally graft.Frames.free(folded)
+    SegmentFs.appendSegment(w.toDF("f", "w"), s"$dir/w", Some(-1L)): Unit
+    w
+  }
+
+  /** Absorb one ingest batch: append its features (CountLog,
+    * batch-id idempotent), then warm-tick the weights over the grown
+    * folded table from the latest served segment and land them as
+    * segment d = batch id. Replay of a committed id is a no-op at
+    * BOTH stores. An EMPTY batch marks its id done without moving the
+    * model (no new evidence ⇒ no tick — unlike NB's all-zero partial,
+    * a tick is not a no-op algebraically). Returns the batch id.
+    */
+  def appendLrBatch(batch: DataFrame, id: Column, label: Column,
+                    text: Column, buckets: Int, ticks: Int, etaDen: Long,
+                    dir: String, batchId: Option[Long] = None,
+                    idName: String = "doc_id"): Long = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val feat = docFeaturesLabeled(batch, id, label, text, buckets, idName)
+    val empty = batch.isEmpty
+    val k = CountLog.append(feat, s"$dir/feat", batchId)
+    val committedW = SegmentFs.listVersions(spark, s"$dir/w/delta", "d")
+    if (!committedW.contains(k) && !empty) {
+      val prev = loadLrWeights(spark, dir)
+      val folded = CountLog.read(spark, s"$dir/feat", featKeys(idName))
+        .localCheckpoint(eager = true)
+      val w =
+        try trainLogRegFrom(folded, prev, ticks, etaDen, idName)
+        finally graft.Frames.free(folded)
+      SegmentFs.appendSegment(w.toDF("f", "w"), s"$dir/w", Some(k)): Unit
+    }
+    k
+  }
+
+  /** The served model: the latest COMMITTED weight segment (bounded
+    * ≤ buckets rows — the collectWeights contract).
+    */
+  def loadLrWeights(spark: SparkSession, dir: String): Seq[(Long, Long)] = {
+    val ks = SegmentFs.listVersions(spark, s"$dir/w/delta", "d")
+    require(ks.nonEmpty, s"no committed weight segment under $dir/w")
+    spark.read.parquet(SegmentFs.deltaDir(s"$dir/w", ks.max))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+  }
+
+  /** Streaming LR maintenance: each micro-batch of labeled docs folds
+    * through [[appendLrBatch]] (batch-id idempotent — the exactly-once
+    * contract against the checkpoint).
+    */
+  def lrSink(docs: DataFrame, id: Column, label: Column, text: Column,
+             buckets: Int, ticks: Int, etaDen: Long, dir: String,
+             idName: String = "doc_id"): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        appendLrBatch(batch, id, label, text, buckets, ticks, etaDen,
+          dir, Some(batchId), idName): Unit
+    }
 }

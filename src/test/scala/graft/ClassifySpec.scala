@@ -364,6 +364,46 @@ class ClassifySpec extends SparkSpec {
       s"warm-start tick diverged from the cold descent:\n$warm\nvs\n$cold")
   }
 
+  test("lrSink lifecycle: streamed warm ticks == manual chain; poisoned replay and empty batch no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("lrlog").toString
+    val rows = corpus.collect().map(r =>
+      (r.getLong(0), r.getBoolean(1), r.getString(2))).toSeq
+    val (b0, b1, b2) = (rows.take(2), rows.slice(2, 4), rows.drop(4))
+    def df(b: Seq[(Long, Boolean, String)]) = b.toDF("id", "pos", "text")
+    Classify.initLrLog(
+      Classify.docFeaturesLabeled(df(b0), $"id", $"pos", $"text", B, "id"),
+      dir, ticks = 1, etaDen = 1L, idName = "id")
+    val src = MemoryStream[(Long, Boolean, String)]
+    val q = Classify.lrSink(src.toDF().toDF("id", "pos", "text"),
+      $"id", $"pos", $"text", B, ticks = 1, etaDen = 1L, dir,
+      idName = "id").start()
+    try {
+      src.addData(b1: _*); q.processAllAvailable()
+      src.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = Classify.loadLrWeights(spark, dir)
+    // the manual chain over the same growing corpus
+    def feats(b: Seq[(Long, Boolean, String)]) =
+      Classify.docFeaturesLabeled(df(b), $"id", $"pos", $"text", B, "id")
+    val w0 = Classify.trainLogReg(feats(b0), 1, 1L, "id")
+    val w1 = Classify.trainLogRegFrom(feats(b0 ++ b1), w0, 1, 1L, "id")
+    val w2 = Classify.trainLogRegFrom(feats(b0 ++ b1 ++ b2), w1, 1, 1L, "id")
+    assert(streamed == w2.sortBy(_._1),
+      s"streamed weights diverged:\n$streamed\nvs\n${w2.sortBy(_._1)}")
+    // poisoned replay of committed batch 0 (wrong docs, flipped labels)
+    Classify.appendLrBatch(df(b2.map(t => (t._1, !t._2, t._3))),
+      $"id", $"pos", $"text", B, 1, 1L, dir, Some(0L), "id")
+    assert(Classify.loadLrWeights(spark, dir) == streamed,
+      "poisoned replay moved the served model")
+    // an empty batch marks its id done without a tick
+    Classify.appendLrBatch(df(Seq.empty), $"id", $"pos", $"text",
+      B, 1, 1L, dir, Some(9L), "id")
+    assert(Classify.loadLrWeights(spark, dir) == streamed,
+      "empty batch moved the served model")
+  }
+
   test("logreg tick 2 moves weights toward the margin (training loss direction)") {
     // after tick 1 the separable fixture's positive-dialect slots hold
     // positive weights; tick 2's residuals shrink (|y − σ| < 0.5) but
