@@ -668,8 +668,9 @@ object Classify {
   // centroids/weights contract — never corpus rows). Text tokenizes
   // exactly once, at staging. At 100 TB the feature table is the
   // artifact you'd land bucketed by doc id, making the residual join
-  // shuffle-free; gradient BIGINT headroom is ~2³³ docs per feature
-  // slot (c·r ≤ 2³⁰).
+  // shuffle-free; gradient BIGINT headroom: |c·r| ≤ n_tok·2²⁰ per
+  // (doc, feature) — ~2³¹ at 2k-token docs, ~2³² docs per feature
+  // slot before a BIGINT gradient could saturate.
   // =====================================================================
 
   /** The shared residual/weight grid (2²⁰) — keep in lockstep with
@@ -690,9 +691,11 @@ object Classify {
 
   /** One exact-IEEE sigmoid→quantized-residual column over `(y, zn,
     * nt)`: r = ⌊(y − σ(zn/(nt·2²⁰)))·2²⁰ + ½⌋. Keep in exact lockstep
-    * with the SQL twin inside [[sqlLogRegTickCtes]].
+    * with the SQL twin inside [[sqlLogRegTickCtes]]. Package-private
+    * so PropertySpec can pin the |r| ≤ 2¹⁹ bound (the gradient-
+    * headroom claim) over arbitrary inputs.
     */
-  private def residual(y: Column, zn: Column, nt: Column): Column =
+  private[graft] def residual(y: Column, zn: Column, nt: Column): Column =
     floor((when(y, lit(1.0)).otherwise(lit(0.0)) -
         lit(1.0) / (lit(1.0) + Sampling.detExp(
           -(zn.cast("double") / (nt.cast("double") * lit(LrGrid.toDouble)))))) *

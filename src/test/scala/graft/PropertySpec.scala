@@ -288,4 +288,48 @@ class PropertySpec extends SparkSpec {
     // identical distributions ⇒ identical TV ⇒ the uniform point holds
     assert(out.map(_._2).distinct.size == 1, out.toString)
   }
+
+  test("floorDiv identity equals Math.floorDiv for any dividend sign") {
+    // the cross-engine division contract (CLAUDE.md): Spark `div`
+    // truncates, DuckDB `//` floors; (a - pmod(a,b)) div b is exact and
+    // floor-consistent on both — pinned here against the JVM's floorDiv
+    // over adversarial values (both signs, extremes, small divisors)
+    val as = sample(Gen.oneOf(
+      Gen.chooseNum(Long.MinValue / 4, Long.MaxValue / 4),
+      Gen.chooseNum(-100L, 100L)), 80)
+    val bs = sample(Gen.oneOf(Gen.chooseNum(1L, 1000L),
+      Gen.const(1L), Gen.const(20L)), 80, seed = 7L)
+    val rows = as.zip(bs).toDF("a", "b")
+      .select($"a", $"b", expr("((a - pmod(a, b)) div b)").as("fd"))
+      .collect()
+    rows.foreach { r =>
+      val (a, b, fd) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(fd == Math.floorDiv(a, b), s"floorDiv($a, $b): got $fd")
+    }
+  }
+
+  test("logreg residual is grid-bounded for arbitrary logits") {
+    // |r| = |⌊(y − σ)·2²⁰ + ½⌋| ≤ 2²⁰ because y − σ ∈ (−1, 1) — σ
+    // saturates toward 0/1 at extreme logits (detexp overflows to a
+    // huge positive, never NaN/negative), so the residual tops out at
+    // the FULL grid, not the half-grid of the w₀ = 0 tick. This is the
+    // bound the gradient-headroom claim (|c·r| ≤ n_tok·2²⁰) rests on;
+    // checked across extreme logit magnitudes where detexp saturates.
+    val zns = sample(Gen.oneOf(
+      Gen.chooseNum(-1L << 40, 1L << 40),
+      Gen.oneOf(0L, 1L, -1L, 1L << 50, -(1L << 50))), 60)
+    val nts = sample(Gen.chooseNum(1L, 2000L), 60, seed = 11L)
+    val ys = sample(Gen.oneOf(true, false), 60, seed = 13L)
+    val grid = graft.operators.Classify.LrGrid
+    val out = ys.zip(zns.zip(nts)).map { case (y, (zn, nt)) => (y, zn, nt) }
+      .toDF("y", "zn", "nt")
+      .select(graft.operators.Classify.residual($"y", $"zn", $"nt").as("r"))
+      .collect().map(_.getLong(0))
+    out.foreach(r => assert(math.abs(r) <= grid, s"residual $r out of bound"))
+    // and the w0 = 0 tick sits exactly on the half grid
+    val r0 = Seq((true, 0L, 10L), (false, 0L, 10L)).toDF("y", "zn", "nt")
+      .select(graft.operators.Classify.residual($"y", $"zn", $"nt").as("r"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(r0 == Seq(grid / 2, -(grid / 2)), r0.toString)
+  }
 }
