@@ -27,6 +27,14 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     def sysLoad: Double =
       math.floor(osBean.getSystemLoadAverage * 100) / 100
+    // Storage/eviction telemetry (r15 verdict #2): per-rep peak storage
+    // memory and eviction counters next to the per-rep load, so the
+    // recurring "untouched heavy query 2-3× slower at the driver"
+    // anomaly (d4 r14, d22 r15) is attributable from the artifact —
+    // evictDisk > 0 means the rep's persists were thrashing under
+    // memory pressure; zero with elevated load means a hot machine.
+    val telem = new BenchTelemetry
+    spark.sparkContext.addSparkListener(telem)
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try {
@@ -71,16 +79,23 @@ object Bench {
     // spike, indistinguishable from a real regression.
     def pass() = ordered.map { case (name, fn) =>
       val l = sysLoad
+      telem.reset()
       val t = timeOne(name, fn)
+      // the block-update events post async; drain before the snapshot
+      // so the rep's own tail events can't bleed into the next rep
+      // (drain and snapshot both run OUTSIDE the timer)
+      org.apache.spark.graftbridge.Bus.drain(spark.sparkContext)
+      val m = telem.snapshot()
       scrub()
-      (name, t, l)
+      (name, t, l, m)
     }
     val pass1 = pass()
     val pass2 = pass()
-    val results = pass1.zip(pass2).map { case ((name, t1, l1), (_, t2, l2)) =>
-      name -> (Seq(t1, t2), Seq(l1, l2))
+    val results = pass1.zip(pass2).map {
+      case ((name, t1, l1, m1), (_, t2, l2, m2)) =>
+        name -> (Seq(t1, t2), Seq(l1, l2), Seq(m1, m2))
     }
-    val mins = results.map { case (k, (ts, _)) =>
+    val mins = results.map { case (k, (ts, _, _)) =>
       k -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }.toMap
     val qs = mins.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -88,14 +103,19 @@ object Bench {
     // Both raw timings per query: a loaded machine shows as BOTH runs
     // slow across the board, distinguishable from a real code regression
     // without a re-run. The min stays the headline comparison number.
-    val runs = results.map { case (k, (ts, _)) =>
+    val runs = results.map { case (k, (ts, _, _)) =>
       s"\"" + k + "\":[" + ts.mkString(",") + "]"
     }.mkString("{", ",", "}")
     // 1-min system load sampled immediately before each rep: a rep taken
     // at load far above the allotted cpus is externally contaminated and
     // its timing should be discounted by the reader.
-    val loads = results.map { case (k, (_, ls)) =>
+    val loads = results.map { case (k, (_, ls, _)) =>
       s"\"" + k + "\":[" + ls.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    // Full per-rep storage telemetry: [peakMB, evictDisk, drops] per rep.
+    val memFull = results.map { case (k, (_, _, ms)) =>
+      s"\"" + k + "\":[" +
+        ms.map { case (pk, ev, dr) => s"[$pk,$ev,$dr]" }.mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = mins.values.filter(_ >= 0).sum
     // The driver captures only the LAST ~2000 characters of output, so the
@@ -112,9 +132,16 @@ object Bench {
     val failMap = mins.toSeq.filter(_._2 < 0).map(_._1).sorted
       .map("\"" + short(_) + "\":-1").mkString("{", ",", "}")
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"bench_diag","queries_full":$qs,"runs":$runs,"loads":$loads}""")
-    println(minsLine(mins.toSeq))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cpus":"$cpus","sf":"$sfName","n_queries":${mins.size},"fails":$fails,"queries":$failMap}""")
+    println(s"""{"metric":"bench_diag","queries_full":$qs,"runs":$runs,"loads":$loads,"mem":$memFull}""")
+    val minsStr = minsLine(mins.toSeq)
+    val totalStr = s"""{"metric":"total","value":$total,"unit":"sec","cpus":"$cpus","sf":"$sfName","n_queries":${mins.size},"fails":$fails,"queries":$failMap}"""
+    // The compact mem line sits in the driver's ~2000-char stdout tail
+    // above the mins line; its budget is whatever the tail has left
+    // after the two must-fit lines, computed EXACTLY (not hoped about).
+    val memBudget = 2000 - minsStr.length - totalStr.length - 8
+    println(memLine(results.map { case (k, (_, _, ms)) => (k, ms) }, memBudget))
+    println(minsStr)
+    println(totalStr)
     spark.stop()
   }
 
@@ -138,6 +165,35 @@ object Bench {
     * header chars < 1800 at any n — spec-pinned at 280 queries.
     */
   val MinsBudget = 1650
+
+  /** The compact tail-visible storage line (r15 verdict #2): per query
+    * `shortid:peakMB:evictDisk` (max over reps), sorted evictions-first
+    * then peak-desc so the anomaly evidence survives however tight the
+    * budget — entries are appended only while they fit `budget` chars
+    * of payload, and a `+N` suffix names how many were cut (the
+    * no-silent-caps rule). Full per-rep triples live on bench_diag.
+    */
+  def memLine(mem: Seq[(String, Seq[(Long, Long, Long)])],
+              budget: Int): String = {
+    val entries = mem.map { case (k, ms) =>
+      val pk = if (ms.isEmpty) 0L else ms.map(_._1).max
+      val ev = if (ms.isEmpty) 0L else ms.map(_._2).max
+      (short(k), pk, ev)
+    }.sortBy { case (id, pk, ev) => (-ev, -pk, id) }
+    val header = s"""{"metric":"mem","unit":"id:peakMB:evictDisk","n":${mem.size},"q":""""
+    // closing quote + `,"cut":NNNN` + `}` worst case
+    val room = budget - header.length - 16
+    val sb = new StringBuilder
+    var kept = 0
+    entries.foreach { case (id, pk, ev) =>
+      val piece = (if (kept == 0) "" else ",") + s"$id:$pk:$ev"
+      if (sb.length + piece.length <= room) { sb.append(piece); kept += 1 }
+    }
+    val cut = entries.size - kept
+    val suffix = if (cut > 0) s""","cut":$cut""" else ""
+    header + sb.toString + "\"" + suffix + "}"
+  }
+
   def minsLine(mins: Seq[(String, Double)]): String = {
     def cs(v: Double): String = if (v < 0) "-1" else (v * 100).round.toString
     val sorted = mins.sortBy(p => short(p._1))

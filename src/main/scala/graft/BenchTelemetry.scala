@@ -1,0 +1,72 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerBlockUpdated}
+
+/** Per-query storage-memory telemetry for the bench (r15 verdict #2):
+  * the d4(r14)/d22(r15) anomaly class — an untouched heavy query 2-3×
+  * slower at the driver than locally — has twice cost a verdict cycle
+  * to adjudicate "hot machine" vs "cache eviction under memory
+  * pressure", because the artifact carried per-rep system load but
+  * nothing about storage. This listener folds block-update events into
+  * three numbers a rep can report:
+  *
+  *  - `peakMB`    — high-water storage memory (cached RDD blocks +
+  *                  broadcasts) during the rep, in MiB;
+  *  - `evictDisk` — blocks a MEMORY_AND_DISK persist lost from memory
+  *                  to DISK mid-rep (old memSize > 0 → memSize == 0
+  *                  with the level still valid): the UNAMBIGUOUS
+  *                  memory-pressure signal — a deliberate unpersist
+  *                  invalidates the level instead, so it can never
+  *                  land here;
+  *  - `drops`     — blocks removed outright (level invalid) that held
+  *                  memory. Queries that stage-and-release persists
+  *                  (the d4/d22 discipline) produce a DETERMINISTIC
+  *                  nonzero count every run, so only a round-over-
+  *                  round DELTA of this field signals anything.
+  *
+  * An eviction-inflated rep shows evictDisk > 0 (its persists were
+  * thrashing); a hot-machine rep shows evictDisk == 0 with elevated
+  * sysLoad. One artifact read now separates them.
+  *
+  * Counters reset per rep ([[reset]]); the block→memSize map persists
+  * across reps so deltas stay exact for blocks that outlive a scrub
+  * (warmup broadcasts). The caller must drain the async listener bus
+  * (graftbridge.Bus.drain) before reading — block events post async.
+  */
+class BenchTelemetry extends SparkListener {
+  private val memOf = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val cur = new AtomicLong(0L)
+  private val peak = new AtomicLong(0L)
+  private val evictDiskCtr = new AtomicLong(0L)
+  private val dropCtr = new AtomicLong(0L)
+
+  override def onBlockUpdated(ev: SparkListenerBlockUpdated): Unit = {
+    val info = ev.blockUpdatedInfo
+    val valid = info.storageLevel.isValid
+    val newMem = if (valid) info.memSize else 0L
+    val oldBoxed =
+      if (valid) memOf.put(info.blockId.name, newMem)
+      else memOf.remove(info.blockId.name)
+    val old = if (oldBoxed == null) 0L else oldBoxed.longValue
+    if (newMem != old) {
+      val c = cur.addAndGet(newMem - old)
+      peak.getAndAccumulate(c, math.max)
+    }
+    if (old > 0L && newMem == 0L) {
+      if (valid && info.diskSize > 0L) evictDiskCtr.incrementAndGet()
+      else if (!valid) dropCtr.incrementAndGet()
+    }
+  }
+
+  /** Start a rep: zero the eviction counters, re-base the peak at the
+    * currently-resident storage. */
+  def reset(): Unit = {
+    evictDiskCtr.set(0L); dropCtr.set(0L); peak.set(cur.get())
+  }
+
+  /** (peak storage MiB, mem→disk evictions, outright drops) since the
+    * last [[reset]]. Drain the listener bus first. */
+  def snapshot(): (Long, Long, Long) =
+    (peak.get() >> 20, evictDiskCtr.get(), dropCtr.get())
+}

@@ -95,6 +95,13 @@ object SparkEntry {
     * between rounds. `(a − pmod(a, b))` is exactly divisible by `b`
     * and pmod is non-negative, so the div below is exact and equals
     * the floor on both engines.
+    *
+    * CONTRACT EXCLUSION: the intermediate `a − pmod(a, b)` underflows
+    * (and, ANSI mode, THROWS — a crash, never a silent mismatch) when
+    * `a` is within `b − 1` of Long.MinValue; PropertySpec deliberately
+    * samples only ±Long.MaxValue/4. Fine for every current feed
+    * (micro-unit means, day counters); do not reach for this helper on
+    * full-range raw longs without a sign-split CASE instead.
     */
   private def floorDiv(a: String, b: String): String =
     s"((($a) - pmod(($a), ($b))) div ($b))"
@@ -11763,7 +11770,7 @@ object SparkEntry {
       val toks = sqlTokens("text")
       s"""WITH lmtk AS MATERIALIZED (SELECT doc_id,
              coalesce(lang = 'en', false) AS y,
-             doc_id % 3 AS b,
+             ((doc_id % 3) + 3) % 3 AS b,
              unnest($toks) AS tok
            FROM documents),
          lmfc AS MATERIALIZED (SELECT doc_id, any_value(y) AS y,

@@ -692,8 +692,11 @@ object Classify {
   /** One exact-IEEE sigmoid→quantized-residual column over `(y, zn,
     * nt)`: r = ⌊(y − σ(zn/(nt·2²⁰)))·2²⁰ + ½⌋. Keep in exact lockstep
     * with the SQL twin inside [[sqlLogRegTickCtes]]. Package-private
-    * so PropertySpec can pin the |r| ≤ 2¹⁹ bound (the gradient-
-    * headroom claim) over arbitrary inputs.
+    * so PropertySpec can pin the |r| ≤ 2²⁰ bound (the full grid — σ
+    * saturates toward 0/1 at large |logit|, so |y − σ| approaches 1;
+    * the half-grid bound holds only at the w₀ = 0 tick where σ = ½).
+    * That full-grid bound is what the header's gradient-headroom
+    * arithmetic (|c·r| ≤ n_tok·2²⁰) uses.
     */
   private[graft] def residual(y: Column, zn: Column, nt: Column): Column =
     floor((when(y, lit(1.0)).otherwise(lit(0.0)) -
@@ -812,10 +815,15 @@ object Classify {
            WHERE ${tickFilter(t)} GROUP BY f),
          ${p}w$t AS MATERIALIZED (SELECT f,
              ${if (t == 1) "" else s"coalesce(pw.w, 0) + "}(CASE
-               WHEN g >= 0 THEN g // ${p}n$t.d
+               WHEN coalesce(g, 0) >= 0 THEN coalesce(g, 0) // ${p}n$t.d
                ELSE -((-g) // ${p}n$t.d) END)::BIGINT AS w
            FROM ${p}g$t ${
-             if (t == 1) "" else s"LEFT JOIN ${p}w${t - 1} pw USING (f)"
+             // FULL join: a feature carrying weight in w_{t-1} but absent
+             // from tick t's filtered docs (possible under a NON-monotone
+             // tickFilter) must keep its weight, exactly as
+             // trainLogRegFrom's driver fold does — a LEFT join from g_t
+             // would silently drop it. Its gradient defaults to 0.
+             if (t == 1) "" else s"FULL JOIN ${p}w${t - 1} pw USING (f)"
            } CROSS JOIN ${p}n$t)"""
     }.mkString(",\n")
     tickCtes

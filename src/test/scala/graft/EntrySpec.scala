@@ -36,6 +36,35 @@ class EntrySpec extends SparkSpec {
     assert(shorts.distinct.size == shorts.size, "short ids must be unique")
   }
 
+  test("bench mem line respects its budget and leads with evictions") {
+    def fakeMem(n: Int): Seq[(String, Seq[(Long, Long, Long)])] =
+      (0 until n).map { i =>
+        (s"tq${i}_long_name",
+          Seq((i.toLong * 7, if (i % 50 == 3) 4L else 0L, 2L),
+              (i.toLong * 9, 0L, 2L)))
+      }
+    // any budget: the payload + header must fit, the cut count is named
+    Seq(120, 220, 400, 2000).foreach { b =>
+      val line = Bench.memLine(fakeMem(280), b)
+      assert(line.length <= b, s"budget $b -> len ${line.length}")
+      assert(line.startsWith("""{"metric":"mem""""))
+      if (line.length > 90) // entries present: eviction queries lead
+        assert(line.contains("tq3:") || line.contains(":4"),
+          s"evicting query not front-ranked at budget $b: ${line.take(120)}")
+    }
+    // worst-case three-line tail: mem (at its computed budget) + mins +
+    // total must fit the driver's 2000-char window at the REAL suite
+    val minsStr = Bench.minsLine(
+      SparkEntry.queries.keys.toSeq.map(k => (k, 5.0)))
+    val totalLen = 220 // generous stand-in for the totals line
+    val budget = 2000 - minsStr.length - totalLen - 8
+    val mem = Bench.memLine(
+      SparkEntry.queries.keys.toSeq.map(k => (k, Seq((512L, 1L, 3L)))),
+      budget)
+    assert(mem.length + minsStr.length + totalLen + 8 <= 2000,
+      s"tail overflow: mem=${mem.length} mins=${minsStr.length}")
+  }
+
   test("tq9 tertile law: per-lang bucket sizes within 1, rank-monotone") {
     val out = SparkEntry.queries("tq9_ccnet_ppl_buckets")(
       spark, "/root/testdata/sf0.001").collect()
