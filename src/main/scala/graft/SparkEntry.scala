@@ -2182,16 +2182,18 @@ object SparkEntry {
       // the scale-priced query. Output is the bounded audit: each
       // batch doc's best container (max shared tokens — the integer
       // twin of max containment — then largest, then smallest-id).
+      // On this one-vocabulary corpus the qualifying pair set is dense
+      // (1.7M pairs at sf0.1 for ~600 best rows), so the query runs the
+      // BEST-container reduction (Dedup.containmentBest): the same
+      // probe front, one map-side-combinable struct-max per id_a in
+      // place of materializing every pair and windowing it — staged
+      // output is O(batch), not O(batch × corpus).
       val d = t(s, dir, "documents")
       val exc = d.filter(pmod(col("doc_id"), lit(5)) === 0)
         .select((col("doc_id") + lit(1000000L)).as("doc_id"),
           array_join(slice(TA.tokens(col("text")), 1, 30), " ").as("text"))
-      val byA = Window.partitionBy(col("id_a")).orderBy(
-        col("inter").desc, col("size_b").desc, col("id_b"))
-      Dedup.containmentProbe(exc, d.select(col("doc_id"), col("text")),
+      Dedup.containmentBest(exc, d.select(col("doc_id"), col("text")),
           col("doc_id"), col("text"), threshold = 0.9)
-        .withColumn("_rk", row_number().over(byA))
-        .filter(col("_rk") === 1)
         .select(col("id_a"), col("id_b"), col("inter").cast("long").as("inter"),
           col("size_a"), col("size_b"),
           fround(col("containment"), 6).as("containment"))

@@ -261,10 +261,56 @@ object Dedup {
   def containmentProbe(batch: DataFrame, corpus: DataFrame, id: Column,
                        text: Column, threshold: Double): DataFrame = {
     val spark = batch.sparkSession
+    val (pairs, staged) = containmentProbePlan(batch, corpus, id, text, threshold)
+    try {
+      val stage = graft.Scratch.dir("graft_d22_probe")
+      pairs.write.mode("overwrite").parquet(stage)
+      spark.read.parquet(stage)
+    } finally staged.foreach(_.unpersist(blocking = false))
+  }
+
+  /** [[containmentProbe]] reduced to each batch doc's BEST container —
+    * max (inter, size_b, smallest id_b) per id_a — WITHOUT materializing
+    * the full pair set: on a dense corpus the qualifying pairs are
+    * O(batch × corpus) (1.7M at sf0.1 where the best-rows are ~600), so
+    * staging them to parquet and windowing costs more than the whole
+    * candidate phase. The reduction is one map-side-combinable
+    * `max_by`-style struct aggregate running WHILE the dictionary
+    * blocks are still pinned; only the ≤|batch|-row result is staged
+    * out. Columns as [[containmentProbe]], one row per id_a.
+    */
+  def containmentBest(batch: DataFrame, corpus: DataFrame, id: Column,
+                      text: Column, threshold: Double): DataFrame = {
+    val spark = batch.sparkSession
+    val (pairs, staged) = containmentProbePlan(batch, corpus, id, text, threshold)
+    try {
+      // lexicographic struct max = (inter desc, size_b desc, id_b asc);
+      // negating id_b turns the ascending tie-break into a max
+      val best = pairs
+        .groupBy(col("id_a"))
+        .agg(max(struct(col("inter"), col("size_b"),
+          (lit(0L) - col("id_b")).as("_nib"), col("size_a"),
+          col("containment"))).as("_b"))
+        .select(col("id_a"), (lit(0L) - col("_b._nib")).as("id_b"),
+          col("_b.inter").as("inter"), col("_b.size_a").as("size_a"),
+          col("_b.size_b").as("size_b"),
+          col("_b.containment").as("containment"))
+      val stage = graft.Scratch.dir("graft_d22_best")
+      best.write.mode("overwrite").parquet(stage)
+      spark.read.parquet(stage)
+    } finally staged.foreach(_.unpersist(blocking = false))
+  }
+
+  /** The shared lazy pair plan behind [[containmentProbe]] /
+    * [[containmentBest]]: returns (pairs, staged persists the caller
+    * must release after materializing). */
+  private def containmentProbePlan(
+      batch: DataFrame, corpus: DataFrame, id: Column,
+      text: Column, threshold: Double): (DataFrame, Seq[DataFrame]) = {
     val union = batch.select(id.as("_cid"), text.as("_ctext"))
       .unionByName(corpus.select(id.as("_cid"), text.as("_ctext")))
     val (docs, staged) = rarityDictDocs(union, col("_cid"), col("_ctext"))
-    try {
+    locally {
       val tNum = math.round(threshold * 1000000).toInt
       val batchIds = batch.select(id.as("id"))
       val prefix = docs.join(batchIds, Seq("id"), "left_semi")
@@ -306,10 +352,8 @@ object Dedup {
         .select(col("id_a"), col("id_b"), col("inter"),
           col("size_a").cast("long").as("size_a"),
           col("size_b").cast("long").as("size_b"), col("containment"))
-      val stage = graft.Scratch.dir("graft_d22_probe")
-      pairs.write.mode("overwrite").parquet(stage)
-      spark.read.parquet(stage)
-    } finally staged.foreach(_.unpersist(blocking = false))
+      (pairs, staged)
+    }
   }
 
   /** D4 survivors — drop every row that has a near-duplicate with a

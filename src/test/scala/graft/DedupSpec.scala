@@ -96,6 +96,39 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((100L, 1L, 1.0), (101L, 1L, 1.0)))
   }
 
+  test("containmentBest equals probe + (inter desc, size_b desc, id_b asc) top-1") {
+    // multiple qualifying containers with ties on inter AND size_b so
+    // every tie-break level of the struct-max is exercised
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),          // inter 3, size 4
+      (2L, "alpha beta gamma delta"),          // identical: id tie -> smaller wins
+      (3L, "alpha beta gamma delta epsilon"),  // inter 3, size 5 -> size wins
+      (4L, "alpha beta gamma zeta eta theta"), // inter 3, size 6 -> biggest
+      (5L, "totally unrelated words")).toDF("id", "text")
+    val batch = Seq((100L, "alpha beta gamma")).toDF("id", "text")
+    import org.apache.spark.sql.expressions.Window
+    val byA = Window.partitionBy($"id_a").orderBy(
+      $"inter".desc, $"size_b".desc, $"id_b")
+    val viaProbe = rows(
+      Dedup.containmentProbe(batch, corpus, $"id", $"text", 0.9)
+        .withColumn("_rk", org.apache.spark.sql.functions.row_number().over(byA))
+        .filter($"_rk" === 1)
+        .select($"id_a", $"id_b", $"inter".cast("long").as("inter"),
+          $"size_a", $"size_b", $"containment")
+        .orderBy($"id_a"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val viaBest = rows(
+      Dedup.containmentBest(batch, corpus, $"id", $"text", 0.9)
+        .select($"id_a", $"id_b", $"inter".cast("long").as("inter"),
+          $"size_a", $"size_b", $"containment")
+        .orderBy($"id_a"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(viaBest == viaProbe)
+    assert(viaBest == Seq((100L, 4L, 3L, 3L, 6L, 1.0)))
+  }
+
   test("fuzzyDedup keeps the smallest-id survivor of each near-dup cluster") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
