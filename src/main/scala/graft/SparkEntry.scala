@@ -971,24 +971,28 @@ object SparkEntry {
       // with token tie-break; the vector assembles via map lookup so
       // zero-count dimensions materialize.
       val d = t(s, dir, "documents")
-      // Two scans of the corpus (vocab build + vectorize) are the honest
-      // price of a global vocabulary without caching — at scale the
-      // alternative is persisting the exploded tokens, which costs more
-      // than the second columnar scan. (Sharing a (doc_id, tok) agg
-      // between the branches doesn't help: column pruning gives the two
-      // consumers different schemas, so the exchange can't be reused.)
-      val exploded = d.select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
+      // ONE tokenize: the (doc_id, tok, n) aggregate — far smaller than
+      // the raw exploded tokens — lazily checkpoints, and both the
+      // vocab build and the vectorize read the stored blocks (the d23
+      // discipline; exchange reuse can't do it because column pruning
+      // gives the two consumers different schemas). r16 A/B at sf0.1
+      // vs the two-scan form: median tied (2.18/2.19 s), min 2.08→1.99,
+      // cold first-run 6.0→3.1 s — adopted for the halved tokenize
+      // under driver CPU contention (the r15 v4 regression class).
+      val dtok = d.select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
+        .localCheckpoint(false)
       // Global top-16 via orderBy+limit (TakeOrderedAndProject: partial
       // per-partition top-k, tiny driver merge) — the rank window then
       // only ever sees 16 rows, never the whole vocabulary.
-      val vocab = exploded.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val vocab = dtok.groupBy(col("tok")).agg(sum(col("n")).as("cnt"))
         .orderBy(col("cnt").desc, col("tok"))
         .limit(16)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("cnt").desc, col("tok"))))
         .select(col("tok"), col("rank"))
-      val counts = exploded.join(broadcast(vocab), "tok")
-        .groupBy(col("doc_id"), col("rank")).agg(count(lit(1)).as("n"))
+      val counts = dtok.join(broadcast(vocab), "tok")
+        .select(col("doc_id"), col("rank"), col("n"))
       val vecs = counts.groupBy(col("doc_id"))
         .agg(map_from_entries(collect_list(struct(col("rank"), col("n")))).as("m"))
       val tf = transform(sequence(lit(1), lit(16)),

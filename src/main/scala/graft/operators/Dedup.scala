@@ -457,15 +457,30 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, id: Column, text: Column,
                    shingleSize: Int = 3, numHashes: Int = 16,
-                   rowsPerBand: Int = 4): DataFrame = {
+                   rowsPerBand: Int = 4): DataFrame =
     // signature computes in the native one-pass TokenMinHash expression
     // (bit-identical to the declarative shingles→values→affine chain,
-    // pinned in TokenMinHashSpec). The signature (numHashes longs) is
-    // narrow enough to ride the bucket join; the estimate computes
-    // pre-distinct so the dedup shuffle moves (long, long, double) rows.
-    val sigs = df.select(id.as("id"),
+    // pinned in TokenMinHashSpec).
+    minhashPairsFromSigs(sigRows(df, id, text, shingleSize, numHashes),
+      numHashes, rowsPerBand)
+
+  /** `(id, sig)` signature rows — THE shareable front of every minhash
+    * consumer: a caller that both probes an index and pairs a batch
+    * intra-batch ([[nearDupIngest]]) computes this once (lazily
+    * checkpointed) instead of re-running the tokenize→shingle→hash
+    * chain per consumer. */
+  private[graft] def sigRows(df: DataFrame, id: Column, text: Column,
+                             shingleSize: Int, numHashes: Int): DataFrame =
+    df.select(id.cast("long").as("id"),
       graft.expressions.TokenMinHash(text, shingleSize,
         minhashCoeffs(numHashes)).as("sig"))
+
+  /** [[minhashPairs]] over precomputed `(id, sig)` rows. The signature
+    * (numHashes longs) is narrow enough to ride the bucket join; the
+    * estimate computes pre-distinct so the dedup shuffle moves
+    * (long, long, double) rows. */
+  private[graft] def minhashPairsFromSigs(sigs: DataFrame, numHashes: Int,
+                                          rowsPerBand: Int): DataFrame = {
     val buckets = sigs.select(
       col("id"), col("sig"),
       explode(lshBands(col("sig"), numHashes, rowsPerBand)).as("bk"))
@@ -649,10 +664,13 @@ object Dedup {
   private def bandRows(df: DataFrame, id: Column, text: Column,
                        shingleSize: Int, numHashes: Int, rowsPerBand: Int,
                        buckets: Int, srcBatch: Long = -1L): DataFrame =
-    df.select(id.cast("long").as("id"),
-        graft.expressions.TokenMinHash(text, shingleSize,
-          minhashCoeffs(numHashes)).as("sig"))
-      .select(col("id"), col("sig"),
+    bandRowsFromSigs(sigRows(df, id, text, shingleSize, numHashes),
+      numHashes, rowsPerBand, buckets, srcBatch)
+
+  private def bandRowsFromSigs(sigs: DataFrame, numHashes: Int,
+                               rowsPerBand: Int, buckets: Int,
+                               srcBatch: Long): DataFrame =
+    sigs.select(col("id"), col("sig"),
         explode(bandKeys(col("sig"), numHashes, rowsPerBand)).as("bk"))
       .withColumn("sb", lit(srcBatch))
       .withColumn("bp", bandBucket(col("bk"), buckets))
@@ -675,9 +693,18 @@ object Dedup {
                         text: Column, shingleSize: Int = 3,
                         numHashes: Int = 16, rowsPerBand: Int = 4,
                         buckets: Int = 64,
-                        excludeBatch: Option[Long] = None): DataFrame = {
-    val bb = bandRows(batch, id, text, shingleSize, numHashes, rowsPerBand,
-        buckets, srcBatch = -1L)
+                        excludeBatch: Option[Long] = None): DataFrame =
+    probeLshBandIndexFromSigs(spark, path,
+      sigRows(batch, id, text, shingleSize, numHashes),
+      numHashes, rowsPerBand, buckets, excludeBatch)
+
+  /** [[probeLshBandIndex]] over precomputed `(id, sig)` batch rows. */
+  private[graft] def probeLshBandIndexFromSigs(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      sigs: DataFrame, numHashes: Int, rowsPerBand: Int, buckets: Int,
+      excludeBatch: Option[Long]): DataFrame = {
+    val bb = bandRowsFromSigs(sigs, numHashes, rowsPerBand, buckets,
+        srcBatch = -1L)
       .withColumnRenamed("id", "id_batch")
       .withColumnRenamed("sig", "b_sig")
     val bps = bb.select(col("bp")).distinct()
@@ -713,17 +740,29 @@ object Dedup {
                     batch: DataFrame, id: Column, text: Column,
                     threshold: Double, batchId: Long = -1L,
                     buckets: Int = 64): DataFrame = {
+    // ONE minhash pass over the batch (r16): the corpus probe and the
+    // intra-batch pair join both consume the same lazily-checkpointed
+    // (id, sig) rows — the tokenize→shingle→hash chain is the batch's
+    // dominant CPU and previously ran once per consumer. The checkpoint
+    // blocks free via the context cleaner once the returned frame dies.
+    val sigs = sigRows(batch, id, text, shingleSize = 3, numHashes = 16)
+      .localCheckpoint(eager = false)
     // batchId < 0 = non-streaming call: exclude NOTHING — Some(-1)
     // would match the sb = -1 tag of every batch-built index row and
     // silently blind the probe to the whole saved corpus
-    val dupVsCorpus = probeLshBandIndex(spark, path, batch, id, text,
-        buckets = buckets,
+    val dupVsCorpus = probeLshBandIndexFromSigs(spark, path, sigs,
+        numHashes = 16, rowsPerBand = 4, buckets = buckets,
         excludeBatch = if (batchId >= 0) Some(batchId) else None)
       .where(col("est_jaccard") >= threshold)
       .select(col("id_batch").as("_dup_id")).distinct()
+    val freshSigs = sigs.join(dupVsCorpus,
+      col("id") === col("_dup_id"), "left_anti")
+    val pairs = minhashPairsFromSigs(freshSigs, numHashes = 16,
+        rowsPerBand = 4)
+      .where(col("est_jaccard") >= threshold)
     val fresh = batch.join(dupVsCorpus,
       id.cast("long") === col("_dup_id"), "left_anti")
-    dupClusters(fresh, id, text, threshold)
+    clusterByPairs(fresh, id, pairs)
       .where(col("kept"))
       .drop("cluster_id", "cluster_size", "kept")
   }
@@ -1362,6 +1401,13 @@ object Dedup {
                   rowsPerBand: Int = 4): DataFrame = {
     val pairs = minhashPairs(df, id, text, shingleSize, numHashes, rowsPerBand)
       .where(col("est_jaccard") >= threshold)
+    clusterByPairs(df, id, pairs)
+  }
+
+  /** [[dupClusters]]' labeling tail over an ALREADY-built near-dup pair
+    * set: component closure, min-id canonical label, sizes, keep flag. */
+  private[graft] def clusterByPairs(df: DataFrame, id: Column,
+                                    pairs: DataFrame): DataFrame = {
     val labels = connectedComponents(pairs, col("id_a"), col("id_b"))
       .select(col("id").as("_cc_id"), col("comp").as("_cc_comp"))
     val labeled = df.withColumn("_id", id.cast("long"))
