@@ -458,10 +458,18 @@ object Dedup {
   def minhashPairs(df: DataFrame, id: Column, text: Column,
                    shingleSize: Int = 3, numHashes: Int = 16,
                    rowsPerBand: Int = 4): DataFrame =
-    // signature computes in the native one-pass TokenMinHash expression
-    // (bit-identical to the declarative shingles→values→affine chain,
-    // pinned in TokenMinHashSpec).
-    minhashPairsFromSigs(sigRows(df, id, text, shingleSize, numHashes),
+    // signature computes ONCE in the native one-pass TokenMinHash
+    // expression (bit-identical to the declarative chain, pinned in
+    // TokenMinHashSpec) and lazily checkpoints: the bucket self-join
+    // resolves as a BroadcastHashJoin (no exchange under either input),
+    // so WITHOUT the checkpoint there is no reuse point and the
+    // tokenize→shingle→hash chain — the dominant CPU of every caller —
+    // runs once PER JOIN SIDE (r16 Explain evidence: two token_minhash
+    // projections, zero ReusedExchange). The (id, 16-long sig) rows are
+    // the natural build-once artifact (parquet at 100 TB).
+    minhashPairsFromSigs(
+      sigRows(df, id, text, shingleSize, numHashes)
+        .localCheckpoint(eager = false),
       numHashes, rowsPerBand)
 
   /** `(id, sig)` signature rows — THE shareable front of every minhash
@@ -1041,8 +1049,13 @@ object Dedup {
                    maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       s"4-band blocking is exact only for maxDist <= 3, got $maxDist")
+    // lazily checkpointed for the same reason as minhashPairs (r16):
+    // the band self-join broadcasts one side — no exchange, no reuse
+    // point — so an unbound SimHash64 (tokenize + per-token hash, the
+    // caller's dominant CPU) would compute once per join side.
     val sigs = df.select(id.cast("long").as("id"),
-      graft.expressions.SimHash64(text).as("sh"))
+        graft.expressions.SimHash64(text).as("sh"))
+      .localCheckpoint(eager = false)
     val bands = sigs.select(col("id"), col("sh"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
