@@ -59,10 +59,18 @@ class BenchTelemetry extends SparkListener {
     }
   }
 
-  /** Start a rep: zero the eviction counters, re-base the peak at the
-    * currently-resident storage. */
+  /** Start a rep: zero everything, INCLUDING the block ledger. The
+    * caller resets right after its between-rep scrub, when real
+    * storage is ~empty — and some removals (broadcast cleanup) never
+    * post a block-update event, so a ledger carried across reps
+    * accumulates phantom residency (observed r16: every late-suite
+    * query "peaked" at the same ~1.4 GB, the cumulative put total).
+    * Zeroing makes peakMB a true per-rep storage high-water; a stale
+    * pre-reset block's removal event finds no ledger entry and is a
+    * no-op. */
   def reset(): Unit = {
-    evictDiskCtr.set(0L); dropCtr.set(0L); peak.set(cur.get())
+    memOf.clear(); cur.set(0L); peak.set(0L)
+    evictDiskCtr.set(0L); dropCtr.set(0L)
   }
 
   /** (peak storage MiB, mem→disk evictions, outright drops) since the
