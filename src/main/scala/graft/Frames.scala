@@ -39,6 +39,26 @@ object Frames {
     * checkpoints are exclusively its own (the per-iteration frames of
     * connectedComponents / linkRank / BPE).
     */
+  /** Spread an UNDER-partitioned source across the session's cores
+    * before an expensive map phase (tokenize / minhash / simhash /
+    * feature-hash): a small parquet file is one row group and
+    * therefore ONE scan partition, so every scan-fused heavy
+    * projection upstream of the first exchange runs single-threaded —
+    * at 32 allotted cores the map phase of a one-file corpus uses 3%
+    * of the machine. Guarded: when the source already carries at
+    * least the session's parallelism (any realistic multi-file corpus
+    * — the 100 TB case), this is the identity and NO exchange is
+    * added; the shuffle only appears exactly when it buys a ~cores×
+    * map-phase speedup, and it moves bare pre-projection rows once.
+    * Callers apply it at build-once staging fronts (the sig/feature
+    * tables), never on serving paths.
+    */
+  def fan(df: DataFrame): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= parallelism) df
+    else df.repartition(parallelism)
+  }
+
   def free(df: DataFrame): Unit = {
     // Walk the whole analyzed plan, not just its root: a frame that
     // wraps a localCheckpoint in even a trivial projection would

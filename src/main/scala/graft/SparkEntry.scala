@@ -1548,7 +1548,9 @@ object SparkEntry {
       // gram STRINGS, so the bound is independently checked end to
       // end, exactly as d16 does.
       val staged = scratchDir("graft_tc3")
-      t(s, dir, "documents")
+      // fan: tokenize in parallel AND land a multi-file stage so the
+      // seven gram consumers read it with full parallelism
+      graft.Frames.fan(t(s, dir, "documents"))
         .select(col("doc_id"), col("lang"),
           TA.tokens(col("text")).as("_tk"),
           when(Sampling.keyHash(col("doc_id"), "sl13") <
@@ -4360,7 +4362,7 @@ object SparkEntry {
       // bigram share) — the boilerplate/keyword-stuffing signals a
       // training-data pipeline gates on. Tokens materialize once at a
       // select boundary; both signals read the attribute.
-      t(s, dir, "documents")
+      graft.Frames.fan(t(s, dir, "documents"))
         .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
           fround(TA.topTokenFraction(col("toks")), 6).as("top_token_frac"),
@@ -4710,7 +4712,7 @@ object SparkEntry {
       // load-bearing. All output cells exact integers. Scale shape:
       // scan-fused projection; thumbnails by contract.
       val hexes = array((0 until 16).map(v => lit(m6BmpHex(v))): _*)
-      t(s, dir, "documents")
+      graft.Frames.fan(t(s, dir, "documents"))
         .select(col("doc_id"), pmod(col("doc_id"), lit(16L)).as("v"))
         .withColumn("px", Multimodal.bmpPixelStats(
           unhex(element_at(hexes, (col("v") + 1).cast("int")))))
@@ -4729,7 +4731,7 @@ object SparkEntry {
       // count — while the oracle computes the stats from the FORMULA
       // alone. All output cells exact integers.
       val hexes = array((0 until 16).map(v => lit(m7WavHex(v))): _*)
-      t(s, dir, "documents")
+      graft.Frames.fan(t(s, dir, "documents"))
         .select(col("doc_id"), pmod(col("doc_id"), lit(16L)).as("v"))
         .withColumn("sm", Multimodal.wavSampleStats(
           unhex(element_at(hexes, (col("v") + 1).cast("int")))))
@@ -4997,7 +4999,7 @@ object SparkEntry {
       // so framing, byte walk, and the partial last frame are all
       // checked against independent ground truth.
       val hexes = array((0 until 16).map(v => lit(m7WavHex(v))): _*)
-      t(s, dir, "documents")
+      graft.Frames.fan(t(s, dir, "documents"))
         .select(col("doc_id"), pmod(col("doc_id"), lit(16L)).as("v"))
         .withColumn("fr", explode(Multimodal.wavFrameEnergies(
           unhex(element_at(hexes, (col("v") + 1).cast("int"))), 6)))
@@ -5021,7 +5023,7 @@ object SparkEntry {
       // position-weighted red sum are all checked against independent
       // ground truth. All output cells exact integers.
       val hexes = array((0 until 16).map(v => lit(m11PngHex(v))): _*)
-      t(s, dir, "documents")
+      graft.Frames.fan(t(s, dir, "documents"))
         .select(col("doc_id"), pmod(col("doc_id"), lit(16L)).as("v"))
         .withColumn("px", graft.expressions.PngPixelStats(
           unhex(element_at(hexes, (col("v") + 1).cast("int")))))
@@ -5044,7 +5046,7 @@ object SparkEntry {
       // alone, so the entropy decode is checked against independent
       // ground truth. All output cells exact integers.
       val hexes = array((0 until 16).map(v => lit(m12GifHex(v))): _*)
-      t(s, dir, "documents")
+      graft.Frames.fan(t(s, dir, "documents"))
         .select(col("doc_id"), pmod(col("doc_id"), lit(16L)).as("v"))
         .withColumn("px", graft.expressions.GifPixelStats(
           unhex(element_at(hexes, (col("v") + 1).cast("int")))))

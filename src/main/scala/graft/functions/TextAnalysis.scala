@@ -531,7 +531,8 @@ object TextAnalysis {
     */
   def unigramLogProb(df: DataFrame, id: Column, text: Column,
                      idName: String = "doc_id"): DataFrame = {
-    val perDoc = df.select(id.as(idName), explode(tokens(text)).as("tok"))
+    val perDoc = graft.Frames.fan(df)
+      .select(id.as(idName), explode(tokens(text)).as("tok"))
       .groupBy(col(idName), col("tok"))
       .agg(count(lit(1)).as("c"))
     val vocab = perDoc.groupBy(col("tok")).agg(sum(col("c")).as("cf"))
@@ -575,7 +576,8 @@ object TextAnalysis {
   def bigramLogProb(df: DataFrame, id: Column, text: Column,
                     lambda: Double = 0.75,
                     idName: String = "doc_id"): DataFrame = {
-    val perDoc = df.select(id.as(idName), tokens(text).as("_toks"))
+    val perDoc = graft.Frames.fan(df)
+      .select(id.as(idName), tokens(text).as("_toks"))
       .filter(size(col("_toks")) >= 2)
       .select(col(idName), explode(zip_with(
         slice(col("_toks"), lit(1), size(col("_toks")) - 1),

@@ -29,7 +29,7 @@ object Bpe {
     * vocab-sized.
     */
   def wordFreqs(df: DataFrame, text: Column): DataFrame =
-    df.select(explode(TA.tokens(text)).as("word"))
+    graft.Frames.fan(df).select(explode(TA.tokens(text)).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
   /** Split a word into its initial character symbols. Empty-string

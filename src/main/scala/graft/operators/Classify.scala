@@ -683,7 +683,7 @@ object Classify {
   def docFeaturesLabeled(df: DataFrame, id: Column, label: Column,
                          text: Column, buckets: Int,
                          idName: String = "doc_id"): DataFrame =
-    df.select(id.as(idName), label.as("y"),
+    graft.Frames.fan(df).select(id.as(idName), label.as("y"),
         explode(graft.functions.TextAnalysis.tokens(text)).as("_tok"))
       .select(col(idName), col("y"), featHash(col("_tok"), buckets).as("f"))
       .groupBy(col(idName), col("y"), col("f"))

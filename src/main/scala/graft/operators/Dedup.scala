@@ -46,7 +46,8 @@ object Dedup {
     * to block fuzzy-match candidates.
     */
   def tokenIndex(df: DataFrame, id: Column, text: Column): DataFrame =
-    df.select(id.as("id"), explode(TextFunctions.tokenSet(text)).as("tok"))
+    graft.Frames.fan(df)
+      .select(id.as("id"), explode(TextFunctions.tokenSet(text)).as("tok"))
 
   /** D4 at scale — all pairs (a < b) whose token-set Jaccard similarity
     * meets `threshold`, EXACTLY, via AllPairs/PPJoin-style prefix
@@ -479,7 +480,10 @@ object Dedup {
     * chain per consumer. */
   private[graft] def sigRows(df: DataFrame, id: Column, text: Column,
                              shingleSize: Int, numHashes: Int): DataFrame =
-    df.select(id.cast("long").as("id"),
+    // fan: a one-row-group corpus file would otherwise run the
+    // tokenize->shingle->hash chain on a single core (Frames.fan is the
+    // identity whenever the source is already parallel enough)
+    graft.Frames.fan(df).select(id.cast("long").as("id"),
       graft.expressions.TokenMinHash(text, shingleSize,
         minhashCoeffs(numHashes)).as("sig"))
 
@@ -1053,7 +1057,7 @@ object Dedup {
     // the band self-join broadcasts one side — no exchange, no reuse
     // point — so an unbound SimHash64 (tokenize + per-token hash, the
     // caller's dominant CPU) would compute once per join side.
-    val sigs = df.select(id.cast("long").as("id"),
+    val sigs = graft.Frames.fan(df).select(id.cast("long").as("id"),
         graft.expressions.SimHash64(text).as("sh"))
       .localCheckpoint(eager = false)
     val bands = sigs.select(col("id"), col("sh"),

@@ -186,7 +186,11 @@ object Similarity {
     // cast once so any numeric vector type (float or double) works and
     // the seed rows collect as doubles
     val d = df.select(id.cast("long").as("id"),
-      vec.cast("array<double>").as("v"))
+        vec.cast("array<double>").as("v"))
+      // single-partition small inputs serialize the assignment onto one
+      // core (see pqCodebooks); centroids are partition-independent
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint(eager = false)
     var cents: Seq[(Long, Seq[Double])] =
       d.orderBy(col("id")).limit(k).collect().zipWithIndex.map {
         case (row, i) =>
@@ -427,13 +431,60 @@ object Similarity {
     */
   def pqCodebooks(df: DataFrame, id: Column, vec: Column, m: Int,
                   subDim: Int, k: Int, iters: Int)
-      : Seq[Seq[(Long, Seq[Double])]] =
-    (0 until m).map { s =>
-      kmeansCentroids(
-        df.select(id.as("__pqid"),
-          slice(vec, s * subDim + 1, subDim).as("__pqv")),
-        col("__pqid"), col("__pqv"), k, iters)
+      : Seq[Seq[(Long, Seq[Double])]] = {
+    // ALL m subspaces train in ONE job per iteration (r16): the m
+    // per-subspace k-means are independent, so running them as m
+    // sequential kmeansCentroids loops paid m·iters driver round-trips
+    // where one fused assignment+mean pass pays iters — the
+    // per-subspace math (argmax tie rule, per-dim mean, r6 floor
+    // rounding after every step) is IDENTICAL, and r6 absorbs the
+    // 1-ulp summation-order noise exactly as kmeansCentroids documents.
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val d = df.select(id.cast("long").as("id"),
+        vec.cast("array<double>").as("v"))
+      // a small embeddings file scans as ONE partition, serializing the
+      // (object-heavy) literal-fold assignment onto a single core —
+      // spread it; books are partition-independent by spec'd contract
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint(eager = false) // scanned once per iteration + seed
+    val seeds = d.orderBy(col("id")).limit(k).collect()
+    require(seeds.length == k, s"need at least $k vectors to seed PQ")
+    var books: Seq[Seq[(Long, Seq[Double])]] = (0 until m).map { s =>
+      seeds.toSeq.zipWithIndex.map { case (row, i) =>
+        (i.toLong,
+          row.getSeq[Double](1).slice(s * subDim, (s + 1) * subDim)
+            .map(r6).toSeq)
+      }
     }
+    for (_ <- 1 to iters) {
+      val subCols = (0 until m).map { s =>
+        val sv = slice(col("v"), s * subDim + 1, subDim)
+        struct(lit(s).as("s"),
+          (-centroidArgmax(sv, books(s)).getField("ncid")).cast("long")
+            .as("cid"),
+          sv.as("sv"))
+      }
+      // m·k·subDim rows to the driver per iteration (the centroids
+      // contract — tiny at any corpus size)
+      val means = d.select(explode(array(subCols: _*)).as("a"))
+        .select(col("a.s").as("s"), col("a.cid").as("cid"),
+          posexplode(col("a.sv")).as(Seq("pos", "x")))
+        .groupBy(col("s"), col("cid"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getLong(1)))
+      books = books.zipWithIndex.map { case (cents, s) =>
+        cents.map { case (cid, old) =>
+          means.get((s, cid)) match {
+            case Some(rows) =>
+              (cid, rows.sortBy(_.getInt(2)).map(r => r6(r.getDouble(3))).toSeq)
+            case None => (cid, old)
+          }
+        }
+      }
+    }
+    books
+  }
 
   /** The PQ code: per subspace, the id of the nearest codebook centroid
     * ([[centroidArgmax]]'s cosine rule, ties → lowest cid), as an

@@ -634,9 +634,13 @@ class PlanAuditSpec extends SparkSpec {
 
   test("scan-fused per-row transforms plan zero joins and zero windows") {
     // the r12 per-row codec/transform family: one projection over the
-    // scan, the ONLY exchange is the final presentation ORDER BY — a
-    // refactor that sneaks in a join, window, or extra shuffle turns a
-    // linear 100 TB pass into something else and fails here
+    // scan — a refactor that sneaks in a join, window, or an exchange
+    // beyond the final presentation ORDER BY plus (r16) at most one
+    // Frames.fan spread turns a linear 100 TB pass into something else
+    // and fails here. The fan RoundRobin is deliberate: the test corpus
+    // is one row group, so without it the whole decode runs on one core
+    // (identity on any already-parallel source, so at 100 TB the plan
+    // has only the sort exchange again).
     val dir = "/root/testdata/sf0.001"
     for (q <- Seq("m10_audio_energy", "m11_png_pixel_decode",
         "m12_gif_pixel_decode", "s20_gzip_roundtrip",
@@ -646,7 +650,9 @@ class PlanAuditSpec extends SparkSpec {
       assert(!plan.contains("Join"), s"$q plans a join:\n$plan")
       assert("Window \\[".r.findAllIn(plan).isEmpty,
         s"$q plans a window:\n$plan")
-      assert("Exchange ".r.findAllIn(plan).size <= 1,
+      val fans = "Exchange RoundRobinPartitioning".r.findAllIn(plan).size
+      assert(fans <= 1, s"$q plans more than one fan spread:\n$plan")
+      assert("Exchange ".r.findAllIn(plan).size - fans <= 1,
         s"$q plans more than the final sort exchange:\n$plan")
     }
   }

@@ -53,7 +53,8 @@ class PlanSweepSpec extends SparkSpec {
     def n(re: String) = re.r.findAllMatchIn(plan).size
     // "Exchange" alone would also match BroadcastExchange/ReusedExchange;
     // shuffles print as "Exchange <partitioning>"
-    val shuffle = n("""(?m)(?<![a-zA-Z])Exchange (hash|range|Single|round)""")
+    val shuffle = n("""(?m)(?<![a-zA-Z])Exchange (hash|range|Single)""")
+    val rr = n("""Exchange RoundRobinPartitioning""")
     val bcast = n("""BroadcastExchange""")
     val window = n("""(?m)(?<![a-zA-Z])Window(?!GroupLimit) """) +
       n("""WindowGroupLimit""")
@@ -61,7 +62,7 @@ class PlanSweepSpec extends SparkSpec {
     val smj = n("""SortMergeJoin""")
     val bnlj = n("""BroadcastNestedLoopJoin""")
     val cp = n("""CartesianProduct""")
-    s"s=$shuffle bc=$bcast w=$window bhj=$bhj smj=$smj bnlj=$bnlj cp=$cp"
+    s"s=$shuffle rr=$rr bc=$bcast w=$window bhj=$bhj smj=$smj bnlj=$bnlj cp=$cp"
   }
 
   test("plan-shape fingerprints match the committed golden (sf0.001)") {
