@@ -308,6 +308,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("testdata id columns are non-negative (the pmod-vs-% oracle precondition)") {
+    // Dozens of oracle twins mirror Spark `pmod(id, k)` as DuckDB's
+    // bare `id % k` — equal ONLY for non-negative ids (DuckDB % takes
+    // the dividend's sign). The generator HAS changed contracts between
+    // rounds; if ids ever go negative, this spec names the hazard CLASS
+    // in one line instead of ~30 cryptic hash mismatches at the gate.
+    // Fix pattern when it fires: mirror pmod as ((id % k) + k) % k in
+    // the affected oracle SQL (see tq14's day split / CLAUDE.md).
+    val dir = "/root/testdata/sf0.001"
+    val idCols = Seq(
+      ("documents", "doc_id"), ("events", "event_id"),
+      ("events", "user_id"), ("embeddings", "vec_id"),
+      ("orders", "o_orderkey"), ("orders", "o_custkey"),
+      ("lineitem", "l_orderkey"), ("lineitem", "l_suppkey"),
+      ("lineitem", "l_partkey"), ("customer", "c_custkey"),
+      ("supplier", "s_suppkey"), ("part", "p_partkey"))
+    idCols.foreach { case (table, c) =>
+      val neg = Tables.load(spark, dir, table)
+        .filter(col(c).cast("long") < 0L).limit(1).count()
+      assert(neg == 0L,
+        s"$table.$c went NEGATIVE — every oracle mirroring pmod as bare" +
+          " % on this column silently diverges; see this test's comment")
+    }
+  }
+
   test("logreg residual is grid-bounded for arbitrary logits") {
     // |r| = |⌊(y − σ)·2²⁰ + ½⌋| ≤ 2²⁰ because y − σ ∈ (−1, 1) — σ
     // saturates toward 0/1 at extreme logits (detexp overflows to a
