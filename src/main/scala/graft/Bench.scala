@@ -98,6 +98,17 @@ object Bench {
     val mins = results.map { case (k, (ts, _, _)) =>
       k -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }.toMap
+    // Suite-level load summary for the TOTALS line (r16 verdict #1):
+    // the per-rep load series lives on bench_diag, which the driver's
+    // 2000-char tail cuts — so the hot-window question ("is this
+    // round's drift machine heat or code?") must be answerable from
+    // the surviving final line alone. med/p90 over all per-rep 1-min
+    // samples, ~22 chars.
+    val allLoads = results.flatMap(_._2._2).sorted
+    def pct(p: Double): Double =
+      if (allLoads.isEmpty) 0.0
+      else allLoads(math.min(allLoads.size - 1, (allLoads.size * p).toInt))
+    val loadSummary = s"[${pct(0.5)},${pct(0.9)}]"
     val qs = mins.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Both raw timings per query: a loaded machine shows as BOTH runs
@@ -115,7 +126,22 @@ object Bench {
     // Full per-rep storage telemetry: [peakMB, evictDisk, drops] per rep.
     val memFull = results.map { case (k, (_, _, ms)) =>
       s"\"" + k + "\":[" +
-        ms.map { case (pk, ev, dr) => s"[$pk,$ev,$dr]" }.mkString(",") + "]"
+        ms.map(m => s"[${m.peakMB},${m.evictDisk},${m.drops}]")
+          .mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    // Per-rep task-metric decomposition for the slowest queries (r16
+    // verdict #2): [runMs, cpuMs, gcMs, shufWriteMs] per rep. With the
+    // rep's wall time (on "runs") and the slot count, one read
+    // separates CPU starvation (runMs >> cpuMs), GC, shuffle-write IO,
+    // and scheduler gap (wall*slots >> runMs) — the d4/d22/tc3
+    // driver-vs-local anomalies become attributable from bench_diag
+    // alone. Top 20 by min keeps the line bounded; the anomaly class
+    // is always a heavy query.
+    val slowest = mins.toSeq.sortBy(-_._2).take(20).map(_._1).toSet
+    val taskFull = results.filter(r => slowest(r._1)).map { case (k, (_, _, ms)) =>
+      s"\"" + k + "\":[" +
+        ms.map(m => s"[${m.runMs},${m.cpuMs},${m.gcMs},${m.shufWriteMs}]")
+          .mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = mins.values.filter(_ >= 0).sum
     // The driver captures only the LAST ~2000 characters of output, so the
@@ -132,14 +158,22 @@ object Bench {
     val failMap = mins.toSeq.filter(_._2 < 0).map(_._1).sorted
       .map("\"" + short(_) + "\":-1").mkString("{", ",", "}")
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"bench_diag","queries_full":$qs,"runs":$runs,"loads":$loads,"mem":$memFull}""")
+    println(s"""{"metric":"bench_diag","queries_full":$qs,"runs":$runs,"loads":$loads,"mem":$memFull,"tasks":$taskFull}""")
     val minsStr = minsLine(mins.toSeq)
-    val totalStr = s"""{"metric":"total","value":$total,"unit":"sec","cpus":"$cpus","sf":"$sfName","n_queries":${mins.size},"fails":$fails,"queries":$failMap}"""
+    val totalStr = s"""{"metric":"total","value":$total,"unit":"sec","cpus":"$cpus","sf":"$sfName","n_queries":${mins.size},"load":$loadSummary,"fails":$fails,"queries":$failMap}"""
     // The compact mem line sits in the driver's ~2000-char stdout tail
     // above the mins line; its budget is whatever the tail has left
     // after the two must-fit lines, computed EXACTLY (not hoped about).
+    // memLine returns "" when the budget can't even hold its header
+    // (a high-failure round's long totals line) — printing a blank
+    // line would waste tail chars, so skip it entirely and let the two
+    // must-fit lines keep the whole
     val memBudget = 2000 - minsStr.length - totalStr.length - 8
-    println(memLine(results.map { case (k, (_, _, ms)) => (k, ms) }, memBudget))
+    val memStr = memLine(
+      results.map { case (k, (_, ls, ms)) =>
+        (k, ms.map(m => (m.peakMB, m.evictDisk, m.drops)), ls)
+      }, memBudget)
+    if (memStr.nonEmpty) println(memStr)
     println(minsStr)
     println(totalStr)
     spark.stop()
@@ -167,26 +201,34 @@ object Bench {
   val MinsBudget = 1650
 
   /** The compact tail-visible storage line (r15 verdict #2): per query
-    * `shortid:peakMB:evictDisk` (max over reps), sorted evictions-first
-    * then peak-desc so the anomaly evidence survives however tight the
-    * budget — entries are appended only while they fit `budget` chars
-    * of payload, and a `+N` suffix names how many were cut (the
-    * no-silent-caps rule). Full per-rep triples live on bench_diag.
+    * `shortid:peakMB:evictDisk:load` (max over reps; load the 1-min
+    * system load at the worse rep's start, 1 decimal — r16 verdict #1's
+    * optional `:load` so a tail-surviving eviction/peak entry carries
+    * its own heat context), sorted evictions-first then peak-desc so
+    * the anomaly evidence survives however tight the budget — entries
+    * are appended only while they fit `budget` chars of payload, and a
+    * `"cut":N` suffix names how many were cut (the no-silent-caps
+    * rule). Full per-rep triples live on bench_diag. Returns "" when
+    * `budget` can't hold even the header+suffix (a long totals line on
+    * a high-failure round — ADVICE r17: emitting the header anyway
+    * would push the three-line tail past the driver's window).
     */
-  def memLine(mem: Seq[(String, Seq[(Long, Long, Long)])],
+  def memLine(mem: Seq[(String, Seq[(Long, Long, Long)], Seq[Double])],
               budget: Int): String = {
-    val entries = mem.map { case (k, ms) =>
+    val entries = mem.map { case (k, ms, ls) =>
       val pk = if (ms.isEmpty) 0L else ms.map(_._1).max
       val ev = if (ms.isEmpty) 0L else ms.map(_._2).max
-      (short(k), pk, ev)
-    }.sortBy { case (id, pk, ev) => (-ev, -pk, id) }
-    val header = s"""{"metric":"mem","unit":"id:peakMB:evictDisk","n":${mem.size},"q":""""
+      val ld = if (ls.isEmpty) 0.0 else math.floor(ls.max * 10) / 10
+      (short(k), pk, ev, ld)
+    }.sortBy { case (id, pk, ev, _) => (-ev, -pk, id) }
+    val header = s"""{"metric":"mem","unit":"id:peakMB:evictDisk:load","n":${mem.size},"q":""""
     // closing quote + `,"cut":NNNN` + `}` worst case
     val room = budget - header.length - 16
+    if (room <= 0) return ""
     val sb = new StringBuilder
     var kept = 0
-    entries.foreach { case (id, pk, ev) =>
-      val piece = (if (kept == 0) "" else ",") + s"$id:$pk:$ev"
+    entries.foreach { case (id, pk, ev, ld) =>
+      val piece = (if (kept == 0) "" else ",") + s"$id:$pk:$ev:$ld"
       if (sb.length + piece.length <= room) { sb.append(piece); kept += 1 }
     }
     val cut = entries.size - kept

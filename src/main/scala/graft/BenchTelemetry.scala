@@ -1,7 +1,7 @@
 package graft
 
 import java.util.concurrent.atomic.AtomicLong
-import org.apache.spark.scheduler.{SparkListener, SparkListenerBlockUpdated}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerBlockUpdated, SparkListenerTaskEnd}
 
 /** Per-query storage-memory telemetry for the bench (r15 verdict #2):
   * the d4(r14)/d22(r15) anomaly class — an untouched heavy query 2-3×
@@ -29,6 +29,22 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerBlockUpdated}
   * thrashing); a hot-machine rep shows evictDisk == 0 with elevated
   * sysLoad. One artifact read now separates them.
   *
+  * Per-rep TASK-METRIC sums (r16 verdict #2) decompose a rep's wall
+  * time so CPU starvation, shuffle/IO and scheduler gaps separate in
+  * one artifact read:
+  *
+  *  - `runMs`       — Σ executorRunTime over the rep's tasks: total
+  *                    task-occupied core-milliseconds;
+  *  - `cpuMs`       — Σ executorCpuTime: the on-CPU share of runMs. A
+  *                    hot machine shows runMs ≫ cpuMs × 1 (tasks hold
+  *                    cores but are descheduled by external load);
+  *  - `gcMs`        — Σ jvmGCTime (inside runMs);
+  *  - `shufWriteMs` — Σ shuffle write time (inside runMs; parquet
+  *                    OUTPUT write time has no per-task metric in
+  *                    Spark — it rides the runMs−cpuMs gap);
+  *  - and the scheduling gap is wall × slots − runMs: tasks that
+  *    never got a core at all.
+  *
   * Counters reset per rep ([[reset]]); the block→memSize map persists
   * across reps so deltas stay exact for blocks that outlive a scrub
   * (warmup broadcasts). The caller must drain the async listener bus
@@ -40,6 +56,20 @@ class BenchTelemetry extends SparkListener {
   private val peak = new AtomicLong(0L)
   private val evictDiskCtr = new AtomicLong(0L)
   private val dropCtr = new AtomicLong(0L)
+  private val runMsCtr = new AtomicLong(0L)
+  private val cpuMsCtr = new AtomicLong(0L)
+  private val gcMsCtr = new AtomicLong(0L)
+  private val swMsCtr = new AtomicLong(0L)
+
+  override def onTaskEnd(ev: SparkListenerTaskEnd): Unit = {
+    val m = ev.taskMetrics
+    if (m != null) {
+      runMsCtr.addAndGet(m.executorRunTime)
+      cpuMsCtr.addAndGet(m.executorCpuTime / 1000000L)
+      gcMsCtr.addAndGet(m.jvmGCTime)
+      swMsCtr.addAndGet(m.shuffleWriteMetrics.writeTime / 1000000L)
+    }
+  }
 
   override def onBlockUpdated(ev: SparkListenerBlockUpdated): Unit = {
     val info = ev.blockUpdatedInfo
@@ -71,10 +101,18 @@ class BenchTelemetry extends SparkListener {
   def reset(): Unit = {
     memOf.clear(); cur.set(0L); peak.set(0L)
     evictDiskCtr.set(0L); dropCtr.set(0L)
+    runMsCtr.set(0L); cpuMsCtr.set(0L); gcMsCtr.set(0L); swMsCtr.set(0L)
   }
 
-  /** (peak storage MiB, mem→disk evictions, outright drops) since the
-    * last [[reset]]. Drain the listener bus first. */
-  def snapshot(): (Long, Long, Long) =
-    (peak.get() >> 20, evictDiskCtr.get(), dropCtr.get())
+  /** Everything accumulated since the last [[reset]]. Drain the
+    * listener bus first (block and task-end events both post async). */
+  def snapshot(): BenchTelemetry.Snap =
+    BenchTelemetry.Snap(peak.get() >> 20, evictDiskCtr.get(), dropCtr.get(),
+      runMsCtr.get(), cpuMsCtr.get(), gcMsCtr.get(), swMsCtr.get())
+}
+
+object BenchTelemetry {
+  /** One rep's telemetry: storage triple + task-metric sums (ms). */
+  case class Snap(peakMB: Long, evictDisk: Long, drops: Long,
+                  runMs: Long, cpuMs: Long, gcMs: Long, shufWriteMs: Long)
 }

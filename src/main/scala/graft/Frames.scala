@@ -53,9 +53,24 @@ object Frames {
     * Callers apply it at build-once staging fronts (the sig/feature
     * tables), never on serving paths.
     */
-  def fan(df: DataFrame): DataFrame = {
+  /** Measurement escape (fan A/Bs, COVERAGE.md fan bullet): with
+    * SPARK_GRAFT_NOFAN=1 every fan is the identity, so fan-vs-nofan
+    * runs need no recompile. Never set by any driver surface. */
+  private val disabled: Boolean =
+    sys.env.get("SPARK_GRAFT_NOFAN").contains("1")
+
+  def fan(df: DataFrame): DataFrame = if (disabled) df else {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= parallelism) df
+    // partition count via the frame's OWN QueryExecution: `df.rdd`
+    // would build a second QueryExecution (a deserialize-to-object
+    // re-plan of the same tree) on every call just to read the count
+    // (ADVICE r17). Callers pass scan-only fronts, so building the
+    // RDD DAG here runs nothing. NOTE: the count — and therefore the
+    // `rr=` class of the plan-fingerprint golden — is file-layout-
+    // dependent by design (that is what fan keys on): a testdata
+    // regeneration that changes file counts can fail the golden;
+    // re-baseline it in that case.
+    if (df.queryExecution.toRdd.getNumPartitions >= parallelism) df
     else df.repartition(parallelism)
   }
 

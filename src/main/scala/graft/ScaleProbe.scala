@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic 10× scale probe (r16 verdict #5): validates the two claims
+  * the sf0.1 bench cannot —
+  *
+  *  1. `Frames.fan` is the IDENTITY on a realistically-partitioned
+  *     source (the scaled corpus lands as ≥32-file parquet, so every
+  *     fan call must add zero exchanges), and
+  *  2. no heavy query hides a superlinear constant: at 10× rows a
+  *     linear-plan query should cost ≲10× (usually much less at this
+  *     scale, where per-job scheduling overhead dominates sf0.1 — a
+  *     10× corpus amortizes the same fixed job count over more data).
+  *
+  * Build: each scaled table is `copies` self-unions with DISJOINT
+  * re-keyed ids (key + k·(max+1)), so graph/join cardinalities scale
+  * linearly instead of densifying. The documents TEXT is re-keyed too:
+  * copy k applies a rotation-k `translate` over the 9 most frequent
+  * English letters (a bijection per copy), so each copy's internal
+  * dup/near-dup structure is isomorphic to the original while CROSS-
+  * copy token overlap stays low — a straight 10× text replication
+  * would instead multiply every doc into a 10-clique of exact dups
+  * and measure the C(10,2) pair blowup of the DATA, not the engine.
+  * Tables scaled: documents, embeddings, events, orders+lineitem
+  * (order keys re-keyed consistently across both). Dimension tables
+  * copy through unchanged.
+  *
+  * Run: `sbt "runMain graft.ScaleProbe [sfDir] [copies] [outBase]
+  * [query...]"` — defaults sf0.1 × 10 over the verdict's top-10
+  * heavies. Each query runs once against the BASE dir and once against
+  * the scaled dir in the same window (interleaved per query, Bench's
+  * scrub between), and one JSON line per query reports
+  * {q, base_sec, scaled_sec, ratio}. Results land in COVERAGE.md's
+  * scale-probe table; this main is a diagnostic, not a driver surface.
+  */
+object ScaleProbe {
+
+  /** The verdict's top-10 heavies: every pinned-intrinsic lifecycle or
+    * exact-verify twin whose 100 TB story needed a measurement. */
+  val heavies: Seq[String] = Seq(
+    "d4_jaccard_pairs", "d22_containment_pairs", "g4_dedup_corpus",
+    "g10_daily_tick", "g11_restated_day", "n2_pagerank_tick",
+    "tq14_lr_model_log", "v20_ivfpq_indexed", "d18_neardup_ingest",
+    "tc3_memorization_probe")
+
+  private val ring = "etaonisrh"
+  private def rot(k: Int): String = {
+    val r = k % ring.length
+    ring.drop(r) + ring.take(r)
+  }
+
+  /** Copy-k text transform: bijective letter rotation (identity at k=0). */
+  private def perturb(text: org.apache.spark.sql.Column, k: Int) =
+    if (k % ring.length == 0) text
+    else translate(text, ring + ring.toUpperCase,
+      rot(k) + rot(k).toUpperCase)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = if (args.length > 1) args(1).toInt else 10
+    val outBase = if (args.length > 2) args(2) else "/tmp/graft_scale10"
+    val queries = if (args.length > 3) args.drop(3).toSeq else heavies
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.tune(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dataDir = s"$outBase/data"
+    val marker = new java.io.File(s"$outBase/_BUILT_${copies}x")
+    if (!marker.exists()) buildScaled(spark, sfDir, dataDir, copies)
+    marker.getParentFile.mkdirs()
+    marker.createNewFile(): Unit
+
+    // warm both dirs' scans so neither side pays first-touch IO
+    Tables.names.foreach(t => Tables.load(spark, sfDir, t).count())
+    Tables.names.foreach(t => Tables.load(spark, dataDir, t).count())
+
+    def scrub(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+    def timeOne(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, dir).queryExecution.toRdd
+          .foreachPartition(it => it.foreach(_ => ()))
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"SCALE FAIL $name: ${e.getMessage}")
+          -1.0
+      }
+    }
+    val rows = queries.map { name =>
+      val b = timeOne(name, sfDir); scrub()
+      val s = timeOne(name, dataDir); scrub()
+      val ratio = if (b > 0 && s > 0) math.floor(s / b * 100) / 100 else -1.0
+      println(s"""{"q":"$name","base_sec":${math.floor(b * 1000) / 1000},"scaled_sec":${math.floor(s * 1000) / 1000},"ratio":$ratio}""")
+      (name, b, s, ratio)
+    }
+    val t = rows.map(r => s"${r._1}:${r._4}").mkString(",")
+    println(s"""{"metric":"scale_probe","copies":$copies,"ratios":"$t"}""")
+    spark.stop()
+  }
+
+  /** Land the scaled star at `dataDir` (each table a multi-file parquet
+    * DIRECTORY named `<table>.parquet`, ≥32 files for the big ones, so
+    * Frames.fan sees a realistically-partitioned source). */
+  def buildScaled(spark: SparkSession, sfDir: String, dataDir: String,
+                  copies: Int): Unit = {
+    new java.io.File(dataDir).mkdirs()
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head().getLong(0) + 1
+    def land(name: String, parts: Seq[DataFrame], nFiles: Int): Unit =
+      parts.reduce(_.unionAll(_)).repartition(nFiles)
+        .write.mode("overwrite").parquet(s"$dataDir/$name.parquet")
+
+    val docs = Tables.load(spark, sfDir, "documents")
+    val mDoc = maxOf(docs, "doc_id")
+    land("documents", (0 until copies).map { k =>
+      docs.select((col("doc_id") + lit(k * mDoc)).as("doc_id"),
+        perturb(col("text"), k).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }, 64)
+
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val mVec = maxOf(emb, "vec_id")
+    land("embeddings", (0 until copies).map { k =>
+      emb.withColumn("vec_id", col("vec_id") + lit(k * mVec))
+    }, 32)
+
+    val ev = Tables.load(spark, sfDir, "events")
+    val mEvt = maxOf(ev, "event_id")
+    val mUsr = maxOf(ev, "user_id")
+    land("events", (0 until copies).map { k =>
+      ev.withColumn("event_id", col("event_id") + lit(k * mEvt))
+        .withColumn("user_id", col("user_id") + lit(k * mUsr))
+    }, 64)
+
+    // orders+lineitem: order keys re-key CONSISTENTLY across the two
+    // tables; cust/supp keys re-key so the bipartite graph stays a
+    // disjoint union (linear growth, not densification)
+    val ord = Tables.load(spark, sfDir, "orders")
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val mOrd = maxOf(ord, "o_orderkey")
+    val mCust = maxOf(ord, "o_custkey")
+    val mSupp = maxOf(li, "l_suppkey")
+    land("orders", (0 until copies).map { k =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(k * mOrd))
+        .withColumn("o_custkey", col("o_custkey") + lit(k * mCust))
+    }, 64)
+    land("lineitem", (0 until copies).map { k =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(k * mOrd))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(k * mSupp))
+    }, 64)
+
+    // dimensions pass through unscaled
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/$t.parquet"),
+        java.nio.file.Paths.get(s"$dataDir/$t.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+  }
+}

@@ -30,6 +30,20 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failures(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}"
       }
+      // Between-query scrub, mirroring Bench's (ADVICE r17): operators
+      // that stage via LAZY localCheckpoint (minhashPairs/simhashPairs,
+      // the k-means/PQ training fronts) leave their blocks to driver
+      // GC + ContextCleaner — across a 220-query session that is the
+      // r12 storage-accumulation class (measured then at 6-29× timing
+      // inflation on late-suite queries). Verify isn't timed, but an
+      // executor-storage pileup can still evict persists mid-build or
+      // OOM a long session; dropping every persistent RDD (which lazy
+      // checkpoints register as, once materialized) after each query
+      // keeps the session flat.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

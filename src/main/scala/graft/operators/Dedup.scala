@@ -311,7 +311,11 @@ object Dedup {
     val union = batch.select(id.as("_cid"), text.as("_ctext"))
       .unionByName(corpus.select(id.as("_cid"), text.as("_ctext")))
     val (docs, staged) = rarityDictDocs(union, col("_cid"), col("_ctext"))
-    locally {
+    // exception safety (ADVICE r17): rarityDictDocs has already staged
+    // its persists, but the callers' `finally` only covers the
+    // post-construction materialize — a throw while BUILDING the pair
+    // plan below would otherwise leak them for the session
+    try {
       val tNum = math.round(threshold * 1000000).toInt
       val batchIds = batch.select(id.as("id"))
       val prefix = docs.join(batchIds, Seq("id"), "left_semi")
@@ -354,6 +358,10 @@ object Dedup {
           col("size_a").cast("long").as("size_a"),
           col("size_b").cast("long").as("size_b"), col("containment"))
       (pairs, staged)
+    } catch {
+      case e: Throwable =>
+        staged.foreach(_.unpersist(blocking = false))
+        throw e
     }
   }
 

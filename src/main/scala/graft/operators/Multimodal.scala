@@ -10,16 +10,22 @@ import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
   * frame-sample run as batched `mapPartitions` stages over the bytes —
   * the Scala-side equivalent of a Pandas-UDF `mapInPandas` batch stage.
   *
-  * The pixel-decode step is STUBBED (this container has no image/audio
-  * libraries): [[StubDecoder]] derives a deterministic feature frame
-  * from the raw bytes. The HEADER parse is real: [[pngDims]] /
-  * [[jpegDims]] read width/height straight from PNG IHDR / JPEG SOF
-  * bytes as pure expressions (no library, no UDF). Everything around
-  * the stub — schema, batching, partition-local execution, column
-  * contracts — is the real 100 TB plumbing: payload bytes never hit
-  * the driver, a real decoder drops in behind the same trait, and
-  * feature output lands in an `array<float>`-compatible column ready
-  * for the Similarity operators.
+  * Decode depth (no external codec libraries anywhere): the HEADER
+  * parses are real — [[pngDims]] / [[jpegDims]] read width/height
+  * straight from PNG IHDR / JPEG SOF bytes as pure expressions (no
+  * library, no UDF), with GIF/BMP/WAV/MP4 beside them — and since r16
+  * the PIXEL/SAMPLE decodes are real too for the self-describing
+  * formats: BMP 24bpp (m6), PCM s16le (m7), full PNG including
+  * DEFLATE + all five defilters (expressions/PngPixelStats), GIF
+  * including variable-width LZW (expressions/GifPixelStats). Only the
+  * GENERIC feature-extract trait below keeps a stub implementation:
+  * [[StubDecoder]] derives a deterministic feature frame from raw
+  * bytes where a lossy-codec library (JPEG DCT, video) would sit.
+  * Everything around it — schema, batching, partition-local
+  * execution, column contracts — is the real 100 TB plumbing: payload
+  * bytes never hit the driver, a real decoder drops in behind the
+  * same trait, and feature output lands in an `array<float>`-
+  * compatible column ready for the Similarity operators.
   */
 object Multimodal {
 

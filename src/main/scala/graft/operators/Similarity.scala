@@ -185,11 +185,13 @@ object Similarity {
     def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
     // cast once so any numeric vector type (float or double) works and
     // the seed rows collect as doubles
-    val d = df.select(id.cast("long").as("id"),
-        vec.cast("array<double>").as("v"))
-      // single-partition small inputs serialize the assignment onto one
-      // core (see pqCodebooks); centroids are partition-independent
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // single-partition small inputs serialize the assignment onto one
+    // core (see pqCodebooks); centroids are partition-independent.
+    // Frames.fan, not a bare repartition: the identity on any already-
+    // parallel source (no added exchange at 100 TB), and env-gated for
+    // fan A/Bs.
+    val d = graft.Frames.fan(df.select(id.cast("long").as("id"),
+        vec.cast("array<double>").as("v")))
       .localCheckpoint(eager = false)
     var cents: Seq[(Long, Seq[Double])] =
       d.orderBy(col("id")).limit(k).collect().zipWithIndex.map {
@@ -440,12 +442,13 @@ object Similarity {
     // rounding after every step) is IDENTICAL, and r6 absorbs the
     // 1-ulp summation-order noise exactly as kmeansCentroids documents.
     def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
-    val d = df.select(id.cast("long").as("id"),
-        vec.cast("array<double>").as("v"))
-      // a small embeddings file scans as ONE partition, serializing the
-      // (object-heavy) literal-fold assignment onto a single core —
-      // spread it; books are partition-independent by spec'd contract
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // a small embeddings file scans as ONE partition, serializing the
+    // (object-heavy) literal-fold assignment onto a single core —
+    // spread it (Frames.fan: identity on an already-parallel source,
+    // env-gated for fan A/Bs); books are partition-independent by
+    // spec'd contract
+    val d = graft.Frames.fan(df.select(id.cast("long").as("id"),
+        vec.cast("array<double>").as("v")))
       .localCheckpoint(eager = false) // scanned once per iteration + seed
     val seeds = d.orderBy(col("id")).limit(k).collect()
     require(seeds.length == k, s"need at least $k vectors to seed PQ")

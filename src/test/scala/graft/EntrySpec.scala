@@ -37,29 +37,38 @@ class EntrySpec extends SparkSpec {
   }
 
   test("bench mem line respects its budget and leads with evictions") {
-    def fakeMem(n: Int): Seq[(String, Seq[(Long, Long, Long)])] =
+    def fakeMem(n: Int): Seq[(String, Seq[(Long, Long, Long)], Seq[Double])] =
       (0 until n).map { i =>
         (s"tq${i}_long_name",
           Seq((i.toLong * 7, if (i % 50 == 3) 4L else 0L, 2L),
-              (i.toLong * 9, 0L, 2L)))
+              (i.toLong * 9, 0L, 2L)),
+          Seq(1.25, 4.87))
       }
     // any budget: the payload + header must fit, the cut count is named
     Seq(120, 220, 400, 2000).foreach { b =>
       val line = Bench.memLine(fakeMem(280), b)
       assert(line.length <= b, s"budget $b -> len ${line.length}")
       assert(line.startsWith("""{"metric":"mem""""))
-      if (line.length > 90) // entries present: eviction queries lead
-        assert(line.contains("tq3:") || line.contains(":4"),
+      if (line.length > 95) { // entries present: eviction queries lead
+        assert(line.contains("tq3:") || line.contains(":4:"),
           s"evicting query not front-ranked at budget $b: ${line.take(120)}")
+        // load rides each entry (max over reps, floored to 1 decimal)
+        assert(line.contains(":4.8"), s"load missing at budget $b")
+      }
     }
+    // a budget too small for even the header yields NO line (ADVICE
+    // r17: the header alone would blow the driver's tail window)
+    assert(Bench.memLine(fakeMem(280), 60).isEmpty)
+    assert(Bench.memLine(fakeMem(280), -40).isEmpty)
     // worst-case three-line tail: mem (at its computed budget) + mins +
     // total must fit the driver's 2000-char window at the REAL suite
     val minsStr = Bench.minsLine(
       SparkEntry.queries.keys.toSeq.map(k => (k, 5.0)))
-    val totalLen = 220 // generous stand-in for the totals line
+    val totalLen = 250 // generous stand-in for the totals line (+load)
     val budget = 2000 - minsStr.length - totalLen - 8
     val mem = Bench.memLine(
-      SparkEntry.queries.keys.toSeq.map(k => (k, Seq((512L, 1L, 3L)))),
+      SparkEntry.queries.keys.toSeq.map(k =>
+        (k, Seq((512L, 1L, 3L)), Seq(3.14))),
       budget)
     assert(mem.length + minsStr.length + totalLen + 8 <= 2000,
       s"tail overflow: mem=${mem.length} mins=${minsStr.length}")

@@ -65,13 +65,17 @@ class PlanSweepSpec extends SparkSpec {
     s"s=$shuffle rr=$rr bc=$bcast w=$window bhj=$bhj smj=$smj bnlj=$bnlj cp=$cp"
   }
 
-  test("plan-shape fingerprints match the committed golden (sf0.001)") {
+  /** Compare (name → fingerprint) rows against a committed golden,
+    * creating it on first run. NOTE (ADVICE r17): the `rr=` class is
+    * file-LAYOUT-dependent by design — Frames.fan keys on the source's
+    * scan partition count — so a testdata regeneration that changes
+    * file counts can fail a golden with no code change; re-baseline in
+    * that case. */
+  private def checkGolden(fileName: String,
+                          current: Seq[(String, String)],
+                          requireAll: Boolean): Unit = {
     val goldenPath = java.nio.file.Paths.get(
-      sys.props("user.dir"), "src", "test", "resources",
-      "plan_fingerprints.txt")
-    val current = planStrings.map { case (name, plan) =>
-      (name, fingerprint(plan))
-    }
+      sys.props("user.dir"), "src", "test", "resources", fileName)
     val render = current.map { case (k, v) => s"$k $v" }.mkString("\n") + "\n"
     if (!java.nio.file.Files.exists(goldenPath)) {
       java.nio.file.Files.createDirectories(goldenPath.getParent)
@@ -90,12 +94,54 @@ class PlanSweepSpec extends SparkSpec {
         case None => Some(s"$name: NEW query — add to golden: $name $fp")
       }
     }
-    val gone = (golden.keySet -- current.map(_._1).toSet).toSeq.sorted
-      .map(n => s"$n: in golden but no longer in the suite")
+    val gone =
+      if (!requireAll) Seq.empty
+      else (golden.keySet -- current.map(_._1).toSet).toSeq.sorted
+        .map(n => s"$n: in golden but no longer in the suite")
     val problems = drift ++ gone
     assert(problems.isEmpty,
-      "plan-shape drift (if deliberate, update src/test/resources/" +
-        "plan_fingerprints.txt in the same diff):\n" +
-        problems.mkString("\n"))
+      s"plan-shape drift (if deliberate, update src/test/resources/" +
+        s"$fileName in the same diff):\n" + problems.mkString("\n"))
+  }
+
+  test("plan-shape fingerprints match the committed golden (sf0.001)") {
+    checkGolden("plan_fingerprints.txt",
+      planStrings.map { case (name, plan) => (name, fingerprint(plan)) },
+      requireAll = true)
+  }
+
+  test("heavy-query fingerprints match the sf0.1 golden") {
+    // r16 verdict #6: broadcast/shuffle choices are STATS-dependent, so
+    // a lost broadcast at bench scale (sf0.1) can hide from the
+    // sf0.001 sweep. Fingerprint the bench's top-20 heavies against a
+    // second golden at the bench's own scale. Limitation: these are
+    // the INITIAL (pre-execution) plans — AQE runtime replans (its
+    // coalesce/skew decisions) still aren't pinned, but the
+    // size-estimate-driven join strategy and every static exchange
+    // are. Plan CONSTRUCTION is the expensive part here (lifecycle
+    // queries run their index builds eagerly), so the list stays at
+    // the queries whose regressions a bench read would otherwise have
+    // to catch.
+    val dir = "/root/testdata/sf0.1"
+    assume(new java.io.File(dir).isDirectory, s"$dir not present")
+    val heavies = Seq(
+      "d22_containment_pairs", "d4_jaccard_pairs", "g10_daily_tick",
+      "g11_restated_day", "n2_pagerank_tick", "g4_dedup_corpus",
+      "tc3_memorization_probe", "g6_steered_corpus", "d18_neardup_ingest",
+      "g9_bucketed_enrich", "g12_vector_tick", "tq14_lr_model_log",
+      "v20_ivfpq_indexed", "g2_training_corpus", "n1_pagerank",
+      "v14_ivf_recenter", "g5_training_batches", "g8_ingest_corpus",
+      "d10_semantic_dedup", "d15_lsh_index_probe")
+    val current = heavies.map { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        fail(s"sf0.1 sweep names unknown query $name"))
+      val plan =
+        try fn(spark, dir).queryExecution.executedPlan.toString
+        catch { case e: Throwable =>
+          fail(s"$name threw at plan time: ${e.getMessage}")
+        }
+      (name, fingerprint(plan))
+    }
+    checkGolden("plan_fingerprints_sf01.txt", current, requireAll = true)
   }
 }

@@ -1,0 +1,26 @@
+#!/bin/bash
+# Fan-vs-nofan A/B under induced CPU load (r16 verdict #3/#4).
+# Alternates FAN/NOFAN single-suite Bench runs over the target queries
+# while tools/load.sh spinners emulate a hot driver window, so both
+# arms see the same contention in expectation. Each Bench invocation
+# reports min-of-2-interleaved-reps per query; we run R rounds per arm.
+# Usage: tools/fan_ab.sh [rounds] [spinners] [query...]
+set -u
+R=${1:-2}
+SPIN=${2:-16}
+shift 2 2>/dev/null || true
+QUERIES=${*:-"tc3_memorization_probe d4_jaccard_pairs d22_containment_pairs d10_semantic_dedup"}
+cd /root/repo
+DUR=$((R * 2 * 900))
+tools/load.sh "$SPIN" "$DUR"
+sleep 45   # let the 1-min load average climb before the first rep
+for r in $(seq "$R"); do
+  for arm in FAN NOFAN; do
+    if [ "$arm" = NOFAN ]; then export SPARK_GRAFT_NOFAN=1; else unset SPARK_GRAFT_NOFAN; fi
+    echo "=== round $r arm $arm load=$(cut -d' ' -f1 /proc/loadavg)"
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+      sbt -batch "runMain graft.Bench $QUERIES" 2>&1 | grep '"metric"'
+  done
+done
+pkill -f GRAFT_SPIN
+echo "=== done; spinners killed"
