@@ -1548,9 +1548,16 @@ object SparkEntry {
       // gram STRINGS, so the bound is independently checked end to
       // end, exactly as d16 does.
       val staged = scratchDir("graft_tc3")
-      // fan: tokenize in parallel AND land a multi-file stage so the
-      // seven gram consumers read it with full parallelism
-      graft.Frames.fan(t(s, dir, "documents"))
+      // NO Frames.fan on this staging front (r17 A/B revert): the r16
+      // fan tokenized in parallel and landed a multi-file stage, but
+      // the loaded-window A/B measured it at 3.3-3.6 s vs 2.8-3.1 s
+      // without, with executor runMs inflated ~15× (53-82 s vs 4-6 s)
+      // — at this corpus size the seven gram consumers' own shuffles
+      // parallelize the n-gram work regardless, so the fan only
+      // multiplied task-scheduling constants (the exact g4 signature
+      // the r16 COVERAGE fan bullet recorded). A 100 TB documents
+      // source is multi-file and parallel from the scan.
+      t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           TA.tokens(col("text")).as("_tk"),
           when(Sampling.keyHash(col("doc_id"), "sl13") <

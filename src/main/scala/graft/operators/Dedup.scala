@@ -44,10 +44,17 @@ object Dedup {
 
   /** Distinct lowercase tokens per row, exploded — the inverted index used
     * to block fuzzy-match candidates.
+    *
+    * NO Frames.fan here (r17 A/B revert): the r16 fan was kept on a
+    * quiet-window win (~3% on d4), but under induced 16-spinner load
+    * the fanned arm lost 20% on d4 and 8-40% on d22 (loaded mins
+    * 5.27/5.96 s fanned vs 4.18/5.47 s not), and even quiet d22
+    * preferred no-fan (4.59 vs 5.63 s) — the explode feeds a groupBy
+    * whose shuffle already spreads the work, so the extra exchange
+    * only adds tasks to contend for cores.
     */
   def tokenIndex(df: DataFrame, id: Column, text: Column): DataFrame =
-    graft.Frames.fan(df)
-      .select(id.as("id"), explode(TextFunctions.tokenSet(text)).as("tok"))
+    df.select(id.as("id"), explode(TextFunctions.tokenSet(text)).as("tok"))
 
   /** D4 at scale — all pairs (a < b) whose token-set Jaccard similarity
     * meets `threshold`, EXACTLY, via AllPairs/PPJoin-style prefix

@@ -185,13 +185,17 @@ object Similarity {
     def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
     // cast once so any numeric vector type (float or double) works and
     // the seed rows collect as doubles
-    // single-partition small inputs serialize the assignment onto one
-    // core (see pqCodebooks); centroids are partition-independent.
-    // Frames.fan, not a bare repartition: the identity on any already-
-    // parallel source (no added exchange at 100 TB), and env-gated for
-    // fan A/Bs.
-    val d = graft.Frames.fan(df.select(id.cast("long").as("id"),
-        vec.cast("array<double>").as("v")))
+    // NO partition spread here (r17 A/B revert of the r16 repartition):
+    // d10's loaded-window A/B measured the spread arm at 5.6-7.6 s vs
+    // 3.4-3.5 s without, with executor runMs inflated 15× (50 s vs
+    // 3.4 s for the same answer) — the literal-fold assignment's
+    // per-task constant (codegen'd struct-array fold setup) dwarfs the
+    // ~60-row slices a spread hands each task at these input sizes,
+    // and an already-parallel 100 TB source never needed the exchange.
+    // pqCodebooks keeps its spread: its per-iteration fused m-subspace
+    // pass is heavy enough to win (v18/v20 improved at the r16 driver).
+    val d = df.select(id.cast("long").as("id"),
+        vec.cast("array<double>").as("v"))
       .localCheckpoint(eager = false)
     var cents: Seq[(Long, Seq[Double])] =
       d.orderBy(col("id")).limit(k).collect().zipWithIndex.map {
