@@ -531,7 +531,11 @@ object TextAnalysis {
     */
   def unigramLogProb(df: DataFrame, id: Column, text: Column,
                      idName: String = "doc_id"): DataFrame = {
-    val perDoc = graft.Frames.fan(df)
+    // NO Frames.fan (r17 A/B revert; see wordFreqs — same shape): the
+    // tokenize explode feeds a map-side-combined groupBy, so the
+    // shuffle already parallelizes everything downstream; ta8/ta11
+    // measured faster without the fan in quiet AND loaded windows.
+    val perDoc = df
       .select(id.as(idName), explode(tokens(text)).as("tok"))
       .groupBy(col(idName), col("tok"))
       .agg(count(lit(1)).as("c"))
@@ -576,7 +580,8 @@ object TextAnalysis {
   def bigramLogProb(df: DataFrame, id: Column, text: Column,
                     lambda: Double = 0.75,
                     idName: String = "doc_id"): DataFrame = {
-    val perDoc = graft.Frames.fan(df)
+    // NO Frames.fan (r17 A/B revert; see unigramLogProb)
+    val perDoc = df
       .select(id.as(idName), tokens(text).as("_toks"))
       .filter(size(col("_toks")) >= 2)
       .select(col(idName), explode(zip_with(

@@ -28,8 +28,13 @@ object Bpe {
     * This is the ONLY stage that reads text; everything downstream is
     * vocab-sized.
     */
+  // NO Frames.fan (r17 A/B revert): ta10 measured 1.67/1.99 s
+  // (quiet/loaded-med) without the fan vs 1.93/2.58 with — the
+  // explode feeds a map-side-combined groupBy whose shuffle already
+  // spreads the downstream, so the extra exchange only adds task
+  // constants to the many small merge-step jobs that follow.
   def wordFreqs(df: DataFrame, text: Column): DataFrame =
-    graft.Frames.fan(df).select(explode(TA.tokens(text)).as("word"))
+    df.select(explode(TA.tokens(text)).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
   /** Split a word into its initial character symbols. Empty-string

@@ -1072,7 +1072,12 @@ object Dedup {
     // the band self-join broadcasts one side — no exchange, no reuse
     // point — so an unbound SimHash64 (tokenize + per-token hash, the
     // caller's dominant CPU) would compute once per join side.
-    val sigs = graft.Frames.fan(df).select(id.cast("long").as("id"),
+    // NO Frames.fan (r17 A/B revert): loaded-window meds 2.08 s fanned
+    // vs 1.53 s not (5 rounds, 16-spinner load), quiet overlapping
+    // (1.29-1.67 vs 1.45-1.49) — unlike minhash sigRows (kept: d6
+    // favors its fan in both windows), the single SimHash64 pass here
+    // is cheap enough that the spread's task constants outweigh it.
+    val sigs = df.select(id.cast("long").as("id"),
         graft.expressions.SimHash64(text).as("sh"))
       .localCheckpoint(eager = false)
     val bands = sigs.select(col("id"), col("sh"),
