@@ -60,16 +60,10 @@ object Bench {
     // same code isolated — the artifact was measuring leaked state,
     // not code. The scrub runs OUTSIDE every timer, so per-query
     // numbers are unaffected except by the isolation it restores.
-    def scrub(): Unit = {
-      spark.catalog.clearCache()
-      // blocking: scrub runs outside the timers, so waiting is free —
-      // an async unpersist could still be dropping blocks when the
-      // next query's timer starts, re-introducing (reduced) cross-
-      // query interference
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      System.gc()
-    }
+    // blocking scrub (Frames.scrubSession) runs OUTSIDE every timer, so
+    // waiting is free — an async unpersist could still be dropping
+    // blocks when the next query's timer starts
+    def scrub(): Unit = Frames.scrubSession(spark)
     // min of two runs: single-shot timings swing ±2-8× with machine
     // load, making round-over-round comparison meaningless; the min is
     // the stable "code speed" estimate and stays comparable. The two
@@ -201,10 +195,15 @@ object Bench {
   val MinsBudget = 1650
 
   /** The compact tail-visible storage line (r15 verdict #2): per query
-    * `shortid:peakMB:evictDisk:load` (max over reps; load the 1-min
-    * system load at the worse rep's start, 1 decimal — r16 verdict #1's
-    * optional `:load` so a tail-surviving eviction/peak entry carries
-    * its own heat context), sorted evictions-first then peak-desc so
+    * `shortid:peakMB:evictDisk:load` — peakMB/evictDisk are the max
+    * over reps, and load is the 1-min system load at the start of THE
+    * REP THAT PRODUCED THEM (most evictions, then highest peak; 1
+    * decimal) — so the entry's heat context belongs to the same rep as
+    * its eviction/peak evidence, not to whichever rep happened to be
+    * hottest (r17 review: a cool-rep eviction next to the other rep's
+    * high load would read as machine heat, the exact misattribution
+    * the `:load` field exists to prevent). Sorted evictions-first then
+    * peak-desc so
     * the anomaly evidence survives however tight the budget — entries
     * are appended only while they fit `budget` chars of payload, and a
     * `"cut":N` suffix names how many were cut (the no-silent-caps
@@ -218,7 +217,12 @@ object Bench {
     val entries = mem.map { case (k, ms, ls) =>
       val pk = if (ms.isEmpty) 0L else ms.map(_._1).max
       val ev = if (ms.isEmpty) 0L else ms.map(_._2).max
-      val ld = if (ls.isEmpty) 0.0 else math.floor(ls.max * 10) / 10
+      val worst =
+        if (ms.isEmpty) -1
+        else ms.zipWithIndex.maxBy { case ((p, e, _), _) => (e, p) }._2
+      val ld =
+        if (worst < 0 || worst >= ls.size) 0.0
+        else math.floor(ls(worst) * 10) / 10
       (short(k), pk, ev, ld)
     }.sortBy { case (id, pk, ev, _) => (-ev, -pk, id) }
     val header = s"""{"metric":"mem","unit":"id:peakMB:evictDisk:load","n":${mem.size},"q":""""

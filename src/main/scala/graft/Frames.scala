@@ -74,6 +74,23 @@ object Frames {
     else df.repartition(parallelism)
   }
 
+  /** Whole-session storage scrub shared by the driver surfaces (Bench
+    * between reps, Verify between queries, ScaleProbe, the sf0.1 plan
+    * sweep): drop every cached Dataset AND every persistent RDD —
+    * lazy localCheckpoints register as the latter once materialized,
+    * and `Dataset.unpersist` misses them (the r12 accumulation class).
+    * Blocking, so the next timed/built thing never races the drops;
+    * the GC lets the ContextCleaner reclaim dead shuffle/broadcast
+    * state. ONE definition: the scrub's semantics have been tuned
+    * across rounds and hand-copied variants drift.
+    */
+  def scrubSession(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    System.gc()
+  }
+
   def free(df: DataFrame): Unit = {
     // Walk the whole analyzed plan, not just its root: a frame that
     // wraps a localCheckpoint in even a trivial projection would

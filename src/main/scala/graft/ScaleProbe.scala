@@ -45,7 +45,12 @@ object ScaleProbe {
     "tq14_lr_model_log", "v20_ivfpq_indexed", "d18_neardup_ingest",
     "tc3_memorization_probe")
 
-  private val ring = "etaonisrh"
+  // 13 letters so rotations 1..12 are all distinct non-identities —
+  // with a 9-letter ring and the default copies=10, copy 9 came out
+  // byte-identical to copy 0 (9 % 9 == 0), handing every document one
+  // cross-copy EXACT duplicate and re-introducing the dup blowup the
+  // perturbation exists to avoid (caught by review r17).
+  private val ring = "etaonisrhldcu"
   private def rot(k: Int): String = {
     val r = k % ring.length
     ring.drop(r) + ring.take(r)
@@ -69,22 +74,29 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    require(copies >= 1 && copies <= ring.length,
+      s"text perturbation is distinct for at most ${ring.length} copies")
     val dataDir = s"$outBase/data"
-    val marker = new java.io.File(s"$outBase/_BUILT_${copies}x")
-    if (!marker.exists()) buildScaled(spark, sfDir, dataDir, copies)
-    marker.getParentFile.mkdirs()
+    // the marker names BOTH the base dir and the copy count, and stale
+    // markers are deleted on rebuild — a dataDir only ever corresponds
+    // to the single surviving marker, so re-running with a previously-
+    // used copies value can never silently reuse mismatched data
+    val base = new java.io.File(outBase)
+    val markerName = s"_BUILT_${new java.io.File(sfDir).getName}_${copies}x"
+    val marker = new java.io.File(base, markerName)
+    if (!marker.exists()) {
+      buildScaled(spark, sfDir, dataDir, copies)
+      Option(base.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("_BUILT_")).foreach(_.delete())
+    }
+    base.mkdirs()
     marker.createNewFile(): Unit
 
     // warm both dirs' scans so neither side pays first-touch IO
     Tables.names.foreach(t => Tables.load(spark, sfDir, t).count())
     Tables.names.foreach(t => Tables.load(spark, dataDir, t).count())
 
-    def scrub(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      System.gc()
-    }
+    def scrub(): Unit = Frames.scrubSession(spark)
     def timeOne(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       try {
@@ -145,12 +157,20 @@ object ScaleProbe {
 
     // orders+lineitem: order keys re-key CONSISTENTLY across the two
     // tables; cust/supp keys re-key so the bipartite graph stays a
-    // disjoint union (linear growth, not densification)
+    // disjoint union (linear growth, not densification). The customer/
+    // supplier DIMENSIONS re-key with the SAME offsets — an unscaled
+    // dim against re-keyed fact fks would silently drop (copies-1)/
+    // copies of every dim join's rows and understate the scaled cost
+    // (caught by review r17). Shared offset = max over BOTH sides of
+    // the key domain, so fk⊆pk survives generators where the dim holds
+    // keys the facts never reference.
     val ord = Tables.load(spark, sfDir, "orders")
     val li = Tables.load(spark, sfDir, "lineitem")
+    val cust = Tables.load(spark, sfDir, "customer")
+    val supp = Tables.load(spark, sfDir, "supplier")
     val mOrd = maxOf(ord, "o_orderkey")
-    val mCust = maxOf(ord, "o_custkey")
-    val mSupp = maxOf(li, "l_suppkey")
+    val mCust = math.max(maxOf(ord, "o_custkey"), maxOf(cust, "c_custkey"))
+    val mSupp = math.max(maxOf(li, "l_suppkey"), maxOf(supp, "s_suppkey"))
     land("orders", (0 until copies).map { k =>
       ord.withColumn("o_orderkey", col("o_orderkey") + lit(k * mOrd))
         .withColumn("o_custkey", col("o_custkey") + lit(k * mCust))
@@ -159,9 +179,17 @@ object ScaleProbe {
       li.withColumn("l_orderkey", col("l_orderkey") + lit(k * mOrd))
         .withColumn("l_suppkey", col("l_suppkey") + lit(k * mSupp))
     }, 64)
+    land("customer", (0 until copies).map { k =>
+      cust.withColumn("c_custkey", col("c_custkey") + lit(k * mCust))
+    }, 8)
+    land("supplier", (0 until copies).map { k =>
+      supp.withColumn("s_suppkey", col("s_suppkey") + lit(k * mSupp))
+    }, 4)
 
-    // dimensions pass through unscaled
-    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+    // key-free dimensions pass through unscaled (part is referenced by
+    // l_partkey, which is deliberately NOT re-keyed: parts are shared
+    // across copies, like a real catalog)
+    Seq("region", "nation", "part").foreach { t =>
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$sfDir/$t.parquet"),
         java.nio.file.Paths.get(s"$dataDir/$t.parquet"),

@@ -40,10 +40,7 @@ object Verify {
       // OOM a long session; dropping every persistent RDD (which lazy
       // checkpoints register as, once materialized) after each query
       // keeps the session flat.
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      System.gc()
+      Frames.scrubSession(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

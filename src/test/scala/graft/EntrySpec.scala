@@ -50,10 +50,18 @@ class EntrySpec extends SparkSpec {
       assert(line.length <= b, s"budget $b -> len ${line.length}")
       assert(line.startsWith("""{"metric":"mem""""))
       if (line.length > 95) { // entries present: eviction queries lead
-        assert(line.contains("tq3:") || line.contains(":4:"),
-          s"evicting query not front-ranked at budget $b: ${line.take(120)}")
-        // load rides each entry (max over reps, floored to 1 decimal)
-        assert(line.contains(":4.8"), s"load missing at budget $b")
+        // load belongs to the rep that produced the evidence: the
+        // evictions happened on rep 0 (load 1.25) even though rep 1
+        // was hotter (4.87) — evicting entries must carry 1.2, not 4.8
+        assert(line.contains(":4:1.2"),
+          s"evicting query (with its rep's load) not front-ranked " +
+            s"at budget $b: ${line.take(120)}")
+      }
+      if (b >= 2000) {
+        // big budget: tq3 itself fits, and non-evicting entries report
+        // the max-PEAK rep's load (rep 1, 4.87 → 4.8)
+        assert(line.contains("tq3:27:4:1.2"), line.take(200))
+        assert(line.contains(":4.8"), "non-evictor load missing")
       }
     }
     // a budget too small for even the header yields NO line (ADVICE

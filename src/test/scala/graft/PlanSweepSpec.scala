@@ -140,6 +140,11 @@ class PlanSweepSpec extends SparkSpec {
         catch { case e: Throwable =>
           fail(s"$name threw at plan time: ${e.getMessage}")
         }
+      // these lifecycle builds materialize sf0.1-scale checkpoints in
+      // the SHARED test session — scrub per query or 20 builds of
+      // persisted blocks pile up for every suite that runs after this
+      // one (the r12 accumulation class; review r17)
+      Frames.scrubSession(spark)
       (name, fingerprint(plan))
     }
     checkGolden("plan_fingerprints_sf01.txt", current, requireAll = true)

@@ -8,7 +8,10 @@
 set -u
 R=${1:-2}
 SPIN=${2:-16}
-shift 2 2>/dev/null || true
+# shift only what exists: `shift 2` with one arg is a no-op in bash and
+# would leak the rounds value into QUERIES (review r17)
+[ $# -ge 1 ] && shift
+[ $# -ge 1 ] && shift
 QUERIES=${*:-"tc3_memorization_probe d4_jaccard_pairs d22_containment_pairs d10_semantic_dedup"}
 cd /root/repo
 DUR=$((R * 2 * 900))
