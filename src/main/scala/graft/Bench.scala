@@ -27,6 +27,24 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     def sysLoad: Double =
       math.floor(osBean.getSystemLoadAverage * 100) / 100
+    // CPU-steal sampling (r17): four same-code full-suite runs spanned
+    // 310-370 s at recorded loadavg meds 3.3-4.9 — run-to-run totals
+    // vary beyond what THIS vm's runnable-thread count explains, which
+    // is the signature of hypervisor co-tenancy. loadavg cannot see
+    // stolen cycles; /proc/stat's steal field can. Sampled before and
+    // after each rep, reported as percent-of-jiffies per rep, with the
+    // suite med/p90 on the totals line — a driver window with steal>0
+    // is externally contended, CASE CLOSED from the artifact alone.
+    def stealRead(): (Long, Long) = try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        (if (f.length > 7) f(7) else 0L, f.sum)
+      } finally src.close()
+    } catch { case _: Throwable => (-1L, -1L) }
+    def stealPct(a: (Long, Long), b: (Long, Long)): Double =
+      if (a._1 < 0 || b._1 < 0 || b._2 <= a._2) -1.0
+      else math.floor((b._1 - a._1) * 1000.0 / (b._2 - a._2)) / 10
     // Storage/eviction telemetry (r15 verdict #2): per-rep peak storage
     // memory and eviction counters next to the per-rep load, so the
     // recurring "untouched heavy query 2-3× slower at the driver"
@@ -73,6 +91,7 @@ object Bench {
     // spike, indistinguishable from a real regression.
     def pass() = ordered.map { case (name, fn) =>
       val l = sysLoad
+      val st0 = stealRead()
       telem.reset()
       val t = timeOne(name, fn)
       // the block-update events post async; drain before the snapshot
@@ -80,16 +99,17 @@ object Bench {
       // (drain and snapshot both run OUTSIDE the timer)
       org.apache.spark.graftbridge.Bus.drain(spark.sparkContext)
       val m = telem.snapshot()
+      val sp = stealPct(st0, stealRead())
       scrub()
-      (name, t, l, m)
+      (name, t, l, m, sp)
     }
     val pass1 = pass()
     val pass2 = pass()
     val results = pass1.zip(pass2).map {
-      case ((name, t1, l1, m1), (_, t2, l2, m2)) =>
-        name -> (Seq(t1, t2), Seq(l1, l2), Seq(m1, m2))
+      case ((name, t1, l1, m1, s1), (_, t2, l2, m2, s2)) =>
+        name -> (Seq(t1, t2), Seq(l1, l2), Seq(m1, m2), Seq(s1, s2))
     }
-    val mins = results.map { case (k, (ts, _, _)) =>
+    val mins = results.map { case (k, (ts, _, _, _)) =>
       k -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }.toMap
     // Suite-level load summary for the TOTALS line (r16 verdict #1):
@@ -98,27 +118,34 @@ object Bench {
     // round's drift machine heat or code?") must be answerable from
     // the surviving final line alone. med/p90 over all per-rep 1-min
     // samples, ~22 chars.
-    val allLoads = results.flatMap(_._2._2).sorted
-    def pct(p: Double): Double =
-      if (allLoads.isEmpty) 0.0
-      else allLoads(math.min(allLoads.size - 1, (allLoads.size * p).toInt))
-    val loadSummary = s"[${pct(0.5)},${pct(0.9)}]"
+    def medP90(xs: Seq[Double]): String = {
+      val v = xs.sorted
+      def pct(p: Double): Double =
+        if (v.isEmpty) 0.0
+        else v(math.min(v.size - 1, (v.size * p).toInt))
+      s"[${pct(0.5)},${pct(0.9)}]"
+    }
+    val loadSummary = medP90(results.flatMap(_._2._2))
+    // per-rep CPU-steal med/p90 (percent; -1 samples = /proc/stat
+    // unavailable, excluded): steal > 0 at the driver = hypervisor
+    // co-tenancy that loadavg cannot see
+    val stealSummary = medP90(results.flatMap(_._2._4).filter(_ >= 0))
     val qs = mins.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Both raw timings per query: a loaded machine shows as BOTH runs
     // slow across the board, distinguishable from a real code regression
     // without a re-run. The min stays the headline comparison number.
-    val runs = results.map { case (k, (ts, _, _)) =>
+    val runs = results.map { case (k, (ts, _, _, _)) =>
       s"\"" + k + "\":[" + ts.mkString(",") + "]"
     }.mkString("{", ",", "}")
     // 1-min system load sampled immediately before each rep: a rep taken
     // at load far above the allotted cpus is externally contaminated and
     // its timing should be discounted by the reader.
-    val loads = results.map { case (k, (_, ls, _)) =>
+    val loads = results.map { case (k, (_, ls, _, _)) =>
       s"\"" + k + "\":[" + ls.mkString(",") + "]"
     }.mkString("{", ",", "}")
     // Full per-rep storage telemetry: [peakMB, evictDisk, drops] per rep.
-    val memFull = results.map { case (k, (_, _, ms)) =>
+    val memFull = results.map { case (k, (_, _, ms, _)) =>
       s"\"" + k + "\":[" +
         ms.map(m => s"[${m.peakMB},${m.evictDisk},${m.drops}]")
           .mkString(",") + "]"
@@ -132,7 +159,7 @@ object Bench {
     // alone. Top 20 by min keeps the line bounded; the anomaly class
     // is always a heavy query.
     val slowest = mins.toSeq.sortBy(-_._2).take(20).map(_._1).toSet
-    val taskFull = results.filter(r => slowest(r._1)).map { case (k, (_, _, ms)) =>
+    val taskFull = results.filter(r => slowest(r._1)).map { case (k, (_, _, ms, _)) =>
       s"\"" + k + "\":[" +
         ms.map(m => s"[${m.runMs},${m.cpuMs},${m.gcMs},${m.shufWriteMs}]")
           .mkString(",") + "]"
@@ -151,10 +178,13 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val failMap = mins.toSeq.filter(_._2 < 0).map(_._1).sorted
       .map("\"" + short(_) + "\":-1").mkString("{", ",", "}")
+    val steals = results.map { case (k, (_, _, _, sps)) =>
+      s"\"" + k + "\":[" + sps.mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"bench_diag","queries_full":$qs,"runs":$runs,"loads":$loads,"mem":$memFull,"tasks":$taskFull}""")
+    println(s"""{"metric":"bench_diag","queries_full":$qs,"runs":$runs,"loads":$loads,"mem":$memFull,"steals":$steals,"tasks":$taskFull}""")
     val minsStr = minsLine(mins.toSeq)
-    val totalStr = s"""{"metric":"total","value":$total,"unit":"sec","cpus":"$cpus","sf":"$sfName","n_queries":${mins.size},"load":$loadSummary,"fails":$fails,"queries":$failMap}"""
+    val totalStr = s"""{"metric":"total","value":$total,"unit":"sec","cpus":"$cpus","sf":"$sfName","n_queries":${mins.size},"load":$loadSummary,"steal":$stealSummary,"fails":$fails,"queries":$failMap}"""
     // The compact mem line sits in the driver's ~2000-char stdout tail
     // above the mins line; its budget is whatever the tail has left
     // after the two must-fit lines, computed EXACTLY (not hoped about).
@@ -164,7 +194,7 @@ object Bench {
     // must-fit lines keep the whole
     val memBudget = 2000 - minsStr.length - totalStr.length - 8
     val memStr = memLine(
-      results.map { case (k, (_, ls, ms)) =>
+      results.map { case (k, (_, ls, ms, _)) =>
         (k, ms.map(m => (m.peakMB, m.evictDisk, m.drops)), ls)
       }, memBudget)
     if (memStr.nonEmpty) println(memStr)
