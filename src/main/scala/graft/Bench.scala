@@ -39,7 +39,11 @@ object Bench {
       val src = scala.io.Source.fromFile("/proc/stat")
       try {
         val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
-        (if (f.length > 7) f(7) else 0L, f.sum)
+        // jiffy total = user..steal (first 8 fields) ONLY: guest/
+        // guest_nice are already accounted inside user/nice, so summing
+        // them double-counts guest jiffies and understates steal% on
+        // VM-hosting machines (ADVICE r17)
+        (if (f.length > 7) f(7) else 0L, f.take(8).sum)
       } finally src.close()
     } catch { case _: Throwable => (-1L, -1L) }
     def stealPct(a: (Long, Long), b: (Long, Long)): Double =
@@ -119,10 +123,13 @@ object Bench {
     // the surviving final line alone. med/p90 over all per-rep 1-min
     // samples, ~22 chars.
     def medP90(xs: Seq[Double]): String = {
+      // empty sample set (e.g. /proc/stat unreadable → every steal
+      // sample filtered out) must NOT read as a measured [0.0,0.0]
+      // "genuinely uncontended" — emit the sentinel instead (ADVICE r17)
+      if (xs.isEmpty) return "[-1,-1]"
       val v = xs.sorted
       def pct(p: Double): Double =
-        if (v.isEmpty) 0.0
-        else v(math.min(v.size - 1, (v.size * p).toInt))
+        v(math.min(v.size - 1, (v.size * p).toInt))
       s"[${pct(0.5)},${pct(0.9)}]"
     }
     val loadSummary = medP90(results.flatMap(_._2._2))
@@ -192,11 +199,30 @@ object Bench {
     // (a high-failure round's long totals line) — printing a blank
     // line would waste tail chars, so skip it entirely and let the two
     // must-fit lines keep the whole
+    // Top-3 slowest queries' min-rep task metrics ON THE TAIL (r17
+    // verdict #5): bench_diag's full [run,cpu,gc,shufWrite] decomposition
+    // doesn't survive the driver's 2000-char cut, so attributing a slow
+    // driver query (CPU-starved vs scheduler-bound) needed a local
+    // re-run. `id:runS:cpuS` — task-time sums in seconds (1dp) from the
+    // rep that produced the min — rides the mem line: with the wall on
+    // the mins line and the slot count on totals, one tail read
+    // separates CPU-priced (cpuS ≈ runS, many core-seconds per wall
+    // second) from scheduler-bound sequential DAGs (runS ≪ wall×slots).
+    val slowStr = mins.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(3)
+      .map(_._1).flatMap { k =>
+        results.find(_._1 == k).map { case (_, (ts, _, ms, _)) =>
+          val valid = ts.zipWithIndex.filter(_._1 >= 0)
+          val i = if (valid.isEmpty) 0 else valid.minBy(_._1)._2
+          val m = ms(i)
+          def s1(ms: Long): Double = math.floor(ms / 100.0) / 10
+          s"${short(k)}:${s1(m.runMs)}:${s1(m.cpuMs)}"
+        }
+      }.mkString(",")
     val memBudget = 2000 - minsStr.length - totalStr.length - 8
     val memStr = memLine(
       results.map { case (k, (_, ls, ms, _)) =>
         (k, ms.map(m => (m.peakMB, m.evictDisk, m.drops)), ls)
-      }, memBudget)
+      }, memBudget, slowStr)
     if (memStr.nonEmpty) println(memStr)
     println(minsStr)
     println(totalStr)
@@ -243,7 +269,7 @@ object Bench {
     * would push the three-line tail past the driver's window).
     */
   def memLine(mem: Seq[(String, Seq[(Long, Long, Long)], Seq[Double])],
-              budget: Int): String = {
+              budget: Int, slow: String = ""): String = {
     val entries = mem.map { case (k, ms, ls) =>
       val pk = if (ms.isEmpty) 0L else ms.map(_._1).max
       val ev = if (ms.isEmpty) 0L else ms.map(_._2).max
@@ -255,7 +281,11 @@ object Bench {
         else math.floor(ls(worst) * 10) / 10
       (short(k), pk, ev, ld)
     }.sortBy { case (id, pk, ev, _) => (-ev, -pk, id) }
-    val header = s"""{"metric":"mem","unit":"id:peakMB:evictDisk:load","n":${mem.size},"q":""""
+    // the slow field (top-3 mins' `id:runS:cpuS` task seconds, r17
+    // verdict #5) rides inside the header so the exact budget
+    // accounting below covers it too
+    val slowField = if (slow.isEmpty) "" else s""""slow":"$slow","""
+    val header = s"""{"metric":"mem","unit":"id:peakMB:evictDisk:load","n":${mem.size},$slowField"q":""""
     // closing quote + `,"cut":NNNN` + `}` worst case
     val room = budget - header.length - 16
     if (room <= 0) return ""

@@ -29,11 +29,14 @@ import org.apache.spark.sql.functions._
   *
   * Run: `sbt "runMain graft.ScaleProbe [sfDir] [copies] [outBase]
   * [query...]"` — defaults sf0.1 × 10 over the verdict's top-10
-  * heavies. Each query runs once against the BASE dir and once against
-  * the scaled dir in the same window (interleaved per query, Bench's
-  * scrub between), and one JSON line per query reports
-  * {q, base_sec, scaled_sec, ratio}. Results land in COVERAGE.md's
-  * scale-probe table; this main is a diagnostic, not a driver surface.
+  * heavies. Each query runs TWICE against each dir (interleaved
+  * base/scaled/base/scaled, Bench's scrub between reps, 1-min load
+  * sampled before each), and one JSON line per query reports
+  * {q, base_sec, scaled_sec, ratio, base_reps, scaled_reps, loads}
+  * with base/scaled the min-of-2 — matching Bench's rationale: a
+  * single-shot ratio inherits the ±2-8× load swing and can flip a
+  * superlinearity verdict. Results land in COVERAGE.md's scale-probe
+  * table; this main is a diagnostic, not a driver surface.
   */
 object ScaleProbe {
 
@@ -85,9 +88,15 @@ object ScaleProbe {
     val markerName = s"_BUILT_${new java.io.File(sfDir).getName}_${copies}x"
     val marker = new java.io.File(base, markerName)
     if (!marker.exists()) {
-      buildScaled(spark, sfDir, dataDir, copies)
+      // invalidate FIRST, build, then stamp: deleting stale markers
+      // only after a successful build meant a mid-build crash left the
+      // OLD marker pointing at a half-overwritten mixed-copies dataDir,
+      // which a re-run at the old copies value would silently reuse
+      // (ADVICE r17)
+      base.mkdirs()
       Option(base.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.startsWith("_BUILT_")).foreach(_.delete())
+      buildScaled(spark, sfDir, dataDir, copies)
     }
     base.mkdirs()
     marker.createNewFile(): Unit
@@ -109,11 +118,33 @@ object ScaleProbe {
           -1.0
       }
     }
+    // min-of-2 per dir, reps interleaved base/scaled/base/scaled with a
+    // scrub between each, and the 1-min load sampled before every rep:
+    // single-shot ratios inherit the ±2-8× machine-load swing the bench
+    // documentation pins, so one noisy rep could flip a 'superlinear'
+    // verdict recorded in COVERAGE; with min-of-2 + the per-rep load on
+    // the JSON line, a contaminated probe is discountable from the
+    // artifact (ADVICE r17)
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def sysLoad: Double =
+      math.floor(osBean.getSystemLoadAverage * 100) / 100
     val rows = queries.map { name =>
-      val b = timeOne(name, sfDir); scrub()
-      val s = timeOne(name, dataDir); scrub()
+      def rep(dir: String): (Double, Double) = {
+        val l = sysLoad
+        val t = timeOne(name, dir); scrub()
+        (t, l)
+      }
+      val reps = Seq(rep(sfDir), rep(dataDir), rep(sfDir), rep(dataDir))
+      val Seq((b1, l1), (s1, l2), (b2, l3), (s2, l4)) = reps
+      def minPos(a: Double, b: Double): Double = {
+        val v = Seq(a, b).filter(_ >= 0)
+        if (v.isEmpty) -1.0 else v.min
+      }
+      val b = minPos(b1, b2)
+      val s = minPos(s1, s2)
       val ratio = if (b > 0 && s > 0) math.floor(s / b * 100) / 100 else -1.0
-      println(s"""{"q":"$name","base_sec":${math.floor(b * 1000) / 1000},"scaled_sec":${math.floor(s * 1000) / 1000},"ratio":$ratio}""")
+      def f3(v: Double): Double = math.floor(v * 1000) / 1000
+      println(s"""{"q":"$name","base_sec":${f3(b)},"scaled_sec":${f3(s)},"ratio":$ratio,"base_reps":[${f3(b1)},${f3(b2)}],"scaled_reps":[${f3(s1)},${f3(s2)}],"loads":[$l1,$l2,$l3,$l4]}""")
       (name, b, s, ratio)
     }
     val t = rows.map(r => s"${r._1}:${r._4}").mkString(",")

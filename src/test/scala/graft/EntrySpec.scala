@@ -68,6 +68,17 @@ class EntrySpec extends SparkSpec {
     // r17: the header alone would blow the driver's tail window)
     assert(Bench.memLine(fakeMem(280), 60).isEmpty)
     assert(Bench.memLine(fakeMem(280), -40).isEmpty)
+    // the slow field (r17 verdict #5: top-3 mins' id:runS:cpuS task
+    // seconds) rides INSIDE the header, so the exact budget accounting
+    // covers it: present when given, line still within budget, and a
+    // budget the longer header can't fit still yields no line
+    val slow = "d4:76.6:45.1,d22:71.2:44.5,v20:12.3:9.9"
+    val withSlow = Bench.memLine(fakeMem(280), 400, slow)
+    assert(withSlow.length <= 400, s"len=${withSlow.length}")
+    assert(withSlow.contains(s""""slow":"$slow""""), withSlow.take(160))
+    assert(Bench.memLine(fakeMem(280), 100, slow).isEmpty)
+    // json-parseable with and without the field
+    assert(withSlow.contains(""","q":""""))
     // worst-case three-line tail: mem (at its computed budget) + mins +
     // total must fit the driver's 2000-char window at the REAL suite
     val minsStr = Bench.minsLine(

@@ -110,18 +110,18 @@ class PlanSweepSpec extends SparkSpec {
       requireAll = true)
   }
 
-  test("heavy-query fingerprints match the sf0.1 golden") {
+  test("heavy-query fingerprints match the sf0.1 goldens (initial + AQE final)") {
     // r16 verdict #6: broadcast/shuffle choices are STATS-dependent, so
     // a lost broadcast at bench scale (sf0.1) can hide from the
     // sf0.001 sweep. Fingerprint the bench's top-20 heavies against a
-    // second golden at the bench's own scale. Limitation: these are
-    // the INITIAL (pre-execution) plans — AQE runtime replans (its
-    // coalesce/skew decisions) still aren't pinned, but the
-    // size-estimate-driven join strategy and every static exchange
-    // are. Plan CONSTRUCTION is the expensive part here (lifecycle
-    // queries run their index builds eagerly), so the list stays at
-    // the queries whose regressions a bench read would otherwise have
-    // to catch.
+    // second golden at the bench's own scale — and (r17 verdict #2)
+    // EXECUTE each heavy once so AQE's runtime replans (join
+    // demotions, stage-level strategy flips) finalize and a THIRD
+    // golden pins the FINAL adaptive plans: a broadcast lost AT
+    // RUNTIME at bench scale now fails a spec, not a bench read.
+    // Cost note: plan construction (lifecycle index builds) was
+    // already paid by the initial sweep; the execution adds the
+    // heavies' top-level jobs once at this suite's local[4].
     val dir = "/root/testdata/sf0.1"
     assume(new java.io.File(dir).isDirectory, s"$dir not present")
     val heavies = Seq(
@@ -135,18 +135,38 @@ class PlanSweepSpec extends SparkSpec {
     val current = heavies.map { name =>
       val fn = SparkEntry.queries.getOrElse(name,
         fail(s"sf0.1 sweep names unknown query $name"))
-      val plan =
-        try fn(spark, dir).queryExecution.executedPlan.toString
+      val df =
+        try fn(spark, dir)
         catch { case e: Throwable =>
           fail(s"$name threw at plan time: ${e.getMessage}")
         }
+      val initial = df.queryExecution.executedPlan.toString
+      try df.queryExecution.toRdd.foreachPartition(
+        (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) =>
+          it.foreach(_ => ()))
+      catch { case e: Throwable =>
+        fail(s"$name threw at execution: ${e.getMessage}")
+      }
+      // a finalized AdaptiveSparkPlanExec prints BOTH "== Final Plan =="
+      // and "== Initial Plan ==" sections — slice to the final section
+      // so the golden reads as the actual runtime shape (summed counts
+      // would still catch drift but hide WHICH side changed)
+      val finalPlan = {
+        val s = df.queryExecution.executedPlan.toString
+        val f = s.indexOf("== Final Plan ==")
+        val i = s.indexOf("== Initial Plan ==")
+        if (f >= 0 && i > f) s.substring(f, i) else s
+      }
       // these lifecycle builds materialize sf0.1-scale checkpoints in
       // the SHARED test session — scrub per query or 20 builds of
       // persisted blocks pile up for every suite that runs after this
       // one (the r12 accumulation class; review r17)
       Frames.scrubSession(spark)
-      (name, fingerprint(plan))
+      (name, fingerprint(initial), fingerprint(finalPlan))
     }
-    checkGolden("plan_fingerprints_sf01.txt", current, requireAll = true)
+    checkGolden("plan_fingerprints_sf01.txt",
+      current.map { case (n, i, _) => (n, i) }, requireAll = true)
+    checkGolden("plan_fingerprints_sf01_final.txt",
+      current.map { case (n, _, f) => (n, f) }, requireAll = true)
   }
 }

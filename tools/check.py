@@ -10,6 +10,7 @@ name and rows by all columns, compare values.
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -59,7 +60,12 @@ def main():
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+        # testdata tables are single files; ScaleProbe's scaled corpus
+        # lands each table as a DIRECTORY of part files — glob those so
+        # the same oracle gate runs at probe scale (r17 verdict #3)
+        path = f"{sfdir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
     # Queries that threw inside Verify have no parquet dir; surface them

@@ -14,16 +14,25 @@ SPIN=${2:-16}
 [ $# -ge 1 ] && shift
 QUERIES=${*:-"tc3_memorization_probe d4_jaccard_pairs d22_containment_pairs d10_semantic_dedup"}
 cd /root/repo
-DUR=$((R * 2 * 900))
-tools/load.sh "$SPIN" "$DUR"
-sleep 45   # let the 1-min load average climb before the first rep
+# Spinners are RE-ARMED per arm (ADVICE r17): one up-front spawn with an
+# estimated duration expired mid-sequence whenever a Bench run overran
+# the estimate, so later arms ran quiet while earlier ones ran loaded —
+# breaking the equal-contention-in-expectation property this script
+# exists to guarantee. 3600 s per spawn comfortably outlives any single
+# Bench invocation; pkill after each arm bounds the overhang.
+first=1
 for r in $(seq "$R"); do
   for arm in FAN NOFAN; do
     if [ "$arm" = NOFAN ]; then export SPARK_GRAFT_NOFAN=1; else unset SPARK_GRAFT_NOFAN; fi
+    tools/load.sh "$SPIN" 3600
+    # let the 1-min load average climb before the first arm only: the
+    # CPU contention itself is instant (what the timing sees); the
+    # climb wait is so the RECORDED load field shows the heat
+    if [ "$first" = 1 ]; then sleep 45; first=0; else sleep 5; fi
     echo "=== round $r arm $arm load=$(cut -d' ' -f1 /proc/loadavg)"
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
       sbt -batch "runMain graft.Bench $QUERIES" 2>&1 | grep '"metric"'
+    pkill -f GRAFT_SPIN
   done
 done
-pkill -f GRAFT_SPIN
 echo "=== done; spinners killed"
