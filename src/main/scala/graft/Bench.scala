@@ -4,9 +4,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // optional shuffle-partition override (defaults to cpus): at a fixed
+    // partition count, per-partition sort/fetch cost grows superlinearly
+    // with data — on a real cluster partitions scale with input size, so
+    // scale probes need this knob to separate engine cost from the
+    // local-mode fixed-32 artifact (r18 n2 probe)
+    val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = GraftSession.tune(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus))
+      .config("spark.sql.shuffle.partitions", shuf))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up the JVM/codegen/scan paths so the first measured query
