@@ -17,8 +17,8 @@ import org.apache.spark.sql.functions._
   * Build: each scaled table is `copies` self-unions with DISJOINT
   * re-keyed ids (key + k·(max+1)), so graph/join cardinalities scale
   * linearly instead of densifying. The documents TEXT is re-keyed too:
-  * copy k applies a rotation-k `translate` over the 9 most frequent
-  * English letters (a bijection per copy), so each copy's internal
+  * copy k applies a rotation-k `translate` over the full lowercase
+  * alphabet (a bijection per copy), so each copy's internal
   * dup/near-dup structure is isomorphic to the original while CROSS-
   * copy token overlap stays low — a straight 10× text replication
   * would instead multiply every doc into a 10-clique of exact dups
@@ -32,7 +32,8 @@ import org.apache.spark.sql.functions._
   * heavies. Each query runs TWICE against each dir (interleaved
   * base/scaled/base/scaled, Bench's scrub between reps, 1-min load
   * sampled before each), and one JSON line per query reports
-  * {q, base_sec, scaled_sec, ratio, base_reps, scaled_reps, loads}
+  * {q, base_sec, scaled_sec, ratio, base_reps, scaled_reps, loads,
+  * steals}
   * with base/scaled the min-of-2 — matching Bench's rationale: a
   * single-shot ratio inherits the ±2-8× load swing and can flip a
   * superlinearity verdict. Results land in COVERAGE.md's scale-probe
@@ -48,19 +49,23 @@ object ScaleProbe {
     "tq14_lr_model_log", "v20_ivfpq_indexed", "d18_neardup_ingest",
     "tc3_memorization_probe")
 
-  // 13 letters so rotations 1..12 are all distinct non-identities —
-  // with a 9-letter ring and the default copies=10, copy 9 came out
-  // byte-identical to copy 0 (9 % 9 == 0), handing every document one
-  // cross-copy EXACT duplicate and re-introducing the dup blowup the
-  // perturbation exists to avoid (caught by review r17).
-  private val ring = "etaonisrhldcu"
-  private def rot(k: Int): String = {
+  // The full 26-letter alphabet so rotations 1..25 are all distinct
+  // non-identities, supporting copies ≤ 26 (the r18 verdict's 20×
+  // third scale point needed >13). History: a 9-letter ring made copy
+  // 9 byte-identical to copy 0 at copies=10 (9 % 9 == 0), handing
+  // every document one cross-copy EXACT duplicate and re-introducing
+  // the dup blowup the perturbation exists to avoid (caught by review
+  // r17); 13 letters fixed that but capped the probe at 13 copies.
+  // A full-alphabet rotation is still a bijection per copy, so each
+  // copy's internal dup/near-dup structure stays isomorphic.
+  private[graft] val ring = "abcdefghijklmnopqrstuvwxyz"
+  private[graft] def rot(k: Int): String = {
     val r = k % ring.length
     ring.drop(r) + ring.take(r)
   }
 
   /** Copy-k text transform: bijective letter rotation (identity at k=0). */
-  private def perturb(text: org.apache.spark.sql.Column, k: Int) =
+  private[graft] def perturb(text: org.apache.spark.sql.Column, k: Int) =
     if (k % ring.length == 0) text
     else translate(text, ring + ring.toUpperCase,
       rot(k) + rot(k).toUpperCase)
@@ -85,7 +90,11 @@ object ScaleProbe {
     // to the single surviving marker, so re-running with a previously-
     // used copies value can never silently reuse mismatched data
     val base = new java.io.File(outBase)
-    val markerName = s"_BUILT_${new java.io.File(sfDir).getName}_${copies}x"
+    // the marker also names the ring length: a corpus built under the
+    // 13-letter ring must not be silently reused by code carrying the
+    // 26-letter one (same copies value, different bytes)
+    val markerName =
+      s"_BUILT_${new java.io.File(sfDir).getName}_${copies}x_ring${ring.length}"
     val marker = new java.io.File(base, markerName)
     if (!marker.exists()) {
       // invalidate FIRST, build, then stamp: deleting stale markers
@@ -128,14 +137,34 @@ object ScaleProbe {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     def sysLoad: Double =
       math.floor(osBean.getSystemLoadAverage * 100) / 100
+    // Per-rep CPU-steal percent, same sampler as Bench: the r18 20×
+    // runs showed the pre-rep loadavg is confounded by SELF-load — a
+    // 32-thread 60-90 s scaled rep leaves the NEXT rep's pre-sample
+    // reading its decaying runnable count, so load 12-20 before a rep
+    // does not distinguish co-tenancy from the probe's own wake. Steal
+    // does: it only counts cycles the hypervisor gave someone else.
+    def stealRead(): (Long, Long) = try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        (if (f.length > 7) f(7) else 0L, f.take(8).sum)
+      } finally src.close()
+    } catch { case _: Throwable => (-1L, -1L) }
+    def stealPct(a: (Long, Long), b: (Long, Long)): Double =
+      if (a._1 < 0 || b._1 < 0 || b._2 <= a._2) -1.0
+      else math.floor((b._1 - a._1) * 1000.0 / (b._2 - a._2)) / 10
     val rows = queries.map { name =>
-      def rep(dir: String): (Double, Double) = {
+      def rep(dir: String): (Double, Double, Double) = {
         val l = sysLoad
-        val t = timeOne(name, dir); scrub()
-        (t, l)
+        val st0 = stealRead()
+        val t = timeOne(name, dir)
+        val st = stealPct(st0, stealRead())
+        scrub()
+        (t, l, st)
       }
       val reps = Seq(rep(sfDir), rep(dataDir), rep(sfDir), rep(dataDir))
-      val Seq((b1, l1), (s1, l2), (b2, l3), (s2, l4)) = reps
+      val Seq((b1, l1, st1), (s1, l2, st2), (b2, l3, st3), (s2, l4, st4)) =
+        reps
       def minPos(a: Double, b: Double): Double = {
         val v = Seq(a, b).filter(_ >= 0)
         if (v.isEmpty) -1.0 else v.min
@@ -144,7 +173,7 @@ object ScaleProbe {
       val s = minPos(s1, s2)
       val ratio = if (b > 0 && s > 0) math.floor(s / b * 100) / 100 else -1.0
       def f3(v: Double): Double = math.floor(v * 1000) / 1000
-      println(s"""{"q":"$name","base_sec":${f3(b)},"scaled_sec":${f3(s)},"ratio":$ratio,"base_reps":[${f3(b1)},${f3(b2)}],"scaled_reps":[${f3(s1)},${f3(s2)}],"loads":[$l1,$l2,$l3,$l4]}""")
+      println(s"""{"q":"$name","base_sec":${f3(b)},"scaled_sec":${f3(s)},"ratio":$ratio,"base_reps":[${f3(b1)},${f3(b2)}],"scaled_reps":[${f3(s1)},${f3(s2)}],"loads":[$l1,$l2,$l3,$l4],"steals":[$st1,$st2,$st3,$st4]}""")
       (name, b, s, ratio)
     }
     val t = rows.map(r => s"${r._1}:${r._4}").mkString(",")
