@@ -44,6 +44,54 @@ class PlanSweepSpec extends SparkSpec {
     assert(bad.isEmpty, s"CartesianProduct in: $bad")
   }
 
+  /** Reuse-invariant join/exchange counts of an adaptive plan (r18):
+    * exact final-plan fingerprints are NOT pinnable — AQE's runtime
+    * broadcast promotion is stage-materialization-ORDER-dependent, and
+    * two back-to-back isolated runs of this spec produced different
+    * (all-legal) final shapes for v14 (bhj=5/smj=0 vs bhj=4/smj=1) and
+    * d18 (smj=1 vs smj=0): whichever child stage finishes first decides
+    * whether the join re-plans before it is locked in. What IS stable,
+    * and is the regression r17 verdict #2 wanted caught, is the
+    * MONOTONE property: runtime may only promote (smj/shj → bhj),
+    * never demote, and may never introduce a CartesianProduct. The
+    * walk resolves AQE wrappers (QueryStageExec.plan) and
+    * ReusedExchangeExec back to the original subtree so counts are
+    * independent of print layout and reuse boundaries.
+    */
+  private def planCounts(root: org.apache.spark.sql.execution.SparkPlan): Map[String, Int] = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins._
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val below = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case r: ReusedExchangeExec => walk(r.child)
+        case o => o.children.flatMap(walk)
+      }
+      (p +: below) ++ p.subqueries.flatMap(walk)
+    }
+    val ns = walk(root)
+    def c(f: PartialFunction[SparkPlan, Boolean]): Int =
+      ns.count(n => f.applyOrElse(n, (_: SparkPlan) => false))
+    Map(
+      "rr" -> c { case s: ShuffleExchangeExec =>
+        s.outputPartitioning.isInstanceOf[RoundRobinPartitioning] },
+      "shuffle" -> c { case s: ShuffleExchangeExec =>
+        !s.outputPartitioning.isInstanceOf[RoundRobinPartitioning] },
+      "bc" -> c { case _: BroadcastExchangeExec => true },
+      "w" -> (c { case _: WindowExec => true } +
+        c { case _: WindowGroupLimitExec => true }),
+      "bhj" -> c { case _: BroadcastHashJoinExec => true },
+      "smj" -> c { case _: SortMergeJoinExec => true },
+      "shj" -> c { case _: ShuffledHashJoinExec => true },
+      "bnlj" -> c { case _: BroadcastNestedLoopJoinExec => true },
+      "cp" -> c { case _: CartesianProductExec => true })
+  }
+
   /** Compact shape fingerprint of a physical plan string: counts of the
     * node kinds whose appearance/disappearance IS a plan regression.
     * String-counted (not tree-walked) so AQE wrappers don't hide
@@ -141,32 +189,45 @@ class PlanSweepSpec extends SparkSpec {
           fail(s"$name threw at plan time: ${e.getMessage}")
         }
       val initial = df.queryExecution.executedPlan.toString
+      val pre = planCounts(df.queryExecution.executedPlan)
       try df.queryExecution.toRdd.foreachPartition(
         (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) =>
           it.foreach(_ => ()))
       catch { case e: Throwable =>
         fail(s"$name threw at execution: ${e.getMessage}")
       }
-      // a finalized AdaptiveSparkPlanExec prints BOTH "== Final Plan =="
-      // and "== Initial Plan ==" sections — slice to the final section
-      // so the golden reads as the actual runtime shape (summed counts
-      // would still catch drift but hide WHICH side changed)
-      val finalPlan = {
-        val s = df.queryExecution.executedPlan.toString
-        val f = s.indexOf("== Final Plan ==")
-        val i = s.indexOf("== Initial Plan ==")
-        if (f >= 0 && i > f) s.substring(f, i) else s
-      }
+      // finalized runtime shape: tree-walked + reuse-resolved counts
+      val post = planCounts(df.queryExecution.executedPlan)
       // these lifecycle builds materialize sf0.1-scale checkpoints in
       // the SHARED test session — scrub per query or 20 builds of
       // persisted blocks pile up for every suite that runs after this
       // one (the r12 accumulation class; review r17)
       Frames.scrubSession(spark)
-      (name, fingerprint(initial), fingerprint(finalPlan))
+      (name, fingerprint(initial), pre, post)
     }
     checkGolden("plan_fingerprints_sf01.txt",
-      current.map { case (n, i, _) => (n, i) }, requireAll = true)
-    checkGolden("plan_fingerprints_sf01_final.txt",
-      current.map { case (n, _, f) => (n, f) }, requireAll = true)
+      current.map { case (n, i, _, _) => (n, i) }, requireAll = true)
+    // AQE runtime plans (r17 verdict #2, stabilized r18): a lost
+    // broadcast AT RUNTIME at bench scale fails here. Exact final
+    // counts are materialization-order-dependent (see planCounts), so
+    // pin the monotone property instead of a golden: runtime may only
+    // PROMOTE shuffled joins to broadcast, never the reverse, and may
+    // never introduce a CartesianProduct.
+    val demoted = current.flatMap { case (name, _, pre, post) =>
+      val preShuffled = pre("smj") + pre("shj")
+      val postShuffled = post("smj") + post("shj")
+      val problems = Seq(
+        (post("cp") > 0) ->
+          s"$name: CartesianProduct in the FINAL plan (cp=${post("cp")})",
+        (postShuffled > preShuffled) ->
+          (s"$name: runtime join DEMOTION — shuffled joins " +
+            s"$preShuffled → $postShuffled (initial bhj=${pre("bhj")}, " +
+            s"final bhj=${post("bhj")})"),
+        (post("bnlj") > pre("bnlj")) ->
+          s"$name: runtime BNLJ appeared (${pre("bnlj")} → ${post("bnlj")})")
+      problems.collect { case (true, msg) => msg }
+    }
+    assert(demoted.isEmpty,
+      "AQE runtime plan regression:\n" + demoted.mkString("\n"))
   }
 }
