@@ -91,6 +91,43 @@ object Frames {
     System.gc()
   }
 
+  /** Run two INDEPENDENT driver-side action chains concurrently
+    * (optimization guide §2.6): Spark's scheduler happily runs several
+    * jobs at once inside one application — actions are only sequential
+    * because the driver calls them sequentially. Lifecycle queries
+    * whose wall is dependent-job round-trips (the COVERAGE
+    * "scheduler-bound" class) often contain two chains with NO data
+    * dependency (two staging writes to distinct dirs, a model train
+    * beside a dedup write); submitting them together lets the second
+    * chain's tasks back-fill the executor slots the first one's tail
+    * leaves idle — at 100 TB exactly the §2.6 back-fill shape, and in
+    * local mode it removes whole sequential job latencies.
+    *
+    * CONTRACT: `a` and `b` must be independent — no write-then-read of
+    * the same path, no shared mutable frame, no overwrite racing a
+    * reader. Results are unchanged by construction (each chain computes
+    * exactly what it computed sequentially). `b` runs on the calling
+    * thread (keeping its thread-locals — job description/group);
+    * `a` runs on a scratch thread. Failures in either rethrow here.
+    */
+  def overlap[A, B](a: => A)(b: => B): (A, B) = {
+    if (overlapDisabled) { val ra = a; (ra, b) }
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val fa = Future(a)(scala.concurrent.ExecutionContext.global)
+      val rb = b
+      (Await.result(fa, Duration.Inf), rb)
+    }
+  }
+
+  /** Measurement escape (overlap A/Bs, same discipline as
+    * SPARK_GRAFT_NOFAN): with SPARK_GRAFT_NOOVERLAP=1 every overlap
+    * runs its two chains sequentially, so overlap-vs-sequential A/Bs
+    * need no recompile. Never set by any driver surface. */
+  private val overlapDisabled: Boolean =
+    sys.env.get("SPARK_GRAFT_NOOVERLAP").contains("1")
+
   def free(df: DataFrame): Unit = {
     // Walk the whole analyzed plan, not just its root: a frame that
     // wraps a localCheckpoint in even a trivial projection would

@@ -328,6 +328,10 @@ object SparkEntry {
     */
   private[graft] def g9EnrichJoin(s: SparkSession, dir: String): DataFrame = {
     val base = scratchDir("graft_g9")
+    // NOT overlapped (r18 §2.6 A/B): the two bucketed lands are
+    // independent, but the paired ABBA A/B read a wash (pooled mins
+    // 3.79 vs 3.70 s) — kept sequential, which also keeps the two
+    // saveAsTable catalog registrations serial.
     sources.Buckets.writeBucketed(
       g2PackedStarts(s, dir)
         .withColumn("bin", expr("start_tok div 2048"))
@@ -374,6 +378,11 @@ object SparkEntry {
     * which is exactly what keeps the re-derive single-partition.
     */
   private[graft] def g11Land(ev: DataFrame, base: String): Unit = {
+    // NOT overlapped (r18 §2.6 A/B): the store land and the ref build
+    // are independent, but both are full `events` scans — run
+    // concurrently they contend for the same scan IO/CPU and the
+    // paired ABBA A/B read overlap CONSISTENTLY slower (mins 5.43 vs
+    // 4.60 s, 4/4 noover runs at or under the best overlap run).
     ev.write.mode("overwrite").partitionBy("day").parquet(s"$base/store")
     operators.Sketches.distributionCounts(ev, lit("__ref"), col("value"))
       .coalesce(1).write.mode("overwrite").parquet(s"$base/ref")
@@ -3194,8 +3203,6 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       val isTrain = Sampling.keyHash(col("doc_id"), "nbt") <
         Sampling.threshold(0.6)
-      val gate = Classify.collectWeights(Classify.trainModel(
-        d.filter(isTrain), col("lang") <=> "en", col("text"), nbBuckets))
       // dedup and land STAGE to scratch (the tq7 discipline): the
       // dashboard has four consumers of the kept set and two of the
       // landed set — at 100 TB the post-dedup and landed corpora are
@@ -3209,14 +3216,22 @@ object SparkEntry {
       // was the last full-corpus rescan in any lifecycle query (r14
       // verdict #4); the labeled table is the dedup audit artifact a
       // production tick lands anyway.
+      // r18: the gate TRAIN has no dependency on the dedup/label land —
+      // overlapped so the train's jobs back-fill the pair-graph
+      // closure's idle slots (guide §2.6)
       val base = scratchDir("graft_g10")
-      Dedup.dupClusters(
-          d.select(col("doc_id"), col("lang"), col("text"),
-            TA.tokenCount(col("text")).cast("long").as("n_tok_in")),
-          col("doc_id"), col("text"), threshold = 0.5)
-        .select(col("doc_id"), col("lang"), col("text"),
-          col("n_tok_in"), col("kept"))
-        .write.mode("overwrite").parquet(s"$base/labeled")
+      val (gate, _) = Frames.overlap {
+        Classify.collectWeights(Classify.trainModel(
+          d.filter(isTrain), col("lang") <=> "en", col("text"), nbBuckets))
+      } {
+        Dedup.dupClusters(
+            d.select(col("doc_id"), col("lang"), col("text"),
+              TA.tokenCount(col("text")).cast("long").as("n_tok_in")),
+            col("doc_id"), col("text"), threshold = 0.5)
+          .select(col("doc_id"), col("lang"), col("text"),
+            col("n_tok_in"), col("kept"))
+          .write.mode("overwrite").parquet(s"$base/labeled")
+      }
       val labeled = s.read.parquet(s"$base/labeled")
       val kept = labeled.where(col("kept"))
         .select(col("doc_id"), col("lang"), col("text"))
@@ -3360,27 +3375,34 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("text"), ckey.as("ck"))
       val batch = d.filter(!inCorpus)
         .select(col("doc_id"), col("lang"), col("text"), ckey.as("ck"))
-      // STAGE dedup survivors and the landed set (the g10 discipline:
-      // both have multiple dashboard consumers)
-      Dedup.incrementalDedup(batch, corpus, "ck",
-          expectedItems = 100000, fpp = 0.01)
-        .write.mode("overwrite").parquet(s"$base/deduped")
-      val deduped = s.read.parquet(s"$base/deduped")
-      deduped.filter(TA.tokenCount(col("text")) >= 10)
-        .select(col("doc_id"), col("lang"), col("text"))
-        .write.mode("overwrite").parquet(s"$base/landed")
-      val landed = s.read.parquet(s"$base/landed")
       def embed(df: DataFrame) = Embed.embedColumn(df, col("text"), "emb",
         new Embed.MockHashEmbeddingClient(dim = 8), batchSize = 32)
       val corpusEmb = embed(corpus.select(col("doc_id"), col("text")))
-      val landedEmb = embed(landed.select(col("doc_id"), col("text")))
-      val cents = corpusEmb.orderBy(col("doc_id")).limit(4)
-        .select(col("doc_id"), col("emb").cast("array<double>"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
-        .toSeq
       val idx = s"$base/ivf"
-      Similarity.saveIvfIndex(corpusEmb, col("doc_id"), col("emb"), cents,
-        idx, targetRows = 10000L, spread = 2)
+      // STAGE dedup survivors and the landed set (the g10 discipline:
+      // both have multiple dashboard consumers). The corpus-side IVF
+      // build (centroid seed + index land) touches neither staged dir —
+      // overlapped with the batch-side staging chain (guide §2.6); the
+      // two meet again only at the append below.
+      Frames.overlap {
+        val cents = corpusEmb.orderBy(col("doc_id")).limit(4)
+          .select(col("doc_id"), col("emb").cast("array<double>"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+          .toSeq
+        Similarity.saveIvfIndex(corpusEmb, col("doc_id"), col("emb"), cents,
+          idx, targetRows = 10000L, spread = 2)
+      } {
+        Dedup.incrementalDedup(batch, corpus, "ck",
+            expectedItems = 100000, fpp = 0.01)
+          .write.mode("overwrite").parquet(s"$base/deduped")
+        s.read.parquet(s"$base/deduped")
+          .filter(TA.tokenCount(col("text")) >= 10)
+          .select(col("doc_id"), col("lang"), col("text"))
+          .write.mode("overwrite").parquet(s"$base/landed")
+      }: Unit
+      val deduped = s.read.parquet(s"$base/deduped")
+      val landed = s.read.parquet(s"$base/landed")
+      val landedEmb = embed(landed.select(col("doc_id"), col("text")))
       Similarity.appendIvfIndex(s, idx, landedEmb, col("doc_id"),
         col("emb"), targetRows = 10000L, spread = 2,
         batchId = Some(1L)): Unit
