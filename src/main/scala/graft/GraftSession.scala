@@ -55,7 +55,30 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** Resolved-relation memo (r18 optimization round, guide §6): every
+    * `spark.read.parquet` construction re-lists the table's files and
+    * re-reads parquet footers for schema — measured 56-81 ms per load
+    * at sf0.1, and the suite constructs each query fresh per rep, so
+    * ~900 loads ≈ 50 s of pure driver-side metadata re-resolution per
+    * bench run. At 100 TB the same cost is the multi-minute listing §6
+    * warns about; a session-lifetime relation cache is the in-engine
+    * equivalent of the manifest/catalog metadata every table format
+    * keeps. METADATA ONLY: the memo holds the logical plan (file index
+    * + schema) — every execution still scans the parquet data; no rows
+    * are cached (Bench's between-query scrub would drop them anyway).
+    * Contract: a table's files are immutable for the session (true for
+    * testdata; a mutating store would go through a catalog, not this
+    * loader).
+    */
+  private val relationCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, String), DataFrame]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    relationCache.computeIfAbsent((spark, dir, name),
+      _ => doLoad(spark, dir, name))
+
+  private def doLoad(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // Normalize whatever physical encoding the generator used for `ts` to
     // one logical type: session-TZ TIMESTAMP at µs precision. Three
