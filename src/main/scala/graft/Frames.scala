@@ -116,7 +116,18 @@ object Frames {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       val fa = Future(a)(scala.concurrent.ExecutionContext.global)
-      val rb = b
+      // If `b` throws, chain `a` must still be awaited before the
+      // failure propagates (r18 verdict): rethrowing immediately would
+      // leave a's jobs running orphaned against scratch dirs — and a's
+      // own failure would never be observed. `b`'s failure stays the
+      // primary one; a's (if any) is attached as suppressed.
+      val rb = try b catch {
+        case eb: Throwable =>
+          try Await.result(fa, Duration.Inf) catch {
+            case ea: Throwable if ea ne eb => eb.addSuppressed(ea)
+          }
+          throw eb
+      }
       (Await.result(fa, Duration.Inf), rb)
     }
   }

@@ -74,9 +74,31 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String, String), DataFrame]()
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Test visibility: memo entries held for `spark` (TablesSpec pins
+    * that stopped sessions' entries are swept, not retained). */
+  private[graft] def cachedFor(spark: SparkSession): Int = {
+    var n = 0
+    relationCache.keySet.forEach(k => if (k._1 eq spark) n += 1)
+    n
+  }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Self-cleaning (r18 verdict: the memo retained DataFrames — and
+    // their InMemoryFileIndex — for STOPPED sessions, a leak in any
+    // long-lived multi-session process, e.g. the 45-suite test JVM).
+    // One O(#entries) sweep per load is free at the memo's size
+    // (#sessions × #tables); no weak refs needed.
+    sweepWhere(_.sparkContext.isStopped)
     relationCache.computeIfAbsent((spark, dir, name),
       _ => doLoad(spark, dir, name))
+  }
+
+  /** The stopped-session sweep, predicate-parameterized so TablesSpec
+    * can pin the eviction mechanism (a test JVM cannot stop a real
+    * SparkContext without killing every other suite's shared session).
+    */
+  private[graft] def sweepWhere(p: SparkSession => Boolean): Unit =
+    relationCache.keySet.removeIf(k => p(k._1)): Unit
 
   private def doLoad(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")

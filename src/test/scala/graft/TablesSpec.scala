@@ -53,4 +53,26 @@ class TablesSpec extends SparkSpec {
     assert(loaded.schema("ts_like").dataType === LongType)
     assert(loaded.schema("id").dataType === LongType)
   }
+
+  test("relation memo sweeps dead sessions' entries, keeps live ones (r18 verdict #3)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-memo-evict")
+    Seq((1L, 2L)).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // a distinct SparkSession key over the shared context (stopping a
+    // real context would kill every other suite's session, so the
+    // stopped-session predicate itself can't fire in the test JVM —
+    // the sweep mechanism is pinned through its parameterized form,
+    // and load() wires it to sparkContext.isStopped)
+    val other = spark.newSession()
+    Tables.load(other, dir.toString, "events").count()
+    assert(Tables.cachedFor(other) == 1)
+    // live sessions survive the sweep a load triggers
+    Tables.load(spark, dir.toString, "events").count()
+    assert(Tables.cachedFor(other) == 1)
+    assert(Tables.cachedFor(spark) >= 1)
+    // "session stopped" → its entries (and only its) are removed
+    Tables.sweepWhere(_ eq other)
+    assert(Tables.cachedFor(other) == 0)
+    assert(Tables.cachedFor(spark) >= 1)
+  }
 }
