@@ -90,6 +90,10 @@ object Dedup {
     try {
       val stage = graft.Scratch.dir("graft_d4_pairs")
       pairs.write.mode("overwrite").parquet(stage)
+      // releases the SPARK_GRAFT_CKPT_CANDS checkpoint blocks if the
+      // experiment is on (no-op otherwise): the pair set is staged, so
+      // the candidate blocks are superseded
+      graft.Frames.free(pairs)
       spark.read.parquet(stage)
     } finally staged.foreach(_.unpersist(blocking = false))
   }
@@ -142,6 +146,20 @@ object Dedup {
     (docs, Seq(dict, docs))
   }
 
+  /** EXPERIMENT knob (r19, r18 verdict next-round 1b): eagerly
+    * localCheckpoint the distinct candidate set of the prefix-filter
+    * joins (d4/d22), splitting their one long multi-stage job into
+    * candidate job + verify job — shorter dependent chains amplify
+    * machine heat less. Env-gated for paired same-binary A/Bs; OFF by
+    * default until the A/B says otherwise. The checkpointed blocks are
+    * released by the callers' existing staged-release discipline
+    * (Frames.free — Dataset.unpersist misses LogicalRDD-backed frames).
+    */
+  private def ckptCands(cands: DataFrame): DataFrame =
+    if (sys.env.get("SPARK_GRAFT_CKPT_CANDS").contains("1"))
+      cands.localCheckpoint(eager = true)
+    else cands
+
   private[graft] def jaccardPairsPlan(df: DataFrame, id: Column, text: Column,
                                       threshold: Double): (DataFrame, Seq[DataFrame]) = {
     val (docsBase, staged) = rarityDictDocs(df, id, text)
@@ -157,14 +175,14 @@ object Dedup {
     // (1 + min(...))·(10⁶ + tNum) ≥ tNum·(nA + nB).
     val bestOverlap = lit(1) +
       least(col("a.n") - col("a.pos") - 1, col("b.n") - col("b.pos") - 1)
-    val cands = prefix.as("a")
+    val cands = ckptCands(prefix.as("a")
       .join(prefix.as("b"),
         col("a.tid") === col("b.tid") && col("a.id") < col("b.id") &&
           col("a.n") * 1000000 >= col("b.n") * tNum &&
           col("b.n") * 1000000 >= col("a.n") * tNum &&
           bestOverlap * (1000000L + tNum) >= (col("a.n") + col("b.n")) * tNum)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+      .distinct())
     val pairs = cands
       .join(docs.select(col("id").as("id_a"), col("tids").as("ta"),
         col("n").as("size_a")), "id_a")
@@ -222,14 +240,14 @@ object Dedup {
         posexplode(col("tids")).as(Seq("pos", "tid")))
       val bestOverlap = lit(1) +
         least(col("a.n") - col("a.pos") - 1, col("b.n") - col("b.pos") - 1)
-      val cands = prefix.as("a")
+      val cands = ckptCands(prefix.as("a")
         .join(full.as("b"),
           col("a.tid") === col("b.tid") &&
             (col("b.n") > col("a.n") ||
               (col("b.n") === col("a.n") && col("a.id") < col("b.id"))) &&
             bestOverlap * 1000000L >= col("a.n") * tNum)
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        .distinct()
+        .distinct())
       val pairs = cands
         .join(docs.select(col("id").as("id_a"), col("tids").as("ta"),
           col("n").as("size_a")), "id_a")
@@ -247,6 +265,7 @@ object Dedup {
       // release them (the d4 discipline: library calls leave no cache)
       val stage = graft.Scratch.dir("graft_d22_pairs")
       pairs.write.mode("overwrite").parquet(stage)
+      graft.Frames.free(pairs) // CKPT_CANDS blocks, if any
       spark.read.parquet(stage)
     } finally staged.foreach(_.unpersist(blocking = false))
   }
@@ -273,6 +292,7 @@ object Dedup {
     try {
       val stage = graft.Scratch.dir("graft_d22_probe")
       pairs.write.mode("overwrite").parquet(stage)
+      graft.Frames.free(pairs) // CKPT_CANDS blocks, if any
       spark.read.parquet(stage)
     } finally staged.foreach(_.unpersist(blocking = false))
   }
@@ -305,6 +325,7 @@ object Dedup {
           col("_b.containment").as("containment"))
       val stage = graft.Scratch.dir("graft_d22_best")
       best.write.mode("overwrite").parquet(stage)
+      graft.Frames.free(pairs) // CKPT_CANDS blocks, if any
       spark.read.parquet(stage)
     } finally staged.foreach(_.unpersist(blocking = false))
   }
@@ -344,13 +365,13 @@ object Dedup {
         .join(prefTids, Seq("tid"), "left_semi")
       val bestOverlap = lit(1) +
         least(col("a.n") - col("a.pos") - 1, col("b.n") - col("b.pos") - 1)
-      val cands = prefix.as("a")
+      val cands = ckptCands(prefix.as("a")
         .join(full.as("b"),
           col("a.tid") === col("b.tid") &&
             col("b.n") * 1000000L >= col("a.n") * tNum &&
             bestOverlap * 1000000L >= col("a.n") * tNum)
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        .distinct()
+        .distinct())
       val pairs = cands
         .join(docs.select(col("id").as("id_a"), col("tids").as("ta"),
           col("n").as("size_a")), "id_a")
@@ -613,8 +634,7 @@ object Dedup {
       bandRows(df, id, text, shingleSize, numHashes, rowsPerBand, buckets)
         .drop("sb"), // sb is the segment DIRECTORY, not a data column
       s"$path/bands/sb=$seg", Seq("bp"), col("id"), targetRows, spread)
-    spark.range(1).select(lit(seg).as("k"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/commits/k=$seg")
+    graft.operators.SegmentFs.writeMarker(spark, s"$path/commits/k=$seg")
   }
 
   private def lshCommittedSegs(spark: org.apache.spark.sql.SparkSession,
@@ -664,9 +684,7 @@ object Dedup {
       if (f.exists(segDir)) f.delete(segDir, true): Unit
       graft.sources.Compaction.writeSized(rows, s"$path/bands/sb=$gen",
         Seq("bp"), col("id"), targetRows, spread)
-      spark.range(1).select(lit(gen).as("k"))
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$path/commits/k=$gen")
+      graft.operators.SegmentFs.writeMarker(spark, s"$path/commits/k=$gen")
       // raise the water line past every folded batch id BEFORE retiring
       // its commit marker — the folded ids must never be reused or
       // re-appended once their markers are gone

@@ -87,14 +87,33 @@ private[operators] object SegmentFs {
   def recordHighWater(spark: SparkSession, dir: String, k: Long): Unit = {
     val existing = listVersions(spark, s"$dir/hwm", "k")
     if (!existing.lastOption.exists(_ >= k)) {
-      spark.range(1).select(lit(k).as("k"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/hwm/k=$k")
+      writeMarker(spark, s"$dir/hwm/k=$k")
       val f = fs(spark, dir)
       existing.filter(_ < k).foreach { o =>
         f.delete(new org.apache.hadoop.fs.Path(s"$dir/hwm/k=$o"),
           true): Unit
       }
     }
+  }
+
+  /** Write a `_SUCCESS`-gated EMPTY marker directory — for the commit/
+    * hwm markers whose only information is their NAME ([[listVersions]]
+    * reads directory names + marker presence, never file content).
+    * Each marker was previously a one-row `spark.range(1)` parquet
+    * write: a whole Spark job plus a file-committer round trip of pure
+    * driver latency PER MARKER, multiplied across every lifecycle tick
+    * (r19 optimization, guide §1.2 — a job that computes nothing a
+    * reader ever loads). Crash contract unchanged from the parquet
+    * committer's: the directory may exist torn (readers skip it,
+    * writers reclaim it); the `_SUCCESS` file's atomic create is the
+    * commit point, written last.
+    */
+  def writeMarker(spark: SparkSession, dir: String): Unit = {
+    val f = fs(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (f.exists(p)) f.delete(p, true): Unit
+    f.mkdirs(p): Unit
+    f.create(new org.apache.hadoop.fs.Path(p, "_SUCCESS"), true).close()
   }
 
   /** The append-side id resolution shared by every commit-gated index

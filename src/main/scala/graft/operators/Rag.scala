@@ -167,10 +167,11 @@ object Rag {
   /** Persist a BM25 inverted index — the lexical seat of the engine's
     * build-once/probe-many lifecycle family (d9 bloom, v11 IVF, d15 LSH
     * bands). Layout under `path`:
-    *   `meta/`                 — one (buckets) row: the index is
-    *     SELF-DESCRIBING, probes read the bucket count here (a probe
-    *     guessing a different count would silently prune to the wrong
-    *     partitions — the saveIvfIndex centroid precedent);
+    *   `meta/`                 — the bucket count, one `_SUCCESS`-gated
+    *     text file: the index is SELF-DESCRIBING, probes read the
+    *     bucket count here (a probe guessing a different count would
+    *     silently prune to the wrong partitions — the saveIvfIndex
+    *     centroid precedent);
     *   `postings/seg=K/tp=N/`  — (doc_id, term, tf, dl) via the sized
     *     sink (hot term buckets still write in parallel, no small-file
     *     spray; dl is denormalized per posting, the Lucene "norms"
@@ -202,8 +203,18 @@ object Rag {
                     buckets: Int = 64, targetRows: Long = 1L << 20,
                     spread: Int = 8): Unit = {
     val spark = docs.sparkSession
-    spark.range(1).select(lit(buckets.toLong).as("buckets"))
-      .coalesce(1).write.mode("errorifexists").parquet(s"$path/meta")
+    // meta is ONE driver-known integer: write/read it as a tiny
+    // `_SUCCESS`-gated text file via the FS API instead of a one-row
+    // parquet (whose write was a Spark job and whose read was a head()
+    // job on EVERY append/probe/compact — pure driver round-trip
+    // latency, r19 guide §1.2). errorifexists contract preserved.
+    val f = SegmentFs.fs(spark, path)
+    val dir = new org.apache.hadoop.fs.Path(s"$path/meta")
+    if (f.exists(dir))
+      throw new org.apache.hadoop.fs.FileAlreadyExistsException(dir.toString)
+    val out = f.create(new org.apache.hadoop.fs.Path(dir, "buckets"), false)
+    out.write(buckets.toString.getBytes("UTF-8")); out.close()
+    f.create(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), true).close()
     writeBm25Segment(docs, id, text, path, buckets, targetRows, spread,
       seg = 0L)
   }
@@ -309,9 +320,7 @@ object Rag {
           col("sum_dl"))
         .coalesce(1).write.mode("errorifexists")
         .parquet(s"$path/stats/seg=$gen")
-      spark.range(1).select(lit(gen).as("k"))
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$path/commits/k=$gen")
+      SegmentFs.writeMarker(spark, s"$path/commits/k=$gen")
       // raise the water line past every folded batch id BEFORE retiring
       // its commit marker — the folded ids must never be reused or
       // re-appended once their markers are gone
@@ -330,8 +339,12 @@ object Rag {
   }
 
   private def readMetaBuckets(spark: org.apache.spark.sql.SparkSession,
-                              path: String): Int =
-    spark.read.parquet(s"$path/meta").head().getLong(0).toInt
+                              path: String): Int = {
+    val f = SegmentFs.fs(spark, path)
+    val in = f.open(new org.apache.hadoop.fs.Path(s"$path/meta/buckets"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+    finally in.close()
+  }
 
   private def writeBm25Segment(docs: DataFrame, id: Column, text: Column,
                                path: String, buckets: Int, targetRows: Long,
@@ -371,8 +384,7 @@ object Rag {
       .parquet(s"$path/stats/seg=$seg")
     // the commit point — everything above is invisible until this lands
     // ("overwrite": a torn marker dir without _SUCCESS must not block)
-    spark.range(1).select(lit(seg).as("k"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/commits/k=$seg")
+    SegmentFs.writeMarker(spark, s"$path/commits/k=$seg")
   }
 
   /** Probe a saved BM25 index: the query vocabulary's term buckets

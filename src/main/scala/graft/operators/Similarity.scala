@@ -651,8 +651,7 @@ object Similarity {
         (-centroidArgmax(col("dv"), cents).getField("ncid")).cast("long"))
     graft.sources.Compaction.writeSized(assigned, s"$path/lists/seg=$seg",
       Seq("cid"), col("doc_id"), targetRows, spread)
-    spark.range(1).select(lit(seg).as("k"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/commits/k=$seg")
+    SegmentFs.writeMarker(spark, s"$path/commits/k=$seg")
   }
 
   /** The committed rows of a persisted IVF index exactly as a reader
@@ -759,9 +758,7 @@ object Similarity {
       if (f.exists(segDir)) f.delete(segDir, true): Unit
       graft.sources.Compaction.writeSized(rows, s"$path/lists/seg=$gen",
         Seq("cid"), col("doc_id"), targetRows, spread)
-      spark.range(1).select(lit(gen).as("k"))
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$path/commits/k=$gen")
+      SegmentFs.writeMarker(spark, s"$path/commits/k=$gen")
       // raise the water line past every folded batch id BEFORE retiring
       // its commit marker — the folded ids must never be reused or
       // re-appended once their markers are gone
@@ -1039,8 +1036,7 @@ object Similarity {
     graft.sources.Compaction.writeSized(enc, s"$path/lists/seg=$seg",
       Seq("cid"), col("doc_id"), targetRows, spread)
     // the commit point — everything above is invisible until this lands
-    spark.range(1).select(lit(seg).as("k"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/commits/k=$seg")
+    SegmentFs.writeMarker(spark, s"$path/commits/k=$seg")
   }
 
   /** Committed list segments — the only segments a reader may see. */

@@ -1,7 +1,6 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** S19 — incremental file-discovery ingest: the FILE-LEVEL watermark of
   * every production lake pipeline. A landing root accrues immutable
@@ -20,7 +19,7 @@ import org.apache.spark.sql.functions._
   * `record` for a committed tick is a no-op, a torn one rewrites.
   *
   * Scale shape: listing is one FS namespace scan of drop dirs (not
-  * data files); the manifest is a tiny parquet log; the data read
+  * data files); the manifest is a tiny text log; the data read
   * touches only the new drops' files. Nothing corpus-sized moves.
   */
 object FileManifest {
@@ -45,7 +44,15 @@ object FileManifest {
       .sorted
   }
 
-  /** Drop names already absorbed, from the committed manifest segments. */
+  /** Drop names already absorbed, from the committed manifest segments.
+    *
+    * The manifest is a driver-side-tiny log of NAMES (contract: drop
+    * directories, not data), so segments are `_SUCCESS`-gated TEXT
+    * files read and written through the FS API directly — the previous
+    * one-row-parquet encoding cost a full Spark job per tick on each
+    * side (coalesce(1) write + read-and-collect), pure driver latency
+    * on a path whose data never leaves the driver (r19, guide §1.2).
+    */
   def processed(spark: SparkSession, manifest: String): Set[String] = {
     val f = fs(spark, manifest)
     val root = new org.apache.hadoop.fs.Path(manifest)
@@ -55,9 +62,12 @@ object FileManifest {
         .filter(_.isDirectory)
         .map(_.getPath)
         .filter(p => f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
-      if (segs.isEmpty) Set.empty
-      else spark.read.parquet(segs.map(_.toString): _*)
-        .select(col("drop")).collect().map(_.getString(0)).toSet
+      segs.flatMap { p =>
+        val in = f.open(new org.apache.hadoop.fs.Path(p, "drops"))
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).toList
+        finally in.close()
+      }.toSet
     }
   }
 
@@ -85,7 +95,10 @@ object FileManifest {
     val p = new org.apache.hadoop.fs.Path(seg)
     if (f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))) return
     if (f.exists(p)) f.delete(p, true): Unit
-    import spark.implicits._
-    drops.toDF("drop").coalesce(1).write.parquet(seg)
+    // same commit ordering as the parquet committer: data file first,
+    // the _SUCCESS marker's atomic create commits the segment last
+    val out = f.create(new org.apache.hadoop.fs.Path(p, "drops"), false)
+    out.write(drops.mkString("\n").getBytes("UTF-8")); out.close()
+    f.create(new org.apache.hadoop.fs.Path(p, "_SUCCESS"), true).close()
   }
 }
