@@ -55,6 +55,27 @@ object Bench {
     def stealPct(a: (Long, Long), b: (Long, Long)): Double =
       if (a._1 < 0 || b._1 < 0 || b._2 <= a._2) -1.0
       else math.floor((b._1 - a._1) * 1000.0 / (b._2 - a._2)) / 10
+    // Fixed-work calibration spin (r19, r18 verdict next-round 1c):
+    // same-code driver totals have spanned 250-349 s across windows
+    // that load and steal telemetry CANNOT distinguish (r18 closed at
+    // steal [0,0] both locally and at the driver, 20% apart). A
+    // fixed-work single-thread spin timed before each rep measures the
+    // one thing loadavg and /proc/stat both miss: how fast a core
+    // actually executes in this window (frequency/thermal era,
+    // co-tenant cache pressure). Med/p90 ride the totals line as
+    // "cal":[m,p] (ms, 1dp) — a window with cal far above the quiet
+    // baseline (~2-4 ms on this class of core) is mechanically
+    // discountable from the artifact alone. Runs OUTSIDE every timer.
+    def calSpin(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < 4000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      if (x == 42L) System.err.print("") // defeat dead-code elimination
+      math.floor((System.nanoTime() - t0) / 1e5) / 10
+    }
+    // warm the spin's JIT so rep samples measure the machine, not C2
+    var calWarm = 0; while (calWarm < 20) { calSpin(); calWarm += 1 }
     // Storage/eviction telemetry (r15 verdict #2): per-rep peak storage
     // memory and eviction counters next to the per-rep load, so the
     // recurring "untouched heavy query 2-3× slower at the driver"
@@ -99,8 +120,10 @@ object Bench {
     // full pass) so a transient load spike lands on at most one rep of
     // any query — back-to-back reps were both poisoned by the same
     // spike, indistinguishable from a real regression.
+    val calSamples = scala.collection.mutable.ArrayBuffer[Double]()
     def pass() = ordered.map { case (name, fn) =>
       val l = sysLoad
+      calSamples += calSpin() // outside the timer, one sample per rep
       val st0 = stealRead()
       telem.reset()
       val t = timeOne(name, fn)
@@ -197,7 +220,8 @@ object Bench {
     val sfName = new java.io.File(sfDir).getName
     println(s"""{"metric":"bench_diag","queries_full":$qs,"runs":$runs,"loads":$loads,"mem":$memFull,"steals":$steals,"tasks":$taskFull}""")
     val minsStr = minsLine(mins.toSeq)
-    val totalStr = s"""{"metric":"total","value":$total,"unit":"sec","cpus":"$cpus","sf":"$sfName","n_queries":${mins.size},"load":$loadSummary,"steal":$stealSummary,"fails":$fails,"queries":$failMap}"""
+    val calSummary = medP90(calSamples.toSeq)
+    val totalStr = s"""{"metric":"total","value":$total,"unit":"sec","cpus":"$cpus","sf":"$sfName","n_queries":${mins.size},"load":$loadSummary,"steal":$stealSummary,"cal":$calSummary,"fails":$fails,"queries":$failMap}"""
     // The compact mem line sits in the driver's ~2000-char stdout tail
     // above the mins line; its budget is whatever the tail has left
     // after the two must-fit lines, computed EXACTLY (not hoped about).

@@ -288,11 +288,30 @@ object SparkEntry {
     val train0 = docs.filter(col("doc_id") >= 50)
     // g4 variant: near-dup KEEP-ONE dedup of the train corpus before
     // everything else (the closure is pair-graph-sized work; the eval
-    // split is never deduped)
+    // split is never deduped). The post-dedup corpus is STAGED once
+    // (r19, guide §5 "reused AND expensive to recompute" / the g8
+    // staging discipline): its final plan otherwise re-derives the
+    // dedup joins once per consumer — the decontam report subtree, the
+    // anti-join main path, and through it the mix/pack re-consumers —
+    // and that long recompute chain was the suite's worst heat
+    // amplifier (r18 verdict #2: quiet 4.3-5.8 s, 8-32 s under load).
+    // Staged = the same build-once artifact g8 lands; rows identical
+    // by construction (write+read of the exact frame).
+    // SPARK_GRAFT_NOSTAGE=1 = measurement escape (ABBA A/Bs, the
+    // NOFAN/NOOVERLAP discipline; never set by any driver surface).
     val train = if (!dedup) train0
-      else Dedup.dupClusters(train0, col("doc_id"), col("text"),
-          threshold = 0.5)
-        .where(col("kept")).drop("cluster_id", "cluster_size", "kept")
+      else {
+        val deduped = Dedup.dupClusters(train0, col("doc_id"), col("text"),
+            threshold = 0.5)
+          .where(col("kept"))
+          .select(col("doc_id"), col("lang"), col("text"))
+        if (sys.env.get("SPARK_GRAFT_NOSTAGE").contains("1")) deduped
+        else {
+          val st = scratchDir("graft_g4_dedup")
+          deduped.write.mode("overwrite").parquet(st)
+          s.read.parquet(st)
+        }
+      }
     val clean = Decontam.decontaminate(
       train, docs.filter(col("doc_id") < 50),
       "doc_id", col("text"), n = 5, maxFraction = 0.0)
@@ -2852,11 +2871,20 @@ object SparkEntry {
                 lit(nd.size.toLong).as("n_drops"), col("n_rows"),
                 col("sum_chars"))
         // materialize BEFORE recording: the returned plan must not
-        // re-list the landing after later ticks move the manifest
-        val stage = s"$base/tick_$id"
-        row.write.mode("overwrite").parquet(stage)
+        // re-list the landing after later ticks move the manifest.
+        // The tick's report is ONE row of four longs — collect it and
+        // return a literal frame (the empty branch's exact shape)
+        // instead of staging it to parquet: the stage write + read-back
+        // were two extra driver job round-trips per tick for a row that
+        // lives on the driver anyway (r19, guide §1.2; the manifest
+        // lifecycle — landing reads, manifest complement, record — is
+        // unchanged).
+        val v = row.collect()(0)
+        def l(i: Int) = (if (v.isNullAt(i)) lit(null) else lit(v.getLong(i)))
+          .cast("long")
         sources.FileManifest.record(s, man, nd, id)
-        s.read.parquet(stage)
+        s.range(1).select(l(0).as("tick"), l(1).as("n_drops"),
+          l(2).as("n_rows"), l(3).as("sum_chars"))
       }
       land(b1.filter(col("doc_id") % 2 === 0), "d1_a")
       land(b1.filter(col("doc_id") % 2 =!= 0), "d1_b")
@@ -5783,14 +5811,23 @@ object SparkEntry {
       // with the v11 coarse-router CTEs restricting the scored pairs.
       val e = t(s, dir, "embeddings")
       val docs = e.filter(col("vec_id") >= 13)
-      val cents = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("long"),
-          col("embedding").cast("array<double>"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
-        .sortBy(_._1).toSeq
-      val books = Similarity.pqCodebooks(docs, col("vec_id"),
-        col("embedding"), pqM, pqSubDim, pqK, pqIters)
+      // coarse-centroid collect ‖ codebook train (r19, guide §2.6 —
+      // the r18 deferred item): the two chains are independent (cents
+      // reads vec_id < 8, the train reads vec_id >= 13), so the single
+      // collect job back-fills the train loop's idle slots instead of
+      // paying its own sequential round trip. SPARK_GRAFT_NOOVERLAP=1
+      // runs them sequentially for same-binary A/Bs.
+      val (cents, books) = Frames.overlap {
+        e.filter(col("vec_id") < 8)
+          .select(col("vec_id").cast("long"),
+            col("embedding").cast("array<double>"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+          .sortBy(_._1).toSeq
+      } {
+        Similarity.pqCodebooks(docs, col("vec_id"),
+          col("embedding"), pqM, pqSubDim, pqK, pqIters)
+      }
       val idx = scratchDir("graft_v20") + "/ivfpq"
       Similarity.saveIvfPqIndex(docs, col("vec_id"), col("embedding"),
         cents, books, pqSubDim, idx, targetRows = 10000L, spread = 2)
