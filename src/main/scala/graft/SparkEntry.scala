@@ -288,30 +288,26 @@ object SparkEntry {
     val train0 = docs.filter(col("doc_id") >= 50)
     // g4 variant: near-dup KEEP-ONE dedup of the train corpus before
     // everything else (the closure is pair-graph-sized work; the eval
-    // split is never deduped). The post-dedup corpus is STAGED once
-    // (r19, guide §5 "reused AND expensive to recompute" / the g8
-    // staging discipline): its final plan otherwise re-derives the
-    // dedup joins once per consumer — the decontam report subtree, the
-    // anti-join main path, and through it the mix/pack re-consumers —
-    // and that long recompute chain was the suite's worst heat
-    // amplifier (r18 verdict #2: quiet 4.3-5.8 s, 8-32 s under load).
-    // Staged = the same build-once artifact g8 lands; rows identical
-    // by construction (write+read of the exact frame).
-    // SPARK_GRAFT_NOSTAGE=1 = measurement escape (ABBA A/Bs, the
-    // NOFAN/NOOVERLAP discipline; never set by any driver surface).
+    // split is never deduped).
+    // NOT staged (r19 §5 A/Bs — the r18 verdict 1a hypothesis, measured
+    // and REJECTED): the final plan re-derives the dedup joins once per
+    // consumer (decontam report + anti-join + mix/pack re-consumers —
+    // 36 SMJs in the fingerprint), but at bench scale that recompute is
+    // PARALLEL SLACK on a scheduler-bound chain (~1 busy core over 32
+    // slots) while any staging hop adds SEQUENTIAL write+read latency.
+    // Both variants lost their paired ABBA A/Bs (4 runs/arm each,
+    // min-of-2, quiet AND 16-spinner):
+    //   full post-dedup corpus staged (text):  quiet med 7.76 vs 7.31
+    //     unstaged; loaded 8.72 vs 7.73;
+    //   kept-ids staged + semi-join re-attach:  quiet med 7.16 vs 6.23;
+    //     loaded 8.86 vs 7.36.
+    // At 100 TB the trade flips (the re-derived subtree is real work,
+    // not slack) — g8/g10 already land the staged form of this pipeline
+    // as their product, so the staged shape stays covered there.
     val train = if (!dedup) train0
-      else {
-        val deduped = Dedup.dupClusters(train0, col("doc_id"), col("text"),
-            threshold = 0.5)
-          .where(col("kept"))
-          .select(col("doc_id"), col("lang"), col("text"))
-        if (sys.env.get("SPARK_GRAFT_NOSTAGE").contains("1")) deduped
-        else {
-          val st = scratchDir("graft_g4_dedup")
-          deduped.write.mode("overwrite").parquet(st)
-          s.read.parquet(st)
-        }
-      }
+      else Dedup.dupClusters(train0, col("doc_id"), col("text"),
+          threshold = 0.5)
+        .where(col("kept")).drop("cluster_id", "cluster_size", "kept")
     val clean = Decontam.decontaminate(
       train, docs.filter(col("doc_id") < 50),
       "doc_id", col("text"), n = 5, maxFraction = 0.0)
@@ -5811,23 +5807,21 @@ object SparkEntry {
       // with the v11 coarse-router CTEs restricting the scored pairs.
       val e = t(s, dir, "embeddings")
       val docs = e.filter(col("vec_id") >= 13)
-      // coarse-centroid collect ‖ codebook train (r19, guide §2.6 —
-      // the r18 deferred item): the two chains are independent (cents
-      // reads vec_id < 8, the train reads vec_id >= 13), so the single
-      // collect job back-fills the train loop's idle slots instead of
-      // paying its own sequential round trip. SPARK_GRAFT_NOOVERLAP=1
-      // runs them sequentially for same-binary A/Bs.
-      val (cents, books) = Frames.overlap {
-        e.filter(col("vec_id") < 8)
-          .select(col("vec_id").cast("long"),
-            col("embedding").cast("array<double>"))
-          .collect()
-          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
-          .sortBy(_._1).toSeq
-      } {
-        Similarity.pqCodebooks(docs, col("vec_id"),
-          col("embedding"), pqM, pqSubDim, pqK, pqIters)
-      }
+      // NOT overlapped (r19 §2.6 A/B — the r18 deferred item, measured
+      // and REVERTED): the centroid collect and the codebook train are
+      // independent (vec_id < 8 vs >= 13), but the paired ABBA read
+      // overlap a wash quiet (med 6.53 vs 6.45 sequential) and a
+      // CONSISTENT loss under 16-spinner load (med 8.02 vs 7.27,
+      // 4 runs/arm) — both chains are embeddings-scan CPU, so
+      // concurrency only adds contention (the g11 precedent).
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("long"),
+          col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
+      val books = Similarity.pqCodebooks(docs, col("vec_id"),
+        col("embedding"), pqM, pqSubDim, pqK, pqIters)
       val idx = scratchDir("graft_v20") + "/ivfpq"
       Similarity.saveIvfPqIndex(docs, col("vec_id"), col("embedding"),
         cents, books, pqSubDim, idx, targetRows = 10000L, spread = 2)

@@ -149,11 +149,16 @@ object Dedup {
   /** EXPERIMENT knob (r19, r18 verdict next-round 1b): eagerly
     * localCheckpoint the distinct candidate set of the prefix-filter
     * joins (d4/d22), splitting their one long multi-stage job into
-    * candidate job + verify job — shorter dependent chains amplify
-    * machine heat less. Env-gated for paired same-binary A/Bs; OFF by
-    * default until the A/B says otherwise. The checkpointed blocks are
-    * released by the callers' existing staged-release discipline
-    * (Frames.free — Dataset.unpersist misses LogicalRDD-backed frames).
+    * candidate job + verify job — the hypothesis was that shorter
+    * dependent chains amplify machine heat less. MEASURED AND LOST
+    * (r19 paired ABBA+BAAB, 4 runs/arm, min-of-2, same window):
+    * d4 med 5.35 s ckpt vs 4.84 s off; d22 med 6.04 vs 4.74 —
+    * the eager barrier + block-manager traffic costs more than the
+    * chain split saves, consistently. Default stays OFF; the knob and
+    * numbers remain so the 100 TB profile can re-ask the question
+    * (there, the verify stage's re-fetch economics differ). Blocks are
+    * released by the callers' staged-release discipline (Frames.free —
+    * Dataset.unpersist misses LogicalRDD-backed frames).
     */
   private def ckptCands(cands: DataFrame): DataFrame =
     if (sys.env.get("SPARK_GRAFT_CKPT_CANDS").contains("1"))
